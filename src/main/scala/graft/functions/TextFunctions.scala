@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text functions used across the pipeline.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` built-ins so
+  * the expressions stay inside whole-stage codegen — no Scala UDFs in hot
+  * paths. Semantics derived from the reference:
+  *   - index-name normalization: `ingester/es_common.py:116-131`
+  *   - tokenization feeds the dedup/text-analysis extensions (BASELINE.json).
+  */
+object TextFunctions {
+
+  /** P5 — index/partition-name normalization
+    * (reference `ingester/es_common.py:116-131`): lowercase, replace
+    * `# \ / * ? " < > |` and whitespace with `_`, strip leading and trailing
+    * `.` `_` `-` `+`. Replacement runs before stripping (unlike the
+    * reference) so the function is idempotent — a leading space would
+    * otherwise become a leading `_` that a second pass strips
+    * (property-tested in PropertySpec).
+    */
+  def normalizeIndexName(c: Column): Column = {
+    val replaced = regexp_replace(lower(c), "[#\\\\/*?\"<>|\\s]+", "_")
+    regexp_replace(regexp_replace(replaced, "^[._+-]+", ""), "[._+-]+$", "")
+  }
+
+  /** Whitespace tokenization: split on runs of whitespace, drop empties.
+    * Mirror of the DuckDB-oracle expression
+    * `list_filter(string_split_regex(text,'\s+'), t -> t <> '')`.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** Word k-shingles: sliding windows of k consecutive tokens joined by a
+    * single space. Returns the DISTINCT shingle set (dedup semantics — a
+    * repeated shingle counts once for Jaccard).
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    val n    = size(toks)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(n - lit(k), lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+      )
+    )
+  }
+
+  /** BPE-ish regex token count: alphabetic runs, digit runs, or single
+    * non-space symbols — a deterministic approximation of subword token
+    * counting that both Spark and the DuckDB oracle can evaluate with the
+    * same simple regex.
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  /** Punctuation ratio: fraction of characters that are `.,!?;:'"()-`.
+    * Computed with `translate` (codegen'd, and identically available in the
+    * DuckDB oracle).
+    */
+  def punctRatio(c: Column): Column = {
+    val punct = "\\.,!?;:'\"()-"
+    val removed = length(c) - length(translate(c, ".,!?;:'\"()-", ""))
+    when(length(c) > 0, removed.cast("double") / length(c).cast("double")).otherwise(lit(0.0))
+  }
+}

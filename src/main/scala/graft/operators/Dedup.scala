@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale text corpora (the north-star
+  * training-data-pipeline surface, BASELINE.json).
+  *
+  * Scale design: every variant is a pure dataflow — shingle/signature
+  * generation is a map-side transform, candidate generation is a shuffle on
+  * a bucket key (never an all-pairs cartesian), and verification joins only
+  * candidate pairs. The generalization of the reference's D1 canonical-JSON
+  * exact dedup (`ingester/utils.py:16-19`) to near-duplicate detection.
+  */
+object Dedup {
+
+  /** D1 — exact dedup: keep the lowest-id row per identical key column.
+    * `dropDuplicates` semantics but with a deterministic survivor (Spark's
+    * `dropDuplicates` keeps an arbitrary row; at 100 TB reproducibility
+    * matters), implemented as a min-aggregation + semi-join rather than a
+    * window over the full corpus.
+    */
+  def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val survivors = df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
+    df.join(survivors, Seq(keyCol, idCol), "left_semi")
+  }
+
+  /** Word-shingle MinHash signatures for a whole corpus: `numHashes`
+    * permutations approximated by seeded xxhash64 of the shingle text;
+    * signature element i = min over shingles of xxhash64(i, shingle).
+    *
+    * Computed as explode(shingles) → one hash-aggregate with `numHashes`
+    * min() columns: the shingle set is materialized ONCE per document and
+    * each hash is one partial-aggregated min — a single map-side-combining
+    * pass. (The tempting nested-lambda form `transform(seeds, i =>
+    * array_min(transform(shingles, ...)))` re-evaluates the shingle pipeline
+    * per seed after Catalyst collapses projections — 64× the work; measured
+    * 45× slower at sf0.1.)
+    *
+    * Returns (`__id`, `sig: array<bigint>`).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("__id"),
+      explode(TextFunctions.shingles(col(textCol), shingleK)).as("s"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("__id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (`bands` bands of
+    * `rows = numHashes/bands` values), bucket-join on (band, band-hash),
+    * emit distinct candidate pairs (idA < idB).
+    *
+    * The shuffle key is the band hash — two documents meet only if some band
+    * matches, so the join fan-out is bounded by bucket sizes, not corpus
+    * size. Buckets larger than `maxBucketSize` are dropped before the
+    * self-join: a bucket that big is non-discriminative (its band carries no
+    * signal) and would go quadratic — the standard skew guard for LSH at
+    * scale. Near-dup pairs still meet in their other, selective bands.
+    * This is the 100 TB-safe shape: no all-pairs comparison anywhere.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+    val banded = sig.select(
+      col("__id"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))
+      )).as("bb"))
+      .select(col("__id"), col("bb.band"), col("bb.bucket"))
+    val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val pruned = banded.join(bucketSizes, Seq("band", "bucket"))
+    val a = pruned.select(col("band"), col("bucket"), col("__id").as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("__id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate verification (and as its
+    * own oracle-checkable operator): |A∩B| / |A∪B| over distinct
+    * word-k-shingle sets, computed via an inverted-index join (shuffle on
+    * shingle), never materializing all pairs.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("__id"),
+      explode(TextFunctions.shingles(col(textCol), shingleK)).as("shingle"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint. Each token contributes
+    * its xxhash64 bit pattern (+1 for set bits, −1 for unset); the fingerprint
+    * takes the sign of each accumulated bit position.
+    *
+    * Expressed as explode → per-(doc, bit) aggregation → bit reassembly —
+    * pure dataflow with partial aggregation, no UDAF state. Near-dup pairs =
+    * fingerprints within `maxHammingDistance`, candidate-generated by
+    * bucketing on 16-bit fingerprint chunks (two near fingerprints share at
+    * least one identical chunk when distance ≤ 3 — pigeonhole over 4 chunks).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("__id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = toks.select(
+      col("__id"),
+      explode(sequence(lit(0), lit(63))).as("bit"),
+      col("h"))
+      .withColumn("contrib",
+        expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END"))
+      .groupBy("__id", "bit")
+      .agg(sum("contrib").as("s"))
+    bits
+      .withColumn("bitval",
+        expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("__id")
+      .agg(sum("bitval").cast("long").as("simhash"))
+      .select(col("__id").as(idCol), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming-distance budget, 16-bit-chunk
+    * candidate generation (pigeonhole: distance ≤ 3 ⇒ ≥1 of 4 chunks equal).
+    */
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(docs, idCol, textCol)
+      .select(col(idCol).as("__id"), col("simhash"))
+    val chunked = fp.select(
+      col("__id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("ckey", expr("shiftright(simhash, chunk * 16) & 65535"))
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("__id").as("id_a"), col("simhash").as("fp_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("__id").as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-duplicates, blocked by a partition key so the
+    * pairwise comparison is bounded per block (at 100 TB the block key would
+    * be an LSH bucket or IVF centroid — here the dataset's `label` column
+    * doubles as the block, and `Similarity.lshBuckets` provides the
+    * hash-derived alternative).
+    */
+  def embeddingNearDups(
+      embeddings: DataFrame,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col(blockCol).as("__block"),
+      Similarity.toDoubleArray(col("embedding")).as("v"))
+    val a = e.select(col("__block"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("__block"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("__block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+}

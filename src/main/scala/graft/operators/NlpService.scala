@@ -1,0 +1,156 @@
+package graft.operators
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** U1 — the reference's single external-effect operator: POST document text
+  * to an NLP REST service and parse the returned annotations
+  * (reference `ingester/nlp_service.py:40-137`).
+  *
+  * Design for Spark's execution model:
+  *  - the effect lives in `mapPartitions`, NOT a Catalyst expression (it is
+  *    side-effecting and non-deterministic — exactly what Catalyst must not
+  *    reorder or re-execute freely);
+  *  - one pooled HTTP client per partition (the reference opens a session per
+  *    request; at 100 TB that is millions of TCP handshakes);
+  *  - bounded retries per document (reference `max-retries-on-failure`,
+  *    `ingester/nlp_service.py:75-92`) with failures captured in an error
+  *    column (`Either`-style) instead of aborting the task — the reference's
+  *    B4 per-doc isolation, without swallowing exceptions;
+  *  - a deterministic mock (`MockTagger`) implements the same interface so
+  *    the full pipeline is oracle-testable with zero network.
+  */
+object NlpService {
+
+  /** One input document. */
+  case class Doc(doc_id: Long, text: String)
+
+  /** One annotation entity, MedCAT-flavored field set
+    * (reference mapping `ingester/annotations_indexer.py:588-688`).
+    */
+  case class Annotation(
+      id: Long,
+      cui: String,
+      detected_name: String,
+      source_value: String,
+      acc: Double,
+      start: Long,
+      end: Long)
+
+  /** Annotated document: the doc plus its entities and an error side-channel
+    * (null on success). The reference returns `None` and lets a secondary
+    * exception be swallowed (`ingester/nlp_service.py:135-136`); here failure
+    * is a value.
+    */
+  case class Annotated(doc_id: Long, text: String, annotations: Seq[Annotation], error: String)
+
+  /** The service abstraction: one doc in, entities out. Implementations must
+    * be Serializable — they are shipped to executors.
+    */
+  trait Tagger extends Serializable {
+    def annotate(doc: Doc): Seq[Annotation]
+  }
+
+  /** Deterministic dictionary tagger — same semantics as
+    * `AnnotationPipeline.annotateDictionary`, but on the `mapPartitions`
+    * path so tests can cover both implementations against each other.
+    */
+  final class MockTagger(terms: Seq[String]) extends Tagger {
+    private val sorted = terms.sorted
+    override def annotate(doc: Doc): Seq[Annotation] = {
+      if (doc.text == null) Seq.empty
+      else
+        sorted.zipWithIndex.flatMap { case (term, _) =>
+          val pos = doc.text.indexOf(term)
+          if (pos < 0) None
+          else
+            Some(Annotation(
+              id = -1, // assigned below, deterministically per doc
+              cui = s"TERM:$term",
+              detected_name = term,
+              source_value = doc.text.substring(pos, pos + term.length),
+              acc = 1.0,
+              start = pos.toLong,
+              end = (pos + term.length).toLong))
+        }.zipWithIndex.map { case (a, i) => a.copy(id = i.toLong) }
+    }
+  }
+
+  /** Real HTTP tagger: POSTs `{"content": {"text": ...}}` (MedCAT shape,
+    * reference `ingester/nlp_service.py:57-65`) and retries on non-200 up to
+    * `maxRetries` (reference `:75-92`). The JSON parsing is left minimal on
+    * purpose — hermetic tests use [[MockTagger]]; this class carries the
+    * production plumbing (pooling, timeout, retry).
+    */
+  final class HttpTagger(
+      endpoint: String,
+      maxRetries: Int = 1,
+      timeoutSec: Long = 30,
+      parse: String => Seq[Annotation]) extends Tagger {
+
+    @transient private lazy val client: HttpClient =
+      HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+    override def annotate(doc: Doc): Seq[Annotation] = {
+      val body = s"""{"content":{"text":${quoteJson(doc.text)}}}"""
+      val req = HttpRequest.newBuilder(URI.create(endpoint))
+        .timeout(Duration.ofSeconds(timeoutSec))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+        .build()
+      var attempt = 0
+      var result: Option[Seq[Annotation]] = None
+      while (result.isEmpty && attempt <= maxRetries) {
+        attempt += 1
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200) result = Some(parse(resp.body()))
+      }
+      result.getOrElse(throw new RuntimeException(
+        s"NLP service returned non-200 after $attempt attempts for doc ${doc.doc_id}"))
+    }
+  }
+
+  private def quoteJson(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** The operator: Dataset[Doc] → Dataset[Annotated] via mapPartitions.
+    * Per-document failures become `error` values (B4 isolation); the task
+    * never aborts for a data error.
+    */
+  def annotate(docs: Dataset[Doc], tagger: Tagger): Dataset[Annotated] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.map { doc =>
+        try Annotated(doc.doc_id, doc.text, tagger.annotate(doc), null)
+        catch { case e: Exception => Annotated(doc.doc_id, doc.text, Seq.empty, e.toString) }
+      }
+    }
+  }
+
+  /** Convenience: documents DataFrame → exploded flat annotation records via
+    * the mapPartitions tagger path (the X1 explode applied to the typed
+    * result).
+    */
+  def annotateAndExplode(spark: SparkSession, docs: DataFrame, tagger: Tagger): DataFrame = {
+    import spark.implicits._
+    val typed = docs.select(col("doc_id").cast("long"), col("text")).as[Doc]
+    annotate(typed, tagger)
+      .filter(col("error").isNull)
+      .select(col("doc_id"), explode(col("annotations")).as("ann"))
+      .select(col("doc_id"), col("ann.*"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), the north-star similarity-search surface.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    One scan + TakeOrdered; no shuffle of the embedding column beyond the
+  *    final top-k merge.
+  *  - [[ivfTopK]]: IVF-style two-stage search — assign every vector to its
+  *    nearest centroid (map-side, centroids broadcast), then probe only the
+  *    `nprobe` centroids nearest the query. At 100 TB the inverted file is
+  *    the difference between scanning everything and scanning
+  *    `nprobe/k`-th of it; the index (vector → centroid) persists as a
+  *    partitioned table so repeated queries prune partitions.
+  *  - [[lshBuckets]]: random-hyperplane signs → bucket key, usable both for
+  *    ANN candidate generation and as the blocking key for
+  *    [[Dedup.embeddingNearDups]].
+  *
+  * All scoring is built-in expressions (`zip_with` + `aggregate`) in double
+  * precision — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Cast a float-array column to double for stable, oracle-matching math. */
+  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Dot product of two double-array columns via zip_with + aggregate
+    * (left-to-right fold — deterministic IEEE order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k against a query vector (given as a literal array so
+    * it folds into codegen; obtain it via [[queryVector]]).
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
+    base
+      .withColumn("sim", cosine(toDoubleArray(col("embedding")), q))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Fetch one embedding as a driver-side literal (the query vector — a
+    * single row, not a distributed collect).
+    */
+  def queryVector(embeddings: DataFrame, vecId: Long): Seq[Double] =
+    embeddings.filter(col("vec_id") === vecId)
+      .select(toDoubleArray(col("embedding")))
+      .head().getSeq[Double](0)
+
+  /** Deterministic centroid selection for the IVF index: the embeddings of
+    * the `numCentroids` lowest vec_ids (a fixed, reproducible choice; a
+    * k-means refinement would drop in here without changing the dataflow).
+    */
+  def centroids(embeddings: DataFrame, numCentroids: Int): Array[(Long, Seq[Double])] =
+    embeddings.orderBy("vec_id").limit(numCentroids)
+      .select(col("vec_id"), toDoubleArray(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** IVF index: every vector tagged with its nearest centroid id. Centroids
+    * ride along as a broadcast literal array; assignment is a map-side
+    * argmin, no shuffle. Persisting this partitioned by `centroid_id` gives
+    * partition-pruned probes.
+    */
+  def ivfAssign(embeddings: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    embeddings
+      .withColumn("__v", toDoubleArray(col("embedding")))
+      .withColumn("__scored", transform(centArr,
+        c => struct((-cosine(col("__v"), c("cv"))).as("negsim"), c("cid").as("cid"))))
+      .withColumn("centroid_id", array_min(col("__scored")).getField("cid"))
+      .drop("__scored")
+  }
+
+  /** ANN top-k via IVF: score only vectors whose centroid is among the
+    * `nprobe` centroids closest to the query.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeIds = cents.map { case (cid, v) => (cid, cos(v, query)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+    val assigned = ivfAssign(embeddings, cents)
+      .filter(col("centroid_id").isin(probeIds.toSeq: _*))
+    val base = excludeVecId.fold(assigned)(id => assigned.filter(col("vec_id") =!= id))
+    val q = array(query.map(lit): _*)
+    base
+      .withColumn("sim", cosine(col("__v"), q))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket key: `numPlanes` fixed pseudo-random
+    * hyperplanes (seeded, deterministic), bucket = sign-bit string. Vectors
+    * in the same bucket are cosine-close candidates.
+    */
+  def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] = Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+    val planeArr = array(planes.map(p => array(p.map(lit): _*)): _*)
+    embeddings
+      .withColumn("__v", toDoubleArray(col("embedding")))
+      .withColumn("lsh_bucket",
+        aggregate(
+          zip_with(planeArr, sequence(lit(0L), lit(numPlanes - 1L)),
+            (p, i) => when(dot(col("__v"), p) >= 0,
+              pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x))
+      .drop("__v")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for the training-data-pipeline surface
+  * (BASELINE.json): language ID, quality scoring, token counting, document
+  * fingerprinting. Everything except the rolling-hash fingerprint is
+  * built-in-expression dataflow (codegen'd, oracle-expressible).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+    * heuristic. Deterministic and oracle-expressible (the DuckDB twin uses
+    * the same VALUES list).
+    */
+  val Lexicons: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "small",
+    "de" -> "der", "de" -> "und", "de" -> "die", "de" -> "fast", "de" -> "hash",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "data")
+
+  /** Language ID: explode tokens, broadcast-join the lexicon, count hits per
+    * (doc, lang), argmax with deterministic tie-break (hits desc, lang asc).
+    * Docs with zero lexicon hits → 'unknown'.
+    */
+  def languageId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val lex = broadcast(Lexicons.toDF("lex_lang", "lex_tok"))
+    val toks = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val hits = toks.join(lex, col("tok") === col("lex_tok"))
+      .groupBy("doc_id", "lex_lang")
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lex_lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lex_lang").as("pred_lang"), col("hits"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Quality metrics per document: token count, mean token length,
+    * punctuation ratio, stopword ratio — the standard cheap quality signals
+    * for corpus filtering.
+    */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val stop = array(Seq("the", "a", "of", "and").map(lit): _*)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_tok_len",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"))
+      .withColumn("punct_ratio", TextFunctions.punctRatio(col("text")))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => array_contains(stop, t))).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"))
+  }
+
+  /** Rolling-hash document fingerprint (Rabin-Karp flavored): hash of every
+    * `w`-token window, fingerprint = min hash (a 1-permutation MinHash —
+    * winnowing's cheap cousin). Hash-function-dependent → rows-only check +
+    * ScalaTest, not DuckDB oracle.
+    */
+  def fingerprint(docs: DataFrame, window: Int = 4): DataFrame = {
+    val sh = TextFunctions.shingles(col("text"), window)
+    docs.select(
+      col("doc_id"),
+      array_min(transform(sh, s => xxhash64(s))).as("fingerprint"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication operator inventory over `documents` / `embeddings`.
+  * Exact dedup and n-gram Jaccard are hash-function-free → full DuckDB
+  * oracle. MinHash-LSH and SimHash depend on xxhash64 → rows-only driver
+  * check, with ScalaTest asserting their candidate sets against the exact
+  * Jaccard ground truth (DedupSpec).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q40 — exact-dup census: total vs distinct texts, duplicate groups. */
+  def q40_dedup_exact: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val groups = docs.groupBy("text").agg(count(lit(1)).as("cnt"))
+    docs.agg(count(lit(1)).as("n_total")).crossJoin(
+      groups.agg(
+        count(lit(1)).as("n_distinct_text"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_groups"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("long").as("n_dup_rows")))
+  }
+
+  /** q41 — exact dedup with deterministic survivor (lowest doc_id per text):
+    * the D1 operator (`ingester/utils.py:16-19`) in its scalable form.
+    */
+  def q41_dedup_keep_first: Q = (s, dir) => {
+    Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           min("doc_id").as("min_id"),
+           max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+
+  /** q42 — exact 3-shingle Jaccard near-dup pairs (threshold 0.6; the data
+    * separates real near-dups J≥0.9 from noise J≤0.1).
+    */
+  def q42_jaccard_pairs: Q = (s, dir) => {
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q43 — MinHash-LSH candidate pairs (rows-only: xxhash64-dependent).
+    * DedupSpec asserts candidates ⊇ all true J≥0.9 pairs.
+    */
+  def q43_minhash_lsh: Q = (s, dir) => {
+    Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q44 — SimHash near-dup pairs (rows-only: xxhash64-dependent). */
+  def q44_simhash: Q = (s, dir) => {
+    Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q45 — embedding-cosine near-dup pairs, blocked by label (the dataset's
+    * stand-in for an LSH/IVF block at 100 TB).
+    */
+  def q45_embed_neardup: Q = (s, dir) => {
+    Dedup.embeddingNearDups(Tables.embeddings(s, dir), "label", threshold = 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q40_dedup_exact" -> q40_dedup_exact,
+    "q41_dedup_keep_first" -> q41_dedup_keep_first,
+    "q42_jaccard_pairs" -> q42_jaccard_pairs,
+    "q43_minhash_lsh" -> q43_minhash_lsh,
+    "q44_simhash" -> q44_simhash,
+    "q45_embed_neardup" -> q45_embed_neardup)
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" -> """
+      WITH g AS (SELECT text, count(1) AS cnt FROM documents GROUP BY 1)
+      SELECT (SELECT count(1) FROM documents) AS n_total,
+             count(1) AS n_distinct_text,
+             CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_rows
+      FROM g""",
+    "q41_dedup_keep_first" -> """
+      WITH kept AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+      SELECT d.lang, count(1) AS n_kept, min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
+      FROM documents d JOIN kept k ON d.text = k.text AND d.doc_id = k.doc_id
+      GROUP BY 1 ORDER BY 1""",
+    "q42_jaccard_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6
+      ORDER BY 1, 2""",
+    "q45_embed_neardup" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+      ORDER BY 1, 2""")
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search inventory over `embeddings`: exact brute-force cosine
+  * top-k (oracle-checked) and the scale path — IVF probe search and LSH
+  * bucketing (hash/centroid-dependent → rows-only + SimilaritySpec recall
+  * assertions).
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The fixed query point: vec_id 0's embedding. */
+  val QueryVecId = 0L
+
+  /** q46 — exact cosine top-10 (baseline; TakeOrdered, no shuffle of
+    * vectors).
+    */
+  def q46_cosine_topk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    Similarity.bruteForceTopK(emb, q, k = 10, excludeVecId = Some(QueryVecId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+  }
+
+  /** q47 — cosine range search: all vectors within sim ≥ 0.3 of the query
+    * (oracle-checked; the set-returning twin of top-k).
+    */
+  def q47_cosine_range: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val qc = array(q.map(lit): _*)
+    emb.filter(col("vec_id") =!= QueryVecId)
+      .withColumn("sim", Similarity.cosine(Similarity.toDoubleArray(col("embedding")), qc))
+      .filter(col("sim") >= 0.3)
+      .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q48 — IVF approximate top-k (16 centroids, nprobe 4): rows-only;
+    * SimilaritySpec asserts recall vs q46's exact answer.
+    */
+  def q48_ivf_topk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val cents = Similarity.centroids(emb, 16)
+    Similarity.ivfTopK(emb, cents, q, k = 10, nprobe = 4, excludeVecId = Some(QueryVecId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+  }
+
+  /** q49 — LSH bucket histogram (rows-only; buckets are seed-dependent):
+    * the candidate-generation structure for ANN and blocked near-dup.
+    */
+  def q49_lsh_buckets: Q = (s, dir) => {
+    Similarity.lshBuckets(Tables.embeddings(s, dir), numPlanes = 8, dim = 64)
+      .groupBy("lsh_bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lsh_bucket")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q46_cosine_topk" -> q46_cosine_topk,
+    "q47_cosine_range" -> q47_cosine_range,
+    "q48_ivf_topk" -> q48_ivf_topk,
+    "q49_lsh_buckets" -> q49_lsh_buckets)
+
+  val oracle: Map[String, String] = Map(
+    "q46_cosine_topk" -> s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+      SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
+      FROM embeddings, q
+      WHERE vec_id <> $QueryVecId
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
+      LIMIT 10""",
+    "q47_cosine_range" -> s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+      SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
+      FROM embeddings, q
+      WHERE vec_id <> $QueryVecId AND list_cosine_similarity(embedding::DOUBLE[], qv) >= 0.3
+      ORDER BY vec_id""")
+}

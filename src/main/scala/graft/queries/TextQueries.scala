@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+/** Text-analysis inventory over `documents`: language ID, quality scoring,
+  * token counting (whitespace + BPE-ish regex), document fingerprinting.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q50 — language-ID heuristic: lexicon-hit argmax per doc, aggregated. */
+  def q50_lang_id: Q = (s, dir) => {
+    TextAnalysis.languageId(s, Tables.documents(s, dir))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("hits").cast("long").as("total_hits"))
+      .orderBy("pred_lang")
+  }
+
+  /** q51 — quality metrics aggregated per source. */
+  def q51_quality: Q = (s, dir) => {
+    TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        round(avg("mean_tok_len"), 4).as("avg_tok_len"),
+        round(avg("stopword_ratio"), 4).as("avg_stop_ratio"))
+      .orderBy("source")
+  }
+
+  /** q52 — token counting per lang: whitespace tokens and BPE-ish regex
+    * tokens (`[a-zA-Z]+|[0-9]+|single symbol`).
+    */
+  def q52_token_count: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("ws_toks"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("long").as("bpe_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("ws_toks").cast("long").as("sum_ws_toks"),
+           sum("bpe_toks").cast("long").as("sum_bpe_toks"))
+      .orderBy("lang")
+  }
+
+  /** q53 — rolling-hash fingerprints (rows-only: xxhash64-dependent);
+    * TextAnalysisSpec asserts exact-dup texts share fingerprints.
+    */
+  def q53_fingerprint: Q = (s, dir) => {
+    TextAnalysis.fingerprint(Tables.documents(s, dir))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("fingerprint"))
+      .limit(50)
+  }
+
+  val all: Map[String, Q] = Map(
+    "q50_lang_id" -> q50_lang_id,
+    "q51_quality" -> q51_quality,
+    "q52_token_count" -> q52_token_count,
+    "q53_fingerprint" -> q53_fingerprint)
+
+  private val lexValues = TextAnalysis.Lexicons
+    .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q50_lang_id" -> raw"""
+      WITH lex(lex_lang, lex_tok) AS (VALUES $lexValues),
+      toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        FROM documents),
+      hits AS (
+        SELECT doc_id, lex_lang, count(1) AS hits
+        FROM toks JOIN lex ON tok = lex_tok
+        GROUP BY 1, 2),
+      best AS (
+        SELECT doc_id, lex_lang AS pred_lang, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lex_lang ASC) AS rn
+        FROM hits),
+      labeled AS (
+        SELECT d.doc_id,
+               coalesce(b.pred_lang, 'unknown') AS pred_lang,
+               coalesce(b.hits, 0) AS hits
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id)
+      SELECT pred_lang, count(1) AS n_docs, CAST(sum(hits) AS BIGINT) AS total_hits
+      FROM labeled GROUP BY 1 ORDER BY 1""",
+    "q51_quality" -> raw"""
+      WITH m AS (
+        SELECT source,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      per_doc AS (
+        SELECT source,
+               len(tk) AS n_tokens,
+               list_sum(list_transform(tk, t -> length(t))) * 1.0 / greatest(len(tk), 1)
+                 AS mean_tok_len,
+               len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                 / greatest(len(tk), 1) AS stopword_ratio
+        FROM m)
+      SELECT source, count(1) AS n_docs,
+             round(avg(n_tokens), 4) AS avg_tokens,
+             round(avg(mean_tok_len), 4) AS avg_tok_len,
+             round(avg(stopword_ratio), 4) AS avg_stop_ratio
+      FROM per_doc GROUP BY 1 ORDER BY 1""",
+    "q52_token_count" -> raw"""
+      SELECT lang, count(1) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')))
+                  AS BIGINT) AS sum_ws_toks,
+             CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')))
+                  AS BIGINT) AS sum_bpe_toks
+      FROM documents GROUP BY 1 ORDER BY 1""")
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Sink operators (reference K1–K8, `ingester/es_common.py:169-210` +
+  * `ingester/annotations_indexer.py:103-227`), re-expressed for a columnar
+  * table sink (parquet directories as the hermetic stand-in for ES indices;
+  * the option plumbing maps 1:1 onto an ES connector's `es.resource.write`).
+  */
+object Sinks {
+
+  /** K1/K2/K3 — bulk append. Spark batches writes internally; the
+    * reference's 10k-doc chunking (`ingester/es_common.py:98`) maps to file
+    * sizing via `maxRecordsPerFile` rather than hand-rolled chunks.
+    */
+  def append(df: DataFrame, path: String, maxRecordsPerFile: Int = 1000000): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+
+  /** K4 — split-by-field partitioned sink with P5 name normalization
+    * (`ingester/annotations_indexer.py:214-218`): one directory partition per
+    * normalized key value, written in a single job (the reference computes the
+    * index name per record and issues per-index bulk calls).
+    */
+  def writePartitioned(df: DataFrame, path: String, splitField: String): Unit =
+    df.withColumn("__part", TextFunctions.normalizeIndexName(col(splitField)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__part")
+      .parquet(path)
+
+  /** K5/K6 — upsert keyed by `keyCol`: read-merge-overwrite. New rows win
+    * over existing rows with the same key (the reference's Painless
+    * script-update semantics, `ingester/annotations_indexer.py:148-200`).
+    * Idempotent under re-runs of the same batch: merging twice converges.
+    *
+    * At scale this is the `foreachBatch` MERGE pattern; on a plain-parquet
+    * sink the merge rewrites the table once per batch, so batch sizing (B1
+    * segments) bounds the rewrite cost.
+    */
+  def upsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String): Unit = {
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(old) =>
+        old.join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .unionByName(batch)
+      case None => batch
+    }
+    // Write to a temp dir then swap: the source of the merge is also the
+    // destination, and overwriting a path while reading it is undefined.
+    val tmp = path.stripSuffix("/") + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+}

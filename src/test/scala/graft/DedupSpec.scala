@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // sf0.1 documents contain real near-dups; sf0.001 may not, so build a
+  // corpus with known duplicates: the test-table docs plus planted mutations.
+  lazy val corpus = {
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val planted = base.filter($"doc_id" < 5)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        // near-dup: append two tokens (high Jaccard), exact-dup for doc 0
+        when($"doc_id" === 0, $"text").otherwise(concat($"text", lit(" extra token"))).as("text"))
+    base.unionByName(planted)
+  }
+
+  test("exactDedup keeps the lowest id per duplicate text (D1, utils.py:16-19)") {
+    val df = Seq((10L, "same"), (3L, "same"), (5L, "other")).toDF("id", "text")
+    val kept = Dedup.exactDedup(df, "text", "id").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 5L))
+  }
+
+  test("jaccard finds planted near-dups with J >= 0.8") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", shingleK = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, i + 100000L)), s"missing planted pair $i")
+    }
+  }
+
+  test("minhash LSH candidates cover all true J>=0.9 pairs (no false negatives at high sim)") {
+    val truth = Dedup.jaccardPairs(corpus, "doc_id", "text", shingleK = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("minhash LSH candidate set is not the all-pairs set (it actually prunes)") {
+    val n = corpus.count()
+    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text").count()
+    assert(cand < n * (n - 1) / 4, s"candidates $cand ≈ all pairs — LSH not pruning")
+  }
+
+  test("simhash: identical texts get identical fingerprints; near-dups within hamming 3") {
+    val fp = Dedup.simhash(corpus, "doc_id", "text")
+    val exactPair = fp.as("a").join(fp.as("b"),
+        $"a.doc_id" === 0L && $"b.doc_id" === 100000L)
+      .select($"a.simhash" === $"b.simhash").as[Boolean].head()
+    assert(exactPair, "exact dup must have equal simhash")
+    val nd = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 100000L)))
+  }
+
+  test("embedding near-dups are symmetric-free (id_a < id_b) and above threshold") {
+    val nd = Dedup.embeddingNearDups(Tables.embeddings(spark, sfDir), "label", 0.3)
+    val rows = nd.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.3))
+  }
+}

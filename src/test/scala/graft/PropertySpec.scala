@@ -1,0 +1,65 @@
+package graft
+
+import java.time.LocalDate
+
+import scala.util.Random
+
+import graft.functions.TextFunctions
+
+/** Property-style tests (SURVEY.md §5.4) over seeded random samples:
+  * normalization idempotence, shingle cardinality, B1 segment coverage with
+  * half-open windows. (Plain seeded sampling — the scalatest/scalacheck
+  * bridge artifact isn't on the offline classpath.)
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rng = new Random(42)
+
+  test("P5 normalization is idempotent on arbitrary strings") {
+    val alphabet = "abcXYZ019#\\/*?\"<>| ._-+"
+    val samples = Seq.fill(60)(
+      (0 until rng.nextInt(20)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = samples.toDF("x")
+    val once = df.select(TextFunctions.normalizeIndexName($"x").as("n"))
+    val twice = once.select(TextFunctions.normalizeIndexName($"n").as("n"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
+  test("shingle count: distinct k-shingles of n tokens is in [1, n-k+1]") {
+    val cases = Seq.fill(40) {
+      val n = 1 + rng.nextInt(12)
+      val k = 1 + rng.nextInt(4)
+      (Seq.fill(n)(Seq("a", "b", "c", "d")(rng.nextInt(4))).mkString(" "), n, k)
+    }
+    cases.foreach { case (text, n, k) =>
+      val got = Seq(text).toDF("t")
+        .select(TextFunctions.shingles($"t", k).as("s")).as[Seq[String]].head()
+      val expectMax = math.max(n - k + 1, 1)
+      assert(got.nonEmpty && got.size <= expectMax,
+        s"text='$text' k=$k → ${got.size} shingles, max $expectMax")
+    }
+  }
+
+  /** B1 half-open segments: every date in [start, end) belongs to exactly one
+    * segment (the reference's inclusive boundaries double-assign boundary
+    * dates — `annotations_indexer.py:847-857`; this encodes the fix).
+    */
+  test("half-open date segments cover [start, end) exactly once") {
+    Seq.fill(50)((1 + rng.nextInt(60), 1 + rng.nextInt(200))).foreach {
+      case (interval, span) =>
+        val start = LocalDate.of(2020, 1, 1)
+        val end = start.plusDays(span.toLong)
+        val segments = Iterator.iterate(start)(_.plusDays(interval.toLong))
+          .takeWhile(_.isBefore(end))
+          .map(s => (s, Seq(s.plusDays(interval.toLong), end).minBy(_.toEpochDay)))
+          .toSeq
+        (0 until span).foreach { d =>
+          val day = start.plusDays(d.toLong)
+          val owners = segments.count { case (s, e) => !day.isBefore(s) && day.isBefore(e) }
+          assert(owners == 1, s"interval=$interval span=$span day=$day covered $owners times")
+        }
+        assert(segments.forall { case (s, e) => !s.isBefore(start) && !e.isAfter(end) })
+    }
+  }
+}

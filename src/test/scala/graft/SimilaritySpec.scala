@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+
+  lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("cosine of a vector with itself is 1.0") {
+    import org.apache.spark.sql.functions._
+    val v = Similarity.toDoubleArray(col("embedding"))
+    val sims = emb.limit(10).select(Similarity.cosine(v, v).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k is ordered desc and excludes the query vector") {
+    val q = Similarity.queryVector(emb, 0L)
+    val top = Similarity.bruteForceTopK(emb, q, 10, excludeVecId = Some(0L)).collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("IVF top-k achieves recall >= 0.5 vs brute force at nprobe=4/16 " +
+      "and full recall at nprobe=16/16") {
+    val q = Similarity.queryVector(emb, 0L)
+    val cents = Similarity.centroids(emb, 16)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(emb, cents, q, 10, nprobe = 4, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    val full = Similarity.ivfTopK(emb, cents, q, 10, nprobe = 16, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact, "nprobe=all must equal brute force")
+  }
+
+  test("LSH buckets partition the corpus (every vector in exactly one bucket)") {
+    val b = Similarity.lshBuckets(emb, numPlanes = 8, dim = 64)
+    assert(b.count() == emb.count())
+    val nBuckets = b.select("lsh_bucket").distinct().count()
+    assert(nBuckets > 1 && nBuckets <= 256)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokens splits on whitespace runs and drops empties") {
+    val got = Seq("  a  b\tc\nd ", "", "single").toDF("t")
+      .select(TextFunctions.tokens($"t").as("toks"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a", "b", "c", "d"), Seq(), Seq("single")))
+  }
+
+  test("shingles: k=2 over 4 tokens gives 3 distinct shingles") {
+    val got = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles($"t", 2).as("s"))
+      .as[Seq[String]].head()
+    assert(got.toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("language id picks the lexicon with most hits, deterministic tie-break") {
+    val docs = Seq(
+      (1L, "the cat and the dog of a house"), // en-heavy
+      (2L, "der hund und die katze"),          // de-heavy
+      (3L, "zzz qqq www")                      // no hits → unknown
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "unknown")
+  }
+
+  test("quality metrics: known document computes exact ratios") {
+    val docs = Seq((1L, "the quick fox.")).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(docs).head()
+    assert(m.getAs[Long]("n_tokens") == 3L)
+    // tokens: the(3) quick(5) fox.(4) → mean 4.0
+    assert(math.abs(m.getAs[Double]("mean_tok_len") - 4.0) < 1e-12)
+    // one '.' out of 14 chars
+    assert(math.abs(m.getAs[Double]("punct_ratio") - 1.0 / 14) < 1e-12)
+    // 'the' is a stopword; 'fox.' has trailing punct so is not
+    assert(math.abs(m.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-12)
+  }
+
+  test("fingerprint: identical texts share fingerprints, different texts (almost) never do") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here entirely now")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("bpeish token count: letters/digits/symbols counted per run") {
+    val got = Seq("abc de1 2,x").toDF("t")
+      .select(TextFunctions.bpeishTokenCount($"t").as("n"))
+      .as[Int].head()
+    // abc | de | 1 | 2 | , | x
+    assert(got == 6)
+  }
+}
