@@ -24,9 +24,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ PipelineQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ StreamQueries.all
+      SimilarityQueries.all ++ TextQueries.all ++ StreamQueries.all ++
+      MiscQueries.all
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ PipelineQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ TextQueries.oracle ++ StreamQueries.oracle
+      SimilarityQueries.oracle ++ TextQueries.oracle ++ StreamQueries.oracle ++
+      MiscQueries.oracle
 }
