@@ -128,35 +128,22 @@ object Dedup {
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token contributes
-    * its xxhash64 bit pattern (+1 for set bits, −1 for unset); the fingerprint
-    * takes the sign of each accumulated bit position.
+    * its xxhash64 bit pattern (+1 for set bits, −1 for unset); the
+    * fingerprint takes the sign of each accumulated bit position.
     *
-    * Expressed as explode → per-(doc, bit) aggregation → bit reassembly —
-    * pure dataflow with partial aggregation, no UDAF state. Near-dup pairs =
-    * fingerprints within `maxHammingDistance`, candidate-generated by
-    * bucketing on 16-bit fingerprint chunks (two near fingerprints share at
-    * least one identical chunk when distance ≤ 3 — pigeonhole over 4 chunks).
+    * Computed by the native `SimHash64` Catalyst expression
+    * (`graft.functions.VectorExpressions`) — one fused pass over the token
+    * array per document, inside whole-stage codegen. (The pure-dataflow
+    * alternative explodes 64 bit-rows per token: a 64× row blowup through a
+    * shuffle for what is per-row arithmetic.) Near-dup candidate generation
+    * buckets fingerprints on 16-bit chunks (pigeonhole: Hamming distance ≤ 3
+    * ⇒ at least one of 4 chunks equal).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(
-      col(idCol).as("__id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bits = toks.select(
-      col("__id"),
-      explode(sequence(lit(0), lit(63))).as("bit"),
-      col("h"))
-      .withColumn("contrib",
-        expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END"))
-      .groupBy("__id", "bit")
-      .agg(sum("contrib").as("s"))
-    bits
-      .withColumn("bitval",
-        expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy("__id")
-      .agg(sum("bitval").cast("long").as("simhash"))
-      .select(col("__id").as(idCol), col("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      graft.functions.VectorFunctions.simhash64(
+        TextFunctions.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs within a Hamming-distance budget, 16-bit-chunk
     * candidate generation (pigeonhole: distance ≤ 3 ⇒ ≥1 of 4 chunks equal).

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`), the north-star similarity-search surface.
   *
@@ -27,15 +29,17 @@ object Similarity {
   /** Cast a float-array column to double for stable, oracle-matching math. */
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Dot product of two double-array columns via zip_with + aggregate
-    * (left-to-right fold — deterministic IEEE order).
+  /** Dot product — native fused kernel (see
+    * `graft.functions.VectorExpressions`): sequential left-to-right double
+    * accumulation, the same IEEE order as an `aggregate(zip_with(...))` fold
+    * but with no per-row intermediate array allocation.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native fused kernel, codegen'd. */
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
   /** Exact cosine top-k against a query vector (given as a literal array so
     * it folds into codegen; obtain it via [[queryVector]]).
