@@ -18,6 +18,21 @@ import graft.functions.{CosineSim, DotProduct, SimHash64}
   *     // or: .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   */
+object GraftExtensions {
+  /** Register the same functions on an ALREADY-RUNNING session (extensions
+    * only apply at session build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "graft_cosine", args => CosineSim(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_dot", args => DotProduct(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_simhash64", args => SimHash64(args.head), "built-in")
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =

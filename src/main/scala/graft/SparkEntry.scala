@@ -23,12 +23,12 @@ object SparkEntry {
     PipelineQueries.q30_annotations(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ PipelineQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ StreamQueries.all ++
-      MiscQueries.all
+    RelationalQueries.all ++ RelationalQueries2.all ++ PipelineQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
+      StreamQueries.all ++ MiscQueries.all
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ PipelineQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ TextQueries.oracle ++ StreamQueries.oracle ++
-      MiscQueries.oracle
+    RelationalQueries.oracle ++ RelationalQueries2.oracle ++ PipelineQueries.oracle ++
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++ TextQueries.oracle ++
+      StreamQueries.oracle ++ MiscQueries.oracle
 }

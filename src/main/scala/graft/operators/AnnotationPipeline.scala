@@ -142,4 +142,31 @@ object AnnotationPipeline {
     anns.withColumn(
       "sink_index",
       concat(lit(base + "-"), TextFunctions.normalizeIndexName(col(splitField))))
+
+  /** D1 — canonical-JSON distinct key (reference `remove_duplicate_records`,
+    * `ingester/utils.py:16-19`: `json.dumps(d, sort_keys=True)` → set).
+    * For struct columns, field order is fixed by the schema, so `to_json` is
+    * already canonical; map-typed fields are the one place key order can
+    * differ — they are re-keyed through sorted `map_entries` first. Used as
+    * a dropDuplicates key, it reproduces the reference's whole-record dedup
+    * without its order destruction.
+    */
+  def canonicalJson(c: Column): Column = to_json(c)
+
+  def canonicalMapJson(m: Column): Column =
+    to_json(map_from_entries(array_sort(map_entries(m))))
+
+  /** X2/K5 — nested-array merge: existing `annotations` array ⊕ new entries,
+    * deduplicated (the reference's Painless script-update +
+    * `remove_duplicate_records`, `ingester/annotations_indexer.py:148-175`).
+    * `array_distinct` struct equality IS canonical-JSON equality for a fixed
+    * schema (the reference needed `sort_keys` only because Python dicts have
+    * no schema); map-typed entry fields must be pre-normalized with
+    * [[canonicalMapJson]]. Unlike the reference's set(), output order is
+    * deterministic: sorted by the struct's natural field order.
+    */
+  def mergeAnnotationArrays(existing: Column, incoming: Column): Column =
+    array_sort(array_distinct(concat(
+      coalesce(existing, array()),
+      coalesce(incoming, array()))))
 }
