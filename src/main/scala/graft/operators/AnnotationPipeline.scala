@@ -143,6 +143,16 @@ object AnnotationPipeline {
       "sink_index",
       concat(lit(base + "-"), TextFunctions.normalizeIndexName(col(splitField))))
 
+  /** P6 — wall-clock ingest timestamping (reference stamps `"%H:%M:%S"` per
+    * annotation, `ingester/nlp_service.py:98`). Deterministically ONE
+    * timestamp per batch (evaluated at plan time via current_timestamp),
+    * not per row — the reference's per-row clock reads make re-runs
+    * unhashable.
+    */
+  def withIngestTime(df: DataFrame): DataFrame =
+    df.withColumn("ingest_time", date_format(current_timestamp(), "HH:mm:ss"))
+      .withColumn("ingest_date", current_date())
+
   /** D1 — canonical-JSON distinct key (reference `remove_duplicate_records`,
     * `ingester/utils.py:16-19`: `json.dumps(d, sort_keys=True)` → set).
     * For struct columns, field order is fixed by the schema, so `to_json` is

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for hot keys (the 100 TB posture, SURVEY §7.4).
+  *
+  * AQE's skew-join splitting handles most cases at runtime
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default); these helpers
+  * cover the two shapes AQE does not:
+  *
+  *  - [[saltedAggregate]]: a groupBy where one key holds a large fraction of
+  *    all rows (e.g. split-by-field routing when 90% of annotations are one
+  *    type, K4). Two-phase: salt the key into `numSalts` subkeys, partial
+  *    aggregate, then merge — the hot key's rows spread over `numSalts`
+  *    reducers instead of one.
+  *  - [[saltedJoin]]: fact⋈dim equi-join with a hot fact key and a dim too
+  *    big to broadcast: salt the fact side, explode the dim side across all
+  *    salt values.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: `agg` must be decomposable
+    * (count/sum/min/max — merged by `merge`). Example:
+    * {{{
+    *   saltedAggregate(df, Seq("k"), count(lit(1)).as("n"), sum("n").as("n"))
+    * }}}
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      partial: Column,
+      merge: Column,
+      numSalts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial)
+      .groupBy(keys.map(col): _*)
+      .agg(merge)
+  }
+
+  /** Salted equi-join: fact's hot keys spread across `numSalts` partitions,
+    * dim replicated once per salt value. Join keys: `factKey` = `dimKey`.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      numSalts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts)).cast("int"))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    saltedFact.join(explodedDim,
+      saltedFact(factKey) === explodedDim(dimKey) &&
+        saltedFact("__salt") === explodedDim("__salt"))
+      .drop("__salt")
+  }
+}

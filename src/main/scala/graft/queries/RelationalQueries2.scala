@@ -94,7 +94,27 @@ object RelationalQueries2 {
       .orderBy("o_orderpriority")
   }
 
+  /** q28 — rank-family window functions (rank/dense_rank/lead/ntile) with a
+    * total order so ties and frames hash deterministically.
+    */
+  def q28_rank_funcs: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1, -1L).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+              col("rnk").cast("long").as("rnk"), col("drnk").cast("long").as("drnk"),
+              col("next_key"), col("quartile").cast("long").as("quartile"))
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
+    "q28_rank_funcs" -> q28_rank_funcs,
     "q18_map_explode" -> q18_map_explode,
     "q23_math_funcs" -> q23_math_funcs,
     "q24_like_regexp" -> q24_like_regexp,
@@ -103,6 +123,19 @@ object RelationalQueries2 {
     "q27_string_agg" -> q27_string_agg)
 
   val oracle: Map[String, String] = Map(
+    "q28_rank_funcs" -> """
+      SELECT o_orderpriority, o_orderkey,
+             CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+             next_key, CAST(quartile AS BIGINT) AS quartile
+      FROM (SELECT o_orderpriority, o_orderkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+                   ntile(4) OVER w AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC))
+      WHERE rnk <= 5 ORDER BY o_orderpriority, rnk, o_orderkey""",
     "q18_map_explode" -> """
       SELECT mkey, count(1) AS n, count(DISTINCT mval) AS n_distinct
       FROM (SELECT unnest(map_entries(
