@@ -16,6 +16,17 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Spread a low-partition-count input across the cluster before CPU-heavy
+    * per-row work (shingling, hashing). The test parquet ships as one row
+    * group → one scan task; shingle generation would run single-threaded
+    * without this. On a real multi-split source the condition is false and
+    * no shuffle is added.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+  }
+
   /** D1 — exact dedup: keep the lowest-id row per identical key column.
     * `dropDuplicates` semantics but with a deterministic survivor (Spark's
     * `dropDuplicates` keeps an arbitrary row; at 100 TB reproducibility
@@ -47,7 +58,7 @@ object Dedup {
       textCol: String,
       shingleK: Int,
       numHashes: Int): DataFrame = {
-    val sh = docs.select(
+    val sh = spread(docs).select(
       col(idCol).as("__id"),
       explode(TextFunctions.shingles(col(textCol), shingleK)).as("s"))
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -86,17 +97,25 @@ object Dedup {
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))
       )).as("bb"))
       .select(col("__id"), col("bb.band"), col("bb.bucket"))
-    val bucketSizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= maxBucketSize)
-      .select("band", "bucket")
-    val pruned = banded.join(bucketSizes, Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"), col("__id").as("id_a"))
-    val b = pruned.select(col("band"), col("bucket"), col("__id").as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // One aggregation instead of a self-join: collect each bucket's members
+    // and emit its pairs in-place. The signature pipeline runs ONCE (a
+    // self-join would re-execute the whole lineage for each side), and the
+    // size cap is a filter on the collected array.
+    banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("__id"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode(pairsOf(col("members"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
+
+  /** All ordered pairs (a < b) of a sorted array column, as
+    * array<struct<id_a, id_b>> — pair generation without a self-join.
+    */
+  private def pairsOf(sorted: Column): Column =
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
 
   /** Exact n-gram Jaccard similarity for candidate verification (and as its
     * own oracle-checkable operator): |A∩B| / |A∪B| over distinct
@@ -109,14 +128,18 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val sh = docs.select(
+    val sh = spread(docs).select(
       col(idCol).as("__id"),
       explode(TextFunctions.shingles(col(textCol), shingleK)).as("shingle"))
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    // Inverted index without a self-join: docs sharing a shingle meet in one
+    // collect_list row; pairs are generated in-place and counted. Exact —
+    // every co-occurrence contributes exactly one pair instance.
+    val common = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("__id"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(pairsOf(col("members"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("c"))
     common
       .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -140,7 +163,7 @@ object Dedup {
     * ⇒ at least one of 4 chunks equal).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+    spread(docs).select(
       col(idCol),
       graft.functions.VectorFunctions.simhash64(
         TextFunctions.tokens(col(textCol))).as("simhash"))
@@ -159,17 +182,23 @@ object Dedup {
       col("__id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, chunk * 16) & 65535"))
-    val a = chunked.select(col("chunk"), col("ckey"),
-      col("__id").as("id_a"), col("simhash").as("fp_a"))
-    val b = chunked.select(col("chunk"), col("ckey"),
-      col("__id").as("id_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    chunked.groupBy("chunk", "ckey")
+      .agg(sort_array(collect_list(struct(col("__id"), col("simhash")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(pairsOfStructs(col("members"))).as("p"))
+      .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Pair generation over an array of structs (sorted by first field):
+    * array<struct<a, b>> with a < b element-wise.
+    */
+  private def pairsOfStructs(sorted: Column): Column =
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** Embedding cosine near-duplicates, blocked by a partition key so the
     * pairwise comparison is bounded per block (at 100 TB the block key would

@@ -67,7 +67,7 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, window: Int = 4): DataFrame = {
     val sh = TextFunctions.shingles(col("text"), window)
-    docs.select(
+    Dedup.spread(docs).select(
       col("doc_id"),
       array_min(transform(sh, s => xxhash64(s))).as("fingerprint"))
   }
