@@ -1,0 +1,73 @@
+package graft
+
+/** Plan-shape regression tests: the scale contract, asserted on the
+  * physical plan (SURVEY §4). These fail if a refactor silently loses
+  * pushdown, broadcasts, or top-k pushdown — the regressions that stay
+  * invisible at test scale and bite at 100 TB.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02: all predicates push into the parquet scan") {
+    val f = formatted("q02_filter_pushdown")
+    assert(f.contains("PushedFilters:"))
+    assert(f.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range not pushed")
+    assert(f.contains("LessThan(l_quantity,24.0)"), "quantity bound not pushed")
+  }
+
+  test("q02: scan reads only referenced columns (pruning)") {
+    val f = formatted("q02_filter_pushdown")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(!readSchema.contains("l_orderkey"), "unused column read")
+    assert(readSchema.contains("l_discount"))
+  }
+
+  test("q03: dimension tables broadcast (no shuffle of customer)") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ")
+  }
+
+  test("q06: anti-join planned as a join, not a cartesian") {
+    val p = plan("q06_anti_join")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q08: global top-k planned as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q08_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q13: range join broadcasts the tiny segment side") {
+    val p = plan("q13_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q01: aggregation is two-phase (partial before shuffle)") {
+    val f = formatted("q01_agg")
+    assert(f.contains("partial_sum") || f.contains("Partial"),
+      "no map-side partial aggregation")
+  }
+
+  test("q46: native cosine expression is codegen'd (no fallback marker)") {
+    val f = formatted("q46_cosine_topk")
+    assert(f.contains("graft.functions.VectorKernels") || !f.contains("CodegenFallback"),
+      "cosine kernel fell out of codegen")
+  }
+
+  test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
+    val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
+    df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    // codegen stages print as "*(n) Operator" in the simple plan string
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, s"no codegen spans:\n${p.take(400)}")
+  }
+}
