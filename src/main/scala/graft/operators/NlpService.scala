@@ -153,4 +153,51 @@ object NlpService {
       .select(col("doc_id"), explode(col("annotations")).as("ann"))
       .select(col("doc_id"), col("ann.*"))
   }
+
+  /** MedCAT response unwrap (reference `annotations_indexer.py:266-277` +
+    * enrichment `nlp_service.py:105-108`): parse the JSON envelope, explode
+    * the index-keyed entities MAP, merge in the response timestamp and
+    * model info. Input: (docIdCol, jsonCol raw response string).
+    */
+  def parseMedcatResponses(df: DataFrame, docIdCol: String, jsonCol: String): DataFrame = {
+    val parsed = df.select(
+      col(docIdCol).as("doc_id"),
+      from_json(col(jsonCol), graft.schemas.Schemas.medcatResponse).as("r"))
+    parsed
+      .filter(col("r.result.annotations.entities").isNotNull) // F4 shape guard
+      .select(
+        col("doc_id"),
+        col("r.result.timestamp").as("resp_timestamp"),
+        col("r.medcat_info").as("medcat_info"),
+        explode(map_entries(col("r.result.annotations.entities"))).as("e"))
+      .select(col("doc_id"), col("resp_timestamp"), col("medcat_info"),
+        col("e.key").cast("long").as("entity_idx"), col("e.value.*"))
+  }
+
+  /** GATE response normalization (P4, reference `nlp_service.py:112-125`):
+    * type-keyed entity LISTS become flat rows with `type`, a deterministic
+    * running `id` per document (row_number over type+position — the
+    * reference uses a global mutable counter), parsed integer `indices`,
+    * and `source_value = text[start:end)`.
+    */
+  def parseGateResponses(df: DataFrame, docIdCol: String, jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parsed = df.select(
+      col(docIdCol).as("doc_id"),
+      from_json(col(jsonCol), graft.schemas.Schemas.gateResponse).as("r"))
+    val w = Window.partitionBy("doc_id").orderBy(col("type"), col("pos"))
+    parsed
+      .filter(col("r.entities").isNotNull)
+      .select(col("doc_id"), col("r.text").as("text"),
+        explode(map_entries(col("r.entities"))).as("te"))
+      .select(col("doc_id"), col("text"), col("te.key").as("type"),
+        posexplode(col("te.value")).as(Seq("pos", "ent")))
+      .withColumn("start", element_at(col("ent.indices"), 1).cast("long"))
+      .withColumn("end", element_at(col("ent.indices"), 2).cast("long"))
+      .withColumn("source_value",
+        expr("substring(text, cast(start as int) + 1, cast(end - start as int))"))
+      .withColumn("id", row_number().over(w).cast("long") - 1)
+      .select(col("doc_id"), col("id"), col("type"), col("start"), col("end"),
+        col("source_value"), col("ent.*"))
+  }
 }

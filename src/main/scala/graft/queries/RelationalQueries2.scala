@@ -113,8 +113,44 @@ object RelationalQueries2 {
       .orderBy("o_orderpriority", "rnk", "o_orderkey")
   }
 
+  /** q35 — exact continuous percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: linear interpolation on the sorted values). The
+    * approximate twin (`percentile_approx`, the 100 TB path) is spec-checked
+    * against these exact values in QueriesSpec.
+    */
+  def q35_percentile: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q36 — NULL semantics: count(col) vs count(*), aggregates skipping
+    * nulls, null-keyed grouping (nulls form their own group in both
+    * engines).
+    */
+  def q36_null_handling: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .withColumn("maybe_status", nullif(col("o_orderstatus"), lit("P")))
+      .groupBy("maybe_status")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("maybe_status")).as("n_nonnull"),
+        round(sum(when(col("maybe_status").isNull, col("o_totalprice"))), 2).as("null_sum"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .select(coalesce(col("maybe_status"), lit("<null>")).as("maybe_status"),
+        col("n_rows"), col("n_nonnull"),
+        coalesce(col("null_sum"), lit(0.0)).as("null_sum"), col("avg_price"))
+      .orderBy("maybe_status")
+  }
+
   val all: Map[String, Q] = Map(
     "q28_rank_funcs" -> q28_rank_funcs,
+    "q35_percentile" -> q35_percentile,
+    "q36_null_handling" -> q36_null_handling,
     "q18_map_explode" -> q18_map_explode,
     "q23_math_funcs" -> q23_math_funcs,
     "q24_like_regexp" -> q24_like_regexp,
@@ -123,6 +159,21 @@ object RelationalQueries2 {
     "q27_string_agg" -> q27_string_agg)
 
   val oracle: Map[String, String] = Map(
+    "q35_percentile" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q36_null_handling" -> """
+      SELECT coalesce(maybe_status, '<null>') AS maybe_status,
+             count(1) AS n_rows,
+             count(maybe_status) AS n_nonnull,
+             coalesce(round(sum(CASE WHEN maybe_status IS NULL
+                                     THEN o_totalprice END), 2), 0.0) AS null_sum,
+             round(avg(o_totalprice), 4) AS avg_price
+      FROM (SELECT nullif(o_orderstatus, 'P') AS maybe_status, o_totalprice FROM orders)
+      GROUP BY maybe_status ORDER BY 1""",
     "q28_rank_funcs" -> """
       SELECT o_orderpriority, o_orderkey,
              CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,

@@ -71,6 +71,31 @@ class StreamingSpec extends SparkSuite {
     assert(counts.toSeq == Seq(1L, 2L))
   }
 
+  test("late data beyond the watermark is dropped; within it, merged " +
+      "(reference has no late-data story beyond 'reprocess next check')") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingPipeline.windowedCounts(mem.toDF(), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    // batch 1: events up to 06:00 → watermark advances to 05:00
+    mem.addData(Ev(t("2024-01-01 06:00:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: one event within watermark (05:30), one far too late (01:00)
+    mem.addData(
+      Ev(t("2024-01-01 05:30:00"), 1, "a", 2.0),
+      Ev(t("2024-01-01 01:00:00"), 1, "a", 4.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark past 06:00 so the 05:00 and 06:00 windows emit
+    mem.addData(Ev(t("2024-01-01 09:00:00"), 1, "a", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val byWindow = spark.table("late")
+      .select(date_format($"window.start", "HH:mm").as("w"), $"sum_value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byWindow.get("05:00").contains(2.0), s"in-watermark late row lost: $byWindow")
+    assert(!byWindow.contains("01:00"), s"too-late row not dropped: $byWindow")
+  }
+
   test("foreachBatch upsert sink: replayed batch converges (K5 idempotence)") {
     val dir = Files.createTempDirectory("upsert").toString + "/sink"
     val b1 = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "val")

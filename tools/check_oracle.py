@@ -22,13 +22,9 @@ def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(repr(v))
-        out.append(tuple(vals))
+        # exact repr — doubles must match bit-for-bit (queries round
+        # explicitly, so any drift here is a real engine difference)
+        out.append(tuple(repr(r[i]) for i in order))
     return sorted(out), [cols[i] for i in order]
 
 
