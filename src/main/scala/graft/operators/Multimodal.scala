@@ -80,6 +80,49 @@ object Multimodal {
     }
   }
 
+  /** Resize stage (images): STUB — real codecs swap in behind the same
+    * signature. Deterministic fake: payload truncated/padded proportionally;
+    * metadata updated. The Spark plumbing (partition-level batch, schema
+    * preservation) is the real part.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.modality != "image") r
+        else {
+          val target = math.max(1, (w * h) / 64)
+          val p = if (r.payload == null) Array.empty[Byte] else r.payload
+          val resized = Array.tabulate(target)(i => p(i % math.max(1, p.length)))
+          r.copy(payload = resized, source_uri = r.source_uri + s"?resized=${w}x$h")
+        }
+      }
+    }
+  }
+
+  /** Frame sampling (video/audio): one row per sampled frame — the
+    * explode-shaped stage. STUB frame extraction (deterministic byte
+    * slices); real decoders keep the same (media → frames) dataflow.
+    */
+  case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, frame_payload: Array[Byte])
+
+  def sampleFrames(media: Dataset[MediaRecord], everyMs: Long, maxFrames: Int = 8): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality != "image").flatMap { r =>
+      val p = if (r.payload == null) Array.empty[Byte] else r.payload
+      val durationMs = 1000L + (p.length % 9000)
+      val n = math.min(maxFrames, math.max(1, (durationMs / everyMs).toInt))
+      (0 until n).map { i =>
+        val off = i * everyMs
+        val slice = p.slice((i * 7) % math.max(1, p.length),
+          math.min(p.length, (i * 7) % math.max(1, p.length) + 16))
+        Frame(r.media_id, i, off, slice)
+      }
+    }
+  }
+
   /** Build a deterministic media table from the `documents` test table:
     * payload = UTF-8 bytes of the text, modality round-robined. Stands in
     * for a real binary-column source (parquet holds it as BINARY either way).

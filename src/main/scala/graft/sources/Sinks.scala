@@ -41,6 +41,44 @@ object Sinks {
     * sink the merge rewrites the table once per batch, so batch sizing (B1
     * segments) bounds the rewrite cost.
     */
+  /** K6 — nested-mode upsert: on key conflict, MERGE the `annotations`
+    * arrays (dedup via canonical struct equality, deterministic order)
+    * instead of replacing the row — the reference's script-update path
+    * (`ingester/annotations_indexer.py:166-200`): "if exists: update merged
+    * array; else: index fresh doc".
+    */
+  def upsertMergeArrays(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCol: String,
+      arrayCol: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce => cls}
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(old) =>
+        val oldR = old.withColumnRenamed(arrayCol, "__old_arr")
+        val newR = batch.withColumnRenamed(arrayCol, "__new_arr")
+        val otherCols = batch.columns.filter(c => c != keyCol && c != arrayCol)
+        oldR.join(newR, Seq(keyCol), "full_outer")
+          .select(
+            col(keyCol) +:
+              otherCols.map(c => cls(newR(c), oldR(c)).as(c)) :+
+              graft.operators.AnnotationPipeline
+                .mergeAnnotationArrays(col("__old_arr"), col("__new_arr"))
+                .as(arrayCol): _*)
+      case None => batch
+    }
+    val tmp = path.stripSuffix("/") + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
   def upsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String): Unit = {
     val existing =
       try Some(spark.read.parquet(path))

@@ -47,6 +47,28 @@ class MultimodalSpec extends SparkSuite {
     assert(byMod == 3)
   }
 
+  test("resize touches only images and preserves record count") {
+    val out = Multimodal.resize(media, 32, 32)
+    assert(out.count() == media.count())
+    val img = out.filter($"modality" === "image").head()
+    assert(img.source_uri.endsWith("?resized=32x32"))
+    assert(img.payload.length == 32 * 32 / 64)
+    val audio = out.filter($"modality" === "audio").head()
+    assert(!audio.source_uri.contains("resized"))
+  }
+
+  test("frame sampling explodes time-media into deterministic frame rows") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 500, maxFrames = 4)
+    assert(frames.filter($"frame_idx" >= 4).count() == 0)
+    val perMedia = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+    assert(perMedia.filter($"n" < 1).count() == 0)
+    val f1 = frames.orderBy("media_id", "frame_idx").collect()
+    val f2 = Multimodal.sampleFrames(media, everyMs = 500, maxFrames = 4)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(f1.map(_.offset_ms).toSeq == f2.map(_.offset_ms).toSeq)
+    assert(f1.map(_.frame_payload.toSeq).toSeq == f2.map(_.frame_payload.toSeq).toSeq)
+  }
+
   test("image records get dimensions, time media get durations") {
     val out = Multimodal.extractFeatures(media, () => new Multimodal.StubDecoder())
     val img = out.filter($"modality" === "image")

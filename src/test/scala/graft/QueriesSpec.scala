@@ -20,6 +20,17 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q71 approx_count_distinct within 10% of exact (HLL accuracy bound)") {
+    val approx = SparkEntry.queries("q71_approx_distinct")(spark, sfDir).head()
+    val exact = SparkEntry.queries("q09_distinct")(spark, sfDir).head()
+    val pairs = Seq(
+      approx.getAs[Long]("approx_parts") -> exact.getAs[Long]("n_parts"),
+      approx.getAs[Long]("approx_supps") -> exact.getAs[Long]("n_supps"))
+    pairs.foreach { case (a, e) =>
+      assert(math.abs(a - e).toDouble / e <= 0.10, s"approx $a vs exact $e")
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")

@@ -108,6 +108,21 @@ class StreamingSpec extends SparkSuite {
     assert(got == Map("k1" -> "v1", "k2" -> "v2b", "k3" -> "v3"))
   }
 
+  test("nested-mode upsert merges annotation arrays on key conflict (K6)") {
+    val dir = Files.createTempDirectory("nested").toString + "/sink"
+    val b1 = Seq(("doc_1", Seq((0L, "join"), (1L, "merge")))).toDF("key", "annotations")
+    Sinks.upsertMergeArrays(spark, b1, dir, "key", "annotations")
+    val b2 = Seq(
+      ("doc_1", Seq((1L, "merge"), (2L, "scan"))), // 1 overlap, 1 new
+      ("doc_2", Seq((0L, "hash")))).toDF("key", "annotations")
+    Sinks.upsertMergeArrays(spark, b2, dir, "key", "annotations")
+    val got = spark.read.parquet(dir)
+      .select($"key", $"annotations")
+      .as[(String, Seq[(Long, String)])].collect().toMap
+    assert(got("doc_1") == Seq((0L, "join"), (1L, "merge"), (2L, "scan")))
+    assert(got("doc_2") == Seq((0L, "hash")))
+  }
+
   test("AvailableNow file-stream pipeline drains a parquet directory once (B1 catch-up)") {
     val srcDir = Files.createTempDirectory("docsrc").toString
     val sinkDir = Files.createTempDirectory("docsink").toString + "/out"
