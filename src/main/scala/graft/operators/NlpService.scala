@@ -91,13 +91,19 @@ object NlpService {
       endpoint: String,
       maxRetries: Int = 1,
       timeoutSec: Long = 30,
+      applicationParams: Map[String, String] = Map.empty,
       parse: String => Seq[Annotation]) extends Tagger {
 
     @transient private lazy val client: HttpClient =
       HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 
     override def annotate(doc: Doc): Seq[Annotation] = {
-      val body = s"""{"content":{"text":${quoteJson(doc.text)}}}"""
+      // MedCAT request shape (`nlp_service.py:57-65`): content + app params
+      val params = applicationParams
+        .map { case (k, v) => s"${quoteJson(k)}:${quoteJson(v)}" }
+        .mkString("{", ",", "}")
+      val body =
+        s"""{"content":{"text":${quoteJson(doc.text)}},"application_params":$params}"""
       val req = HttpRequest.newBuilder(URI.create(endpoint))
         .timeout(Duration.ofSeconds(timeoutSec))
         .header("Content-Type", "application/json")
@@ -160,19 +166,48 @@ object NlpService {
     * model info. Input: (docIdCol, jsonCol raw response string).
     */
   def parseMedcatResponses(df: DataFrame, docIdCol: String, jsonCol: String): DataFrame = {
+    // P7 result-string coercion (`nlp_service.py:102-103`): `result` may be
+    // a nested object OR a JSON-encoded string of one. get_json_object
+    // returns the object's JSON text either way, so parsing ITS output
+    // handles both shapes with one expression.
+    val resultSchema = graft.schemas.Schemas.medcatResponse("result")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val infoSchema = graft.schemas.Schemas.medcatResponse("medcat_info").dataType
     val parsed = df.select(
       col(docIdCol).as("doc_id"),
-      from_json(col(jsonCol), graft.schemas.Schemas.medcatResponse).as("r"))
+      from_json(get_json_object(col(jsonCol), "$.result"), resultSchema).as("result"),
+      from_json(get_json_object(col(jsonCol), "$.medcat_info"), infoSchema).as("medcat_info"))
     parsed
-      .filter(col("r.result.annotations.entities").isNotNull) // F4 shape guard
+      .filter(col("result.annotations.entities").isNotNull) // F4 shape guard
       .select(
         col("doc_id"),
-        col("r.result.timestamp").as("resp_timestamp"),
-        col("r.medcat_info").as("medcat_info"),
-        explode(map_entries(col("r.result.annotations.entities"))).as("e"))
+        col("result.timestamp").as("resp_timestamp"),
+        col("medcat_info"),
+        explode(map_entries(col("result.annotations.entities"))).as("e"))
       .select(col("doc_id"), col("resp_timestamp"), col("medcat_info"),
         col("e.key").cast("long").as("entity_idx"), col("e.value.*"))
   }
+
+  /** D2 — multi-endpoint fan-out (reference `nlp_service.py:71-132`): the
+    * reference loops over endpoint URLs per document and merges responses
+    * (last-result-wins for MedCAT, per-key dict update for GATE). The
+    * distributed form is a union of per-endpoint annotation streams tagged
+    * with their endpoint — downstream consumers pick a merge policy
+    * (`latest wins` ≙ max(endpoint priority) per (doc, ann id)).
+    */
+  def annotateMultiEndpoint(
+      spark: SparkSession,
+      docs: DataFrame,
+      taggers: Seq[(String, Tagger)]): DataFrame =
+    taggers.map { case (name, tagger) =>
+      annotateAndExplode(spark, docs, tagger).withColumn("endpoint", lit(name))
+    }.reduce(_ unionByName _)
+
+  /** U2 — BioYodie preset (reference `nlp_service.py:143-161`, a broken
+    * subclass there): a config preset, not a class — the GATE application
+    * parameters pinned to the Bio annotation set.
+    */
+  val BioYodieParams: Map[String, String] = Map("annotationSets" -> "Bio:*")
 
   /** GATE response normalization (P4, reference `nlp_service.py:112-125`):
     * type-keyed entity LISTS become flat rows with `type`, a deterministic

@@ -57,4 +57,22 @@ object Connectors {
   /** Source reader for a pipeline config. */
   def source(spark: SparkSession, cfg: PipelineConfig): DataFrame =
     read(spark, cfg.sourcePath)
+
+  /** S7 — fail-fast liveness probe (reference `check_url_available`,
+    * `ingester/utils.py:7-14`: HTTP GET each endpoint, 10 s timeout, all
+    * must answer). Run at pipeline construction, mirroring the reference's
+    * probe-on-construct (`ingester/nlp_service.py:37-38`).
+    */
+  def checkUrlsAvailable(urls: Seq[String], timeoutSec: Long = 10): Boolean = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSec)).build()
+    urls.forall { u =>
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
+          .timeout(java.time.Duration.ofSeconds(timeoutSec)).GET().build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+        true
+      } catch { case _: Exception => false }
+    }
+  }
 }

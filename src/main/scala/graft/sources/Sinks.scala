@@ -41,6 +41,26 @@ object Sinks {
     * sink the merge rewrites the table once per batch, so batch sizing (B1
     * segments) bounds the rewrite cost.
     */
+  /** K7 — sink DDL / schema enforcement at write (reference `put_mapping`,
+    * `ingester/annotations_indexer.py:835-840`): cast the batch to the
+    * declared StructType, failing fast on missing or incompatible columns
+    * instead of letting the sink accumulate drifting schemas.
+    */
+  def ensureSchema(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"batch is missing declared sink columns: ${missing.mkString(", ")}")
+    df.select(schema.fields.map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** K8 — drop sink (reference `drop_index`, `ingester/es_common.py:162-167`)
+    * — test-harness utility.
+    */
+  def drop(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, true)
+  }
+
   /** K6 — nested-mode upsert: on key conflict, MERGE the `annotations`
     * arrays (dedup via canonical struct equality, deterministic order)
     * instead of replacing the row — the reference's script-update path
