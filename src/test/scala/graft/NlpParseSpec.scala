@@ -30,6 +30,19 @@ class NlpParseSpec extends SparkSuite {
     assert(out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("spark.read.json loads NLP fixture files with the declared schema (JSON source)") {
+    val dir = java.nio.file.Files.createTempDirectory("nlpjson").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/responses.json"),
+      medcat.replaceAll("\n", " ") + "\n")
+    val df = spark.read.schema(graft.schemas.Schemas.medcatResponse).json(dir)
+    assert(df.count() == 1)
+    val keys = df.select(org.apache.spark.sql.functions.map_keys(
+      org.apache.spark.sql.functions.col("result.annotations.entities")).as("k"))
+      .as[Seq[String]].head()
+    assert(keys.sorted == Seq("0", "1"))
+  }
+
   test("parseGateResponses: P4 normalization — type, running id, source_value") {
     val df = Seq((7L, gate)).toDF("doc_id", "raw")
     val out = NlpService.parseGateResponses(df, "doc_id", "raw")

@@ -41,6 +41,23 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("mergeAnnotationArrays is idempotent and order-insensitive (D1/X2)") {
+    import graft.operators.AnnotationPipeline.mergeAnnotationArrays
+    val samples = Seq.fill(30) {
+      def arr() = Seq.fill(rng.nextInt(6))((rng.nextInt(4).toLong, s"t${rng.nextInt(4)}"))
+      (arr(), arr())
+    }
+    val df = samples.toDF("a", "b")
+    val ab = df.select(mergeAnnotationArrays($"a", $"b").as("m")).as[Seq[(Long, String)]].collect()
+    val ba = df.select(mergeAnnotationArrays($"b", $"a").as("m")).as[Seq[(Long, String)]].collect()
+    val again = df.select(
+      mergeAnnotationArrays(mergeAnnotationArrays($"a", $"b"), $"b").as("m"))
+      .as[Seq[(Long, String)]].collect()
+    assert(ab.toSeq == ba.toSeq, "merge must be order-insensitive")
+    assert(ab.toSeq == again.toSeq, "re-merging the same batch must be a no-op")
+    ab.foreach(m => assert(m == m.distinct.sorted, "output sorted and distinct"))
+  }
+
   /** B1 half-open segments: every date in [start, end) belongs to exactly one
     * segment (the reference's inclusive boundaries double-assign boundary
     * dates — `annotations_indexer.py:847-857`; this encodes the fix).
