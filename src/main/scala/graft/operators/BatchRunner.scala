@@ -84,11 +84,16 @@ object BatchRunner {
         segments(LocalDate.parse(s), LocalDate.parse(e), cfg.intervalDays).map(Some(_))
       case _ => Seq(None)
     }
-    segs.foreach { seg =>
+    segs.zipWithIndex.foreach { case (seg, i) =>
       val out = processSegment(spark, cfg, tagger, seg)
       cfg.splitIndexByField match {
-        case Some(f) => Sinks.writePartitioned(out, cfg.sinkPath, f)
-        case None    => Sinks.upsert(spark, out, cfg.sinkPath, "_id")
+        case Some(f) =>
+          // overwrite only on the first segment — later segments append, so
+          // the loop accumulates instead of truncating the sink each pass
+          val mode = if (i == 0) org.apache.spark.sql.SaveMode.Overwrite
+                     else org.apache.spark.sql.SaveMode.Append
+          Sinks.writePartitioned(out, cfg.sinkPath, f, mode)
+        case None => Sinks.upsert(spark, out, cfg.sinkPath, "_id")
       }
     }
   }

@@ -34,8 +34,13 @@ object Dedup {
     * window over the full corpus.
     */
   def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val survivors = df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
-    df.join(survivors, Seq(keyCol, idCol), "left_semi")
+    val survivors = df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("__survivor_id"))
+    // null-safe key equality: null keys form their own duplicate group and
+    // keep one survivor, matching dropDuplicates (plain === would drop them)
+    df.join(survivors,
+      df(keyCol) <=> survivors(keyCol) && df(idCol) === col("__survivor_id"),
+      "left_semi")
   }
 
   /** Word-shingle MinHash signatures for a whole corpus: `numHashes`
@@ -109,13 +114,16 @@ object Dedup {
       .distinct()
   }
 
-  /** All ordered pairs (a < b) of a sorted array column, as
-    * array<struct<id_a, id_b>> — pair generation without a self-join.
+  /** All ordered pairs of a sorted array column (element_i < element_j),
+    * as array<struct<`aName`, `bName`>> — pair generation without a
+    * self-join. Shared by every bucket-based candidate generator.
     */
-  private def pairsOf(sorted: Column): Column =
+  private def pairsAs(sorted: Column, aName: String, bName: String): Column =
     flatten(transform(sorted, (x, i) =>
       transform(slice(sorted, i + lit(2), size(sorted)),
-        y => struct(x.as("id_a"), y.as("id_b")))))
+        y => struct(x.as(aName), y.as(bName)))))
+
+  private def pairsOf(sorted: Column): Column = pairsAs(sorted, "id_a", "id_b")
 
   /** Exact n-gram Jaccard similarity for candidate verification (and as its
     * own oracle-checkable operator): |A∩B| / |A∪B| over distinct
@@ -192,13 +200,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Pair generation over an array of structs (sorted by first field):
-    * array<struct<a, b>> with a < b element-wise.
-    */
-  private def pairsOfStructs(sorted: Column): Column =
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)),
-        y => struct(x.as("a"), y.as("b")))))
+  private def pairsOfStructs(sorted: Column): Column = pairsAs(sorted, "a", "b")
 
   /** Embedding cosine near-duplicates, blocked by a partition key so the
     * pairwise comparison is bounded per block (at 100 TB the block key would

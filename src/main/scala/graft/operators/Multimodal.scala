@@ -90,11 +90,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        if (r.modality != "image") r
+        val p = if (r.payload == null) Array.empty[Byte] else r.payload
+        if (r.modality != "image" || p.isEmpty) r
         else {
           val target = math.max(1, (w * h) / 64)
-          val p = if (r.payload == null) Array.empty[Byte] else r.payload
-          val resized = Array.tabulate(target)(i => p(i % math.max(1, p.length)))
+          val resized = Array.tabulate(target)(i => p(i % p.length))
           r.copy(payload = resized, source_uri = r.source_uri + s"?resized=${w}x$h")
         }
       }

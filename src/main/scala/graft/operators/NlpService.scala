@@ -111,26 +111,24 @@ object NlpService {
         .build()
       var attempt = 0
       var result: Option[Seq[Annotation]] = None
+      var lastError: String = "non-200 response"
       while (result.isEmpty && attempt <= maxRetries) {
         attempt += 1
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() == 200) result = Some(parse(resp.body()))
+        // network failures (connect refused, timeout) count against the
+        // retry budget like non-200s — the reference retries on any failure
+        // (`nlp_service.py:75-92`)
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() == 200) result = Some(parse(resp.body()))
+          else lastError = s"HTTP ${resp.statusCode()}"
+        } catch { case e: java.io.IOException => lastError = e.toString }
       }
       result.getOrElse(throw new RuntimeException(
-        s"NLP service returned non-200 after $attempt attempts for doc ${doc.doc_id}"))
+        s"NLP service failed after $attempt attempts for doc ${doc.doc_id}: $lastError"))
     }
   }
 
-  private def quoteJson(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def quoteJson(s: String): String = graft.functions.JsonUtil.quote(s)
 
   /** The operator: Dataset[Doc] → Dataset[Annotated] via mapPartitions.
     * Per-document failures become `error` values (B4 isolation); the task
@@ -198,10 +196,12 @@ object NlpService {
   def annotateMultiEndpoint(
       spark: SparkSession,
       docs: DataFrame,
-      taggers: Seq[(String, Tagger)]): DataFrame =
+      taggers: Seq[(String, Tagger)]): DataFrame = {
+    require(taggers.nonEmpty, "annotateMultiEndpoint needs at least one endpoint")
     taggers.map { case (name, tagger) =>
       annotateAndExplode(spark, docs, tagger).withColumn("endpoint", lit(name))
     }.reduce(_ unionByName _)
+  }
 
   /** U2 — BioYodie preset (reference `nlp_service.py:143-161`, a broken
     * subclass there): a config preset, not a class — the GATE application

@@ -32,7 +32,12 @@ object Skew {
       partial: Column,
       merge: Column,
       numSalts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts)))
+    // salt must be DETERMINISTIC per row: partition-id/monotonic-id change
+    // under stage retry, which re-buckets partial aggregates already fetched
+    // by reducers (the SPARK-23207 shuffle-nondeterminism class of bug).
+    // Hashing the full row content is stable across recomputation.
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(c => col(s"`$c`")): _*), lit(numSalts)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial)

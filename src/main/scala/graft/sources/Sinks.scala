@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,23 +25,24 @@ object Sinks {
   /** K4 — split-by-field partitioned sink with P5 name normalization
     * (`ingester/annotations_indexer.py:214-218`): one directory partition per
     * normalized key value, written in a single job (the reference computes the
-    * index name per record and issues per-index bulk calls).
+    * index name per record and issues per-index bulk calls). `mode` defaults
+    * to Overwrite for a fresh sink; segment loops pass Append so earlier
+    * segments survive.
     */
-  def writePartitioned(df: DataFrame, path: String, splitField: String): Unit =
-    df.withColumn("__part", TextFunctions.normalizeIndexName(col(splitField)))
-      .write.mode(SaveMode.Overwrite)
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      splitField: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    // backtick-quote unless the caller already did: sink columns carry
+    // literal dots (`nlp.id`) that col() would parse as field access
+    val ref = if (splitField.startsWith("`")) splitField else s"`$splitField`"
+    df.withColumn("__part", TextFunctions.normalizeIndexName(col(ref)))
+      .write.mode(mode)
       .partitionBy("__part")
       .parquet(path)
+  }
 
-  /** K5/K6 — upsert keyed by `keyCol`: read-merge-overwrite. New rows win
-    * over existing rows with the same key (the reference's Painless
-    * script-update semantics, `ingester/annotations_indexer.py:148-200`).
-    * Idempotent under re-runs of the same batch: merging twice converges.
-    *
-    * At scale this is the `foreachBatch` MERGE pattern; on a plain-parquet
-    * sink the merge rewrites the table once per batch, so batch sizing (B1
-    * segments) bounds the rewrite cost.
-    */
   /** K7 — sink DDL / schema enforcement at write (reference `put_mapping`,
     * `ingester/annotations_indexer.py:835-840`): cast the batch to the
     * declared StructType, failing fast on missing or incompatible columns
@@ -57,8 +59,51 @@ object Sinks {
     */
   def drop(spark: SparkSession, path: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     p.getFileSystem(conf).delete(p, true)
+  }
+
+  /** Read the existing sink if its path exists; any OTHER failure (transient
+    * FS error, corrupt footer) propagates. Treating every exception as
+    * "sink absent" would make the subsequent replace-write destroy prior
+    * data on a transient read error — silent data loss.
+    */
+  private def readExisting(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Atomically replace `path` with `merged` via a temp-dir swap: the source
+    * of a merge is also its destination, and overwriting a path while
+    * reading it is undefined.
+    */
+  private def replaceWith(spark: SparkSession, merged: DataFrame, path: String): Unit = {
+    val tmp = path.stripSuffix("/") + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+  }
+
+  /** K5/K6 — upsert keyed by `keyCol`: read-merge-overwrite. New rows win
+    * over existing rows with the same key (the reference's Painless
+    * script-update semantics, `ingester/annotations_indexer.py:148-200`).
+    * Idempotent under re-runs of the same batch: merging twice converges.
+    *
+    * At scale this is the `foreachBatch` MERGE pattern; on a plain-parquet
+    * sink the merge rewrites the table once per batch, so batch sizing (B1
+    * segments) bounds the rewrite cost.
+    */
+  def upsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String): Unit = {
+    val merged = readExisting(spark, path) match {
+      case Some(old) =>
+        old.join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .unionByName(batch)
+      case None => batch
+    }
+    replaceWith(spark, merged, path)
   }
 
   /** K6 — nested-mode upsert: on key conflict, MERGE the `annotations`
@@ -73,11 +118,7 @@ object Sinks {
       path: String,
       keyCol: String,
       arrayCol: String): Unit = {
-    import org.apache.spark.sql.functions.{coalesce => cls}
-    val existing =
-      try Some(spark.read.parquet(path))
-      catch { case _: Exception => None }
-    val merged = existing match {
+    val merged = readExisting(spark, path) match {
       case Some(old) =>
         val oldR = old.withColumnRenamed(arrayCol, "__old_arr")
         val newR = batch.withColumnRenamed(arrayCol, "__new_arr")
@@ -85,37 +126,12 @@ object Sinks {
         oldR.join(newR, Seq(keyCol), "full_outer")
           .select(
             col(keyCol) +:
-              otherCols.map(c => cls(newR(c), oldR(c)).as(c)) :+
+              otherCols.map(c => coalesce(newR(c), oldR(c)).as(c)) :+
               graft.operators.AnnotationPipeline
                 .mergeAnnotationArrays(col("__old_arr"), col("__new_arr"))
                 .as(arrayCol): _*)
       case None => batch
     }
-    val tmp = path.stripSuffix("/") + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
-  }
-
-  def upsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String): Unit = {
-    val existing =
-      try Some(spark.read.parquet(path))
-      catch { case _: Exception => None }
-    val merged = existing match {
-      case Some(old) =>
-        old.join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-          .unionByName(batch)
-      case None => batch
-    }
-    // Write to a temp dir then swap: the source of the merge is also the
-    // destination, and overwriting a path while reading it is undefined.
-    val tmp = path.stripSuffix("/") + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    replaceWith(spark, merged, path)
   }
 }

@@ -47,6 +47,27 @@ class BatchRunnerSpec extends SparkSuite {
     assert(perDoc.filter($"n" =!= 2).count() == 0)
   }
 
+  test("multi-segment run with split-by-field keeps ALL segments (no overwrite loss)") {
+    val srcDir = Files.createTempDirectory("src3").toString + "/docs"
+    val sinkDir = Files.createTempDirectory("sink3").toString + "/out"
+    // 3 segments of 30 days, one doc per segment boundary month
+    (0 until 90 by 10).map { i =>
+      (i.toLong, s"doc $i with join inside", s"src${i % 2}",
+        LocalDate.parse("2020-01-01").plusDays(i.toLong).toString)
+    }.toDF("doc_id", "text", "source", "dct")
+      .write.mode("overwrite").parquet(srcDir)
+    val cfg = PipelineConfig(
+      sourcePath = srcDir, sinkPath = sinkDir,
+      dateStart = Some("2020-01-01"), dateEnd = Some("2020-03-31"),
+      intervalDays = 30, persistFields = Seq("doc_id"),
+      splitIndexByField = Some("nlp.id")) // partition by an always-present column
+    BatchRunner.run(spark, cfg, tagger)
+    // every one of the 9 docs has exactly one 'join' annotation; docs from
+    // segment 1 (January) must survive the segment 2 and 3 writes
+    val out = spark.read.parquet(sinkDir)
+    assert(out.select("`meta.doc_id`").distinct().count() == 9)
+  }
+
   test("re-run is idempotent (upsert converges) and already-processed check skips work") {
     val srcDir = Files.createTempDirectory("src2").toString + "/docs"
     val sinkDir = Files.createTempDirectory("sink2").toString + "/out"

@@ -24,6 +24,13 @@ class DedupSpec extends SparkSuite {
     assert(kept.toSeq == Seq(3L, 5L))
   }
 
+  test("exactDedup: null keys form one group and keep a survivor (not dropped)") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "x")).toDF("id", "text")
+    val kept = Dedup.exactDedup(df, "text", "id").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("jaccard finds planted near-dups with J >= 0.8") {
     val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", shingleK = 3, threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

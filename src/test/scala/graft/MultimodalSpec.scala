@@ -57,6 +57,15 @@ class MultimodalSpec extends SparkSuite {
     assert(!audio.source_uri.contains("resized"))
   }
 
+  test("resize tolerates empty and null payloads (passthrough, no crash)") {
+    val weird = Seq(
+      Multimodal.MediaRecord(1L, "image", Array.empty[Byte], "u1"),
+      Multimodal.MediaRecord(2L, "image", null, "u2")).toDS()
+    val out = Multimodal.resize(weird, 16, 16).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => !r.source_uri.contains("resized")))
+  }
+
   test("frame sampling explodes time-media into deterministic frame rows") {
     val frames = Multimodal.sampleFrames(media, everyMs = 500, maxFrames = 4)
     assert(frames.filter($"frame_idx" >= 4).count() == 0)
