@@ -77,6 +77,25 @@ object VectorKernels {
   }
 }
 
+/** Shared analysis-time validation: both inputs must be arrays of the SAME
+  * float/double element type — wrong-typed SQL input (e.g. array<int> from
+  * `graft_dot(array(1,2), ...)`) must fail analysis, not mis-read 4-byte
+  * packed data as 8-byte strides at runtime.
+  */
+private[functions] object VectorTypeCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def binary(fn: String, left: Expression, right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if (a == FloatType || a == DoubleType) && a == b =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn needs two arrays of the same float/double type, " +
+            s"got ${left.dataType} and ${right.dataType}")
+    }
+}
+
 /** cosine_sim(array<float|double>, array<float|double>) → double. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -86,17 +105,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def checkInputDataTypes():
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(a, _), ArrayType(b, _))
-          if (a == FloatType || a == DoubleType) && a == b =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cosine_sim needs two arrays of the same float/double type, " +
-            s"got ${left.dataType} and ${right.dataType}")
-    }
-  }
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.binary("cosine_sim", left, right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
@@ -116,6 +126,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def isFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorTypeCheck.binary("dot_product", left, right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
 
@@ -130,6 +144,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 /** simhash64(array<string>) → bigint. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 needs array<string>, got $other")
+    }
 
   override protected def nullSafeEval(tokens: Any): Any =
     VectorKernels.simhash64(tokens.asInstanceOf[ArrayData])

@@ -24,6 +24,22 @@ class ExtensionsSpec extends SparkSuite {
     assert(h1 == h2)
   }
 
+  test("wrong-typed input to graft_* functions fails at analysis, not runtime") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e1.getMessage.contains("dot_product") || e1.getMessage.contains("DATATYPE"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_simhash64(array(1, 2))").collect()
+    }
+    assert(e2.getMessage.contains("simhash64") || e2.getMessage.contains("DATATYPE"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0D), 'nope')").collect()
+    }
+    assert(e3.getMessage.contains("cosine_sim") || e3.getMessage.contains("DATATYPE"))
+  }
+
   test("cosine expression matches the composable zip_with/aggregate form bit-for-bit") {
     val emb = Tables.embeddings(spark, sfDir).limit(50)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
