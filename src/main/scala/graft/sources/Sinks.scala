@@ -63,6 +63,23 @@ object Sinks {
     p.getFileSystem(conf).delete(p, true)
   }
 
+  /** Bucketed table sink: co-locates rows by `bucketCol` at WRITE time so
+    * repeated joins/aggregations on that key skip their shuffle entirely —
+    * the biggest single lever for a 100 TB fact table that is joined on the
+    * same key by every query (the reference re-fetches and re-groups
+    * everything per run). Requires `saveAsTable` (bucket metadata lives in
+    * the catalog, not the files).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
+
   /** Read the existing sink if its path exists; any OTHER failure (transient
     * FS error, corrupt footer) propagates. Treating every exception as
     * "sink absent" would make the subsequent replace-write destroy prior

@@ -62,6 +62,28 @@ class PlanSpec extends SparkSuite {
       "cosine kernel fell out of codegen")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import graft.sources.Sinks
+    // a previous JVM's warehouse dir isn't in this session's catalog —
+    // clear both the table entries and any orphaned location
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Sinks.drop(spark, s"spark-warehouse/$t")
+    }
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    Sinks.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    Sinks.writeBucketed(l, "b_lineitem", "l_orderkey", 4)
+    val joined = spark.table("b_orders").join(
+      spark.table("b_lineitem"),
+      org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${p.take(500)}")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
