@@ -121,6 +121,50 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Typed Aggregator: element-wise mean of equal-length double vectors —
+    * the k-means update step for IVF centroid refinement, expressed through
+    * Spark's `Aggregator[IN, BUF, OUT]` API (partial-merge friendly: the
+    * buffer is (sum-vector, count), merged associatively across partitions).
+    */
+  class VectorMeanAggregator(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Double], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      var i = 0; while (i < dim) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0; while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0) Seq.fill(dim)(0.0) else b._1.map(_ / b._2).toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** One k-means refinement pass over the IVF index: assign to current
+    * centroids, recompute each centroid as the mean of its members (typed
+    * Aggregator above), keeping empty centroids in place. Improves probe
+    * recall over the fixed-id seed centroids.
+    */
+  def refineCentroids(
+      embeddings: DataFrame,
+      cents: Array[(Long, Seq[Double])]): Array[(Long, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = cents.head._2.length
+    val assigned = ivfAssign(embeddings, cents)
+      .select(col("centroid_id"), col("__v"))
+      .as[(Long, Seq[Double])]
+    val agg = new VectorMeanAggregator(dim).toColumn
+    val means = assigned.groupByKey(_._1).mapValues(_._2).agg(agg).collect().toMap
+    cents.map { case (cid, v) => (cid, means.getOrElse(cid, v)) }
+  }
+
   /** Random-hyperplane LSH bucket key: `numPlanes` fixed pseudo-random
     * hyperplanes (seeded, deterministic), bucket = sign-bit string. Vectors
     * in the same bucket are cosine-close candidates.

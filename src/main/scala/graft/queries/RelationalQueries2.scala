@@ -147,10 +147,42 @@ object RelationalQueries2 {
       .orderBy("maybe_status")
   }
 
+  /** q37 — RANGE window frame: per-user rolling 1-hour sum over event TIME
+    * (value-based frame, not row count) — the event-time analog of a
+    * sliding window expressed as a window frame.
+    */
+  def q37_range_frame: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_millis(col("ts")))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("rolling_1h", round(sum("value").over(w), 2))
+      .filter(col("user_id") < 3)
+      .select(col("user_id"), col("event_id"), col("rolling_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q38 — bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) alongside the
+    * distinct variants of q12.
+    */
+  def q38_setops_all: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val hi = o.filter(col("o_totalprice") > 150000).select("o_custkey")
+    val ur = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val mk = (name: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    mk("except_all", hi.exceptAll(ur))
+      .unionAll(mk("intersect_all", hi.intersectAll(ur)))
+      .orderBy("op")
+  }
+
   val all: Map[String, Q] = Map(
     "q28_rank_funcs" -> q28_rank_funcs,
     "q35_percentile" -> q35_percentile,
     "q36_null_handling" -> q36_null_handling,
+    "q37_range_frame" -> q37_range_frame,
+    "q38_setops_all" -> q38_setops_all,
     "q18_map_explode" -> q18_map_explode,
     "q23_math_funcs" -> q23_math_funcs,
     "q24_like_regexp" -> q24_like_regexp,
@@ -159,6 +191,23 @@ object RelationalQueries2 {
     "q27_string_agg" -> q27_string_agg)
 
   val oracle: Map[String, String] = Map(
+    "q37_range_frame" -> """
+      SELECT user_id, event_id,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                                    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2)
+               AS rolling_1h
+      FROM events
+      QUALIFY user_id < 3
+      ORDER BY user_id, event_id""",
+    "q38_setops_all" -> """
+      WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+           ur AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'except_all' AS op, count(1) AS n
+        FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM ur)
+      UNION ALL
+      SELECT 'intersect_all' AS op, count(1) AS n
+        FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM ur)
+      ORDER BY op""",
     "q35_percentile" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

@@ -38,6 +38,35 @@ class SimilaritySpec extends SparkSuite {
     assert(full == exact, "nprobe=all must equal brute force")
   }
 
+  test("VectorMeanAggregator computes exact element-wise means (k-means update)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 2.0)), (0L, Seq(3.0, 4.0)), (1L, Seq(10.0, 20.0))).toDS()
+    val agg = new Similarity.VectorMeanAggregator(2).toColumn
+    val means = vecs.groupByKey(_._1).mapValues(_._2).agg(agg)
+      .collect().toMap
+    assert(means(0L) == Seq(2.0, 3.0))
+    assert(means(1L) == Seq(10.0, 20.0))
+  }
+
+  test("centroid refinement keeps all centroids and does not hurt IVF recall") {
+    val q = Similarity.queryVector(emb, 0L)
+    val seed = Similarity.centroids(emb, 16)
+    val refined = Similarity.refineCentroids(emb, seed)
+    assert(refined.length == 16)
+    assert(refined.map(_._1).toSeq == seed.map(_._1).toSeq)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    def recall(c: Array[(Long, Seq[Double])]) = {
+      val got = Similarity.ivfTopK(emb, c, q, 10, nprobe = 4, Some(0L))
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val rSeed = recall(seed)
+    val rRef = recall(refined)
+    assert(rRef >= rSeed - 0.2, s"refinement collapsed recall: $rSeed -> $rRef")
+  }
+
   test("LSH buckets partition the corpus (every vector in exactly one bucket)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 8, dim = 64)
     assert(b.count() == emb.count())
