@@ -94,6 +94,11 @@ object Sinks {
   /** Atomically replace `path` with `merged` via a temp-dir swap: the source
     * of a merge is also its destination, and overwriting a path while
     * reading it is undefined.
+    *
+    * Single-writer assumption: one upserting job per sink path at a time
+    * (the Structured Streaming foreachBatch caller guarantees this; the
+    * fixed `__tmp` suffix would collide under concurrent writers). Matches
+    * the reference, whose per-run ES updates are also last-writer-wins.
     */
   private def replaceWith(spark: SparkSession, merged: DataFrame, path: String): Unit = {
     val tmp = path.stripSuffix("/") + "__tmp"

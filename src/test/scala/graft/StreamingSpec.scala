@@ -108,6 +108,34 @@ class StreamingSpec extends SparkSuite {
     assert(got == Map("k1" -> "v1", "k2" -> "v2b", "k3" -> "v3"))
   }
 
+  test("AvailableNow resumes from checkpoint: only NEW files processed on restart (B1)") {
+    val srcDir = Files.createTempDirectory("incsrc").toString
+    val sinkDir = Files.createTempDirectory("incsink").toString + "/out"
+    val ckpt = Files.createTempDirectory("incckpt").toString
+    def mkBatch(ids: Range) =
+      ids.map(i => (i.toLong, s"doc $i has a join", t("2024-01-01 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+    def writeBatch(ids: Range): Unit =
+      mkBatch(ids).write.mode("append").parquet(srcDir)
+    val schema = mkBatch(0 until 1).schema
+    def runOnce(): Unit = {
+      val stream = StreamingPipeline.docStream(spark, srcDir, schema)
+      val anns = StreamingPipeline.annotateStream(stream, "ts")
+        .select($"doc_id", $"term",
+          concat(lit("doc-"), $"doc_id", lit("-"), $"term").as("ann_key"))
+      val q = StreamingPipeline.startUpsertSink(anns, sinkDir, "ann_key", ckpt)
+      q.awaitTermination()
+    }
+    writeBatch(0 until 10)
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() == 10)
+    writeBatch(100 until 105) // new files appended to the same dir
+    runOnce()
+    val all = spark.read.parquet(sinkDir).select("doc_id").as[Long].collect().toSet
+    assert(all == ((0L until 10L) ++ (100L until 105L)).toSet,
+      "restart must process exactly the new files once")
+  }
+
   test("nested-mode upsert merges annotation arrays on key conflict (K6)") {
     val dir = Files.createTempDirectory("nested").toString + "/sink"
     val b1 = Seq(("doc_1", Seq((0L, "join"), (1L, "merge")))).toDF("key", "annotations")
