@@ -34,12 +34,12 @@ object Dedup {
     * window over the full corpus.
     */
   def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val survivors = df.groupBy(col(keyCol))
+    val survivors = df.groupBy(col(keyCol).as("__survivor_key"))
       .agg(min(col(idCol)).as("__survivor_id"))
     // null-safe key equality: null keys form their own duplicate group and
     // keep one survivor, matching dropDuplicates (plain === would drop them)
     df.join(survivors,
-      df(keyCol) <=> survivors(keyCol) && df(idCol) === col("__survivor_id"),
+      col(keyCol) <=> col("__survivor_key") && col(idCol) === col("__survivor_id"),
       "left_semi")
   }
 
@@ -63,9 +63,16 @@ object Dedup {
       textCol: String,
       shingleK: Int,
       numHashes: Int): DataFrame = {
-    val sh = spread(docs).select(
-      col(idCol).as("__id"),
-      explode(TextFunctions.shingles(col(textCol), shingleK)).as("s"))
+    // explode_outer, not explode: InferFiltersFromGenerate would otherwise
+    // add `size(shingles(text)) > 0` below the Generate, inlining the whole
+    // shingle pipeline into a per-row Filter — every document would shingle
+    // TWICE (measured ~2.5× slower on q42). The outer variant infers nothing;
+    // the null rows it emits for empty sets are dropped by a cheap
+    // attribute-only filter after the Generate.
+    val sh = spread(docs)
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
+      .select(col("__id"), explode_outer(col("shs")).as("s"))
+      .filter(col("s").isNotNull)
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     sh.groupBy("__id")
       .agg(aggs.head, aggs.tail: _*)
@@ -95,9 +102,12 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+    // explode_outer: the banding transform would otherwise be duplicated into
+    // an inferred non-empty Filter (see minhashSignatures); its size is the
+    // constant `bands` so the inference is pure waste.
     val banded = sig.select(
       col("__id"),
-      explode(transform(
+      explode_outer(transform(
         sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))
       )).as("bb"))
@@ -109,7 +119,7 @@ object Dedup {
     banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("__id"))).as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
-      .select(explode(pairsOf(col("members"))).as("p"))
+      .select(explode_outer(pairsOf(col("members"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
@@ -136,22 +146,23 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val sh = spread(docs).select(
-      col(idCol).as("__id"),
-      explode(TextFunctions.shingles(col(textCol), shingleK)).as("shingle"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
+    // The shingle-set size rides along with every inverted-index row (it is
+    // computed in the same projection that explodes the set), so intersection
+    // counts AND both set sizes come out of the one pair aggregation — no
+    // join back against a per-doc size table (saves two shuffles).
+    val sh = spread(docs)
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
+      .select(col("__id"), size(col("shs")).as("sz"), explode_outer(col("shs")).as("shingle"))
+      .filter(col("shingle").isNotNull)
     // Inverted index without a self-join: docs sharing a shingle meet in one
     // collect_list row; pairs are generated in-place and counted. Exact —
     // every co-occurrence contributes exactly one pair instance.
-    val common = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("__id"))).as("members"))
+    sh.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("__id"), col("sz")))).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(pairsOf(col("members"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(explode_outer(pairsAs(col("members"), "a", "b")).as("p"))
+      .groupBy(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"))
+      .agg(count(lit(1)).as("c"), max(col("p.a.sz")).as("sz_a"), max(col("p.b.sz")).as("sz_b"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -193,7 +204,7 @@ object Dedup {
     chunked.groupBy("chunk", "ckey")
       .agg(sort_array(collect_list(struct(col("__id"), col("simhash")))).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(pairsOfStructs(col("members"))).as("p"))
+      .select(explode_outer(pairsOfStructs(col("members"))).as("p"))
       .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()

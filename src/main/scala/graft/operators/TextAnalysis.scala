@@ -29,7 +29,12 @@ object TextAnalysis {
   def languageId(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val lex = broadcast(Lexicons.toDF("lex_lang", "lex_tok"))
-    val toks = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    // explode_outer + null filter: avoids InferFiltersFromGenerate inlining
+    // the tokenize pipeline into a pre-Generate filter (double tokenization
+    // per document — see Dedup.minhashSignatures).
+    val toks = docs
+      .select(col("doc_id"), explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
     val hits = toks.join(lex, col("tok") === col("lex_tok"))
       .groupBy("doc_id", "lex_lang")
       .agg(count(lit(1)).as("hits"))

@@ -257,7 +257,11 @@ object RelationalQueries {
     */
   def q17_explode_tokens: Q = (s, dir) => {
     Tables.documents(s, dir)
-      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      // explode_outer: keeps InferFiltersFromGenerate from re-tokenizing each
+      // row inside an inferred `size(tokens(text)) > 0` filter (see
+      // Dedup.minhashSignatures); null rows from empty arrays filtered cheaply
+      .select(explode_outer(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
