@@ -48,6 +48,19 @@ object TextFunctions {
     )
   }
 
+  /** Word n-grams WITH duplicates (frequency semantics — unlike `shingles`,
+    * which is the distinct set for Jaccard): sliding windows of k consecutive
+    * tokens joined by one space; empty array when the document has < k tokens.
+    */
+  def ngrams(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    val n    = size(toks)
+    when(n < k, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), n - lit(k)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
   /** BPE-ish regex token count: alphabetic runs, digit runs, or single
     * non-space symbols — a deterministic approximation of subword token
     * counting that both Spark and the DuckDB oracle can evaluate with the

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level statistics and curation operators for the training-data
+  * pipeline surface (BASELINE.json north star): relevance scoring (TF-IDF,
+  * BM25), n-gram statistics, quality signals (repetition, entropy),
+  * PII-style redaction, benchmark-contamination detection, deterministic
+  * stratified sampling, and context-window sequence packing.
+  *
+  * Scale design notes (100 TB posture):
+  *   - every per-document signal is a map-side expression or one
+  *     hash-aggregate away — no driver materialization anywhere;
+  *   - corpus-level scalars (N, avgdl) are single-row aggregates joined in by
+  *     broadcast (a cross join against a 1-row side is a broadcast nested
+  *     loop — no shuffle of the big side);
+  *   - the benchmark n-gram set in `contamination` is broadcast: the typical
+  *     eval-suite is KBs–MBs while the corpus is TBs;
+  *   - packing and sampling are windowed per partition key (`source`), never
+  *     a global single-partition window.
+  */
+object Corpus {
+
+  /** Exploded (doc, token) rows with the document length riding along —
+    * explode_outer to dodge the InferFiltersFromGenerate double-evaluation
+    * (see Dedup.minhashSignatures).
+    */
+  private def tokenRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("__id"), size(col("tk")).as("dlen"), explode_outer(col("tk")).as("tok"))
+      .filter(col("tok").isNotNull)
+
+  /** TF-IDF per (document, term): tf = termCount/docLen, idf = ln(N/df).
+    * One explode + two hash aggregations (term frequency per doc, document
+    * frequency per term) + an equi-join on the term — the inverted-index
+    * shuffle shape that scales linearly with corpus size.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenRows(docs, idCol, textCol)
+    val tf = toks.groupBy("__id", "tok")
+      .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(
+        col("__id").as("doc_id"), col("tok").as("term"),
+        (col("cnt").cast("double") / col("dlen").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
+  }
+
+  /** Okapi BM25 scores for a bag-of-terms query, standard parameters
+    * k1 = 1.2, b = 0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    * Same dataflow as tfidf; the query-term filter prunes the exploded rows
+    * before the first shuffle.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokenRows(docs, idCol, textCol)
+    val qt = array(queryTerms.map(lit): _*)
+    // corpus scalars in ONE single-row aggregate (no second corpus pass)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(TextFunctions.tokens(col(textCol))).cast("double")).as("avgdl"))
+    val tf = toks.filter(array_contains(qt, col("tok")))
+      .groupBy("__id", "tok")
+      .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("cnt") * (lit(k1) + 1)) /
+          (col("cnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("avgdl"))))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(sum("score").as("bm25"))
+  }
+
+  /** Per-document repetition ratio — 1 − |distinct n-grams| / |n-grams| —
+    * the cheap duplicated-phrase quality signal. Pure per-row expression:
+    * no explode, no shuffle.
+    */
+  def repetitionRatio(textCol: Column, k: Int = 2): Column = {
+    val grams = TextFunctions.ngrams(textCol, k)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
+
+  /** Token-distribution entropy per document, in nats, via the
+    * shuffle-friendly identity H = ln(L) − (Σ c·ln c)/L over token counts c.
+    * One explode + one (doc, token) aggregate + one per-doc aggregate.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenRows(docs, idCol, textCol)
+      .groupBy("__id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("__id").as("doc_id"))
+      .agg((log(sum("cnt")) -
+        sum(col("cnt").cast("double") * log(col("cnt"))) / sum("cnt")).as("entropy"))
+
+  /** PII-style redaction: replace every match of `pattern` with `token`,
+    * reporting the redacted text and the per-row match count. Regex runs
+    * once per row inside codegen; the pattern must stay in the RE2 ∩ Java
+    * regex dialect so the DuckDB oracle matches (no lookaround).
+    */
+  def redact(textCol: Column, pattern: String, token: String): (Column, Column) =
+    (regexp_replace(textCol, pattern, token),
+      size(regexp_extract_all(textCol, lit(pattern), lit(0))).cast("long"))
+
+  /** Benchmark-contamination check: which corpus documents share at least one
+    * word `k`-gram with a benchmark/eval set. The benchmark n-gram set is
+    * DISTINCT + broadcast (eval suites are tiny next to a 100 TB corpus), so
+    * the corpus side streams map-side through a broadcast semi-join — no
+    * corpus shuffle at all before the per-doc count.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, k: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), k).as("g"))
+      .select(col("__id"), explode_outer(col("g")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val bench = broadcast(grams(benchmark).select("gram").distinct())
+    grams(corpus).join(bench, "gram")
+      .groupBy(col("__id").as("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
+  /** Deterministic 1-in-`rate` stratified sample per `strataCol`: keep rows
+    * whose per-stratum rank (ordered by `idCol`) ≡ 1 (mod rate). Reproducible
+    * under retries (rank, not RNG) — at 100 TB the rank window shuffles once
+    * on the stratum key, the same partitioning the downstream per-stratum
+    * aggregate reuses.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String, rate: Int): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(col(strataCol)).orderBy(col(idCol))))
+      .filter((col("__rn") - 1) % rate === 0)
+      .drop("__rn")
+
+  /** Context-window sequence packing: assign documents, in `idCol` order
+    * within each `partCol` shard, to fixed token-budget bins by cumulative
+    * token count (bin = ⌊cumsum_before / budget⌋ — documents overflow into
+    * the next bin rather than splitting). Windowed per shard: the 100 TB
+    * shape packs each source/shard independently instead of one global
+    * ordered window.
+    */
+  def packSequences(docs: DataFrame, partCol: String, idCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__ntok", size(TextFunctions.tokens(col(textCol))).cast("long"))
+      .withColumn("__before", coalesce(sum(col("__ntok")).over(w), lit(0L)))
+      .withColumn("bin", (col("__before") / budget).cast("long"))
+  }
+}

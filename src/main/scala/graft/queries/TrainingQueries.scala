@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Corpus, Sessionize}
+
+/** Corpus-curation / training-data-pipeline inventory (BASELINE.json north
+  * star, beyond the reference's own surface): relevance scoring, n-gram
+  * statistics, sessionization, sequence packing, quality signals, redaction,
+  * contamination detection, stratified sampling. Every query is
+  * hash-function-free → full DuckDB oracle.
+  */
+object TrainingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q54 — TF-IDF: top-20 (doc, term) scores over `documents`. */
+  def q54_tfidf: Q = (s, dir) => {
+    Corpus.tfidf(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id").asc, col("term").asc)
+      .limit(20)
+  }
+
+  /** q55 — Okapi BM25: top-10 documents for a 3-term bag-of-words query. */
+  def q55_bm25: Q = (s, dir) => {
+    Corpus.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("hash", "customer", "stream"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** q56 — n-gram frequency: top-20 word bigrams with counts. */
+  def q56_bigram_freq: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(explode_outer(graft.functions.TextFunctions.ngrams(col("text"), 2)).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  /** q57 — batch sessionization of `events`: 12-hour inactivity gap,
+    * per-session event count and duration (the lag + running-sum-of-breaks
+    * assignment; batch twin of the streaming session_window q62).
+    */
+  def q57_sessionize: Q = (s, dir) => {
+    Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "event_id",
+        gapMs = 12L * 3600 * 1000)
+      .orderBy("user_id", "session_id")
+  }
+
+  /** q58 — context-window sequence packing: documents binned into
+    * 2048-token budgets per source shard; per-bin fill statistics.
+    */
+  def q58_packing: Q = (s, dir) => {
+    Corpus.packSequences(Tables.documents(s, dir), "source", "doc_id", "text", 2048)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("__ntok").as("sum_tokens"),
+           round(sum("__ntok") / lit(2048.0), 4).as("fill"))
+      .orderBy("source", "bin")
+  }
+
+  /** q59 — repetition-ratio quality signal: 1 − |distinct bigrams|/|bigrams|
+    * per doc, aggregated per source. Pure per-row expression, no shuffle
+    * before the final rollup.
+    */
+  def q59_repetition: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("source"), Corpus.repetitionRatio(col("text")).as("rep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("rep"), 4).as("avg_rep"),
+           round(max("rep"), 4).as("max_rep"))
+      .orderBy("source")
+  }
+
+  /** q63 — token-distribution entropy per doc (nats), rolled up per lang. */
+  def q63_entropy: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Corpus.tokenEntropy(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("entropy"), 4).as("avg_entropy"),
+           round(min("entropy"), 4).as("min_entropy"),
+           round(max("entropy"), 4).as("max_entropy"))
+      .orderBy("lang")
+  }
+
+  /** q64 — PII-style redaction: scrub a term pattern, report redaction
+    * volume per source (pattern kept inside the RE2 ∩ Java dialect so the
+    * oracle regex engine agrees).
+    */
+  def q64_redact: Q = (s, dir) => {
+    val pattern = "\\b(customer|value)\\b"
+    val (redacted, nRed) = Corpus.redact(col("text"), pattern, "[X]")
+    Tables.documents(s, dir)
+      .select(col("source"), redacted.as("red"), nRed.as("n_red"), col("text"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_red") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+           sum("n_red").as("total_redactions"),
+           sum(length(col("text")) - length(col("red"))).cast("long").as("chars_removed"))
+      .orderBy("source")
+  }
+
+  /** q65 — benchmark-contamination: corpus docs sharing ≥1 word 4-gram with
+    * the benchmark slice (doc_id ≡ 0 mod 25); broadcast semi-join on the
+    * distinct benchmark n-gram set.
+    */
+  def q65_contamination: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Corpus.contamination(
+        corpus = docs.filter(col("doc_id") % 25 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 25 === 0),
+        idCol = "doc_id", textCol = "text", k = 4)
+      .orderBy("doc_id")
+  }
+
+  /** q66 — deterministic 1-in-10 stratified sample per source (rank-based,
+    * reproducible under retries), with per-stratum acceptance stats.
+    */
+  def q66_stratified_sample: Q = (s, dir) => {
+    Corpus.stratifiedSample(Tables.documents(s, dir), "source", "doc_id", 10)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum("n_chars").as("sum_chars"),
+           min("doc_id").as("first_id"))
+      .orderBy("source")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q54_tfidf" -> q54_tfidf,
+    "q55_bm25" -> q55_bm25,
+    "q56_bigram_freq" -> q56_bigram_freq,
+    "q57_sessionize" -> q57_sessionize,
+    "q58_packing" -> q58_packing,
+    "q59_repetition" -> q59_repetition,
+    "q63_entropy" -> q63_entropy,
+    "q64_redact" -> q64_redact,
+    "q65_contamination" -> q65_contamination,
+    "q66_stratified_sample" -> q66_stratified_sample)
+
+  private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "q54_tfidf" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM documents)),
+      tf AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+             FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(1) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(1) AS n_docs FROM documents)
+      SELECT doc_id, tok AS term,
+             round(cnt * 1.0 / dlen * ln(n_docs * 1.0 / df), 4) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+      ORDER BY 3 DESC, 1 ASC, 2 ASC LIMIT 20""",
+    "q55_bm25" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM documents)),
+      stats AS (SELECT count(1) AS n_docs,
+                       avg(len($tk) * 1.0) AS avgdl FROM documents),
+      tf AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+             FROM toks WHERE tok IN ('hash', 'customer', 'stream') GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(1) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dlen / avgdl)) AS score
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
+      SELECT doc_id, round(sum(score), 4) AS bm25
+      FROM scored GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""",
+    "q56_bigram_freq" -> raw"""
+      WITH toks AS (SELECT $tk AS tk FROM documents),
+      g AS (SELECT unnest(list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
+                     i -> array_to_string(tk[i+1:i+2], ' '))) AS bigram
+            FROM toks WHERE len(tk) >= 2)
+      SELECT bigram, count(1) AS n FROM g GROUP BY 1
+      ORDER BY 2 DESC, 1 ASC LIMIT 20""",
+    "q57_sessionize" -> """
+      WITH o AS (
+        SELECT user_id, event_id, ts,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      b AS (SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - prev > 43200000
+                           THEN 1 ELSE 0 END AS brk FROM o),
+      s AS (SELECT user_id, event_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM b)
+      SELECT user_id, session_id, count(1) AS n_events,
+             max(epoch_ms(ts)) - min(epoch_ms(ts)) AS dur_ms
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q58_packing" -> raw"""
+      WITH t AS (SELECT source, doc_id, len($tk) AS ntok FROM documents),
+      c AS (SELECT source, doc_id, ntok,
+                   coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM t)
+      SELECT source, CAST(floor(bef / 2048) AS BIGINT) AS bin, count(1) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+             round(sum(ntok) / 2048.0, 4) AS fill
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q59_repetition" -> raw"""
+      WITH t AS (SELECT source, $tk AS tk FROM documents),
+      g AS (SELECT source,
+                   CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(0, len(tk) - 1),
+                               i -> array_to_string(tk[i+1:i+2], ' ')) END AS bg
+            FROM t),
+      r AS (SELECT source,
+                   CASE WHEN len(bg) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END AS rep
+            FROM g)
+      SELECT source, count(1) AS n_docs, round(avg(rep), 4) AS avg_rep,
+             round(max(rep), 4) AS max_rep
+      FROM r GROUP BY 1 ORDER BY 1""",
+    "q63_entropy" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest($tk) AS tok FROM documents),
+      cnts AS (SELECT doc_id, tok, count(1) AS cnt FROM toks GROUP BY 1, 2),
+      ent AS (SELECT doc_id,
+                     ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt) AS entropy
+              FROM cnts GROUP BY 1)
+      SELECT d.lang, count(1) AS n_docs,
+             round(avg(entropy), 4) AS avg_entropy,
+             round(min(entropy), 4) AS min_entropy,
+             round(max(entropy), 4) AS max_entropy
+      FROM ent JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY 1""",
+    "q64_redact" -> raw"""
+      WITH r AS (
+        SELECT source, text,
+               regexp_replace(text, '\b(customer|value)\b', '[X]', 'g') AS red,
+               len(regexp_extract_all(text, '\b(customer|value)\b')) AS n_red
+        FROM documents)
+      SELECT source, count(1) AS n_docs,
+             CAST(sum(CASE WHEN n_red > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+             CAST(sum(n_red) AS BIGINT) AS total_redactions,
+             CAST(sum(length(text) - length(red)) AS BIGINT) AS chars_removed
+      FROM r GROUP BY 1 ORDER BY 1""",
+    "q65_contamination" -> raw"""
+      WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct(list_transform(
+                      range(0, greatest(len(tk) - 4, 0) + 1),
+                      i -> array_to_string(tk[i+1:i+4], ' ')))) AS gram
+             FROM toks),
+      bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 25 = 0)
+      SELECT s.doc_id, count(DISTINCT s.gram) AS n_shared_grams
+      FROM sh s JOIN bench USING (gram)
+      WHERE s.doc_id % 25 <> 0
+      GROUP BY 1 ORDER BY 1""",
+    "q66_stratified_sample" -> """
+      WITH r AS (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents)
+      SELECT source, count(1) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             min(doc_id) AS first_id
+      FROM r WHERE (rn - 1) % 10 = 0
+      GROUP BY 1 ORDER BY 1""")
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Sessionize}
+
+/** Hand-computed ground truth for the corpus-curation operators
+  * (TF-IDF, BM25, repetition, entropy, redaction, contamination,
+  * stratified sampling, packing, sessionization).
+  */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "a b a c", "s1"),   // 4 tokens: a×2 b c
+    (1L, "a b", "s1"),       // 2 tokens
+    (2L, "c c c c", "s2"),   // 4 tokens, all c
+    (3L, "d e f g", "s2")    // 4 unique tokens
+  ).toDF("doc_id", "text", "source")
+
+  test("tfidf matches hand computation") {
+    val out = Corpus.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // term 'a': df=2, N=4 → idf=ln(2). doc0 tf=2/4, doc1 tf=1/2
+    assert(math.abs(out((0L, "a")) - 0.5 * math.log(2)) < 1e-12)
+    assert(math.abs(out((1L, "a")) - 0.5 * math.log(2)) < 1e-12)
+    // term 'd': df=1 → idf=ln(4), tf=1/4
+    assert(math.abs(out((3L, "d")) - 0.25 * math.log(4)) < 1e-12)
+    // term 'c' in doc2: tf=1 (4/4), df=2 → ln 2
+    assert(math.abs(out((2L, "c")) - math.log(2)) < 1e-12)
+  }
+
+  test("bm25 matches hand computation for a one-term query") {
+    // query = {c}: df=2, N=4 → idf = ln(1 + 2.5/2.5) = ln 2; avgdl = 14/4
+    val out = Corpus.bm25(docs, "doc_id", "text", Seq("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val avgdl = 14.0 / 4
+    def score(tf: Double, dlen: Double): Double =
+      math.log(2) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+    assert(math.abs(out(0L) - score(1, 4)) < 1e-12)
+    assert(math.abs(out(2L) - score(4, 4)) < 1e-12)
+    assert(!out.contains(1L) && !out.contains(3L))
+  }
+
+  test("repetitionRatio: all-same bigrams vs all-distinct") {
+    val out = docs.select(col("doc_id"), Corpus.repetitionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) == 1.0 - 1.0 / 3.0) // bigrams: c c ×3 → 1 distinct of 3
+    assert(out(3L) == 0.0)             // d e / e f / f g all distinct
+    assert(out(1L) == 0.0)             // single bigram
+  }
+
+  test("tokenEntropy: uniform and degenerate distributions") {
+    val out = Corpus.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(2L)) < 1e-12)                 // all same token → 0
+    assert(math.abs(out(3L) - math.log(4)) < 1e-12)   // 4 uniform → ln 4
+    // doc0: counts (2,1,1), L=4 → ln4 - (2 ln2)/4
+    assert(math.abs(out(0L) - (math.log(4) - 2 * math.log(2) / 4)) < 1e-12)
+  }
+
+  test("redact replaces matches and counts them") {
+    val (red, n) = Corpus.redact(col("text"), "\\bc\\b", "[X]")
+    val out = docs.select(col("doc_id"), red.as("r"), n.as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) == (("a b a [X]", 1L)))
+    assert(out(2L) == (("[X] [X] [X] [X]", 4L)))
+    assert(out(3L) == (("d e f g", 0L)))
+  }
+
+  test("contamination flags only docs sharing a k-gram with the benchmark") {
+    val corpus = Seq(
+      (10L, "w x y z"),     // shares trigram "w x y" with benchmark
+      (11L, "p q r s")      // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "w x y q")).toDF("doc_id", "text")
+    val out = Corpus.contamination(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 1L)))
+  }
+
+  test("stratifiedSample keeps ranks 1, 11, 21, ... per stratum") {
+    val df = (0L until 40L).map(i => (i, if (i < 25) "a" else "b")).toDF("id", "s")
+    val kept = Corpus.stratifiedSample(df, "s", "id", 10)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 10L, 20L, 25L, 35L))
+  }
+
+  test("packSequences bins by cumulative tokens within each shard") {
+    val df = Seq(
+      (0L, "t " * 6, "s"),  // 6 tokens, before=0  → bin 0
+      (1L, "t " * 6, "s"),  // before=6  → bin 0
+      (2L, "t " * 6, "s"),  // before=12 → bin 1
+      (3L, "t " * 6, "z")   // separate shard, before=0 → bin 0
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.packSequences(df, "source", "doc_id", "text", budget = 10)
+      .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("sessionize splits at gaps and rolls up sessions") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 7L), // > 1h gap
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 8L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Sessionize.sessions(ev, "user_id", "ts", "event_id", gapMs = 3600 * 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((7L, 1L)) == ((2L, 600000L)))
+    assert(out((7L, 2L)) == ((1L, 0L)))
+    assert(out((8L, 1L)) == ((1L, 0L)))
+  }
+}
