@@ -25,10 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ RelationalQueries2.all ++ PipelineQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      StreamQueries.all ++ MiscQueries.all ++ TrainingQueries.all
+      StreamQueries.all ++ MiscQueries.all ++ TrainingQueries.all ++
+      RelationalQueries3.all
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ RelationalQueries2.oracle ++ PipelineQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ TextQueries.oracle ++
-      StreamQueries.oracle ++ MiscQueries.oracle ++ TrainingQueries.oracle
+      StreamQueries.oracle ++ MiscQueries.oracle ++ TrainingQueries.oracle ++
+      RelationalQueries3.oracle
 }

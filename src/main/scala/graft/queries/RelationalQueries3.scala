@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Third relational batch: reshaping (pivot/unpivot), statistical
+  * aggregates, argmax selection, histogram bucketing, and edit distance.
+  *
+  * Skewness/kurtosis oracles are written as explicit central-moment
+  * formulas: Spark implements the population definitions (m3/m2^1.5,
+  * m4/m2²−3) while DuckDB's builtins apply sample corrections — the oracle
+  * must encode Spark's definition, not call DuckDB's builtin.
+  */
+object RelationalQueries3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q39 — pivot: events reshaped wide, one count column per event type per
+    * day. The pivot values are DECLARED (not discovered) — at 100 TB the
+    * two-pass "collect distinct values first" pivot is a full extra scan.
+    */
+  def q39_pivot: Q = (s, dir) => {
+    val wide = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+    wide.orderBy("day")
+  }
+
+  /** q67 — unpivot/melt: lineitem measures to long form, aggregated per
+    * (returnflag, metric). Spark's `unpivot` is a zero-shuffle row expansion.
+    */
+  def q67_unpivot: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n"),
+           round(sum("val"), 2).as("sum_val"),
+           round(avg("val"), 4).as("avg_val"))
+      .orderBy("l_returnflag", "metric")
+  }
+
+  /** q68 — statistical aggregates: correlation, covariance (sample +
+    * population), stddev, and population skewness/kurtosis of lineitem
+    * measures per return flag. All single-pass partial-aggregable — the
+    * 100 TB shape is one hash aggregate, no second scan.
+    */
+  def q68_stats: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covs_qp"),
+        round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covp_qp"),
+        round(stddev_samp("l_quantity"), 4).as("sds_qty"),
+        round(stddev_pop("l_quantity"), 4).as("sdp_qty"),
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q69 — argmax selection: per nation, the supplier with the highest
+    * account balance via max_by/arg_max. The ordering key is made total
+    * (balance scaled + suppkey) so ties cannot produce engine-dependent
+    * winners.
+    */
+  def q69_argmax: Q = (s, dir) => {
+    val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        max_by(col("s_name"), col("s_acctbal") * 1000000 + col("s_suppkey")).as("top_supplier"),
+        round(max("s_acctbal"), 2).as("top_bal"),
+        min_by(col("s_name"), col("s_acctbal") * 1000000 + col("s_suppkey")).as("bottom_supplier"))
+      .orderBy("n_name")
+  }
+
+  /** q72 — fixed-width histogram of order totals: 10 equal buckets between
+    * the observed min/max (computed in the same job as a broadcast 1-row
+    * aggregate; DuckDB 1.0 has no width_bucket so both sides use the
+    * explicit formula).
+    */
+  def q72_histogram: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val bounds = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")) * 10), lit(9.0))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  /** q73 — edit distance: Levenshtein between part name and type
+    * strings, aggregated per brand (identical unit-cost dynamic program in
+    * both engines).
+    */
+  def q73_levenshtein: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .withColumn("d", levenshtein(col("p_name"), col("p_type")))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+           round(avg("d"), 4).as("avg_dist"),
+           min("d").cast("long").as("min_dist"),
+           max("d").cast("long").as("max_dist"))
+      .orderBy("p_brand")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q39_pivot" -> q39_pivot,
+    "q67_unpivot" -> q67_unpivot,
+    "q68_stats" -> q68_stats,
+    "q69_argmax" -> q69_argmax,
+    "q72_histogram" -> q72_histogram,
+    "q73_levenshtein" -> q73_levenshtein)
+
+  val oracle: Map[String, String] = Map(
+    "q39_pivot" -> """
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             count(1) FILTER (event_type = 'click') AS click,
+             count(1) FILTER (event_type = 'error') AS error,
+             count(1) FILTER (event_type = 'purchase') AS purchase,
+             count(1) FILTER (event_type = 'signup') AS signup,
+             count(1) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY 1 ORDER BY 1""",
+    "q67_unpivot" -> """
+      WITH m AS (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      SELECT l_returnflag, metric, count(1) AS n,
+             round(sum(val), 2) AS sum_val, round(avg(val), 4) AS avg_val
+      FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q68_stats" -> """
+      WITH mu AS (
+        SELECT l_returnflag, avg(l_quantity) AS mq FROM lineitem GROUP BY 1),
+      mom AS (
+        SELECT l.l_returnflag,
+               avg((l_quantity - mq) * (l_quantity - mq)) AS m2,
+               avg((l_quantity - mq) * (l_quantity - mq) * (l_quantity - mq)) AS m3,
+               avg((l_quantity - mq) * (l_quantity - mq) * (l_quantity - mq) * (l_quantity - mq)) AS m4
+        FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        GROUP BY 1)
+      SELECT b.l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,
+             round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
+             round(stddev_samp(l_quantity), 4) AS sds_qty,
+             round(stddev_pop(l_quantity), 4) AS sdp_qty,
+             round(any_value(m3) / pow(any_value(m2), 1.5), 4) AS skew_qty,
+             round(any_value(m4) / pow(any_value(m2), 2) - 3.0, 4) AS kurt_qty
+      FROM lineitem b JOIN mom ON b.l_returnflag = mom.l_returnflag
+      GROUP BY 1 ORDER BY 1""",
+    "q69_argmax" -> """
+      SELECT n_name,
+             arg_max(s_name, s_acctbal * 1000000 + s_suppkey) AS top_supplier,
+             round(max(s_acctbal), 2) AS top_bal,
+             arg_min(s_name, s_acctbal * 1000000 + s_suppkey) AS bottom_supplier
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
+    "q72_histogram" -> """
+      WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+      SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 10), 9.0) AS BIGINT) AS bucket,
+             count(1) AS n, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders CROSS JOIN b
+      GROUP BY 1 ORDER BY 1""",
+    "q73_levenshtein" -> """
+      SELECT p_brand, count(1) AS n,
+             round(avg(levenshtein(p_name, p_type)), 4) AS avg_dist,
+             CAST(min(levenshtein(p_name, p_type)) AS BIGINT) AS min_dist,
+             CAST(max(levenshtein(p_name, p_type)) AS BIGINT) AS max_dist
+      FROM part GROUP BY 1 ORDER BY 1""")
+}
