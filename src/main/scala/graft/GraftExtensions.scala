@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, SimHash64}
+import graft.functions.{CosineSim, DotProduct, JaroWinkler, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions under SQL names, so `spark.sql("SELECT
@@ -30,6 +30,8 @@ object GraftExtensions {
       "graft_dot", args => DotProduct(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_simhash64", args => SimHash64(args.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", args => JaroWinkler(args(0), args(1)), "built-in")
   }
 }
 
@@ -51,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", "graft_jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
   }
 }

@@ -117,8 +117,25 @@ object RelationalQueries3 {
       .orderBy("p_brand")
   }
 
+  /** q74 — Jaro-Winkler fuzzy similarity (native `JaroWinkler` codegen
+    * Expression — Spark has no builtin; semantics pinned to the oracle
+    * engine's, see StringKernels). Same rollup shape as q73 so the two
+    * string-distance kernels are directly comparable.
+    */
+  def q74_jaro_winkler: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .withColumn("jw", graft.functions.StringFunctions.jaroWinkler(col("p_name"), col("p_type")))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+           round(avg("jw"), 4).as("avg_jw"),
+           round(min("jw"), 4).as("min_jw"),
+           round(max("jw"), 4).as("max_jw"))
+      .orderBy("p_brand")
+  }
+
   val all: Map[String, Q] = Map(
     "q39_pivot" -> q39_pivot,
+    "q74_jaro_winkler" -> q74_jaro_winkler,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
     "q69_argmax" -> q69_argmax,
@@ -126,6 +143,12 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q74_jaro_winkler" -> """
+      SELECT p_brand, count(1) AS n,
+             round(avg(jaro_winkler_similarity(p_name, p_type)), 4) AS avg_jw,
+             round(min(jaro_winkler_similarity(p_name, p_type)), 4) AS min_jw,
+             round(max(jaro_winkler_similarity(p_name, p_type)), 4) AS max_jw
+      FROM part GROUP BY 1 ORDER BY 1""",
     "q39_pivot" -> """
       SELECT strftime(ts, '%Y-%m-%d') AS day,
              count(1) FILTER (event_type = 'click') AS click,
