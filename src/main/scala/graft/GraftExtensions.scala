@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, JaroWinkler, SimHash64}
+import graft.functions.{CosineSim, DotProduct, JaroWinkler, SimHash64, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions under SQL names, so `spark.sql("SELECT
@@ -32,6 +32,9 @@ object GraftExtensions {
       "graft_simhash64", args => SimHash64(args.head), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_jaro_winkler", args => JaroWinkler(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_topk",
+      args => TopKAgg(args(0), args(1), args(2)).toAggregateExpression(), "built-in")
   }
 }
 
@@ -57,5 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       info("graft_jaro_winkler", "graft_jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
       (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "graft_topk(ord, payload, k) - top-k (ord, payload) pairs per group, partial-aggregated"),
+      (args: Seq[Expression]) => TopKAgg(args(0), args(1), args(2)).toAggregateExpression()))
   }
 }

@@ -133,9 +133,28 @@ object RelationalQueries3 {
       .orderBy("p_brand")
   }
 
+  /** q75 — top-k per group via the native `TopKAgg`
+    * TypedImperativeAggregate: each map task reduces to ≤ k pairs per group
+    * BEFORE the shuffle (partial aggregation), unlike the window
+    * row_number() form (q07) which shuffles and sorts every row. Same
+    * result, 100 TB-viable wire cost. Oracle = the window formulation.
+    */
+  def q75_topk_agg: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.TopKFunctions.topK(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+              col("t.payload").as("o_orderkey"),
+              round(col("t.ord"), 2).as("o_totalprice"))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
   val all: Map[String, Q] = Map(
     "q39_pivot" -> q39_pivot,
     "q74_jaro_winkler" -> q74_jaro_winkler,
+    "q75_topk_agg" -> q75_topk_agg,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
     "q69_argmax" -> q69_argmax,
@@ -143,6 +162,14 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q75_topk_agg" -> """
+      SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+             round(o_totalprice, 2) AS o_totalprice
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+            FROM orders)
+      WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
     "q74_jaro_winkler" -> """
       SELECT p_brand, count(1) AS n,
              round(avg(jaro_winkler_similarity(p_name, p_type)), 4) AS avg_jw,
