@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, JaroWinkler, SimHash64, TopKAgg}
+import graft.functions.{CosineSim, DotProduct, JaroWinkler, SimHash64, TopKAgg, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions under SQL names, so `spark.sql("SELECT
@@ -35,6 +35,10 @@ object GraftExtensions {
     registry.createOrReplaceTempFunction(
       "graft_topk",
       args => TopKAgg(args(0), args(1), args(2)).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_shingles", args => WordNgrams(args(0), args(1), distinct = true), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_ngrams", args => WordNgrams(args(0), args(1), distinct = false), "built-in")
   }
 }
 
@@ -65,5 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_topk",
         "graft_topk(ord, payload, k) - top-k (ord, payload) pairs per group, partial-aggregated"),
       (args: Seq[Expression]) => TopKAgg(args(0), args(1), args(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(text, k) - distinct word k-shingles, single pass"),
+      (args: Seq[Expression]) => WordNgrams(args(0), args(1), distinct = true)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(text, k) - word n-grams with duplicates, single pass"),
+      (args: Seq[Expression]) => WordNgrams(args(0), args(1), distinct = false)))
   }
 }

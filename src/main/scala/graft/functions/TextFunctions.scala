@@ -35,9 +35,20 @@ object TextFunctions {
 
   /** Word k-shingles: sliding windows of k consecutive tokens joined by a
     * single space. Returns the DISTINCT shingle set (dedup semantics — a
-    * repeated shingle counts once for Jaccard).
+    * repeated shingle counts once for Jaccard). Backed by the native
+    * `WordNgrams` kernel: the composable higher-order-function form
+    * re-tokenizes per window after lambda inlining (see NgramKernels).
     */
-  def shingles(c: Column, k: Int): Column = {
+  def shingles(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(WordNgrams(
+      org.apache.spark.sql.GraftBridge.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(k), distinct = true))
+
+  /** The pre-kernel composable form of `shingles` — kept as the semantic
+    * specification the native kernel is property-tested against
+    * (NgramKernelSpec), not used in hot paths.
+    */
+  def shinglesComposed(c: Column, k: Int): Column = {
     val toks = tokens(c)
     val n    = size(toks)
     array_distinct(
@@ -50,9 +61,16 @@ object TextFunctions {
 
   /** Word n-grams WITH duplicates (frequency semantics — unlike `shingles`,
     * which is the distinct set for Jaccard): sliding windows of k consecutive
-    * tokens joined by one space; empty array when the document has < k tokens.
+    * tokens joined by one space; empty array when the document has < k
+    * tokens. Native kernel, same rationale as `shingles`.
     */
-  def ngrams(c: Column, k: Int): Column = {
+  def ngrams(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(WordNgrams(
+      org.apache.spark.sql.GraftBridge.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(k), distinct = false))
+
+  /** Composable specification form of `ngrams` (test reference only). */
+  def ngramsComposed(c: Column, k: Int): Column = {
     val toks = tokens(c)
     val n    = size(toks)
     when(n < k, array().cast("array<string>")).otherwise(

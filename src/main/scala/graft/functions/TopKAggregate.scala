@@ -159,5 +159,5 @@ object TopKFunctions {
     GraftBridge.column(TopKAgg(
       GraftBridge.expression(ord),
       GraftBridge.expression(payload),
-      GraftBridge.expression(org.apache.spark.sql.functions.lit(k))).toAggregateExpression())
+      org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
 }

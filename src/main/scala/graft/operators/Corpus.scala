@@ -29,6 +29,10 @@ object Corpus {
     * explode_outer to dodge the InferFiltersFromGenerate double-evaluation
     * (see Dedup.minhashSignatures).
     */
+  // No spread() here: tokenization is one cheap pass and every consumer
+  // aggregates immediately after (the groupBy exchange restores parallelism);
+  // an extra repartition costs more than it buys. Contrast contamination,
+  // whose broadcast join keeps ALL work map-side and does need the spread.
   private def tokenRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("tk"))
@@ -120,7 +124,7 @@ object Corpus {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, k: Int): DataFrame = {
-    def grams(df: DataFrame) = df
+    def grams(df: DataFrame) = Dedup.spread(df)
       .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), k).as("g"))
       .select(col("__id"), explode_outer(col("g")).as("gram"))
       .filter(col("gram").isNotNull)

@@ -35,7 +35,7 @@ object TrainingQueries {
 
   /** q56 — n-gram frequency: top-20 word bigrams with counts. */
   def q56_bigram_freq: Q = (s, dir) => {
-    Tables.documents(s, dir)
+    graft.operators.Dedup.spread(Tables.documents(s, dir))
       .select(explode_outer(graft.functions.TextFunctions.ngrams(col("text"), 2)).as("bigram"))
       .filter(col("bigram").isNotNull)
       .groupBy("bigram")

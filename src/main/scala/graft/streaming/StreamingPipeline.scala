@@ -88,6 +88,23 @@ object StreamingPipeline {
       .groupBy(session_window(col(tsCol), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-stream interval join: annotations arriving on one stream joined
+    * to their documents on another, matched per doc within a bounded
+    * event-time interval. Watermarks on BOTH sides + the interval condition
+    * bound the join state (Spark evicts rows older than watermark +
+    * interval) — unbounded-state stream joins don't survive at 100 TB/day.
+    * Columns: docs(doc_id, ts), anns(a_doc_id, a_ts, term).
+    */
+  def docAnnotationJoin(
+      docs: DataFrame,
+      anns: DataFrame,
+      watermark: String = "1 hour",
+      maxDelay: String = "30 minutes"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .join(
+        anns.withWatermark("a_ts", watermark),
+        expr(s"doc_id = a_doc_id AND a_ts BETWEEN ts AND ts + interval $maxDelay"))
+
   /** Custom keyed state via flatMapGroupsWithState: per-document annotation
     * accumulator that emits a running total each micro-batch — the pattern
     * for state Spark's built-in windows can't express (the reference keeps

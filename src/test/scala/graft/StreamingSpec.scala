@@ -169,4 +169,27 @@ class StreamingSpec extends SparkSuite {
     val batchCount = graft.operators.AnnotationPipeline.annotateDictionary(docs).count()
     assert(streamedCount == batchCount)
   }
+
+  test("stream-stream interval join matches docs to annotations within the delay bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val docMem = MemoryStream[(Long, Timestamp)]
+    val annMem = MemoryStream[(Long, Timestamp, String)]
+    docMem.addData(
+      (1L, t("2024-01-01 00:00:00")),
+      (2L, t("2024-01-01 01:00:00")))
+    annMem.addData(
+      (1L, t("2024-01-01 00:10:00"), "join"),   // within 30 min → matches
+      (1L, t("2024-01-01 00:45:00"), "late"),   // beyond 30 min → dropped
+      (2L, t("2024-01-01 01:05:00"), "scan"),   // within → matches
+      (3L, t("2024-01-01 00:00:00"), "orphan")) // no doc → dropped
+    val joined = StreamingPipeline.docAnnotationJoin(
+      docMem.toDF().toDF("doc_id", "ts"),
+      annMem.toDF().toDF("a_doc_id", "a_ts", "term"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj").select("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "join"), (2L, "scan")))
+  }
 }
