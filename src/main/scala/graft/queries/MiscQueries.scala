@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, Skew}
 
-/** Remaining inventory: multimodal plumbing and sketch aggregates. */
+/** Remaining inventory: multimodal plumbing, sketch aggregates, and the
+  * skew-mitigation operators (SURVEY §7.4's 100 TB posture) surfaced as
+  * oracle-checked queries — salting is an internal rewrite, so the results
+  * must be bit-identical to the unsalted forms the oracles encode.
+  */
 object MiscQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -39,9 +43,47 @@ object MiscQueries {
         approx_count_distinct("l_orderkey").as("approx_orders"))
   }
 
+  /** q76 — two-phase salted aggregation over a hot grouping key: the salt
+    * spreads each key across 16 reducers for the partial phase; the merge
+    * phase recombines. Result ≡ plain GROUP BY (the oracle).
+    */
+  def q76_salted_agg: Q = (s, dir) => {
+    Skew.saltedAggregate(
+        Tables.events(s, dir).select("event_type", "value"),
+        keys = Seq("event_type"),
+        partial = sum("value").as("part_sum"),
+        merge = sum("part_sum").as("sum_value"))
+      .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** q77 — salted equi-join (hot fact key, dim too big to broadcast at
+    * scale): fact rows spread over 16 salt buckets, dim replicated per salt.
+    * Result ≡ the plain join (the oracle). The broadcast hint is DISABLED on
+    * the dim side here so the exercised path is the shuffled salted join.
+    */
+  def q77_salted_join: Q = (s, dir) => {
+    val fact = Tables.events(s, dir).select("user_id", "value")
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment")).hint("shuffle_hash")
+    Skew.saltedJoin(fact, dim, "user_id", "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, Q] = Map(
     "q70_multimodal" -> q70_multimodal,
-    "q71_approx_distinct" -> q71_approx_distinct)
+    "q71_approx_distinct" -> q71_approx_distinct,
+    "q76_salted_agg" -> q76_salted_agg,
+    "q77_salted_join" -> q77_salted_join)
 
-  val oracle: Map[String, String] = Map()
+  val oracle: Map[String, String] = Map(
+    "q76_salted_agg" -> """
+      SELECT event_type, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+    "q77_salted_join" -> """
+      SELECT c_mktsegment, count(1) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1 ORDER BY 1""")
 }
