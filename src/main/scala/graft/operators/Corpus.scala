@@ -86,6 +86,36 @@ object Corpus {
       .agg(sum("score").as("bm25"))
   }
 
+  /** Sparse TF-IDF cosine similarity between documents, inverted-index
+    * style: pair weights meet on their TERM (one shuffle keyed by term,
+    * pair products summed per document pair) — never a dense doc×doc
+    * comparison. The sparse-vector complement of the dense embedding ANN
+    * operators in `Similarity`. Terms whose posting list exceeds
+    * `maxPostings` are dropped before pair expansion (a term in half the
+    * corpus is both non-discriminative — idf ≈ 0 — and quadratic in the
+    * pair stage; the LSH bucket-cap argument, Dedup.minhashCandidates).
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       minSim: Double, maxPostings: Int = 1000): DataFrame = {
+    val w = tfidf(docs, idCol, textCol)
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("nrm"))
+    val pairs = w.groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tfidf")))).as("post"))
+      .filter(size(col("post")).between(2, maxPostings))
+      .select(explode_outer(flatten(transform(col("post"), (x, i) =>
+        transform(slice(col("post"), i + lit(2), size(col("post"))),
+          y => struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
+            (x.getField("tfidf") * y.getField("tfidf")).as("prod")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(sum(col("p.prod")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", col("dot") / (col("na") * col("nb")))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Per-document repetition ratio — 1 − |distinct n-grams| / |n-grams| —
     * the cheap duplicated-phrase quality signal. Pure per-row expression:
     * no explode, no shuffle.

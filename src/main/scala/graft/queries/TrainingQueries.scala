@@ -135,7 +135,23 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q78 — sparse TF-IDF cosine document pairs via the inverted index
+    * (one term-keyed shuffle; no dense doc×doc comparison), over a bounded
+    * doc slice: the synthetic corpus's tiny vocabulary saturates every
+    * posting list at larger scale factors, which would turn sparse-pair
+    * expansion into a dense quadratic — a real corpus's long-tail vocabulary
+    * is what keeps this operator sparse at 100 TB.
+    */
+  def q78_tfidf_cosine: Q = (s, dir) => {
+    Corpus.tfidfCosinePairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200),
+        "doc_id", "text", minSim = 0.87)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q78_tfidf_cosine" -> q78_tfidf_cosine,
     "q54_tfidf" -> q54_tfidf,
     "q55_bm25" -> q55_bm25,
     "q56_bigram_freq" -> q56_bigram_freq,
@@ -150,6 +166,31 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q78_tfidf_cosine" -> raw"""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      toks AS (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM d)),
+      tf AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+             FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(1) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(1) AS n_docs FROM d),
+      w AS (SELECT doc_id, tok,
+                   cnt * 1.0 / dlen * ln(n_docs * 1.0 / df) AS w
+            FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+      norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      cap AS (SELECT tok FROM w GROUP BY tok HAVING count(1) BETWEEN 2 AND 1000),
+      dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        JOIN cap ON a.tok = cap.tok
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS sim
+      FROM dots
+      JOIN norms na ON na.doc_id = id_a
+      JOIN norms nb ON nb.doc_id = id_b
+      WHERE dot / (na.nrm * nb.nrm) >= 0.87
+      ORDER BY 1, 2""",
     "q54_tfidf" -> raw"""
       WITH toks AS (
         SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen

@@ -43,6 +43,20 @@ class CorpusSpec extends SparkSuite {
     assert(!out.contains(1L) && !out.contains(3L))
   }
 
+  test("tfidfCosinePairs: identical docs similar, disjoint docs absent") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"),   // identical to 0 → sim 1.0
+      (2L, "delta epsilon zeta"), // disjoint vocabulary
+      (3L, "alpha beta other")    // partial overlap
+    ).toDF("doc_id", "text")
+    val out = Corpus.tfidfCosinePairs(corpus, "doc_id", "text", minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((0L, 1L)) - 1.0) < 1e-12)
+    assert(!out.contains((0L, 2L)) && !out.contains((1L, 2L)) && !out.contains((2L, 3L)))
+    assert(out((0L, 3L)) > 0.0 && out((0L, 3L)) < 1.0)
+  }
+
   test("repetitionRatio: all-same bigrams vs all-distinct") {
     val out = docs.select(col("doc_id"), Corpus.repetitionRatio(col("text")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
