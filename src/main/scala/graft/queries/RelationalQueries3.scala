@@ -63,8 +63,10 @@ object RelationalQueries3 {
         round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covp_qp"),
         round(stddev_samp("l_quantity"), 4).as("sds_qty"),
         round(stddev_pop("l_quantity"), 4).as("sdp_qty"),
-        round(skewness(col("l_quantity")), 4).as("skew_qty"),
-        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+        // + 0.0 collapses IEEE negative zero: a tiny negative skewness rounds
+        // to -0.0 in one engine and 0.0 in the other, breaking the hash
+        (round(skewness(col("l_quantity")), 4) + 0.0).as("skew_qty"),
+        (round(kurtosis(col("l_quantity")), 4) + 0.0).as("kurt_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -210,8 +212,8 @@ object RelationalQueries3 {
              round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
              round(stddev_samp(l_quantity), 4) AS sds_qty,
              round(stddev_pop(l_quantity), 4) AS sdp_qty,
-             round(any_value(m3) / pow(any_value(m2), 1.5), 4) AS skew_qty,
-             round(any_value(m4) / pow(any_value(m2), 2) - 3.0, 4) AS kurt_qty
+             round(any_value(m3) / pow(any_value(m2), 1.5), 4) + 0.0 AS skew_qty,
+             round(any_value(m4) / pow(any_value(m2), 2) - 3.0, 4) + 0.0 AS kurt_qty
       FROM lineitem b JOIN mom ON b.l_returnflag = mom.l_returnflag
       GROUP BY 1 ORDER BY 1""",
     "q69_argmax" -> """
