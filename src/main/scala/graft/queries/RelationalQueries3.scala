@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.AsOfJoin
 
 /** Third relational batch: reshaping (pivot/unpivot), statistical
   * aggregates, argmax selection, histogram bucketing, and edit distance.
@@ -153,10 +154,28 @@ object RelationalQueries3 {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** q79 — as-of join (pandas merge_asof / DuckDB ASOF JOIN shape, an
+    * operator Spark lacks): click→purchase attribution — for each purchase
+    * event, the most recent click by the same user at-or-before it, within
+    * 24 h. Composed as union-tag + one (key, time)-sorted running window
+    * (AsOfJoin.join) — sort-merge-join cost, no quadratic range join.
+    */
+  def q79_asof_join: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    AsOfJoin.join(
+        left = ev.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id"),
+        right = ev.filter(col("event_type") === "click").select("user_id", "ts", "event_id"),
+        keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "ts",
+        rightIdCol = "event_id", toleranceMs = Some(86400000L))
+      .select(col("event_id"), col("asof_right_id"), col("asof_lag_ms"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q39_pivot" -> q39_pivot,
     "q74_jaro_winkler" -> q74_jaro_winkler,
     "q75_topk_agg" -> q75_topk_agg,
+    "q79_asof_join" -> q79_asof_join,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
     "q69_argmax" -> q69_argmax,
@@ -164,6 +183,24 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q79_asof_join" -> """
+      WITH l AS (SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side,
+                        CAST(NULL AS BIGINT) AS rid, CAST(NULL AS BIGINT) AS rt, event_id
+                 FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id AS k, epoch_ms(ts) AS t, 0 AS side,
+                   event_id AS rid, epoch_ms(ts) AS rt, CAST(NULL AS BIGINT) AS event_id
+            FROM events WHERE event_type = 'click'),
+      u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+      c AS (SELECT *,
+              last_value(rid IGNORE NULLS) OVER w AS arid,
+              last_value(rt IGNORE NULLS) OVER w AS art
+            FROM u
+            WINDOW w AS (PARTITION BY k ORDER BY t, side, rid NULLS LAST
+                         ROWS UNBOUNDED PRECEDING))
+      SELECT event_id,
+             CASE WHEN art IS NOT NULL AND t - art <= 86400000 THEN arid END AS asof_right_id,
+             CASE WHEN art IS NOT NULL AND t - art <= 86400000 THEN t - art END AS asof_lag_ms
+      FROM c WHERE side = 1 ORDER BY event_id""",
     "q75_topk_agg" -> """
       SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
              round(o_totalprice, 2) AS o_totalprice

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** As-of join semantics on hand-built cases: at-or-before matching,
+  * tie-breaks, tolerance bounds, and no-match nulls.
+  */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (7L, t("2024-01-01 10:00:00"), 100L), // right rows at 9:00 and 10:00 → 10:00 wins (at-or-before)
+    (7L, t("2024-01-01 08:00:00"), 101L), // only right row ≤ 8:00 is 7:00
+    (8L, t("2024-01-01 10:00:00"), 102L), // no right rows for user 8 → null
+    (9L, t("2024-01-01 23:00:00"), 103L)  // right at 01:00 → lag 22h, excluded by 2h tolerance
+  ).toDF("user_id", "ts", "event_id")
+
+  private lazy val right = Seq(
+    (7L, t("2024-01-01 07:00:00"), 1L),
+    (7L, t("2024-01-01 09:00:00"), 2L),
+    (7L, t("2024-01-01 10:00:00"), 3L), // equal to left ts → visible
+    (7L, t("2024-01-01 10:00:00"), 4L), // tie: greatest id wins
+    (7L, t("2024-01-01 11:00:00"), 5L), // after → never visible
+    (9L, t("2024-01-01 01:00:00"), 6L)
+  ).toDF("user_id", "ts", "event_id")
+
+  private def run(tol: Option[Long]) =
+    AsOfJoin.join(left, right, "user_id", "ts", "ts", "event_id", tol)
+      .select("event_id", "asof_right_id", "asof_lag_ms")
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+
+  test("unbounded: at-or-before match with greatest-id tie-break") {
+    val out = run(None)
+    assert(out(100L) == ((Some(4L), Some(0L))))          // tied 10:00 rows → id 4
+    assert(out(101L) == ((Some(1L), Some(3600000L))))    // 7:00, 1 h lag
+    assert(out(102L) == ((None, None)))                  // no right rows
+    assert(out(103L) == ((Some(6L), Some(22L * 3600000)))) // 22 h lag
+  }
+
+  test("tolerance bounds the lag") {
+    val out = run(Some(2L * 3600000))
+    assert(out(100L) == ((Some(4L), Some(0L))))
+    assert(out(101L) == ((Some(1L), Some(3600000L))))
+    assert(out(103L) == ((None, None)))                  // 22 h > 2 h
+  }
+
+  test("one shuffle: both windows share a single sort (one Window stage)") {
+    val df = AsOfJoin.join(left, right, "user_id", "ts", "ts", "event_id", None)
+    df.collect()
+    // AQE stringification repeats the tree under "== Initial Plan ==" —
+    // count nodes in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Window ".r.findAllIn(plan).size == 1, s"expected one Window stage:\n$plan")
+    // exactly one Exchange below the window (the union shuffles once on key)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one hash exchange, plan:\n$plan")
+  }
+}
