@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -24,9 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * NgramKernelSpec against the dataflow implementation):
   *   - tokens = regex-split on `\s+`, empties dropped (Java regex, the same
   *     engine Spark's `split` uses);
-  *   - distinct=true (shingles): windows at 0..max(n−k, 0) — short/empty
-  *     docs yield one truncated window (empty text → [""]); first-occurrence
-  *     order, duplicates removed;
+  *   - distinct=true (shingles): windows at 0..max(n−k, 0) — short docs
+  *     yield one truncated window; zero tokens yield the EMPTY set (the
+  *     DuckDB oracle's `array_to_string([], ' ')` is NULL and drops out of
+  *     `list_distinct`, so an empty-string shingle must not exist — it
+  *     would join empty documents to each other in q42/q65); duplicates
+  *     removed, first-occurrence order;
   *   - distinct=false (ngrams): windows at 0..n−k, empty result when n < k.
   */
 object NgramKernels {
@@ -42,6 +45,7 @@ object NgramKernels {
       if (!toks0(i).isEmpty) { toks(nTok) = toks0(i); nTok += 1 }
       i += 1
     }
+    if (nTok == 0) return new GenericArrayData(new Array[Any](0))
     val lastStart = if (distinct) math.max(nTok - k, 0) else nTok - k
     if (lastStart < 0) return new GenericArrayData(new Array[Any](0))
     val sb = new java.lang.StringBuilder
@@ -76,33 +80,48 @@ object NgramKernels {
   }
 }
 
-/** word_ngrams(text, k [, distinct]) → array<string>, fused single pass. */
-case class WordNgrams(child: Expression, kExpr: Expression, distinct: Boolean)
-  extends UnaryExpression {
+/** word_ngrams(text, k [, distinct]) → array<string>, fused single pass.
+  *
+  * `kExpr` is a real tree child (not constructor-captured state), so the
+  * analyzer resolves it and a non-literal/invalid k surfaces as a clean
+  * TypeCheckFailure rather than an exception mid-analysis.
+  */
+case class WordNgrams(left: Expression, right: Expression, distinct: Boolean)
+  extends BinaryExpression {
+
+  private def kExpr: Expression = right
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
     case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
+    case other => throw new IllegalStateException(s"unvalidated k: $other")
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType | NullType if kExpr.foldable =>
-        if (k >= 1) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("k must be >= 1")
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"word_ngrams needs a string column and an int literal k, got $other")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def fail(msg: String) = TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams needs a string column and a positive int literal k: $msg")
+    left.dataType match {
+      case StringType | NullType =>
+        if (!kExpr.foldable) fail(s"k is not a literal (${kExpr.sql})")
+        else kExpr.eval(InternalRow.empty) match {
+          case i: Int if i >= 1 => TypeCheckResult.TypeCheckSuccess
+          case l: Long if l >= 1 => TypeCheckResult.TypeCheckSuccess
+          case other => fail(s"got k = $other")
+        }
+      case other => fail(s"got text type $other")
     }
+  }
 
-  override protected def nullSafeEval(text: Any): Any =
+  override protected def nullSafeEval(text: Any, kVal: Any): Any =
     NgramKernels.ngrams(text.asInstanceOf[UTF8String], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.NgramKernels.ngrams($c, $k, $distinct)")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.NgramKernels.ngrams($t, $k, $distinct);")
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

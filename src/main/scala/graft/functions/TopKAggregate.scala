@@ -84,19 +84,25 @@ case class TopKAgg(
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
     case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
+    case other => throw new IllegalStateException(s"unvalidated k: $other")
   }
 
   override def children: Seq[Expression] = Seq(ordExpr, payExpr, kExpr)
 
-  override def checkInputDataTypes(): TypeCheckResult =
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def fail(msg: String) = TypeCheckResult.TypeCheckFailure(
+      s"graft_topk needs (double, bigint, positive int literal): $msg")
     (ordExpr.dataType, payExpr.dataType) match {
-      case (DoubleType, LongType) if kExpr.foldable =>
-        if (k > 0) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("k must be positive")
-      case (o, p) => TypeCheckResult.TypeCheckFailure(
-        s"graft_topk needs (double, bigint, int literal), got ($o, $p)")
+      case (DoubleType, LongType) =>
+        if (!kExpr.foldable) fail(s"k is not a literal (${kExpr.sql})")
+        else kExpr.eval(InternalRow.empty) match {
+          case i: Int if i > 0 => TypeCheckResult.TypeCheckSuccess
+          case l: Long if l > 0 => TypeCheckResult.TypeCheckSuccess
+          case other => fail(s"got k = $other")
+        }
+      case (o, p) => fail(s"got ($o, $p)")
     }
+  }
 
   override def dataType: DataType = ArrayType(new StructType()
     .add("ord", DoubleType, nullable = false)

@@ -43,9 +43,7 @@ object AsOfJoin {
       lit(0).as("__side"),
       col(rightIdCol).cast("long").as("__rid"),
       unix_millis(col(rightTimeCol)).as("__rt"))
-    val unioned = l.select(
-      (col(keyCol) +: l.columns.filterNot(_ == keyCol).map(col)): _*)
-      .unionByName(r, allowMissingColumns = true)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     // Order: time asc, right-before-left at equal times (so a right row AT
     // the left timestamp is visible to it), then __rid asc so the LAST row
     // carried forward at a tied right time is the greatest id.

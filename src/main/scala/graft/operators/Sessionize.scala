@@ -29,8 +29,7 @@ object Sessionize {
       .drop("__prev_ms", "__brk")
   }
 
-  /** Per-session rollup: event count, span, and value sum per
-    * (user, session). */
+  /** Per-session rollup: event count and duration per (user, session). */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
                idCol: String, gapMs: Long): DataFrame =
     assign(events, userCol, tsCol, idCol, gapMs)

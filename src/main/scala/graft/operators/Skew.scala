@@ -54,8 +54,13 @@ object Skew {
       factKey: String,
       dimKey: String,
       numSalts: Int = 16): DataFrame = {
+    // Content-hash salt, same rationale as saltedAggregate: a
+    // monotonically_increasing_id-based salt changes under stage retry
+    // (SPARK-23207 class), re-bucketing rows between already-fetched and
+    // recomputed map outputs. Identical rows sharing a salt is fine for a
+    // join — the dim side is replicated across every salt value.
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts)).cast("int"))
+      pmod(xxhash64(fact.columns.map(c => col(s"`$c`")): _*), lit(numSalts)).cast("int"))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedFact.join(explodedDim,

@@ -72,19 +72,23 @@ object RelationalQueries3 {
   }
 
   /** q69 — argmax selection: per nation, the supplier with the highest
-    * account balance via max_by/arg_max. The ordering key is made total
-    * (balance scaled + suppkey) so ties cannot produce engine-dependent
-    * winners.
+    * account balance via max_by/arg_max. The ordering key is a zero-padded
+    * `balance|suppkey` string — lexicographic order equals (balance,
+    * suppkey) order after offsetting the balance positive, so the key stays
+    * total and balance-monotone at ANY supplier count (a scaled-sum numeric
+    * key breaks once the key range reaches the balance granularity × scale).
     */
   def q69_argmax: Q = (s, dir) => {
     val sup = Tables.supplier(s, dir)
     val nat = Tables.nation(s, dir)
+    // s_acctbal >= -999.99 in TPC-H; +100000 keeps the padded string positive
+    val ordKey = format_string("%015.2f|%012d", col("s_acctbal") + 100000, col("s_suppkey"))
     sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        max_by(col("s_name"), col("s_acctbal") * 1000000 + col("s_suppkey")).as("top_supplier"),
+        max_by(col("s_name"), ordKey).as("top_supplier"),
         round(max("s_acctbal"), 2).as("top_bal"),
-        min_by(col("s_name"), col("s_acctbal") * 1000000 + col("s_suppkey")).as("bottom_supplier"))
+        min_by(col("s_name"), ordKey).as("bottom_supplier"))
       .orderBy("n_name")
   }
 
@@ -255,9 +259,9 @@ object RelationalQueries3 {
       GROUP BY 1 ORDER BY 1""",
     "q69_argmax" -> """
       SELECT n_name,
-             arg_max(s_name, s_acctbal * 1000000 + s_suppkey) AS top_supplier,
+             arg_max(s_name, printf('%015.2f|%012d', s_acctbal + 100000, s_suppkey)) AS top_supplier,
              round(max(s_acctbal), 2) AS top_bal,
-             arg_min(s_name, s_acctbal * 1000000 + s_suppkey) AS bottom_supplier
+             arg_min(s_name, printf('%015.2f|%012d', s_acctbal + 100000, s_suppkey)) AS bottom_supplier
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY 1 ORDER BY 1""",
     "q72_histogram" -> """
