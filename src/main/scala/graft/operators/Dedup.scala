@@ -213,6 +213,47 @@ object Dedup {
 
   private def pairsOfStructs(sorted: Column): Column = pairsAs(sorted, "a", "b")
 
+  /** Connected components over a near-duplicate pair graph (id_a, id_b) —
+    * the step that turns pairwise matches into dedup CLUSTERS so one
+    * survivor per cluster can be kept. Distributed hash-min label
+    * propagation: every node starts labeled with itself; each round, every
+    * node adopts the minimum label in its closed neighborhood; converged
+    * when no label changes. Rounds = graph diameter (near-dup clusters are
+    * tiny and dense, so 2-4 rounds in practice); each round is one shuffle
+    * keyed by node — never materializes the transitive closure. The driver
+    * loop carries only a changed-count, and `localCheckpoint` truncates the
+    * per-iteration lineage (without it the plan doubles every round).
+    *
+    * Returns (node, component) with component = min node id in the cluster;
+    * isolated nodes absent from `pairs` are not returned.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("label").as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("__chg"))
+      val nextCk = next.localCheckpoint()
+      changed = nextCk.filter(col("__chg")).count()
+      labels = nextCk.select("node", "label")
+      rounds += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Embedding cosine near-duplicates, blocked by a partition key so the
     * pairwise comparison is bounded per block (at 100 TB the block key would
     * be an LSH bucket or IVF centroid — here the dataset's `label` column

@@ -70,7 +70,23 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q80 — dedup clusters: connected components over the exact-Jaccard
+    * near-dup pair graph (J ≥ 0.6), the step that turns pairwise matches
+    * into keep-one-per-cluster decisions. Distributed hash-min label
+    * propagation (one shuffle per round, rounds = cluster diameter); oracle
+    * = transitive closure via a recursive CTE.
+    */
+  def q80_dedup_clusters: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      shingleK = 3, threshold = 0.6)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
   val all: Map[String, Q] = Map(
+    "q80_dedup_clusters" -> q80_dedup_clusters,
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_dedup_keep_first" -> q41_dedup_keep_first,
     "q42_jaccard_pairs" -> q42_jaccard_pairs,
@@ -79,6 +95,36 @@ object DedupQueries {
     "q45_embed_neardup" -> q45_embed_neardup)
 
   val oracle: Map[String, String] = Map(
+    "q80_dedup_clusters" -> raw"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src)
+      SELECT component, count(1) AS n_members
+      FROM lab GROUP BY 1 ORDER BY 1""",
     "q40_dedup_exact" -> """
       WITH g AS (SELECT text, count(1) AS cnt FROM documents GROUP BY 1)
       SELECT (SELECT count(1) FROM documents) AS n_total,

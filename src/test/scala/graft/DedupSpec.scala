@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSuite {
+
+  test("connectedComponents: chain needs multi-round propagation; components split correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4, forces several hash-min rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+    assert(got.size == 10)
+  }
   import spark.implicits._
 
   // sf0.1 documents contain real near-dups; sf0.001 may not, so build a
