@@ -105,6 +105,39 @@ object StreamingPipeline {
         anns.withWatermark("a_ts", watermark),
         expr(s"doc_id = a_doc_id AND a_ts BETWEEN ts AND ts + interval $maxDelay"))
 
+  /** First-seen gate on the Spark 4 `transformWithState` API (the
+    * successor to flatMapGroupsWithState: named state variables, TTL,
+    * timers): emits a document only the FIRST micro-batch its id appears —
+    * the reference's already-processed check (F2) as an explicit
+    * state-store gate. `TTLConfig` bounds state lifetime at 100 TB/day
+    * (an id unseen for the TTL is forgotten and would re-emit, which is the
+    * reference's own "reprocess at next check" posture).
+    */
+  class FirstSeenGate(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String), (Long, String)] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      val cfg = if (ttl == null) TTLConfig.NONE else TTLConfig(ttl)
+      seen = getHandle.getValueState[Boolean](
+        "seen", org.apache.spark.sql.Encoders.scalaBoolean, cfg)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String)] = {
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1) }
+    }
+  }
+
+  def firstSeen(docs: org.apache.spark.sql.Dataset[(Long, String)],
+      ttl: java.time.Duration = null): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._1)
+      .transformWithState(new FirstSeenGate(ttl), TimeMode.None(), OutputMode.Append())
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-document annotation
     * accumulator that emits a running total each micro-batch — the pattern
     * for state Spark's built-in windows can't express (the reference keeps

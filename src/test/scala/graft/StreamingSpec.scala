@@ -170,6 +170,25 @@ class StreamingSpec extends SparkSuite {
     assert(streamedCount == batchCount)
   }
 
+  test("transformWithState first-seen gate emits each doc id once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs a multi-column-family store → RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String)]
+    val gated = StreamingPipeline.firstSeen(mem.toDS())
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("fsg").start()
+    mem.addData((1L, "a"), (1L, "a-dup-same-batch"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((1L, "a-replay-next-batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val got = spark.table("fsg").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("stream-stream interval join matches docs to annotations within the delay bound") {
     implicit val sqlCtx = spark.sqlContext
     val docMem = MemoryStream[(Long, Timestamp)]
