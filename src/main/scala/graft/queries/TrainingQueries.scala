@@ -150,8 +150,46 @@ object TrainingQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q81 — domain mixing: cap each source's contribution at `cap` documents
+    * (rank-ordered by doc_id, deterministic), the per-stratum quota form of
+    * mix targeting; complements q66's every-k-th sampling.
+    */
+  def q81_domain_mix: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("__rn") <= 15)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum("n_chars").as("sum_chars"),
+           max("doc_id").as("max_kept_id"))
+      .orderBy("source")
+  }
+
+  /** q82 — near-dup dedup applied end-to-end: Jaccard pairs → connected
+    * components → drop every non-survivor (node ≠ component min) → corpus
+    * stats after dedup. The full pipeline the individual operators (q42,
+    * q80) feed.
+    */
+  def q82_dedup_apply: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.6)
+    val dupes = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    docs.join(dupes, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_kept"),
+           sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q78_tfidf_cosine" -> q78_tfidf_cosine,
+    "q81_domain_mix" -> q81_domain_mix,
+    "q82_dedup_apply" -> q82_dedup_apply,
     "q54_tfidf" -> q54_tfidf,
     "q55_bm25" -> q55_bm25,
     "q56_bigram_freq" -> q56_bigram_freq,
@@ -166,6 +204,46 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q81_domain_mix" -> """
+      WITH r AS (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents)
+      SELECT source, count(1) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             max(doc_id) AS max_kept_id
+      FROM r WHERE rn <= 15
+      GROUP BY 1 ORDER BY 1""",
+    "q82_dedup_apply" -> raw"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      dupes AS (SELECT node AS doc_id FROM lab WHERE node <> component)
+      SELECT lang, count(1) AS n_docs_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents ANTI JOIN dupes USING (doc_id)
+      GROUP BY 1 ORDER BY 1""",
     "q78_tfidf_cosine" -> raw"""
       WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       toks AS (
