@@ -169,6 +169,25 @@ object Similarity {
     * hyperplanes (seeded, deterministic), bucket = sign-bit string. Vectors
     * in the same bucket are cosine-close candidates.
     */
+  /** LSH bucket key from DETERMINISTIC integer hyperplanes —
+    * p(i)(j) = ((i·37 + j·17) mod 13) − 6 — so the bucketing is
+    * SQL-expressible and the oracle engine reproduces it bit-for-bit
+    * (`lshBuckets`' seeded Gaussian planes are the production choice but
+    * can only be rows-only checked). Bucket = Σ 2^i over planes with
+    * non-negative projection; each projection is one fused dot-product
+    * kernel call, all map-side.
+    */
+  def lshBucketsDeterministic(embeddings: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until numPlanes).map { i =>
+      (0 until dim).map(j => (((i * 37 + j * 17) % 13) - 6).toDouble)
+    }
+    val v = toDoubleArray(col("embedding"))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.withColumn("lsh_bucket", bucket)
+  }
+
   def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))

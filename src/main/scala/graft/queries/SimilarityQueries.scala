@@ -63,13 +63,36 @@ object SimilarityQueries {
       .orderBy("lsh_bucket")
   }
 
+  /** q83 — LSH bucket histogram with DETERMINISTIC integer hyperplanes:
+    * the same candidate-generation structure as q49 but SQL-expressible, so
+    * the bucketing itself is oracle-checked (q49's Gaussian planes stay the
+    * production form).
+    */
+  def q83_lsh_det: Q = (s, dir) => {
+    Similarity.lshBucketsDeterministic(Tables.embeddings(s, dir), numPlanes = 8, dim = 64)
+      .groupBy("lsh_bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lsh_bucket")
+  }
+
   val all: Map[String, Q] = Map(
     "q46_cosine_topk" -> q46_cosine_topk,
+    "q83_lsh_det" -> q83_lsh_det,
     "q47_cosine_range" -> q47_cosine_range,
     "q48_ivf_topk" -> q48_ivf_topk,
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q83_lsh_det" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CASE WHEN list_dot_product(v,
+                       list_transform(range(0, 64),
+                         j -> (((i*37 + j*17) % 13) - 6)::DOUBLE)) >= 0
+                     THEN 1 << i ELSE 0 END)) AS BIGINT) AS lsh_bucket
+            FROM e)
+      SELECT lsh_bucket, count(1) AS n FROM b GROUP BY 1 ORDER BY 1""",
     "q46_cosine_topk" -> s"""
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId)
       SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
