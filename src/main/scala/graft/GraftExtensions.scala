@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, JaroWinkler, SimHash64, TopKAgg, WordNgrams}
+import graft.functions.{CosineSim, DotProduct, JaroWinkler, PolyHash, SimHash64, TopKAgg, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions under SQL names, so `spark.sql("SELECT
@@ -39,6 +39,8 @@ object GraftExtensions {
       "graft_shingles", args => WordNgrams(args(0), args(1), distinct = true), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_ngrams", args => WordNgrams(args(0), args(1), distinct = false), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_polyhash", args => PolyHash(args.head), "built-in")
   }
 }
 
@@ -77,5 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ngrams"),
       info("graft_ngrams", "graft_ngrams(text, k) - word n-grams with duplicates, single pass"),
       (args: Seq[Expression]) => WordNgrams(args(0), args(1), distinct = false)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash", "graft_polyhash(s) - polynomial codepoint hash mod 1e9+7"),
+      (args: Seq[Expression]) => PolyHash(args.head)))
   }
 }

@@ -23,6 +23,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StringKernels {
 
+  /** Polynomial string hash, h = fold((h·31 + codepoint) mod 1e9+7):
+    * SQL-expressible (the oracle computes the identical fold with
+    * list_reduce over unicode() codepoints), which xxhash64 is not — the
+    * deterministic-minhash pipeline is built on it. Iterates CODEPOINTS,
+    * not UTF-16 units, to match the oracle's unicode(); callers must keep
+    * newlines out of hashed strings (the oracle's '.' regex skips them —
+    * shingles are space-joined tokens, so this holds by construction).
+    */
+  val PolyHashMod = 1000000007L
+
+  def polyHash(u: UTF8String): Long = {
+    val s = u.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % PolyHashMod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   def jaroWinkler(aU: UTF8String, bU: UTF8String): Double = {
     val a = aU.toString
     val b = bU.toString
@@ -92,7 +114,29 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** poly_hash(string) → bigint in [0, 1e9+7). */
+case class PolyHash(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"poly_hash needs a string, got $other")
+    }
+
+  override protected def nullSafeEval(s: Any): Any =
+    StringKernels.polyHash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringKernels.polyHash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object StringFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
     GraftBridge.column(JaroWinkler(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def polyHash(s: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(s)))
 }

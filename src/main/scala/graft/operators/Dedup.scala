@@ -124,6 +124,49 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash-LSH candidate pairs with FULLY SQL-expressible hashing, so the
+    * whole pipeline is oracle-checkable (xxhash64 variants above are
+    * rows-only): shingle hash = polynomial codepoint fold (`PolyHash`
+    * native kernel ≡ the oracle's list_reduce), permutation i approximated
+    * by h_i = (a_i·h + b_i) mod P with a_i = 2i+1, b_i = 7i+3, signature
+    * element i = min over shingles. Bands of `rowsPerBand` signature values
+    * (key = concatenated values, SQL-expressible) generate candidates with
+    * the same capped-bucket in-place pair expansion as minhashCandidates.
+    */
+  def minhashCandidatesDeterministic(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val p = graft.functions.StringKernels.PolyHashMod
+    val sh = spread(docs)
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
+      .select(col("__id"), explode_outer(col("shs")).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("h", graft.functions.StringFunctions.polyHash(col("s")))
+    val aggs = (0 until numHashes).map(i =>
+      min((col("h") * (2 * i + 1) + (7 * i + 3)) % p).as(s"sig$i"))
+    val sig = sh.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+    val banded = sig.select(
+      col("__id"),
+      explode_outer(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("__id"), col("bb.band"), col("bb.bucket"))
+    banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("__id"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode_outer(pairsOf(col("members"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
   /** All ordered pairs of a sorted array column (element_i < element_j),
     * as array<struct<`aName`, `bName`>> — pair generation without a
     * self-join. Shared by every bucket-based candidate generator.

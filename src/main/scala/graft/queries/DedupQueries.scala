@@ -85,8 +85,18 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** q84 — MinHash-LSH candidates with the deterministic polynomial hash:
+    * the q43 pipeline made fully oracle-checkable (signature minima, band
+    * keys, capped buckets and pair expansion all reproduced in SQL).
+    */
+  def q84_minhash_det: Q = (s, dir) => {
+    Dedup.minhashCandidatesDeterministic(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
     "q80_dedup_clusters" -> q80_dedup_clusters,
+    "q84_minhash_det" -> q84_minhash_det,
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_dedup_keep_first" -> q41_dedup_keep_first,
     "q42_jaccard_pairs" -> q42_jaccard_pairs,
@@ -95,6 +105,47 @@ object DedupQueries {
     "q45_embed_neardup" -> q45_embed_neardup)
 
   val oracle: Map[String, String] = Map(
+    "q84_minhash_det" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      hashed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(shingle, '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+               min((h * 1 + 3)  % 1000000007) AS sig0,
+               min((h * 3 + 10) % 1000000007) AS sig1,
+               min((h * 5 + 17) % 1000000007) AS sig2,
+               min((h * 7 + 24) % 1000000007) AS sig3,
+               min((h * 9 + 31) % 1000000007) AS sig4,
+               min((h * 11 + 38) % 1000000007) AS sig5,
+               min((h * 13 + 45) % 1000000007) AS sig6,
+               min((h * 15 + 52) % 1000000007) AS sig7
+        FROM hashed GROUP BY 1),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat(sig0, ':', sig1) AS bucket FROM sig
+        UNION ALL SELECT doc_id, 1, concat(sig2, ':', sig3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(sig4, ':', sig5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(sig6, ':', sig7) FROM sig),
+      ok AS (
+        SELECT band, bucket FROM banded GROUP BY 1, 2
+        HAVING count(1) BETWEEN 2 AND 200)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+      ORDER BY 1, 2""",
     "q80_dedup_clusters" -> raw"""
       WITH RECURSIVE toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

@@ -65,6 +65,15 @@ class DedupSpec extends SparkSuite {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("deterministic minhash LSH also covers all true J>=0.9 pairs") {
+    val truth = Dedup.jaccardPairs(corpus, "doc_id", "text", shingleK = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidatesDeterministic(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"deterministic LSH missed high-similarity pairs: $missed")
+  }
+
   test("minhash LSH candidate set is not the all-pairs set (it actually prunes)") {
     val n = corpus.count()
     val cand = Dedup.minhashCandidates(corpus, "doc_id", "text").count()
