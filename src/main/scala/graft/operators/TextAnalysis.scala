@@ -76,4 +76,36 @@ object TextAnalysis {
       col("doc_id"),
       array_min(transform(sh, s => xxhash64(s))).as("fingerprint"))
   }
+
+  /** Rolling-hash fingerprint on the SQL-expressible polynomial hash
+    * (≡ 1-permutation MinHash with `PolyHash`): same semantics as
+    * [[fingerprint]] but fully oracle-checkable.
+    */
+  def fingerprintDeterministic(docs: DataFrame, window: Int = 4): DataFrame = {
+    val sh = TextFunctions.shingles(col("text"), window)
+    Dedup.spread(docs).select(
+      col("doc_id"),
+      array_min(transform(sh, s => graft.functions.StringFunctions.polyHash(s)))
+        .as("fingerprint"))
+  }
+
+  /** 16-bit SimHash on the polynomial hash, oracle-checkable: each token
+    * votes ±1 per bit of its hash; fingerprint bit b is set when the vote
+    * sum is positive. One explode + 16 conditional sums in a single hash
+    * aggregate (the 64-bit xxhash form stays in the fused `SimHash64`
+    * kernel — this variant exists for cross-engine verification).
+    */
+  def simhash16Deterministic(docs: DataFrame): DataFrame = {
+    val toks = Dedup.spread(docs)
+      .select(col("doc_id"), explode_outer(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .withColumn("h", graft.functions.StringFunctions.polyHash(col("tok")))
+    val votes = (0 until 16).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b"))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash16"))
+  }
 }

@@ -61,7 +61,31 @@ object TextQueries {
       .limit(50)
   }
 
+  /** q85 — deterministic rolling-hash fingerprints (poly-hash twin of q53,
+    * fully oracle-checked): fingerprint frequency table.
+    */
+  def q85_fingerprint_det: Q = (s, dir) => {
+    TextAnalysis.fingerprintDeterministic(Tables.documents(s, dir))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("fingerprint"))
+      .limit(50)
+  }
+
+  /** q86 — deterministic 16-bit SimHash (poly-hash twin of q44's 64-bit
+    * xxhash fingerprint): per-fingerprint census, fully oracle-checked.
+    */
+  def q86_simhash_det: Q = (s, dir) => {
+    TextAnalysis.simhash16Deterministic(Tables.documents(s, dir))
+      .groupBy("simhash16")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("simhash16"))
+      .limit(50)
+  }
+
   val all: Map[String, Q] = Map(
+    "q85_fingerprint_det" -> q85_fingerprint_det,
+    "q86_simhash_det" -> q86_simhash_det,
     "q50_lang_id" -> q50_lang_id,
     "q51_quality" -> q51_quality,
     "q52_token_count" -> q52_token_count,
@@ -71,6 +95,50 @@ object TextQueries {
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q85_fingerprint_det" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 4, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+4], ' ')))) AS shingle
+        FROM toks),
+      hashed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(shingle, '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM sh),
+      fp AS (SELECT doc_id, min(h) AS fingerprint FROM hashed GROUP BY 1)
+      SELECT fingerprint, count(1) AS n FROM fp GROUP BY 1
+      ORDER BY 2 DESC, 1 LIMIT 50""",
+    "q86_simhash_det" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        FROM documents),
+      hashed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(tok, '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM toks),
+      votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashed GROUP BY 1),
+      fp AS (
+        SELECT doc_id, {bits} AS simhash16
+        FROM votes)
+      SELECT simhash16, count(1) AS n FROM fp GROUP BY 1
+      ORDER BY 2 DESC, 1 LIMIT 50"""
+        .replace("{votes}", (0 until 16).map(b =>
+          s"sum(((h >> $b) & 1) * 2 - 1) AS v$b").mkString(",\n               "))
+        .replace("{bits}", (0 until 16).map(b =>
+          s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")),
     "q50_lang_id" -> raw"""
       WITH lex(lex_lang, lex_tok) AS (VALUES $lexValues),
       toks AS (
