@@ -84,6 +84,27 @@ class PlanSpec extends SparkSuite {
       s"bucketed join still shuffles:\n${p.take(500)}")
   }
 
+  test("q65: the benchmark n-gram set is broadcast (corpus side never shuffles for the join)") {
+    val p = plan("q65_contamination")
+    assert(p.contains("BroadcastHashJoin"), "contamination join not broadcast")
+    assert(!p.contains("SortMergeJoin"), "contamination degraded to SMJ")
+  }
+
+  test("q39: declared-values pivot plans a single scan of events (no distinct-discovery pass)") {
+    val f = formatted("q39_pivot")
+    // count numbered operator DETAILS ("(n) Scan parquet"), not the tree
+    // rendering — FormattedMode prints each operator in both sections
+    val scans = f.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"pivot scanned events $scans times")
+  }
+
+  test("q79: as-of join is one shuffle + one Window (no range-join explosion)") {
+    val p = plan("q79_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of degraded to a quadratic join")
+    assert(p.contains("Window"), "as-of lost its window formulation")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
