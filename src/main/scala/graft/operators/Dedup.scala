@@ -278,9 +278,14 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // State held per round = one (node, label) pair per node APPEARING IN A
+    // PAIR — a small fraction of the corpus; prior rounds' checkpoint blocks
+    // are released by the ContextCleaner once their DataFrames drop out of
+    // scope below.
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
@@ -294,6 +299,11 @@ object Dedup {
       labels = nextCk.select("node", "label")
       rounds += 1
     }
+    // a silent non-converged return would split components and let
+    // duplicates survive dedup — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        s"($changed labels still changing) — graph diameter exceeds the cap")
     labels.select(col("node"), col("label").as("component"))
   }
 

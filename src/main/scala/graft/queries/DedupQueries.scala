@@ -104,6 +104,30 @@ object DedupQueries {
     "q44_simhash" -> q44_simhash,
     "q45_embed_neardup" -> q45_embed_neardup)
 
+  /** Shared oracle fragment: the J>=0.6 word-3-shingle Jaccard pair graph
+    * (used verbatim by q80 here and q82 in TrainingQueries — one definition
+    * so the two can't drift). Expects `documents`; yields CTE `pairs`.
+    */
+  val OraclePairGraph: String = raw"""toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6)"""
+
   val oracle: Map[String, String] = Map(
     "q84_minhash_det" -> raw"""
       WITH toks AS (
@@ -147,25 +171,7 @@ object DedupQueries {
       JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
       ORDER BY 1, 2""",
     "q80_dedup_clusters" -> raw"""
-      WITH RECURSIVE toks AS (
-        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 range(0, greatest(len(tk) - 3, 0) + 1),
-                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
-        FROM toks),
-      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
-      common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      pairs AS (
-        SELECT id_a, id_b FROM common
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6),
+      WITH RECURSIVE $OraclePairGraph,
       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
       reach(src, dst) AS (

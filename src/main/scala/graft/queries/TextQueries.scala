@@ -131,7 +131,7 @@ object TextQueries {
                {votes}
         FROM hashed GROUP BY 1),
       fp AS (
-        SELECT doc_id, {bits} AS simhash16
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16
         FROM votes)
       SELECT simhash16, count(1) AS n FROM fp GROUP BY 1
       ORDER BY 2 DESC, 1 LIMIT 50"""

@@ -150,7 +150,7 @@ object TrainingQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** q81 — domain mixing: cap each source's contribution at `cap` documents
+  /** q81 — domain mixing: cap each source's contribution at a fixed quota (15 documents)
     * (rank-ordered by doc_id, deterministic), the per-stratum quota form of
     * mix targeting; complements q66's every-k-th sampling.
     */
@@ -213,25 +213,7 @@ object TrainingQueries {
       FROM r WHERE rn <= 15
       GROUP BY 1 ORDER BY 1""",
     "q82_dedup_apply" -> raw"""
-      WITH RECURSIVE toks AS (
-        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 range(0, greatest(len(tk) - 3, 0) + 1),
-                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
-        FROM toks),
-      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
-      common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      pairs AS (
-        SELECT id_a, id_b FROM common
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6),
+      WITH RECURSIVE ${DedupQueries.OraclePairGraph},
       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
       reach(src, dst) AS (

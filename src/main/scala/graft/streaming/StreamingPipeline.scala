@@ -134,8 +134,11 @@ object StreamingPipeline {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val spark = docs.sparkSession
     import spark.implicits._
+    // TTL state requires processing-time semantics: Spark rejects a
+    // TTLConfig under TimeMode.None at query start
+    val mode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
     docs.groupByKey(_._1)
-      .transformWithState(new FirstSeenGate(ttl), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FirstSeenGate(ttl), mode, OutputMode.Append())
   }
 
   /** Custom keyed state via flatMapGroupsWithState: per-document annotation

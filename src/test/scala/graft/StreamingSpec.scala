@@ -179,12 +179,17 @@ class StreamingSpec extends SparkSuite {
     val gated = StreamingPipeline.firstSeen(mem.toDS())
     val q = gated.writeStream.outputMode("append")
       .format("memory").queryName("fsg").start()
-    mem.addData((1L, "a"), (1L, "a-dup-same-batch"), (2L, "b"))
-    q.processAllAvailable()
-    mem.addData((1L, "a-replay-next-batch"), (3L, "c"))
-    q.processAllAvailable()
-    q.stop()
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try {
+      mem.addData((1L, "a"), (1L, "a-dup-same-batch"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((1L, "a-replay-next-batch"), (3L, "c"))
+      q.processAllAvailable()
+    } finally {
+      // always restore the shared session's default provider — a leak here
+      // would silently re-run every later streaming test on RocksDB
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     val got = spark.table("fsg").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
