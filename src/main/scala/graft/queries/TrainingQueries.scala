@@ -294,8 +294,8 @@ object TrainingQueries {
       b AS (SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - prev > 43200000
                            THEN 1 ELSE 0 END AS brk FROM o),
       s AS (SELECT user_id, event_id, ts,
-                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM b)
       SELECT user_id, session_id, count(1) AS n_events,
              max(epoch_ms(ts)) - min(epoch_ms(ts)) AS dur_ms

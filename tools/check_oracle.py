@@ -63,7 +63,22 @@ def main():
                   f"first diffs: {diff[:3]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(s_canon)} rows)")
+            # repr-compare can't see int-width drift (a DuckDB INTEGER and a
+            # Spark BIGINT repr identically) but the driver's compare is
+            # schema-sensitive — surface type mismatches as warnings.
+            # DBAPI description coarsens everything to NUMBER; DESCRIBE gives
+            # the real types.
+            def types_of(q):
+                return {r[0]: r[1] for r in con.execute(f"DESCRIBE {q}").fetchall()}
+            s_types = types_of(
+                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
+            d_types = types_of(sql)
+            drift = {c: (s_types[c], d_types[c])
+                     for c in s_types if c in d_types and s_types[c] != d_types[c]}
+            if drift:
+                print(f"PASS {name} ({len(s_canon)} rows) TYPEWARN: {drift}")
+            else:
+                print(f"PASS {name} ({len(s_canon)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
