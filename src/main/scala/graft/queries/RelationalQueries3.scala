@@ -175,11 +175,28 @@ object RelationalQueries3 {
       .orderBy("event_id")
   }
 
+  /** q87 — distribution window functions (percent_rank, cume_dist):
+    * per-priority price percentile positions, completing the rank family
+    * of q28. Same single (partition, order) sort serves both functions.
+    */
+  def q87_percent_rank: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("pr", round(percent_rank().over(w), 4))
+      .withColumn("cd", round(cume_dist().over(w), 4))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("pr"), col("cd"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q39_pivot" -> q39_pivot,
     "q74_jaro_winkler" -> q74_jaro_winkler,
     "q75_topk_agg" -> q75_topk_agg,
     "q79_asof_join" -> q79_asof_join,
+    "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
     "q69_argmax" -> q69_argmax,
@@ -187,6 +204,15 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q87_percent_rank" -> """
+      SELECT o_orderpriority, o_orderkey,
+             round(percent_rank() OVER w, 4) AS pr,
+             round(cume_dist() OVER w, 4) AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC)
+      QUALIFY o_orderkey % 100 = 0
+      ORDER BY o_orderpriority, o_orderkey""",
     "q79_asof_join" -> """
       WITH l AS (SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side,
                         CAST(NULL AS BIGINT) AS rid, CAST(NULL AS BIGINT) AS rt, event_id
