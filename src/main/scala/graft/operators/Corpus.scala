@@ -48,9 +48,13 @@ object Corpus {
     val toks = tokenRows(docs, idCol, textCol)
     val tf = toks.groupBy("__id", "tok")
       .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "tok")
+    // document frequency as a COUNT OVER (PARTITION BY term) on the tf rows,
+    // not a groupBy+self-join: referencing tf twice re-executes the whole
+    // tokenize→explode→aggregate lineage per reference, and the join adds a
+    // second term-keyed exchange. The window is one exchange on the same key
+    // and reads the tf pipeline once.
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .crossJoin(broadcast(n))
       .select(
         col("__id").as("doc_id"), col("tok").as("term"),
@@ -74,8 +78,8 @@ object Corpus {
     val tf = toks.filter(array_contains(qt, col("tok")))
       .groupBy("__id", "tok")
       .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "tok")
+    // df via window, not groupBy+join — see tfidf
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

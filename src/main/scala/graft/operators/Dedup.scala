@@ -69,11 +69,19 @@ object Dedup {
     // TWICE (measured ~2.5× slower on q42). The outer variant infers nothing;
     // the null rows it emits for empty sets are dropped by a cheap
     // attribute-only filter after the Generate.
+    // Hash each shingle STRING once (O(len) work), then derive the numHashes
+    // "permutations" by re-mixing that 8-byte value with the seed index —
+    // xxhash64 over (int, long) instead of (int, string). The string is the
+    // expensive input (tens of bytes); re-hashing it per seed made the
+    // signature aggregate do numHashes× the byte-crunching for no extra
+    // independence (seeded re-mix of a 64-bit hash is the standard MinHash
+    // family construction).
     val sh = spread(docs)
       .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
       .select(col("__id"), explode_outer(col("shs")).as("s"))
       .filter(col("s").isNotNull)
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      .select(col("__id"), xxhash64(col("s")).as("h0"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     sh.groupBy("__id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("__id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -271,8 +279,14 @@ object Dedup {
     * isolated nodes absent from `pairs` are not returned.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Checkpoint the PAIR INPUT before the symmetrizing union: both union
+    // branches reference `pairs`, and Catalyst re-executes the full candidate
+    // pipeline (shingle → invert → pair-expand, the expensive part of every
+    // dedup job) once per branch. Materializing the tiny pair list first makes
+    // the union read 2× a checkpoint instead of running 2× the pipeline.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
