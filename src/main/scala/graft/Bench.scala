@@ -5,15 +5,29 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   *
-  * Queries run in two passes and report the min — the first pass on a cold
-  * JVM measures classloading + JIT + codegen compilation, not the query (the
-  * first query executed was consistently ~6s slower than the same query
-  * warm). Steady-state is what a long-running cluster job sees.
+  * Measurement protocol — built for a shared single JVM where GC/JIT
+  * pressure from one query contaminates its neighbors (round-3 data showed
+  * 2–5× run-to-run swings on UNTOUCHED queries with only 2 passes):
+  *
+  *   - `runs` (default 5, env SPARK_GRAFT_BENCH_RUNS) full INTERLEAVED
+  *     passes over the whole suite in sorted query order — A/B/A/B, so a
+  *     given query's samples are spread across the JVM's lifetime instead of
+  *     back-to-back in one thermal/GC regime;
+  *   - per-query time = MIN across all passes (the min is the least
+  *     contaminated observation — a query cannot run faster than it is);
+  *   - per-query `spread` = (max − min)/min over the WARM passes (pass 1 is
+  *     excluded: it measures classloading + JIT + codegen compilation, not
+  *     the query). Spread ≫ 0.2 means the number is noise-bound and
+  *     round-over-round deltas smaller than the spread are not evidence.
+  *
+  * The JSON line carries `queries` (mins), `spread`, and `runs` so the
+  * per-round BENCH_r{N}.json is self-describing about its own noise floor.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,16 +42,25 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val pass2 = names.map(n => n -> timeOne(n)).toMap
+    // passes(p)(name) = seconds for query `name` in pass p
+    val passes: Seq[Map[String, Double]] =
+      (0 until runs).map(_ => names.map(n => n -> timeOne(n)).toMap)
+    def samples(n: String): Seq[Double] = passes.map(_(n))
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val s = samples(n)
+      n -> (if (s.exists(_ < 0)) -1.0 else s.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val spreads = names.map { n =>
+      val warm = samples(n).drop(1).filter(_ >= 0)
+      val sp =
+        if (warm.size < 2 || warm.min <= 0) -1.0
+        else (warm.max - warm.min) / warm.min
+      n -> BigDecimal(sp).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs":$runs,"spread":${jmap(spreads)}}""")
     spark.stop()
   }
 }

@@ -43,18 +43,28 @@ object Corpus {
     * One explode + two hash aggregations (term frequency per doc, document
     * frequency per term) + an equi-join on the term — the inverted-index
     * shuffle shape that scales linearly with corpus size.
+    *
+    * The tf rows are materialized ONCE (localCheckpoint) and document
+    * frequency comes from a groupBy + equi-join back on the term. The two
+    * discarded alternatives both fail one of the round-trip constraints:
+    * referencing the raw tf lineage twice re-executes the whole
+    * tokenize→explode→aggregate pipeline per consumer, and a
+    * COUNT() OVER (PARTITION BY term) funnels every tf row for a hot term
+    * (a stopword holds ~N_docs rows at corpus scale) through ONE WindowExec
+    * task with full-partition buffering — AQE can split a skewed join but
+    * cannot split a window partition. Checkpoint + join keeps single
+    * execution AND leaves the hot-term shuffle AQE-splittable; the df side
+    * aggregates to |vocabulary| rows, small enough for a broadcast at
+    * runtime.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokenRows(docs, idCol, textCol)
     val tf = toks.groupBy("__id", "tok")
       .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
+      .localCheckpoint()
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    // document frequency as a COUNT OVER (PARTITION BY term) on the tf rows,
-    // not a groupBy+self-join: referencing tf twice re-executes the whole
-    // tokenize→explode→aggregate lineage per reference, and the join adds a
-    // second term-keyed exchange. The window is one exchange on the same key
-    // and reads the tf pipeline once.
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
       .select(
         col("__id").as("doc_id"), col("tok").as("term"),
@@ -75,11 +85,15 @@ object Corpus {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       avg(size(TextFunctions.tokens(col(textCol))).cast("double")).as("avgdl"))
+    // checkpoint + groupBy/join for df, same skew rationale as tfidf (a
+    // query term CAN be a hot term — pruning to the query bag bounds the
+    // vocabulary, not the posting-list length)
     val tf = toks.filter(array_contains(qt, col("tok")))
       .groupBy("__id", "tok")
       .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
-    // df via window, not groupBy+join — see tfidf
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -101,7 +115,11 @@ object Corpus {
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        minSim: Double, maxPostings: Int = 1000): DataFrame = {
-    val w = tfidf(docs, idCol, textCol)
+    // w fans out to BOTH `norms` and `pairs`: materialize it once
+    // (localCheckpoint) or Catalyst re-executes the df-join lineage per
+    // consumer — the same double-execution class fixed in
+    // Dedup.connectedComponents' pair input.
+    val w = tfidf(docs, idCol, textCol).localCheckpoint()
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("nrm"))
     val pairs = w.groupBy("term")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tfidf")))).as("post"))

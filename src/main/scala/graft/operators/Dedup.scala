@@ -186,10 +186,16 @@ object Dedup {
 
   private def pairsOf(sorted: Column): Column = pairsAs(sorted, "id_a", "id_b")
 
-  /** Exact n-gram Jaccard similarity for candidate verification (and as its
-    * own oracle-checkable operator): |A∩B| / |A∪B| over distinct
-    * word-k-shingle sets, computed via an inverted-index join (shuffle on
-    * shingle), never materializing all pairs.
+  /** Exact corpus-wide n-gram Jaccard pairs: |A∩B| / |A∪B| over distinct
+    * word-k-shingle sets via an inverted-index join (shuffle on shingle).
+    *
+    * SMALL-SF / ORACLE FORM ONLY: the in-place pair expansion after the
+    * shingle groupBy is deliberately uncapped — exactness requires every
+    * co-occurrence, so a posting-list cap would change the answer — which
+    * makes a shingle occurring in n documents an O(n²) expansion through a
+    * single reducer. At corpus scale use [[minhashCandidatesDeterministic]] →
+    * [[jaccardVerify]] (bounded candidate generation, exact verification on
+    * candidates only); q82/q89 exercise that composition.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -216,6 +222,42 @@ object Dedup {
       .agg(count(lit(1)).as("c"), max(col("p.a.sz")).as("sz_a"), max(col("p.b.sz")).as("sz_b"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact Jaccard restricted to CANDIDATE pairs — the 100 TB scale path for
+    * near-dup detection. [[jaccardPairs]]' corpus-wide inverted index has an
+    * unboundable pair-expansion stage (a boilerplate shingle occurring in n
+    * docs emits O(n²) pairs through one reducer; capping it would change the
+    * answer, so the exact form stays a small-SF oracle query). This verify
+    * form instead takes candidates from a banded-LSH generator (bounded
+    * bucket expansion by construction) and computes exact |A∩B| / |A∪B| only
+    * for those pairs: two equi-joins keyed by doc id + one per-pair
+    * `array_intersect` — linear in corpus size + candidate count, no
+    * quadratic stage anywhere. With the deterministic generator
+    * ([[minhashCandidatesDeterministic]]) the whole composition stays
+    * SQL-expressible, so candidates→verify is oracle-checked end-to-end.
+    */
+  def jaccardVerify(
+      candidates: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    // both joins below reference the shingle sets — materialize them once
+    // (at cluster scale this checkpoint is disk-backed; recomputing the
+    // shingling per join side is the alternative trade)
+    val sets = spread(docs)
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
+      .localCheckpoint()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

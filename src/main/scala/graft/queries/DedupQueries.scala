@@ -40,7 +40,10 @@ object DedupQueries {
   }
 
   /** q42 — exact 3-shingle Jaccard near-dup pairs (threshold 0.6; the data
-    * separates real near-dups J≥0.9 from noise J≤0.1).
+    * separates real near-dups J≥0.9 from noise J≤0.1). SMALL-SF ORACLE FORM:
+    * the corpus-wide inverted-index pair expansion is exact but uncappable
+    * (see [[Dedup.jaccardPairs]]); the scale path is q89's
+    * candidates→verify composition.
     */
   def q42_jaccard_pairs: Q = (s, dir) => {
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -94,9 +97,25 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q89 — candidates → exact-Jaccard verify: the 100 TB near-dup pipeline
+    * (deterministic banded-LSH candidate generation, exact verification on
+    * candidate pairs only — q42's corpus-wide exact form has an uncappable
+    * quadratic pair stage and stays a small-SF oracle query). Recall at the
+    * J≥0.6 threshold is the LSH family's 1−(1−J^rows)^bands, ≈1 for the
+    * J≥0.9 near-dups dedup targets; DedupSpec asserts verify ⊆ exact and
+    * full J≥0.9 coverage.
+    */
+  def q89_jaccard_verify: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val cands = Dedup.minhashCandidatesDeterministic(docs, "doc_id", "text")
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", shingleK = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
     "q80_dedup_clusters" -> q80_dedup_clusters,
     "q84_minhash_det" -> q84_minhash_det,
+    "q89_jaccard_verify" -> q89_jaccard_verify,
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_dedup_keep_first" -> q41_dedup_keep_first,
     "q42_jaccard_pairs" -> q42_jaccard_pairs,
@@ -128,7 +147,72 @@ object DedupQueries {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6)"""
 
+  /** Shared oracle fragment: deterministic MinHash-LSH candidates (the q84
+    * generator) verified by exact Jaccard at J ≥ 0.6 — the scale-path pair
+    * graph. Used by q89 here and q82 in TrainingQueries (one definition so
+    * the two can't drift). Expects `documents`; yields CTE `pairs`
+    * (id_a, id_b, jaccard).
+    */
+  val OracleCandidatePairGraph: String = raw"""toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      hashed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(shingle, '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+               min((h * 1 + 3)  % 1000000007) AS sig0,
+               min((h * 3 + 10) % 1000000007) AS sig1,
+               min((h * 5 + 17) % 1000000007) AS sig2,
+               min((h * 7 + 24) % 1000000007) AS sig3,
+               min((h * 9 + 31) % 1000000007) AS sig4,
+               min((h * 11 + 38) % 1000000007) AS sig5,
+               min((h * 13 + 45) % 1000000007) AS sig6,
+               min((h * 15 + 52) % 1000000007) AS sig7
+        FROM hashed GROUP BY 1),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat(sig0, ':', sig1) AS bucket FROM sig
+        UNION ALL SELECT doc_id, 1, concat(sig2, ':', sig3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(sig4, ':', sig5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(sig6, ':', sig7) FROM sig),
+      ok AS (
+        SELECT band, bucket FROM banded GROUP BY 1, 2
+        HAVING count(1) BETWEEN 2 AND 200),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT cd.id_a, cd.id_b, count(1) AS nc
+        FROM cand cd
+        JOIN sh a ON a.doc_id = cd.id_a
+        JOIN sh b ON b.doc_id = cd.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT cm.id_a, cm.id_b,
+               nc * 1.0 / (sa.sz + sb.sz - nc) AS jaccard
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+        WHERE nc * 1.0 / (sa.sz + sb.sz - nc) >= 0.6)"""
+
   val oracle: Map[String, String] = Map(
+    "q89_jaccard_verify" -> raw"""
+      WITH $OracleCandidatePairGraph
+      SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+      FROM pairs ORDER BY 1, 2""",
     "q84_minhash_det" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

@@ -15,9 +15,13 @@ object MiscQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** q70 — multimodal feature extraction (rows-only: the stub decoder is
-    * deterministic but not SQL-expressible; MultimodalSpec covers it):
-    * binary payloads → per-partition decode → per-modality stats.
+  /** q70 — multimodal feature extraction: binary payloads → per-partition
+    * decode → per-modality stats. Fully oracle-checked: the stub decoder's
+    * checksum is a wrapping-64-bit polynomial byte fold, reproduced in SQL
+    * as a HUGEINT fold mod 2^64 re-signed to two's complement (the test
+    * payloads are UTF-8 of pure-ASCII text, so byte values ≡ codepoints).
+    * MultimodalSpec covers the Dataset-level plumbing (partition counts,
+    * schema, decoder-per-partition).
     */
   def q70_multimodal: Q = (s, dir) => {
     val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
@@ -79,6 +83,31 @@ object MiscQueries {
     "q77_salted_join" -> q77_salted_join)
 
   val oracle: Map[String, String] = Map(
+    "q70_multimodal" -> """
+      WITH b AS (
+        SELECT doc_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+               length(text)::BIGINT AS n_bytes,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(regexp_extract_all(text, '.'),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, x) -> (a * 31 + x) % 18446744073709551616) AS u
+        FROM documents),
+      s AS (
+        SELECT modality, n_bytes,
+               CASE WHEN u >= 9223372036854775808
+                    THEN u - 18446744073709551616 ELSE u END AS c
+        FROM b),
+      f AS (
+        SELECT modality, n_bytes,
+               CASE WHEN modality = 'image'
+                    THEN (64 + abs(c) % 64)::INT ELSE 0 END AS width,
+               CASE WHEN modality <> 'image'
+                    THEN (1000 + abs(c) % 9000)::BIGINT ELSE 0 END AS duration_ms
+        FROM s)
+      SELECT modality, count(1) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             max(width) AS max_width, max(duration_ms) AS max_duration_ms
+      FROM f GROUP BY 1 ORDER BY 1""",
     "q76_salted_agg" -> """
       SELECT event_type, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1""",

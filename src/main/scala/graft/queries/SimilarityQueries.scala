@@ -42,14 +42,36 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** q48 — IVF approximate top-k (16 centroids, nprobe 4): rows-only;
-    * SimilaritySpec asserts recall vs q46's exact answer.
+  /** q48 — IVF approximate top-k (16 centroids, nprobe 4). Deterministic
+    * end-to-end (fixed lowest-16 seed centroids, SQL-expressible cosine +
+    * argmax assignment) → full DuckDB oracle; SimilaritySpec additionally
+    * asserts recall vs q46's exact answer.
     */
   def q48_ivf_topk: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val q = Similarity.queryVector(emb, QueryVecId)
     val cents = Similarity.centroids(emb, 16)
     Similarity.ivfTopK(emb, cents, q, k = 10, nprobe = 4, excludeVecId = Some(QueryVecId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+  }
+
+  /** q88 — IVF top-k after ONE k-means refinement pass over the seed
+    * centroids ([[Similarity.refineCentroids]]): the index-build step that
+    * turns the arbitrary seed partition into data-shaped cells (better probe
+    * recall at the same nprobe). Refined centroid components are rounded to
+    * 6 decimals before use on BOTH engines — the element-wise means are
+    * order-of-summation-sensitive in their last ulps (parallel partial
+    * aggregation), and rounding far above the ulp noise floor (1e-6 ≫ 1e-12)
+    * makes the whole pipeline bit-deterministic and oracle-checkable.
+    */
+  def q88_ivf_refined: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val refined = Similarity.refineCentroids(emb, Similarity.centroids(emb, 16))
+      .map { case (cid, v) =>
+        (cid, v.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    Similarity.ivfTopK(emb, refined, q, k = 10, nprobe = 4, excludeVecId = Some(QueryVecId))
       .orderBy(col("sim").desc, col("vec_id").asc)
   }
 
@@ -80,9 +102,55 @@ object SimilarityQueries {
     "q83_lsh_det" -> q83_lsh_det,
     "q47_cosine_range" -> q47_cosine_range,
     "q48_ivf_topk" -> q48_ivf_topk,
+    "q88_ivf_refined" -> q88_ivf_refined,
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q48_ivf_topk" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      probe AS (SELECT cid FROM c, q
+                ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+      assign AS (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c)
+      SELECT vec_id, label, round(list_cosine_similarity(v, qv), 4) AS sim
+      FROM assign, q
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe) AND vec_id <> $QueryVecId
+      ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10""",
+    "q88_ivf_refined" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      a0 AS (
+        SELECT e.vec_id, e.v, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c0.cv) DESC, c0.cid) AS rn
+        FROM e, c0),
+      comp AS (
+        SELECT cid, i, avg(v[i::INT]) AS m
+        FROM a0, range(1, 65) t(i)
+        WHERE rn = 1
+        GROUP BY 1, 2),
+      means AS (SELECT cid, list(round(m, 6) ORDER BY i) AS mv FROM comp GROUP BY 1),
+      cr AS (
+        SELECT c0.cid,
+               coalesce(means.mv, list_transform(c0.cv, x -> round(x, 6))) AS cv
+        FROM c0 LEFT JOIN means ON c0.cid = means.cid),
+      probe AS (SELECT cid FROM cr, q
+                ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+      assign AS (
+        SELECT e.vec_id, e.label, e.v, cr.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, cr.cv) DESC, cr.cid) AS rn
+        FROM e, cr)
+      SELECT vec_id, label, round(list_cosine_similarity(v, qv), 4) AS sim
+      FROM assign, q
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe) AND vec_id <> $QueryVecId
+      ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10""",
     "q83_lsh_det" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       b AS (SELECT vec_id,

@@ -167,14 +167,20 @@ object TrainingQueries {
       .orderBy("source")
   }
 
-  /** q82 — near-dup dedup applied end-to-end: Jaccard pairs → connected
-    * components → drop every non-survivor (node ≠ component min) → corpus
-    * stats after dedup. The full pipeline the individual operators (q42,
-    * q80) feed.
+  /** q82 — near-dup dedup applied end-to-end, the PRODUCTION pipeline shape:
+    * deterministic LSH candidates → exact-Jaccard verify on candidates only
+    * → connected components → drop every non-survivor (node ≠ component min)
+    * → corpus stats after dedup. Every stage is bounded (banded buckets
+    * capped at 200, verification linear in candidates) — no corpus-wide pair
+    * expansion anywhere, unlike the exact small-SF forms q42/q80. The oracle
+    * mirrors the identical candidate pipeline (DedupQueries.
+    * OracleCandidatePairGraph), so the composition is hash-checked despite
+    * being approximate relative to the exhaustive pair graph.
     */
   def q82_dedup_apply: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+    val cands = graft.operators.Dedup.minhashCandidatesDeterministic(docs, "doc_id", "text")
+    val pairs = graft.operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text",
       shingleK = 3, threshold = 0.6)
     val dupes = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("node") =!= col("component"))
@@ -213,7 +219,7 @@ object TrainingQueries {
       FROM r WHERE rn <= 15
       GROUP BY 1 ORDER BY 1""",
     "q82_dedup_apply" -> raw"""
-      WITH RECURSIVE ${DedupQueries.OraclePairGraph},
+      WITH RECURSIVE ${DedupQueries.OracleCandidatePairGraph},
       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
       reach(src, dst) AS (

@@ -80,6 +80,21 @@ class DedupSpec extends SparkSuite {
     assert(cand < n * (n - 1) / 4, s"candidates $cand ≈ all pairs — LSH not pruning")
   }
 
+  test("jaccardVerify on LSH candidates: sound (⊆ exact, identical scores) and " +
+      "complete at J>=0.9 (the scale path loses nothing it promises to keep)") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", shingleK = 3, threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cands = Dedup.minhashCandidatesDeterministic(corpus, "doc_id", "text")
+    val verified = Dedup.jaccardVerify(cands, corpus, "doc_id", "text",
+        shingleK = 3, threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    verified.foreach { case (k, j) =>
+      assert(exact.get(k).contains(j), s"verify emitted non-exact pair $k -> $j")
+    }
+    val missed = exact.filter(_._2 >= 0.9).keySet -- verified.keySet
+    assert(missed.isEmpty, s"candidate-verify missed high-sim pairs: $missed")
+  }
+
   test("simhash: identical texts get identical fingerprints; near-dups within hamming 3") {
     val fp = Dedup.simhash(corpus, "doc_id", "text")
     val exactPair = fp.as("a").join(fp.as("b"),

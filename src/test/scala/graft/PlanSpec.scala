@@ -105,6 +105,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), "as-of lost its window formulation")
   }
 
+  test("q54: document frequency is a join, not a term-partitioned window (skew)") {
+    // a COUNT() OVER (PARTITION BY term) funnels every row of a hot term
+    // through ONE WindowExec task; AQE can split a skewed join but not a
+    // window partition — the plan must carry no Window at all
+    val p = plan("q54_tfidf")
+    assert(!p.contains("Window"), "tfidf df reverted to a term-partitioned window")
+  }
+
+  test("q78: tf-idf weights materialize once — consumers read the checkpoint") {
+    val p = plan("q78_tfidf_cosine")
+    // all three weight consumers (postings, norm_a, norm_b) must read the
+    // checkpointed weights, not re-derive them: no source scan survives in
+    // the final plan, and the only Generate left is the posting-list pair
+    // expansion itself (tokenize's Generate ran before the checkpoint)
+    assert(!p.contains("parquet"), "tf-idf lineage re-executing from the source scan")
+    assert(p.contains("ExistingRDD"), "expected checkpointed weight scan")
+    assert("Generate".r.findAllMatchIn(p).size == 1, "extra Generate: tokenize re-executing")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)

@@ -67,6 +67,19 @@ class SimilaritySpec extends SparkSuite {
     assert(rRef >= rSeed - 0.2, s"refinement collapsed recall: $rSeed -> $rRef")
   }
 
+  test("q88 (refined IVF) returns k rows and holds recall vs the exact q46 answer") {
+    val exact = SparkEntry.queries("q46_cosine_topk")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val seed = SparkEntry.queries("q48_ivf_topk")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val refined = SparkEntry.queries("q88_ivf_refined")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(refined.size == 10)
+    def recall(s: Set[Long]) = (exact intersect s).size.toDouble / exact.size
+    assert(recall(refined) >= recall(seed) - 0.2,
+      s"refined recall ${recall(refined)} collapsed vs seed ${recall(seed)}")
+  }
+
   test("LSH buckets partition the corpus (every vector in exactly one bucket)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 8, dim = 64)
     assert(b.count() == emb.count())
