@@ -226,6 +226,81 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING — result-identical to
+    * [[jaccardPairs]] with a pruned candidate stage (the All-Pairs/PPJoin
+    * family, Bayardo et al. WWW'07 / Xiao et al. WWW'08). Shingles get a
+    * global canonical order, rarest first (df asc, shingle asc); each
+    * document indexes only its first |d| − ⌈t·|d|⌉ + 1 shingles in that
+    * order. The prefix lemma guarantees no false negatives: J(a,b) ≥ t
+    * forces |a∩b| ≥ ⌈t·|a|⌉, so the first shared shingle in canonical order
+    * sits within both prefixes — every qualifying pair still meets in the
+    * inverted index. Because prefixes keep the RAREST shingles, boilerplate
+    * high-df shingles (the O(n²) hazard in the unfiltered form) are exactly
+    * the ones dropped from the index; a length filter
+    * (min ≥ t·max) prunes further before verification computes exact
+    * Jaccard on candidates only. Exactness-preserving, unlike the
+    * LSH-candidate route ([[minhashCandidatesDeterministic]] →
+    * [[jaccardVerify]]) whose recall at the threshold is probabilistic.
+    */
+  def jaccardPairsPrefix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    // the inverted-index rows feed df-count AND prefix ranking — one
+    // materialization (the same fan-out rule as tfidf/connectedComponents)
+    val sh = spread(docs)
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
+      .select(col("__id"), size(col("shs")).as("sz"), explode_outer(col("shs")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .localCheckpoint()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-document window: bounded by document length, never corpus-sized
+    // (contrast the term-partitioned window retired from Corpus.tfidf)
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(perDoc))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+    // positional filter (PPJoin): meeting on a prefix shingle at 1-based
+    // canonical positions (rn_a, rn_b), the intersection can be at most
+    // 1 + min(remaining suffix lengths); require that to reach the minimal
+    // overlap o_min = ⌈t·(sz_a+sz_b)/(1+t)⌉ (J ≥ t ⇔ o ≥ t(sa+sb)/(1+t)).
+    // A pair is kept if ANY of its prefix meetings passes — the earliest
+    // meeting gives the loosest bound, so no qualifying pair is lost
+    // (keeping per-meeting instead of earliest-only is conservative).
+    // The 1e-9 slack makes float rounding err toward keeping candidates:
+    // pruning must never exceed the exact rational bound.
+    val posFactor = threshold / (1.0 + threshold)
+    val cands = prefix.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("__id"), col("sz"), col("rn")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode_outer(pairsAs(col("members"), "a", "b")).as("p"))
+      .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
+        col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"),
+        col("p.a.rn").as("rn_a"), col("p.b.rn").as("rn_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        greatest(col("sz_a"), col("sz_b")).cast("double") * threshold)
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+        ceil((col("sz_a") + col("sz_b")).cast("double") * posFactor - 1e-9))
+      .select("id_a", "id_b", "sz_a", "sz_b")
+      .distinct()
+    // exact verification straight off the checkpointed inverted index
+    // (no second shingling pass): fan each candidate out over doc a's
+    // shingle rows, keep the rows doc b shares, count = |A∩B|. Sizes ride
+    // along from the candidate stage, so no join back to a size table.
+    val a = sh.select(col("__id").as("id_a"), col("shingle"))
+    val b = sh.select(col("__id").as("id_b"), col("shingle"))
+    cands.join(a, "id_a").join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact Jaccard restricted to CANDIDATE pairs — the 100 TB scale path for
     * near-dup detection. [[jaccardPairs]]' corpus-wide inverted index has an
     * unboundable pair-expansion stage (a boilerplate shingle occurring in n

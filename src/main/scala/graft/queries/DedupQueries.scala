@@ -112,10 +112,25 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q90 — exact Jaccard pairs via prefix filtering: bit-identical output
+    * to q42 (DedupSpec asserts equality) from a PRUNED candidate stage —
+    * the exactness-preserving scale form (rarest-first prefix index +
+    * length filter + verify; see [[Dedup.jaccardPairsPrefix]]). q42 keeps
+    * the unfiltered inverted index as the reference oracle shape; q90 is
+    * what runs at 100 TB when exactness is required; q89 is the cheaper
+    * probabilistic-recall alternative.
+    */
+  def q90_jaccard_prefix: Q = (s, dir) => {
+    Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
     "q80_dedup_clusters" -> q80_dedup_clusters,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
+    "q90_jaccard_prefix" -> q90_jaccard_prefix,
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_dedup_keep_first" -> q41_dedup_keep_first,
     "q42_jaccard_pairs" -> q42_jaccard_pairs,
@@ -209,6 +224,33 @@ object DedupQueries {
         WHERE nc * 1.0 / (sa.sz + sb.sz - nc) >= 0.6)"""
 
   val oracle: Map[String, String] = Map(
+    // DELIBERATELY the exhaustive exact-pair SQL (q42's oracle): prefix +
+    // positional filtering are sound pruning, so q90's result must equal
+    // the unpruned form — an oracle that does NOT mirror the pruning proves
+    // exactness cross-engine (a mirrored oracle would replicate any
+    // pruning bug and agree on the wrong answer).
+    "q90_jaccard_prefix" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6
+      ORDER BY 1, 2""",
     "q89_jaccard_verify" -> raw"""
       WITH $OracleCandidatePairGraph
       SELECT id_a, id_b, round(jaccard, 4) AS jaccard

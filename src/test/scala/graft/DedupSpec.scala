@@ -95,6 +95,19 @@ class DedupSpec extends SparkSuite {
     assert(missed.isEmpty, s"candidate-verify missed high-sim pairs: $missed")
   }
 
+  test("prefix-filtered Jaccard is EXACTLY the unfiltered result (no pair lost " +
+      "to the prefix index, none gained)") {
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = triples(Dedup.jaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.6))
+    val prefixed = triples(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.6))
+    assert(exact.nonEmpty)
+    assert(prefixed == exact,
+      s"missing=${exact -- prefixed}  extra=${prefixed -- exact}")
+  }
+
   test("simhash: identical texts get identical fingerprints; near-dups within hamming 3") {
     val fp = Dedup.simhash(corpus, "doc_id", "text")
     val exactPair = fp.as("a").join(fp.as("b"),
