@@ -138,6 +138,31 @@ object Corpus {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Unigram language-model surprisal per document — the CCNet-style LM
+    * quality filter: estimate a unigram MLE model FROM the corpus itself
+    * (p(tok) = corpus count / total tokens), score each document by its
+    * mean negative log-probability in nats. High surprisal = tokens rare
+    * under the corpus distribution = boilerplate-free outlier or noise;
+    * low = generic text. Dataflow is the tfidf shape: one checkpointed
+    * (doc, token) count relation feeds both the model estimation (groupBy
+    * token) and the scoring join — single execution, term-keyed shuffle,
+    * corpus-total as a broadcast 1-row aggregate.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = tokenRows(docs, idCol, textCol)
+      .groupBy("__id", "tok")
+      .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
+      .localCheckpoint()
+    val model = tf.groupBy("tok").agg(sum("cnt").as("gcnt"))
+    val total = tf.agg(sum("cnt").as("gtotal"))
+    tf.join(model, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id").as("doc_id"))
+      .agg((-sum(col("cnt") *
+          log(col("gcnt").cast("double") / col("gtotal").cast("double"))) /
+        max(col("dlen"))).as("surprisal"))
+  }
+
   /** Per-document repetition ratio — 1 − |distinct n-grams| / |n-grams| —
     * the cheap duplicated-phrase quality signal. Pure per-row expression:
     * no explode, no shuffle.

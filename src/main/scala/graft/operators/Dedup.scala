@@ -459,4 +459,22 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** [[embeddingNearDups]] with the block key the 100 TB design actually
+    * prescribes: a deterministic random-hyperplane LSH bucket
+    * ([[Similarity.lshBucketsDeterministic]]) instead of a data column.
+    * Map-side bucketing (8 fused dot-product kernels per vector), then the
+    * same bounded per-block pairwise stage — the shuffle key is the bucket,
+    * so comparison volume is Σ bucket², never corpus². Cosine-close vectors
+    * land in the same bucket with probability (1 − θ/π)^planes; multi-probe
+    * or banded variants raise recall without changing the dataflow.
+    */
+  def embeddingNearDupsLsh(
+      embeddings: DataFrame,
+      numPlanes: Int,
+      dim: Int,
+      threshold: Double): DataFrame =
+    embeddingNearDups(
+      Similarity.lshBucketsDeterministic(embeddings, numPlanes, dim),
+      "lsh_bucket", threshold)
 }

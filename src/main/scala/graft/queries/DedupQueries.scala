@@ -126,7 +126,20 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q91 — embedding near-dups blocked by the DETERMINISTIC LSH bucket:
+    * q45's operator with the block key the 100 TB design prescribes (q45's
+    * `label` column is the test-data stand-in). Bucketing is map-side, the
+    * pairwise stage is bounded per bucket, and the integer hyperplanes make
+    * the whole pipeline oracle-checkable.
+    */
+  def q91_embed_neardup_lsh: Q = (s, dir) => {
+    Dedup.embeddingNearDupsLsh(Tables.embeddings(s, dir),
+        numPlanes = 8, dim = 64, threshold = 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q91_embed_neardup_lsh" -> q91_embed_neardup_lsh,
     "q80_dedup_clusters" -> q80_dedup_clusters,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
@@ -341,6 +354,20 @@ object DedupQueries {
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6
+      ORDER BY 1, 2""",
+    "q91_embed_neardup_lsh" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CASE WHEN list_dot_product(v,
+                       list_transform(range(0, 64),
+                         j -> (((i*37 + j*17) % 13) - 6)::DOUBLE)) >= 0
+                     THEN 1 << i ELSE 0 END)) AS BIGINT) AS lsh_bucket
+            FROM e)
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b2.v), 4) AS sim
+      FROM b a JOIN b b2 ON a.lsh_bucket = b2.lsh_bucket AND a.vec_id < b2.vec_id
+      WHERE list_cosine_similarity(a.v, b2.v) >= 0.35
       ORDER BY 1, 2""",
     "q45_embed_neardup" -> """
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -192,7 +192,20 @@ object TrainingQueries {
       .orderBy("lang")
   }
 
+  /** q92 — unigram-LM surprisal (CCNet-style quality filter): the corpus
+    * estimates its own unigram model; docs ranked by mean token
+    * -log-probability. Ordered by the ROUNDED score + doc_id so the top-20
+    * cut is bit-deterministic across engines.
+    */
+  def q92_lm_surprisal: Q = (s, dir) => {
+    Corpus.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), round(col("surprisal"), 4).as("surprisal"))
+      .orderBy(col("surprisal").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val all: Map[String, Q] = Map(
+    "q92_lm_surprisal" -> q92_lm_surprisal,
     "q78_tfidf_cosine" -> q78_tfidf_cosine,
     "q81_domain_mix" -> q81_domain_mix,
     "q82_dedup_apply" -> q82_dedup_apply,
@@ -210,6 +223,18 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q92_lm_surprisal" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM documents)),
+      tf AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+             FROM toks GROUP BY 1, 2),
+      g AS (SELECT tok, sum(cnt) AS gcnt FROM tf GROUP BY 1),
+      t AS (SELECT sum(cnt) AS gtotal FROM tf)
+      SELECT doc_id,
+             round(-sum(cnt * ln(gcnt * 1.0 / gtotal)) / max(dlen), 4) AS surprisal
+      FROM tf JOIN g USING (tok) CROSS JOIN t
+      GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20""",
     "q81_domain_mix" -> """
       WITH r AS (
         SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn

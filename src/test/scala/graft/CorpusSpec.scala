@@ -57,6 +57,21 @@ class CorpusSpec extends SparkSuite {
     assert(out((0L, 3L)) > 0.0 && out((0L, 3L)) < 1.0)
   }
 
+  test("unigramSurprisal: hand computation; rare tokens score above common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare")).toDF("doc_id", "text")
+    // model: p(common)=7/8, p(rare)=1/8
+    val got = Corpus.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s1 = -math.log(7.0 / 8)
+    val s2 = -(3 * math.log(7.0 / 8) + math.log(1.0 / 8)) / 4
+    assert(math.abs(got(1L) - s1) < 1e-12, s"doc1 ${got(1L)} != $s1")
+    assert(math.abs(got(2L) - s2) < 1e-12, s"doc2 ${got(2L)} != $s2")
+    assert(got(2L) > got(1L), "rare-token doc must be more surprising")
+  }
+
   test("repetitionRatio: all-same bigrams vs all-distinct") {
     val out = docs.select(col("doc_id"), Corpus.repetitionRatio(col("text")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

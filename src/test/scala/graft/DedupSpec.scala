@@ -108,6 +108,22 @@ class DedupSpec extends SparkSuite {
       s"missing=${exact -- prefixed}  extra=${prefixed -- exact}")
   }
 
+  test("LSH-blocked embedding near-dups == all-pairs result restricted to shared buckets") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val blocked = Dedup.embeddingNearDupsLsh(emb, numPlanes = 8, dim = 64, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allPairs = Dedup.embeddingNearDups(
+        emb.withColumn("__one", lit(1)), "__one", threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucket = graft.operators.Similarity.lshBucketsDeterministic(emb, 8, 64)
+      .select(col("vec_id"), col("lsh_bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = allPairs.filter { case (a, b, _) => bucket(a) == bucket(b) }
+    assert(allPairs.nonEmpty)
+    assert(blocked == expected,
+      s"missing=${expected -- blocked}  extra=${blocked -- expected}")
+  }
+
   test("simhash: identical texts get identical fingerprints; near-dups within hamming 3") {
     val fp = Dedup.simhash(corpus, "doc_id", "text")
     val exactPair = fp.as("a").join(fp.as("b"),
