@@ -260,9 +260,14 @@ object Dedup {
     // (contrast the term-partitioned window retired from Corpus.tfidf)
     val perDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy(col("df"), col("shingle"))
+    // the 1e-9 slack before ceil errs toward a LONGER prefix: for ~1 in 8
+    // thresholds the double product sz·t lands just above an integer the
+    // true rational sits ON (e.g. t=0.55, sz=100 → 55.000000000000001,
+    // ceil 56), which would cut the prefix one short and break the no-
+    // false-negative lemma. Extra prefix length only adds candidates.
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(perDoc))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
     // positional filter (PPJoin): meeting on a prefix shingle at 1-based
     // canonical positions (rn_a, rn_b), the intersection can be at most
     // 1 + min(remaining suffix lengths); require that to reach the minimal
@@ -321,18 +326,28 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    // both joins below reference the shingle sets — materialize them once
-    // (at cluster scale this checkpoint is disk-backed; recomputing the
-    // shingling per join side is the alternative trade)
-    val sets = spread(docs)
+    require(threshold > 0.0,
+      "jaccardVerify emits only intersecting pairs; threshold must be > 0")
+    // One shingling pass into exploded (doc, size, shingle) rows,
+    // checkpointed once and read by both join sides. (An earlier form
+    // collected per-doc shingle ARRAYS and verified via array_intersect —
+    // materializing the corpus twice over as big array rows; fanning
+    // candidates over the flat index and counting matched rows does the
+    // same exact intersection with one pass and narrow shuffles.)
+    val sh = spread(docs)
       .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
+      .select(col("__id"), size(col("shs")).as("sz"), explode_outer(col("shs")).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .localCheckpoint()
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    candidates
-      .join(sets.select(col("__id").as("id_a"), col("shs").as("sa")), "id_a")
-      .join(sets.select(col("__id").as("id_b"), col("shs").as("sb")), "id_b")
-      .withColumn("jaccard", inter.cast("double") /
-        (size(col("sa")) + size(col("sb")) - inter).cast("double"))
+    val a = sh.select(col("__id").as("id_a"), col("sz").as("sz_a"), col("shingle"))
+    val b = sh.select(col("__id").as("id_b"), col("sz").as("sz_b"), col("shingle"))
+    candidates.select("id_a", "id_b")
+      .join(a, "id_a")
+      .join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

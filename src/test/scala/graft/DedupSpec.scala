@@ -106,6 +106,15 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty)
     assert(prefixed == exact,
       s"missing=${exact -- prefixed}  extra=${prefixed -- exact}")
+    // t=0.55 is a float-hazard threshold: sz·0.55 in double can land just
+    // above the integer the true rational equals (sz=100 → 55.000000000000001),
+    // which without the ceil slack cuts the prefix one short
+    val exact55 = triples(Dedup.jaccardPairs(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.55))
+    val prefixed55 = triples(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text",
+      shingleK = 3, threshold = 0.55))
+    assert(prefixed55 == exact55,
+      s"t=0.55: missing=${exact55 -- prefixed55}  extra=${prefixed55 -- exact55}")
   }
 
   test("LSH-blocked embedding near-dups == all-pairs result restricted to shared buckets") {
