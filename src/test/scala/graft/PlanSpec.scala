@@ -124,6 +124,19 @@ class PlanSpec extends SparkSuite {
     assert("Generate".r.findAllMatchIn(p).size == 1, "extra Generate: tokenize re-executing")
   }
 
+  test("q91: LSH-blocked pair stage is an equi-join on the bucket, never a cartesian") {
+    val p = plan("q91_embed_neardup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "embedding near-dup degraded to an all-pairs comparison")
+  }
+
+  test("q92: LM estimation + scoring read one checkpointed count relation (no window)") {
+    val p = plan("q92_lm_surprisal")
+    assert(!p.contains("Window"), "unigram df reverted to a token-partitioned window")
+    assert(!p.contains("parquet"), "token counts re-derived from the source scan")
+    assert(p.contains("ExistingRDD"), "expected checkpointed count scan")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
