@@ -46,9 +46,12 @@ object Bench {
     val passes: Seq[Map[String, Double]] =
       (0 until runs).map(_ => names.map(n => n -> timeOne(n)).toMap)
     def samples(n: String): Seq[Double] = passes.map(_(n))
+    // min over SUCCESSFUL samples: one transient pass failure (the exact
+    // GC/contamination class this protocol tolerates) must not discard the
+    // other passes' valid observations — -1 only when every pass failed
     val results = names.map { n =>
-      val s = samples(n)
-      n -> (if (s.exists(_ < 0)) -1.0 else s.min)
+      val ok = samples(n).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val spreads = names.map { n =>
       val warm = samples(n).drop(1).filter(_ >= 0)

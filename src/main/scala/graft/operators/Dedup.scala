@@ -148,15 +148,25 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 8,
       bands: Int = 4,
+      maxBucketSize: Int = 200): DataFrame =
+    minhashCandidatesDeterministicFrom(
+      shingleIndex(docs, idCol, textCol, shingleK), numHashes, bands, maxBucketSize)
+
+  /** [[minhashCandidatesDeterministic]] over a prebuilt [[shingleIndex]]
+    * relation, so pipelines composing candidate generation with exact
+    * verification (q82/q89) shingle the corpus once and share one
+    * checkpoint between the stages.
+    */
+  def minhashCandidatesDeterministicFrom(
+      shingles: DataFrame,
+      numHashes: Int = 8,
+      bands: Int = 4,
       maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val p = graft.functions.StringKernels.PolyHashMod
-    val sh = spread(docs)
-      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
-      .select(col("__id"), explode_outer(col("shs")).as("s"))
-      .filter(col("s").isNotNull)
-      .withColumn("h", graft.functions.StringFunctions.polyHash(col("s")))
+    val sh = shingles
+      .withColumn("h", graft.functions.StringFunctions.polyHash(col("shingle")))
     val aggs = (0 until numHashes).map(i =>
       min((col("h") * (2 * i + 1) + (7 * i + 3)) % p).as(s"sig$i"))
     val sig = sh.groupBy("__id").agg(aggs.head, aggs.tail: _*)
@@ -186,6 +196,31 @@ object Dedup {
 
   private def pairsOf(sorted: Column): Column = pairsAs(sorted, "id_a", "id_b")
 
+  /** The exploded shingle inverted-index relation shared by the whole exact
+    * Jaccard family: one row per (document, distinct k-shingle) with the
+    * set size riding along (computed in the same projection that explodes
+    * the set — no join back against a per-doc size table later). Returns
+    * (`__id`, `sz`, `shingle`). Callers that fan the relation out to
+    * multiple consumers checkpoint it (q82/q89 share ONE checkpointed index
+    * between candidate generation and verification).
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+    spread(docs)
+      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
+      .select(col("__id"), size(col("shs")).as("sz"), explode_outer(col("shs")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+
+  /** Shared scoring tail: (id_a, id_b, c, sz_a, sz_b) → thresholded,
+    * rounded (id_a, id_b, jaccard). One definition so the exact family's
+    * score semantics can't drift between variants.
+    */
+  private def jaccardScore(pairCounts: DataFrame, threshold: Double): DataFrame =
+    pairCounts
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
   /** Exact corpus-wide n-gram Jaccard pairs: |A∩B| / |A∪B| over distinct
     * word-k-shingle sets via an inverted-index join (shuffle on shingle).
     *
@@ -193,9 +228,10 @@ object Dedup {
     * shingle groupBy is deliberately uncapped — exactness requires every
     * co-occurrence, so a posting-list cap would change the answer — which
     * makes a shingle occurring in n documents an O(n²) expansion through a
-    * single reducer. At corpus scale use [[minhashCandidatesDeterministic]] →
-    * [[jaccardVerify]] (bounded candidate generation, exact verification on
-    * candidates only); q82/q89 exercise that composition.
+    * single reducer. At corpus scale use [[jaccardPairsPrefix]] (exactness-
+    * preserving pruning) or [[minhashCandidatesDeterministic]] →
+    * [[jaccardVerify]] (probabilistic recall); q90 and q82/q89 exercise
+    * those compositions.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -203,27 +239,18 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    // The shingle-set size rides along with every inverted-index row (it is
-    // computed in the same projection that explodes the set), so intersection
-    // counts AND both set sizes come out of the one pair aggregation — no
-    // join back against a per-doc size table (saves two shuffles).
-    val sh = spread(docs)
-      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
-      .select(col("__id"), size(col("shs")).as("sz"), explode_outer(col("shs")).as("shingle"))
-      .filter(col("shingle").isNotNull)
     // Inverted index without a self-join: docs sharing a shingle meet in one
     // collect_list row; pairs are generated in-place and counted. Exact —
     // every co-occurrence contributes exactly one pair instance.
-    sh.groupBy("shingle")
-      .agg(sort_array(collect_list(struct(col("__id"), col("sz")))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode_outer(pairsAs(col("members"), "a", "b")).as("p"))
-      .groupBy(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"))
-      .agg(count(lit(1)).as("c"), max(col("p.a.sz")).as("sz_a"), max(col("p.b.sz")).as("sz_b"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    jaccardScore(
+      shingleIndex(docs, idCol, textCol, shingleK)
+        .groupBy("shingle")
+        .agg(sort_array(collect_list(struct(col("__id"), col("sz")))).as("members"))
+        .filter(size(col("members")) > 1)
+        .select(explode_outer(pairsAs(col("members"), "a", "b")).as("p"))
+        .groupBy(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"))
+        .agg(count(lit(1)).as("c"), max(col("p.a.sz")).as("sz_a"), max(col("p.b.sz")).as("sz_b")),
+      threshold)
   }
 
   /** Exact Jaccard pairs via PREFIX FILTERING — result-identical to
@@ -250,11 +277,7 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     // the inverted-index rows feed df-count AND prefix ranking — one
     // materialization (the same fan-out rule as tfidf/connectedComponents)
-    val sh = spread(docs)
-      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
-      .select(col("__id"), size(col("shs")).as("sz"), explode_outer(col("shs")).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .localCheckpoint()
+    val sh = shingleIndex(docs, idCol, textCol, shingleK).localCheckpoint()
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-document window: bounded by document length, never corpus-sized
     // (contrast the term-partitioned window retired from Corpus.tfidf)
@@ -285,25 +308,20 @@ object Dedup {
       .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
         col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"),
         col("p.a.rn").as("rn_a"), col("p.b.rn").as("rn_b"))
+      // length filter needs the SAME keep-more slack as the two ceil sites:
+      // J ≥ t forces min ≥ t·max only as a rational — greatest·t in double
+      // can land just above the true bound (t=0.55, max=100 →
+      // 55.000000000000007) and drop a boundary pair like sizes 55/100 at
+      // J exactly 0.55
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
-        greatest(col("sz_a"), col("sz_b")).cast("double") * threshold)
+        greatest(col("sz_a"), col("sz_b")).cast("double") * threshold - 1e-9)
       .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
         ceil((col("sz_a") + col("sz_b")).cast("double") * posFactor - 1e-9))
-      .select("id_a", "id_b", "sz_a", "sz_b")
+      .select("id_a", "id_b")
       .distinct()
-    // exact verification straight off the checkpointed inverted index
-    // (no second shingling pass): fan each candidate out over doc a's
-    // shingle rows, keep the rows doc b shares, count = |A∩B|. Sizes ride
-    // along from the candidate stage, so no join back to a size table.
-    val a = sh.select(col("__id").as("id_a"), col("shingle"))
-    val b = sh.select(col("__id").as("id_b"), col("shingle"))
-    cands.join(a, "id_a").join(b, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    // exact verification straight off the same checkpointed index —
+    // no second shingling pass
+    jaccardVerify(cands, sh, threshold)
   }
 
   /** Exact Jaccard restricted to CANDIDATE pairs — the 100 TB scale path for
@@ -311,46 +329,50 @@ object Dedup {
     * unboundable pair-expansion stage (a boilerplate shingle occurring in n
     * docs emits O(n²) pairs through one reducer; capping it would change the
     * answer, so the exact form stays a small-SF oracle query). This verify
-    * form instead takes candidates from a banded-LSH generator (bounded
-    * bucket expansion by construction) and computes exact |A∩B| / |A∪B| only
-    * for those pairs: two equi-joins keyed by doc id + one per-pair
-    * `array_intersect` — linear in corpus size + candidate count, no
+    * form instead takes candidates from a bounded generator (banded LSH or
+    * the prefix index) and computes exact |A∩B| / |A∪B| only for those
+    * pairs, by fanning each candidate over doc a's rows in the flat shingle
+    * index and counting the rows doc b shares — linear in corpus size +
+    * candidate count, narrow shuffles keyed by shingle or doc id, no
     * quadratic stage anywhere. With the deterministic generator
     * ([[minhashCandidatesDeterministic]]) the whole composition stays
     * SQL-expressible, so candidates→verify is oracle-checked end-to-end.
+    *
+    * This overload takes a prebuilt [[shingleIndex]] relation so callers
+    * composing generation + verification (q82/q89, [[jaccardPairsPrefix]])
+    * shingle the corpus ONCE; the caller owns checkpointing it. Candidates
+    * are deduplicated internally — duplicate (id_a, id_b) rows would
+    * double-count the intersection.
+    */
+  def jaccardVerify(
+      candidates: DataFrame,
+      sh: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0,
+      "jaccardVerify emits only intersecting pairs; threshold must be > 0")
+    val a = sh.select(col("__id").as("id_a"), col("sz").as("sz_a"), col("shingle"))
+    val b = sh.select(col("__id").as("id_b"), col("sz").as("sz_b"), col("shingle"))
+    jaccardScore(
+      candidates.select("id_a", "id_b").distinct()
+        .join(a, "id_a")
+        .join(b, Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("c"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b")),
+      threshold)
+  }
+
+  /** [[jaccardVerify]] building its own single-use shingle index from the
+    * documents.
     */
   def jaccardVerify(
       candidates: DataFrame,
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleK: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
-    require(threshold > 0.0,
-      "jaccardVerify emits only intersecting pairs; threshold must be > 0")
-    // One shingling pass into exploded (doc, size, shingle) rows,
-    // checkpointed once and read by both join sides. (An earlier form
-    // collected per-doc shingle ARRAYS and verified via array_intersect —
-    // materializing the corpus twice over as big array rows; fanning
-    // candidates over the flat index and counting matched rows does the
-    // same exact intersection with one pass and narrow shuffles.)
-    val sh = spread(docs)
-      .select(col(idCol).as("__id"), TextFunctions.shingles(col(textCol), shingleK).as("shs"))
-      .select(col("__id"), size(col("shs")).as("sz"), explode_outer(col("shs")).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .localCheckpoint()
-    val a = sh.select(col("__id").as("id_a"), col("sz").as("sz_a"), col("shingle"))
-    val b = sh.select(col("__id").as("id_b"), col("sz").as("sz_b"), col("shingle"))
-    candidates.select("id_a", "id_b")
-      .join(a, "id_a")
-      .join(b, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("c"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+      shingleK: Int,
+      threshold: Double): DataFrame =
+    jaccardVerify(candidates,
+      shingleIndex(docs, idCol, textCol, shingleK).localCheckpoint(), threshold)
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token contributes
     * its xxhash64 bit pattern (+1 for set bits, −1 for unset); the

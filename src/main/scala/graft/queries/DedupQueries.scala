@@ -106,9 +106,11 @@ object DedupQueries {
     * full J≥0.9 coverage.
     */
   def q89_jaccard_verify: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val cands = Dedup.minhashCandidatesDeterministic(docs, "doc_id", "text")
-    Dedup.jaccardVerify(cands, docs, "doc_id", "text", shingleK = 3, threshold = 0.6)
+    // candidate generation and verification share ONE checkpointed shingle
+    // index — the corpus is shingled once for the whole pipeline
+    val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
+      .localCheckpoint()
+    Dedup.jaccardVerify(Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold = 0.6)
       .orderBy("id_a", "id_b")
   }
 

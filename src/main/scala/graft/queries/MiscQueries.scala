@@ -18,8 +18,10 @@ object MiscQueries {
   /** q70 — multimodal feature extraction: binary payloads → per-partition
     * decode → per-modality stats. Fully oracle-checked: the stub decoder's
     * checksum is a wrapping-64-bit polynomial byte fold, reproduced in SQL
-    * as a HUGEINT fold mod 2^64 re-signed to two's complement (the test
-    * payloads are UTF-8 of pure-ASCII text, so byte values ≡ codepoints).
+    * as a HUGEINT fold mod 2^64 re-signed to two's complement. The test
+    * payloads are UTF-8 of pure-ASCII text, so byte values ≡ codepoints
+    * (verified at all 3 SFs: octet_length(encode(text)) = length(text) for
+    * every row); the `(?s)` regex flag keeps the char walk newline-proof.
     * MultimodalSpec covers the Dataset-level plumbing (partition counts,
     * schema, decoder-per-partition).
     */
@@ -89,7 +91,7 @@ object MiscQueries {
                ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
                length(text)::BIGINT AS n_bytes,
                list_reduce(list_prepend(CAST(0 AS HUGEINT),
-                 list_transform(regexp_extract_all(text, '.'),
+                 list_transform(regexp_extract_all(text, '(?s).'),
                    c -> CAST(unicode(c) AS HUGEINT))),
                  (a, x) -> (a * 31 + x) % 18446744073709551616) AS u
         FROM documents),

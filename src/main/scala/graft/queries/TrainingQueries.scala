@@ -179,9 +179,11 @@ object TrainingQueries {
     */
   def q82_dedup_apply: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val cands = graft.operators.Dedup.minhashCandidatesDeterministic(docs, "doc_id", "text")
-    val pairs = graft.operators.Dedup.jaccardVerify(cands, docs, "doc_id", "text",
-      shingleK = 3, threshold = 0.6)
+    // one checkpointed shingle index feeds candidate generation AND exact
+    // verification — the corpus is shingled once for the whole pipeline
+    val sh = graft.operators.Dedup.shingleIndex(docs, "doc_id", "text", 3).localCheckpoint()
+    val pairs = graft.operators.Dedup.jaccardVerify(
+      graft.operators.Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold = 0.6)
     val dupes = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
