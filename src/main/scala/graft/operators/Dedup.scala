@@ -514,4 +514,40 @@ object Dedup {
     embeddingNearDups(
       Similarity.lshBucketsDeterministic(embeddings, numPlanes, dim),
       "lsh_bucket", threshold)
+
+  /** Multi-probe variant of [[embeddingNearDupsLsh]]: each vector is keyed
+    * under its own bucket AND the `numPlanes` one-bit-flip neighbors, so a
+    * pair meets iff their bucket codes differ in ≤ 2 planes (one flip
+    * bridged from each side) — near-dups that straddle up to two hyperplane
+    * boundaries are no longer lost. Recall rises from (1−θ/π)^p toward the
+    * ≤2-mismatch binomial tail at a bounded (numPlanes+1)× key expansion —
+    * the standard multi-probe trade: more candidate volume, same map-side
+    * dataflow, no extra planes. Exact cosine still verifies every
+    * candidate; duplicate meetings of a pair collapse in the final
+    * distinct (same vectors → same rounded sim).
+    */
+  def embeddingNearDupsMultiProbe(
+      embeddings: DataFrame,
+      numPlanes: Int,
+      dim: Int,
+      threshold: Double): DataFrame = {
+    val b = Similarity.lshBucketsDeterministic(embeddings, numPlanes, dim)
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"),
+        col("lsh_bucket"))
+    // flip = -1 marks the identity probe (the vector's own bucket)
+    val probes = b
+      .select(col("vec_id"), col("v"), col("lsh_bucket"),
+        explode(array((-1 until numPlanes).map(lit(_)): _*)).as("flip"))
+      .withColumn("probe",
+        when(col("flip") === -1, col("lsh_bucket"))
+          .otherwise(expr("lsh_bucket ^ shiftleft(1L, flip)")))
+    val a = probes.select(col("probe"), col("vec_id").as("id_a"), col("v").as("va"))
+    val bb = probes.select(col("probe"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(bb, Seq("probe"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .distinct()
+  }
 }

@@ -133,6 +133,26 @@ class DedupSpec extends SparkSuite {
       s"missing=${expected -- blocked}  extra=${blocked -- expected}")
   }
 
+  test("multi-probe LSH near-dups == all-pairs restricted to bucket-hamming <= 2 " +
+      "(superset of exact-bucket q91)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val multi = pairSet(Dedup.embeddingNearDupsMultiProbe(emb, 8, 64, 0.35))
+    val single = pairSet(Dedup.embeddingNearDupsLsh(emb, 8, 64, 0.35))
+    val allPairs = pairSet(Dedup.embeddingNearDups(
+      emb.withColumn("__one", lit(1)), "__one", 0.35))
+    val bucket = graft.operators.Similarity.lshBucketsDeterministic(emb, 8, 64)
+      .select(col("vec_id"), col("lsh_bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = allPairs.filter { case (a, b, _) =>
+      java.lang.Long.bitCount(bucket(a) ^ bucket(b)) <= 2
+    }
+    assert(multi == expected,
+      s"missing=${expected -- multi}  extra=${multi -- expected}")
+    assert(single.subsetOf(multi), "multi-probe must cover the exact-bucket result")
+  }
+
   test("simhash: identical texts get identical fingerprints; near-dups within hamming 3") {
     val fp = Dedup.simhash(corpus, "doc_id", "text")
     val exactPair = fp.as("a").join(fp.as("b"),
