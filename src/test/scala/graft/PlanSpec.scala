@@ -137,6 +137,33 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ExistingRDD"), "expected checkpointed count scan")
   }
 
+  test("runtime bloom filter injects on a selective shuffle join (100 TB pruning posture)") {
+    // at cluster scale a selective dim-side predicate should prune the fact
+    // scan at RUNTIME via an injected bloom filter (InjectRuntimeFilter);
+    // the thresholds only exist to make test-sized tables eligible — the
+    // assertion is that the optimizer path works on our join shapes
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(keys(0), "0")
+    spark.conf.set(keys(1), "100MB")
+    spark.conf.set(keys(2), "-1")
+    try {
+      val fact = Tables.lineitem(spark, sfDir)
+      val dim = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${opt.take(600)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
