@@ -80,6 +80,25 @@ object Sinks {
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
   }
 
+  /** Range-clustered parquet layout: `repartitionByRange` gives each output
+    * file a DISJOINT range of the cluster key (boundaries from a reservoir
+    * sample), `sortWithinPartitions` orders rows inside each file so parquet
+    * row-group min/max statistics are tight. The layout half of predicate
+    * pushdown: at 100 TB a range predicate on the cluster key then skips
+    * whole files/row-groups at scan time instead of reading and discarding.
+    * The bucketed form ([[writeBucketed]]) optimizes equi-joins; this form
+    * optimizes range scans (time-ranged ingestion reads, B1's date
+    * segments).
+    */
+  def writeRangeClustered(
+      df: DataFrame,
+      path: String,
+      clusterCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Read the existing sink if its path exists; any OTHER failure (transient
     * FS error, corrupt footer) propagates. Treating every exception as
     * "sink absent" would make the subsequent replace-write destroy prior
