@@ -48,11 +48,16 @@ object Bench {
     def samples(n: String): Seq[Double] = passes.map(_(n))
     // min over SUCCESSFUL samples: one transient pass failure (the exact
     // GC/contamination class this protocol tolerates) must not discard the
-    // other passes' valid observations — -1 only when every pass failed
+    // other passes' valid observations — -1 only when every pass failed.
+    // Partial failure must stay VISIBLE, not just tolerated: the failures
+    // map below records per-query failed-pass counts so an intermittently
+    // crashing query can't masquerade as a clean one.
     val results = names.map { n =>
       val ok = samples(n).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
+    val failures = names.map(n => n -> samples(n).count(_ < 0).toDouble)
+      .filter(_._2 > 0)
     val spreads = names.map { n =>
       val warm = samples(n).drop(1).filter(_ >= 0)
       val sp =
@@ -63,7 +68,9 @@ object Bench {
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs":$runs,"spread":${jmap(spreads)}}""")
+    val failedJson =
+      if (failures.isEmpty) "" else s""","failed_passes":${jmap(failures)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs":$runs,"spread":${jmap(spreads)}$failedJson}""")
     spark.stop()
   }
 }

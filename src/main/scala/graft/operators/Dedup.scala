@@ -534,13 +534,17 @@ object Dedup {
     val b = Similarity.lshBucketsDeterministic(embeddings, numPlanes, dim)
       .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"),
         col("lsh_bucket"))
-    // flip = -1 marks the identity probe (the vector's own bucket)
+    // flip = -1 marks the identity probe (the vector's own bucket).
+    // localCheckpoint: the probe relation feeds BOTH self-join sides —
+    // without it the scan + 8 dot-product bucket computations + 9× explode
+    // execute once per side (the fan-out rule used across this file)
     val probes = b
       .select(col("vec_id"), col("v"), col("lsh_bucket"),
         explode(array((-1 until numPlanes).map(lit(_)): _*)).as("flip"))
       .withColumn("probe",
         when(col("flip") === -1, col("lsh_bucket"))
           .otherwise(expr("lsh_bucket ^ shiftleft(1L, flip)")))
+      .localCheckpoint()
     val a = probes.select(col("probe"), col("vec_id").as("id_a"), col("v").as("va"))
     val bb = probes.select(col("probe"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(bb, Seq("probe"))

@@ -27,8 +27,11 @@ class SinksLayoutSpec extends SparkSuite {
         .agg(min("l_orderkey"), max("l_orderkey")).head()
       (r.getLong(0), r.getLong(1))
     }.sortBy(_._1)
+    // strict <: RangePartitioner keeps equal keys in one partition, so a
+    // shared boundary value would mean rows with one key straddle two files
+    // — exactly the regression that breaks point-predicate file skipping
     ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
-      assert(hi <= lo2, s"file ranges overlap: ...$hi] vs [$lo2...")
+      assert(hi < lo2, s"file ranges overlap or touch: ...$hi] vs [$lo2...")
     }
   }
 }
