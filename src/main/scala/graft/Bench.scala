@@ -35,7 +35,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q42_jaccard_pairs,q90_jaccard_prefix → solo/subset
+    // timing without suite interference (how the "solo" numbers in
+    // BENCH_NOTES.md are produced); unset = the full declared inventory
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted)
+      .filter(_.nonEmpty)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
