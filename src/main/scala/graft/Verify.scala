@@ -15,7 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q45_embed_neardup,q91_... → dump a subset for
+    // local pre-flight (tools/check_oracle.py) without the ~90 other
+    // queries; unset (the driver's mode) = everything. Unknown names are a
+    // hard error, same rationale as Bench's SPARK_GRAFT_BENCH_ONLY.
+    val selected = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map { raw =>
+        val reqs = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = reqs.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(reqs).toMap
+      }
+      .getOrElse(SparkEntry.queries)
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

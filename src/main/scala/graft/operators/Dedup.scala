@@ -475,19 +475,42 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Drop rows whose bucket (`key`) holds more than `maxBucketSize` members
+    * — the same skew guard [[minhashCandidates]] applies before ITS pair
+    * stage. A per-bucket self-join costs Σ bucket²; nothing else bounds a
+    * bucket, and one degenerate bucket (near-zero embeddings all hashing to
+    * the same code, a giant near-duplicate cluster, a hot label) turns the
+    * stage quadratic on a 1000-executor cluster. A bucket that big is
+    * non-discriminative — its key carries no signal — so dropping it loses
+    * only pairs a discriminative key would not have produced. The window
+    * count shuffles by the same key as the downstream join, so the exchange
+    * is reused, not added.
+    */
+  private def capBuckets(df: DataFrame, key: String, maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    df.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+  }
+
   /** Embedding cosine near-duplicates, blocked by a partition key so the
     * pairwise comparison is bounded per block (at 100 TB the block key would
     * be an LSH bucket or IVF centroid — here the dataset's `label` column
     * doubles as the block, and `Similarity.lshBuckets` provides the
-    * hash-derived alternative).
+    * hash-derived alternative). Blocks larger than `maxBucketSize` are
+    * dropped before the self-join ([[capBuckets]]) — the bound that keeps
+    * Σ block² from going quadratic on a degenerate block.
     */
   def embeddingNearDups(
       embeddings: DataFrame,
       blockCol: String,
-      threshold: Double): DataFrame = {
-    val e = embeddings.select(
-      col("vec_id"), col(blockCol).as("__block"),
-      Similarity.toDoubleArray(col("embedding")).as("v"))
+      threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val e = capBuckets(
+      embeddings.select(
+        col("vec_id"), col(blockCol).as("__block"),
+        Similarity.toDoubleArray(col("embedding")).as("v")),
+      "__block", maxBucketSize)
     val a = e.select(col("__block"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = e.select(col("__block"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("__block"))
@@ -510,10 +533,11 @@ object Dedup {
       embeddings: DataFrame,
       numPlanes: Int,
       dim: Int,
-      threshold: Double): DataFrame =
+      threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame =
     embeddingNearDups(
       Similarity.lshBucketsDeterministic(embeddings, numPlanes, dim),
-      "lsh_bucket", threshold)
+      "lsh_bucket", threshold, maxBucketSize)
 
   /** Multi-probe variant of [[embeddingNearDupsLsh]]: each vector is keyed
     * under its own bucket AND the `numPlanes` one-bit-flip neighbors, so a
@@ -524,13 +548,17 @@ object Dedup {
     * the standard multi-probe trade: more candidate volume, same map-side
     * dataflow, no extra planes. Exact cosine still verifies every
     * candidate; duplicate meetings of a pair collapse in the final
-    * distinct (same vectors → same rounded sim).
+    * distinct (same vectors → same rounded sim). Probe-key groups larger
+    * than `maxBucketSize` are dropped before the self-join ([[capBuckets]])
+    * — multi-probe's (numPlanes+1)× key expansion makes hot buckets hotter,
+    * so the cap matters MORE here than in the exact-bucket form.
     */
   def embeddingNearDupsMultiProbe(
       embeddings: DataFrame,
       numPlanes: Int,
       dim: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
     val b = Similarity.lshBucketsDeterministic(embeddings, numPlanes, dim)
       .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"),
         col("lsh_bucket"))
@@ -538,12 +566,13 @@ object Dedup {
     // localCheckpoint: the probe relation feeds BOTH self-join sides —
     // without it the scan + 8 dot-product bucket computations + 9× explode
     // execute once per side (the fan-out rule used across this file)
-    val probes = b
-      .select(col("vec_id"), col("v"), col("lsh_bucket"),
-        explode(array((-1 until numPlanes).map(lit(_)): _*)).as("flip"))
-      .withColumn("probe",
-        when(col("flip") === -1, col("lsh_bucket"))
-          .otherwise(expr("lsh_bucket ^ shiftleft(1L, flip)")))
+    val probes = capBuckets(
+      b.select(col("vec_id"), col("v"), col("lsh_bucket"),
+          explode(array((-1 until numPlanes).map(lit(_)): _*)).as("flip"))
+        .withColumn("probe",
+          when(col("flip") === -1, col("lsh_bucket"))
+            .otherwise(expr("lsh_bucket ^ shiftleft(1L, flip)"))),
+      "probe", maxBucketSize)
       .localCheckpoint()
     val a = probes.select(col("probe"), col("vec_id").as("id_a"), col("v").as("va"))
     val bb = probes.select(col("probe"), col("vec_id").as("id_b"), col("v").as("vb"))

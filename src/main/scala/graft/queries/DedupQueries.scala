@@ -381,10 +381,11 @@ object DedupQueries {
       p AS (SELECT vec_id, v,
               CASE WHEN f = -1 THEN lsh_bucket
                    ELSE xor(lsh_bucket, 1::BIGINT << f) END AS probe
-            FROM b, unnest([-1,0,1,2,3,4,5,6,7]) AS t(f))
+            FROM b, unnest([-1,0,1,2,3,4,5,6,7]) AS t(f)),
+      k AS (SELECT * FROM p QUALIFY count(*) OVER (PARTITION BY probe) <= 1000)
       SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
              round(list_cosine_similarity(a.v, b2.v), 4) AS sim
-      FROM p a JOIN p b2 ON a.probe = b2.probe AND a.vec_id < b2.vec_id
+      FROM k a JOIN k b2 ON a.probe = b2.probe AND a.vec_id < b2.vec_id
       WHERE list_cosine_similarity(a.v, b2.v) >= 0.35
       ORDER BY 1, 2""",
     "q91_embed_neardup_lsh" -> """
@@ -395,17 +396,19 @@ object DedupQueries {
                        list_transform(range(0, 64),
                          j -> (((i*37 + j*17) % 13) - 6)::DOUBLE)) >= 0
                      THEN 1 << i ELSE 0 END)) AS BIGINT) AS lsh_bucket
-            FROM e)
+            FROM e),
+      k AS (SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY lsh_bucket) <= 1000)
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
              round(list_cosine_similarity(a.v, b2.v), 4) AS sim
-      FROM b a JOIN b b2 ON a.lsh_bucket = b2.lsh_bucket AND a.vec_id < b2.vec_id
+      FROM k a JOIN k b2 ON a.lsh_bucket = b2.lsh_bucket AND a.vec_id < b2.vec_id
       WHERE list_cosine_similarity(a.v, b2.v) >= 0.35
       ORDER BY 1, 2""",
     "q45_embed_neardup" -> """
-      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      k AS (SELECT * FROM e QUALIFY count(*) OVER (PARTITION BY label) <= 1000)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(a.v, b.v), 4) AS sim
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM k a JOIN k b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.35
       ORDER BY 1, 2""")
 }

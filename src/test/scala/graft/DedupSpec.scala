@@ -121,8 +121,11 @@ class DedupSpec extends SparkSuite {
     val emb = Tables.embeddings(spark, sfDir)
     val blocked = Dedup.embeddingNearDupsLsh(emb, numPlanes = 8, dim = 64, threshold = 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the one-bucket brute-force reference needs the skew cap lifted —
+    // its single block deliberately holds the whole corpus
     val allPairs = Dedup.embeddingNearDups(
-        emb.withColumn("__one", lit(1)), "__one", threshold = 0.35)
+        emb.withColumn("__one", lit(1)), "__one", threshold = 0.35,
+        maxBucketSize = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val bucket = graft.operators.Similarity.lshBucketsDeterministic(emb, 8, 64)
       .select(col("vec_id"), col("lsh_bucket"))
@@ -141,7 +144,7 @@ class DedupSpec extends SparkSuite {
     val multi = pairSet(Dedup.embeddingNearDupsMultiProbe(emb, 8, 64, 0.35))
     val single = pairSet(Dedup.embeddingNearDupsLsh(emb, 8, 64, 0.35))
     val allPairs = pairSet(Dedup.embeddingNearDups(
-      emb.withColumn("__one", lit(1)), "__one", 0.35))
+      emb.withColumn("__one", lit(1)), "__one", 0.35, maxBucketSize = Int.MaxValue))
     val bucket = graft.operators.Similarity.lshBucketsDeterministic(emb, 8, 64)
       .select(col("vec_id"), col("lsh_bucket"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -169,5 +172,32 @@ class DedupSpec extends SparkSuite {
     val rows = nd.collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.3))
+  }
+
+  test("embedding near-dup bucket cap bounds a synthetic hot bucket " +
+      "(all three variants); selective buckets are untouched") {
+    // hot bucket: 10 identical vectors (cosine 1.0 pairwise) under one
+    // label; cold bucket: 3 identical vectors under another. Cap = 5 must
+    // drop every hot-bucket pair (45 of them) and keep the cold bucket's 3.
+    val vec = Array.fill(4)(1.0f)
+    val rows = (0 until 10).map(i => (i.toLong, "hot", vec)) ++
+      (100 until 103).map(i => (i.toLong, "cold", vec))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val capped = Dedup.embeddingNearDups(emb, "label", 0.9, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"cap must drop the hot bucket entirely, keep the cold one: $capped")
+    // LSH + multi-probe: identical vectors share a bucket code, so a cap
+    // below 13 (10 hot + 3 cold collide into ONE bucket — same vector ⇒
+    // same code) zeroes the output; a cap at/above 13 restores all 78 pairs.
+    val lshCapped = Dedup.embeddingNearDupsLsh(
+      emb.select($"vec_id", $"embedding"), 8, 4, 0.9, maxBucketSize = 5)
+    assert(lshCapped.count() == 0L, "oversized LSH bucket must be dropped")
+    val lshOpen = Dedup.embeddingNearDupsLsh(
+      emb.select($"vec_id", $"embedding"), 8, 4, 0.9, maxBucketSize = 13)
+    assert(lshOpen.count() == 78L)
+    val mpCapped = Dedup.embeddingNearDupsMultiProbe(
+      emb.select($"vec_id", $"embedding"), 8, 4, 0.9, maxBucketSize = 5)
+    assert(mpCapped.count() == 0L, "oversized probe groups must be dropped")
   }
 }
