@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must pass through UNWRAPPED: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks any consumer
+// that json-parses Bench's one-line protocol from raw stdout (six rounds of
+// BENCH_r*.json show `parsed: null` with the tail reading "[info] {...}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

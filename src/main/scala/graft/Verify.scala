@@ -18,7 +18,10 @@ object Verify {
     // SPARK_GRAFT_VERIFY_ONLY=q45_embed_neardup,q91_... → dump a subset for
     // local pre-flight (tools/check_oracle.py) without the ~90 other
     // queries; unset (the driver's mode) = everything. Unknown names are a
-    // hard error, same rationale as Bench's SPARK_GRAFT_BENCH_ONLY.
+    // hard error, same rationale as Bench's SPARK_GRAFT_BENCH_ONLY. An
+    // empty/whitespace value is treated as UNSET (mirrors Bench's
+    // `.filter(_.nonEmpty)` fallback) — previously it yielded an empty
+    // query set and Verify silently wrote nothing.
     val selected = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map { raw =>
         val reqs = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -27,6 +30,7 @@ object Verify {
           s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
         SparkEntry.queries.view.filterKeys(reqs).toMap
       }
+      .filter(_.nonEmpty)
       .getOrElse(SparkEntry.queries)
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -485,11 +485,30 @@ object Dedup {
     * only pairs a discriminative key would not have produced. The window
     * count shuffles by the same key as the downstream join, so the exchange
     * is reused, not added.
+    *
+    * A firing cap must be VISIBLE, not silent (the repo's no-silent-caps
+    * convention): the pre-filter rows carry an `observe` metric —
+    * `dropped_rows` (rows in over-cap buckets) and `dropped_buckets`
+    * (Σ 1/size over those rows ≡ the bucket count, to one ulp — `observe`
+    * forbids DISTINCT aggregates, so the count is reconstructed without
+    * one). Zero extra jobs/shuffles: CollectMetrics piggybacks on the pass
+    * that computes `__bsz`. Read after an action via
+    * `df.queryExecution.observedMetrics` or fleet-wide with a
+    * `QueryExecutionListener`/`SparkListener` (metric name prefix
+    * `graft.capBuckets`); asserted in DedupSpec.
     */
+  private val capObsId = new java.util.concurrent.atomic.AtomicInteger(0)
   private def capBuckets(df: DataFrame, key: String, maxBucketSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val over = col("__bsz") > maxBucketSize
     df.withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucketSize)
+      // unique suffix: one query may cap several stages, and CollectMetrics
+      // names must not collide within a plan
+      .observe(s"graft.capBuckets.$key.${capObsId.incrementAndGet()}",
+        sum(when(over, lit(1)).otherwise(lit(0))).as("dropped_rows"),
+        round(coalesce(sum(when(over, lit(1.0) / col("__bsz"))), lit(0.0)), 0)
+          .cast("long").as("dropped_buckets"))
+      .filter(!over)
       .drop("__bsz")
   }
 

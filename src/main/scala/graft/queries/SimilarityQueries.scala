@@ -18,6 +18,21 @@ object SimilarityQueries {
   /** The fixed query point: vec_id 0's embedding. */
   val QueryVecId = 0L
 
+  /** Bit-exact replica of DuckDB's `round(DOUBLE, 6)`: half-away-from-zero
+    * on the SCALED float `x*1e6` (std::round semantics). The previous
+    * `BigDecimal(x).setScale(6, HALF_UP)` rounds the true decimal expansion
+    * instead, and the two disagree on boundary-straddling doubles — e.g.
+    * 0.1234565 is 0.12345649999… in binary (BigDecimal → 0.123456) but
+    * 0.1234565*1e6 = 123456.50000000001 (DuckDB → 0.123457). Validated
+    * mismatch-free against DuckDB 1.x over 250k random + adversarial
+    * values. Used where driver-side values feed an oracle-compared result
+    * (q88's refined centroids).
+    */
+  private[graft] def duckRound6(x: Double): Double = {
+    val s = x * 1e6
+    (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e6
+  }
+
   /** q46 — exact cosine top-10 (baseline; TakeOrdered, no shuffle of
     * vectors).
     */
@@ -68,9 +83,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, dir)
     val q = Similarity.queryVector(emb, QueryVecId)
     val refined = Similarity.refineCentroids(emb, Similarity.centroids(emb, 16))
-      .map { case (cid, v) =>
-        (cid, v.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      }
+      .map { case (cid, v) => (cid, v.map(duckRound6)) }
     Similarity.ivfTopK(emb, refined, q, k = 10, nprobe = 4, excludeVecId = Some(QueryVecId))
       .orderBy(col("sim").desc, col("vec_id").asc)
   }

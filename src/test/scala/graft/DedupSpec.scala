@@ -199,5 +199,26 @@ class DedupSpec extends SparkSuite {
     val mpCapped = Dedup.embeddingNearDupsMultiProbe(
       emb.select($"vec_id", $"embedding"), 8, 4, 0.9, maxBucketSize = 5)
     assert(mpCapped.count() == 0L, "oversized probe groups must be dropped")
+    // symmetric open-cap check for multi-probe: a loose cap must RESTORE
+    // the pairs, not over-drop (identical vectors ⇒ identical probe sets ⇒
+    // every probe-key group holds all 13 vectors)
+    val mpOpen = Dedup.embeddingNearDupsMultiProbe(
+      emb.select($"vec_id", $"embedding"), 8, 4, 0.9, maxBucketSize = 13)
+    assert(mpOpen.count() == 78L)
+  }
+
+  test("a firing bucket cap is observable (dropped_rows/dropped_buckets metric)") {
+    val vec = Array.fill(4)(1.0f)
+    val rows = (0 until 10).map(i => (i.toLong, "hot", vec)) ++
+      (100 until 103).map(i => (i.toLong, "cold", vec))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val capped = Dedup.embeddingNearDups(emb, "label", 0.9, maxBucketSize = 5)
+    capped.collect()
+    val metrics = capped.queryExecution.observedMetrics
+      .collect { case (name, row) if name.startsWith("graft.capBuckets.") => row }
+    assert(metrics.nonEmpty, "cap stage must emit an observe metric")
+    val m = metrics.head
+    assert(m.getAs[Long]("dropped_rows") == 10L, s"hot bucket rows: $m")
+    assert(m.getAs[Long]("dropped_buckets") == 1L, s"hot bucket count: $m")
   }
 }

@@ -25,6 +25,9 @@ class SinksLayoutSpec extends SparkSuite {
     val ranges = files.toSeq.map { f =>
       val r = spark.read.parquet(f)
         .agg(min("l_orderkey"), max("l_orderkey")).head()
+      // an empty part-file would yield null aggs — surface it as the layout
+      // failure it is, not an NPE in getLong
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"empty output file: $f")
       (r.getLong(0), r.getLong(1))
     }.sortBy(_._1)
     // strict <: RangePartitioner keeps equal keys in one partition, so a
