@@ -44,7 +44,7 @@ object Corpus {
     * frequency per term) + an equi-join on the term — the inverted-index
     * shuffle shape that scales linearly with corpus size.
     *
-    * The tf rows are materialized ONCE (localCheckpoint) and document
+    * The tf rows are materialized ONCE (Stage.snapshot) and document
     * frequency comes from a groupBy + equi-join back on the term. The two
     * discarded alternatives both fail one of the round-trip constraints:
     * referencing the raw tf lineage twice re-executes the whole
@@ -61,7 +61,7 @@ object Corpus {
     val toks = tokenRows(docs, idCol, textCol)
     val tf = toks.groupBy("__id", "tok")
       .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
-      .localCheckpoint()
+      .transform(Stage.snapshotDF)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(dfreq, "tok")
@@ -91,7 +91,7 @@ object Corpus {
     val tf = toks.filter(array_contains(qt, col("tok")))
       .groupBy("__id", "tok")
       .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
-      .localCheckpoint()
+      .transform(Stage.snapshotDF)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(dfreq, "tok")
       .crossJoin(broadcast(stats))
@@ -116,10 +116,10 @@ object Corpus {
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        minSim: Double, maxPostings: Int = 1000): DataFrame = {
     // w fans out to BOTH `norms` and `pairs`: materialize it once
-    // (localCheckpoint) or Catalyst re-executes the df-join lineage per
+    // (Stage.snapshot) or Catalyst re-executes the df-join lineage per
     // consumer — the same double-execution class fixed in
     // Dedup.connectedComponents' pair input.
-    val w = tfidf(docs, idCol, textCol).localCheckpoint()
+    val w = tfidf(docs, idCol, textCol).transform(Stage.snapshotDF)
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("nrm"))
     val pairs = w.groupBy("term")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tfidf")))).as("post"))
@@ -152,7 +152,7 @@ object Corpus {
     val tf = tokenRows(docs, idCol, textCol)
       .groupBy("__id", "tok")
       .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
-      .localCheckpoint()
+      .transform(Stage.snapshotDF)
     val model = tf.groupBy("tok").agg(sum("cnt").as("gcnt"))
     val total = tf.agg(sum("cnt").as("gtotal"))
     tf.join(model, "tok")

@@ -277,7 +277,7 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     // the inverted-index rows feed df-count AND prefix ranking — one
     // materialization (the same fan-out rule as tfidf/connectedComponents)
-    val sh = shingleIndex(docs, idCol, textCol, shingleK).localCheckpoint()
+    val sh = shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF)
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-document window: bounded by document length, never corpus-sized
     // (contrast the term-partitioned window retired from Corpus.tfidf)
@@ -372,7 +372,7 @@ object Dedup {
       shingleK: Int,
       threshold: Double): DataFrame =
     jaccardVerify(candidates,
-      shingleIndex(docs, idCol, textCol, shingleK).localCheckpoint(), threshold)
+      shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF), threshold)
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token contributes
     * its xxhash64 bit pattern (+1 for set bits, −1 for unset); the
@@ -426,7 +426,7 @@ object Dedup {
     * when no label changes. Rounds = graph diameter (near-dup clusters are
     * tiny and dense, so 2-4 rounds in practice); each round is one shuffle
     * keyed by node — never materializes the transitive closure. The driver
-    * loop carries only a changed-count, and `localCheckpoint` truncates the
+    * loop carries only a changed-count, and `Stage.snapshot` truncates the
     * per-iteration lineage (without it the plan doubles every round).
     *
     * Returns (node, component) with component = min node id in the cluster;
@@ -438,14 +438,14 @@ object Dedup {
     // pipeline (shingle → invert → pair-expand, the expensive part of every
     // dedup job) once per branch. Materializing the tiny pair list first makes
     // the union read 2× a checkpoint instead of running 2× the pipeline.
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint()
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).transform(Stage.snapshotDF)
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Stage.snapshotDF)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .transform(Stage.snapshotDF)
     // State held per round = one (node, label) pair per node APPEARING IN A
     // PAIR — a small fraction of the corpus; prior rounds' checkpoint blocks
     // are released by the ContextCleaner once their DataFrames drop out of
@@ -462,7 +462,7 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label") < col("label")).as("__chg"))
-      val nextCk = next.localCheckpoint()
+      val nextCk = next.transform(Stage.snapshotDF)
       changed = nextCk.filter(col("__chg")).count()
       labels = nextCk.select("node", "label")
       rounds += 1
@@ -582,7 +582,7 @@ object Dedup {
       .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"),
         col("lsh_bucket"))
     // flip = -1 marks the identity probe (the vector's own bucket).
-    // localCheckpoint: the probe relation feeds BOTH self-join sides —
+    // Stage.snapshot: the probe relation feeds BOTH self-join sides —
     // without it the scan + 8 dot-product bucket computations + 9× explode
     // execute once per side (the fan-out rule used across this file)
     val probes = capBuckets(
@@ -592,7 +592,7 @@ object Dedup {
           when(col("flip") === -1, col("lsh_bucket"))
             .otherwise(expr("lsh_bucket ^ shiftleft(1L, flip)"))),
       "probe", maxBucketSize)
-      .localCheckpoint()
+      .transform(Stage.snapshotDF)
     val a = probes.select(col("probe"), col("vec_id").as("id_a"), col("v").as("va"))
     val bb = probes.select(col("probe"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(bb, Seq("probe"))

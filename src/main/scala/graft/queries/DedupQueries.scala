@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Stage}
 
 /** Deduplication operator inventory over `documents` / `embeddings`.
   * Exact dedup and n-gram Jaccard are hash-function-free → full DuckDB
@@ -109,7 +109,7 @@ object DedupQueries {
     // candidate generation and verification share ONE checkpointed shingle
     // index — the corpus is shingled once for the whole pipeline
     val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
-      .localCheckpoint()
+      .transform(Stage.snapshotDF)
     Dedup.jaccardVerify(Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold = 0.6)
       .orderBy("id_a", "id_b")
   }

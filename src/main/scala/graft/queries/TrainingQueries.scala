@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Corpus, Sessionize}
+import graft.operators.{Corpus, Sessionize, Stage}
 
 /** Corpus-curation / training-data-pipeline inventory (BASELINE.json north
   * star, beyond the reference's own surface): relevance scoring, n-gram
@@ -181,7 +181,7 @@ object TrainingQueries {
     val docs = Tables.documents(s, dir)
     // one checkpointed shingle index feeds candidate generation AND exact
     // verification — the corpus is shingled once for the whole pipeline
-    val sh = graft.operators.Dedup.shingleIndex(docs, "doc_id", "text", 3).localCheckpoint()
+    val sh = graft.operators.Dedup.shingleIndex(docs, "doc_id", "text", 3).transform(Stage.snapshotDF)
     val pairs = graft.operators.Dedup.jaccardVerify(
       graft.operators.Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold = 0.6)
     val dupes = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Stage}
+
+/** Stage.snapshot mode selection: local (default) vs reliable checkpoint.
+  * The operators themselves are covered by their own suites; this asserts
+  * the barrier is mode-transparent (same results) and that misconfiguration
+  * fails loudly instead of silently degrading.
+  */
+class StageSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def withMode[A](mode: String)(body: => A): A = {
+    spark.conf.set(Stage.ModeConf, mode)
+    try body finally spark.conf.unset(Stage.ModeConf)
+  }
+
+  test("reliable mode produces identical results to local mode") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").limit(50)
+    val local = Corpus.tfidf(docs, "doc_id", "text")
+      .select($"doc_id", $"term", round($"tfidf", 6).as("w"))
+      .collect().map(_.toSeq).toSet
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Stage.DirConf, dir)
+    val reliable = withMode("reliable") {
+      Corpus.tfidf(docs, "doc_id", "text")
+        .select($"doc_id", $"term", round($"tfidf", 6).as("w"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(reliable == local)
+    // the multi-round CC loop checkpoints per iteration — exercise it too
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = withMode("reliable") {
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("unknown mode and missing reliable dir fail loudly") {
+    val df = Seq(1, 2, 3).toDF("x")
+    withMode("turbo") {
+      val e = intercept[IllegalArgumentException](Stage.snapshot(df))
+      assert(e.getMessage.contains(Stage.ModeConf))
+    }
+    // a fresh context with no checkpoint dir: only testable if none is set
+    // globally yet in this shared session — simulate by unsetting the conf
+    // (SparkContext.setCheckpointDir is sticky, so guard on current state)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.unset(Stage.DirConf)
+      withMode("reliable") {
+        val e = intercept[IllegalArgumentException](Stage.snapshot(df))
+        assert(e.getMessage.contains(Stage.DirConf))
+      }
+    }
+  }
+}
