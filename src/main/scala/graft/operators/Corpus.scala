@@ -239,4 +239,40 @@ object Corpus {
       .withColumn("__before", coalesce(sum(col("__ntok")).over(w), lit(0L)))
       .withColumn("bin", (col("__before") / budget).cast("long"))
   }
+
+  /** Overlapping token-window chunking — the pre-tokenizer step that turns
+    * long documents into training sequences: chunk i covers tokens
+    * [i·stride, i·stride + window); the final chunk may be short; a
+    * document with ≤ window tokens yields exactly one chunk. The complement
+    * of [[packSequences]] (packing joins SHORT docs, chunking splits LONG
+    * ones).
+    *
+    * Pure map-side: tokenize → per-row chunk-count arithmetic →
+    * explode(sequence) → slice. No shuffle, no window function, no state —
+    * the operator cost is linear in corpus size and the 100 TB plan is scan
+    * parallelism alone. Chunk count = 1 + ⌈(n − window)/stride⌉ clamped to
+    * ≥ 1 (`greatest` absorbs the negative integer-division asymmetry
+    * between engines for n < window).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val lastIdx = greatest(lit(0L),
+      floor((size(col("tk")).cast("long") - window + stride - 1) / stride).cast("long"))
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      // explode_outer: sequence(0, lastIdx>=0) is never empty, so the outer
+      // form changes nothing — but plain explode would trigger
+      // InferFiltersFromGenerate, duplicating the tokenize pipeline into a
+      // pre-Generate size() filter (see minhashSignatures)
+      .select(col("doc_id"), col("tk"),
+        explode_outer(sequence(lit(0L), lastIdx)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"), lit(window)).as("ctk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctk")).cast("long").as("n_tokens"),
+        array_join(col("ctk"), " ").as("chunk_text"))
+  }
 }

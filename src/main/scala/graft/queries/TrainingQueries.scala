@@ -206,8 +206,30 @@ object TrainingQueries {
       .limit(20)
   }
 
+  /** q94 — overlapping token-window chunking (window 50, stride 40): long
+    * documents become training sequences with a 10-token overlap; docs of
+    * ≤ 50 tokens stay whole. Aggregated shape check per doc (chunk count,
+    * token sum, full-text hash of the reassembled chunk stream) keeps the
+    * compare row count bounded while still pinning every chunk boundary:
+    * a one-token slice drift changes md5(concat of chunk texts).
+    */
+  def q94_chunking: Q = (s, dir) => {
+    Corpus.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        window = 50, stride = 40)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum("n_tokens").as("sum_tokens"),
+           md5(concat_ws("|",
+             transform(
+               sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+               x => x.getField("chunk_text")))).as("chunks_hash"))
+      .orderBy(col("n_chunks").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val all: Map[String, Q] = Map(
     "q92_lm_surprisal" -> q92_lm_surprisal,
+    "q94_chunking" -> q94_chunking,
     "q78_tfidf_cosine" -> q78_tfidf_cosine,
     "q81_domain_mix" -> q81_domain_mix,
     "q82_dedup_apply" -> q82_dedup_apply,
@@ -225,6 +247,22 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q94_chunking" -> raw"""
+      WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+      c AS (
+        SELECT doc_id, tk,
+               unnest(range(0, greatest(0, (len(tk) - 50 + 40 - 1) // 40) + 1)) AS chunk_id
+        FROM t WHERE len(tk) > 0),
+      s AS (
+        SELECT doc_id, chunk_id,
+               list_slice(tk, chunk_id*40 + 1, chunk_id*40 + 50) AS ctk
+        FROM c)
+      SELECT doc_id,
+             count(1) AS n_chunks,
+             CAST(sum(len(ctk)) AS BIGINT) AS sum_tokens,
+             md5(string_agg(array_to_string(ctk, ' '), '|' ORDER BY chunk_id)) AS chunks_hash
+      FROM s GROUP BY 1
+      ORDER BY n_chunks DESC, doc_id ASC LIMIT 20""",
     "q92_lm_surprisal" -> raw"""
       WITH toks AS (
         SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen

@@ -128,6 +128,31 @@ class CorpusSpec extends SparkSuite {
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("chunkTokens: boundaries, overlap, short-doc and exact-fit cases") {
+    val words = (1 to 12).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (0L, words),                              // 12 tokens, window 5 stride 4 → chunks at 0,4,8 (last len 4... see below)
+      (1L, "a b c"),                            // 3 tokens ≤ window → one whole chunk
+      (2L, (1 to 5).map(i => s"x$i").mkString(" ")), // exactly window → one chunk
+      (3L, (1 to 9).map(i => s"y$i").mkString(" "))  // 9 tokens → chunks [0,5) and [4,9): last is full
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkTokens(df, "doc_id", "text", window = 5, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 0: ceil((12-5)/4)=2 → last idx 2 → chunks start 0,4,8; chunk 2 has 4 tokens
+    assert(out((0L, 0L)) == (5L, "w1 w2 w3 w4 w5"))
+    assert(out((0L, 1L)) == (5L, "w5 w6 w7 w8 w9"))
+    assert(out((0L, 2L)) == (4L, "w9 w10 w11 w12"))
+    assert(out((1L, 0L)) == (3L, "a b c"))
+    assert(out.keys.count(_._1 == 1L) == 1)
+    assert(out((2L, 0L)) == (5L, "x1 x2 x3 x4 x5"))
+    assert(out.keys.count(_._1 == 2L) == 1)
+    assert(out((3L, 0L)) == (5L, "y1 y2 y3 y4 y5"))
+    assert(out((3L, 1L)) == (5L, "y5 y6 y7 y8 y9"))
+    assert(out.keys.count(_._1 == 3L) == 2)
+    // every token of every doc appears in at least one chunk (coverage)
+    assert(out.filter(_._1._1 == 0L).values.flatMap(_._2.split(" ")).toSet.size == 12)
+  }
+
   test("sessionize splits at gaps and rolls up sessions") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),

@@ -137,6 +137,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ExistingRDD"), "expected checkpointed count scan")
   }
 
+  test("chunkTokens is pure map-side: no exchange, no window, no generator-inferred re-tokenize") {
+    val df = graft.operators.Corpus.chunkTokens(
+      Tables.documents(spark, sfDir), "doc_id", "text", window = 50, stride = 40)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "chunking must not shuffle")
+    assert(!p.contains("Window"), "chunking must not use window functions")
+    // one Generate whose input is the cheap sequence(), not the token array
+    // pipeline duplicated by InferFiltersFromGenerate
+    assert(p.linesIterator.count(_.contains("Generate")) == 1, "expected exactly one Generate")
+  }
+
   test("runtime bloom filter injects on a selective shuffle join (100 TB pruning posture)") {
     // at cluster scale a selective dim-side predicate should prune the fact
     // scan at RUNTIME via an injected bloom filter (InjectRuntimeFilter);
