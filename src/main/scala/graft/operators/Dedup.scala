@@ -374,6 +374,53 @@ object Dedup {
     jaccardVerify(candidates,
       shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF), threshold)
 
+  /** Exact Jaccard pairs BETWEEN two [[shingleIndex]] relations — the
+    * incremental-dedup comparison: `shNew` (a micro-batch / new crawl
+    * slice) against `shOld` (the admitted-history index), never history
+    * against itself. Inverted-index join on the shingle, so the cost is
+    * Σ over shared shingles of (new-postings × old-postings), not
+    * |new|×|old|.
+    *
+    * `maxPostings` caps the HISTORY side per shingle (rarest occurrences
+    * win — deterministic by id): a shingle present in more than
+    * `maxPostings` admitted documents is non-discriminative boilerplate
+    * whose postings grow without bound as history accumulates — the same
+    * skew guard as [[minhashCandidates]]' bucket cap and
+    * `Corpus.tfidfCosinePairs`' posting cap. Capping can only UNDERCOUNT an
+    * intersection (recall loss on boilerplate-heavy pairs), never produce a
+    * false pair; set 0 to disable for exact small-scale runs.
+    *
+    * Returns (`id_new`, `id_old`, `jaccard`), threshold-filtered. Pairs
+    * with `id_new === id_old` are excluded so a replayed batch does not
+    * match itself in the store (idempotent re-admission).
+    */
+  def jaccardBetween(
+      shNew: DataFrame,
+      shOld: DataFrame,
+      threshold: Double,
+      maxPostings: Int = 1000): DataFrame = {
+    require(threshold > 0.0,
+      "jaccardBetween emits only intersecting pairs; threshold must be > 0")
+    val oldCapped =
+      if (maxPostings <= 0) shOld
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shingle").orderBy("__id")
+        shOld.withColumn("__pn", row_number().over(w))
+          .filter(col("__pn") <= maxPostings)
+          .drop("__pn")
+      }
+    val pairCounts = shNew
+      .select(col("__id").as("id_a"), col("sz").as("sz_a"), col("shingle"))
+      .join(oldCapped.select(
+        col("__id").as("id_b"), col("sz").as("sz_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+    jaccardScore(pairCounts, threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token contributes
     * its xxhash64 bit pattern (+1 for set bits, −1 for unset); the
     * fingerprint takes the sign of each accumulated bit position.

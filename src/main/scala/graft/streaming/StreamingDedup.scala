@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Dedup, Stage}
+import graft.sources.Sinks
+
+/** Incremental near-duplicate admission — the streaming form of the dedup
+  * stack: each micro-batch is deduplicated WITHIN itself and then AGAINST
+  * everything previously admitted, and only the survivors extend the
+  * history. The shape a continuously-ingesting training pipeline needs: a
+  * new crawl slice must not be compared crawl×crawl (that re-runs corpus
+  * dedup per batch), only batch×batch + batch×history through the
+  * inverted-index store.
+  *
+  * State = the admitted documents' shingle index, persisted between batches
+  * (here a parquet store updated via [[Sinks.upsert]] keyed by doc id —
+  * idempotent under micro-batch replay; at cluster scale the same dataflow
+  * targets a mergeable table format, the store's posting lists get the
+  * [[Dedup.jaccardBetween]] cap, and the store is bucketed by shingle so
+  * the per-batch join never shuffles history).
+  *
+  * Within-batch survivor policy is greedy keep-lowest-id: for every
+  * verified near-dup pair the greater id drops. On a chain a→b→c where
+  * only adjacent pairs match, c drops even though its anchor b also
+  * dropped — the standard streaming-dedup posture (admission decisions are
+  * final and cheap, not globally optimal; exact cluster-survivor semantics
+  * are the batch pipeline's job, q82).
+  */
+object StreamingDedup {
+
+  /** Admit one batch: returns the surviving rows of `batch` and appends
+    * their shingles to the store at `storePath`.
+    */
+  def admitBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.6,
+      maxPostings: Int = 1000): DataFrame = {
+    // one checkpointed shingle index feeds within-batch candidates,
+    // within-batch verification, AND the history comparison
+    val sh = Dedup.shingleIndex(batch, idCol, textCol, shingleK)
+      .transform(Stage.snapshotDF)
+    val withinPairs = Dedup.jaccardVerify(
+      Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold)
+    val withinDrops = withinPairs.select(col("id_b").as(idCol)).distinct()
+    val afterWithin = batch.join(withinDrops, Seq(idCol), "left_anti")
+    val shAfterWithin = sh.join(
+      afterWithin.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+    val survivors = readStore(spark, storePath) match {
+      case Some(store) =>
+        val crossDrops = Dedup
+          .jaccardBetween(shAfterWithin, store, threshold, maxPostings)
+          .select(col("id_new").as(idCol)).distinct()
+        afterWithin.join(crossDrops, Seq(idCol), "left_anti")
+      case None => afterWithin
+    }
+    // two consumers below (store update + caller's sink) — snapshot so the
+    // whole admission pipeline runs once
+    val out = survivors.transform(Stage.snapshotDF)
+    val shSurvivors = sh.join(
+      out.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+    Sinks.upsert(spark, shSurvivors, storePath, "__id")
+    out
+  }
+
+  private def readStore(spark: SparkSession, path: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(path)
+      if (df.columns.contains("__id")) Some(df) else None
+    } catch { case _: Exception => None }
+
+  /** The streaming driver: docs stream → per-micro-batch admission →
+    * survivors upserted to `sinkPath` (idempotent under replay).
+    * `Trigger.AvailableNow` drains the backlog and stops.
+    */
+  def start(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      sinkPath: String,
+      checkpointDir: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = admitBatch(
+          batch.sparkSession, batch, idCol, textCol, storePath, shingleK, threshold)
+        Sinks.upsert(batch.sparkSession, survivors, sinkPath, idCol)
+      }
+      .start()
+}
