@@ -227,9 +227,36 @@ object TrainingQueries {
       .limit(20)
   }
 
+  /** q95 — the training-prep pipeline composed end-to-end, every stage an
+    * operator this engine ships: exact dedup (deterministic survivor) →
+    * quality gate (token count ≥ 40 ∧ stopword ratio ≤ 0.08) → overlapping
+    * token-window chunking (50/40) → per-source corpus accounting. The
+    * batch counterpart of the `StreamingDedup` admission flow and the
+    * composition a real corpus build runs nightly; at 100 TB each stage
+    * keeps its own scale shape (dedup = hash-agg + semi-join, gate =
+    * map-side, chunking = map-side, accounting = one partial-aggregated
+    * groupBy).
+    */
+  def q95_training_prep: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val deduped = graft.operators.Dedup.exactDedup(docs, "text", "doc_id")
+    val gated = graft.operators.TextAnalysis.qualityMetrics(deduped)
+      .filter(col("n_tokens") >= 40 && col("stopword_ratio") <= 0.08)
+    val perDoc = Corpus.chunkTokens(gated, "doc_id", "text", window = 50, stride = 40)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_chunk_tokens"))
+    perDoc.join(gated.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chunks").as("sum_chunks"),
+           sum("n_chunk_tokens").as("sum_chunk_tokens"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q92_lm_surprisal" -> q92_lm_surprisal,
     "q94_chunking" -> q94_chunking,
+    "q95_training_prep" -> q95_training_prep,
     "q78_tfidf_cosine" -> q78_tfidf_cosine,
     "q81_domain_mix" -> q81_domain_mix,
     "q82_dedup_apply" -> q82_dedup_apply,
@@ -247,6 +274,31 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q95_training_prep" -> raw"""
+      WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      d AS (
+        SELECT doc_id, source, $tk AS tk
+        FROM documents JOIN dd USING (doc_id)),
+      g AS (
+        SELECT doc_id, source, tk FROM d
+        WHERE len(tk) >= 40
+          AND len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                / greatest(len(tk), 1) <= 0.08),
+      c AS (
+        SELECT doc_id, source, tk,
+               unnest(range(0, greatest(0, (len(tk) - 50 + 40 - 1) // 40) + 1)) AS chunk_id
+        FROM g WHERE len(tk) > 0),
+      s AS (
+        SELECT doc_id, source,
+               len(list_slice(tk, chunk_id*40 + 1, chunk_id*40 + 50)) AS ctoks
+        FROM c),
+      per_doc AS (
+        SELECT doc_id, source, count(1) AS n_chunks, sum(ctoks) AS n_chunk_tokens
+        FROM s GROUP BY 1, 2)
+      SELECT source, count(1) AS n_docs,
+             CAST(sum(n_chunks) AS BIGINT) AS sum_chunks,
+             CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+      FROM per_doc GROUP BY 1 ORDER BY 1""",
     "q94_chunking" -> raw"""
       WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
       c AS (
