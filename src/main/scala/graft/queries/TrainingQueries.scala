@@ -253,10 +253,41 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q96 — leakage-safe train/val/test split: assignment is hashed from the
+    * near-dup CLUSTER representative, not the document, so near-duplicates
+    * can never straddle train and test (the standard eval-contamination
+    * hazard of per-document splits). Pipeline: bounded candidate graph
+    * (deterministic LSH → exact verify, same as q82) → connected components
+    * → split = polyHash(component) mod 10 (8/1/1). Singletons are their own
+    * component. The hash is content-stable only through the representative
+    * id; at 100 TB the same dataflow hashes the representative's text
+    * fingerprint instead when ids are not stable across crawls.
+    */
+  def q96_leakage_split: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sh = graft.operators.Dedup.shingleIndex(docs, "doc_id", "text", 3)
+      .transform(Stage.snapshotDF)
+    val pairs = graft.operators.Dedup.jaccardVerify(
+      graft.operators.Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold = 0.6)
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val h = graft.functions.StringFunctions.polyHash(col("component").cast("string")) % 10
+    docs.join(comp, docs("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split",
+        when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("component")).as("n_components"),
+           min(col("doc_id")).as("min_doc_id"))
+      .orderBy("split")
+  }
+
   val all: Map[String, Q] = Map(
     "q92_lm_surprisal" -> q92_lm_surprisal,
     "q94_chunking" -> q94_chunking,
     "q95_training_prep" -> q95_training_prep,
+    "q96_leakage_split" -> q96_leakage_split,
     "q78_tfidf_cosine" -> q78_tfidf_cosine,
     "q81_domain_mix" -> q81_domain_mix,
     "q82_dedup_apply" -> q82_dedup_apply,
@@ -274,6 +305,35 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q96_leakage_split" -> raw"""
+      WITH RECURSIVE ${DedupQueries.OracleCandidatePairGraph},
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      assigned AS (
+        SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+      chash AS (
+        SELECT doc_id, component,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(CAST(component AS VARCHAR), '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 10 AS h
+        FROM assigned),
+      s AS (
+        SELECT doc_id, component,
+               CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM chash)
+      SELECT split, count(1) AS n_docs,
+             count(DISTINCT component) AS n_components,
+             min(doc_id) AS min_doc_id
+      FROM s GROUP BY 1 ORDER BY 1""",
     "q95_training_prep" -> raw"""
       WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
       d AS (

@@ -207,6 +207,31 @@ class DedupSpec extends SparkSuite {
     assert(mpOpen.count() == 78L)
   }
 
+  test("leakage-safe split: verified near-dup pairs never straddle splits") {
+    // same pipeline as q96: cluster-hashed assignment means both members of
+    // every verified pair land in one split BY CONSTRUCTION — this guards
+    // the construction (e.g. against regressing to a per-doc hash)
+    val sh = Dedup.shingleIndex(corpus, "doc_id", "text", 3).localCheckpoint()
+    val pairs = Dedup.jaccardVerify(
+      Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold = 0.6)
+    assert(pairs.count() > 0, "planted corpus must contain near-dups")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val h = graft.functions.StringFunctions.polyHash($"component".cast("string")) % 10
+    val assigned = corpus.join(comp, corpus("doc_id") === comp("node"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+      .withColumn("split", when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+      .select("doc_id", "split")
+    val straddling = pairs
+      .join(assigned.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "split_a"), Seq("id_a"))
+      .join(assigned.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "split_b"), Seq("id_b"))
+      .filter($"split_a" =!= $"split_b")
+    assert(straddling.count() == 0L, "a near-dup pair crossed a split boundary")
+    // and all three splits exist over the full corpus (hash actually varies)
+    assert(assigned.select("split").distinct().count() == 3L)
+  }
+
   test("a firing bucket cap is observable (dropped_rows/dropped_buckets metric)") {
     val vec = Array.fill(4)(1.0f)
     val rows = (0 until 10).map(i => (i.toLong, "hot", vec)) ++
