@@ -559,24 +559,69 @@ object Dedup {
       .drop("__bsz")
   }
 
+  /** Split over-cap buckets into hash-assigned sub-blocks instead of
+    * dropping them — the graceful-degradation alternative to [[capBuckets]]
+    * for blocks that are hot but NOT meaningless (a giant legitimate
+    * near-duplicate cluster, a dominant label). Each bucket of size s
+    * becomes ⌈s/maxBucketSize⌉ sub-blocks keyed by
+    * `pmod(xxhash64(vec_id), n)`; comparisons happen within a sub-block
+    * only, so per-group work stays ~cap² while recall degrades to ~1/n of
+    * the hot bucket's pairs instead of zero (under-cap buckets get n = 1
+    * and are untouched). Expected sub-block size is s/n; the hash
+    * assignment keeps that bound regardless of id distribution. Same
+    * zero-extra-job observability contract as [[capBuckets]]
+    * (`graft.subBlock.*`: affected rows and split-bucket count).
+    */
+  private def subBlockBuckets(df: DataFrame, key: String, maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val over = col("__bsz") > maxBucketSize
+    df.withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__nsub",
+        expr(s"(__bsz + ${maxBucketSize - 1}) div $maxBucketSize"))
+      .observe(s"graft.subBlock.$key.${capObsId.incrementAndGet()}",
+        sum(when(over, lit(1)).otherwise(lit(0))).as("subblocked_rows"),
+        round(coalesce(sum(when(over, lit(1.0) / col("__bsz"))), lit(0.0)), 0)
+          .cast("long").as("subblocked_buckets"))
+      .withColumn(key, concat(col(key).cast("string"), lit("#"),
+        pmod(xxhash64(col("vec_id")), col("__nsub"))))
+      .drop("__bsz", "__nsub")
+  }
+
+  /** Bucket-bounding policy dispatch: `"drop"` excludes over-cap buckets
+    * entirely (right when an over-cap key is non-discriminative noise —
+    * LSH bands, probe keys); `"subblock"` keeps them at partial recall
+    * (right when the key is meaningful and its members are real near-dup
+    * candidates — labels, IVF cells).
+    */
+  private def boundBuckets(
+      df: DataFrame, key: String, maxBucketSize: Int, oversized: String): DataFrame =
+    oversized match {
+      case "drop"     => capBuckets(df, key, maxBucketSize)
+      case "subblock" => subBlockBuckets(df, key, maxBucketSize)
+      case other => throw new IllegalArgumentException(
+        s"oversized must be 'drop' or 'subblock', got '$other'")
+    }
+
   /** Embedding cosine near-duplicates, blocked by a partition key so the
     * pairwise comparison is bounded per block (at 100 TB the block key would
     * be an LSH bucket or IVF centroid — here the dataset's `label` column
     * doubles as the block, and `Similarity.lshBuckets` provides the
     * hash-derived alternative). Blocks larger than `maxBucketSize` are
-    * dropped before the self-join ([[capBuckets]]) — the bound that keeps
-    * Σ block² from going quadratic on a degenerate block.
+    * dropped before the self-join ([[capBuckets]]) or split into bounded
+    * sub-blocks (`oversized = "subblock"`, [[subBlockBuckets]]) — either
+    * way Σ block² can't go quadratic on a degenerate block.
     */
   def embeddingNearDups(
       embeddings: DataFrame,
       blockCol: String,
       threshold: Double,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val e = capBuckets(
+      maxBucketSize: Int = 1000,
+      oversized: String = "drop"): DataFrame = {
+    val e = boundBuckets(
       embeddings.select(
         col("vec_id"), col(blockCol).as("__block"),
         Similarity.toDoubleArray(col("embedding")).as("v")),
-      "__block", maxBucketSize)
+      "__block", maxBucketSize, oversized)
     val a = e.select(col("__block"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = e.select(col("__block"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("__block"))
@@ -600,10 +645,11 @@ object Dedup {
       numPlanes: Int,
       dim: Int,
       threshold: Double,
-      maxBucketSize: Int = 1000): DataFrame =
+      maxBucketSize: Int = 1000,
+      oversized: String = "drop"): DataFrame =
     embeddingNearDups(
       Similarity.lshBucketsDeterministic(embeddings, numPlanes, dim),
-      "lsh_bucket", threshold, maxBucketSize)
+      "lsh_bucket", threshold, maxBucketSize, oversized)
 
   /** Multi-probe variant of [[embeddingNearDupsLsh]]: each vector is keyed
     * under its own bucket AND the `numPlanes` one-bit-flip neighbors, so a

@@ -207,6 +207,30 @@ class DedupSpec extends SparkSuite {
     assert(mpOpen.count() == 78L)
   }
 
+  test("oversized=subblock keeps partial recall on a hot bucket instead of dropping it") {
+    val vec = Array.fill(4)(1.0f)
+    val rows = (0 until 10).map(i => (i.toLong, "hot", vec)) ++
+      (100 until 103).map(i => (i.toLong, "cold", vec))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val full = Dedup.embeddingNearDups(emb, "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == 48, "45 hot + 3 cold pairs uncapped")
+    val sub = Dedup.embeddingNearDups(emb, "label", 0.9, maxBucketSize = 5,
+        oversized = "subblock")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sound: only true pairs, cold bucket (under cap) fully intact,
+    // hot bucket partially recalled (vs fully dropped under "drop")
+    assert(sub.subsetOf(full))
+    assert(Set((100L, 101L), (100L, 102L), (101L, 102L)).subsetOf(sub))
+    val hotPairs = sub.count(_._1 < 100L)
+    assert(hotPairs > 0, "sub-blocking must keep SOME hot-bucket pairs")
+    assert(hotPairs < 45, "sub-blocking must bound hot-bucket work below full expansion")
+    // unknown policy fails loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDups(emb, "label", 0.9, 5, oversized = "explode"))
+    assert(e.getMessage.contains("subblock"))
+  }
+
   test("leakage-safe split: verified near-dup pairs never straddle splits") {
     // same pipeline as q96: cluster-hashed assignment means both members of
     // every verified pair land in one split BY CONSTRUCTION — this guards
