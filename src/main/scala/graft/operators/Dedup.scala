@@ -381,8 +381,8 @@ object Dedup {
     * Σ over shared shingles of (new-postings × old-postings), not
     * |new|×|old|.
     *
-    * `maxPostings` caps the HISTORY side per shingle (rarest occurrences
-    * win — deterministic by id): a shingle present in more than
+    * `maxPostings` caps the HISTORY side per shingle (earliest-admitted —
+    * lowest id — postings win, deterministic): a shingle present in more than
     * `maxPostings` admitted documents is non-discriminative boilerplate
     * whose postings grow without bound as history accumulates — the same
     * skew guard as [[minhashCandidates]]' bucket cap and
@@ -572,7 +572,10 @@ object Dedup {
     * zero-extra-job observability contract as [[capBuckets]]
     * (`graft.subBlock.*`: affected rows and split-bucket count).
     */
-  private def subBlockBuckets(df: DataFrame, key: String, maxBucketSize: Int): DataFrame = {
+  private def subBlockBuckets(
+      df: DataFrame, key: String, maxBucketSize: Int, idCol: String): DataFrame = {
+    require(df.columns.contains(idCol),
+      s"subBlockBuckets needs row-id column '$idCol' for sub-block assignment")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
     val over = col("__bsz") > maxBucketSize
     df.withColumn("__bsz", count(lit(1)).over(w))
@@ -583,7 +586,7 @@ object Dedup {
         round(coalesce(sum(when(over, lit(1.0) / col("__bsz"))), lit(0.0)), 0)
           .cast("long").as("subblocked_buckets"))
       .withColumn(key, concat(col(key).cast("string"), lit("#"),
-        pmod(xxhash64(col("vec_id")), col("__nsub"))))
+        pmod(xxhash64(col(idCol)), col("__nsub"))))
       .drop("__bsz", "__nsub")
   }
 
@@ -594,10 +597,11 @@ object Dedup {
     * candidates — labels, IVF cells).
     */
   private def boundBuckets(
-      df: DataFrame, key: String, maxBucketSize: Int, oversized: String): DataFrame =
+      df: DataFrame, key: String, maxBucketSize: Int, oversized: String,
+      idCol: String = "vec_id"): DataFrame =
     oversized match {
       case "drop"     => capBuckets(df, key, maxBucketSize)
-      case "subblock" => subBlockBuckets(df, key, maxBucketSize)
+      case "subblock" => subBlockBuckets(df, key, maxBucketSize, idCol)
       case other => throw new IllegalArgumentException(
         s"oversized must be 'drop' or 'subblock', got '$other'")
     }

@@ -23,14 +23,21 @@ object SimilarityQueries {
     * `BigDecimal(x).setScale(6, HALF_UP)` rounds the true decimal expansion
     * instead, and the two disagree on boundary-straddling doubles — e.g.
     * 0.1234565 is 0.12345649999… in binary (BigDecimal → 0.123456) but
-    * 0.1234565*1e6 = 123456.50000000001 (DuckDB → 0.123457). Validated
-    * mismatch-free against DuckDB 1.x over 250k random + adversarial
-    * values. Used where driver-side values feed an oracle-compared result
-    * (q88's refined centroids).
+    * 0.1234565*1e6 = 123456.50000000001 (DuckDB → 0.123457). std::round is
+    * replicated by comparing the EXACT fractional part (a − ⌊a⌋ is exact in
+    * IEEE for our magnitudes), not by `floor(s + 0.5)` — the addition can
+    * carry across the half boundary (s = 0.49999999999999994 → s + 0.5
+    * rounds to 1.0, but std::round(s) = 0). Validated mismatch-free against
+    * DuckDB 1.x over 250k random + adversarial values. Used where
+    * driver-side values feed an oracle-compared result (q88's refined
+    * centroids).
     */
   private[graft] def duckRound6(x: Double): Double = {
     val s = x * 1e6
-    (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e6
+    val a = math.abs(s)
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    math.copySign(r, s) / 1e6
   }
 
   /** q46 — exact cosine top-10 (baseline; TakeOrdered, no shuffle of

@@ -240,8 +240,11 @@ object TrainingQueries {
   def q95_training_prep: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val deduped = graft.operators.Dedup.exactDedup(docs, "text", "doc_id")
+    // gated fans out to chunking AND the source join below — snapshot so the
+    // scan → dedup → quality-metric subtree compiles into the plan once
     val gated = graft.operators.TextAnalysis.qualityMetrics(deduped)
       .filter(col("n_tokens") >= 40 && col("stopword_ratio") <= 0.08)
+      .transform(Stage.snapshotDF)
     val perDoc = Corpus.chunkTokens(gated, "doc_id", "text", window = 50, stride = 40)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_chunk_tokens"))

@@ -49,7 +49,11 @@ object StreamingDedup {
       .transform(Stage.snapshotDF)
     val withinPairs = Dedup.jaccardVerify(
       Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold)
+    // snapshot the (tiny) drop list: afterWithin fans out to the history
+    // comparison AND the survivor anti-join — without the barrier the
+    // candidates→verify lineage would compile into the plan once per branch
     val withinDrops = withinPairs.select(col("id_b").as(idCol)).distinct()
+      .transform(Stage.snapshotDF)
     val afterWithin = batch.join(withinDrops, Seq(idCol), "left_anti")
     val shAfterWithin = sh.join(
       afterWithin.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
@@ -70,11 +74,17 @@ object StreamingDedup {
     out
   }
 
-  private def readStore(spark: SparkSession, path: String): Option[DataFrame] =
-    try {
-      val df = spark.read.parquet(path)
-      if (df.columns.contains("__id")) Some(df) else None
-    } catch { case _: Exception => None }
+  /** Read the admitted-history store; ONLY path absence means "no history
+    * yet". Any other failure (transient FS error, corrupt footer) must
+    * propagate: silently treating it as an empty store would skip the
+    * batch-vs-history comparison and permanently admit duplicates
+    * (admission decisions are final).
+    */
+  private def readStore(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None else Some(spark.read.parquet(path))
+  }
 
   /** The streaming driver: docs stream → per-micro-batch admission →
     * survivors upserted to `sinkPath` (idempotent under replay).

@@ -10,6 +10,11 @@ import graft.operators.{Corpus, Dedup, Stage}
   * The operators themselves are covered by their own suites; this asserts
   * the barrier is mode-transparent (same results) and that misconfiguration
   * fails loudly instead of silently degrading.
+  *
+  * Declaration order matters: the failure-path test MUST run before any
+  * reliable-mode success — SparkContext.setCheckpointDir is sticky on the
+  * shared session, so once a reliable snapshot has run, the
+  * missing-dir branch is unreachable for the rest of the JVM.
   */
 class StageSpec extends SparkSuite {
   import spark.implicits._
@@ -17,6 +22,25 @@ class StageSpec extends SparkSuite {
   private def withMode[A](mode: String)(body: => A): A = {
     spark.conf.set(Stage.ModeConf, mode)
     try body finally spark.conf.unset(Stage.ModeConf)
+  }
+
+  test("unknown mode and missing reliable dir fail loudly") {
+    val df = Seq(1, 2, 3).toDF("x")
+    withMode("turbo") {
+      val e = intercept[IllegalArgumentException](Stage.snapshot(df))
+      assert(e.getMessage.contains(Stage.ModeConf))
+    }
+    // runs FIRST in the suite (see class doc), so no checkpoint dir has
+    // been set yet — the guard documents the cross-suite hazard
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.unset(Stage.DirConf)
+      withMode("reliable") {
+        val e = intercept[IllegalArgumentException](Stage.snapshot(df))
+        assert(e.getMessage.contains(Stage.DirConf))
+      }
+    } else
+      fail("checkpoint dir already set before StageSpec's failure-path test — " +
+        "reorder tests so the missing-dir branch stays covered")
   }
 
   test("reliable mode produces identical results to local mode") {
@@ -39,23 +63,5 @@ class StageSpec extends SparkSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
-  }
-
-  test("unknown mode and missing reliable dir fail loudly") {
-    val df = Seq(1, 2, 3).toDF("x")
-    withMode("turbo") {
-      val e = intercept[IllegalArgumentException](Stage.snapshot(df))
-      assert(e.getMessage.contains(Stage.ModeConf))
-    }
-    // a fresh context with no checkpoint dir: only testable if none is set
-    // globally yet in this shared session — simulate by unsetting the conf
-    // (SparkContext.setCheckpointDir is sticky, so guard on current state)
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      spark.conf.unset(Stage.DirConf)
-      withMode("reliable") {
-        val e = intercept[IllegalArgumentException](Stage.snapshot(df))
-        assert(e.getMessage.contains(Stage.DirConf))
-      }
-    }
   }
 }
