@@ -13,28 +13,37 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * `snapshot` centralizes HOW that barrier is realized, selected by the
   * session conf `spark.graft.checkpoint`:
   *
-  *  - `"local"` (default): `localCheckpoint(eager = false)` — blocks are
-  *    persisted on executor local storage (MEMORY_AND_DISK) when the first
-  *    action runs. Fastest, right for `local[n]` and the bench, but NOT
+  *  - `"local"` (default): `localCheckpoint(eager = true)` — blocks are
+  *    persisted on executor local storage (MEMORY_AND_DISK) immediately.
+  *    Fastest, right for `local[n]` and the bench, but NOT
   *    fault-tolerant: on a multi-executor cluster an executor loss makes
   *    its blocks unrecoverable and fails the job (no lineage left to
   *    recompute from).
-  *  - `"reliable"`: `checkpoint(eager = false)` to the SparkContext
+  *  - `"reliable"`: `checkpoint(eager = true)` to the SparkContext
   *    checkpoint directory (HDFS / object store) — survives executor loss;
   *    the setting for long-running 100 TB jobs. The checkpoint dir is
   *    taken from `spark.graft.checkpoint.dir` on first use if none is set.
   *    Durability costs one extra lineage execution: Spark writes the
-  *    checkpoint files in a follow-up job after the first action
+  *    checkpoint files in a follow-up job after the materializing action
   *    (persist-before-checkpoint would avoid it but leaks pinned storage
   *    with no unpersist point inside a pure operator).
   *
-  * Lazy (`eager = false`) in BOTH modes — round 5's verdict flagged the
-  * eager form for firing a Spark job at plan-construction time: a library
-  * function that launches jobs before the caller's action runs is a
-  * scheduling surprise at cluster scale. Laziness does not reintroduce
-  * double execution: the returned Dataset is backed by one RDD whose
-  * partitions are computed once and cached on first use, whichever branch
-  * triggers them.
+  * EAGER (`eager = true`) in BOTH modes, deliberately. The lazy form was
+  * tried (round 7) to avoid firing a job at plan-construction time and
+  * DEADLOCKS under AQE: a lazily-checkpointed RDD is materialized by
+  * whichever action touches it first, and `RDD.doCheckpoint` at the end of
+  * that action takes the global `RDDCheckpointData` monitor and then the
+  * RDD's own lock — while a concurrently submitted job over the same RDD
+  * (AQE runs broadcast/shuffle stages on separate threads) makes
+  * `DAGScheduler.getCacheLocs` take those locks in the OPPOSITE order
+  * (RDD lock → `RDD.checkpointRDD` → checkpoint monitor). Observed as a
+  * Java-level deadlock between `broadcast-exchange-*` and
+  * `dag-scheduler-event-loop` (jstack, round 7). Eager checkpointing
+  * closes the race by construction: materialization completes on the
+  * calling thread before any consumer — hence any concurrent action —
+  * exists. The construction-time job is the price of a barrier that is
+  * safe under concurrent stage execution; the measured cost is within
+  * bench spread (BENCH_NOTES.md round 7).
   */
 object Stage {
 
@@ -43,7 +52,7 @@ object Stage {
 
   def snapshot[T](ds: Dataset[T]): Dataset[T] =
     ds.sparkSession.conf.get(ModeConf, "local") match {
-      case "local" => ds.localCheckpoint(eager = false)
+      case "local" => ds.localCheckpoint(eager = true)
       case "reliable" =>
         val sc = ds.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) {
@@ -53,7 +62,7 @@ object Stage {
               s"SparkContext.setCheckpointDir or set $DirConf")
           sc.setCheckpointDir(dir)
         }
-        ds.checkpoint(eager = false)
+        ds.checkpoint(eager = true)
       case other =>
         throw new IllegalArgumentException(
           s"$ModeConf must be 'local' or 'reliable', got '$other'")
