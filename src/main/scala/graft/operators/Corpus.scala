@@ -275,4 +275,59 @@ object Corpus {
         size(col("ctk")).cast("long").as("n_tokens"),
         array_join(col("ctk"), " ").as("chunk_text"))
   }
+
+  /** Deterministic global shuffle for training-data ordering: every row is
+    * assigned to a shard by a content-stable hash of its id and a position
+    * within the shard by (hash, id) order. The property a training run
+    * needs — a reproducible pseudo-random permutation of the corpus — with
+    * the plan a 100 TB corpus needs: ONE hash-partitioned exchange and a
+    * per-shard sort (each shard is a window partition sized like an output
+    * file; `nShards` scales with the corpus), never a single global
+    * `orderBy(rand())` sort, and no RNG — retried tasks reproduce the
+    * identical permutation. polyHash (not xxhash64) keeps the permutation
+    * SQL-expressible, hence oracle-checkable.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    val h = graft.functions.StringFunctions.polyHash(col(idCol).cast("string"))
+    df.withColumn("__h", h)
+      .withColumn("shard", col("__h") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
+
+  /** Boilerplate detection by corpus-wide n-gram document frequency (the
+    * repeated-template signal CCNet removes at paragraph level): a word
+    * `k`-gram is boilerplate when it appears in more than `maxDfFraction`
+    * of all documents; each document reports how much of its distinct-gram
+    * mass those templates cover. Two hash aggregations (per-doc distinct
+    * grams → per-gram df) + one join back on the gram — the inverted-index
+    * shuffle shape, linear in corpus size. The df side aggregates to
+    * |vocabulary| rows and the post-filter boilerplate set is smaller
+    * still, so AQE turns the join back into a broadcast at runtime; unlike
+    * [[contamination]] the filter set is derived from the corpus itself,
+    * not an external benchmark.
+    */
+  def boilerplateCoverage(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, maxDfFraction: Double): DataFrame = {
+    val grams = Dedup.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.shingles(col(textCol), k)).as("g"))
+      .select(col("doc_id"), explode_outer(col("g")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .transform(Stage.snapshotDF) // feeds the df count AND the join back
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val boiler = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") > col("__n") * maxDfFraction)
+      .select("gram")
+    grams
+      .join(boiler.withColumn("__b", lit(true)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("__b"), 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler") / col("n_grams"), 4))
+  }
 }

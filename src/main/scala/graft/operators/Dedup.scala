@@ -699,4 +699,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .distinct()
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space, then prune
+    * within-cluster cosine near-duplicates, keeping one representative per
+    * neighborhood. Unlike the text-hash families (MinHash/SimHash), this
+    * removes documents that SAY the same thing in different words — the
+    * dedup layer a web-scale training corpus runs after exact/near-dup.
+    *
+    * Dataflow at 100 TB: centroids ride along as a broadcast literal
+    * (map-side argmax assignment, [[Similarity.ivfAssign]] — no shuffle);
+    * the only shuffle is the per-cell pairwise stage, which is
+    * [[embeddingNearDups]] blocked by `centroid_id` and therefore bounded
+    * by the same [[boundBuckets]] policy (`"subblock"` by default — an
+    * over-cap cell is a real semantic cluster, so it degrades to partial
+    * recall rather than vanishing). Survivor rule: a vector is a duplicate
+    * iff a LOWER-id vector sits within `threshold` cosine in its cell —
+    * deterministic, and each nonempty cell keeps at least its minimum id
+    * (the paper keeps one random member per group; min-id is the
+    * reproducible equivalent).
+    *
+    * Returns the full assignment — (vec_id, label, embedding, centroid_id,
+    * is_dup) — so callers can either filter (`!is_dup`) or account.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      threshold: Double,
+      maxBucketSize: Int = 1000,
+      oversized: String = "subblock"): DataFrame = {
+    // assignment feeds the pair stage's self-join AND the final flag join —
+    // snapshot so scan + 16 cosine kernels run once (the fan-out rule)
+    val assigned = Similarity.ivfAssign(embeddings, cents)
+      .drop("__v")
+      .transform(Stage.snapshotDF)
+    val pairs = embeddingNearDups(assigned, "centroid_id", threshold,
+      maxBucketSize, oversized)
+    val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+      .drop("__dup")
+  }
 }

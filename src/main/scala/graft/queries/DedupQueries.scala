@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Stage}
+import graft.operators.{Dedup, Similarity, Stage}
 
 /** Deduplication operator inventory over `documents` / `embeddings`.
   * Exact dedup and n-gram Jaccard are hash-function-free → full DuckDB
@@ -151,7 +151,28 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q97 — SemDeDup semantic deduplication: broadcast-centroid assignment
+    * (q48's deterministic lowest-16 seed) → within-cell cosine near-dup
+    * prune at θ ≥ 0.35 → per-cell kept/dropped accounting. The embedding
+    * counterpart of q82's end-to-end text dedup; fully deterministic
+    * (argmax ties break by centroid id, survivor = cell-local min id) →
+    * full DuckDB oracle. The bucket cap (1000, `subblock` policy) is above
+    * this corpus's largest cell, so the capped and uncapped results
+    * coincide — DedupSpec covers the policy firing on a synthetic hot cell.
+    */
+  def q97_semantic_dedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.centroids(emb, 16)
+    Dedup.semanticDedup(emb, cents, threshold = 0.35)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"),
+           min(when(!col("is_dup"), col("vec_id"))).as("first_kept"))
+      .orderBy("centroid_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q97_semantic_dedup" -> q97_semantic_dedup,
     "q93_embed_neardup_multiprobe" -> q93_embed_neardup_multiprobe,
     "q91_embed_neardup_lsh" -> q91_embed_neardup_lsh,
     "q80_dedup_clusters" -> q80_dedup_clusters,
@@ -251,6 +272,24 @@ object DedupQueries {
         WHERE nc * 1.0 / (sa.sz + sb.sz - nc) >= 0.6)"""
 
   val oracle: Map[String, String] = Map(
+    "q97_semantic_dedup" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c),
+      a AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.v, y.v) >= 0.35)
+      SELECT a.cid AS centroid_id, count(1) AS n_vectors,
+             CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             min(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS first_kept
+      FROM a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+      GROUP BY 1 ORDER BY 1""",
     // DELIBERATELY the exhaustive exact-pair SQL (q42's oracle): prefix +
     // positional filtering are sound pruning, so q90's result must equal
     // the unpruned form — an oracle that does NOT mirror the pruning proves

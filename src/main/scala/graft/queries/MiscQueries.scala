@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Multimodal, Skew}
+import graft.sources.Sinks
 
 /** Remaining inventory: multimodal plumbing, sketch aggregates, and the
   * skew-mitigation operators (SURVEY §7.4's 100 TB posture) surfaced as
@@ -78,13 +79,61 @@ object MiscQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** q98 — range-clustered layout → pruned scan, end-to-end: lineitem is
+    * rewritten once via [[Sinks.writeRangeClustered]] (8 files with
+    * disjoint `l_shipdate` ranges, rows sorted inside each), then a
+    * 3-month range predicate reads it back and aggregates per month. The
+    * result is layout-invariant (≡ the same aggregate off the raw table —
+    * the oracle), but the SCAN is not: tight per-file/row-group min-max
+    * stats let the parquet reader skip ~96% of the data (3 months of 7
+    * years), where the raw write-order layout matches every row group.
+    * LayoutPruningSpec asserts the skip via scan metrics; at 100 TB this
+    * layout turns every time-ranged read (B1's date segments) from a full
+    * scan into a file-pruned one. The rewrite happens once per JVM/tmpdir
+    * (`_SUCCESS` marker) — repeated runs measure the read path.
+    */
+  def q98_clustered_scan: Q = (s, dir) => {
+    val cols = Seq("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rc_demo/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      Sinks.writeRangeClustered(
+        Tables.lineitem(s, dir).select(cols.map(col): _*)
+          // NTZ → LTZ: Spark never converts NTZ filters to parquet
+          // predicates, so an NTZ cluster key defeats the row-group
+          // skipping this query demonstrates (see writeRangeClustered)
+          .withColumn("l_shipdate", col("l_shipdate").cast("timestamp")),
+        path, "l_shipdate", numFiles = 8)
+    s.read.parquet(path)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum("l_quantity"), 2).as("sum_qty"),
+           round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("ship_month")
+  }
+
   val all: Map[String, Q] = Map(
     "q70_multimodal" -> q70_multimodal,
     "q71_approx_distinct" -> q71_approx_distinct,
     "q76_salted_agg" -> q76_salted_agg,
-    "q77_salted_join" -> q77_salted_join)
+    "q77_salted_join" -> q77_salted_join,
+    "q98_clustered_scan" -> q98_clustered_scan)
 
   val oracle: Map[String, String] = Map(
+    // over the RAW table: the clustered rewrite must be result-invariant
+    "q98_clustered_scan" -> """
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+             count(1) AS n_items,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1 ORDER BY 1""",
     "q70_multimodal" -> """
       WITH b AS (
         SELECT doc_id,

@@ -286,7 +286,46 @@ object TrainingQueries {
       .orderBy("split")
   }
 
+  /** q99 — deterministic training-data shuffle: hash-sharded, per-shard
+    * ordered permutation of the corpus ([[Corpus.shardShuffle]], 8 shards).
+    * Per-shard accounting pins the permutation itself: `order_hash` is the
+    * md5 of the doc_id stream in shard order, so a one-position drift
+    * anywhere changes the row. No RNG, no global sort — the 100 TB shuffle
+    * is one exchange + per-shard sorts.
+    */
+  def q99_shard_shuffle: Q = (s, dir) => {
+    Corpus.shardShuffle(Tables.documents(s, dir), "doc_id", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"),
+           md5(concat_ws(",",
+             transform(
+               sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+               x => x.getField("doc_id").cast("string")))).as("order_hash"))
+      .orderBy("shard")
+  }
+
+  /** q100 — boilerplate coverage: word 3-grams present in > 2% of all
+    * documents are template text ([[Corpus.boilerplateCoverage]]); per
+    * source, how many documents are template-dominated (> 50% of their
+    * distinct grams) and the average coverage. The self-referential twin of
+    * q65's external-benchmark contamination — the filter set comes from
+    * the corpus's own document frequencies.
+    */
+  def q100_boilerplate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Corpus.boilerplateCoverage(docs, "doc_id", "text", k = 3, maxDfFraction = 0.02)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("boiler_ratio"), 4).as("avg_cover"),
+           sum(when(col("boiler_ratio") > 0.5, 1L).otherwise(0L)).as("n_dominated"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q99_shard_shuffle" -> q99_shard_shuffle,
+    "q100_boilerplate" -> q100_boilerplate,
     "q92_lm_surprisal" -> q92_lm_surprisal,
     "q94_chunking" -> q94_chunking,
     "q95_training_prep" -> q95_training_prep,
@@ -308,6 +347,42 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q99_shard_shuffle" -> raw"""
+      WITH h AS (
+        SELECT doc_id, n_chars,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS hh
+        FROM documents),
+      s AS (
+        SELECT doc_id, n_chars, hh % 8 AS shard,
+               row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS pos
+        FROM h)
+      SELECT shard, count(1) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_hash
+      FROM s GROUP BY 1 ORDER BY 1""",
+    "q100_boilerplate" -> raw"""
+      WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(0, greatest(len(tk) - 3, 0) + 1),
+                     i -> array_to_string(tk[i+1:i+3], ' ')))) AS gram
+            FROM toks),
+      n AS (SELECT count(1) AS n_docs FROM documents),
+      boiler AS (SELECT gram FROM g CROSS JOIN n GROUP BY gram, n_docs
+                 HAVING count(1) > n_docs * 0.02),
+      per_doc AS (
+        SELECT g.doc_id, count(1) AS n_grams,
+               sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        FROM g LEFT JOIN boiler b USING (gram)
+        GROUP BY 1),
+      r AS (SELECT doc_id, round(n_boiler * 1.0 / n_grams, 4) AS ratio FROM per_doc)
+      SELECT d.source, count(1) AS n_docs, round(avg(ratio), 4) AS avg_cover,
+             CAST(sum(CASE WHEN ratio > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dominated
+      FROM r JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY 1""",
     "q96_leakage_split" -> raw"""
       WITH RECURSIVE ${DedupQueries.OracleCandidatePairGraph},
       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -89,15 +89,34 @@ object Sinks {
     * The bucketed form ([[writeBucketed]]) optimizes equi-joins; this form
     * optimizes range scans (time-ranged ingestion reads, B1's date
     * segments).
+    *
+    * Timestamps are forced to INT64 micros
+    * (`spark.sql.parquet.outputTimestampType`, set around the write — it is
+    * a session conf, NOT a writer option; `.option("outputTimestampType",
+    * …)` is silently ignored by ParquetOptions): Spark's default INT96
+    * encoding carries NO min/max statistics, which silently disables
+    * exactly the row-group skipping this layout exists for (measured: a
+    * predicate over an INT96 cluster key reads 100% of rows; micros reads
+    * ~selectivity%). TIMESTAMP_NTZ cluster keys have the same failure mode
+    * from the other side — the stats exist but Spark never converts an NTZ
+    * filter to a parquet predicate — so callers should cast NTZ keys to
+    * LTZ before clustering (LayoutPruningSpec pins both behaviors).
     */
   def writeRangeClustered(
       df: DataFrame,
       path: String,
       clusterCol: String,
-      numFiles: Int): Unit =
-    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
-      .sortWithinPartitions(clusterCol)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      numFiles: Int): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.getOption(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try
+      df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    finally prev.fold(conf.unset(key))(conf.set(key, _))
+  }
 
   /** Read the existing sink if its path exists; any OTHER failure (transient
     * FS error, corrupt footer) propagates. Treating every exception as

@@ -153,6 +153,36 @@ class CorpusSpec extends SparkSuite {
     assert(out.filter(_._1._1 == 0L).values.flatMap(_._2.split(" ")).toSet.size == 12)
   }
 
+  test("shardShuffle: a reproducible permutation — every row once, " +
+      "contiguous per-shard positions, identical across runs") {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+    def run() = Corpus.shardShuffle(ids, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run()
+    assert(a.map(_._1).size == a.size && a.size == ids.count(), "a permutation: every doc once")
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size),
+        s"shard $shard positions must be contiguous 1..n")
+    }
+    assert(a.map(_._2).size > 1, "hash actually spreads across shards")
+    assert(run() == a, "no RNG anywhere: the permutation is retry-stable")
+  }
+
+  test("boilerplateCoverage flags corpus-frequent grams only") {
+    val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    // k=2 grams: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {x y, y z};
+    // df("a b")=2 > 3*0.4 → the only boilerplate gram
+    val out = Corpus.boilerplateCoverage(d, "doc_id", "text", k = 2, maxDfFraction = 0.4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"), r.getAs[Double]("boiler_ratio"))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("sessionize splits at gaps and rolls up sessions") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),

@@ -256,6 +256,44 @@ class DedupSpec extends SparkSuite {
     assert(assigned.select("split").distinct().count() == 3L)
   }
 
+  test("semanticDedup: assignment and survivors match an independent brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.Similarity.centroids(emb, 16)
+    val out = Dedup.semanticDedup(emb, cents, threshold = 0.35)
+      .select("vec_id", "centroid_id", "is_dup")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+    // independent oracle: collected vectors, driver-side loops — same
+    // sequential left-to-right double accumulation as the fused kernel
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // argmax with the operator's tie-break (higher sim, then lower cid)
+    def assign(v: Array[Double]): Long =
+      cents.map { case (cid, cv) => (cos(v, cv.toArray), cid) }
+        .maxBy { case (s, cid) => (s, -cid) }._2
+    val cellOf = vecs.map { case (id, v) => id -> assign(v) }
+    val expectDup = vecs.keySet.map { id =>
+      id -> vecs.keySet.exists(o =>
+        o < id && cellOf(o) == cellOf(id) && cos(vecs(o), vecs(id)) >= 0.35)
+    }.toMap
+
+    assert(out.keySet == vecs.keySet, "every vector classified exactly once")
+    assert(expectDup.values.exists(identity), "test is non-vacuous: dups exist")
+    out.foreach { case (id, (cid, isDup)) =>
+      assert(cid == cellOf(id), s"vec $id assigned to $cid, expected ${cellOf(id)}")
+      assert(isDup == expectDup(id), s"vec $id is_dup=$isDup, expected ${expectDup(id)}")
+    }
+    // greedy-min survivor rule ⇒ each nonempty cell keeps its minimum id
+    cellOf.groupBy(_._2).values.foreach { cell =>
+      assert(!out(cell.keys.min)._2, "cell minimum must survive")
+    }
+  }
+
   test("a firing bucket cap is observable (dropped_rows/dropped_buckets metric)") {
     val vec = Array.fill(4)(1.0f)
     val rows = (0 until 10).map(i => (i.toLong, "hot", vec)) ++
