@@ -148,6 +148,29 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Generate")) == 1, "expected exactly one Generate")
   }
 
+  test("shardShuffle is one hash exchange + per-shard sort, never a global sort") {
+    // the operator's own plan (q99 adds an 8-row presentation orderBy on top)
+    val df = graft.operators.Corpus.shardShuffle(
+      Tables.documents(spark, sfDir), "doc_id", nShards = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      "a range exchange means a global sort snuck in — the permutation must " +
+        "be hash-sharded")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      "exactly one shard-keyed hash exchange feeds the per-shard sort")
+    assert(p.contains("Exchange hashpartitioning(shard"))
+  }
+
+  test("q97: semantic dedup's pair stage joins on the centroid cell, never a cartesian") {
+    val p = plan("q97_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must stay an equi-join on centroid_id")
+    // assignment is snapshotted: consumers read the checkpoint, the scan +
+    // 16-kernel argmax never re-executes per branch
+    assert(!p.contains("Scan parquet"),
+      "pair stage and flag join must read the snapshot, not re-scan")
+  }
+
   test("runtime bloom filter injects on a selective shuffle join (100 TB pruning posture)") {
     // at cluster scale a selective dim-side predicate should prune the fact
     // scan at RUNTIME via an injected bloom filter (InjectRuntimeFilter);
