@@ -311,9 +311,12 @@ object Corpus {
     */
   def boilerplateCoverage(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, maxDfFraction: Double): DataFrame = {
+    // shingles already returns the DISTINCT gram set per doc (WordNgrams
+    // kernel dedups); zero-token docs yield an empty array → dropped by
+    // the null filter, and the oracle mirrors that with len(tk) >= 1
     val grams = Dedup.spread(docs)
       .select(col(idCol).as("doc_id"),
-        array_distinct(TextFunctions.shingles(col(textCol), k)).as("g"))
+        TextFunctions.shingles(col(textCol), k).as("g"))
       .select(col("doc_id"), explode_outer(col("g")).as("gram"))
       .filter(col("gram").isNotNull)
       .transform(Stage.snapshotDF) // feeds the df count AND the join back

@@ -369,7 +369,7 @@ object TrainingQueries {
                    unnest(list_distinct(list_transform(
                      range(0, greatest(len(tk) - 3, 0) + 1),
                      i -> array_to_string(tk[i+1:i+3], ' ')))) AS gram
-            FROM toks),
+            FROM toks WHERE len(tk) >= 1),
       n AS (SELECT count(1) AS n_docs FROM documents),
       boiler AS (SELECT gram FROM g CROSS JOIN n GROUP BY gram, n_docs
                  HAVING count(1) > n_docs * 0.02),
@@ -615,7 +615,7 @@ object TrainingQueries {
                     unnest(list_distinct(list_transform(
                       range(0, greatest(len(tk) - 4, 0) + 1),
                       i -> array_to_string(tk[i+1:i+4], ' ')))) AS gram
-             FROM toks),
+             FROM toks WHERE len(tk) >= 1),
       bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 25 = 0)
       SELECT s.doc_id, count(DISTINCT s.gram) AS n_shared_grams
       FROM sh s JOIN bench USING (gram)

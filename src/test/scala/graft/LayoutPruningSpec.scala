@@ -39,11 +39,13 @@ class LayoutPruningSpec extends SparkSuite {
     val base = Files.createTempDirectory("graft_prune").toString
 
     Sinks.writeRangeClustered(src, s"$base/clustered", "l_shipdate", numFiles = 8)
-    // control: same rows, same file count, same micros encoding — the only
-    // variable is the write-order (round-robin) layout
-    src.repartition(8).write
-      .option("outputTimestampType", "TIMESTAMP_MICROS")
-      .parquet(s"$base/writeorder")
+    // control: same rows, same file count, same micros encoding (via the
+    // session conf — a writer .option is silently ignored, see Sinks) —
+    // the only variable is the write-order (round-robin) layout
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try src.repartition(8).write.parquet(s"$base/writeorder")
+    finally spark.conf.unset(tsKey)
 
     def filtered(path: String): DataFrame =
       spark.read.parquet(path).filter(
