@@ -276,6 +276,44 @@ object Corpus {
         array_join(col("ctk"), " ").as("chunk_text"))
   }
 
+  /** CCNet-style quality buckets (head/middle/tail per language by LM
+    * surprisal): EXACT rank-based form — `ntile(n)` over a per-partition
+    * window ordered by the ROUNDED score + id (rounding far above ulp
+    * noise makes the order, and therefore every bucket boundary,
+    * bit-deterministic cross-engine). This is the oracle-checkable form;
+    * its window partitions by `partCol`, so at 100 TB a single hot
+    * language funnels through one reducer — production uses
+    * [[approxQuantileBuckets]], which replaces the window with broadcast
+    * breakpoints (same dataflow shape as the IVF assignment).
+    */
+  def rankBuckets(df: DataFrame, partCol: String, scoreCol: String,
+                  idCol: String, n: Int): DataFrame =
+    df.withColumn("bucket", ntile(n).over(
+      Window.partitionBy(col(partCol))
+        .orderBy(round(col(scoreCol), 4), col(idCol))))
+
+  /** The 100 TB form of [[rankBuckets]]: per-partition approximate quantile
+    * breakpoints (one hash aggregation to |partitions| rows) broadcast back,
+    * bucket assignment map-side — no per-partition window, no hot-reducer
+    * funnel, at the cost of boundary placement accuracy `accuracy`
+    * (CCNet's head/middle/tail tolerates approximate terciles; an exact
+    * boundary is meaningless on a sampled score anyway). Spec-tested
+    * against [[rankBuckets]] for distribution agreement; not
+    * oracle-checkable (quantile sketches are implementation-defined).
+    */
+  def approxQuantileBuckets(df: DataFrame, partCol: String, scoreCol: String,
+                            n: Int, accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, s"need n >= 2 buckets, got $n")
+    val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val breaks = df.groupBy(partCol)
+      .agg(percentile_approx(col(scoreCol), probs, lit(accuracy)).as("__breaks"))
+    df.join(broadcast(breaks), partCol)
+      .withColumn("bucket",
+        (aggregate(col("__breaks"), lit(1),
+          (acc, b) => acc + when(col(scoreCol) > b, 1).otherwise(0))))
+      .drop("__breaks")
+  }
+
   /** Deterministic global shuffle for training-data ordering: every row is
     * assigned to a shard by a content-stable hash of its id and a position
     * within the shard by (hash, id) order. The property a training run

@@ -323,7 +323,28 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q101 — CCNet-style quality buckets: per-language head/middle/tail
+    * terciles by unigram-LM surprisal ([[Corpus.rankBuckets]], the exact
+    * rank form — ordered by rounded score + doc_id so every boundary is
+    * bit-deterministic). The selection knob CCNet uses to keep only the
+    * head of each language; the 100 TB path is
+    * [[Corpus.approxQuantileBuckets]] (broadcast breakpoints, no hot
+    * per-language window reducer), spec-tested for distribution agreement.
+    */
+  def q101_quality_buckets: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val scored = Corpus.unigramSurprisal(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    Corpus.rankBuckets(scored, "lang", "surprisal", "doc_id", n = 3)
+      .groupBy(col("lang"), col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(round(col("surprisal"), 4)), 4).as("avg_surprisal"),
+           min("doc_id").as("first_doc"))
+      .orderBy("lang", "bucket")
+  }
+
   val all: Map[String, Q] = Map(
+    "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
     "q92_lm_surprisal" -> q92_lm_surprisal,
@@ -347,6 +368,25 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q101_quality_buckets" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM documents)),
+      tf AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+             FROM toks GROUP BY 1, 2),
+      g AS (SELECT tok, sum(cnt) AS gcnt FROM tf GROUP BY 1),
+      t AS (SELECT sum(cnt) AS gtotal FROM tf),
+      s AS (SELECT doc_id,
+                   -sum(cnt * ln(gcnt * 1.0 / gtotal)) / max(dlen) AS surprisal
+            FROM tf JOIN g USING (tok) CROSS JOIN t GROUP BY 1),
+      b AS (SELECT d.lang, s.doc_id, s.surprisal,
+                   ntile(3) OVER (PARTITION BY d.lang
+                     ORDER BY round(s.surprisal, 4), s.doc_id) AS bucket
+            FROM s JOIN documents d USING (doc_id))
+      SELECT lang, bucket, count(1) AS n_docs,
+             round(avg(round(surprisal, 4)), 4) AS avg_surprisal,
+             min(doc_id) AS first_doc
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     "q99_shard_shuffle" -> raw"""
       WITH h AS (
         SELECT doc_id, n_chars,

@@ -183,6 +183,28 @@ class CorpusSpec extends SparkSuite {
     assert(out(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("approxQuantileBuckets tracks rankBuckets (broadcast breakpoints vs exact terciles)") {
+    val full = Tables.documents(spark, sfDir)
+    val scored = Corpus.unigramSurprisal(full, "doc_id", "text")
+      .join(full.select("doc_id", "lang"), Seq("doc_id"))
+    def dist(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang", "bucket").count()
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Number]("bucket").longValue()) -> r.getLong(2))
+        .toMap
+    val exact = dist(Corpus.rankBuckets(scored, "lang", "surprisal", "doc_id", 3))
+    val approx = dist(Corpus.approxQuantileBuckets(scored, "lang", "surprisal", 3))
+    assert(exact.values.sum == approx.values.sum, "no rows lost to bucketing")
+    assert(exact.keys.map(_._2).toSet == Set(1L, 2L, 3L))
+    // value-based assignment may move boundary ties between adjacent
+    // buckets; the DISTRIBUTION must agree (±25% or 2 docs per cell)
+    exact.foreach { case (k, ne) =>
+      val na = approx.getOrElse(k, 0L)
+      assert(math.abs(na - ne) <= math.max(2L, (ne * 0.25).toLong),
+        s"bucket $k diverged: exact=$ne approx=$na")
+    }
+  }
+
   test("sessionize splits at gaps and rolls up sessions") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
