@@ -166,6 +166,50 @@ object Sinks {
     replaceWith(spark, merged, path)
   }
 
+  /** Small-file compaction for a parquet sink: rewrite `path` into
+    * ⌈totalBytes / targetFileBytes⌉ files via the same atomic temp-dir swap
+    * the upserts use. Continuous [[upsert]]/streaming-append sinks
+    * accumulate per-batch part files; at 100 TB unmanaged small files
+    * dominate scan cost (one task + one open per file, footer overhead,
+    * no row-group locality), so compaction is a first-class maintenance
+    * operator, not an afterthought. With `clusterCol` set, the rewrite
+    * RE-CLUSTERS instead of round-robin packing — preserving (or
+    * establishing) the [[writeRangeClustered]] layout so compaction never
+    * silently destroys row-group-pruning eligibility (the encoding caveat
+    * there applies here too and is handled the same way).
+    *
+    * Returns the file count after compaction. Single-writer assumption,
+    * same as [[upsert]].
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long,
+      clusterCol: Option[String] = None): Int = {
+    require(targetFileBytes > 0, s"need targetFileBytes > 0, got $targetFileBytes")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val repacked = clusterCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(nFiles)
+    }
+    val conf = spark.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.getOption(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try replaceWith(spark, repacked, path)
+    finally prev.fold(conf.unset(key))(conf.set(key, _))
+    fs.listStatus(p).count { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+  }
+
   /** K6 — nested-mode upsert: on key conflict, MERGE the `annotations`
     * arrays (dedup via canonical struct equality, deterministic order)
     * instead of replacing the row — the reference's script-update path

@@ -37,4 +37,37 @@ class SinksLayoutSpec extends SparkSuite {
       assert(hi < lo2, s"file ranges overlap or touch: ...$hi] vs [$lo2...")
     }
   }
+
+  test("compact repacks a fragmented sink, preserves rows, can re-cluster") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/sink"
+    val src = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    src.repartition(20).write.parquet(out)
+    def files = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    val before = files
+    assert(before == 20, s"fixture should be fragmented, got $before files")
+    val rows = src.count()
+
+    // target = total size → everything packs into one file
+    val totalBytes = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = Sinks.compact(spark, out, targetFileBytes = totalBytes)
+    assert(n < before, s"compaction should reduce file count, got $n")
+    assert(files == n)
+    assert(spark.read.parquet(out).count() == rows, "compaction must not lose rows")
+
+    // re-clustering compaction restores disjoint key ranges (the layout
+    // the pruned-scan path needs) instead of round-robin packing
+    Sinks.compact(spark, out, targetFileBytes = totalBytes / 4,
+      clusterCol = Some("l_orderkey"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == rows)
+    val rrs = back.inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f).agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(rrs.length > 1, "clustered compaction should produce multiple files")
+    rrs.zip(rrs.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"compacted files must keep disjoint ranges: $hi vs $lo2")
+    }
+  }
 }
