@@ -300,6 +300,14 @@ object Corpus {
     * boundary is meaningless on a sampled score anyway). Spec-tested
     * against [[rankBuckets]] for distribution agreement; not
     * oracle-checkable (quantile sketches are implementation-defined).
+    *
+    * Semantics caveats vs the rank form, inherent to VALUE-based
+    * assignment: (a) score ties all land in one bucket (ntile splits them
+    * ~evenly), so a distribution where one value holds > 1/n of a
+    * partition produces unequal buckets — and that is the honest answer,
+    * "the head tercile" is ill-defined when a third of the corpus is one
+    * value; (b) a null partition key gets its own breakpoints via the
+    * null-safe join below, same as the window's null partition.
     */
   def approxQuantileBuckets(df: DataFrame, partCol: String, scoreCol: String,
                             n: Int, accuracy: Int = 10000): DataFrame = {
@@ -307,11 +315,12 @@ object Corpus {
     val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
     val breaks = df.groupBy(partCol)
       .agg(percentile_approx(col(scoreCol), probs, lit(accuracy)).as("__breaks"))
-    df.join(broadcast(breaks), partCol)
+      .withColumnRenamed(partCol, "__part")
+    df.join(broadcast(breaks), col(partCol) <=> col("__part"))
       .withColumn("bucket",
         (aggregate(col("__breaks"), lit(1),
           (acc, b) => acc + when(col(scoreCol) > b, 1).otherwise(0))))
-      .drop("__breaks")
+      .drop("__breaks", "__part")
   }
 
   /** Deterministic global shuffle for training-data ordering: every row is

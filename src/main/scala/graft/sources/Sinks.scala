@@ -123,7 +123,7 @@ object Sinks {
     * "sink absent" would make the subsequent replace-write destroy prior
     * data on a transient read error — silent data loss.
     */
-  private def readExisting(spark: SparkSession, path: String): Option[DataFrame] = {
+  private[graft] def readExisting(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
@@ -156,8 +156,19 @@ object Sinks {
     * sink the merge rewrites the table once per batch, so batch sizing (B1
     * segments) bounds the rewrite cost.
     */
-  def upsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String): Unit = {
-    val merged = readExisting(spark, path) match {
+  def upsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String): Unit =
+    upsert(spark, batch, path, keyCol, readExisting(spark, path))
+
+  /** [[upsert]] with the existing sink passed in by a caller that already
+    * read it (the streaming admission flows compare a batch against the
+    * store and then update it — re-reading the store for the merge would
+    * double every per-batch history scan). `existing` must be the CURRENT
+    * contents of `path` (or None when absent); the single-writer assumption
+    * makes that safe to guarantee.
+    */
+  def upsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String,
+             existing: Option[DataFrame]): Unit = {
+    val merged = existing match {
       case Some(old) =>
         old.join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
           .unionByName(batch)
@@ -189,9 +200,16 @@ object Sinks {
     require(targetFileBytes > 0, s"need targetFileBytes > 0, got $targetFileBytes")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // flat sinks only: rewriting a hive-partitioned layout into one flat
+    // directory would materialize the partition column and silently destroy
+    // partition pruning — compact each partition directory instead
+    require(!fs.listStatus(p).exists(_.isDirectory),
+      s"$path contains subdirectories (partitioned sink?) — " +
+        "compact each partition directory individually")
     val dataFiles = fs.listStatus(p).filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
+    require(dataFiles.nonEmpty, s"no parquet data files under $path")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)

@@ -57,7 +57,13 @@ object StreamingDedup {
     val afterWithin = batch.join(withinDrops, Seq(idCol), "left_anti")
     val shAfterWithin = sh.join(
       afterWithin.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-    val survivors = readStore(spark, storePath) match {
+    // ONE store handle serves the comparison AND the merge below.
+    // Sinks.readExisting: only path absence means "no history yet"; any
+    // other failure (transient FS error, corrupt footer) propagates —
+    // silently treating it as empty would skip the batch-vs-history
+    // comparison and permanently admit duplicates (admission is final).
+    val history = Sinks.readExisting(spark, storePath)
+    val survivors = history match {
       case Some(store) =>
         val crossDrops = Dedup
           .jaccardBetween(shAfterWithin, store, threshold, maxPostings)
@@ -70,20 +76,8 @@ object StreamingDedup {
     val out = survivors.transform(Stage.snapshotDF)
     val shSurvivors = sh.join(
       out.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-    Sinks.upsert(spark, shSurvivors, storePath, "__id")
+    Sinks.upsert(spark, shSurvivors, storePath, "__id", existing = history)
     out
-  }
-
-  /** Read the admitted-history store; ONLY path absence means "no history
-    * yet". Any other failure (transient FS error, corrupt footer) must
-    * propagate: silently treating it as an empty store would skip the
-    * batch-vs-history comparison and permanently admit duplicates
-    * (admission decisions are final).
-    */
-  private def readStore(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None else Some(spark.read.parquet(path))
   }
 
   /** The streaming driver: docs stream → per-micro-batch admission →

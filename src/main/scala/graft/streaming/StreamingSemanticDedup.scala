@@ -50,16 +50,35 @@ object StreamingSemanticDedup {
       // feeds the history comparison AND the survivor anti-join AND the
       // store update — snapshot so assignment + within-batch pairing run once
       .transform(Stage.snapshotDF)
-    val survivors = readStore(spark, storePath) match {
+    // ONE store handle serves the comparison AND the merge (previously the
+    // upsert re-opened the path — a second full history read per batch).
+    // Deliberately NOT snapshotted: consumers are plain parquet scans of an
+    // immutable-within-batch store; materializing a 100 TB store into
+    // block storage per batch would cost more than the extra scan.
+    // Sinks.readExisting: only path absence means "no history"; any other
+    // failure propagates — admission decisions are final.
+    val history = Sinks.readExisting(spark, storePath)
+    val survivors = history match {
       case Some(store) =>
-        val w = Window.partitionBy("centroid_id").orderBy("vec_id")
-        val over = col("__rn") > maxStorePerCell
-        val capped = store.withColumn("__rn", row_number().over(w))
-          .observe("graft.semStoreCap",
-            sum(when(over, lit(1)).otherwise(lit(0))).as("uncompared_rows"))
-          .filter(!over)
-          .select(col("vec_id").as("__old_id"), col("centroid_id"),
-            Similarity.toDoubleArray(col("embedding")).as("__vo"))
+        // fast path: the per-cell prefix rank (a full-store window sort)
+        // only runs when some cell actually exceeds the cap
+        val anyOver = store.groupBy("centroid_id")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxStorePerCell)
+          .limit(1).count() > 0
+        val bounded =
+          if (!anyOver) store
+          else {
+            val w = Window.partitionBy("centroid_id").orderBy("vec_id")
+            val over = col("__rn") > maxStorePerCell
+            store.withColumn("__rn", row_number().over(w))
+              .observe("graft.semStoreCap",
+                sum(when(over, lit(1)).otherwise(lit(0))).as("uncompared_rows"))
+              .filter(!over)
+              .drop("__rn")
+          }
+        val capped = bounded.select(col("vec_id").as("__old_id"),
+          col("centroid_id"), Similarity.toDoubleArray(col("embedding")).as("__vo"))
         val drops = within
           .select(col("vec_id"), col("centroid_id"),
             Similarity.toDoubleArray(col("embedding")).as("__vn"))
@@ -76,17 +95,7 @@ object StreamingSemanticDedup {
     val out = survivors.transform(Stage.snapshotDF)
     Sinks.upsert(spark,
       out.select(col("vec_id"), col("centroid_id"), col("embedding")),
-      storePath, "vec_id")
+      storePath, "vec_id", existing = history)
     out
-  }
-
-  /** ONLY path absence means "no history yet" — any other failure must
-    * propagate (admission decisions are final; a silently-empty store
-    * would permanently admit duplicates).
-    */
-  private def readStore(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None else Some(spark.read.parquet(path))
   }
 }

@@ -203,6 +203,11 @@ class CorpusSpec extends SparkSuite {
       assert(math.abs(na - ne) <= math.max(2L, (ne * 0.25).toLong),
         s"bucket $k diverged: exact=$ne approx=$na")
     }
+    // a null partition key is its own stratum (null-safe join), not dropped
+    val withNull = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      (null, 5.0), (null, 6.0), (null, 7.0)).toDF("part", "score")
+    assert(Corpus.approxQuantileBuckets(withNull, "part", "score", 3).count() == 6,
+      "null-part rows must be bucketed, not silently dropped")
   }
 
   test("sessionize splits at gaps and rolls up sessions") {

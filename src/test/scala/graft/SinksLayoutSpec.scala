@@ -56,8 +56,12 @@ class SinksLayoutSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == rows, "compaction must not lose rows")
 
     // re-clustering compaction restores disjoint key ranges (the layout
-    // the pruned-scan path needs) instead of round-robin packing
-    Sinks.compact(spark, out, targetFileBytes = totalBytes / 4,
+    // the pruned-scan path needs) instead of round-robin packing; target
+    // from the CURRENT compacted size (the first compaction shed the 20
+    // files' footer overhead, so the old total would over-size the target)
+    val compactedBytes = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    Sinks.compact(spark, out, targetFileBytes = math.max(1, compactedBytes / 4),
       clusterCol = Some("l_orderkey"))
     val back = spark.read.parquet(out)
     assert(back.count() == rows)
