@@ -343,7 +343,29 @@ object TrainingQueries {
       .orderBy("lang", "bucket")
   }
 
+  /** q102 — vocabulary construction (the tokenizer-build step): global
+    * top-V tokens by frequency, assigned dense contiguous ids in
+    * (count desc, token) order. The top-V is a `TakeOrderedAndProject`
+    * (per-partition partial top-V, no global sort — the q08/PlanSpec
+    * shape); id assignment windows over the POST-limit set, which is V
+    * rows by construction, so the single-partition window is bounded by
+    * the vocabulary size, never the corpus.
+    */
+  def q102_vocab: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.operators.Dedup.spread(Tables.documents(s, dir))
+      .select(explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("token").asc).limit(50)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+      .select("token_id", "token", "n")
+      .orderBy("token_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q102_vocab" -> q102_vocab,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -368,6 +390,13 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q102_vocab" -> raw"""
+      WITH toks AS (SELECT unnest($tk) AS token FROM documents),
+      c AS (SELECT token, count(1) AS n FROM toks GROUP BY 1),
+      top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50)
+      SELECT row_number() OVER (ORDER BY n DESC, token) AS token_id,
+             token, CAST(n AS BIGINT) AS n
+      FROM top ORDER BY 1""",
     "q101_quality_buckets" -> raw"""
       WITH toks AS (
         SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
