@@ -545,7 +545,7 @@ object Dedup {
     * `graft.capBuckets`); asserted in DedupSpec.
     */
   private val capObsId = new java.util.concurrent.atomic.AtomicInteger(0)
-  private def capBuckets(df: DataFrame, key: String, maxBucketSize: Int): DataFrame = {
+  private[operators] def capBuckets(df: DataFrame, key: String, maxBucketSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
     val over = col("__bsz") > maxBucketSize
     df.withColumn("__bsz", count(lit(1)).over(w))

@@ -188,6 +188,44 @@ object Similarity {
     embeddings.withColumn("lsh_bucket", bucket)
   }
 
+  /** Blocked k-NN join: for EVERY vector, its `k` most-similar neighbors
+    * within its deterministic LSH bucket — the kNN-graph / hard-negative-
+    * mining primitive (contrastive training wants, per anchor, close-but-
+    * not-duplicate examples; a kNN graph feeds graph-based dedup and
+    * SemDeDup variants). The exact global form is a quadratic self-join, so
+    * the engine ships the blocked form: comparison volume Σ bucket²
+    * (buckets capped via [[Dedup.capBuckets]], observable), per-anchor
+    * ranking windows are bucket-bounded, and recall follows the LSH
+    * collision curve — raise it with more probes, never with a wider join.
+    * Ranking orders by the ROUNDED similarity (4 decimals, far above ulp
+    * noise) then neighbor id, so ranks are bit-deterministic cross-engine.
+    * A vector alone in its bucket has no neighbors and is absent.
+    */
+  def knnJoinLsh(
+      embeddings: DataFrame,
+      numPlanes: Int,
+      dim: Int,
+      k: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val b = Dedup.capBuckets(
+      lshBucketsDeterministic(embeddings, numPlanes, dim)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
+          col("lsh_bucket")),
+      "lsh_bucket", maxBucketSize)
+    val a = b.select(col("lsh_bucket"), col("vec_id").as("anchor"), col("v").as("va"))
+    val n = b.select(col("lsh_bucket"), col("vec_id").as("neighbor"), col("v").as("vn"))
+    a.join(n, Seq("lsh_bucket"))
+      .filter(col("anchor") =!= col("neighbor"))
+      .withColumn("sim", round(cosine(col("va"), col("vn")), 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("anchor"))
+          .orderBy(col("sim").desc, col("neighbor").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("neighbor"), col("sim"), col("rank"))
+  }
+
   def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))

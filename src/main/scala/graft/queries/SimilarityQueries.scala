@@ -117,7 +117,18 @@ object SimilarityQueries {
       .orderBy("lsh_bucket")
   }
 
+  /** q103 — blocked k-NN join: every vector's top-3 neighbors within its
+    * deterministic LSH bucket ([[Similarity.knnJoinLsh]]) — the kNN-graph /
+    * hard-negative-mining primitive. Fully oracle-checkable: bucket,
+    * rounded cosine, and rank reproduce in SQL.
+    */
+  def q103_knn_join: Q = (s, dir) => {
+    Similarity.knnJoinLsh(Tables.embeddings(s, dir), numPlanes = 8, dim = 64, k = 3)
+      .orderBy("anchor", "rank")
+  }
+
   val all: Map[String, Q] = Map(
+    "q103_knn_join" -> q103_knn_join,
     "q46_cosine_topk" -> q46_cosine_topk,
     "q83_lsh_det" -> q83_lsh_det,
     "q47_cosine_range" -> q47_cosine_range,
@@ -126,6 +137,24 @@ object SimilarityQueries {
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q103_knn_join" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CASE WHEN list_dot_product(v,
+                       list_transform(range(0, 64),
+                         j -> (((i*37 + j*17) % 13) - 6)::DOUBLE)) >= 0
+                     THEN 1 << i ELSE 0 END)) AS BIGINT) AS lsh_bucket
+            FROM e),
+      k AS (SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY lsh_bucket) <= 1000),
+      p AS (SELECT a.vec_id AS anchor, n.vec_id AS neighbor,
+                   round(list_cosine_similarity(a.v, n.v), 4) AS sim
+            FROM k a JOIN k n
+              ON a.lsh_bucket = n.lsh_bucket AND a.vec_id <> n.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY anchor
+                        ORDER BY sim DESC, neighbor) AS rank FROM p)
+      SELECT anchor, neighbor, sim, rank
+      FROM r WHERE rank <= 3 ORDER BY anchor, rank""",
     "q48_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

@@ -80,6 +80,41 @@ class SimilaritySpec extends SparkSuite {
       s"refined recall ${recall(refined)} collapsed vs seed ${recall(seed)}")
   }
 
+  test("knnJoinLsh: every (anchor, rank) matches a brute force within the bucket") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.knnJoinLsh(emb, numPlanes = 8, dim = 64, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val bucket = Similarity.lshBucketsDeterministic(emb, 8, 64)
+      .select("vec_id", "lsh_bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Spark round() = HALF_UP — mirror it exactly for the rank ordering
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = vecs.keys.groupBy(bucket(_)).values
+      .filter(_.size >= 2)
+      .flatMap { cell =>
+        cell.flatMap { anchor =>
+          cell.view.filterNot(_ == anchor)
+            .map(o => (o, r4(cos(vecs(anchor), vecs(o))))).toSeq
+            .sortBy { case (o, s) => (-s, o) }
+            .take(3).zipWithIndex
+            .map { case ((o, s), i) => (anchor, i + 1L) -> ((o, s)) }
+        }
+      }.toMap
+    assert(expected.nonEmpty && out == expected,
+      s"missing=${(expected.keySet -- out.keySet).take(5)} " +
+        s"extra=${(out.keySet -- expected.keySet).take(5)}")
+  }
+
   test("LSH buckets partition the corpus (every vector in exactly one bucket)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 8, dim = 64)
     assert(b.count() == emb.count())
