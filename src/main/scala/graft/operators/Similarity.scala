@@ -208,11 +208,15 @@ object Similarity {
       k: Int,
       maxBucketSize: Int = 1000): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    // snapshot: the bucketed+capped relation feeds BOTH self-join sides —
+    // without the barrier the scan + 8 bucketing kernels execute once per
+    // consumer (measured 3 scans; with it, one)
     val b = Dedup.capBuckets(
       lshBucketsDeterministic(embeddings, numPlanes, dim)
         .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
           col("lsh_bucket")),
       "lsh_bucket", maxBucketSize)
+      .transform(Stage.snapshotDF)
     val a = b.select(col("lsh_bucket"), col("vec_id").as("anchor"), col("v").as("va"))
     val n = b.select(col("lsh_bucket"), col("vec_id").as("neighbor"), col("v").as("vn"))
     a.join(n, Seq("lsh_bucket"))
