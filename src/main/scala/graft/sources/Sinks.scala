@@ -160,11 +160,14 @@ object Sinks {
     upsert(spark, batch, path, keyCol, readExisting(spark, path))
 
   /** [[upsert]] with the existing sink passed in by a caller that already
-    * read it (the streaming admission flows compare a batch against the
-    * store and then update it — re-reading the store for the merge would
-    * double every per-batch history scan). `existing` must be the CURRENT
-    * contents of `path` (or None when absent); the single-writer assumption
-    * makes that safe to guarantee.
+    * holds a handle (the streaming admission flows compare a batch against
+    * the store and then update it). This saves the extra path-existence
+    * probe and parquet-footer open — NOT the merge's data scan: `existing`
+    * is lazy, so the merge write still reads the store once (callers that
+    * want a single physical read must snapshot the handle themselves and
+    * pay the materialization). `existing` must be the CURRENT contents of
+    * `path` (or None when absent); the single-writer assumption makes that
+    * safe to guarantee.
     */
   def upsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String,
              existing: Option[DataFrame]): Unit = {
@@ -202,11 +205,14 @@ object Sinks {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // flat sinks only: rewriting a hive-partitioned layout into one flat
     // directory would materialize the partition column and silently destroy
-    // partition pruning — compact each partition directory instead
-    require(!fs.listStatus(p).exists(_.isDirectory),
+    // partition pruning — compact each partition directory instead.
+    // One listing serves the guard and the sizing (a paged LIST per call
+    // on an object store with many part files).
+    val entries = fs.listStatus(p)
+    require(!entries.exists(_.isDirectory),
       s"$path contains subdirectories (partitioned sink?) — " +
         "compact each partition directory individually")
-    val dataFiles = fs.listStatus(p).filter { st =>
+    val dataFiles = entries.filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
     require(dataFiles.nonEmpty, s"no parquet data files under $path")

@@ -57,7 +57,8 @@ object StreamingDedup {
     val afterWithin = batch.join(withinDrops, Seq(idCol), "left_anti")
     val shAfterWithin = sh.join(
       afterWithin.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-    // ONE store handle serves the comparison AND the merge below.
+    // ONE store HANDLE serves the comparison and the merge below — saving
+    // the second existence probe and footer open, not the lazy data scan.
     // Sinks.readExisting: only path absence means "no history yet"; any
     // other failure (transient FS error, corrupt footer) propagates —
     // silently treating it as empty would skip the batch-vs-history

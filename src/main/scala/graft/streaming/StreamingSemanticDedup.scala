@@ -50,33 +50,33 @@ object StreamingSemanticDedup {
       // feeds the history comparison AND the survivor anti-join AND the
       // store update — snapshot so assignment + within-batch pairing run once
       .transform(Stage.snapshotDF)
-    // ONE store handle serves the comparison AND the merge (previously the
-    // upsert re-opened the path — a second full history read per batch).
-    // Deliberately NOT snapshotted: consumers are plain parquet scans of an
-    // immutable-within-batch store; materializing a 100 TB store into
-    // block storage per batch would cost more than the extra scan.
+    // ONE store HANDLE serves the comparison and the merge — this saves the
+    // second path-existence probe and footer read, NOT the data scan: the
+    // handle is lazy, so the comparison and the merge each still scan the
+    // store once (deliberately not snapshotted — materializing a 100 TB
+    // store into block storage per batch would cost more than the scan).
     // Sinks.readExisting: only path absence means "no history"; any other
     // failure propagates — admission decisions are final.
     val history = Sinks.readExisting(spark, storePath)
     val survivors = history match {
       case Some(store) =>
-        // fast path: the per-cell prefix rank (a full-store window sort)
-        // only runs when some cell actually exceeds the cap
-        val anyOver = store.groupBy("centroid_id")
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxStorePerCell)
-          .limit(1).count() > 0
-        val bounded =
-          if (!anyOver) store
-          else {
-            val w = Window.partitionBy("centroid_id").orderBy("vec_id")
-            val over = col("__rn") > maxStorePerCell
-            store.withColumn("__rn", row_number().over(w))
-              .observe("graft.semStoreCap",
-                sum(when(over, lit(1)).otherwise(lit(0))).as("uncompared_rows"))
-              .filter(!over)
-              .drop("__rn")
-          }
+        // per-cell prefix rank, unconditional: a pre-check "fast path" was
+        // tried and reverted — it costs a full-store aggregation job EVERY
+        // batch and, once any cell is permanently over cap (the store only
+        // grows), the check is forever true and the window runs anyway. The
+        // always-on form is one shuffle+sort of the store per batch — the
+        // admission cost; at cluster scale the store is a table bucketed by
+        // centroid_id, which feeds this window with no exchange. The
+        // observe metric fires every batch (uncompared_rows = 0 when
+        // nothing is capped), so the listener heartbeat distinguishes
+        // "instrumented, nothing dropped" from "instrumentation gone".
+        val w = Window.partitionBy("centroid_id").orderBy("vec_id")
+        val over = col("__rn") > maxStorePerCell
+        val bounded = store.withColumn("__rn", row_number().over(w))
+          .observe("graft.semStoreCap",
+            sum(when(over, lit(1)).otherwise(lit(0))).as("uncompared_rows"))
+          .filter(!over)
+          .drop("__rn")
         val capped = bounded.select(col("vec_id").as("__old_id"),
           col("centroid_id"), Similarity.toDoubleArray(col("embedding")).as("__vo"))
         val drops = within
