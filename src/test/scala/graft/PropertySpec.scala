@@ -79,4 +79,49 @@ class PropertySpec extends SparkSuite {
         assert(segments.forall { case (s, e) => !s.isBefore(start) && !e.isAfter(end) })
     }
   }
+
+  test("shardShuffle is a bijection with contiguous per-shard positions " +
+      "for arbitrary id sets (incl. negatives, gaps, single shard)") {
+    (1 to 8).foreach { trial =>
+      val nShards = 1 + rng.nextInt(12)
+      val ids = Seq.fill(5 + rng.nextInt(120))(rng.nextLong() % 100000L).distinct
+      val out = graft.operators.Corpus
+        .shardShuffle(ids.toDF("doc_id"), "doc_id", nShards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(out.map(_._1).toSet == ids.toSet, s"trial $trial: ids lost or invented")
+      assert(out.forall { case (_, s, _) => s >= 0 && s < nShards },
+        s"trial $trial: shard out of range")
+      out.groupBy(_._2).foreach { case (s, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+          s"trial $trial shard $s: positions not contiguous")
+      }
+    }
+  }
+
+  test("chunkTokens covers every token exactly per the window/stride formula") {
+    (1 to 12).foreach { trial =>
+      val window = 2 + rng.nextInt(8)
+      val stride = 1 + rng.nextInt(window)
+      val nTok = 1 + rng.nextInt(40)
+      val text = (0 until nTok).map(i => s"t$i").mkString(" ")
+      val chunks = graft.operators.Corpus
+        .chunkTokens(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          window, stride)
+        .collect()
+        .map(r => r.getLong(1) -> r.getString(3)).sortBy(_._1).map(_._2)
+      val expectN = 1 + math.max(0,
+        math.ceil((nTok - window).toDouble / stride).toInt)
+      assert(chunks.length == expectN,
+        s"trial $trial w=$window s=$stride n=$nTok: ${chunks.length} chunks, want $expectN")
+      // chunk i starts at token i*stride and holds min(window, n - i*stride)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val from = i * stride
+        val expect = (from until math.min(from + window, nTok)).map(i => s"t$i").mkString(" ")
+        assert(c == expect, s"trial $trial chunk $i: '$c' != '$expect'")
+      }
+      // first tokens of consecutive chunks are stride apart ⇒ every token
+      // index < nTok appears in at least one chunk
+      assert(chunks.flatMap(_.split(" ")).toSet == (0 until nTok).map(i => s"t$i").toSet)
+    }
+  }
 }
