@@ -234,6 +234,28 @@ object Sinks {
     }
   }
 
+  /** [[compact]] for a hive-partitioned sink ([[writePartitioned]] / K4
+    * layouts): each `col=value` partition directory is compacted
+    * independently, so the partition column stays in the directory
+    * structure and partition pruning survives. Returns (partitions
+    * compacted, total files after). Partitions are processed sequentially
+    * — at cluster scale each per-partition rewrite is itself distributed,
+    * and one partition in flight bounds the temp-space footprint.
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      root: String,
+      targetFileBytes: Long): (Int, Int) = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    require(parts.nonEmpty,
+      s"$root has no col=value partition directories — use compact() for flat sinks")
+    val counts = parts.map(st => compact(spark, st.getPath.toString, targetFileBytes))
+    (parts.length, counts.sum)
+  }
+
   /** K6 — nested-mode upsert: on key conflict, MERGE the `annotations`
     * arrays (dedup via canonical struct equality, deterministic order)
     * instead of replacing the row — the reference's script-update path

@@ -74,4 +74,29 @@ class SinksLayoutSpec extends SparkSuite {
       assert(hi < lo2, s"compacted files must keep disjoint ranges: $hi vs $lo2")
     }
   }
+
+  test("compactPartitioned compacts each partition dir; flat compact refuses the root") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cpart").toString + "/sink"
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .repartition(6) // fragment each partition into several part files
+    Sinks.writePartitioned(src, out, "l_returnflag")
+    val rows = src.count()
+    def partFiles(dir: java.io.File): Int =
+      dir.listFiles.count(_.getName.endsWith(".parquet"))
+    val partDirs = new java.io.File(out).listFiles.filter(_.getName.contains("="))
+    assert(partDirs.nonEmpty && partDirs.forall(partFiles(_) > 1),
+      "fixture should be fragmented per partition")
+
+    // the flat form must refuse the partitioned root (pruning protection)…
+    intercept[IllegalArgumentException](Sinks.compact(spark, out, Long.MaxValue))
+    // …and the partitioned form compacts inside each partition directory
+    val (nParts, nFiles) = Sinks.compactPartitioned(spark, out, Long.MaxValue)
+    assert(nParts == partDirs.length)
+    assert(nFiles == nParts, s"one file per partition at an unbounded target, got $nFiles")
+    val back = spark.read.parquet(out)
+    assert(back.count() == rows, "no rows lost")
+    assert(back.select("__part").distinct().count() == nParts.toLong,
+      "partition column must survive (pruning layout intact)")
+  }
 }
