@@ -133,18 +133,26 @@ object Sinks {
     * of a merge is also its destination, and overwriting a path while
     * reading it is undefined.
     *
+    * The temp dir is a DOT-PREFIXED sibling (`.name__tmp`): hidden paths are
+    * ignored by Spark's file listing and partition discovery, so when
+    * `path` is a partition directory inside a larger sink
+    * ([[compactPartitioned]]), neither a concurrent root reader nor a
+    * crash-leftover tmp can surface as a phantom duplicate partition (a
+    * bare `name__tmp` sibling would: it contains `=` and a full row copy).
+    *
     * Single-writer assumption: one upserting job per sink path at a time
     * (the Structured Streaming foreachBatch caller guarantees this; the
     * fixed `__tmp` suffix would collide under concurrent writers). Matches
     * the reference, whose per-run ES updates are also last-writer-wins.
     */
   private def replaceWith(spark: SparkSession, merged: DataFrame, path: String): Unit = {
-    val tmp = path.stripSuffix("/") + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new Path(path)
+    val tmp = new Path(dst.getParent, "." + dst.getName + "__tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(path).getFileSystem(conf)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    fs.rename(tmp, dst)
   }
 
   /** K5/K6 — upsert keyed by `keyCol`: read-merge-overwrite. New rows win
@@ -245,14 +253,29 @@ object Sinks {
   def compactPartitioned(
       spark: SparkSession,
       root: String,
-      targetFileBytes: Long): (Int, Int) = {
+      targetFileBytes: Long,
+      clusterCol: Option[String] = None): (Int, Int) = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).filter(st =>
-      st.isDirectory && st.getPath.getName.contains("="))
+    val parts = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      // mirror Spark's hidden-path rule (shouldFilterOutPathName): dots are
+      // always hidden (crash-leftover `.…__tmp` swaps); underscores only
+      // when the name has no `=` (so `__part=a` partition dirs stay visible,
+      // `_temporary` does not)
+      st.isDirectory && n.contains("=") && !n.startsWith(".")
+    }
     require(parts.nonEmpty,
       s"$root has no col=value partition directories — use compact() for flat sinks")
-    val counts = parts.map(st => compact(spark, st.getPath.toString, targetFileBytes))
+    // fail fast BEFORE rewriting anything: a nested col=value level would
+    // otherwise abort midway with half the partitions rewritten
+    parts.foreach { st =>
+      require(!fs.listStatus(st.getPath).exists(_.isDirectory),
+        s"${st.getPath} is itself partitioned (multi-level layout) — " +
+          "compactPartitioned handles single-level partitioning only")
+    }
+    val counts = parts.map(st =>
+      compact(spark, st.getPath.toString, targetFileBytes, clusterCol))
     (parts.length, counts.sum)
   }
 

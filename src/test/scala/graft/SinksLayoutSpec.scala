@@ -98,5 +98,25 @@ class SinksLayoutSpec extends SparkSuite {
     assert(back.count() == rows, "no rows lost")
     assert(back.select("__part").distinct().count() == nParts.toLong,
       "partition column must survive (pruning layout intact)")
+    // the swap's temp dirs are dot-prefixed (hidden): nothing visible to
+    // partition discovery may remain, or a crash would fabricate partitions
+    assert(!new java.io.File(out).listFiles.exists(_.getName.contains("__tmp")),
+      "swap temp dirs must not be discoverable partition names")
+    // crash-safety: a leftover mid-swap temp dir is INVISIBLE to readers —
+    // simulate a crash between tmp-write and rename and reread the root
+    val crashTmp = new org.apache.hadoop.fs.Path(out, ".__part=zz__tmp")
+    spark.read.parquet(partDirs.head.toString).write.parquet(crashTmp.toString)
+    assert(spark.read.parquet(out).count() == rows,
+      "a dot-prefixed crash leftover must not surface as a phantom partition")
+    // and a re-run of maintenance neither compacts nor counts it
+    assert(Sinks.compactPartitioned(spark, out, Long.MaxValue)._1 == nParts)
+
+    // multi-level partitioning fails fast BEFORE any rewrite
+    val nested = java.nio.file.Files.createTempDirectory("graft_cnest").toString + "/sink"
+    src.limit(100).withColumn("c2", lit("x"))
+      .write.partitionBy("l_returnflag", "c2").parquet(nested)
+    val e = intercept[IllegalArgumentException](
+      Sinks.compactPartitioned(spark, nested, Long.MaxValue))
+    assert(e.getMessage.contains("single-level"))
   }
 }
