@@ -364,7 +364,28 @@ object TrainingQueries {
       .orderBy("token_id")
   }
 
+  /** q104 — per-source data card: the release-accounting summary every
+    * published corpus ships (docs, chars, tokens, language spread, exact
+    * uniqueness). ONE hash aggregation over a map-side tokenize — the
+    * count-distincts ride the same groupBy (Catalyst's expand), so the
+    * whole card is a single shuffle regardless of corpus size.
+    */
+  def q104_datacard: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"), col("lang"), col("text"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("__ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"),
+           sum("__ntok").cast("long").as("sum_tokens"),
+           round(avg("__ntok"), 4).as("avg_tokens"),
+           countDistinct(col("lang")).as("n_langs"),
+           countDistinct(col("text")).as("n_unique_texts"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
@@ -390,6 +411,16 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q104_datacard" -> raw"""
+      WITH t AS (SELECT source, n_chars, lang, text, len($tk) AS ntok
+                 FROM documents)
+      SELECT source, count(1) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+             round(avg(ntok), 4) AS avg_tokens,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT text) AS n_unique_texts
+      FROM t GROUP BY 1 ORDER BY 1""",
     "q102_vocab" -> raw"""
       WITH toks AS (SELECT unnest($tk) AS token FROM documents),
       c AS (SELECT token, count(1) AS n FROM toks GROUP BY 1),
