@@ -369,7 +369,7 @@ object Corpus {
       .transform(Stage.snapshotDF) // feeds the df count AND the join back
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     val boiler = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
+      .crossJoin(broadcast(nDocs))
       .filter(col("df") > col("__n") * maxDfFraction)
       .select("gram")
     grams

@@ -97,6 +97,19 @@ object MiscQueries {
     */
   private val rcCache = scala.collection.mutable.Map.empty[String, String]
 
+  // the clustered copies live for the JVM only — delete them on exit so
+  // repeated bench/verify JVMs don't accumulate lineitem copies in /tmp
+  sys.addShutdownHook {
+    rcCache.synchronized(rcCache.values.toList).foreach { dir =>
+      scala.util.Try {
+        val root = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   def q98_clustered_scan: Q = (s, dir) => {
     val cols = Seq("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
     val path = rcCache.synchronized {

@@ -106,17 +106,36 @@ object Sinks {
       df: DataFrame,
       path: String,
       clusterCol: String,
-      numFiles: Int): Unit = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = conf.getOption(key)
-    conf.set(key, "TIMESTAMP_MICROS")
-    try
+      numFiles: Int): Unit =
+    withMicrosTimestamps(df.sparkSession) {
       df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
         .sortWithinPartitions(clusterCol)
         .write.mode(SaveMode.Overwrite).parquet(path)
-    finally prev.fold(conf.unset(key))(conf.set(key, _))
-  }
+    }
+
+  /** Serializes the `spark.sql.parquet.outputTimestampType` set/restore
+    * window across graft maintenance ops in this JVM: it is a SESSION conf
+    * (ParquetOptions ignores the writer option), so two overlapping
+    * set/restore windows could restore a stale value. The lock makes the
+    * graft-side mutation safe; an UNRELATED concurrent write on the same
+    * session still inherits TIMESTAMP_MICROS during the window — callers
+    * must treat [[writeRangeClustered]]/[[compact]] as session-level
+    * maintenance windows (single concurrent writer per session), the same
+    * assumption [[upsert]] already documents per sink path. MICROS is a
+    * safe value to inherit (it is what Spark 4 writes by default for new
+    * tables and carries full min/max stats), so the blast radius of a
+    * violated assumption is an encoding choice, not corruption.
+    */
+  private val timestampConfLock = new Object
+  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A =
+    timestampConfLock.synchronized {
+      val conf = spark.conf
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = conf.getOption(key)
+      conf.set(key, "TIMESTAMP_MICROS")
+      try body
+      finally prev.fold(conf.unset(key))(conf.set(key, _))
+    }
 
   /** Read the existing sink if its path exists; any OTHER failure (transient
     * FS error, corrupt footer) propagates. Treating every exception as
@@ -129,30 +148,48 @@ object Sinks {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
-  /** Atomically replace `path` with `merged` via a temp-dir swap: the source
-    * of a merge is also its destination, and overwriting a path while
-    * reading it is undefined.
+  /** Replace `path` with `merged` via a rename-aside swap: the source of a
+    * merge is also its destination, and overwriting a path while reading it
+    * is undefined.
     *
-    * The temp dir is a DOT-PREFIXED sibling (`.name__tmp`): hidden paths are
-    * ignored by Spark's file listing and partition discovery, so when
-    * `path` is a partition directory inside a larger sink
-    * ([[compactPartitioned]]), neither a concurrent root reader nor a
-    * crash-leftover tmp can surface as a phantom duplicate partition (a
-    * bare `name__tmp` sibling would: it contains `=` and a full row copy).
+    * Swap order is write-tmp → rename dst aside → rename tmp into place →
+    * delete the aside copy. A crash at any point leaves the data either at
+    * `dst` or in exactly one hidden sibling: `.name__tmp` (crash before the
+    * swap — `dst` still holds the OLD copy, tmp holds the new one) or
+    * `.name__old` (crash between the two renames — `dst` is briefly absent
+    * but the old copy is one `rename` away). Recovery: if `dst` is missing,
+    * `rename .name__old dst` restores the pre-swap state; leftover hidden
+    * dirs from completed swaps are deleted on the next call. The previous
+    * delete-then-rename order had a window where the ONLY copy lived in the
+    * hidden tmp — absent `dst` with no visible pointer to the data.
+    *
+    * Both siblings are DOT-PREFIXED: hidden paths are ignored by Spark's
+    * file listing and partition discovery, so when `path` is a partition
+    * directory inside a larger sink ([[compactPartitioned]]), neither a
+    * concurrent root reader nor a crash leftover can surface as a phantom
+    * duplicate partition (a bare `name__tmp` sibling would: it contains
+    * `=` and a full row copy).
     *
     * Single-writer assumption: one upserting job per sink path at a time
     * (the Structured Streaming foreachBatch caller guarantees this; the
-    * fixed `__tmp` suffix would collide under concurrent writers). Matches
-    * the reference, whose per-run ES updates are also last-writer-wins.
+    * fixed `__tmp`/`__old` suffixes would collide under concurrent
+    * writers). Matches the reference, whose per-run ES updates are also
+    * last-writer-wins.
     */
   private def replaceWith(spark: SparkSession, merged: DataFrame, path: String): Unit = {
     val dst = new Path(path)
     val tmp = new Path(dst.getParent, "." + dst.getName + "__tmp")
+    val old = new Path(dst.getParent, "." + dst.getName + "__old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    fs.delete(old, true) // leftover aside copy from a completed prior swap
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"failed to move $dst aside to $old")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"failed to publish $tmp as $dst; prior copy preserved at $old")
+    fs.delete(old, true)
   }
 
   /** K5/K6 — upsert keyed by `keyCol`: read-merge-overwrite. New rows win
@@ -231,12 +268,7 @@ object Sinks {
       case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
       case None    => df.repartition(nFiles)
     }
-    val conf = spark.conf
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = conf.getOption(key)
-    conf.set(key, "TIMESTAMP_MICROS")
-    try replaceWith(spark, repacked, path)
-    finally prev.fold(conf.unset(key))(conf.set(key, _))
+    withMicrosTimestamps(spark)(replaceWith(spark, repacked, path))
     fs.listStatus(p).count { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }

@@ -24,12 +24,17 @@ import graft.sources.Sinks
   * at cluster scale the store is a mergeable table bucketed by
   * `centroid_id` so this join never shuffles history.
   *
-  * The store side of each cell is capped at `maxStorePerCell`
-  * (deterministic lowest-id prefix — the admission-time analogue of
-  * [[Dedup.jaccardBetween]]'s posting cap): a cell that accumulates more
-  * admitted vectors than the cap compares new arrivals against the cap
-  * prefix only — bounded work per batch at documented partial recall,
-  * surfaced via an `observe` metric per the no-silent-caps convention.
+  * The store side of each cell is capped at `maxStorePerCell` — the
+  * admission-time analogue of [[Dedup.jaccardBetween]]'s posting cap. The
+  * compared prefix is the cap MOST-CENTRAL members of the cell (highest
+  * persisted `cent_sim` = cosine to the cell centroid, vec_id tie-break):
+  * duplicates concentrate where the cell is densest, so a centrality
+  * prefix keeps catching them after the cap fires, and — unlike a
+  * lowest-id prefix, which freezes at the first cap winners forever — a
+  * newly admitted central vector ENTERS the compared set and screens its
+  * own future twins. Bounded work per batch at documented partial recall
+  * (far-from-centroid arrivals beyond the cap go uncompared), surfaced
+  * via an `observe` metric per the no-silent-caps convention.
   */
 object StreamingSemanticDedup {
 
@@ -45,8 +50,19 @@ object StreamingSemanticDedup {
       threshold: Double = 0.35,
       maxBucketSize: Int = 1000,
       maxStorePerCell: Int = 10000): DataFrame = {
+    // centroid_id → centroid vector, for the persisted centrality score
+    val centMap = map(cents.flatMap { case (cid, v) =>
+      Seq(lit(cid), array(v.map(lit): _*))
+    }: _*)
+    def centSim(embCol: org.apache.spark.sql.Column) =
+      Similarity.cosine(Similarity.toDoubleArray(embCol),
+        element_at(centMap, col("centroid_id")))
     val flagged = Dedup.semanticDedup(batch, cents, threshold, maxBucketSize)
     val within = flagged.filter(!col("is_dup")).drop("is_dup")
+      // cent_sim is computed ONCE at admission and persisted with the row:
+      // the cap window orders the store by a stored column instead of
+      // re-running |store| cosine kernels every batch
+      .withColumn("cent_sim", centSim(col("embedding")))
       // feeds the history comparison AND the survivor anti-join AND the
       // store update — snapshot so assignment + within-batch pairing run once
       .transform(Stage.snapshotDF)
@@ -57,7 +73,13 @@ object StreamingSemanticDedup {
     // store into block storage per batch would cost more than the scan).
     // Sinks.readExisting: only path absence means "no history"; any other
     // failure propagates — admission decisions are final.
-    val history = Sinks.readExisting(spark, storePath)
+    // Stores written before cent_sim existed get the column backfilled on
+    // the fly (one extra kernel per row for this batch); the upsert below
+    // persists it, so the backfill happens at most once per store.
+    val history = Sinks.readExisting(spark, storePath).map { st =>
+      if (st.columns.contains("cent_sim")) st
+      else st.withColumn("cent_sim", centSim(col("embedding")))
+    }
     val survivors = history match {
       case Some(store) =>
         // per-cell prefix rank, unconditional: a pre-check "fast path" was
@@ -70,7 +92,8 @@ object StreamingSemanticDedup {
         // observe metric fires every batch (uncompared_rows = 0 when
         // nothing is capped), so the listener heartbeat distinguishes
         // "instrumented, nothing dropped" from "instrumentation gone".
-        val w = Window.partitionBy("centroid_id").orderBy("vec_id")
+        val w = Window.partitionBy("centroid_id")
+          .orderBy(col("cent_sim").desc, col("vec_id"))
         val over = col("__rn") > maxStorePerCell
         val bounded = store.withColumn("__rn", row_number().over(w))
           .observe("graft.semStoreCap",
@@ -94,7 +117,7 @@ object StreamingSemanticDedup {
     }
     val out = survivors.transform(Stage.snapshotDF)
     Sinks.upsert(spark,
-      out.select(col("vec_id"), col("centroid_id"), col("embedding")),
+      out.select(col("vec_id"), col("centroid_id"), col("cent_sim"), col("embedding")),
       storePath, "vec_id", existing = history)
     out
   }

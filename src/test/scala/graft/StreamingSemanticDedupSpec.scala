@@ -65,9 +65,11 @@ class StreamingSemanticDedupSpec extends SparkSuite {
     assert(StreamingSemanticDedup
       .admitBatch(spark, b1, cents, store, threshold = 0.999).count() == 5L)
 
-    // a new vector identical to the HIGHEST stored id: with the store cell
-    // capped to 2 (lowest-id prefix), vec 4 is outside the compared prefix,
-    // so the new arrival is admitted — bounded work, documented recall loss
+    // a new vector identical to the FARTHEST-from-centroid stored vector:
+    // with the store cell capped to 2, the compared prefix is the 2
+    // most-central members (vecs 0 and 1 — here centrality decreases with
+    // id), so vec 4's twin is outside it and the arrival is admitted —
+    // bounded work, documented recall loss
     val b2 = emb(100L -> Seq(1.0f, 0.6f, 0f, 0f))
     val out = StreamingSemanticDedup.admitBatch(
       spark, b2, cents, store, threshold = 0.999, maxStorePerCell = 2)
@@ -77,5 +79,51 @@ class StreamingSemanticDedupSpec extends SparkSuite {
       spark, emb(101L -> Seq(1.0f, 0.6f, 0f, 0f)), cents, store,
       threshold = 0.999)
     assert(out2.count() == 0L, "uncapped comparison catches the twin")
+  }
+
+  test("capped prefix tracks the cell: a newly admitted central vector screens its own twins") {
+    val store = Files.createTempDirectory("graft_sem_track").toString + "/store"
+    // seed the cell over the cap: 5 vectors fanning off the x-axis, no
+    // θ=0.999 pair among them — centrality (cos to centroid) decreases
+    // with id, so the cap-2 prefix starts as {0, 1}
+    val b1 = emb((0 until 5).map { i =>
+      (i.toLong, Seq(1.0f, 0.15f * i, 0f, 0f))
+    }: _*)
+    assert(StreamingSemanticDedup.admitBatch(
+      spark, b1, cents, store, threshold = 0.999, maxStorePerCell = 2)
+      .count() == 5L)
+
+    // vec 200 = (1, 0.05): more central than vec 1 = (1, 0.15) but not a
+    // θ=0.999 dup of vec 0 (cos ≈ 0.99875) → admitted, and it DISPLACES
+    // vec 1 from the top-2 centrality prefix
+    assert(StreamingSemanticDedup.admitBatch(
+      spark, emb(200L -> Seq(1.0f, 0.05f, 0f, 0f)), cents, store,
+      threshold = 0.999, maxStorePerCell = 2).count() == 1L)
+
+    // vec 201 is vec 200's twin: only catchable if the compared prefix now
+    // CONTAINS 200 (a frozen lowest-id prefix {0, 1} would admit it —
+    // cos(201, 0) ≈ 0.99875 and cos(201, 1) ≈ 0.995, both under θ)
+    assert(StreamingSemanticDedup.admitBatch(
+      spark, emb(201L -> Seq(1.0f, 0.05f, 0f, 0f)), cents, store,
+      threshold = 0.999, maxStorePerCell = 2).count() == 0L,
+      "the new central admission must enter the compared prefix")
+  }
+
+  test("pre-cent_sim stores are backfilled on read and persisted on the next upsert") {
+    val store = Files.createTempDirectory("graft_sem_migrate").toString + "/store"
+    // simulate a store written by the previous schema (no cent_sim)
+    emb(1L -> Seq(1.0f, 0.01f, 0f, 0f))
+      .withColumn("centroid_id", lit(10L))
+      .select("vec_id", "centroid_id", "embedding")
+      .write.parquet(store)
+    // a twin of the stored vector must be dropped (history comparison
+    // works on the migrated store), and the store gains cent_sim
+    val out = StreamingSemanticDedup.admitBatch(
+      spark, emb(2L -> Seq(1.0f, 0.01f, 0f, 0f)), cents, store,
+      threshold = 0.999)
+    assert(out.count() == 0L)
+    val migrated = spark.read.parquet(store)
+    assert(migrated.columns.contains("cent_sim"))
+    assert(migrated.count() == 1L)
   }
 }
