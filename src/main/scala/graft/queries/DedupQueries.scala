@@ -171,7 +171,30 @@ object DedupQueries {
       .orderBy("centroid_id")
   }
 
+  /** q105 — incremental Jaccard admission comparison
+    * ([[Dedup.jaccardBetween]]): a simulated micro-batch (doc_id % 7 = 0,
+    * ~14% of the corpus) against the admitted history (the rest), via the
+    * inverted-index cross-slice join the streaming admission path
+    * ([[graft.streaming.StreamingDedup]]) runs every batch — this puts the
+    * exact operator that admission decisions rely on under the driver's
+    * hash check, not just under specs. The posting cap is set far above
+    * the fixture's longest posting list, so the capped code path (history-
+    * side window) executes but prunes nothing and the result is exact; the
+    * oracle is the unpruned cross-slice Jaccard. DedupSpec covers the cap
+    * actually firing.
+    */
+  def q105_jaccard_between: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val shNew = Dedup.shingleIndex(
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 3)
+    val shOld = Dedup.shingleIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", shingleK = 3)
+    Dedup.jaccardBetween(shNew, shOld, threshold = 0.6, maxPostings = 100000)
+      .orderBy("id_new", "id_old")
+  }
+
   val all: Map[String, Q] = Map(
+    "q105_jaccard_between" -> q105_jaccard_between,
     "q97_semantic_dedup" -> q97_semantic_dedup,
     "q93_embed_neardup_multiprobe" -> q93_embed_neardup_multiprobe,
     "q91_embed_neardup_lsh" -> q91_embed_neardup_lsh,
@@ -386,6 +409,29 @@ object DedupQueries {
       SELECT d.lang, count(1) AS n_kept, min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
       FROM documents d JOIN kept k ON d.text = k.text AND d.doc_id = k.doc_id
       GROUP BY 1 ORDER BY 1""",
+    "q105_jaccard_between" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        GROUP BY 1, 2)
+      SELECT id_new, id_old,
+             round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_new
+      JOIN sizes sb ON sb.doc_id = id_old
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6
+      ORDER BY 1, 2""",
     "q42_jaccard_pairs" -> """
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
