@@ -78,6 +78,52 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.map(_.frame_payload.toSeq).toSeq == f2.map(_.frame_payload.toSeq).toSeq)
   }
 
+  /** A real PNG, generated with the same JDK codec the decoder reads with:
+    * solid `rgb` fill so the expected pixel statistics are exact.
+    */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIODecoder really decodes a PNG: true dimensions and exact pixel stats") {
+    val red = Multimodal.MediaRecord(1L, "image", pngBytes(6, 4, 0xFF0000), "u")
+    val text = Multimodal.MediaRecord(2L, "image", "not an image".getBytes, "u")
+    val out = Multimodal.extractFeatures(
+        Seq(red, text).toDS().repartition(2), () => new Multimodal.ImageIODecoder())
+      .collect().map(f => f.media_id -> f).toMap
+    val r = out(1L)
+    assert(r.width == 6 && r.height == 4, "true PNG dimensions, not the stub's fake")
+    assert(r.feature(0) == 1.0f, "mean R of a solid-red image")
+    assert(r.feature(1) == 0.0f && r.feature(2) == 0.0f)
+    assert(math.abs(r.feature(3) - 0.299f) < 1e-3, "mean luminance of pure red")
+    // red's luminance 76.2 lands in histogram bin 1 for every pixel
+    assert(r.feature(4) == 0.0f && r.feature(5) == 1.0f)
+    // the non-decodable payload falls back to the stub, doesn't fail the partition
+    val t = out(2L)
+    assert(t.width >= 64, "stub fallback dimensions")
+  }
+
+  test("resize really rescales a decodable PNG (decode-verified), fake-path otherwise") {
+    val real = Multimodal.MediaRecord(1L, "image", pngBytes(8, 8, 0x0000FF), "u1")
+    val fake = Multimodal.MediaRecord(2L, "image", "plain bytes".getBytes, "u2")
+    val out = Multimodal.resize(Seq(real, fake).toDS(), 4, 4)
+      .collect().map(r => r.media_id -> r).toMap
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).payload))
+    assert(back.getWidth == 4 && back.getHeight == 4, "re-encoded PNG has target dims")
+    assert((back.getRGB(2, 2) & 0xFFFFFF) == 0x0000FF,
+      "bilinear scale of a solid color preserves the color")
+    assert(out(1L).source_uri.endsWith("?resized=4x4"))
+    assert(out(2L).payload.length == math.max(4 * 4 / 64, 1),
+      "non-decodable keeps the fake path")
+    assert(out(2L).source_uri.endsWith("?resized=4x4"))
+  }
+
   test("image records get dimensions, time media get durations") {
     val out = Multimodal.extractFeatures(media, () => new Multimodal.StubDecoder())
     val img = out.filter($"modality" === "image")
