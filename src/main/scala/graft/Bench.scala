@@ -46,6 +46,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cap observability rides along: any graft.* observe metric fired during
+    // the measured suite lands in the verbose line's "caps" map (zero-total
+    // entries dropped — on the uniform corpus most caps never fire; the
+    // skewed-corpus numbers live in graft.BenchSkew)
+    val capListener = graft.tools.CapMetricsListener.register(spark)
     // SPARK_GRAFT_BENCH_ONLY=q42_jaccard_pairs,q90_jaccard_prefix → solo/subset
     // timing without suite interference (how the "solo" numbers in
     // BENCH_NOTES.md are produced); unset = the full declared inventory.
@@ -100,8 +105,13 @@ object Bench {
       if (failures.isEmpty) "" else s""","failed_passes":${jmap(failures)}"""
     val sfNum = raw"sf([0-9.]+)/?$$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    val capTotals = capListener.snapshot.filter(_._2 != 0L).toSeq.sorted
+    val capsJson =
+      if (capTotals.isEmpty) ""
+      else capTotals.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","caps":{""", ",", "}")
     val verbose =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":$sfNum,"runs":$runs,"spread":${jmap(spreads)}$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":$sfNum,"runs":$runs,"spread":${jmap(spreads)}$failedJson$capsJson}"""
     println(verbose)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Similarity, Skew, Stage}
+import graft.tools.{CapMetricsListener, SkewedCorpus}
+
+/** Skew benchmark: runs the cap/sub-block/salting machinery over the
+  * deterministic skewed corpus ([[graft.tools.SkewedCorpus]]) — the corpus
+  * where every bounded-coverage guard actually FIRES — and reports, in one
+  * JSON line:
+  *
+  *   - `ops`: seconds per operator, CAPPED (production settings) and OPEN
+  *     (caps disabled) where the open form is affordable — the
+  *     before/after-cap runtime the caps exist to buy;
+  *   - `counts`: result cardinalities of both forms — the recall price
+  *     paid for the bound (capped ⊆ open for every pair family);
+  *   - `caps`: the session [[graft.tools.CapMetricsListener]] totals —
+  *     proof the observability channel carries real firings, not zeros.
+  *
+  * The uniform driver bench (`graft.Bench`) answers "how fast on typical
+  * data"; this answers "does the machinery hold when one bucket IS the
+  * dataset" — the question a 100 TB web crawl asks. Fixture defaults
+  * (5000 docs / 4000 vectors ≈ sf0.1 scale): a 2000-document near-dup
+  * cluster, a 3500-row hot source key, a 2000-vector hot semantic cell.
+  *
+  * Each op is timed over `SPARK_GRAFT_BENCH_RUNS` (default 3) interleaved
+  * passes, min taken — same protocol as [[Bench]].
+  */
+object BenchSkew {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skewdata")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(2)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SKEW_DOCS", "5000").toInt
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_SKEW_VECS", "4000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = CapMetricsListener.register(spark)
+
+    SkewedCorpus.write(spark, dir, nDocs, nVecs)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.centroids(emb, 16)
+
+    // jaccardBetween slices (the q105 / StreamingDedup shape)
+    def shNew = Dedup.shingleIndex(
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 3)
+    def shOld = Dedup.shingleIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 3)
+
+    // each entry: name -> () => result cardinality (forces full execution)
+    val ops: Seq[(String, () => Long)] = Seq(
+      "minhash_capped" -> (() =>
+        Dedup.minhashCandidates(docs, "doc_id", "text").count()),
+      "minhash_open" -> (() =>
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+          maxBucketSize = Int.MaxValue).count()),
+      "jacc_between_capped" -> (() =>
+        Dedup.jaccardBetween(shNew, shOld, 0.6, maxPostings = 50).count()),
+      "jacc_between_open" -> (() =>
+        Dedup.jaccardBetween(shNew, shOld, 0.6, maxPostings = 0).count()),
+      "embed_block_drop" -> (() =>
+        Dedup.embeddingNearDups(emb, "label", 0.9, 500, "drop").count()),
+      "embed_block_subblock" -> (() =>
+        Dedup.embeddingNearDups(emb, "label", 0.9, 500, "subblock").count()),
+      "embed_block_open" -> (() =>
+        Dedup.embeddingNearDups(emb, "label", 0.9, Int.MaxValue, "drop").count()),
+      "semantic_dedup_subblock" -> (() =>
+        Dedup.semanticDedup(emb, cents, 0.35, 500).filter(!col("is_dup")).count()),
+      "knn_join_capped" -> (() =>
+        Similarity.knnJoinLsh(emb, numPlanes = 8, dim = 64, k = 5,
+          maxBucketSize = 500).count()),
+      "salted_agg" -> (() =>
+        Skew.saltedAggregate(docs.select("source", "n_chars"), Seq("source"),
+          sum("n_chars").as("partial"), sum("partial").as("total_chars")).count()),
+      "plain_agg" -> (() =>
+        docs.groupBy("source").agg(sum("n_chars")).count()),
+      "boilerplate" -> (() =>
+        Corpus.boilerplateCoverage(docs, "doc_id", "text", 3, 0.02)
+          .filter(col("boiler_ratio") > 0.5).count()),
+      "quality_buckets_approx" -> (() =>
+        Corpus.approxQuantileBuckets(
+          docs.withColumn("score", col("n_chars").cast("double")),
+          "lang", "score", 3).groupBy("lang", "bucket").count().count()))
+
+    def r3(v: Double): Double =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // interleaved passes, min per op (Bench's protocol); counts from pass 0
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (pass <- 0 until runs; (name, run) <- ops) {
+      val t0 = System.nanoTime()
+      val n = run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (pass == 0) counts(name) = n
+      times(name) = math.min(times.getOrElse(name, Double.MaxValue), sec)
+    }
+    val caps = listener.snapshot.toSeq.sortBy(_._1)
+    def jnum(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def jlong(m: Seq[(String, Long)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = r3(times.values.sum)
+    println(
+      s"""{"metric":"skew_total","value":$total,"unit":"sec","docs":$nDocs,"vecs":$nVecs,"runs":$runs,"ops":${jnum(times.toSeq)},"counts":${jlong(counts.toSeq)},"caps":${jlong(caps)}}""")
+    spark.stop()
+  }
+}
