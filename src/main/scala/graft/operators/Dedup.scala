@@ -742,4 +742,56 @@ object Dedup {
       .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
       .drop("__dup")
   }
+
+  /** Cosine near-dup pairs BETWEEN two embedding relations, blocked by the
+    * broadcast-centroid cell — the semantic twin of [[jaccardBetween]] and
+    * the relational core of
+    * [[graft.streaming.StreamingSemanticDedup]]'s history comparison: each
+    * new vector meets only the history of ITS OWN cell (map-side argmax
+    * assignment on both sides, join on `centroid_id`), and the history
+    * side of each cell is capped at its `maxPerCell` MOST-CENTRAL members
+    * (cosine to the cell centroid, vec_id tie-break) — the same prefix the
+    * admission store keeps, so this form puts the admission decision's
+    * comparison semantics under a relational (oracle-checkable) surface.
+    * Capping only UNDERCOUNTS (pairs against far-from-centroid history go
+    * unseen), never invents a pair; set `maxPerCell <= 0` to disable.
+    *
+    * Returns (`id_new`, `id_old`, `sim`), threshold-filtered; equal-id
+    * pairs are excluded so a replayed batch does not match itself
+    * (idempotent re-admission, same guard as [[jaccardBetween]]).
+    */
+  def semanticBetween(
+      newEmb: DataFrame,
+      oldEmb: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      threshold: Double,
+      maxPerCell: Int = 10000): DataFrame = {
+    val a = Similarity.ivfAssign(newEmb, cents)
+      .select(col("vec_id").as("id_new"), col("centroid_id"),
+        col("__v").as("__vn"))
+    val o0 = Similarity.ivfAssign(oldEmb, cents)
+      .select(col("vec_id").as("id_old"), col("centroid_id"),
+        col("__v").as("__vo"))
+    val o =
+      if (maxPerCell <= 0) o0
+      else {
+        val centMap = map(cents.flatMap { case (cid, v) =>
+          Seq(lit(cid), array(v.map(lit): _*))
+        }: _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("centroid_id")
+          .orderBy(
+            Similarity.cosine(col("__vo"),
+              element_at(centMap, col("centroid_id"))).desc,
+            col("id_old"))
+        o0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxPerCell)
+          .drop("__rn")
+      }
+    a.join(o, Seq("centroid_id"))
+      .filter(col("id_new") =!= col("id_old"))
+      .withColumn("sim", Similarity.cosine(col("__vn"), col("__vo")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_new"), col("id_old"), round(col("sim"), 4).as("sim"))
+  }
 }

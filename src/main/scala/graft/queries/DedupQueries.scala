@@ -193,7 +193,27 @@ object DedupQueries {
       .orderBy("id_new", "id_old")
   }
 
+  /** q106 — incremental SEMANTIC admission comparison
+    * ([[Dedup.semanticBetween]]): a simulated micro-batch (vec_id % 5 = 0)
+    * against the admitted history (the rest), blocked by the broadcast-
+    * centroid cell — the embedding twin of q105, putting the comparison
+    * [[graft.streaming.StreamingSemanticDedup]] runs per batch under the
+    * driver's hash check. Cell cap set above the fixture's largest cell,
+    * so the centrality-prefix code path executes but prunes nothing;
+    * StreamingSemanticDedupSpec covers the cap firing.
+    */
+  def q106_semantic_between: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.centroids(emb, 16)
+    Dedup.semanticBetween(
+      emb.filter(col("vec_id") % 5 === 0),
+      emb.filter(col("vec_id") % 5 =!= 0),
+      cents, threshold = 0.35, maxPerCell = 100000)
+      .orderBy("id_new", "id_old")
+  }
+
   val all: Map[String, Q] = Map(
+    "q106_semantic_between" -> q106_semantic_between,
     "q105_jaccard_between" -> q105_jaccard_between,
     "q97_semantic_dedup" -> q97_semantic_dedup,
     "q93_embed_neardup_multiprobe" -> q93_embed_neardup_multiprobe,
@@ -409,6 +429,21 @@ object DedupQueries {
       SELECT d.lang, count(1) AS n_kept, min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
       FROM documents d JOIN kept k ON d.text = k.text AND d.doc_id = k.doc_id
       GROUP BY 1 ORDER BY 1""",
+    "q106_semantic_between" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c),
+      a AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1)
+      SELECT n.vec_id AS id_new, o.vec_id AS id_old,
+             round(list_cosine_similarity(n.v, o.v), 4) AS sim
+      FROM a n JOIN a o ON n.cid = o.cid
+      WHERE n.vec_id % 5 = 0 AND o.vec_id % 5 <> 0
+        AND list_cosine_similarity(n.v, o.v) >= 0.35
+      ORDER BY 1, 2""",
     "q105_jaccard_between" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

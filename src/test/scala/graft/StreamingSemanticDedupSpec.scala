@@ -109,6 +109,29 @@ class StreamingSemanticDedupSpec extends SparkSuite {
       "the new central admission must enter the compared prefix")
   }
 
+  test("admitBatch's history drops match Dedup.semanticBetween on the same data") {
+    val store = Files.createTempDirectory("graft_sem_twin").toString + "/store"
+    // admitted history: one vector per cell
+    val h = emb(1L -> Seq(1.0f, 0.01f, 0f, 0f), 7L -> Seq(0f, 1.0f, 0f, 0f))
+    graft.streaming.StreamingSemanticDedup
+      .admitBatch(spark, h, cents, store, threshold = 0.9).count()
+    // batch: x ≈ history vec 1 (cross-history drop), y far from vec 7
+    // (admitted); no within-batch pair at θ=0.9
+    val batch = emb(
+      3L -> Seq(1.0f, 0.03f, 0f, 0f),
+      8L -> Seq(0.1f, 1.0f, 3.0f, 0f))
+    val admitted = graft.streaming.StreamingSemanticDedup
+      .admitBatch(spark, batch, cents, store, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val droppedByAdmission = Set(3L, 8L) -- admitted
+    // the relational twin over the identical (batch, history) relations
+    val twinDrops = graft.operators.Dedup
+      .semanticBetween(batch, h, cents, threshold = 0.9)
+      .select("id_new").distinct().as[Long].collect().toSet
+    assert(twinDrops == droppedByAdmission,
+      s"q106's operator must reproduce the admission decision: $twinDrops vs $droppedByAdmission")
+  }
+
   test("pre-cent_sim stores are backfilled on read and persisted on the next upsert") {
     val store = Files.createTempDirectory("graft_sem_migrate").toString + "/store"
     // simulate a store written by the previous schema (no cent_sim)
