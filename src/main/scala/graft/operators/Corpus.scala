@@ -121,8 +121,15 @@ object Corpus {
     // Dedup.connectedComponents' pair input.
     val w = tfidf(docs, idCol, textCol).transform(Stage.snapshotDF)
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("nrm"))
+    val overCap = size(col("post")) > maxPostings
     val pairs = w.groupBy("term")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tfidf")))).as("post"))
+      // no-silent-caps: dropped posting lists are visible via
+      // graft.postingCap, same channel as Dedup.jaccardBetween's cap
+      .observe(s"graft.postingCap.${Dedup.capObsId.incrementAndGet()}",
+        sum(when(overCap, size(col("post")).cast("long")).otherwise(0L))
+          .as("dropped_postings"),
+        sum(when(overCap, 1L).otherwise(0L)).as("dropped_terms"))
       .filter(size(col("post")).between(2, maxPostings))
       .select(explode_outer(flatten(transform(col("post"), (x, i) =>
         transform(slice(col("post"), i + lit(2), size(col("post"))),

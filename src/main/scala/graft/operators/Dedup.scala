@@ -124,8 +124,34 @@ object Dedup {
     // and emit its pairs in-place. The signature pipeline runs ONCE (a
     // self-join would re-execute the whole lineage for each side), and the
     // size cap is a filter on the collected array.
+    bandBucketPairs(banded, maxBucketSize)
+  }
+
+  /** Shared capped pair-expansion tail of both banded candidate
+    * generators: collect each (band, bucket)'s members, drop over-cap
+    * buckets, expand pairs in place. The firing cap is VISIBLE
+    * (no-silent-caps): `graft.lshBandCap.*` reports memberships in
+    * over-cap buckets and the bucket count — CollectMetrics piggybacks on
+    * the aggregation pass, zero extra jobs.
+    *
+    * AQE caveat (applies to EVERY observe-backed cap in this file): when
+    * the cap drops the entire result (0 output rows), AQE's empty-relation
+    * propagation replaces the already-executed stage with an empty
+    * LocalRelation and the CollectMetrics node — whose accumulator DID
+    * fill during the stage run — becomes unreachable from the final plan,
+    * so `observedMetrics` (and the session listener) report nothing. The
+    * total-collapse case is self-announcing (the caller sees 0 rows where
+    * it expected candidates); in every partial-drop case the metric
+    * survives. Pinned in SkewFixtureSpec.
+    */
+  private def bandBucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val over = size(col("members")) > maxBucketSize
     banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("__id"))).as("members"))
+      .observe(s"graft.lshBandCap.${capObsId.incrementAndGet()}",
+        sum(when(over, size(col("members")).cast("long")).otherwise(0L))
+          .as("dropped_rows"),
+        sum(when(over, 1L).otherwise(0L)).as("dropped_buckets"))
       .filter(size(col("members")).between(2, maxBucketSize))
       .select(explode_outer(pairsOf(col("members"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
@@ -177,12 +203,7 @@ object Dedup {
           concat_ws(":", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("__id"), col("bb.band"), col("bb.bucket"))
-    banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("__id"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-      .select(explode_outer(pairsOf(col("members"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    bandBucketPairs(banded, maxBucketSize)
   }
 
   /** All ordered pairs of a sorted array column (element_i < element_j),
@@ -406,8 +427,13 @@ object Dedup {
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("shingle").orderBy("__id")
+        val over = col("__pn") > maxPostings
         shOld.withColumn("__pn", row_number().over(w))
-          .filter(col("__pn") <= maxPostings)
+          // no-silent-caps: postings beyond the cap are uncompared history —
+          // visible via graft.postingCap (piggybacks on the window pass)
+          .observe(s"graft.postingCap.${capObsId.incrementAndGet()}",
+            sum(when(over, lit(1L)).otherwise(lit(0L))).as("dropped_postings"))
+          .filter(!over)
           .drop("__pn")
       }
     val pairCounts = shNew
@@ -544,7 +570,7 @@ object Dedup {
     * `QueryExecutionListener`/`SparkListener` (metric name prefix
     * `graft.capBuckets`); asserted in DedupSpec.
     */
-  private val capObsId = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[operators] val capObsId = new java.util.concurrent.atomic.AtomicInteger(0)
   private[operators] def capBuckets(df: DataFrame, key: String, maxBucketSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
     val over = col("__bsz") > maxBucketSize

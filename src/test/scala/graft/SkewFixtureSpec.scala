@@ -85,6 +85,56 @@ class SkewFixtureSpec extends SparkSuite {
     assert(cold(drop) == cold(open) && cold(sub) == cold(open))
   }
 
+  test("the text-side caps are observable too (no-silent-caps: band cap, posting cap)") {
+    // band cap: with a cap below the hot cluster's bucket sizes, the
+    // aggregation pass must report dropped memberships and buckets
+    val cands = Dedup.minhashCandidatesDeterministic(
+      docs, "doc_id", "text", maxBucketSize = 50)
+    cands.collect() // observedMetrics live on THIS plan's execution
+    val band = cands.queryExecution.observedMetrics
+      .collect { case (n, r) if n.startsWith("graft.lshBandCap.") => r }
+    assert(band.nonEmpty, "band-cap stage must emit an observe metric")
+    assert(band.map(_.getAs[Long]("dropped_buckets")).sum > 0,
+      "hot-cluster buckets must be reported dropped")
+    assert(band.map(_.getAs[Long]("dropped_rows")).sum > 50,
+      "dropped memberships must exceed the cap itself")
+    // posting cap: the capped history side reports uncompared postings
+    val shNew = Dedup.shingleIndex(
+      docs.filter($"doc_id" % 7 === 0), "doc_id", "text", 3)
+    val shOld = Dedup.shingleIndex(
+      docs.filter($"doc_id" % 7 =!= 0), "doc_id", "text", 3)
+    val between = Dedup.jaccardBetween(shNew, shOld, 0.6, maxPostings = 20)
+    between.collect()
+    val post = between.queryExecution.observedMetrics
+      .collect { case (n, r) if n.startsWith("graft.postingCap.") => r }
+    assert(post.nonEmpty, "posting-cap stage must emit an observe metric")
+    assert(post.map(_.getAs[Long]("dropped_postings")).sum > 0,
+      "hot shingles' over-cap postings must be reported")
+  }
+
+  test("AQE total-collapse caveat: an all-dropped result loses its observe metric (pinned)") {
+    // xxhash 8-row bands at this J admit only the giant cluster, so a cap
+    // below its bucket sizes drops EVERYTHING → 0 rows. AQE's empty-
+    // relation propagation then removes the (already-executed)
+    // CollectMetrics stage from the final plan — the metric is lost even
+    // though the drop happened. If a Spark upgrade starts preserving it,
+    // this test flips and the scaladoc caveat can be retired.
+    val all = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = 50)
+    assert(all.collect().isEmpty, "the cap must swallow the whole result here")
+    assert(all.queryExecution.observedMetrics.isEmpty,
+      "AQE empty-propagation currently discards the collapsed stage's metric")
+    // with AQE off the same query reports the drops — proving the loss is
+    // plan-collapse, not the cap instrumentation
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = 50)
+      assert(noAqe.collect().isEmpty)
+      val m = noAqe.queryExecution.observedMetrics
+        .collect { case (n, r) if n.startsWith("graft.lshBandCap.") => r }
+      assert(m.nonEmpty && m.map(_.getAs[Long]("dropped_buckets")).sum > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("cap firings on the fixture are observable through the session listener") {
     val listener = CapMetricsListener.register(spark)
     try {
