@@ -295,10 +295,20 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleK: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
     // the inverted-index rows feed df-count AND prefix ranking — one
     // materialization (the same fan-out rule as tfidf/connectedComponents)
-    val sh = shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF)
+    jaccardPairsPrefixFrom(
+      shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF),
+      threshold)
+
+  /** [[jaccardPairsPrefix]] over a prebuilt — and ALREADY SNAPSHOTTED —
+    * [[shingleIndex]] relation, for callers that hold one (the streaming
+    * admission path builds the batch index once and fans it out to the
+    * within-batch and history stages). `sh` must be materialized: it feeds
+    * the df count, the prefix ranking, and verification.
+    */
+  def jaccardPairsPrefixFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-document window: bounded by document length, never corpus-sized
     // (contrast the term-partitioned window retired from Corpus.tfidf)

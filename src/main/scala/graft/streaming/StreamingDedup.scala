@@ -43,12 +43,21 @@ object StreamingDedup {
       shingleK: Int = 3,
       threshold: Double = 0.6,
       maxPostings: Int = 1000): DataFrame = {
-    // one checkpointed shingle index feeds within-batch candidates,
-    // within-batch verification, AND the history comparison
+    // one checkpointed shingle index feeds the within-batch pair stage AND
+    // the history comparison
     val sh = Dedup.shingleIndex(batch, idCol, textCol, shingleK)
       .transform(Stage.snapshotDF)
-    val withinPairs = Dedup.jaccardVerify(
-      Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold)
+    // within-batch stage is the EXACT prefix-filtered form, not LSH
+    // candidates→verify: a micro-batch is small by construction (batch
+    // sizing is the B1 knob), so exactness is affordable — and the LSH
+    // route has a failure mode the skewed-corpus driver exposed: a batch
+    // that IS one giant near-dup cluster overflows every band bucket, the
+    // bucket cap (drop policy) swallows all candidates, and the whole
+    // cluster gets admitted in one batch-width. The prefix path has no
+    // bucket cap to fire — its pair stage is bounded by the batch's own
+    // quadratic truth (cluster-shaped batches produce cluster-sized pair
+    // sets), which is the correct cost for an exact within-batch answer.
+    val withinPairs = Dedup.jaccardPairsPrefixFrom(sh, threshold)
     // snapshot the (tiny) drop list: afterWithin fans out to the history
     // comparison AND the survivor anti-join — without the barrier the
     // candidates→verify lineage would compile into the plan once per branch
