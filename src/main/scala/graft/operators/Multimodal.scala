@@ -77,23 +77,38 @@ object Multimodal {
     }
   }
 
-  /** REAL image decode via `javax.imageio` (JDK-builtin: PNG, BMP, JPEG,
-    * GIF). A decodable image payload reports its true width/height and an
-    * 8-dim pixel-statistics feature vector (mean R/G/B + mean luminance,
-    * normalized to [0,1], then a 4-bin luminance histogram) — deterministic
-    * from pixel content, so downstream similarity/dedup over the feature
-    * column is meaningful. Payloads the codec rejects (corrupt bytes, or
+  /** REAL media decode with the JDK's built-in codec family — zero new
+    * dependencies:
+    *
+    *   - IMAGES via `javax.imageio` (PNG, BMP, JPEG, GIF): true
+    *     width/height and an 8-dim pixel-statistics feature (mean R/G/B +
+    *     mean luminance, normalized to [0,1], then a 4-bin luminance
+    *     histogram) — deterministic from pixel content, so downstream
+    *     similarity/dedup over the feature column is meaningful.
+    *   - AUDIO via `javax.sound.sampled` (WAV/AIFF/AU PCM): true
+    *     duration_ms from the frame count / frame rate, and an 8-segment
+    *     RMS-energy envelope as the feature — the "waveform thumbnail" an
+    *     audio curation pipeline filters on.
+    *
+    * Payloads the codec rejects (corrupt bytes, unsupported formats, or
     * the synthetic text-byte payloads of the test tables) fall back to the
     * [[StubDecoder]] fake instead of failing the partition — per-row error
     * isolation, the B4 posture (`ingester/annotations_indexer.py:330-340`).
-    * Audio/video still route to the fallback (no JDK codec).
+    * True VIDEO codecs remain the one stubbed path (the JDK has none);
+    * animated GIFs get real frame extraction via [[sampleFrames]].
     */
   final class ImageIODecoder(featureDim: Int = 8) extends Decoder {
     private val fallback = new StubDecoder(featureDim)
     override def decode(rec: MediaRecord): MediaFeatures = {
-      val img =
-        if (rec.modality != "image" || rec.payload == null || rec.payload.isEmpty) null
-        else decodeImage(rec.payload)
+      if (rec.payload == null || rec.payload.isEmpty) fallback.decode(rec)
+      else if (rec.modality == "audio") {
+        decodeAudioFeatures(rec, featureDim).getOrElse(fallback.decode(rec))
+      } else if (rec.modality != "image") fallback.decode(rec)
+      else decodeImageFeatures(rec)
+    }
+
+    private def decodeImageFeatures(rec: MediaRecord): MediaFeatures = {
+      val img = decodeImage(rec.payload)
       if (img == null) fallback.decode(rec)
       else {
         val w = img.getWidth
@@ -135,6 +150,56 @@ object Multimodal {
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     catch { case _: java.io.IOException => null }
   }
+
+  /** Real PCM audio decode (`javax.sound.sampled` — WAV/AIFF/AU):
+    * duration_ms from frame length / frame rate, feature = per-segment RMS
+    * energy over `featureDim` equal time slices (signed 16/8-bit PCM,
+    * first channel), normalized to [0, 1]. None when the payload is not a
+    * recognized audio stream or uses an unsupported encoding.
+    */
+  private def decodeAudioFeatures(rec: MediaRecord, featureDim: Int): Option[MediaFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(rec.payload)))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames <= 0 || fmt.getFrameRate <= 0 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            (fmt.getSampleSizeInBits != 16 && fmt.getSampleSizeInBits != 8)) None
+        else {
+          val durationMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+          val bytes = in.readAllBytes()
+          val frameSize = fmt.getFrameSize
+          val nFrames = bytes.length / frameSize
+          val sumsq = new Array[Double](featureDim)
+          val counts = new Array[Long](featureDim)
+          val big = fmt.isBigEndian
+          var f = 0
+          while (f < nFrames) {
+            val seg = math.min(featureDim - 1, (f.toLong * featureDim / nFrames).toInt)
+            val off = f * frameSize // first channel only
+            val sample =
+              if (fmt.getSampleSizeInBits == 16) {
+                val lo = bytes(off + (if (big) 1 else 0)) & 0xFF
+                val hi = bytes(off + (if (big) 0 else 1))
+                ((hi << 8) | lo).toShort.toDouble / 32768.0
+              } else bytes(off).toDouble / 128.0
+            sumsq(seg) += sample * sample
+            counts(seg) += 1
+            f += 1
+          }
+          val feats = Array.tabulate(featureDim)(i =>
+            if (counts(i) == 0) 0.0f
+            else math.sqrt(sumsq(i) / counts(i)).toFloat)
+          Some(MediaFeatures(rec.media_id, rec.modality,
+            rec.payload.length.toLong, 0, 0, durationMs, feats))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   /** The operator: partition-level decode. One Decoder per partition (codec
     * init is expensive — same reason the reference pools one HTTP session
@@ -198,8 +263,14 @@ object Multimodal {
   }
 
   /** Frame sampling (video/audio): one row per sampled frame — the
-    * explode-shaped stage. STUB frame extraction (deterministic byte
-    * slices); real decoders keep the same (media → frames) dataflow.
+    * explode-shaped stage. REAL for multi-frame media the JDK can decode
+    * (animated GIF via `ImageIO`'s multi-image reader): frames are evenly
+    * strided down to `maxFrames`, each re-encoded as a standalone PNG
+    * (offset_ms = stride index × everyMs; GIF per-frame delay metadata is
+    * deliberately not parsed — sampling is by position, and the paced
+    * variant would need the same dataflow). True video codecs are NOT in
+    * the JDK, so every other payload keeps the deterministic byte-slice
+    * fake — the one stub left in the multimodal surface.
     */
   case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, frame_payload: Array[Byte])
 
@@ -208,15 +279,51 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.modality != "image").flatMap { r =>
       val p = if (r.payload == null) Array.empty[Byte] else r.payload
-      val durationMs = 1000L + (p.length % 9000)
-      val n = math.min(maxFrames, math.max(1, (durationMs / everyMs).toInt))
-      (0 until n).map { i =>
-        val off = i * everyMs
-        val slice = p.slice((i * 7) % math.max(1, p.length),
-          math.min(p.length, (i * 7) % math.max(1, p.length) + 16))
-        Frame(r.media_id, i, off, slice)
+      decodeGifFrames(p, maxFrames) match {
+        case Some(frames) =>
+          frames.zipWithIndex.map { case (png, i) =>
+            Frame(r.media_id, i, i * everyMs, png)
+          }
+        case None =>
+          val durationMs = 1000L + (p.length % 9000)
+          val n = math.min(maxFrames, math.max(1, (durationMs / everyMs).toInt))
+          (0 until n).map { i =>
+            val off = i * everyMs
+            val slice = p.slice((i * 7) % math.max(1, p.length),
+              math.min(p.length, (i * 7) % math.max(1, p.length) + 16))
+            Frame(r.media_id, i, off, slice)
+          }
       }
     }
+  }
+
+  /** Animated-GIF frame extraction via `ImageIO`'s multi-image reader:
+    * Some(≤ maxFrames PNG-encoded frames, evenly strided) when the payload
+    * is a multi-frame GIF; None otherwise (single-frame images included —
+    * a still has no frames to sample).
+    */
+  private def decodeGifFrames(payload: Array[Byte], maxFrames: Int): Option[Seq[Array[Byte]]] = {
+    if (payload.length < 6 || payload(0) != 'G' || payload(1) != 'I' || payload(2) != 'F')
+      return None
+    ensureHeadless()
+    val iis = try javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => return None }
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true) // allowSearch: count frames
+      if (n < 2) None
+      else {
+        val take = math.min(maxFrames, n)
+        // even stride over the full animation, first frame always included
+        val idxs = (0 until take).map(i => i * n / take)
+        Some(idxs.map(i => reencodePng(reader.read(i))))
+      }
+    } catch { case _: java.io.IOException => None }
+    finally { reader.dispose(); iis.close() }
   }
 
   /** Build a deterministic media table from the `documents` test table:
