@@ -198,6 +198,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q105/q106: admission comparisons join on the blocking key, never cartesian") {
+    // q105: the posting-cap window partitions on the SHINGLE — the same
+    // key the inverted-index join shuffles on, so the window's exchange
+    // is reused by the join, and slice filters reach both scans
+    val p105 = plan("q105_jaccard_between")
+    assert(!p105.contains("CartesianProduct"))
+    assert(p105.contains("hashpartitioning(shingle"),
+      "posting-cap window must shuffle on the join key (exchange reuse)")
+    assert("\\(doc_id#\\d+L % 7\\)".r.findFirstIn(p105).isDefined,
+      "slice predicate must reach the scans")
+    // q106: centroid argmax assignment is map-side (no exchange before the
+    // cell join's own), history cap window partitions on centroid_id
+    val p106 = plan("q106_semantic_between")
+    assert(!p106.contains("CartesianProduct"))
+    assert(p106.contains("hashpartitioning(centroid_id"),
+      "centrality-cap window must shuffle on the cell key")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
