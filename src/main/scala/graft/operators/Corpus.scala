@@ -351,6 +351,62 @@ object Corpus {
       .drop("__h")
   }
 
+  /** Cross-document duplicated-SPAN detection (the ExactSubstr signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): a document's k-token window is duplicated when the same
+    * window text occurs in at least one OTHER document; each document
+    * reports its window count, duplicated-window count/ratio, and the
+    * LONGEST CONSECUTIVE duplicated run (a run of r windows ≡ a duplicated
+    * span of r+k−1 tokens — the paper's span-cut threshold maps to a run
+    * threshold here). Differs from [[boilerplateCoverage]] in both
+    * numerator and denominator: positional windows (every occurrence, not
+    * the distinct gram set) and ANY cross-doc repetition (df ≥ 2 docs, not
+    * a df fraction), so a verbatim two-document plagiarism pair lights up
+    * here but not there.
+    *
+    * Dataflow at 100 TB: windows are map-side per doc (no kernel dedup —
+    * positions matter); the duplicated-gram set is one (gram, doc)
+    * distinct + gram count ≥ 2 (linear, gram-keyed shuffle); flagging is a
+    * join back on the gram; the run length is a gaps-and-islands window
+    * per document ordered by position — bounded by document length, never
+    * corpus-sized. NO pairwise stage anywhere, so unlike the Jaccard/LSH
+    * family this needs no bucket or posting cap: a window shared by a
+    * million documents costs one counter, not 10¹² pairs.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    // positional (pos, gram) windows; sequence() descends when start>stop,
+    // so short docs must short-circuit to an empty array, not sequence(0,<0)
+    val windows = when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => struct(i.as("pos"), array_join(slice(tk, i + lit(1), lit(k)), " ").as("gram"))))
+      .otherwise(array())
+    val w = Dedup.spread(docs)
+      .select(col(idCol).as("doc_id"), explode_outer(windows).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+      .transform(Stage.snapshotDF) // feeds the dup-gram set AND the flag join
+    val dupGrams = w.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val flagged = w.join(dupGrams.withColumn("__d", lit(true)), Seq("gram"), "left")
+      .withColumn("is_dup", coalesce(col("__d"), lit(false)))
+    // gaps-and-islands per doc: consecutive duplicated positions share
+    // (pos − rank-among-dup-rows); window bounded by doc length
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("is_dup"))
+      .withColumn("__grp", col("pos") - row_number().over(runW))
+      .groupBy("doc_id", "__grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("longest_run"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .join(runs, Seq("doc_id"), "left")
+      .withColumn("longest_run", coalesce(col("longest_run"), lit(0L)))
+      .withColumn("dup_ratio", round(col("n_dup") / col("n_windows"), 4))
+  }
+
   /** Boilerplate detection by corpus-wide n-gram document frequency (the
     * repeated-template signal CCNet removes at paragraph level): a word
     * `k`-gram is boilerplate when it appears in more than `maxDfFraction`

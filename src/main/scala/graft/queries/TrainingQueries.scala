@@ -323,6 +323,28 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q107 — duplicated-span census ([[Corpus.duplicatedSpans]], the
+    * ExactSubstr signal of Lee et al. 2022): positional word-5-gram
+    * windows shared with at least one OTHER document, per-doc duplicated
+    * ratio and longest consecutive duplicated run, rolled up per source.
+    * The exact-substring complement of q42's set-similarity and q100's
+    * df-fraction boilerplate: a verbatim copied paragraph between two
+    * documents lights up here even though its grams' document frequency
+    * is far below any boilerplate threshold. No pairwise stage anywhere
+    * (one gram-keyed count + a join back), so no cap is needed.
+    */
+  def q107_dup_spans: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Corpus.duplicatedSpans(docs, "doc_id", "text", k = 5)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_dup").as("dup_windows"),
+           round(avg("dup_ratio"), 4).as("avg_dup_ratio"),
+           max("longest_run").as("max_run"))
+      .orderBy("source")
+  }
+
   /** q101 — CCNet-style quality buckets: per-language head/middle/tail
     * terciles by unigram-LM surprisal ([[Corpus.rankBuckets]], the exact
     * rank form — ordered by rounded score + doc_id so every boundary is
@@ -394,6 +416,7 @@ object TrainingQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q107_dup_spans" -> q107_dup_spans,
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
     "q101_quality_buckets" -> q101_quality_buckets,
@@ -472,6 +495,47 @@ object TrainingQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_hash
       FROM s GROUP BY 1 ORDER BY 1""",
+    "q107_dup_spans" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
+                 i -> struct_pack(pos := i,
+                   gram := array_to_string(tk[i+1:i+5], ' ')))) AS s
+        FROM toks),
+      ww AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM w),
+      dupg AS (
+        SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM ww)
+        GROUP BY gram HAVING count(1) >= 2),
+      f AS (
+        SELECT ww.doc_id, ww.pos, (d.gram IS NOT NULL) AS is_dup
+        FROM ww LEFT JOIN dupg d USING (gram)),
+      runs AS (
+        -- grp must come from a subquery: DuckDB refuses both GROUP BY on a
+        -- window alias and a window inside the lateral-unnest query level
+        SELECT doc_id, grp, count(1) AS run FROM (
+          SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM f WHERE is_dup)
+        GROUP BY doc_id, grp),
+      longest AS (SELECT doc_id, max(run) AS longest_run FROM runs GROUP BY doc_id),
+      per AS (
+        SELECT doc_id, count(1) AS n_windows,
+               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup
+        FROM f GROUP BY 1),
+      perdoc AS (
+        SELECT p.doc_id, p.n_windows, p.n_dup,
+               coalesce(l.longest_run, 0) AS longest_run,
+               round(p.n_dup * 1.0 / p.n_windows, 4) AS dup_ratio
+        FROM per p LEFT JOIN longest l USING (doc_id))
+      SELECT d.source,
+             count(1) AS n_docs,
+             CAST(sum(pd.n_dup) AS BIGINT) AS dup_windows,
+             round(avg(pd.dup_ratio), 4) AS avg_dup_ratio,
+             CAST(max(pd.longest_run) AS BIGINT) AS max_run
+      FROM perdoc pd JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY 1""",
     "q100_boilerplate" -> raw"""
       WITH toks AS (SELECT doc_id, $tk AS tk FROM documents),
       g AS (SELECT doc_id,

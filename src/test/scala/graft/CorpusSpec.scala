@@ -223,4 +223,31 @@ class CorpusSpec extends SparkSuite {
     assert(out((7L, 2L)) == ((1L, 0L)))
     assert(out((8L, 1L)) == ((1L, 0L)))
   }
+
+  test("duplicatedSpans: cross-doc spans, run lengths, within-doc repeats excluded") {
+    // docs 10/11 share the verbatim 7-token span "p q r s t u v": with k=3
+    // that is 5 consecutive duplicated windows (span = run + k − 1 = 7).
+    // doc 12 repeats ITS OWN phrase twice but shares nothing cross-doc;
+    // doc 13 is unique and too short for even one window at k=3... no,
+    // give it 4 tokens → 2 windows, both unique.
+    val d = Seq(
+      (10L, "p q r s t u v x1 y1"),       // 9 tokens → 7 windows, 5 dup
+      (11L, "z9 p q r s t u v w9"),       // 9 tokens → 7 windows, 5 dup
+      (12L, "m n o k m n o k"),           // self-repeat only → 0 cross-doc
+      (13L, "a9 b9 c9 d9")                // unique → 0 dup
+    ).toDF("doc_id", "text")
+    val out = Corpus.duplicatedSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("longest_run"), r.getAs[Double]("dup_ratio")))).toMap
+    assert(out(10L) == ((7L, 5L, 5L, 0.7143)))
+    assert(out(11L) == ((7L, 5L, 5L, 0.7143)))
+    // "m n o k" appears twice WITHIN doc 12 but in no other doc — the
+    // cross-doc definition must not flag it
+    assert(out(12L) == ((6L, 0L, 0L, 0.0)))
+    assert(out(13L) == ((2L, 0L, 0L, 0.0)))
+    // a doc shorter than k yields no windows and no row
+    val tiny = Seq((20L, "a b")).toDF("doc_id", "text")
+    assert(Corpus.duplicatedSpans(tiny, "doc_id", "text", k = 3).count() == 0)
+  }
 }
