@@ -82,6 +82,20 @@ object BenchSkew {
           sum("n_chars").as("partial"), sum("partial").as("total_chars")).count()),
       "plain_agg" -> (() =>
         docs.groupBy("source").agg(sum("n_chars")).count()),
+      "salted_join" -> (() => {
+        // dim key renamed: it derives from the same lineage as the fact
+        // side, and a same-attribute equi-join is ambiguous under Catalyst
+        val dim = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+          .withColumnRenamed("source", "__s")
+        Skew.saltedJoin(docs.select("doc_id", "source", "n_chars"), dim,
+          "source", "__s").count()
+      }),
+      "plain_join" -> (() => {
+        val dim = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        docs.select("doc_id", "source", "n_chars")
+          .join(dim.withColumnRenamed("source", "__s"),
+            col("source") === col("__s")).count()
+      }),
       "boilerplate" -> (() =>
         Corpus.boilerplateCoverage(docs, "doc_id", "text", 3, 0.02)
           .filter(col("boiler_ratio") > 0.5).count()),
