@@ -106,24 +106,45 @@ object BenchSkew {
 
     def r3(v: Double): Double =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // interleaved passes, min per op (Bench's protocol); counts from pass 0
+    // the execution-listener bus is async: wait until the snapshot stops
+    // changing before trusting (or resetting over) it
+    def settled(): Map[String, Long] = {
+      var prev = listener.snapshot
+      var stable = 0
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (stable < 4 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = listener.snapshot
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
+    // interleaved passes, min per op (Bench's protocol); counts from pass 0.
+    // The listener is reset at the START of the final pass (after draining
+    // in-flight deliveries from earlier passes) so the reported `caps` are
+    // ONE pass's firings, not runs× accumulations across capped AND open
+    // variants — per-execution drop counts a reader can set beside the
+    // per-op min times.
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (pass <- 0 until runs; (name, run) <- ops) {
-      val t0 = System.nanoTime()
-      val n = run()
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (pass == 0) counts(name) = n
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), sec)
+    for (pass <- 0 until runs) {
+      if (pass == runs - 1) { settled(); listener.reset() }
+      for ((name, run) <- ops) {
+        val t0 = System.nanoTime()
+        val n = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (pass == 0) counts(name) = n
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), sec)
+      }
     }
-    val caps = listener.snapshot.toSeq.sortBy(_._1)
+    val caps = settled().toSeq.sortBy(_._1)
     def jnum(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     def jlong(m: Seq[(String, Long)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = r3(times.values.sum)
     println(
-      s"""{"metric":"skew_total","value":$total,"unit":"sec","docs":$nDocs,"vecs":$nVecs,"runs":$runs,"ops":${jnum(times.toSeq)},"counts":${jlong(counts.toSeq)},"caps":${jlong(caps)}}""")
+      s"""{"metric":"skew_total","value":$total,"unit":"sec","docs":$nDocs,"vecs":$nVecs,"runs":$runs,"caps_scope":"final_pass_only","ops":${jnum(times.toSeq)},"counts":${jlong(counts.toSeq)},"caps":${jlong(caps)}}""")
     spark.stop()
   }
 }

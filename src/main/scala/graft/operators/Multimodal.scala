@@ -306,9 +306,14 @@ object Multimodal {
     if (payload.length < 6 || payload(0) != 'G' || payload(1) != 'I' || payload(2) != 'F')
       return None
     ensureHeadless()
+    // createImageInputStream may return NULL (no usable stream SPI/cache
+    // dir) rather than throw, and getImageReaders(null) then throws IAE —
+    // null-check and catch NonFatal so any per-row decode failure takes the
+    // documented byte-slice fallback instead of failing the partition.
     val iis = try javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => return None }
+    catch { case scala.util.control.NonFatal(_) => return None }
+    if (iis == null) return None
     val readers = javax.imageio.ImageIO.getImageReaders(iis)
     if (!readers.hasNext) { iis.close(); return None }
     val reader = readers.next()
@@ -322,7 +327,7 @@ object Multimodal {
         val idxs = (0 until take).map(i => i * n / take)
         Some(idxs.map(i => reencodePng(reader.read(i))))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
     finally { reader.dispose(); iis.close() }
   }
 

@@ -137,14 +137,35 @@ object Sinks {
       finally prev.fold(conf.unset(key))(conf.set(key, _))
     }
 
+  /** Recover a swap that crashed between [[replaceWith]]'s two renames:
+    * `dst` absent but the `.name__old` aside copy present means `__old`
+    * holds the ONLY durable copy of the store — rename it back before
+    * anyone reads "absent" and rebuilds from a single batch. Returns true
+    * if a recovery happened. Idempotent; a no-op in every healthy state
+    * (dst present, or a genuinely-new sink where neither exists).
+    */
+  private def healCrashedSwap(fs: org.apache.hadoop.fs.FileSystem, dst: Path): Boolean = {
+    val old = new Path(dst.getParent, "." + dst.getName + "__old")
+    if (!fs.exists(dst) && fs.exists(old)) {
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(
+          s"found crashed swap ($dst missing, aside copy at $old) but failed to restore it")
+      true
+    } else false
+  }
+
   /** Read the existing sink if its path exists; any OTHER failure (transient
     * FS error, corrupt footer) propagates. Treating every exception as
     * "sink absent" would make the subsequent replace-write destroy prior
     * data on a transient read error — silent data loss.
+    *
+    * Self-heals a crashed [[replaceWith]] swap first, so a restarted job
+    * sees the recovered prior store instead of "no history".
     */
   private[graft] def readExisting(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healCrashedSwap(fs, p)
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
@@ -157,9 +178,11 @@ object Sinks {
     * `dst` or in exactly one hidden sibling: `.name__tmp` (crash before the
     * swap — `dst` still holds the OLD copy, tmp holds the new one) or
     * `.name__old` (crash between the two renames — `dst` is briefly absent
-    * but the old copy is one `rename` away). Recovery: if `dst` is missing,
-    * `rename .name__old dst` restores the pre-swap state; leftover hidden
-    * dirs from completed swaps are deleted on the next call. The previous
+    * but the old copy is one `rename` away). Recovery is AUTOMATIC:
+    * [[readExisting]] renames `.name__old` back when `dst` is missing, and
+    * this method refuses to publish over that state rather than deleting
+    * the only copy; leftover hidden dirs from completed swaps are deleted
+    * on the next call. The previous
     * delete-then-rename order had a window where the ONLY copy lived in the
     * hidden tmp — absent `dst` with no visible pointer to the data.
     *
@@ -183,6 +206,17 @@ object Sinks {
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dst.getFileSystem(conf)
+    // If dst is missing but __old exists, a prior swap crashed between its
+    // two renames and __old holds the ONLY copy of the previous store.
+    // `merged` was necessarily computed from an absent dst (history=None),
+    // so publishing it would destroy that copy — refuse instead. Callers
+    // that read through [[readExisting]] never hit this (it self-heals
+    // before the read); the throw is the backstop for any path that
+    // bypassed it.
+    if (!fs.exists(dst) && fs.exists(old))
+      throw new java.io.IOException(
+        s"refusing to overwrite crashed swap state: $dst is missing and $old holds " +
+          s"the only prior copy — recover via readExisting/healCrashedSwap first")
     fs.delete(old, true) // leftover aside copy from a completed prior swap
     if (fs.exists(dst) && !fs.rename(dst, old))
       throw new java.io.IOException(s"failed to move $dst aside to $old")

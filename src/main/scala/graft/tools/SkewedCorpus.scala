@@ -23,6 +23,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     / salted-join stressor.
   *   - ONE DOMINANT LANGUAGE (90% `en`): per-language windows/quantiles
   *     get one partition holding 90% of the corpus.
+  *   - COLD NEAR-DUP TWINS (band-9 backgrounds pair up at J ≈ 0.92, two
+  *     docs per pair): the control population — posting lists and LSH
+  *     buckets of size 2 that no cap may ever touch, so "cold results are
+  *     bit-identical under the cap" is checked against non-empty sets.
   *   - ONE HOT SEMANTIC CELL (half of all embeddings within ~4° of axis 0,
   *     all with `label` 0, all in one sign-LSH bucket): the SemDeDup
   *     sub-block policy, the embedding-block drop policy, and the blocked
@@ -76,7 +80,13 @@ object SkewedCorpus {
 
   /** Build the skewed `documents` table. Population by `doc_id` band:
     * id%10 ∈ [0,4) → near-dup cluster (40%), ∈ [4,7) → boilerplate (30%),
-    * else background (30%).
+    * else background (30%) — EXCEPT band 9, whose docs come in COLD
+    * NEAR-DUP TWIN PAIRS (id, id+10 with id%20==9): each pair shares a
+    * 50-token base plus two unique trailers (3-shingle J ≈ 0.92). Twins
+    * give every cap-invariance test a non-empty cold near-dup set to
+    * compare (posting lists of length 2, LSH buckets of size 2 — nothing
+    * a cap should ever touch); without them "cold pairs unaffected"
+    * assertions compare two empty sets and prove nothing.
     */
   def documents(spark: SparkSession, nDocs: Int,
                 hotFrac: Double = 0.4, boilerFrac: Double = 0.3): DataFrame = {
@@ -94,7 +104,12 @@ object SkewedCorpus {
           s"$base u$id v${id % 13}"
         else if (band < boilMod)
           template + " " + (0 until 30).map(j => word(id * 31L + 7, j)).mkString(" ")
-        else
+        else if (band == 9) {
+          // cold twins: shared base drawn from the LOWER id of the pair
+          val pairBase: Long = if (id % 20 == 19) id - 10 else id.toLong
+          (0 until 50).map(j => word(pairBase * 31L + 13, j)).mkString(" ") +
+            s" u$id v${id % 13}"
+        } else
           (0 until (50 + (mix64(id) & 0x1F).toInt)).map(j => word(id, j)).mkString(" ")
       val source =
         if (band < boilMod) "hotsrc" else s"src${(id % 40).toInt}"

@@ -58,9 +58,13 @@ class SkewFixtureSpec extends SparkSuite {
     assert(capped.size < open.size, "the hot cluster must actually trip the cap")
     // only hot×hot coverage may be sacrificed: every open pair with a
     // non-hot member survives the cap bit-identically (cold shingles'
-    // posting lists are far under 20)
+    // posting lists are far under 20). The band-9 twin pairs straddle the
+    // %7 split six times at N=400, so the cold sets are NON-EMPTY — the
+    // invariance check compares real pairs, not two empty sets.
     val coldOpen = open.filterNot(p => isHotDoc(p._1) && isHotDoc(p._2))
     val coldCapped = capped.filterNot(p => isHotDoc(p._1) && isHotDoc(p._2))
+    assert(coldOpen.nonEmpty,
+      "fixture must supply cross-slice cold near-dup pairs (twin bands)")
     assert(coldOpen == coldCapped, "cold pairs must be unaffected by the cap")
   }
 
@@ -119,7 +123,10 @@ class SkewFixtureSpec extends SparkSuite {
     // CollectMetrics stage from the final plan — the metric is lost even
     // though the drop happened. If a Spark upgrade starts preserving it,
     // this test flips and the scaladoc caveat can be retired.
-    val all = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = 50)
+    // Hot band only: the band-9 cold twins form size-2 buckets that
+    // survive any cap, which would defeat the all-dropped premise here.
+    val hotOnly = docs.filter($"doc_id" % 10 < 4)
+    val all = Dedup.minhashCandidates(hotOnly, "doc_id", "text", maxBucketSize = 50)
     assert(all.collect().isEmpty, "the cap must swallow the whole result here")
     assert(all.queryExecution.observedMetrics.isEmpty,
       "AQE empty-propagation currently discards the collapsed stage's metric")
@@ -127,7 +134,7 @@ class SkewFixtureSpec extends SparkSuite {
     // plan-collapse, not the cap instrumentation
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val noAqe = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = 50)
+      val noAqe = Dedup.minhashCandidates(hotOnly, "doc_id", "text", maxBucketSize = 50)
       assert(noAqe.collect().isEmpty)
       val m = noAqe.queryExecution.observedMetrics
         .collect { case (n, r) if n.startsWith("graft.lshBandCap.") => r }

@@ -108,6 +108,37 @@ class StreamingSpec extends SparkSuite {
     assert(got == Map("k1" -> "v1", "k2" -> "v2b", "k3" -> "v3"))
   }
 
+  test("crashed swap self-heals: __old aside copy is recovered, never deleted (K5 durability)") {
+    // Simulate a crash between replaceWith's two renames: dst absent, the
+    // .name__old aside holding the ONLY durable copy of the store.
+    val base = Files.createTempDirectory("crashed").toString
+    val dir = base + "/sink"
+    val b1 = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "val")
+    Sinks.upsert(spark, b1, dir, "key")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(base, ".sink__old")), "crash simulation rename")
+    // (a) a restarted upsert must see the RECOVERED history, not "absent":
+    // k1 survives even though it is in no new batch
+    val b2 = Seq(("k2", "v2b"), ("k3", "v3")).toDF("key", "val")
+    Sinks.upsert(spark, b2, dir, "key")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("k1" -> "v1", "k2" -> "v2b", "k3" -> "v3"),
+      s"prior store must be recovered from the aside copy, got $got")
+    // (b) backstop: a caller that BYPASSES readExisting (stale existing
+    // handle) must be refused rather than allowed to destroy the aside copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(base, ".sink__old")), "re-simulate crash")
+    val ex = intercept[java.io.IOException] {
+      Sinks.upsert(spark, b2, dir, "key", existing = None)
+    }
+    assert(ex.getMessage.contains("crashed swap"), ex.getMessage)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, ".sink__old")),
+      "the refusal must leave the only copy intact")
+  }
+
   test("AvailableNow resumes from checkpoint: only NEW files processed on restart (B1)") {
     val srcDir = Files.createTempDirectory("incsrc").toString
     val sinkDir = Files.createTempDirectory("incsink").toString + "/out"
