@@ -308,7 +308,20 @@ object Dedup {
     * within-batch and history stages). `sh` must be materialized: it feeds
     * the df count, the prefix ranking, and verification.
     */
-  def jaccardPairsPrefixFrom(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsPrefixFrom(sh: DataFrame, threshold: Double): DataFrame =
+    // exact verification straight off the same checkpointed index —
+    // no second shingling pass
+    jaccardVerify(prefixCandidates(prefixIndex(sh, threshold), threshold), sh, threshold)
+
+  /** The PPJoin prefix index over an (already snapshotted) [[shingleIndex]]:
+    * each document's rows restricted to its first |d| − ⌈t·|d|⌉ + 1
+    * shingles in global canonical order (df asc, shingle asc), with the
+    * canonical 1-based position as `rn`. Shared by the exact pair stage
+    * ([[jaccardPairsPrefixFrom]]) and the guarded streaming admission
+    * ([[jaccardDropsGuarded]]), whose cost estimate and hot/cold split
+    * both read this relation.
+    */
+  private[operators] def prefixIndex(sh: DataFrame, threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-document window: bounded by document length, never corpus-sized
     // (contrast the term-partitioned window retired from Corpus.tfidf)
@@ -319,9 +332,15 @@ object Dedup {
     // true rational sits ON (e.g. t=0.55, sz=100 → 55.000000000000001,
     // ceil 56), which would cut the prefix one short and break the no-
     // false-negative lemma. Extra prefix length only adds candidates.
-    val prefix = sh.join(dfreq, "shingle")
+    sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(perDoc))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+  }
+
+  /** Candidate pairs from a [[prefixIndex]] relation (or any subset of its
+    * rows — the guarded admission path feeds only the cold shingles).
+    */
+  private def prefixCandidates(prefix: DataFrame, threshold: Double): DataFrame = {
     // positional filter (PPJoin): meeting on a prefix shingle at 1-based
     // canonical positions (rn_a, rn_b), the intersection can be at most
     // 1 + min(remaining suffix lengths); require that to reach the minimal
@@ -332,7 +351,7 @@ object Dedup {
     // The 1e-9 slack makes float rounding err toward keeping candidates:
     // pruning must never exceed the exact rational bound.
     val posFactor = threshold / (1.0 + threshold)
-    val cands = prefix.groupBy("shingle")
+    prefix.groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("__id"), col("sz"), col("rn")))).as("members"))
       .filter(size(col("members")) > 1)
       .select(explode_outer(pairsAs(col("members"), "a", "b")).as("p"))
@@ -350,9 +369,81 @@ object Dedup {
         ceil((col("sz_a") + col("sz_b")).cast("double") * posFactor - 1e-9))
       .select("id_a", "id_b")
       .distinct()
-    // exact verification straight off the same checkpointed index —
-    // no second shingling pass
-    jaccardVerify(cands, sh, threshold)
+  }
+
+  /** Within-batch greedy near-dup DROP list with a COST GUARD — the
+    * streaming-admission form of [[jaccardPairsPrefixFrom]]. Returns one
+    * `__id` column: the documents a greedy keep-lowest-id policy drops.
+    *
+    * The exact prefix path is the right default for a micro-batch, but its
+    * pair stage is bounded only by the batch's own quadratic truth: a batch
+    * that IS one giant near-dup cluster (the skewed-corpus batch-0 shape)
+    * produces C(n,2) candidate pairs and a verify fan of pairs × shingles —
+    * measured at 8.8 s vs 3.8 s for one 500-doc cluster batch. The guard
+    * bounds that worst case WITHOUT touching normal batches:
+    *
+    *   1. Predict the pair-instance count from the prefix index —
+    *      Σ over shingles of C(postings, 2), one aggregate, no explode.
+    *   2. Under `pairBudget`: run the exact path, bit-identical to
+    *      [[jaccardPairsPrefixFrom]]'s drops.
+    *   3. Over budget: split prefix shingles at `hotPostingCap`. COLD
+    *      shingles (≤ cap postings) keep exact candidates → verification —
+    *      cold-pair semantics unchanged. HOT shingles pair each posting
+    *      with the shingle's MIN id only: a doc drops iff some hot prefix
+    *      shingle contains a smaller id — linear in postings, no pair
+    *      explosion, no verify fan.
+    *
+    * Guarantees in guarded mode: drops ⊇ the exact greedy drops (every
+    * qualifying pair's prefix meeting is either cold — verified, greater
+    * id drops — or hot — the greater id sees a smaller posting and drops),
+    * so no near-dup that exact admission would reject is ever admitted;
+    * and the min id of every hot component always survives (it is the min
+    * of whatever hot shingles it appears in). The price is FALSE DROPS
+    * limited to docs sharing a hot prefix shingle without verifying — the
+    * conservative direction for admission, bounded to the hot population,
+    * and observable: the hot stage emits a `graft.admitGuard` observe
+    * metric (dropped docs, hot shingles) per the no-silent-caps
+    * convention.
+    *
+    * `sh` must be snapshotted (same contract as [[jaccardPairsPrefixFrom]]).
+    * The driver-side `head()` on the one-row estimate is the per-batch
+    * orchestration pattern streaming admission already uses (store
+    * existence probes); it is not a data collect.
+    */
+  def jaccardDropsGuarded(
+      sh: DataFrame,
+      threshold: Double,
+      pairBudget: Long = 1000000L,
+      hotPostingCap: Int = 64): DataFrame = {
+    require(pairBudget > 0, s"need pairBudget > 0, got $pairBudget")
+    require(hotPostingCap > 1, s"need hotPostingCap > 1, got $hotPostingCap")
+    // feeds the estimate, then either the exact pair stage or both sides
+    // of the hot/cold split — snapshot so the window pass runs once
+    val prefix = prefixIndex(sh, threshold).transform(Stage.snapshotDF)
+    // Σ pdf·(pdf−1) summed as LONG, halved on the driver — Spark's `/` is
+    // double division and would silently overflow precision at scale
+    val predicted = prefix.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+      .agg(coalesce(sum(col("pdf") * (col("pdf") - 1)), lit(0L)).as("pairs2x"))
+      .head().getLong(0) / 2
+    if (predicted <= pairBudget)
+      jaccardVerify(prefixCandidates(prefix, threshold), sh, threshold)
+        .select(col("id_b").as("__id")).distinct()
+    else {
+      val pdf = prefix.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+      val pfx = prefix.join(pdf, "shingle")
+      val coldDrops = jaccardVerify(
+        prefixCandidates(pfx.filter(col("pdf") <= hotPostingCap).drop("pdf"), threshold),
+        sh, threshold)
+        .select(col("id_b").as("__id"))
+      val hot = pfx.filter(col("pdf") > hotPostingCap)
+      val hotMin = hot.groupBy("shingle").agg(min(col("__id")).as("__min"))
+      val hotDrops = hot.join(hotMin, "shingle")
+        .filter(col("__id") > col("__min"))
+        .select("__id").distinct()
+        .observe(s"graft.admitGuard.${capObsId.incrementAndGet()}",
+          count(lit(1)).as("hot_dropped_docs"))
+      coldDrops.union(hotDrops).distinct()
+    }
   }
 
   /** Exact Jaccard restricted to CANDIDATE pairs — the 100 TB scale path for

@@ -42,26 +42,35 @@ object StreamingDedup {
       storePath: String,
       shingleK: Int = 3,
       threshold: Double = 0.6,
-      maxPostings: Int = 1000): DataFrame = {
+      maxPostings: Int = 1000,
+      pairBudget: Long = 1000000L,
+      hotPostingCap: Int = 64): DataFrame = {
     // one checkpointed shingle index feeds the within-batch pair stage AND
     // the history comparison
     val sh = Dedup.shingleIndex(batch, idCol, textCol, shingleK)
       .transform(Stage.snapshotDF)
-    // within-batch stage is the EXACT prefix-filtered form, not LSH
-    // candidates→verify: a micro-batch is small by construction (batch
-    // sizing is the B1 knob), so exactness is affordable — and the LSH
-    // route has a failure mode the skewed-corpus driver exposed: a batch
-    // that IS one giant near-dup cluster overflows every band bucket, the
-    // bucket cap (drop policy) swallows all candidates, and the whole
-    // cluster gets admitted in one batch-width. The prefix path has no
-    // bucket cap to fire — its pair stage is bounded by the batch's own
-    // quadratic truth (cluster-shaped batches produce cluster-sized pair
-    // sets), which is the correct cost for an exact within-batch answer.
-    val withinPairs = Dedup.jaccardPairsPrefixFrom(sh, threshold)
-    // snapshot the (tiny) drop list: afterWithin fans out to the history
-    // comparison AND the survivor anti-join — without the barrier the
-    // candidates→verify lineage would compile into the plan once per branch
-    val withinDrops = withinPairs.select(col("id_b").as(idCol)).distinct()
+    // within-batch stage is the EXACT prefix-filtered form (under a cost
+    // guard), not LSH candidates→verify: a micro-batch is small by
+    // construction (batch sizing is the B1 knob), so exactness is
+    // affordable — and the LSH route has a failure mode the skewed-corpus
+    // driver exposed: a batch that IS one giant near-dup cluster overflows
+    // every band bucket, the bucket cap (drop policy) swallows all
+    // candidates, and the whole cluster gets admitted in one batch-width.
+    // The prefix path has no bucket cap to fire — but its pair stage is
+    // bounded only by the batch's own quadratic truth, and a cluster-shaped
+    // batch pays C(n,2) pairs plus the verify fan (measured 8.8 s vs 3.8 s
+    // at 500 docs). [[Dedup.jaccardDropsGuarded]] keeps the exact path for
+    // every batch under `pairBudget` predicted pair instances and degrades
+    // the over-budget hot shingles to per-shingle min-id pairing — same
+    // greedy survivors on normal batches, ~linear work on the mega-cluster
+    // shape, firings observable via the graft.admitGuard metric.
+    val withinDrops = Dedup
+      .jaccardDropsGuarded(sh, threshold, pairBudget, hotPostingCap)
+      .select(col("__id").as(idCol))
+      // snapshot the (tiny) drop list: afterWithin fans out to the history
+      // comparison AND the survivor anti-join — without the barrier the
+      // candidates→verify lineage would compile into the plan once per
+      // branch
       .transform(Stage.snapshotDF)
     val afterWithin = batch.join(withinDrops, Seq(idCol), "left_anti")
     val shAfterWithin = sh.join(
@@ -102,14 +111,17 @@ object StreamingDedup {
       sinkPath: String,
       checkpointDir: String,
       shingleK: Int = 3,
-      threshold: Double = 0.6): StreamingQuery =
+      threshold: Double = 0.6,
+      pairBudget: Long = 1000000L,
+      hotPostingCap: Int = 64): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val survivors = admitBatch(
-          batch.sparkSession, batch, idCol, textCol, storePath, shingleK, threshold)
+          batch.sparkSession, batch, idCol, textCol, storePath, shingleK, threshold,
+          pairBudget = pairBudget, hotPostingCap = hotPostingCap)
         Sinks.upsert(batch.sparkSession, survivors, sinkPath, idCol)
       }
       .start()

@@ -36,6 +36,69 @@ class StreamingDedupSpec extends SparkSuite {
     assert(capped == Set((10L, 1L)), s"got $capped")
   }
 
+  test("guarded drops: exact-identical on normal batches, even when the guard is forced") {
+    val batch = Seq(
+      (1L, baseA), (2L, baseB), (3L, mutate(baseA)), (4L, baseC),
+      (5L, mutate(baseB).replace("b3 ", "q "))).toDF("doc_id", "text")
+    val sh = Dedup.shingleIndex(batch, "doc_id", "text", 3)
+      .transform(graft.operators.Stage.snapshotDF)
+    val exact = Dedup.jaccardPairsPrefixFrom(sh, 0.6)
+      .select($"id_b").as[Long].collect().toSet
+    // default budget: guard silent, bit-identical drops
+    val guarded = Dedup.jaccardDropsGuarded(sh, 0.6)
+      .as[Long].collect().toSet
+    assert(guarded == exact, s"guard must be a no-op under budget: $guarded vs $exact")
+    // guard FORCED (budget 1): a normal batch has no hot shingles, so the
+    // cold/exact path still carries every pair — drops stay identical
+    val forced = Dedup.jaccardDropsGuarded(sh, 0.6, pairBudget = 1L)
+      .as[Long].collect().toSet
+    assert(forced == exact, s"no hot shingles → forced guard must not change drops: $forced")
+  }
+
+  test("guarded drops bound the mega-cluster batch: hot path fires, greedy survivors preserved") {
+    // the skewed fixture's batch-0 shape: one batch that IS a near-dup
+    // cluster (160 docs sharing a 60-token base, pairwise J ≈ 0.93)
+    val cluster = graft.tools.SkewedCorpus.documents(spark, 400)
+      .filter($"doc_id" % 10 < 4)
+    val sh = Dedup.shingleIndex(cluster, "doc_id", "text", 3)
+      .transform(graft.operators.Stage.snapshotDF)
+    val exact = Dedup.jaccardPairsPrefixFrom(sh, 0.6)
+      .select($"id_b").as[Long].collect().toSet
+    val guardedDf = Dedup.jaccardDropsGuarded(
+      sh, 0.6, pairBudget = 1000L, hotPostingCap = 20)
+    // collect from THIS DataFrame: .as[Long] would build its own
+    // QueryExecution and the observe metric below would stay empty
+    val guarded = guardedDf.collect().map(_.getLong(0)).toSet
+    // over-budget semantics: never admits what exact greedy rejects...
+    assert(exact.subsetOf(guarded), "guarded drops must cover the exact greedy drops")
+    // ...and the cluster's min id always survives
+    assert(!guarded.contains(0L), "min id of the hot component must survive")
+    assert(guarded.size == 159, s"all but the min of a 160-clique drop, got ${guarded.size}")
+    // the work was done by the LINEAR hot path, observably: every drop is
+    // accounted to the graft.admitGuard metric, not a pair explosion
+    val fired = guardedDf.queryExecution.observedMetrics
+      .collect { case (n, r) if n.startsWith("graft.admitGuard.") => r }
+    assert(fired.nonEmpty, "guard firing must be observable (no-silent-caps)")
+    assert(fired.map(_.getAs[Long]("hot_dropped_docs")).sum == 159L)
+  }
+
+  test("admitBatch under the guard: mega-cluster batch admits one doc; history comparison intact") {
+    val store = Files.createTempDirectory("sd-guard").toString + "/store"
+    val cluster = graft.tools.SkewedCorpus.documents(spark, 400)
+      .filter($"doc_id" % 10 < 4).select($"doc_id", $"text")
+    val survivors = StreamingDedup.admitBatch(
+      spark, cluster, "doc_id", "text", store,
+      pairBudget = 1000L, hotPostingCap = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L), s"one survivor from a pure cluster batch, got $survivors")
+    // a later batch near-dup of the admitted base still drops via history
+    val echo = Seq((9999L, cluster.filter($"doc_id" === 0L)
+      .select("text").as[String].head())).toDF("doc_id", "text")
+    val s2 = StreamingDedup.admitBatch(spark, echo, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2.isEmpty, s"history near-dup must be rejected, got $s2")
+  }
+
   test("streaming admission dedups within batch and against history; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("sd-store").toString + "/store"
