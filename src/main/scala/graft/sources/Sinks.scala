@@ -199,7 +199,7 @@ object Sinks {
     * writers). Matches the reference, whose per-run ES updates are also
     * last-writer-wins.
     */
-  private def replaceWith(spark: SparkSession, merged: DataFrame, path: String): Unit = {
+  private[graft] def replaceWith(spark: SparkSession, merged: DataFrame, path: String): Unit = {
     val dst = new Path(path)
     val tmp = new Path(dst.getParent, "." + dst.getName + "__tmp")
     val old = new Path(dst.getParent, "." + dst.getName + "__old")
@@ -343,6 +343,171 @@ object Sinks {
     val counts = parts.map(st =>
       compact(spark, st.getPath.toString, targetFileBytes, clusterCol))
     (parts.length, counts.sum)
+  }
+
+  // ---------------------------------------------------------------------
+  // Append-only batch-partitioned store (the streaming-admission state
+  // backend). The upsert store above is read-merge-REWRITE per batch —
+  // O(store) writes per micro-batch, the measured cost drift as history
+  // grows. Admission state is append-only by construction (admission
+  // decisions are final), so the scale-correct layout is one partition
+  // directory per micro-batch (`batch=<id>/`), written with Overwrite:
+  //   - appending a batch writes O(batch) bytes, never O(store);
+  //   - a REPLAYED micro-batch (same Structured Streaming batchId)
+  //     overwrites ITS OWN partition with identical content — exactly-once
+  //     without any read-modify-write;
+  //   - compaction merges committed partitions on a cadence, bounding file
+  //     count; a manifest makes the merge crash-consistent (below).
+  // Single-writer per store path, same contract as [[upsert]].
+  // ---------------------------------------------------------------------
+
+  private val ManifestName = "_graft_absorbed.json"
+
+  private def batchDirId(name: String): Option[Long] =
+    if (name.startsWith("batch=")) name.stripPrefix("batch=").toLongOption else None
+
+  /** Append one micro-batch's rows as the store partition `batch=<id>`.
+    * Overwrite semantics make replay idempotent: Structured Streaming
+    * re-delivers a batch only under the SAME batchId, and the partition is
+    * rewritten with the same deterministic content. Caller contract: ids
+    * are monotonically increasing across batches (foreachBatch guarantees
+    * this), and a given id is only written while no LATER id has committed.
+    */
+  def appendBatchPartition(
+      spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"need batchId >= 0, got $batchId")
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+  }
+
+  /** List the live partition directories of a batch store, SELF-HEALING
+    * crash leftovers first: a compaction that died between its two renames
+    * leaves `.batch=<id>__old` holding the only copy of that partition —
+    * rename it back (and drop the incomplete hidden merge dir); a
+    * compaction that died after publishing its merged partition but before
+    * deleting the absorbed source dirs leaves duplicates — the manifest
+    * inside the merged partition names them, and they are deleted here.
+    * Returns (id, dir) pairs sorted by id. Empty when the path is absent
+    * or holds no partitions.
+    */
+  private def liveBatchDirs(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[(Long, Path)] = {
+    if (!fs.exists(root)) return Seq.empty
+    val entries = fs.listStatus(root)
+    // heal rename-aside leftovers: visible dir missing → restore; else stale
+    entries.filter(e => e.getPath.getName.startsWith(".batch=")).foreach { e =>
+      val visible = new Path(root, e.getPath.getName.stripPrefix(".").stripSuffix("__old"))
+      if (e.getPath.getName.endsWith("__old") && !fs.exists(visible)) {
+        if (!fs.rename(e.getPath, visible))
+          throw new java.io.IOException(
+            s"failed to restore crashed compaction aside ${e.getPath}")
+      } else fs.delete(e.getPath, true)
+    }
+    // an incomplete hidden merge dir is redone work, never data loss
+    fs.delete(new Path(root, ".compact__tmp"), true)
+    val dirs = fs.listStatus(root)
+      .flatMap(e => if (e.isDirectory) batchDirId(e.getPath.getName).map(_ -> e.getPath) else None)
+      .toSeq
+    // absorbed partitions named by any manifest are stale duplicates
+    val absorbed = dirs.flatMap { case (_, dir) =>
+      val m = new Path(dir, ManifestName)
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        "-?\\d+".r.findAllIn(txt).map(_.toLong).toSeq
+      } else Seq.empty
+    }.toSet
+    dirs.filter { case (id, dir) =>
+      if (absorbed(id)) { fs.delete(dir, true); false }
+      // a zero-survivor batch writes only _SUCCESS; a data-less dir would
+      // break multi-path schema inference and carries no rows — skip it
+      else fs.listStatus(dir).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }.sortBy(_._1)
+  }
+
+  /** Read a batch store: union of its live partitions (absent → None).
+    * The partition ids are storage bookkeeping, not data — rows come back
+    * exactly as appended. `excludeBatch` drops one partition from the
+    * read: an admitter processing batch B must see history = batches < B,
+    * NOT a half-committed partition B left by a crashed previous attempt —
+    * including it would make the replay's re-ingestion guard skip rows the
+    * rewrite is about to overwrite (silent row loss on replay).
+    */
+  def readBatchStore(
+      spark: SparkSession, path: String,
+      excludeBatch: Option[Long] = None): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = liveBatchDirs(fs, root)
+      .filter { case (id, _) => !excludeBatch.contains(id) }
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_._2.toString): _*))
+  }
+
+  /** Merge every committed partition with id < `upToBatch` into the
+    * newest of them, bounding the store's file and partition count. Run on
+    * a cadence (every N batches), with `upToBatch` = the CURRENT batch id:
+    * Structured Streaming replays at most the current (uncommitted) batch,
+    * so partitions below it are final and safe to merge.
+    *
+    * Crash consistency, in write order: (1) merged rows + a manifest
+    * naming the absorbed ids are staged in a hidden dir; (2) the target
+    * partition is renamed aside; (3) the staged dir is renamed into place;
+    * (4) the aside copy and absorbed sources are deleted. A crash before
+    * (3) is healed by restoring the aside copy ([[liveBatchDirs]]); a
+    * crash before (4) completes leaves duplicates that the manifest
+    * excludes (and deletes) on the next read. Readers never see a row
+    * twice or lose one.
+    *
+    * Returns the number of partitions merged (0 = nothing to do).
+    */
+  def compactBatchStore(spark: SparkSession, path: String, upToBatch: Long): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eligible = liveBatchDirs(fs, root).filter(_._1 < upToBatch)
+    if (eligible.size < 2) return 0
+    val targetId = eligible.last._1
+    val target = eligible.last._2
+    val tmp = new Path(root, ".compact__tmp")
+    spark.read.parquet(eligible.map(_._2.toString): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val manifest = new Path(tmp, ManifestName)
+    val out = fs.create(manifest, true)
+    try out.write(
+      eligible.init.map(_._1).mkString("[", ",", "]").getBytes("UTF-8"))
+    finally out.close()
+    val aside = new Path(root, "." + target.getName + "__old")
+    fs.delete(aside, true)
+    if (!fs.rename(target, aside))
+      throw new java.io.IOException(s"failed to move $target aside to $aside")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"failed to publish compacted store $tmp as $target; aside preserved at $aside")
+    fs.delete(aside, true)
+    eligible.init.foreach { case (_, dir) => fs.delete(dir, true) }
+    eligible.size
+  }
+
+  /** One-time migration of a flat upsert-layout store (part files at the
+    * root) into the batch-partitioned layout: the legacy rows become
+    * partition `batch=<id>`. Pure renames — no data rewrite. No-op when
+    * the root is absent or already partitioned.
+    */
+  def migrateFlatToBatchStore(spark: SparkSession, path: String, asBatchId: Long): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val entries = fs.listStatus(root)
+    val flat = entries.filter(e => e.isFile && !e.getPath.getName.startsWith("_"))
+    if (flat.isEmpty || entries.exists(e => e.isDirectory && batchDirId(e.getPath.getName).isDefined))
+      return false
+    val dst = new Path(root, s"batch=$asBatchId")
+    fs.mkdirs(dst)
+    entries.filter(_.isFile).foreach { e =>
+      if (!fs.rename(e.getPath, new Path(dst, e.getPath.getName)))
+        throw new java.io.IOException(s"failed to migrate ${e.getPath} into $dst")
+    }
+    true
   }
 
   /** K6 — nested-mode upsert: on key conflict, MERGE the `annotations`

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Similarity
+import graft.sources.Sinks
 
 /** Throughput driver for the two incremental admission operators
   * ([[StreamingDedup]] text near-dup, [[StreamingSemanticDedup]] embedding
@@ -37,6 +38,7 @@ object DriveStreamingDedup {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt.max(2)
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,12 +55,16 @@ object DriveStreamingDedup {
     val textStats = (0 until nBatches).map { i =>
       val batch = docs.filter(col("doc_id") % nBatches === i)
       val rowsIn = batch.count()
+      // the timed region includes store MAINTENANCE (the compaction
+      // cadence), so the curve is the honest total cost per batch
       val t0 = System.nanoTime()
+      if (compactEvery > 0 && i > 0 && i % compactEvery == 0)
+        Sinks.compactBatchStore(spark, textStore, upToBatch = i.toLong)
       val survivors = StreamingDedup
-        .admitBatch(spark, batch, "doc_id", "text", textStore).count()
+        .admitBatch(spark, batch, "doc_id", "text", textStore, batchId = i.toLong).count()
       val sec = (System.nanoTime() - t0) / 1e9
       // store rows = shingle postings (the real state size), not documents
-      val storeRows = spark.read.parquet(textStore).count()
+      val storeRows = Sinks.readBatchStore(spark, textStore).map(_.count()).getOrElse(0L)
       BatchStat(i, rowsIn, survivors, storeRows, sec)
     }
     val totalDocs = textStats.map(_.rowsIn).sum
@@ -76,10 +82,12 @@ object DriveStreamingDedup {
       val batch = emb.filter(col("vec_id") % nBatches === i)
       val rowsIn = batch.count()
       val t0 = System.nanoTime()
+      if (compactEvery > 0 && i > 0 && i % compactEvery == 0)
+        Sinks.compactBatchStore(spark, semStore, upToBatch = i.toLong)
       val survivors = StreamingSemanticDedup
-        .admitBatch(spark, batch, cents, semStore).count()
+        .admitBatch(spark, batch, cents, semStore, batchId = i.toLong).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val storeRows = spark.read.parquet(semStore).count()
+      val storeRows = Sinks.readBatchStore(spark, semStore).map(_.count()).getOrElse(0L)
       BatchStat(i, rowsIn, survivors, storeRows, sec)
     }
     val totalVecs = semStats.map(_.rowsIn).sum

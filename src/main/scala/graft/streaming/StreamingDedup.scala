@@ -16,11 +16,19 @@ import graft.sources.Sinks
   * inverted-index store.
   *
   * State = the admitted documents' shingle index, persisted between batches
-  * (here a parquet store updated via [[Sinks.upsert]] keyed by doc id —
-  * idempotent under micro-batch replay; at cluster scale the same dataflow
-  * targets a mergeable table format, the store's posting lists get the
-  * [[Dedup.jaccardBetween]] cap, and the store is bucketed by shingle so
-  * the per-batch join never shuffles history).
+  * as an APPEND-ONLY batch-partitioned parquet store
+  * ([[Sinks.appendBatchPartition]]): admission decisions are final, so each
+  * batch appends O(batch) postings instead of rewriting O(store) — the
+  * read-merge-rewrite upsert layout was the one per-batch cost that grew
+  * with history (measured 2.8→4.6 s/batch over 10 batches). Replay safety
+  * comes from the Structured Streaming batchId keying the partition
+  * (a replayed batch overwrites its own partition with identical content),
+  * and a same-doc-id re-ingestion appends nothing (its postings are
+  * anti-joined against history ids). Compaction on a cadence
+  * ([[Sinks.compactBatchStore]]) bounds file count; the store's posting
+  * lists get the [[Dedup.jaccardBetween]] cap; at cluster scale the same
+  * layout is bucketed by shingle so the per-batch join never shuffles
+  * history.
   *
   * Within-batch survivor policy is greedy keep-lowest-id: for every
   * verified near-dup pair the greater id drops. On a chain a→b→c where
@@ -32,7 +40,10 @@ import graft.sources.Sinks
 object StreamingDedup {
 
   /** Admit one batch: returns the surviving rows of `batch` and appends
-    * their shingles to the store at `storePath`.
+    * their shingles to the store at `storePath` as partition
+    * `batch=<batchId>`. `batchId` must be the Structured Streaming batch id
+    * (or any monotonically increasing sequence for direct callers) — it is
+    * the replay-idempotence key.
     */
   def admitBatch(
       spark: SparkSession,
@@ -40,6 +51,7 @@ object StreamingDedup {
       idCol: String,
       textCol: String,
       storePath: String,
+      batchId: Long,
       shingleK: Int = 3,
       threshold: Double = 0.6,
       maxPostings: Int = 1000,
@@ -75,13 +87,20 @@ object StreamingDedup {
     val afterWithin = batch.join(withinDrops, Seq(idCol), "left_anti")
     val shAfterWithin = sh.join(
       afterWithin.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-    // ONE store HANDLE serves the comparison and the merge below — saving
-    // the second existence probe and footer open, not the lazy data scan.
-    // Sinks.readExisting: only path absence means "no history yet"; any
+    // ONE store HANDLE serves the comparison and the re-ingestion guard.
+    // Sinks.readBatchStore: only absence means "no history yet"; any
     // other failure (transient FS error, corrupt footer) propagates —
     // silently treating it as empty would skip the batch-vs-history
     // comparison and permanently admit duplicates (admission is final).
-    val history = Sinks.readExisting(spark, storePath)
+    // Flat stores written by the retired upsert layout migrate in place
+    // (pure renames) the first time they are seen; the NEGATIVE partition
+    // id keeps legacy rows clear of every real batch id.
+    Sinks.migrateFlatToBatchStore(spark, storePath, asBatchId = -1L)
+    // history = batches STRICTLY BEFORE this one: a crashed previous
+    // attempt at THIS batch id may have appended a partition that the
+    // rewrite below replaces — reading it as history would make the
+    // re-ingestion guard drop exactly the rows being rewritten
+    val history = Sinks.readBatchStore(spark, storePath, excludeBatch = Some(batchId))
     val survivors = history match {
       case Some(store) =>
         val crossDrops = Dedup
@@ -90,18 +109,33 @@ object StreamingDedup {
         afterWithin.join(crossDrops, Seq(idCol), "left_anti")
       case None => afterWithin
     }
-    // two consumers below (store update + caller's sink) — snapshot so the
+    // two consumers below (store append + caller's sink) — snapshot so the
     // whole admission pipeline runs once
     val out = survivors.transform(Stage.snapshotDF)
     val shSurvivors = sh.join(
       out.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-    Sinks.upsert(spark, shSurvivors, storePath, "__id", existing = history)
+    // re-ingestion guard: a doc id that is ALREADY in the store (identical-
+    // id replay admitted idempotently by the self-pair rule) must not
+    // append its postings a second time — duplicate postings would inflate
+    // jaccardBetween intersections for every future batch. One column-
+    // pruned scan of store ids; the comparison above already paid a full
+    // posting scan, so this does not change the per-batch asymptotics.
+    val freshPostings = history match {
+      case Some(store) =>
+        shSurvivors.join(store.select("__id").distinct(), Seq("__id"), "left_anti")
+      case None => shSurvivors
+    }
+    Sinks.appendBatchPartition(spark, freshPostings, storePath, batchId)
     out
   }
 
   /** The streaming driver: docs stream → per-micro-batch admission →
     * survivors upserted to `sinkPath` (idempotent under replay).
-    * `Trigger.AvailableNow` drains the backlog and stops.
+    * `Trigger.AvailableNow` drains the backlog and stops. Every
+    * `compactEvery` batches the shingle store's committed partitions are
+    * merged ([[Sinks.compactBatchStore]]), bounding file count as history
+    * grows; the current batch's partition is never touched, so replay
+    * safety is preserved.
     */
   def start(
       docs: DataFrame,
@@ -113,16 +147,22 @@ object StreamingDedup {
       shingleK: Int = 3,
       threshold: Double = 0.6,
       pairBudget: Long = 1000000L,
-      hotPostingCap: Int = 64): StreamingQuery =
+      hotPostingCap: Int = 64,
+      compactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // compact BEFORE this batch reads history: partitions < batchId are
+        // committed (Structured Streaming replays at most the current id)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Sinks.compactBatchStore(spark, storePath, upToBatch = batchId)
         val survivors = admitBatch(
-          batch.sparkSession, batch, idCol, textCol, storePath, shingleK, threshold,
+          spark, batch, idCol, textCol, storePath, batchId, shingleK, threshold,
           pairBudget = pairBudget, hotPostingCap = hotPostingCap)
-        Sinks.upsert(batch.sparkSession, survivors, sinkPath, idCol)
+        Sinks.upsert(spark, survivors, sinkPath, idCol)
       }
       .start()
 }

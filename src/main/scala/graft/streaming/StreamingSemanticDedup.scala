@@ -35,18 +35,26 @@ import graft.sources.Sinks
   * own future twins. Bounded work per batch at documented partial recall
   * (far-from-centroid arrivals beyond the cap go uncompared), surfaced
   * via an `observe` metric per the no-silent-caps convention.
+  *
+  * State layout matches [[StreamingDedup]]: an append-only
+  * batch-partitioned store ([[Sinks.appendBatchPartition]]) — each batch
+  * appends O(batch) vectors instead of rewriting O(store), replay
+  * overwrites its own partition, re-ingested vec_ids append nothing, and
+  * [[Sinks.compactBatchStore]] bounds partition count on a cadence.
   */
 object StreamingSemanticDedup {
 
   /** Admit one batch of (vec_id, embedding[, …]) rows: returns the
-    * surviving rows (with their `centroid_id`) and upserts them into the
-    * store at `storePath`.
+    * surviving rows (with their `centroid_id`) and appends them to the
+    * store at `storePath` as partition `batch=<batchId>` (the replay-
+    * idempotence key — pass the Structured Streaming batch id).
     */
   def admitBatch(
       spark: SparkSession,
       batch: DataFrame,
       cents: Array[(Long, Seq[Double])],
       storePath: String,
+      batchId: Long,
       threshold: Double = 0.35,
       maxBucketSize: Int = 1000,
       maxStorePerCell: Int = 10000): DataFrame = {
@@ -66,20 +74,32 @@ object StreamingSemanticDedup {
       // feeds the history comparison AND the survivor anti-join AND the
       // store update — snapshot so assignment + within-batch pairing run once
       .transform(Stage.snapshotDF)
-    // ONE store HANDLE serves the comparison and the merge — this saves the
-    // second path-existence probe and footer read, NOT the data scan: the
-    // handle is lazy, so the comparison and the merge each still scan the
-    // store once (deliberately not snapshotted — materializing a 100 TB
-    // store into block storage per batch would cost more than the scan).
-    // Sinks.readExisting: only path absence means "no history"; any other
-    // failure propagates — admission decisions are final.
-    // Stores written before cent_sim existed get the column backfilled on
-    // the fly (one extra kernel per row for this batch); the upsert below
-    // persists it, so the backfill happens at most once per store.
-    val history = Sinks.readExisting(spark, storePath).map { st =>
-      if (st.columns.contains("cent_sim")) st
-      else st.withColumn("cent_sim", centSim(col("embedding")))
+    // Flat stores from the retired upsert layout migrate in place (pure
+    // renames, negative partition id so no real batch can collide); a
+    // migrated partition written before cent_sim existed is rewritten ONCE
+    // with the column backfilled — the multi-partition read below needs a
+    // uniform schema, and one bounded rewrite at migration time replaces
+    // the old per-batch on-the-fly backfill.
+    Sinks.migrateFlatToBatchStore(spark, storePath, asBatchId = -1L)
+    val legacyPart = s"$storePath/batch=-1"
+    val legacyPath = new org.apache.hadoop.fs.Path(legacyPart)
+    val fs = legacyPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(legacyPath) &&
+        !spark.read.parquet(legacyPart).columns.contains("cent_sim")) {
+      val backfilled = spark.read.parquet(legacyPart)
+        .withColumn("cent_sim", centSim(col("embedding")))
+      Sinks.replaceWith(spark, backfilled, legacyPart)
     }
+    // ONE store HANDLE serves the comparison and the re-ingestion guard —
+    // this saves the second listing, NOT the data scan: the handle is
+    // lazy, so each consumer still scans the store once (deliberately not
+    // snapshotted — materializing a 100 TB store into block storage per
+    // batch would cost more than the scan). Sinks.readBatchStore: only
+    // absence means "no history"; any other failure propagates — admission
+    // decisions are final.
+    // history = batches strictly before this one (same crashed-replay rule
+    // as StreamingDedup: a prior attempt's own partition is not history)
+    val history = Sinks.readBatchStore(spark, storePath, excludeBatch = Some(batchId))
     val survivors = history match {
       case Some(store) =>
         // per-cell prefix rank, unconditional: a pre-check "fast path" was
@@ -116,9 +136,17 @@ object StreamingSemanticDedup {
       case None => within
     }
     val out = survivors.transform(Stage.snapshotDF)
-    Sinks.upsert(spark,
-      out.select(col("vec_id"), col("centroid_id"), col("cent_sim"), col("embedding")),
-      storePath, "vec_id", existing = history)
+    val rows = out.select(
+      col("vec_id"), col("centroid_id"), col("cent_sim"), col("embedding"))
+    // re-ingestion guard (same as the text store): an identical-id replay
+    // is re-admitted by the self-pair rule but must not append its vector
+    // twice — duplicate store rows would double-compare forever after
+    val fresh = history match {
+      case Some(store) =>
+        rows.join(store.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      case None => rows
+    }
+    Sinks.appendBatchPartition(spark, fresh, storePath, batchId)
     out
   }
 }

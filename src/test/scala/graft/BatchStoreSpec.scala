@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.sources.Sinks
+
+/** The append-only batch-partitioned store under the failure modes it was
+  * built for: replay overwrite, compaction cadence, and every crash window
+  * of the compaction protocol (the manifest + rename-aside machinery).
+  */
+class BatchStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkStore(): String =
+    Files.createTempDirectory("batchstore").toString + "/store"
+
+  private def rows(store: String): Set[(Long, String)] =
+    Sinks.readBatchStore(spark, store).map(
+      _.select("id", "v").as[(Long, String)].collect().toSet).getOrElse(Set.empty)
+
+  private def fsOf(store: String) =
+    new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("append is O(batch) and replay overwrites only its own partition") {
+    val store = mkStore()
+    assert(Sinks.readBatchStore(spark, store).isEmpty, "absent store reads as None")
+    Sinks.appendBatchPartition(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), store, 0L)
+    Sinks.appendBatchPartition(spark, Seq((3L, "c")).toDF("id", "v"), store, 1L)
+    assert(rows(store) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // replay of batch 1 with different (corrected) content: only its rows change
+    Sinks.appendBatchPartition(spark, Seq((3L, "c2")).toDF("id", "v"), store, 1L)
+    assert(rows(store) == Set((1L, "a"), (2L, "b"), (3L, "c2")))
+    // an empty batch contributes nothing and does not break later reads
+    Sinks.appendBatchPartition(
+      spark, Seq.empty[(Long, String)].toDF("id", "v"), store, 2L)
+    assert(rows(store) == Set((1L, "a"), (2L, "b"), (3L, "c2")))
+    // excludeBatch: the admitter's history view omits the named partition
+    val hist = Sinks.readBatchStore(spark, store, excludeBatch = Some(1L)).get
+      .select("id").as[Long].collect().toSet
+    assert(hist == Set(1L, 2L))
+  }
+
+  test("compaction merges committed partitions, preserves rows, and respects upToBatch") {
+    val store = mkStore()
+    (0 until 5).foreach(i =>
+      Sinks.appendBatchPartition(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), store, i.toLong))
+    val before = rows(store)
+    // only partitions < 4 merge; batch=4 (potentially replayable) untouched
+    assert(Sinks.compactBatchStore(spark, store, upToBatch = 4L) == 4)
+    assert(rows(store) == before, "compaction must not change store contents")
+    val dirs = fsOf(store).listStatus(new Path(store))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("batch=3", "batch=4"), s"got $dirs")
+    // idempotent: nothing left to merge below 4
+    assert(Sinks.compactBatchStore(spark, store, upToBatch = 4L) == 0)
+  }
+
+  test("crash between compaction renames self-heals: aside copy restored, no row lost") {
+    val store = mkStore()
+    (0 until 3).foreach(i =>
+      Sinks.appendBatchPartition(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), store, i.toLong))
+    val before = rows(store)
+    // simulate the post-aside crash window: target renamed aside, staged
+    // merge dir incomplete (here: plain missing)
+    val fs = fsOf(store)
+    assert(fs.rename(new Path(store, "batch=2"), new Path(store, ".batch=2__old")))
+    assert(rows(store) == before, "read must restore the aside partition")
+    assert(fs.exists(new Path(store, "batch=2")), "heal renames the aside back")
+  }
+
+  test("crash after publish but before source deletion: manifest excludes duplicates") {
+    val store = mkStore()
+    (0 until 3).foreach(i =>
+      Sinks.appendBatchPartition(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), store, i.toLong))
+    val before = rows(store)
+    assert(Sinks.compactBatchStore(spark, store, upToBatch = 3L) == 3)
+    // resurrect an absorbed source dir, as a crash between publish and
+    // cleanup would leave it
+    Seq((0L, "v0")).toDF("id", "v").write.parquet(store + "/batch=0")
+    assert(rows(store) == before,
+      "manifest must exclude the resurrected absorbed partition")
+    assert(!fsOf(store).exists(new Path(store, "batch=0")),
+      "read lazily deletes manifest-absorbed leftovers")
+  }
+
+  test("flat legacy store migrates via renames into a negative partition") {
+    val store = mkStore()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(store)
+    assert(Sinks.migrateFlatToBatchStore(spark, store, asBatchId = -1L))
+    assert(rows(store) == Set((1L, "a"), (2L, "b")))
+    // second call is a no-op; appends coexist with the migrated partition
+    assert(!Sinks.migrateFlatToBatchStore(spark, store, asBatchId = -1L))
+    Sinks.appendBatchPartition(spark, Seq((3L, "c")).toDF("id", "v"), store, 0L)
+    assert(rows(store) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // and compaction absorbs the legacy partition like any other
+    assert(Sinks.compactBatchStore(spark, store, upToBatch = 1L) == 2)
+    assert(rows(store) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}

@@ -87,14 +87,14 @@ class StreamingDedupSpec extends SparkSuite {
     val cluster = graft.tools.SkewedCorpus.documents(spark, 400)
       .filter($"doc_id" % 10 < 4).select($"doc_id", $"text")
     val survivors = StreamingDedup.admitBatch(
-      spark, cluster, "doc_id", "text", store,
+      spark, cluster, "doc_id", "text", store, batchId = 0L,
       pairBudget = 1000L, hotPostingCap = 20)
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(0L), s"one survivor from a pure cluster batch, got $survivors")
     // a later batch near-dup of the admitted base still drops via history
     val echo = Seq((9999L, cluster.filter($"doc_id" === 0L)
       .select("text").as[String].head())).toDF("doc_id", "text")
-    val s2 = StreamingDedup.admitBatch(spark, echo, "doc_id", "text", store)
+    val s2 = StreamingDedup.admitBatch(spark, echo, "doc_id", "text", store, batchId = 1L)
       .select("doc_id").as[Long].collect().toSet
     assert(s2.isEmpty, s"history near-dup must be rejected, got $s2")
   }

@@ -30,7 +30,7 @@ class StreamingSemanticDedupSpec extends SparkSuite {
       2L -> Seq(1.0f, 0.02f, 0f, 0f),
       7L -> Seq(0f, 1.0f, 0f, 0f))
     val out1 = StreamingSemanticDedup
-      .admitBatch(spark, b1, cents, store, threshold = 0.9)
+      .admitBatch(spark, b1, cents, store, batchId = 0L, threshold = 0.9)
       .select("vec_id").as[Long].collect().toSet
     assert(out1 == Set(1L, 7L), "within-batch: greater id of the near-pair drops")
 
@@ -40,18 +40,19 @@ class StreamingSemanticDedupSpec extends SparkSuite {
       3L -> Seq(1.0f, 0.03f, 0f, 0f),
       8L -> Seq(0.1f, 1.0f, 3.0f, 0f))
     val out2 = StreamingSemanticDedup
-      .admitBatch(spark, b2, cents, store, threshold = 0.9)
+      .admitBatch(spark, b2, cents, store, batchId = 1L, threshold = 0.9)
       .select("vec_id").as[Long].collect().toSet
     assert(out2 == Set(8L), "history: vec 3 is semantically already admitted")
 
-    // replay batch 2 (micro-batch retry): same decision, store unchanged
+    // replay batch 2 (micro-batch retry, SAME batch id): same decision,
+    // same store contents — the partition is rewritten identically
     val replay = StreamingSemanticDedup
-      .admitBatch(spark, b2, cents, store, threshold = 0.9)
+      .admitBatch(spark, b2, cents, store, batchId = 1L, threshold = 0.9)
       .select("vec_id").as[Long].collect().toSet
     assert(replay == Set(8L), "replay must reproduce the admission decision")
     val stored = spark.read.parquet(store)
     assert(stored.select("vec_id").as[Long].collect().toSet == Set(1L, 7L, 8L))
-    assert(stored.count() == 3L, "upsert keyed by vec_id: no duplicate store rows")
+    assert(stored.count() == 3L, "partition-overwrite replay: no duplicate store rows")
   }
 
   test("store-side cell cap bounds the history comparison and is observable") {
@@ -63,7 +64,7 @@ class StreamingSemanticDedupSpec extends SparkSuite {
       (i.toLong, Seq(1.0f, 0.15f * i, 0f, 0f))
     }: _*)
     assert(StreamingSemanticDedup
-      .admitBatch(spark, b1, cents, store, threshold = 0.999).count() == 5L)
+      .admitBatch(spark, b1, cents, store, batchId = 0L, threshold = 0.999).count() == 5L)
 
     // a new vector identical to the FARTHEST-from-centroid stored vector:
     // with the store cell capped to 2, the compared prefix is the 2
@@ -72,12 +73,12 @@ class StreamingSemanticDedupSpec extends SparkSuite {
     // bounded work, documented recall loss
     val b2 = emb(100L -> Seq(1.0f, 0.6f, 0f, 0f))
     val out = StreamingSemanticDedup.admitBatch(
-      spark, b2, cents, store, threshold = 0.999, maxStorePerCell = 2)
+      spark, b2, cents, store, batchId = 1L, threshold = 0.999, maxStorePerCell = 2)
     assert(out.count() == 1L, "cap excluded the twin from the comparison")
     // and the same arrival against the FULL store is dropped
     val out2 = StreamingSemanticDedup.admitBatch(
       spark, emb(101L -> Seq(1.0f, 0.6f, 0f, 0f)), cents, store,
-      threshold = 0.999)
+      batchId = 2L, threshold = 0.999)
     assert(out2.count() == 0L, "uncapped comparison catches the twin")
   }
 
@@ -90,7 +91,7 @@ class StreamingSemanticDedupSpec extends SparkSuite {
       (i.toLong, Seq(1.0f, 0.15f * i, 0f, 0f))
     }: _*)
     assert(StreamingSemanticDedup.admitBatch(
-      spark, b1, cents, store, threshold = 0.999, maxStorePerCell = 2)
+      spark, b1, cents, store, batchId = 0L, threshold = 0.999, maxStorePerCell = 2)
       .count() == 5L)
 
     // vec 200 = (1, 0.05): more central than vec 1 = (1, 0.15) but not a
@@ -98,14 +99,14 @@ class StreamingSemanticDedupSpec extends SparkSuite {
     // vec 1 from the top-2 centrality prefix
     assert(StreamingSemanticDedup.admitBatch(
       spark, emb(200L -> Seq(1.0f, 0.05f, 0f, 0f)), cents, store,
-      threshold = 0.999, maxStorePerCell = 2).count() == 1L)
+      batchId = 1L, threshold = 0.999, maxStorePerCell = 2).count() == 1L)
 
     // vec 201 is vec 200's twin: only catchable if the compared prefix now
     // CONTAINS 200 (a frozen lowest-id prefix {0, 1} would admit it —
     // cos(201, 0) ≈ 0.99875 and cos(201, 1) ≈ 0.995, both under θ)
     assert(StreamingSemanticDedup.admitBatch(
       spark, emb(201L -> Seq(1.0f, 0.05f, 0f, 0f)), cents, store,
-      threshold = 0.999, maxStorePerCell = 2).count() == 0L,
+      batchId = 2L, threshold = 0.999, maxStorePerCell = 2).count() == 0L,
       "the new central admission must enter the compared prefix")
   }
 
@@ -114,14 +115,14 @@ class StreamingSemanticDedupSpec extends SparkSuite {
     // admitted history: one vector per cell
     val h = emb(1L -> Seq(1.0f, 0.01f, 0f, 0f), 7L -> Seq(0f, 1.0f, 0f, 0f))
     graft.streaming.StreamingSemanticDedup
-      .admitBatch(spark, h, cents, store, threshold = 0.9).count()
+      .admitBatch(spark, h, cents, store, batchId = 0L, threshold = 0.9).count()
     // batch: x ≈ history vec 1 (cross-history drop), y far from vec 7
     // (admitted); no within-batch pair at θ=0.9
     val batch = emb(
       3L -> Seq(1.0f, 0.03f, 0f, 0f),
       8L -> Seq(0.1f, 1.0f, 3.0f, 0f))
     val admitted = graft.streaming.StreamingSemanticDedup
-      .admitBatch(spark, batch, cents, store, threshold = 0.9)
+      .admitBatch(spark, batch, cents, store, batchId = 1L, threshold = 0.9)
       .select("vec_id").as[Long].collect().toSet
     val droppedByAdmission = Set(3L, 8L) -- admitted
     // the relational twin over the identical (batch, history) relations
@@ -132,9 +133,10 @@ class StreamingSemanticDedupSpec extends SparkSuite {
       s"q106's operator must reproduce the admission decision: $twinDrops vs $droppedByAdmission")
   }
 
-  test("pre-cent_sim stores are backfilled on read and persisted on the next upsert") {
+  test("legacy flat pre-cent_sim stores migrate in place: batch layout + one-time backfill") {
     val store = Files.createTempDirectory("graft_sem_migrate").toString + "/store"
-    // simulate a store written by the previous schema (no cent_sim)
+    // simulate a store written by the retired flat-upsert layout AND the
+    // previous schema (no cent_sim)
     emb(1L -> Seq(1.0f, 0.01f, 0f, 0f))
       .withColumn("centroid_id", lit(10L))
       .select("vec_id", "centroid_id", "embedding")
@@ -143,7 +145,7 @@ class StreamingSemanticDedupSpec extends SparkSuite {
     // works on the migrated store), and the store gains cent_sim
     val out = StreamingSemanticDedup.admitBatch(
       spark, emb(2L -> Seq(1.0f, 0.01f, 0f, 0f)), cents, store,
-      threshold = 0.999)
+      batchId = 0L, threshold = 0.999)
     assert(out.count() == 0L)
     val migrated = spark.read.parquet(store)
     assert(migrated.columns.contains("cent_sim"))
