@@ -106,4 +106,32 @@ object Schemas {
       StructField("_id", StringType) +:
         (persistFields.map { case (f, t) => StructField(s"meta.$f", t) } ++
          annFields.map { case (f, t) => StructField(s"nlp.$f", t) }))
+
+  /** K7 put-mapping body: render a StructType as the ES index-creation
+    * JSON (`{"mappings":{"properties":{…}}}`), the engine-side equivalent
+    * of the reference's hard-coded mapping dicts
+    * (`ingester/annotations_indexer.py:359-833`). Arrays map to their
+    * element type (ES arrays are implicit); structs nest as `properties`;
+    * maps become open `object`s (ES dynamic mapping — the reference's
+    * `meta_anns` shape). Field names pass through [[graft.functions
+    * .JsonUtil]] quoting, so the trailing-space quirk fields survive
+    * verbatim.
+    */
+  def esMappingJson(schema: StructType): String = {
+    def quote(s: String) = graft.functions.JsonUtil.quote(s)
+    def render(dt: DataType): String = dt match {
+      case s: StructType =>
+        s.fields.map(f => s"${quote(f.name)}:${render(f.dataType)}")
+          .mkString("{\"properties\":{", ",", "}}")
+      case ArrayType(e, _) => render(e)
+      case MapType(_, _, _) => """{"type":"object"}"""
+      case LongType | IntegerType => """{"type":"long"}"""
+      case FloatType => """{"type":"float"}"""
+      case DoubleType => """{"type":"double"}"""
+      case BooleanType => """{"type":"boolean"}"""
+      case TimestampType | DateType => """{"type":"date"}"""
+      case _ => """{"type":"text"}"""
+    }
+    s"""{"mappings":${render(schema)}}"""
+  }
 }

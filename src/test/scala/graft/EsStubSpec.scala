@@ -1,0 +1,242 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Connectors, EsRest}
+import graft.sources.EsRest.EsConf
+
+/** The live ES connector path, executed: an in-JVM HTTP stub speaking the
+  * five endpoint families the reference's client uses (ping, index
+  * exists/create/drop, _bulk, _count, sliced _search + scroll), driven
+  * through [[EsRest]]'s distributed bulk/upsert/read operators. Asserts
+  * the REQUEST SHAPES the reference protocol mandates — bulk chunking at
+  * `chunkSize` (`es_common.py:98`), the K5 painless script-update body
+  * (`annotations_indexer.py:155-163`) — not just the round-tripped rows.
+  */
+class EsStubSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- the stub: a tiny in-memory single-node "cluster" -----------------
+
+  private class EsStub {
+    val mapper = new ObjectMapper()
+    // index -> (mapping json, docs: id -> source)
+    val indices = TrieMap.empty[String, (String, TrieMap[String, JsonNode])]
+    val bulkChunkSizes = new ConcurrentLinkedQueue[Int]()
+    val bulkBodies = new ConcurrentLinkedQueue[String]()
+    val authHeaders = new ConcurrentLinkedQueue[String]()
+    // scrollId -> (index, sliceId, maxSlices, pageSize, offset)
+    val scrolls = TrieMap.empty[String, (String, Int, Int, Int, Int)]
+    private val scrollSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    def url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+
+    private def respond(ex: HttpExchange, code: Int, body: String = ""): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      // HEAD must not carry a body; -1 means no body follows
+      if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(code, -1)
+      else {
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) { ex.getResponseBody.write(bytes) }
+      }
+      ex.close()
+    }
+
+    private def sliceDocs(index: String, sliceId: Int, maxSlices: Int): Seq[(String, JsonNode)] =
+      indices(index)._2.toSeq.sortBy(_._1)
+        .filter { case (id, _) =>
+          maxSlices <= 1 || math.floorMod(id.hashCode, maxSlices) == sliceId }
+
+    private def handle(ex: HttpExchange): Unit = try {
+      Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(authHeaders.add)
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      (method, path.stripPrefix("/").split("/").filter(_.nonEmpty).toList) match {
+        case ("GET", Nil) =>
+          respond(ex, 200, """{"name":"stub","cluster_name":"graft","version":{"number":"8.0.0"}}""")
+        case ("HEAD", idx :: Nil) =>
+          respond(ex, if (indices.contains(idx)) 200 else 404)
+        case ("PUT", idx :: Nil) =>
+          indices.putIfAbsent(idx, (body, TrieMap.empty))
+          respond(ex, 200, """{"acknowledged":true}""")
+        case ("DELETE", idx :: Nil) =>
+          respond(ex, if (indices.remove(idx).isDefined) 200 else 404,
+            """{"acknowledged":true}""")
+        case ("GET", idx :: "_count" :: Nil) =>
+          respond(ex, 200, s"""{"count":${indices.get(idx).map(_._2.size).getOrElse(0)}}""")
+        case ("GET", idx :: "_doc" :: id :: Nil) =>
+          indices.get(idx).flatMap(_._2.get(id)) match {
+            case Some(src) => respond(ex, 200,
+              s"""{"_index":"$idx","_id":"$id","found":true,"_source":$src}""")
+            case None => respond(ex, 404, s"""{"found":false}""")
+          }
+        case ("POST", "_bulk" :: Nil) =>
+          val lines = body.split("\n").filter(_.nonEmpty)
+          bulkChunkSizes.add(lines.length / 2)
+          bulkBodies.add(body)
+          lines.grouped(2).foreach { case Array(action, payload) =>
+            val a = mapper.readTree(action)
+            if (a.has("index")) {
+              val idx = a.path("index").path("_index").asText()
+              val id = a.path("index").path("_id").asText()
+              indices.getOrElseUpdate(idx, ("{}", TrieMap.empty))
+                ._2.put(id, mapper.readTree(payload))
+            } else if (a.has("update")) {
+              val idx = a.path("update").path("_index").asText()
+              val id = a.path("update").path("_id").asText()
+              val docs = indices.getOrElseUpdate(idx, ("{}", TrieMap.empty))._2
+              val p = mapper.readTree(payload)
+              docs.get(id) match {
+                case Some(existing) =>
+                  // execute the documented painless script semantics:
+                  // replace the annotations array with params.annotations
+                  val src = p.path("script").path("source").asText()
+                  require(src == EsRest.AnnotationsScript, s"unexpected script: $src")
+                  val updated = existing.deepCopy[ObjectNode]()
+                  updated.set("annotations",
+                    p.path("script").path("params").path("annotations"))
+                  docs.put(id, updated)
+                case None =>
+                  docs.put(id, p.path("upsert"))
+              }
+            }
+          }
+          respond(ex, 200, """{"errors":false,"items":[]}""")
+        case ("POST", idx :: "_search" :: Nil) =>
+          val q = mapper.readTree(if (body.isEmpty) "{}" else body)
+          val sliceId = q.path("slice").path("id").asInt(0)
+          val maxSlices = q.path("slice").path("max").asInt(1)
+          val size = q.path("size").asInt(10)
+          val all = sliceDocs(idx, sliceId, maxSlices)
+          val page = all.take(size)
+          val sid = s"scroll-${scrollSeq.incrementAndGet()}"
+          scrolls.put(sid, (idx, sliceId, maxSlices, size, page.length))
+          respond(ex, 200, searchResponse(sid, page, all.size))
+        case ("POST", "_search" :: "scroll" :: Nil) =>
+          val sid = mapper.readTree(body).path("scroll_id").asText()
+          scrolls.get(sid) match {
+            case Some((idx, sliceId, maxSlices, size, offset)) =>
+              val all = sliceDocs(idx, sliceId, maxSlices)
+              val page = all.slice(offset, offset + size)
+              scrolls.put(sid, (idx, sliceId, maxSlices, size, offset + page.length))
+              respond(ex, 200, searchResponse(sid, page, all.size))
+            case None => respond(ex, 404, """{"error":"no such scroll"}""")
+          }
+        case _ => respond(ex, 400, s"""{"error":"unhandled $method $path"}""")
+      }
+    } catch {
+      case e: Exception => respond(ex, 500, s"""{"error":${graft.functions.JsonUtil.quote(e.toString)}}""")
+    }
+
+    private def searchResponse(sid: String, page: Seq[(String, JsonNode)], total: Int): String = {
+      val hits = page.map { case (id, src) =>
+        s"""{"_id":"$id","_source":$src}"""
+      }.mkString("[", ",", "]")
+      s"""{"_scroll_id":"$sid","hits":{"total":{"value":$total},"hits":$hits}}"""
+    }
+  }
+
+  private def withStub(f: EsStub => Unit): Unit = {
+    val stub = new EsStub
+    try f(stub) finally stub.stop()
+  }
+
+  // ---- the specs --------------------------------------------------------
+
+  test("S6/S7: ping, liveness probe, index lifecycle with a reference mapping (K7/K8)") {
+    withStub { stub =>
+      val conf = EsConf(stub.url)
+      assert(EsRest.ping(conf), "ping must succeed against a live endpoint")
+      assert(Connectors.checkUrlsAvailable(Seq(stub.url)), "S7 probe over the same wire")
+      assert(!EsRest.indexExists(conf, "medical_annotations"))
+      EsRest.createIndex(conf, "medical_annotations",
+        graft.schemas.Schemas.esMappingJson(graft.schemas.Schemas.gateAnnotation))
+      assert(EsRest.indexExists(conf, "medical_annotations"))
+      // the stored mapping is the schema module's, trailing-space quirks intact
+      assert(stub.indices("medical_annotations")._1.contains("\"orgType \""))
+      assert(EsRest.dropIndex(conf, "medical_annotations"))
+      assert(!EsRest.indexExists(conf, "medical_annotations"))
+    }
+  }
+
+  test("K1-K3: distributed bulk index chunks at chunkSize and round-trips rows") {
+    withStub { stub =>
+      val conf = EsConf(stub.url, chunkSize = 10,
+        user = Some("ingester"), pass = Some("secret"))
+      val docs = (0 until 25).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      val failed = EsRest.bulkIndex(docs.coalesce(1), conf, "docs", "doc_id")
+      assert(failed == 0L)
+      assert(EsRest.count(conf, "docs") == 25L)
+      // the reference's 10k chunking contract, scaled down: 25 docs at
+      // chunk 10 → exactly [10, 10, 5]
+      assert(stub.bulkChunkSizes.asScala.toSeq.sorted == Seq(5, 10, 10),
+        s"got ${stub.bulkChunkSizes.asScala.toSeq}")
+      // basic auth rode every request
+      assert(stub.authHeaders.asScala.forall(_.startsWith("Basic ")))
+      // spot-check a round-tripped source document
+      val (code, body) = EsRest.request(conf, "GET", "/docs/_doc/7")
+      assert(code == 200 && body.contains("\"text\":\"text 7\""))
+    }
+  }
+
+  test("K5: scripted annotations upsert sends the reference painless body; update and insert both land") {
+    withStub { stub =>
+      val conf = EsConf(stub.url)
+      // seed doc 1 with old annotations via plain index
+      val seed = Seq((1L, Seq("old"))).toDF("doc_id", "annotations")
+      EsRest.bulkIndex(seed, conf, "anns", "doc_id")
+      // upsert: doc 1 exists (script update replaces the array), doc 2 is
+      // new (upsert document inserts)
+      val batch = Seq((1L, Seq("join", "merge")), (2L, Seq("scan")))
+        .toDF("doc_id", "annotations")
+      assert(EsRest.bulkUpsertAnnotations(batch, conf, "anns", "doc_id", "annotations") == 0L)
+      val docs = stub.indices("anns")._2
+      assert(docs("1").path("annotations").toString == """["join","merge"]""")
+      assert(docs("2").path("annotations").toString == """["scan"]""")
+      // the wire shape IS the reference's: update op + painless script with
+      // params.annotations (annotations_indexer.py:155-163)
+      val upsertBody = stub.bulkBodies.asScala.find(_.contains("\"update\"")).get
+      assert(upsertBody.contains(
+        """"script":{"lang":"painless","source":"ctx._source.annotations = new ArrayList(); ctx._source.annotations = params.annotations""""),
+        s"script body drifted from the reference shape:\n$upsertBody")
+      assert(upsertBody.contains(""""params":{"annotations":["join","merge"]}"""))
+    }
+  }
+
+  test("S1/S2: sliced scroll read returns every document exactly once, paging each slice") {
+    withStub { stub =>
+      val conf = EsConf(stub.url)
+      val docs = (0 until 57).map(i => (i.toLong, s"body $i")).toDF("doc_id", "text")
+      EsRest.bulkIndex(docs, conf, "corpus", "doc_id")
+      assert(EsRest.count(conf, "corpus") == 57L)
+      // 3 slices × pageSize 5 → every slice pages through the scroll API
+      val got = EsRest.readSliced(spark, conf, "corpus", slices = 3, pageSize = 5)
+        .select("_id").as[String].collect().toSeq
+      assert(got.size == 57, s"expected 57 rows, got ${got.size}")
+      assert(got.distinct.size == 57, "sliced reads must not duplicate documents")
+      // _source parses back columnar
+      val parsed = EsRest.readSliced(spark, conf, "corpus", slices = 2, pageSize = 50)
+        .select(from_json($"_source", org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")).as("d"))
+        .select("d.doc_id").as[Long].collect().toSet
+      assert(parsed == (0L until 57L).toSet)
+    }
+  }
+}
