@@ -263,14 +263,15 @@ object Multimodal {
   }
 
   /** Frame sampling (video/audio): one row per sampled frame — the
-    * explode-shaped stage. REAL for multi-frame media the JDK can decode
-    * (animated GIF via `ImageIO`'s multi-image reader): frames are evenly
-    * strided down to `maxFrames`, each re-encoded as a standalone PNG
-    * (offset_ms = stride index × everyMs; GIF per-frame delay metadata is
-    * deliberately not parsed — sampling is by position, and the paced
-    * variant would need the same dataflow). True video codecs are NOT in
-    * the JDK, so every other payload keeps the deterministic byte-slice
-    * fake — the one stub left in the multimodal surface.
+    * explode-shaped stage. REAL for multi-frame media the JDK can decode:
+    * animated GIF via `ImageIO`'s multi-image reader, and MJPEG-in-AVI via
+    * the RIFF chunk walker below (each `..dc`/`..db` movi chunk is a
+    * standalone JPEG the JDK decodes natively). Frames are evenly strided
+    * down to `maxFrames`, each re-encoded as a standalone PNG (offset_ms =
+    * stride index × everyMs; container timing metadata is deliberately not
+    * parsed — sampling is by position, and the paced variant would need
+    * the same dataflow). Other video containers (no JDK codec) keep the
+    * deterministic byte-slice fake.
     */
   case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, frame_payload: Array[Byte])
 
@@ -279,7 +280,8 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.modality != "image").flatMap { r =>
       val p = if (r.payload == null) Array.empty[Byte] else r.payload
-      decodeGifFrames(p, maxFrames) match {
+      decodeGifFrames(p, maxFrames)
+        .orElse(decodeMjpegAviFrames(p, maxFrames)) match {
         case Some(frames) =>
           frames.zipWithIndex.map { case (png, i) =>
             Frame(r.media_id, i, i * everyMs, png)
@@ -295,6 +297,63 @@ object Multimodal {
           }
       }
     }
+  }
+
+  /** MJPEG/AVI frame extraction — a real video container without needing a
+    * video codec: AVI is RIFF (`RIFF<size>AVI ` then fourcc+size chunks,
+    * `LIST` chunks nesting via a 4-byte list type), and an MJPEG stream's
+    * frame chunks (`NNdc`/`NNdb` inside the `movi` list, possibly grouped
+    * in `rec ` sub-lists) are each a standalone JPEG — which `ImageIO`
+    * decodes natively. Walk the chunk tree, collect the frame chunks,
+    * evenly stride to `maxFrames`, re-encode PNG (the same output contract
+    * as the GIF path). None for non-AVI payloads, AVIs whose frames the
+    * JPEG codec rejects (a non-MJPEG AVI), or fewer than 2 frames; any
+    * parse failure falls back per-row (NonFatal, as everywhere in this
+    * file).
+    */
+  private def decodeMjpegAviFrames(
+      payload: Array[Byte], maxFrames: Int): Option[Seq[Array[Byte]]] = {
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      java.nio.ByteBuffer.wrap(payload, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+    if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return None
+    ensureHeadless()
+    try {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      // walk chunks in [from, until); recurse into LIST bodies
+      def walk(from: Int, until: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val id = fourcc(pos)
+          val size = u32(pos + 4)
+          val dataStart = pos + 8
+          val dataEnd = math.min(until.toLong, dataStart + size).toInt
+          if (id == "LIST" && size >= 4) {
+            val listType = fourcc(dataStart)
+            if (listType == "movi" || listType == "rec ")
+              walk(dataStart + 4, dataEnd)
+          } else if (id.length == 4 && id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+              && size > 0) {
+            frames += ((dataStart, dataEnd))
+          }
+          pos = dataStart + size.toInt + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      walk(12, payload.length)
+      if (frames.length < 2) return None
+      val take = math.min(maxFrames, frames.length)
+      val idxs = (0 until take).map(i => i * frames.length / take)
+      val decoded = idxs.map { i =>
+        val (s, e) = frames(i)
+        decodeImage(java.util.Arrays.copyOfRange(payload, s, e))
+      }
+      // all-or-nothing: a partially decodable AVI is not MJPEG — fake it
+      if (decoded.exists(_ == null)) None
+      else Some(decoded.map(reencodePng))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Animated-GIF frame extraction via `ImageIO`'s multi-image reader:

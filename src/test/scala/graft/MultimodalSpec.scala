@@ -192,6 +192,53 @@ class MultimodalSpec extends SparkSuite {
     assert(frames(2L).forall(_.frame_payload.length <= 16))
   }
 
+  test("sampleFrames really extracts MJPEG-AVI frames via the RIFF walker") {
+    // hand-build a minimal MJPEG AVI: RIFF("AVI ") { LIST("hdrl"){avih},
+    // LIST("movi"){ 00dc=jpeg ×5, plus one frame nested in a rec list } }
+    def jpegBytes(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = gray << 16 | gray << 8 | gray
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, g)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array() // trailing pad byte (if any) stays 0, per RIFF
+    }
+    def list(listType: String, children: Array[Byte]*): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children.flatten)
+    val frames = (0 until 5).map(i => jpegBytes(i * 50))
+    val movi = list("movi",
+      (frames.take(4).map(chunk("00dc", _)) :+
+        list("rec ", chunk("00dc", frames(4)))): _*)
+    val hdrl = list("hdrl", chunk("avih", Array.fill[Byte](56)(0)))
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+
+    val rec = Multimodal.MediaRecord(1L, "video", avi, "u1")
+    val blob = Multimodal.MediaRecord(2L, "video", "RIFFxxxxWAVE not avi".getBytes, "u2")
+    val out = Multimodal.sampleFrames(
+        Seq(rec, blob).toDS(), everyMs = 100, maxFrames = 3)
+      .collect().groupBy(_.media_id)
+    // real path: 3 of 5 frames (indices 0, 1, 3), including the rec-nested
+    // fifth frame in the frame census, PNG re-encoded with true dims
+    val real = out(1L).sortBy(_.frame_idx)
+    assert(real.length == 3, s"expected 3 sampled frames, got ${real.length}")
+    val f0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(real(0).frame_payload))
+    assert(f0.getWidth == 6 && f0.getHeight == 4, "decoded frame keeps AVI dims")
+    assert((f0.getRGB(1, 1) & 0xFF) < 20, "frame 0 is the near-black frame")
+    val fLast = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(real(2).frame_payload))
+    assert((fLast.getRGB(1, 1) & 0xFF) > 60, "later frames carry later content")
+    // a RIFF that is not an AVI stays on the deterministic fake path
+    assert(out(2L).nonEmpty && out(2L).forall(_.frame_payload.length <= 16))
+  }
+
   test("image records get dimensions, time media get durations") {
     val out = Multimodal.extractFeatures(media, () => new Multimodal.StubDecoder())
     val img = out.filter($"modality" === "image")
