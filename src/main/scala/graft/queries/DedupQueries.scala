@@ -182,6 +182,15 @@ object DedupQueries {
     * side window) executes but prunes nothing and the result is exact; the
     * oracle is the unpruned cross-slice Jaccard. DedupSpec covers the cap
     * actually firing.
+    *
+    * DELIBERATELY UNCAPPED-EXPENSIVE — do not "optimize". This query is
+    * among the slowest in the bench suite (~1.3 s at sf0.1) BY DESIGN:
+    * only the effectively-uncapped form is DuckDB-expressible, and its
+    * whole value is hash-checking the exact semantics that the capped
+    * production twin (StreamingDedup's posting-capped + cost-guarded
+    * path) must agree with on cap-free data. Capping it here would make
+    * the oracle compare a pruned result against an unpruned one —
+    * untestable, not faster.
     */
   def q105_jaccard_between: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
