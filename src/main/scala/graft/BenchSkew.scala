@@ -55,8 +55,14 @@ object BenchSkew {
     def shOld = Dedup.shingleIndex(
       docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 3)
 
+    // SPARK_GRAFT_SKEW_OPS: comma-separated op-name filter (substring
+    // match) — the 10×-scale soak runs the capped forms only, because the
+    // open forms are MEASURED quadratic (131 s at 4×; the point is made)
+    val opFilter = sys.env.get("SPARK_GRAFT_SKEW_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
     // each entry: name -> () => result cardinality (forces full execution)
-    val ops: Seq[(String, () => Long)] = Seq(
+    val allOps: Seq[(String, () => Long)] = Seq(
       "minhash_capped" -> (() =>
         Dedup.minhashCandidates(docs, "doc_id", "text").count()),
       "minhash_open" -> (() =>
@@ -103,6 +109,10 @@ object BenchSkew {
         Corpus.approxQuantileBuckets(
           docs.withColumn("score", col("n_chars").cast("double")),
           "lang", "score", 3).groupBy("lang", "bucket").count().count()))
+
+    val ops = opFilter.fold(allOps)(fs => allOps.filter {
+      case (name, _) => fs.exists(name.contains)
+    })
 
     def r3(v: Double): Double =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -84,6 +84,45 @@ class PlanSpec extends SparkSuite {
       s"bucketed join still shuffles:\n${p.take(500)}")
   }
 
+  test("bucketed shingle store: jaccardBetween's history side joins without a shuffle") {
+    // the admission-scale claim made in StreamingDedup's scaladoc, proven
+    // on a plan: with the history store bucketed by shingle, the per-batch
+    // batch×history comparison shuffles ONLY the (small) batch side — the
+    // posting-cap window and the join both reuse the bucket distribution,
+    // so history is never exchanged no matter how large it grows
+    import graft.operators.Dedup
+    import graft.sources.Sinks
+    spark.sql("DROP TABLE IF EXISTS b_shingle_store")
+    Sinks.drop(spark, "spark-warehouse/b_shingle_store")
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    val c = org.apache.spark.sql.functions.col _
+    val shNew = Dedup.shingleIndex(
+      docs.filter(c("doc_id") % 7 === 0), "doc_id", "text", 3)
+    val shOld = Dedup.shingleIndex(
+      docs.filter(c("doc_id") % 7 =!= 0), "doc_id", "text", 3)
+    Sinks.writeBucketed(shOld, "b_shingle_store", "shingle", 4)
+    def shingleExchanges(shOldSide: org.apache.spark.sql.DataFrame): Int = {
+      val q = Dedup.jaccardBetween(shNew, shOldSide, 0.6, maxPostings = 50)
+      q.collect()
+      "Exchange hashpartitioning\\(shingle".r
+        .findAllIn(q.queryExecution.executedPlan.toString).length
+    }
+    // model the at-scale shape: a batch too large to broadcast (AQE would
+    // otherwise broadcast this fixture-sized batch and hide the store-side
+    // exchange the claim is about)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plainEx = shingleExchanges(shOld)
+      val bucketedEx = shingleExchanges(spark.table("b_shingle_store"))
+      assert(plainEx >= 2, s"plain form should shuffle both sides, saw $plainEx")
+      // measured: 4 plain vs 2 bucketed — the bucket distribution feeds
+      // BOTH store-side shingle stages (posting-cap window, join leg)
+      // exchange-free; the remaining exchanges belong to the batch side
+      assert(bucketedEx <= plainEx - 2,
+        s"bucketed history must drop the store-side exchanges: $bucketedEx vs $plainEx")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q65: the benchmark n-gram set is broadcast (corpus side never shuffles for the join)") {
     val p = plan("q65_contamination")
     assert(p.contains("BroadcastHashJoin"), "contamination join not broadcast")
