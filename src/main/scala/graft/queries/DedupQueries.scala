@@ -221,7 +221,36 @@ object DedupQueries {
       .orderBy("id_new", "id_old")
   }
 
+  /** q108 — GUARDED within-batch admission drops
+    * ([[Dedup.jaccardDropsGuarded]]), guard FORCED (`pairBudget = 1`) with
+    * `hotPostingCap = 2` so BOTH degraded-mode paths execute on the
+    * driver corpus: cold prefix shingles (≤ 2 postings) run the exact
+    * candidates→verify pipeline, hot shingles (3 postings — the corpus
+    * maximum at small SF) take the linear per-shingle min-id pairing.
+    * Output = the greedy drop list a streaming admitter would apply
+    * within a cluster-shaped batch.
+    *
+    * ORACLE NOTE: unlike q90 (sound pruning → unpruned oracle), the
+    * guarded mode is a DEFINED approximation — over-dropping on hot
+    * shingles is its documented semantics, so the oracle mirrors the
+    * definition (prefix index → hot/cold split → exact cold verify ∪
+    * per-shingle min). The numerically risky pieces (ceil slack, prefix
+    * length, positional bound) are the same expressions q90 checks
+    * against the UNPRUNED oracle, so a mirrored bug in them would
+    * already fail q90. StreamingDedupSpec asserts the under-budget form
+    * is bit-identical to the exact path and the mega-cluster bound.
+    */
+  def q108_guarded_drops: Q = (s, dir) => {
+    val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
+      .transform(Stage.snapshotDF)
+    Dedup.jaccardDropsGuarded(sh, threshold = 0.6,
+        pairBudget = 1L, hotPostingCap = 2)
+      .select(col("__id").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q108_guarded_drops" -> q108_guarded_drops,
     "q106_semantic_between" -> q106_semantic_between,
     "q105_jaccard_between" -> q105_jaccard_between,
     "q97_semantic_dedup" -> q97_semantic_dedup,
@@ -453,6 +482,54 @@ object DedupQueries {
       WHERE n.vec_id % 5 = 0 AND o.vec_id % 5 <> 0
         AND list_cosine_similarity(n.v, o.v) >= 0.35
       ORDER BY 1, 2""",
+    "q108_guarded_drops" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      dfreq AS (SELECT shingle, count(1) AS df FROM sh GROUP BY 1),
+      ranked AS (
+        SELECT s.doc_id, s.shingle, z.sz, d.df,
+               row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rn
+        FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+        JOIN sizes z ON z.doc_id = s.doc_id),
+      prefix AS (
+        SELECT * FROM ranked WHERE rn <= sz - ceil(sz * 0.6 - 1e-9) + 1),
+      pdf AS (SELECT shingle, count(1) AS pdf FROM prefix GROUP BY 1),
+      cold AS (SELECT p.* FROM prefix p JOIN pdf f ON p.shingle = f.shingle
+               WHERE f.pdf <= 2),
+      hot  AS (SELECT p.* FROM prefix p JOIN pdf f ON p.shingle = f.shingle
+               WHERE f.pdf > 2),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE least(a.sz, b.sz) * 1.0 >= greatest(a.sz, b.sz) * 0.6 - 1e-9
+          AND 1 + least(a.sz - a.rn, b.sz - b.rn)
+              >= ceil((a.sz + b.sz) * 0.375 - 1e-9)),
+      verify AS (
+        SELECT c.id_a, c.id_b, count(1) AS c
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      cold_drops AS (
+        SELECT v.id_b AS doc_id FROM verify v
+        JOIN sizes sa ON sa.doc_id = v.id_a
+        JOIN sizes sb ON sb.doc_id = v.id_b
+        WHERE v.c * 1.0 / (sa.sz + sb.sz - v.c) >= 0.6),
+      hotmin AS (SELECT shingle, min(doc_id) AS m FROM hot GROUP BY 1),
+      hot_drops AS (
+        SELECT h.doc_id FROM hot h JOIN hotmin m ON h.shingle = m.shingle
+        WHERE h.doc_id > m.m)
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id FROM cold_drops UNION ALL SELECT doc_id FROM hot_drops)
+      ORDER BY 1""",
     "q105_jaccard_between" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
