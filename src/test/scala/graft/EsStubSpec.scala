@@ -213,11 +213,42 @@ class EsStubSpec extends SparkSuite {
       assert(docs("2").path("annotations").toString == """["scan"]""")
       // the wire shape IS the reference's: update op + painless script with
       // params.annotations (annotations_indexer.py:155-163)
-      val upsertBody = stub.bulkBodies.asScala.find(_.contains("\"update\"")).get
-      assert(upsertBody.contains(
-        """"script":{"lang":"painless","source":"ctx._source.annotations = new ArrayList(); ctx._source.annotations = params.annotations""""),
-        s"script body drifted from the reference shape:\n$upsertBody")
-      assert(upsertBody.contains(""""params":{"annotations":["join","merge"]}"""))
+      val upsertBodies = stub.bulkBodies.asScala.filter(_.contains("\"update\"")).toSeq
+      assert(upsertBodies.nonEmpty && upsertBodies.forall(_.contains(
+        """"script":{"lang":"painless","source":"ctx._source.annotations = new ArrayList(); ctx._source.annotations = params.annotations"""")),
+        s"script body drifted from the reference shape:\n${upsertBodies.headOption.getOrElse("")}")
+      assert(upsertBodies.exists(_.contains(""""params":{"annotations":["join","merge"]}""")))
+    }
+  }
+
+  test("end-to-end over the live protocol: ES read -> annotate -> scripted ES upsert (the reference's whole dataflow)") {
+    withStub { stub =>
+      val conf = EsConf(stub.url, chunkSize = 10)
+      // source index: the reference's document store
+      val src = (0 until 30).map(i =>
+        (i.toLong, s"doc $i mentions a join and a merge")).toDF("doc_id", "text")
+      EsRest.bulkIndex(src, conf, "docs_src", "doc_id")
+      // read distributed (2 slices), parse _source columnar — S1/S2 + P1
+      val docs = EsRest.readSliced(spark, conf, "docs_src", slices = 2, pageSize = 7)
+        .select(from_json($"_source",
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")).as("d"))
+        .select("d.doc_id", "d.text")
+      // annotate (U1, deterministic mock service) and collapse to the
+      // nested per-doc annotations array the K5 sink expects
+      val anns = graft.operators.NlpService.annotateAndExplode(
+          spark, docs, new graft.operators.NlpService.MockTagger(Seq("join", "merge")))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list($"detected_name")).as("annotations"))
+      // write back via the scripted bulk upsert — K5 over the wire
+      assert(EsRest.bulkUpsertAnnotations(anns, conf, "docs_anns", "doc_id", "annotations") == 0L)
+      assert(EsRest.count(conf, "docs_anns") == 30L)
+      val doc7 = stub.indices("docs_anns")._2("7")
+      assert(doc7.path("annotations").toString == """["join","merge"]""",
+        s"got ${doc7.toString}")
+      // replay the sink stage (micro-batch retry): scripted upsert converges
+      assert(EsRest.bulkUpsertAnnotations(anns, conf, "docs_anns", "doc_id", "annotations") == 0L)
+      assert(EsRest.count(conf, "docs_anns") == 30L)
+      assert(stub.indices("docs_anns")._2("7").path("annotations").toString == """["join","merge"]""")
     }
   }
 
