@@ -239,6 +239,12 @@ object DedupQueries {
     * against the UNPRUNED oracle, so a mirrored bug in them would
     * already fail q90. StreamingDedupSpec asserts the under-budget form
     * is bit-identical to the exact path and the mega-cluster bound.
+    *
+    * Like q105, this is a deliberately expensive correctness-gate query
+    * (~2.7 s at sf0.1, near q90): forcing the guard with cap 2 makes the
+    * cold path exact verification over nearly the whole prefix index.
+    * Production admission never forces the guard — it fires only when a
+    * batch's predicted pair count exceeds the budget.
     */
   def q108_guarded_drops: Q = (s, dir) => {
     val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
