@@ -36,6 +36,9 @@ class EsStubSpec extends SparkSuite {
     val bulkChunkSizes = new ConcurrentLinkedQueue[Int]()
     val bulkBodies = new ConcurrentLinkedQueue[String]()
     val authHeaders = new ConcurrentLinkedQueue[String]()
+    // ids the stub refuses to index (per-item error, not HTTP failure) —
+    // drives the failed-item accounting test
+    val rejectIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     // scrollId -> (index, sliceId, maxSlices, pageSize, offset)
     val scrolls = TrieMap.empty[String, (String, Int, Int, Int, Int)]
     private val scrollSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -92,13 +95,19 @@ class EsStubSpec extends SparkSuite {
           val lines = body.split("\n").filter(_.nonEmpty)
           bulkChunkSizes.add(lines.length / 2)
           bulkBodies.add(body)
+          val items = new scala.collection.mutable.ArrayBuffer[String]()
           lines.grouped(2).foreach { case Array(action, payload) =>
             val a = mapper.readTree(action)
             if (a.has("index")) {
               val idx = a.path("index").path("_index").asText()
               val id = a.path("index").path("_id").asText()
-              indices.getOrElseUpdate(idx, ("{}", TrieMap.empty))
-                ._2.put(id, mapper.readTree(payload))
+              if (rejectIds.contains(id))
+                items += s"""{"index":{"_id":"$id","status":400,"error":{"type":"stub_rejected"}}}"""
+              else {
+                indices.getOrElseUpdate(idx, ("{}", TrieMap.empty))
+                  ._2.put(id, mapper.readTree(payload))
+                items += s"""{"index":{"_id":"$id","status":201}}"""
+              }
             } else if (a.has("update")) {
               val idx = a.path("update").path("_index").asText()
               val id = a.path("update").path("_id").asText()
@@ -117,9 +126,12 @@ class EsStubSpec extends SparkSuite {
                 case None =>
                   docs.put(id, p.path("upsert"))
               }
+              items += s"""{"update":{"_id":"$id","status":200}}"""
             }
           }
-          respond(ex, 200, """{"errors":false,"items":[]}""")
+          val anyErr = items.exists(_.contains("\"error\""))
+          respond(ex, 200,
+            s"""{"errors":$anyErr,"items":${items.mkString("[", ",", "]")}}""")
         case ("POST", idx :: "_search" :: Nil) =>
           val q = mapper.readTree(if (body.isEmpty) "{}" else body)
           val sliceId = q.path("slice").path("id").asInt(0)
@@ -194,6 +206,18 @@ class EsStubSpec extends SparkSuite {
       // spot-check a round-tripped source document
       val (code, body) = EsRest.request(conf, "GET", "/docs/_doc/7")
       assert(code == 200 && body.contains("\"text\":\"text 7\""))
+    }
+  }
+
+  test("B4: per-item bulk failures are counted, not fatal (reference failed-docs accounting)") {
+    withStub { stub =>
+      stub.rejectIds.add("3"); stub.rejectIds.add("7")
+      val conf = EsConf(stub.url, chunkSize = 4)
+      val docs = (0 until 10).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      // the job completes; the two rejected items surface in the count
+      val failed = EsRest.bulkIndex(docs.coalesce(1), conf, "docs", "doc_id")
+      assert(failed == 2L, s"expected 2 failed items, got $failed")
+      assert(EsRest.count(conf, "docs") == 8L, "accepted docs land despite sibling failures")
     }
   }
 
