@@ -209,8 +209,17 @@ object EsRest {
             case Some(body) =>
               val tree = m.readTree(body)
               val hits = tree.path("hits").path("hits")
-              if (hits.size() == 0) None
-              else {
+              if (hits.size() == 0) {
+                // slice exhausted: clear the server-side scroll context
+                // (best effort — a real cluster would otherwise hold it
+                // until the keep-alive lapses)
+                val sid = tree.path("_scroll_id").asText("")
+                if (sid.nonEmpty)
+                  try request(conf, "DELETE", "/_search/scroll",
+                    Some(s"""{"scroll_id":${JsonUtil.quote(sid)}}"""))
+                  catch { case scala.util.control.NonFatal(_) => () }
+                None
+              } else {
                 val page = (0 until hits.size()).map { i =>
                   (hits.get(i).path("_id").asText(),
                     hits.get(i).path("_source").toString)

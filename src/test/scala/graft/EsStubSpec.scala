@@ -142,6 +142,10 @@ class EsStubSpec extends SparkSuite {
           val sid = s"scroll-${scrollSeq.incrementAndGet()}"
           scrolls.put(sid, (idx, sliceId, maxSlices, size, page.length))
           respond(ex, 200, searchResponse(sid, page, all.size))
+        case ("DELETE", "_search" :: "scroll" :: Nil) =>
+          val sid = mapper.readTree(body).path("scroll_id").asText()
+          respond(ex, if (scrolls.remove(sid).isDefined) 200 else 404,
+            """{"succeeded":true}""")
         case ("POST", "_search" :: "scroll" :: Nil) =>
           val sid = mapper.readTree(body).path("scroll_id").asText()
           scrolls.get(sid) match {
@@ -287,6 +291,9 @@ class EsStubSpec extends SparkSuite {
         .select("_id").as[String].collect().toSeq
       assert(got.size == 57, s"expected 57 rows, got ${got.size}")
       assert(got.distinct.size == 57, "sliced reads must not duplicate documents")
+      // every slice cleared its server-side scroll context on exhaustion
+      assert(stub.scrolls.isEmpty,
+        s"scroll contexts must be released, ${stub.scrolls.size} left")
       // _source parses back columnar
       val parsed = EsRest.readSliced(spark, conf, "corpus", slices = 2, pageSize = 50)
         .select(from_json($"_source", org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")).as("d"))

@@ -41,6 +41,40 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("guarded admission drops: property over random corpora (no-budget ≡ exact; forced ⊇ exact; min survives)") {
+    import graft.operators.{Dedup, Stage}
+    // random corpora with planted near-dup runs: a shared base phrase per
+    // "family" (≈half the docs), plus fully random docs; thresholds swept
+    // over the float-risky range
+    (0 until 6).foreach { trial =>
+      val t = Seq(0.5, 0.55, 0.6, 0.7)(trial % 4)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val nFam = 2 + rng.nextInt(3)
+      val bases = Seq.fill(nFam)(
+        Seq.fill(10 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      val docs = (0 until 24).map { id =>
+        val text =
+          if (id % 2 == 0) bases(id % nFam) + s" x$id y${id % 3}"
+          else Seq.fill(8 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+        (id.toLong, text)
+      }.toDF("doc_id", "text")
+      val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+        .transform(Stage.snapshotDF)
+      val exact = Dedup.jaccardPairsPrefixFrom(sh, t)
+        .select($"id_b").as[Long].collect().toSet
+      val silent = Dedup.jaccardDropsGuarded(sh, t)
+        .as[Long].collect().toSet
+      assert(silent == exact,
+        s"trial $trial t=$t: under-budget guard must be exact: $silent vs $exact")
+      val forced = Dedup.jaccardDropsGuarded(sh, t, pairBudget = 1L, hotPostingCap = 3)
+        .as[Long].collect().toSet
+      assert(exact.subsetOf(forced),
+        s"trial $trial t=$t: forced guard must never admit what exact rejects")
+      assert(!forced.contains(0L),
+        s"trial $trial t=$t: the global min id can never drop")
+    }
+  }
+
   test("mergeAnnotationArrays is idempotent and order-insensitive (D1/X2)") {
     import graft.operators.AnnotationPipeline.mergeAnnotationArrays
     val samples = Seq.fill(30) {
