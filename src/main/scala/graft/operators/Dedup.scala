@@ -420,16 +420,19 @@ object Dedup {
     // feeds the estimate, then either the exact pair stage or both sides
     // of the hot/cold split — snapshot so the window pass runs once
     val prefix = prefixIndex(sh, threshold).transform(Stage.snapshotDF)
-    // Σ pdf·(pdf−1) summed as LONG, halved on the driver — Spark's `/` is
-    // double division and would silently overflow precision at scale
-    val predicted = prefix.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+    // ONE per-shingle posting-count aggregate serves the estimate and (in
+    // guarded mode) the hot/cold split. Σ pdf·(pdf−1) summed as LONG,
+    // halved on the driver — Spark's `/` is double division and would
+    // silently overflow precision at scale
+    val pdf = prefix.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+      .transform(Stage.snapshotDF) // tiny; aggregate once, not per consumer
+    val predicted = pdf
       .agg(coalesce(sum(col("pdf") * (col("pdf") - 1)), lit(0L)).as("pairs2x"))
       .head().getLong(0) / 2
     if (predicted <= pairBudget)
       jaccardVerify(prefixCandidates(prefix, threshold), sh, threshold)
         .select(col("id_b").as("__id")).distinct()
     else {
-      val pdf = prefix.groupBy("shingle").agg(count(lit(1)).as("pdf"))
       val pfx = prefix.join(pdf, "shingle")
       val coldDrops = jaccardVerify(
         prefixCandidates(pfx.filter(col("pdf") <= hotPostingCap).drop("pdf"), threshold),

@@ -323,23 +323,28 @@ object Multimodal {
     ensureHeadless()
     try {
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      // walk chunks in [from, until); recurse into LIST bodies
+      // walk chunks in [from, until); recurse into LIST bodies. All
+      // position arithmetic in LONG: a malformed size field near 2^32
+      // would otherwise truncate negative in Int and stall the walk —
+      // and a loop, unlike an exception, is not caught by NonFatal
       def walk(from: Int, until: Int): Unit = {
-        var pos = from
+        var pos = from.toLong
         while (pos + 8 <= until) {
-          val id = fourcc(pos)
-          val size = u32(pos + 4)
+          val id = fourcc(pos.toInt)
+          val size = u32(pos.toInt + 4)
           val dataStart = pos + 8
           val dataEnd = math.min(until.toLong, dataStart + size).toInt
           if (id == "LIST" && size >= 4) {
-            val listType = fourcc(dataStart)
+            val listType = fourcc(dataStart.toInt)
             if (listType == "movi" || listType == "rec ")
-              walk(dataStart + 4, dataEnd)
+              walk(dataStart.toInt + 4, dataEnd)
           } else if (id.length == 4 && id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
               && size > 0) {
-            frames += ((dataStart, dataEnd))
+            frames += ((dataStart.toInt, dataEnd))
           }
-          pos = dataStart + size.toInt + (size.toInt & 1) // chunks pad to even
+          val next = dataStart + size + (size & 1L) // chunks pad to even
+          if (next <= pos) return // malformed size: refuse to spin, fall back
+          pos = next
         }
       }
       walk(12, payload.length)

@@ -126,10 +126,13 @@ object Schemas {
       case ArrayType(e, _) => render(e)
       case MapType(_, _, _) => """{"type":"object"}"""
       case LongType | IntegerType => """{"type":"long"}"""
+      case ShortType => """{"type":"short"}"""
+      case ByteType => """{"type":"byte"}"""
       case FloatType => """{"type":"float"}"""
-      case DoubleType => """{"type":"double"}"""
+      case DoubleType | _: DecimalType => """{"type":"double"}"""
       case BooleanType => """{"type":"boolean"}"""
       case TimestampType | DateType => """{"type":"date"}"""
+      case BinaryType => """{"type":"binary"}"""
       case _ => """{"type":"text"}"""
     }
     s"""{"mappings":${render(schema)}}"""

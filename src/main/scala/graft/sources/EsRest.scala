@@ -129,7 +129,12 @@ object EsRest {
     val chunk = conf.chunkSize
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.grouped(chunk).foreach { g =>
-        postChunk(conf, g.flatMap(mkLines).toSeq, failed)
+        // null ids (column 0 by both callers' construction) can't address
+        // a document — count them failed instead of NPEing the partition
+        // (B4 per-doc isolation, same as the reference's failed-docs log)
+        val (bad, good) = g.partition(_.isNullAt(0))
+        if (bad.nonEmpty) failed.add(bad.size.toLong)
+        if (good.nonEmpty) postChunk(conf, good.flatMap(mkLines).toSeq, failed)
       }
     }
     failed

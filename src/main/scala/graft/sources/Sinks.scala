@@ -492,11 +492,21 @@ object Sinks {
     * root) into the batch-partitioned layout: the legacy rows become
     * partition `batch=<id>`. Pure renames — no data rewrite. No-op when
     * the root is absent or already partitioned.
+    *
+    * Also the store's HEAL point: before probing anything it repairs (a) a
+    * ROOT-level crashed swap — the previous flat layout's upsert dying
+    * between its two renames leaves the only copy in a hidden `.name__old`
+    * sibling, which a naive "root absent → no history" read would orphan
+    * forever — and (b) partition-level crash leftovers
+    * ([[liveBatchDirs]]). Callers that probe the store directly (the
+    * semantic cent_sim backfill) rely on this running FIRST.
     */
   def migrateFlatToBatchStore(spark: SparkSession, path: String, asBatchId: Long): Boolean = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healCrashedSwap(fs, root)
     if (!fs.exists(root)) return false
+    liveBatchDirs(fs, root)
     val entries = fs.listStatus(root)
     val flat = entries.filter(e => e.isFile && !e.getPath.getName.startsWith("_"))
     if (flat.isEmpty || entries.exists(e => e.isDirectory && batchDirId(e.getPath.getName).isDefined))

@@ -44,6 +44,13 @@ import graft.sources.Sinks
   */
 object StreamingSemanticDedup {
 
+  // store paths whose legacy partition is known cent_sim-complete — the
+  // backfill probe (a listing + footer read per batch) runs once per store
+  // per JVM; a restart re-probes once, which is the correct cost. Safe
+  // under the store's single-writer contract.
+  private val backfillVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Admit one batch of (vec_id, embedding[, …]) rows: returns the
     * surviving rows (with their `centroid_id`) and appends them to the
     * store at `storePath` as partition `batch=<batchId>` (the replay-
@@ -75,20 +82,27 @@ object StreamingSemanticDedup {
       // store update — snapshot so assignment + within-batch pairing run once
       .transform(Stage.snapshotDF)
     // Flat stores from the retired upsert layout migrate in place (pure
-    // renames, negative partition id so no real batch can collide); a
-    // migrated partition written before cent_sim existed is rewritten ONCE
-    // with the column backfilled — the multi-partition read below needs a
-    // uniform schema, and one bounded rewrite at migration time replaces
-    // the old per-batch on-the-fly backfill.
+    // renames, negative partition id so no real batch can collide; the
+    // migrate call also HEALS crashed-swap leftovers first — root-level
+    // and partition-level — so the probe below never sees a half-swapped
+    // store). A migrated partition written before cent_sim existed is
+    // rewritten ONCE with the column backfilled — the multi-partition
+    // read below needs a uniform schema, and one bounded rewrite at
+    // migration time replaces the old per-batch on-the-fly backfill. The
+    // probe itself is memoized per JVM so a long-running stream doesn't
+    // pay a listing + footer read every batch.
     Sinks.migrateFlatToBatchStore(spark, storePath, asBatchId = -1L)
-    val legacyPart = s"$storePath/batch=-1"
-    val legacyPath = new org.apache.hadoop.fs.Path(legacyPart)
-    val fs = legacyPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(legacyPath) &&
-        !spark.read.parquet(legacyPart).columns.contains("cent_sim")) {
-      val backfilled = spark.read.parquet(legacyPart)
-        .withColumn("cent_sim", centSim(col("embedding")))
-      Sinks.replaceWith(spark, backfilled, legacyPart)
+    if (!backfillVerified.contains(storePath)) {
+      val legacyPart = s"$storePath/batch=-1"
+      val legacyPath = new org.apache.hadoop.fs.Path(legacyPart)
+      val fs = legacyPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(legacyPath) &&
+          !spark.read.parquet(legacyPart).columns.contains("cent_sim")) {
+        val backfilled = spark.read.parquet(legacyPart)
+          .withColumn("cent_sim", centSim(col("embedding")))
+        Sinks.replaceWith(spark, backfilled, legacyPart)
+      }
+      backfillVerified.add(storePath)
     }
     // ONE store HANDLE serves the comparison and the re-ingestion guard —
     // this saves the second listing, NOT the data scan: the handle is

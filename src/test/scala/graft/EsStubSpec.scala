@@ -222,6 +222,11 @@ class EsStubSpec extends SparkSuite {
       val failed = EsRest.bulkIndex(docs.coalesce(1), conf, "docs", "doc_id")
       assert(failed == 2L, s"expected 2 failed items, got $failed")
       assert(EsRest.count(conf, "docs") == 8L, "accepted docs land despite sibling failures")
+      // a NULL id cannot address a document: counted failed, siblings land
+      val withNull = Seq[(java.lang.Long, String)]((100L, "ok"), (null, "no id"))
+        .toDF("doc_id", "text")
+      assert(EsRest.bulkIndex(withNull, conf, "docs", "doc_id") == 1L)
+      assert(EsRest.count(conf, "docs") == 9L)
     }
   }
 

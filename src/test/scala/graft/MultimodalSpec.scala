@@ -239,6 +239,22 @@ class MultimodalSpec extends SparkSuite {
     assert(out(2L).nonEmpty && out(2L).forall(_.frame_payload.length <= 16))
   }
 
+  test("RIFF walker tolerates malformed chunk sizes: terminates and takes the fake path") {
+    // an "AVI" whose single movi chunk declares a ~4 GiB size (0xFFFFFFF0)
+    // over 16 real bytes — the Int-truncation hazard class; the walker
+    // must finish (Long arithmetic + monotonic-advance guard) and the
+    // record must fall back to the deterministic byte-slice frames
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(28).put("movi".getBytes("US-ASCII"))
+    bb.put("00dc".getBytes("US-ASCII")).putInt(0xFFFFFFF0).put(Array.fill[Byte](16)(7))
+    val rec = Multimodal.MediaRecord(1L, "video", bb.array(), "u")
+    val out = Multimodal.sampleFrames(Seq(rec).toDS(), everyMs = 100, maxFrames = 3).collect()
+    assert(out.nonEmpty && out.forall(_.frame_payload.length <= 16),
+      "malformed AVI must land on the deterministic fallback")
+  }
+
   test("image records get dimensions, time media get durations") {
     val out = Multimodal.extractFeatures(media, () => new Multimodal.StubDecoder())
     val img = out.filter($"modality" === "image")

@@ -99,6 +99,28 @@ class StreamingDedupSpec extends SparkSuite {
     assert(s2.isEmpty, s"history near-dup must be rejected, got $s2")
   }
 
+  test("upgrade heal: a flat store crashed mid-swap is recovered, never read as empty history") {
+    // the pre-round-9 upsert layout's worst crash state: the store path is
+    // ABSENT and the hidden .name__old aside holds the only copy of the
+    // admitted shingle index. The admitter must heal it (via the migrate
+    // call's root-level healCrashedSwap), not conclude "no history" and
+    // re-admit known duplicates forever.
+    val base = Files.createTempDirectory("sd-upgrade").toString
+    val store = base + "/store"
+    val history = Dedup.shingleIndex(
+      Seq((1L, baseA), (2L, baseB)).toDF("doc_id", "text"), "doc_id", "text", 3)
+    history.write.parquet(base + "/.store__old") // crashed-swap aside copy
+    // batch: a near-dup of history doc 1 under a NEW id → must be rejected
+    val echo = Seq((50L, mutate(baseA))).toDF("doc_id", "text")
+    val out = StreamingDedup.admitBatch(spark, echo, "doc_id", "text", store, batchId = 0L)
+      .select("doc_id").as[Long].collect()
+    assert(out.isEmpty, s"healed history must reject the replayed near-dup, got ${out.toSeq}")
+    // and the recovered store now lives in the batch layout with both docs
+    val ids = graft.sources.Sinks.readBatchStore(spark, store).get
+      .select("__id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"recovered store must hold the prior postings, got $ids")
+  }
+
   test("streaming admission dedups within batch and against history; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("sd-store").toString + "/store"
