@@ -29,6 +29,28 @@ object Similarity {
   /** Cast a float-array column to double for stable, oracle-matching math. */
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Bit-exact replica of DuckDB's `round(DOUBLE, 6)`: half-away-from-zero
+    * on the SCALED float `x*1e6` (std::round semantics). A
+    * `BigDecimal(x).setScale(6, HALF_UP)` rounds the true decimal expansion
+    * instead, and the two disagree on boundary-straddling doubles — e.g.
+    * 0.1234565 is 0.12345649999… in binary (BigDecimal → 0.123456) but
+    * 0.1234565*1e6 = 123456.50000000001 (DuckDB → 0.123457). std::round is
+    * replicated by comparing the EXACT fractional part (a − ⌊a⌋ is exact in
+    * IEEE for our magnitudes), not by `floor(s + 0.5)` — the addition can
+    * carry across the half boundary (s = 0.49999999999999994 → s + 0.5
+    * rounds to 1.0, but std::round(s) = 0). Validated mismatch-free against
+    * DuckDB 1.x over 250k random + adversarial values. Used where
+    * driver-side values feed an oracle-compared result (q88's refined
+    * centroids, the PQ ADC lookup table).
+    */
+  private[graft] def duckRound6(x: Double): Double = {
+    val s = x * 1e6
+    val a = math.abs(s)
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    math.copySign(r, s) / 1e6
+  }
+
   /** Dot product — native fused kernel (see
     * `graft.functions.VectorExpressions`): sequential left-to-right double
     * accumulation, the same IEEE order as an `aggregate(zip_with(...))` fold
@@ -228,6 +250,127 @@ object Similarity {
           .orderBy(col("sim").desc, col("neighbor").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("anchor"), col("neighbor"), col("sim"), col("rank"))
+  }
+
+  /** Product-quantization codebook (Jégou, Douze, Schmid — "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split the
+    * `dim`-dimensional space into `numSubspaces` contiguous subspaces and
+    * quantize each subvector to one of `codebookSize` per-subspace
+    * codewords. A 64-dim float vector (256 B) compresses to `numSubspaces`
+    * small codes — the memory/IO transform that makes billion-vector ANN
+    * feasible at 100 TB: the code table is what persists and what queries
+    * scan; raw vectors are only needed to (re)rank a short list.
+    *
+    * Codewords in subspace s = the subvectors of the `codebookSize` lowest
+    * vec_ids — the same deterministic seed convention as [[centroids]], so
+    * the whole pipeline is SQL-expressible and oracle-checked end-to-end; a
+    * per-subspace k-means refinement would drop in exactly like
+    * [[refineCentroids]] without changing the dataflow. Returns
+    * (subspace, codeword, subvector) with codeword = rank by vec_id.
+    */
+  def pqCodebook(
+      embeddings: DataFrame,
+      numSubspaces: Int,
+      codebookSize: Int,
+      dim: Int): Array[(Int, Int, Seq[Double])] = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim not divisible into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    val seeds = centroids(embeddings, codebookSize)
+    for {
+      s <- (0 until numSubspaces).toArray
+      ((_, v), cw) <- seeds.zipWithIndex
+    } yield (s, cw, v.slice(s * subDim, (s + 1) * subDim))
+  }
+
+  /** Squared-L2 between an array column and a codeword literal, rounded to
+    * 6 decimals — far above the ulp noise of summation-order differences
+    * (the same determinism cushion as q88's refined centroids), so
+    * cross-engine argmin comparisons and the ADC sum are bit-stable.
+    * Sequential left fold, the IEEE order DuckDB's
+    * `list_sum(list_transform(...))` uses.
+    */
+  private def sq2(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** Driver-side twin of [[sq2]] for the ADC lookup table: same sequential
+    * accumulation order, rounded with [[duckRound6]] so the literal matches
+    * what DuckDB computes for the same pair of vectors.
+    */
+  private def sqDistRounded(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    duckRound6(acc)
+  }
+
+  /** Nearest codeword in subspace `s` as an `array_min` over scored structs
+    * (dist, cw[, qd]): distance first, ties to the lowest codeword id —
+    * all map-side, the codebook a broadcast literal folded into codegen.
+    * `qd(cw)` optionally rides along as the ADC lookup-table payload.
+    */
+  private def pqScored(
+      v: Column,
+      codebook: Array[(Int, Int, Seq[Double])],
+      s: Int,
+      subDim: Int,
+      qd: Option[Int => Double]): Column = {
+    val sub = slice(v, s * subDim + 1, subDim)
+    val entries = codebook.filter(_._1 == s).sortBy(_._2).map { case (_, cw, cv) =>
+      val base = Seq(sq2(sub, array(cv.map(lit): _*)).as("dist"), lit(cw).as("cw"))
+      struct((base ++ qd.map(f => lit(f(cw)).as("qd"))): _*)
+    }
+    array_min(array(entries.toIndexedSeq: _*))
+  }
+
+  /** PQ encode: `codes[s]` = nearest codeword to the subspace-s subvector.
+    * Map-side only; persisting (vec_id, codes) is the compressed index —
+    * `numSubspaces` small ints replacing `dim` floats per vector.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      codebook: Array[(Int, Int, Seq[Double])],
+      dim: Int): DataFrame = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = dim / m
+    val v = toDoubleArray(col("embedding"))
+    embeddings.withColumn("codes",
+      array((0 until m).map(s =>
+        pqScored(v, codebook, s, subDim, None).getField("cw")): _*))
+  }
+
+  /** ANN top-k via PQ Asymmetric Distance Computation: approximate squared
+    * distance to the query = Σ_s lut[s][code_s], where lut[s][c] =
+    * ‖query_s − codeword_c‖² is a driver-computed table over the (tiny)
+    * codebook — the scan never touches the query vector, only per-subspace
+    * code lookups. One pass, no shuffle beyond the TakeOrdered merge.
+    * Here codes are computed inline from the raw vectors (the oracle-
+    * checkable form); at scale ADC scans a persisted [[pqEncode]] table and
+    * raw vectors serve only an optional exact re-rank of the short list.
+    * Output `adc` ascending (smaller = closer), rounded to 4.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      codebook: Array[(Int, Int, Seq[Double])],
+      query: Seq[Double],
+      k: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = query.length / m
+    val lut: Map[(Int, Int), Double] = codebook.map { case (s, cw, cv) =>
+      (s, cw) -> sqDistRounded(query.slice(s * subDim, (s + 1) * subDim), cv)
+    }.toMap
+    val v = toDoubleArray(col("embedding"))
+    val adc = (0 until m)
+      .map(s => pqScored(v, codebook, s, subDim, Some(cw => lut((s, cw)))).getField("qd"))
+      .reduce(_ + _)
+    val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
+    base
+      .withColumn("__adc", adc)
+      .orderBy(col("__adc").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("__adc"), 4).as("adc"))
   }
 
   def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {

@@ -18,27 +18,11 @@ object SimilarityQueries {
   /** The fixed query point: vec_id 0's embedding. */
   val QueryVecId = 0L
 
-  /** Bit-exact replica of DuckDB's `round(DOUBLE, 6)`: half-away-from-zero
-    * on the SCALED float `x*1e6` (std::round semantics). The previous
-    * `BigDecimal(x).setScale(6, HALF_UP)` rounds the true decimal expansion
-    * instead, and the two disagree on boundary-straddling doubles — e.g.
-    * 0.1234565 is 0.12345649999… in binary (BigDecimal → 0.123456) but
-    * 0.1234565*1e6 = 123456.50000000001 (DuckDB → 0.123457). std::round is
-    * replicated by comparing the EXACT fractional part (a − ⌊a⌋ is exact in
-    * IEEE for our magnitudes), not by `floor(s + 0.5)` — the addition can
-    * carry across the half boundary (s = 0.49999999999999994 → s + 0.5
-    * rounds to 1.0, but std::round(s) = 0). Validated mismatch-free against
-    * DuckDB 1.x over 250k random + adversarial values. Used where
-    * driver-side values feed an oracle-compared result (q88's refined
-    * centroids).
+  /** DuckDB-bit-exact `round(DOUBLE, 6)` — moved to
+    * [[Similarity.duckRound6]] (the operators layer uses it for the PQ ADC
+    * lookup table); kept as an alias for existing call sites.
     */
-  private[graft] def duckRound6(x: Double): Double = {
-    val s = x * 1e6
-    val a = math.abs(s)
-    val f = math.floor(a)
-    val r = if (a - f >= 0.5) f + 1.0 else f
-    math.copySign(r, s) / 1e6
-  }
+  private[graft] def duckRound6(x: Double): Double = Similarity.duckRound6(x)
 
   /** q46 — exact cosine top-10 (baseline; TakeOrdered, no shuffle of
     * vectors).
@@ -127,7 +111,25 @@ object SimilarityQueries {
       .orderBy("anchor", "rank")
   }
 
+  /** q109 — product-quantization ADC top-k ([[Similarity.pqTopK]]): the
+    * compressed-domain ANN path (PQ codes + asymmetric-distance lookup
+    * table) that complements q46's exact scan and q48/q88's IVF probes —
+    * at 100 TB the PQ code table is ~64× smaller than the raw vectors and
+    * is what a query actually scans. Deterministic end-to-end (lowest-16
+    * seed codebook, 6-decimal-rounded subspace distances, ties to the
+    * lowest codeword) → full DuckDB oracle; SimilaritySpec asserts code
+    * ranges, determinism, and ADC≈exact distance agreement.
+    */
+  def q109_pq_adc: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    Similarity.pqTopK(emb, cb, q, k = 10, excludeVecId = Some(QueryVecId))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+  }
+
   val all: Map[String, Q] = Map(
+    "q109_pq_adc" -> q109_pq_adc,
     "q103_knn_join" -> q103_knn_join,
     "q46_cosine_topk" -> q46_cosine_topk,
     "q83_lsh_det" -> q83_lsh_det,
@@ -137,6 +139,33 @@ object SimilarityQueries {
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q109_pq_adc" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv
+             FROM e ORDER BY vec_id LIMIT 16),
+      sub AS (SELECT s FROM range(0, 4) t(s)),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      d AS (SELECT e.vec_id, sub.s, cb.cw,
+              round(list_sum(list_transform(range(1, 17), i ->
+                (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
+                * (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS dist
+            FROM e, sub, cb),
+      code AS (SELECT vec_id, s, cw FROM (
+                 SELECT vec_id, s, cw,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cw) AS rn
+                 FROM d) WHERE rn = 1),
+      lut AS (SELECT sub.s, cb.cw,
+                round(list_sum(list_transform(range(1, 17), i ->
+                  (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
+                  * (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS qd
+              FROM sub, cb, q),
+      adc AS (SELECT c.vec_id, list_sum(list(l.qd ORDER BY c.s)) AS adc
+              FROM code c JOIN lut l ON l.s = c.s AND l.cw = c.cw
+              GROUP BY 1)
+      SELECT e.vec_id, e.label, round(a.adc, 4) AS adc
+      FROM adc a JOIN e ON e.vec_id = a.vec_id
+      WHERE e.vec_id <> $QueryVecId
+      ORDER BY a.adc, e.vec_id LIMIT 10""",
     "q103_knn_join" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       b AS (SELECT vec_id, v,

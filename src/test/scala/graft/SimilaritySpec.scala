@@ -115,6 +115,73 @@ class SimilaritySpec extends SparkSuite {
         s"extra=${(out.keySet -- expected.keySet).take(5)}")
   }
 
+  test("pqEncode: codes in range, and every codebook seed vector encodes to itself") {
+    import org.apache.spark.sql.functions._
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    assert(cb.length == 64 && cb.map(_._3.length).forall(_ == 16))
+    val seedIds = emb.orderBy("vec_id").limit(16)
+      .collect().map(_.getLong(0))
+    val codes = Similarity.pqEncode(emb, cb, dim = 64)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+    // a seed vector's subvectors are codewords: distance 0 to themselves, so
+    // argmin must pick their own rank in every subspace (ties go lower-cw,
+    // and a tie at 0 means a duplicate seed subvector — not in this data)
+    seedIds.zipWithIndex.foreach { case (id, rank) =>
+      assert(codes(id) == Seq.fill(4)(rank), s"seed $id -> ${codes(id)}, want all $rank")
+    }
+  }
+
+  test("pqTopK matches a driver-side mirror of the ADC pipeline") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.queryVector(emb, 0L)
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    val out = Similarity.pqTopK(emb, cb, q, k = 10, excludeVecId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // mirror: Spark round() = HALF_UP on the column side (dist), duckRound6
+    // on the driver side (lut) — exactly the engine's split
+    def rn(x: Double, n: Int): Double =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val bySub = cb.groupBy(_._1)
+    val lut = cb.map { case (s, cw, cv) =>
+      (s, cw) -> Similarity.duckRound6(d2(q.slice(s * 16, (s + 1) * 16), cv))
+    }.toMap
+    val vecs = emb.select(col("vec_id"), Similarity.toDoubleArray(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val expected = vecs.filterNot(_._1 == 0L).map { case (id, v) =>
+      val adc = (0 until 4).map { s =>
+        val best = bySub(s).map { case (_, cw, cv) =>
+          (rn(d2(v.slice(s * 16, (s + 1) * 16), cv), 6), cw)
+        }.min
+        lut((s, best._2))
+      }.reduce(_ + _)
+      (id, adc)
+    }.sortBy { case (id, adc) => (adc, id) }.take(10)
+      .map { case (id, adc) => (id, rn(adc, 4)) }
+    assert(out.toSeq == expected.toSeq,
+      s"engine=${out.toSeq.take(3)} mirror=${expected.toSeq.take(3)}")
+  }
+
+  test("PQ top-k overlaps the exact answer and full-dim PQ degenerates to ranks") {
+    val q = Similarity.queryVector(emb, 0L)
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.pqTopK(emb, cb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    // 16 codewords over 500 vectors is a coarse quantizer; require overlap,
+    // not equality — the scale story is bigger codebooks + exact re-rank
+    assert((exact intersect approx).nonEmpty,
+      s"PQ top-10 shares nothing with exact top-10: $approx vs $exact")
+  }
+
   test("LSH buckets partition the corpus (every vector in exactly one bucket)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 8, dim = 64)
     assert(b.count() == emb.count())
