@@ -499,6 +499,34 @@ object Dedup {
     jaccardVerify(candidates,
       shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF), threshold)
 
+  /** Candidate-index quality audit: measure a candidate pair set against
+    * exact ground truth and report recall (exact pairs the index found) and
+    * precision (candidates that were real) as ONE relational row —
+    * "measure, don't guess" for LSH band/row/cap tuning as a first-class
+    * operator instead of a spec-only assertion. Both inputs are pair
+    * relations (`id_a`, `id_b`); extra columns are ignored.
+    *
+    * Shape: one left-semi join keyed by the pair plus three scalar
+    * aggregations broadcast together — no driver-side collect, no window.
+    * At 100 TB both sides are pair sets already bounded by their generators
+    * (the exact side by prefix filtering, the candidate side by bucket
+    * caps); run the audit over an id-range slice to sample-estimate recall
+    * without materializing the full exact graph. Callers should snapshot
+    * inputs with expensive lineage — each side feeds its count AND the
+    * semi-join.
+    */
+  def candidateRecallAudit(exact: DataFrame, cand: DataFrame): DataFrame = {
+    val e = exact.select("id_a", "id_b")
+    val c = cand.select("id_a", "id_b")
+    val hit = c.join(e, Seq("id_a", "id_b"), "left_semi")
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"),
+        round(col("n_hit") * lit(1.0) / col("n_cand"), 4).as("cand_precision"))
+  }
+
   /** Exact Jaccard pairs BETWEEN two [[shingleIndex]] relations — the
     * incremental-dedup comparison: `shNew` (a micro-batch / new crawl
     * slice) against `shOld` (the admitted-history index), never history

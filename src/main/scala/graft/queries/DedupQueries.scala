@@ -255,7 +255,28 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** q111 — LSH index-quality audit ([[Dedup.candidateRecallAudit]]):
+    * recall and precision of the deterministic MinHash-LSH candidate set
+    * (q84's generator) against the exact J≥0.6 pair graph (q42/q90's
+    * answer), as one oracle-checked row. This promotes the "candidates ⊇
+    * true near-dups?" question from a spec assertion to a runnable query —
+    * the number an operator watches when tuning bands/rows/caps on a new
+    * corpus. Both pair sets derive from ONE snapshotted shingle index
+    * (q89's sharing pattern), and each side is snapshotted because it
+    * feeds both its count and the semi-join.
+    */
+  def q111_lsh_recall_audit: Q = (s, dir) => {
+    val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
+      .transform(Stage.snapshotDF)
+    val exact = Dedup.jaccardPairsPrefixFrom(sh, threshold = 0.6)
+      .select("id_a", "id_b").transform(Stage.snapshotDF)
+    val cand = Dedup.minhashCandidatesDeterministicFrom(sh)
+      .select("id_a", "id_b").transform(Stage.snapshotDF)
+    Dedup.candidateRecallAudit(exact, cand)
+  }
+
   val all: Map[String, Q] = Map(
+    "q111_lsh_recall_audit" -> q111_lsh_recall_audit,
     "q108_guarded_drops" -> q108_guarded_drops,
     "q106_semantic_between" -> q106_semantic_between,
     "q105_jaccard_between" -> q105_jaccard_between,
@@ -359,6 +380,69 @@ object DedupQueries {
         WHERE nc * 1.0 / (sa.sz + sb.sz - nc) >= 0.6)"""
 
   val oracle: Map[String, String] = Map(
+    // exact side = the UNPRUNED exhaustive pair SQL (q42's oracle form) and
+    // candidate side = q84's generator SQL, composed over one shared
+    // shingle CTE — the recall/precision arithmetic is then checked
+    // cross-engine on top of two already-oracle-proven relations.
+    "q111_lsh_recall_audit" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6),
+      hashed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(shingle, '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+               min((h * 1 + 3)  % 1000000007) AS sig0,
+               min((h * 3 + 10) % 1000000007) AS sig1,
+               min((h * 5 + 17) % 1000000007) AS sig2,
+               min((h * 7 + 24) % 1000000007) AS sig3,
+               min((h * 9 + 31) % 1000000007) AS sig4,
+               min((h * 11 + 38) % 1000000007) AS sig5,
+               min((h * 13 + 45) % 1000000007) AS sig6,
+               min((h * 15 + 52) % 1000000007) AS sig7
+        FROM hashed GROUP BY 1),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat(sig0, ':', sig1) AS bucket FROM sig
+        UNION ALL SELECT doc_id, 1, concat(sig2, ':', sig3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(sig4, ':', sig5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(sig6, ':', sig7) FROM sig),
+      ok AS (
+        SELECT band, bucket FROM banded GROUP BY 1, 2
+        HAVING count(1) BETWEEN 2 AND 200),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket),
+      hit AS (SELECT count(1) AS n_hit
+              FROM cand c JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b)
+      SELECT (SELECT count(1) FROM exact) AS n_exact,
+             (SELECT count(1) FROM cand) AS n_cand,
+             n_hit,
+             round(n_hit * 1.0 / (SELECT count(1) FROM exact), 4) AS recall,
+             round(n_hit * 1.0 / (SELECT count(1) FROM cand), 4) AS cand_precision
+      FROM hit""",
     "q97_semantic_dedup" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

@@ -154,6 +154,34 @@ object TrainingQueries {
     * (rank-ordered by doc_id, deterministic), the per-stratum quota form of
     * mix targeting; complements q66's every-k-th sampling.
     */
+  /** q110 — temperature-scaled source mixing weights: the sampling-weight
+    * primitive for multi-source training mixes (Lample & Conneau's
+    * p_i^α / Σ p_j^α with α = 0.7 — upsample small sources, downsample
+    * dominant ones; `boost` = weight/share is the per-source epoch
+    * multiplier a sampler applies). Three aggregations over the per-source
+    * rollup, scalars broadcast back — no window over the corpus, no
+    * driver-side math; at 100 TB the per-source rollup is the only pass
+    * over the data. pow() drift across engines is absorbed by rounding the
+    * raw weight to 6 decimals before normalizing (the q88 cushion).
+    */
+  def q110_mixture_weights: Q = (s, dir) => {
+    val per = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val tot = per.agg(sum("n_docs").cast("double").as("total"))
+    val withShare = per.crossJoin(tot)
+      .withColumn("share_raw", col("n_docs") / col("total"))
+      .withColumn("wr", round(pow(col("share_raw"), lit(0.7)), 6))
+      .transform(graft.operators.Stage.snapshotDF)
+    val sw = withShare.agg(sum("wr").as("sw"))
+    withShare.crossJoin(sw)
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(col("share_raw"), 4).as("share"),
+        round(col("wr") / col("sw"), 4).as("weight"),
+        round(col("wr") / col("sw") / col("share_raw"), 4).as("boost"))
+      .orderBy("source")
+  }
+
   def q81_domain_mix: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     Tables.documents(s, dir)
@@ -416,6 +444,7 @@ object TrainingQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q110_mixture_weights" -> q110_mixture_weights,
     "q107_dup_spans" -> q107_dup_spans,
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
@@ -443,6 +472,19 @@ object TrainingQueries {
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q110_mixture_weights" -> """
+      WITH s AS (SELECT source, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+                 FROM documents GROUP BY 1),
+      t AS (SELECT sum(n_docs)::DOUBLE AS total FROM s),
+      w AS (SELECT source, n_docs, n_chars, n_docs / total AS share_raw,
+              round(pow(n_docs / total, 0.7), 6) AS wr
+            FROM s, t),
+      z AS (SELECT sum(wr) AS sw FROM w)
+      SELECT source, n_docs, n_chars,
+             round(share_raw, 4) AS share,
+             round(wr / sw, 4) AS weight,
+             round(wr / sw / share_raw, 4) AS boost
+      FROM w, z ORDER BY source""",
     "q104_datacard" -> raw"""
       WITH t AS (SELECT source, n_chars, lang, text, len($tk) AS ntok
                  FROM documents)

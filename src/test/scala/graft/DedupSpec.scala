@@ -294,6 +294,26 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("candidateRecallAudit computes exact recall/precision on known sets") {
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (3L, 4L), (9L, 10L)).toDF("id_a", "id_b")
+    val row = Dedup.candidateRecallAudit(exact, cand).collect().head
+    assert(row.getLong(0) == 4L && row.getLong(1) == 3L && row.getLong(2) == 2L)
+    assert(row.getDouble(3) == 0.5, s"recall: $row")      // 2 of 4 exact found
+    assert(row.getDouble(4) == 0.6667, s"precision: $row") // 2 of 3 candidates real
+  }
+
+  test("q111 audit agrees with the set arithmetic of q42 x q84 outputs") {
+    val exact = SparkEntry.queries("q42_jaccard_pairs")(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = SparkEntry.queries("q84_minhash_det")(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = SparkEntry.queries("q111_lsh_recall_audit")(spark, sfDir).collect().head
+    assert(row.getLong(0) == exact.size.toLong, s"n_exact: $row vs ${exact.size}")
+    assert(row.getLong(1) == cand.size.toLong, s"n_cand: $row vs ${cand.size}")
+    assert(row.getLong(2) == (exact intersect cand).size.toLong, s"n_hit: $row")
+  }
+
   test("a firing bucket cap is observable (dropped_rows/dropped_buckets metric)") {
     val vec = Array.fill(4)(1.0f)
     val rows = (0 until 10).map(i => (i.toLong, "hot", vec)) ++

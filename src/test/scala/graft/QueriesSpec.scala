@@ -31,6 +31,20 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q110 mixture weights: normalized, and temperature flattens the mix") {
+    val rows = SparkEntry.queries("q110_mixture_weights")(spark, sfDir).collect()
+    val shares = rows.map(_.getDouble(3))
+    val weights = rows.map(_.getDouble(4))
+    val boosts = rows.map(_.getDouble(5))
+    assert(math.abs(weights.sum - 1.0) < 1e-2, s"weights sum ${weights.sum}")
+    // alpha < 1 upsamples below-average sources, downsamples dominant ones:
+    // boost ordering is inverse to share ordering
+    val byShare = shares.zip(boosts).sortBy(_._1)
+    assert(byShare.head._2 >= byShare.last._2,
+      s"smallest source must be boosted at least as much as the largest: $byShare")
+    assert(boosts.max >= 1.0 && boosts.min <= 1.0, s"boosts: ${boosts.toSeq}")
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
