@@ -506,22 +506,24 @@ object Dedup {
     * operator instead of a spec-only assertion. Both inputs are pair
     * relations (`id_a`, `id_b`); extra columns are ignored.
     *
-    * Shape: one left-semi join keyed by the pair plus three scalar
-    * aggregations broadcast together — no driver-side collect, no window.
-    * At 100 TB both sides are pair sets already bounded by their generators
-    * (the exact side by prefix filtering, the candidate side by bucket
-    * caps); run the audit over an id-range slice to sample-estimate recall
-    * without materializing the full exact graph. Callers should snapshot
-    * inputs with expensive lineage — each side feeds its count AND the
-    * semi-join.
+    * Shape: ONE full-outer join keyed by the pair, then a single
+    * aggregation over membership flags — each input is traversed exactly
+    * once (no separate count passes, so callers need not snapshot for the
+    * audit's sake), no driver-side collect, no window. At 100 TB both
+    * sides are pair sets already bounded by their generators (the exact
+    * side by prefix filtering, the candidate side by bucket caps); run the
+    * audit over an id-range slice to sample-estimate recall without
+    * materializing the full exact graph (q111 does exactly this).
     */
   def candidateRecallAudit(exact: DataFrame, cand: DataFrame): DataFrame = {
-    val e = exact.select("id_a", "id_b")
-    val c = cand.select("id_a", "id_b")
-    val hit = c.join(e, Seq("id_a", "id_b"), "left_semi")
-    e.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    val e = exact.select("id_a", "id_b").withColumn("in_e", lit(1L))
+    val c = cand.select("id_a", "id_b").withColumn("in_c", lit(1L))
+    c.join(e, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum("in_e"), lit(0L)).as("n_exact"),
+        coalesce(sum("in_c"), lit(0L)).as("n_cand"),
+        sum(when(col("in_e").isNotNull && col("in_c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
       .select(col("n_exact"), col("n_cand"), col("n_hit"),
         round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"),
         round(col("n_hit") * lit(1.0) / col("n_cand"), 4).as("cand_precision"))

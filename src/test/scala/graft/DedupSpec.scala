@@ -303,10 +303,18 @@ class DedupSpec extends SparkSuite {
     assert(row.getDouble(4) == 0.6667, s"precision: $row") // 2 of 3 candidates real
   }
 
-  test("q111 audit agrees with the set arithmetic of q42 x q84 outputs") {
-    val exact = SparkEntry.queries("q42_jaccard_pairs")(spark, sfDir)
+  test("q111 audit agrees with the set arithmetic of its two sides on the same slice") {
+    import org.apache.spark.sql.functions.col
+    // the audit's slice (doc_id % 3 = 0) changes df stats and bucket fill,
+    // so ground truth must be built from the SAME sliced index — the two
+    // sides are independently oracle-proven (q90/q84); this pins the
+    // composition and the count/ratio wiring
+    val sh = Dedup.shingleIndex(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", 3).transform(graft.operators.Stage.snapshotDF)
+    val exact = Dedup.jaccardPairsPrefixFrom(sh, threshold = 0.6)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cand = SparkEntry.queries("q84_minhash_det")(spark, sfDir)
+    val cand = Dedup.minhashCandidatesDeterministicFrom(sh)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val row = SparkEntry.queries("q111_lsh_recall_audit")(spark, sfDir).collect().head
     assert(row.getLong(0) == exact.size.toLong, s"n_exact: $row vs ${exact.size}")
