@@ -373,6 +373,45 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("__adc"), 4).as("adc"))
   }
 
+  /** ANN with exact re-rank — the production PQ composition: score
+    * everything in the compressed domain ([[pqTopK]]'s ADC), keep a
+    * `shortlist` of C ≫ k candidates, then re-rank only those C rows with
+    * the true cosine and return the top k. PQ's quantization error is
+    * confined to the shortlist boundary: anything the codes rank in the
+    * top C gets an exact score, so recall@k is recall@C of the codes —
+    * raise C, not codebook precision, to buy recall. At 100 TB the ADC
+    * stage reads the code table (TakeOrdered, map-side) and only C raw
+    * vectors are ever fetched for the re-rank.
+    */
+  def pqTopKRefined(
+      embeddings: DataFrame,
+      codebook: Array[(Int, Int, Seq[Double])],
+      query: Seq[Double],
+      k: Int,
+      shortlist: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val m = codebook.map(_._1).max + 1
+    val subDim = query.length / m
+    val lut: Map[(Int, Int), Double] = codebook.map { case (s, cw, cv) =>
+      (s, cw) -> sqDistRounded(query.slice(s * subDim, (s + 1) * subDim), cv)
+    }.toMap
+    val v = toDoubleArray(col("embedding"))
+    val adc = (0 until m)
+      .map(s => pqScored(v, codebook, s, subDim, Some(cw => lut((s, cw)))).getField("qd"))
+      .reduce(_ + _)
+    val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
+    val q = array(query.map(lit): _*)
+    base
+      .withColumn("__adc", adc)
+      .orderBy(col("__adc").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .withColumn("sim", cosine(v, q))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
+  }
+
   def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))

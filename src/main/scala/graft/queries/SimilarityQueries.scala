@@ -128,7 +128,26 @@ object SimilarityQueries {
       .orderBy(col("adc").asc, col("vec_id").asc)
   }
 
+  /** q112 — PQ shortlist → exact re-rank ([[Similarity.pqTopKRefined]]):
+    * the production ANN composition. ADC ranks the whole corpus in the
+    * compressed domain, the top-50 shortlist gets true cosine scores, and
+    * the exact top-10 of that shortlist is returned — quantization error
+    * only costs recall at the shortlist boundary. Output is `sim` (exact
+    * cosine), directly comparable to q46's; SimilaritySpec asserts
+    * recall(refined) ≥ recall(raw ADC) and equality with brute force at
+    * shortlist = corpus.
+    */
+  def q112_pq_refined: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    Similarity.pqTopKRefined(emb, cb, q, k = 10, shortlist = 50,
+        excludeVecId = Some(QueryVecId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+  }
+
   val all: Map[String, Q] = Map(
+    "q112_pq_refined" -> q112_pq_refined,
     "q109_pq_adc" -> q109_pq_adc,
     "q103_knn_join" -> q103_knn_join,
     "q46_cosine_topk" -> q46_cosine_topk,
@@ -139,6 +158,36 @@ object SimilarityQueries {
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q112_pq_refined" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv
+             FROM e ORDER BY vec_id LIMIT 16),
+      sub AS (SELECT s FROM range(0, 4) t(s)),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      d AS (SELECT e.vec_id, sub.s, cb.cw,
+              round(list_sum(list_transform(range(1, 17), i ->
+                (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
+                * (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS dist
+            FROM e, sub, cb),
+      code AS (SELECT vec_id, s, cw FROM (
+                 SELECT vec_id, s, cw,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cw) AS rn
+                 FROM d) WHERE rn = 1),
+      lut AS (SELECT sub.s, cb.cw,
+                round(list_sum(list_transform(range(1, 17), i ->
+                  (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
+                  * (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS qd
+              FROM sub, cb, q),
+      adc AS (SELECT c.vec_id, list_sum(list(l.qd ORDER BY c.s)) AS adc
+              FROM code c JOIN lut l ON l.s = c.s AND l.cw = c.cw
+              GROUP BY 1),
+      short AS (SELECT e.vec_id, e.label, e.v
+                FROM adc a JOIN e ON e.vec_id = a.vec_id
+                WHERE e.vec_id <> $QueryVecId
+                ORDER BY a.adc, e.vec_id LIMIT 50)
+      SELECT vec_id, label, round(list_cosine_similarity(v, qv), 4) AS sim
+      FROM short, q
+      ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10""",
     "q109_pq_adc" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv

@@ -255,6 +255,34 @@ class PlanSpec extends SparkSuite {
       "centrality-cap window must shuffle on the cell key")
   }
 
+  test("q109: PQ-ADC is one scan into TakeOrderedAndProject — codebook stays a literal") {
+    val p = plan("q109_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(!p.contains("CartesianProduct"))
+    // the codebook and ADC lookup table are broadcast literals folded into
+    // the projection: joining them in (an Exchange before the top-k) would
+    // shuffle the whole corpus at 100 TB
+    assert(!p.contains("Exchange hashpartitioning"),
+      "PQ scoring must be map-side only (no shuffle before the top-k merge)")
+  }
+
+  test("q110: mixing weights broadcast the scalar normalizers (no corpus shuffle)") {
+    val p = plan("q110_mixture_weights")
+    assert(p.contains("BroadcastExchange"), "scalar aggregates must broadcast")
+    assert(p.contains("partial_sum"), "per-source rollup must be two-phase")
+  }
+
+  test("q111: audit is one full-outer pass per side, slice pushed to the scan") {
+    val p = plan("q111_lsh_recall_audit")
+    assert(p.contains("FullOuter"), "audit must be a single full-outer join")
+    assert(!p.contains("CartesianProduct"))
+    assert("partial_sum".r.findAllIn(p).size >= 1, "flag counts must aggregate partially")
+    // both sides read the ONE snapshotted shingle index (lineage truncated
+    // at the checkpoint — the slice filter ran before it, once)
+    assert(p.contains("Scan ExistingRDD"),
+      "pair sets must derive from the shared checkpointed shingle index")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)

@@ -182,6 +182,24 @@ class SimilaritySpec extends SparkSuite {
       s"PQ top-10 shares nothing with exact top-10: $approx vs $exact")
   }
 
+  test("PQ re-rank: recall >= raw ADC, and shortlist = corpus equals brute force") {
+    val q = Similarity.queryVector(emb, 0L)
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    def recall(ids: Set[Long]) = (exact intersect ids).size.toDouble / exact.size
+    val raw = Similarity.pqTopK(emb, cb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val refined = Similarity.pqTopKRefined(emb, cb, q, 10, shortlist = 50, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(recall(refined) >= recall(raw),
+      s"re-rank lost recall: ${recall(raw)} -> ${recall(refined)}")
+    val n = emb.count().toInt
+    val full = Similarity.pqTopKRefined(emb, cb, q, 10, shortlist = n, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact, "shortlist covering the corpus must equal brute force")
+  }
+
   test("LSH buckets partition the corpus (every vector in exactly one bucket)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 8, dim = 64)
     assert(b.count() == emb.count())
