@@ -412,6 +412,50 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF-PQ: the two quantizers composed the way a billion-vector index
+    * deploys them (FAISS `IndexIVFPQ` with `by_residual=false`) — the
+    * coarse quantizer ([[ivfAssign]]'s argmax-cosine cells) prunes the
+    * scan to the `nprobe` cells nearest the query, and PQ-ADC
+    * ([[pqTopK]]'s lookup table) scores only those cells' codes. Scan
+    * volume at 100 TB: (nprobe/numCells) of the corpus × (codes, not
+    * vectors) — both reductions multiply. Cell assignment and ADC are both
+    * map-side over broadcast literals; the only shuffle is the TakeOrdered
+    * merge. Output `adc` ascending, rounded to 4 — same contract as
+    * [[pqTopK]], so recall deltas are directly attributable to the probe.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      codebook: Array[(Int, Int, Seq[Double])],
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeIds = cents.map { case (cid, v) => (cid, cos(v, query)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
+    val m = codebook.map(_._1).max + 1
+    val subDim = query.length / m
+    val lut: Map[(Int, Int), Double] = codebook.map { case (s, cw, cv) =>
+      (s, cw) -> sqDistRounded(query.slice(s * subDim, (s + 1) * subDim), cv)
+    }.toMap
+    val probed = ivfAssign(embeddings, cents)
+      .filter(col("centroid_id").isin(probeIds.toSeq: _*))
+    val base = excludeVecId.fold(probed)(id => probed.filter(col("vec_id") =!= id))
+    val adc = (0 until m)
+      .map(s => pqScored(col("__v"), codebook, s, subDim, Some(cw => lut((s, cw)))).getField("qd"))
+      .reduce(_ + _)
+    base
+      .withColumn("__adc", adc)
+      .orderBy(col("__adc").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("__adc"), 4).as("adc"))
+  }
+
   def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))

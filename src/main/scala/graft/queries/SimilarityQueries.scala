@@ -146,7 +146,24 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id").asc)
   }
 
+  /** q113 — IVF-PQ top-k ([[Similarity.ivfPqTopK]]): coarse cells prune
+    * the scan (q48's probe), PQ-ADC scores the survivors in the compressed
+    * domain (q109's lookup table) — the two reductions a billion-vector
+    * index multiplies together. Fully deterministic → full DuckDB oracle;
+    * SimilaritySpec pins nprobe=all ≡ plain PQ-ADC.
+    */
+  def q113_ivf_pq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val cents = Similarity.centroids(emb, 16)
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    Similarity.ivfPqTopK(emb, cents, cb, q, k = 10, nprobe = 4,
+        excludeVecId = Some(QueryVecId))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+  }
+
   val all: Map[String, Q] = Map(
+    "q113_ivf_pq" -> q113_ivf_pq,
     "q112_pq_refined" -> q112_pq_refined,
     "q109_pq_adc" -> q109_pq_adc,
     "q103_knn_join" -> q103_knn_join,
@@ -158,6 +175,43 @@ object SimilarityQueries {
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q113_ivf_pq" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      probe AS (SELECT cid FROM c, q
+                ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c),
+      cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv
+             FROM e ORDER BY vec_id LIMIT 16),
+      sub AS (SELECT s FROM range(0, 4) t(s)),
+      d AS (SELECT e.vec_id, sub.s, cb.cw,
+              round(list_sum(list_transform(range(1, 17), i ->
+                (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
+                * (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS dist
+            FROM e, sub, cb),
+      code AS (SELECT vec_id, s, cw FROM (
+                 SELECT vec_id, s, cw,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cw) AS rn
+                 FROM d) WHERE rn = 1),
+      lut AS (SELECT sub.s, cb.cw,
+                round(list_sum(list_transform(range(1, 17), i ->
+                  (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
+                  * (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS qd
+              FROM sub, cb, q),
+      adc AS (SELECT cd.vec_id, list_sum(list(l.qd ORDER BY cd.s)) AS adc
+              FROM code cd JOIN lut l ON l.s = cd.s AND l.cw = cd.cw
+              GROUP BY 1)
+      SELECT e.vec_id, e.label, round(a.adc, 4) AS adc
+      FROM adc a
+      JOIN e ON e.vec_id = a.vec_id
+      JOIN assign s ON s.vec_id = e.vec_id AND s.rn = 1
+      WHERE s.cid IN (SELECT cid FROM probe) AND e.vec_id <> $QueryVecId
+      ORDER BY a.adc, e.vec_id LIMIT 10""",
     "q112_pq_refined" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv

@@ -200,6 +200,26 @@ class SimilaritySpec extends SparkSuite {
     assert(full == exact, "shortlist covering the corpus must equal brute force")
   }
 
+  test("IVF-PQ: nprobe=all equals plain PQ-ADC; nprobe=4 stays within probed cells") {
+    import org.apache.spark.sql.functions.col
+    val q = Similarity.queryVector(emb, 0L)
+    val cents = Similarity.centroids(emb, 16)
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    val full = Similarity.ivfPqTopK(emb, cents, cb, q, 10, nprobe = 16, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val plain = Similarity.pqTopK(emb, cb, q, 10, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(full == plain, "probing every cell must degenerate to plain PQ-ADC")
+    val probed = Similarity.ivfPqTopK(emb, cents, cb, q, 10, nprobe = 4, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(probed.nonEmpty && probed.size <= 10)
+    val cells = Similarity.ivfAssign(emb, cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeCells = probed.map(cells)
+    assert(probeCells.size <= 4, s"results span ${probeCells.size} cells, nprobe=4")
+  }
+
   test("LSH buckets partition the corpus (every vector in exactly one bucket)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 8, dim = 64)
     assert(b.count() == emb.count())
