@@ -456,6 +456,114 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("__adc"), 4).as("adc"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR 1998)
+    * — the diversity-aware top-k a retrieval/hard-negative-mining pipeline
+    * runs AFTER a similarity shortlist: greedily pick k of a C-candidate
+    * shortlist maximizing `λ·sim(query, d) − (1−λ)·max_{s∈picked}
+    * sim(d, s)`, so near-duplicate shortlist entries can't crowd the
+    * result. Multi-anchor form: every anchor id gets its own shortlist and
+    * its own greedy pass.
+    *
+    * Shape for 100 TB: the shortlist is [[graft.functions.TopKFunctions
+    * .topK]] (partial top-C per anchor BEFORE the shuffle — k rows per
+    * anchor per partition on the wire, never a per-anchor window funnel
+    * over the corpus), the C candidate vectors are fetched by broadcasting
+    * the ≤|anchors|·C shortlist ids against the vector table (only C raw
+    * vectors per anchor ever leave the scan, as in [[pqTopKRefined]]), and
+    * the greedy loop runs per-anchor inside `mapGroups` over its bounded
+    * C-row group — the O(k·C) sequential part touches driver-free executor
+    * memory only. Anchor vectors are a bounded driver literal
+    * (|anchors| rows, the [[centroids]] convention).
+    *
+    * Determinism contract (shared with the DuckDB oracle, which unrolls
+    * the k greedy steps as CTE layers): relevance and pairwise cosines are
+    * rounded to 6 decimals ([[duckRound6]]) before entering the score, the
+    * score itself is re-rounded to 6, ties break on ascending vec_id, and
+    * λ must be exactly representable in binary (0.5) so `λ·sq` introduces
+    * no drift. Returns (anchor_id, rank, vec_id, mmr-rounded-4).
+    */
+  def mmrRerank(
+      embeddings: DataFrame,
+      anchorIds: Seq[Long],
+      k: Int,
+      shortlist: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    // Anchor vectors: bounded driver literal (|anchorIds| rows).
+    val anchorVecs: Map[Long, Seq[Double]] = embeddings
+      .filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id"), toDoubleArray(col("embedding")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    require(anchorVecs.size == anchorIds.size,
+      s"missing anchor vectors: wanted $anchorIds, found ${anchorVecs.keySet}")
+    val anchorsDf = broadcast(
+      anchorVecs.toSeq.map { case (id, v) => (id, v) }.toDF("anchor_id", "__av"))
+
+    // Shortlist: partial top-C per anchor (TopKAgg), then fetch the ≤
+    // |anchors|·C candidate vectors by broadcasting the id list back at the
+    // vector table — the scan ships C vectors per anchor, not the corpus.
+    val scored = embeddings
+      .crossJoin(anchorsDf) // broadcast-of-|anchors|-rows: map-side fan-out
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("__sq", cosine(toDoubleArray(col("embedding")), col("__av")))
+    val short = scored
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKFunctions.topK(col("__sq"), col("vec_id"), shortlist).as("tk"))
+      .select(col("anchor_id"), explode(col("tk")).as("p"))
+      .select(col("anchor_id"), col("p.payload").as("vec_id"), col("p.ord").as("__sq"))
+    val cands = embeddings
+      .join(broadcast(short), "vec_id")
+      .select(col("anchor_id"), col("vec_id"), col("__sq"),
+        toDoubleArray(col("embedding")).as("__v"))
+      .as[(Long, Long, Double, Seq[Double])]
+
+    val lam = lambda
+    val kk = k
+    val out = cands
+      .groupByKey(_._1)
+      .flatMapGroups { (aid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        val pool = it.map { case (_, vid, rawSq, v) =>
+          (vid, duckRound6(rawSq), v)
+        }.toArray
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+        val used = scala.collection.mutable.Set.empty[Long]
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= kk && used.size < pool.length) {
+          var bestId = -1L; var bestScore = Double.NegativeInfinity; var bestV: Seq[Double] = null
+          pool.foreach { case (vid, sq, v) =>
+            if (!used.contains(vid)) {
+              val div = if (picked.isEmpty) 0.0
+                else picked.map(p => duckRound6(cos(v, p._2))).max
+              val score = duckRound6(lam * sq - (1.0 - lam) * div)
+              if (score > bestScore || (score == bestScore && vid < bestId)) {
+                bestId = vid; bestScore = score; bestV = v
+              }
+            }
+          }
+          used += bestId
+          picked += ((bestId, bestV))
+          rows += ((aid, rank, bestId, bestScore))
+          rank += 1
+        }
+        rows.iterator
+      }
+      .toDF("anchor_id", "rank", "vec_id", "mmr")
+    out.withColumn("mmr", round(col("mmr"), 4))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))

@@ -162,7 +162,22 @@ object SimilarityQueries {
       .orderBy(col("adc").asc, col("vec_id").asc)
   }
 
+  /** q114 — MMR diversified re-rank ([[Similarity.mmrRerank]]): per-anchor
+    * top-C shortlist (partial TopKAgg, no per-anchor window funnel) →
+    * greedy λ-tradeoff pick of k diverse results inside a bounded
+    * `mapGroups` group. The oracle unrolls the k greedy steps as CTE
+    * layers (argmax per layer via a window over the λ·relevance −
+    * (1−λ)·max-pairwise-cosine score), so the sequential selection is
+    * hash-checked cross-engine, not just spec-asserted. λ = 0.5 exactly
+    * (representable in binary — no drift in λ·sq).
+    */
+  def q114_mmr_rerank: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.mmrRerank(emb, anchorIds = Seq(0L, 1L, 2L, 3L), k = 4, shortlist = 8)
+  }
+
   val all: Map[String, Q] = Map(
+    "q114_mmr_rerank" -> q114_mmr_rerank,
     "q113_ivf_pq" -> q113_ivf_pq,
     "q112_pq_refined" -> q112_pq_refined,
     "q109_pq_adc" -> q109_pq_adc,
@@ -175,6 +190,58 @@ object SimilarityQueries {
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q114_mmr_rerank" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      a AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id IN (0, 1, 2, 3)),
+      sc AS (SELECT a.aid, e.vec_id, e.v,
+                    round(list_cosine_similarity(e.v, a.av), 6) AS sq,
+                    row_number() OVER (PARTITION BY a.aid
+                      ORDER BY list_cosine_similarity(e.v, a.av) DESC, e.vec_id) AS rn
+             FROM e JOIN a ON e.vec_id <> a.aid),
+      sl AS (SELECT aid, vec_id, v, sq FROM sc WHERE rn <= 8),
+      s1 AS (SELECT aid, vec_id, v, sq, round(0.5 * sq, 6) AS score FROM (
+               SELECT *, row_number() OVER (PARTITION BY aid
+                 ORDER BY round(0.5 * sq, 6) DESC, vec_id) AS r FROM sl) WHERE r = 1),
+      sel1 AS (SELECT aid, vec_id, v FROM s1),
+      d2 AS (SELECT c.aid, c.vec_id, c.sq,
+                    max(round(list_cosine_similarity(c.v, s.v), 6)) AS dv,
+                    max(CASE WHEN c.vec_id = s.vec_id THEN 1 ELSE 0 END) AS is_sel
+             FROM sl c JOIN sel1 s ON c.aid = s.aid GROUP BY 1, 2, 3),
+      s2 AS (SELECT p.aid, p.vec_id, sl.v, p.score FROM (
+               SELECT aid, vec_id, round(0.5 * sq - 0.5 * dv, 6) AS score,
+                      row_number() OVER (PARTITION BY aid
+                        ORDER BY round(0.5 * sq - 0.5 * dv, 6) DESC, vec_id) AS r
+               FROM d2 WHERE is_sel = 0) p
+             JOIN sl ON p.aid = sl.aid AND p.vec_id = sl.vec_id WHERE p.r = 1),
+      sel2 AS (SELECT aid, vec_id, v FROM sel1
+               UNION ALL SELECT aid, vec_id, v FROM s2),
+      d3 AS (SELECT c.aid, c.vec_id, c.sq,
+                    max(round(list_cosine_similarity(c.v, s.v), 6)) AS dv,
+                    max(CASE WHEN c.vec_id = s.vec_id THEN 1 ELSE 0 END) AS is_sel
+             FROM sl c JOIN sel2 s ON c.aid = s.aid GROUP BY 1, 2, 3),
+      s3 AS (SELECT p.aid, p.vec_id, sl.v, p.score FROM (
+               SELECT aid, vec_id, round(0.5 * sq - 0.5 * dv, 6) AS score,
+                      row_number() OVER (PARTITION BY aid
+                        ORDER BY round(0.5 * sq - 0.5 * dv, 6) DESC, vec_id) AS r
+               FROM d3 WHERE is_sel = 0) p
+             JOIN sl ON p.aid = sl.aid AND p.vec_id = sl.vec_id WHERE p.r = 1),
+      sel3 AS (SELECT aid, vec_id, v FROM sel2
+               UNION ALL SELECT aid, vec_id, v FROM s3),
+      d4 AS (SELECT c.aid, c.vec_id, c.sq,
+                    max(round(list_cosine_similarity(c.v, s.v), 6)) AS dv,
+                    max(CASE WHEN c.vec_id = s.vec_id THEN 1 ELSE 0 END) AS is_sel
+             FROM sl c JOIN sel3 s ON c.aid = s.aid GROUP BY 1, 2, 3),
+      s4 AS (SELECT p.aid, p.vec_id, p.score FROM (
+               SELECT aid, vec_id, round(0.5 * sq - 0.5 * dv, 6) AS score,
+                      row_number() OVER (PARTITION BY aid
+                        ORDER BY round(0.5 * sq - 0.5 * dv, 6) DESC, vec_id) AS r
+               FROM d4 WHERE is_sel = 0) p WHERE p.r = 1)
+      SELECT aid AS anchor_id, rank, vec_id, round(score, 4) AS mmr FROM (
+        SELECT aid, 1 AS rank, vec_id, score FROM s1
+        UNION ALL SELECT aid, 2, vec_id, score FROM s2
+        UNION ALL SELECT aid, 3, vec_id, score FROM s3
+        UNION ALL SELECT aid, 4, vec_id, score FROM s4)
+      ORDER BY anchor_id, rank""",
     "q113_ivf_pq" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

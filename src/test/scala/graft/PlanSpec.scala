@@ -283,6 +283,20 @@ class PlanSpec extends SparkSuite {
       "pair sets must derive from the shared checkpointed shingle index")
   }
 
+  test("q114: MMR shortlist is a partial TopKAgg; candidate fetch broadcasts the ids") {
+    val p = plan("q114_mmr_rerank")
+    // top-C per anchor must partial-aggregate map-side (k rows per anchor
+    // per partition on the wire), never a per-anchor window over the corpus
+    assert(p.contains("ObjectHashAggregate"), "shortlist must be TopKAgg")
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topkagg"),
+      s"shortlist must have a map-side partial phase")
+    assert(!p.contains("Window"), "per-anchor window funnel would melt at 100 TB")
+    // the ≤|anchors|·C shortlist rows broadcast back at the vector table —
+    // only C vectors per anchor leave the scan
+    assert(p.contains("BroadcastHashJoin"), "candidate fetch must broadcast the id list")
+    assert(!p.contains("SortMergeJoin"), "vector fetch degraded to a corpus shuffle")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)

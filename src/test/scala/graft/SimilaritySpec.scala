@@ -226,4 +226,63 @@ class SimilaritySpec extends SparkSuite {
     val nBuckets = b.select("lsh_bucket").distinct().count()
     assert(nBuckets > 1 && nBuckets <= 256)
   }
+
+  test("mmrRerank matches an independent driver-side greedy over the shortlist") {
+    import org.apache.spark.sql.functions.col
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = Similarity.duckRound6(x)
+    val anchors = Seq(0L, 1L, 2L, 3L)
+    val got = Similarity.mmrRerank(emb, anchors, k = 4, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // Independent mirror: collect all vectors, redo shortlist + greedy.
+    val vecs = emb.select(col("vec_id"), Similarity.toDoubleArray(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expect = anchors.flatMap { aid =>
+      val av = vecs(aid)
+      val short = vecs.toSeq.filter(_._1 != aid)
+        .map { case (vid, v) => (vid, cos(v, av), v) }
+        .sortBy { case (vid, s, _) => (-s, vid) }.take(8)
+        .map { case (vid, s, v) => (vid, r6(s), v) }
+      var picked = List.empty[(Long, Seq[Double])]
+      var out = List.empty[(Long, Int, Long, Double)]
+      for (rank <- 1 to 4) {
+        val (vid, score, v) = short
+          .filterNot { case (vid, _, _) => picked.exists(_._1 == vid) }
+          .map { case (vid, sq, v) =>
+            val div = if (picked.isEmpty) 0.0 else picked.map(p => r6(cos(v, p._2))).max
+            (vid, r6(0.5 * sq - 0.5 * div), v)
+          }
+          .minBy { case (vid, sc, _) => (-sc, vid) }
+        picked ::= (vid, v)
+        out :+= ((aid, rank, vid, math.rint(score * 1e4) / 1e4))
+      }
+      out
+    }
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expect.sortBy(t => (t._1, t._2)),
+      s"engine=${got.toSeq} mirror=$expect")
+  }
+
+  test("MMR picks the diverse candidate over a redundant equally-relevant one") {
+    import spark.implicits._
+    // anchor 100 = [1,0,0]; 101 and 102 are EXACT duplicates of each other;
+    // 103 is 101 with the off-axis component sign-flipped, so all three have
+    // the same relevance (~0.712) and rank 1 goes to 101 by id tie-break.
+    // At rank 2 the duplicate 102 carries penalty cos(102,101)=1.0 →
+    // score 0.5·(0.712−1) < 0, while 103's penalty is cos(103,101)≈0.014 →
+    // score ≈ +0.35. MMR must pick 101 then 103; plain top-2 by (sim, id)
+    // would return {101, 102}.
+    val rows = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (101L, Seq(0.71f, 0.7f, 0.0f), 0),
+      (102L, Seq(0.71f, 0.7f, 0.0f), 0),
+      (103L, Seq(0.71f, -0.7f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(rows, Seq(100L), k = 2, shortlist = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 101L), (2, 103L)), s"got ${got.toSeq}")
+  }
 }
