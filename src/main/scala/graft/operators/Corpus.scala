@@ -443,4 +443,37 @@ object Corpus {
       .withColumn("boiler_ratio",
         round(col("n_boiler") / col("n_grams"), 4))
   }
+
+  /** BPE pair statistics — the aggregation at the heart of byte-pair-
+    * encoding tokenizer TRAINING (Sennrich et al., ACL 2016): over the
+    * word-frequency table, count every adjacent character pair weighted by
+    * its word's corpus frequency; the top pair is the next merge. One
+    * iteration's worth, as a relational query (iterating = re-running with
+    * merged symbols — each pass is this same shape).
+    *
+    * Scale shape is the one real BPE trainers use: the corpus-sized work
+    * is a single tokenize → word-count shuffle; everything after runs on
+    * the |vocabulary| word table (pair explode ≈ Σ word lengths over the
+    * VOCAB, not the corpus), and the top-N is TakeOrderedAndProject. At
+    * 100 TB the word table is millions of rows regardless of corpus size.
+    *
+    * Pairs are character-position substrings (no regex), each OCCURRENCE
+    * counted ("aaa" holds "aa" twice), ties broken lexicographically.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val words = docs
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    words
+      .filter(length(col("word")) >= 2)
+      .select(
+        explode_outer(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"),
+        col("wc"))
+      .filter(col("pair").isNotNull)
+      .groupBy("pair").agg(sum("wc").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+  }
 }

@@ -423,6 +423,16 @@ object TrainingQueries {
       .orderBy("token_id")
   }
 
+  /** q115 — BPE pair statistics ([[graft.operators.Corpus.bpePairStats]]):
+    * the adjacent-character-pair count over the word-frequency table that
+    * picks the next byte-pair-encoding merge — the tokenizer-TRAINING
+    * counterpart of q102's vocabulary build. Corpus-sized work is one
+    * word-count shuffle; the pair explode runs over the vocabulary only.
+    */
+  def q115_bpe_pairs: Q = (s, dir) =>
+    graft.operators.Corpus.bpePairStats(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)), "text", topN = 20)
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -448,6 +458,7 @@ object TrainingQueries {
     "q107_dup_spans" -> q107_dup_spans,
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
+    "q115_bpe_pairs" -> q115_bpe_pairs,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -495,6 +506,14 @@ object TrainingQueries {
              count(DISTINCT lang) AS n_langs,
              count(DISTINCT text) AS n_unique_texts
       FROM t GROUP BY 1 ORDER BY 1""",
+    "q115_bpe_pairs" -> raw"""
+      WITH w AS (SELECT tok AS word, count(1) AS wc FROM
+                   (SELECT unnest($tk) AS tok FROM documents) GROUP BY 1),
+      p AS (SELECT unnest(list_transform(range(1, len(word)),
+                     i -> substr(word, i::INT, 2))) AS pair, wc
+            FROM w WHERE len(word) >= 2)
+      SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+      FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
     "q102_vocab" -> raw"""
       WITH toks AS (SELECT unnest($tk) AS token FROM documents),
       c AS (SELECT token, count(1) AS n FROM toks GROUP BY 1),

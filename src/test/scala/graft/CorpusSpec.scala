@@ -250,4 +250,18 @@ class CorpusSpec extends SparkSuite {
     val tiny = Seq((20L, "a b")).toDF("doc_id", "text")
     assert(Corpus.duplicatedSpans(tiny, "doc_id", "text", k = 3).count() == 0)
   }
+
+  test("bpePairStats counts every pair occurrence weighted by word frequency") {
+    import spark.implicits._
+    // word counts: "ab"×3 (two in doc 1, one in doc 2), "abc"×1, "aaa"×1.
+    // pairs: "ab" = 3 (from "ab") + 1 (from "abc") = 4; "bc" = 1;
+    // "aa" = 2 from ONE "aaa" (each occurrence counts, not distinct).
+    val d = Seq((1L, "ab ab aaa"), (2L, "abc ab")).toDF("doc_id", "text")
+    val out = Corpus.bpePairStats(d, "text", topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 4L, "aa" -> 2L, "bc" -> 1L), s"got $out")
+    // single-char words contribute nothing; empty corpus yields no rows
+    val single = Seq((3L, "x y z")).toDF("doc_id", "text")
+    assert(Corpus.bpePairStats(single, "text", topN = 10).count() == 0)
+  }
 }
