@@ -476,4 +476,59 @@ object Corpus {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topN)
   }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how target-like its hashed n-gram profile is —
+    * `w(d) = Σ_b c_d[b] · ln(p̂_target[b] / p̂_raw[b])` over `numBuckets`
+    * hashed unigram+bigram feature buckets with Laplace smoothing. The
+    * high-w docs are what importance resampling keeps when curating a
+    * pretraining mix toward a target domain.
+    *
+    * Scale shape: corpus-sized work is one tokenize→explode→(doc, bucket)
+    * count; the bucket model aggregates to `numBuckets` rows and the
+    * totals to one — both broadcast back, so scoring is map-side. The
+    * (doc, bucket) relation feeds the model AND the scoring join, so it is
+    * snapshotted once (the tfidf double-execution rule).
+    *
+    * Determinism contract with the oracle: bucket = `polyHash(gram) %
+    * numBuckets` (the cross-engine hash), and the log-ratio is ONE `ln` of
+    * a ratio of exact integer products (< 2⁵³, so the double division is
+    * exact-operand on both engines); the per-doc sum is rounded to 4.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      numBuckets: Int,
+      topN: Int): DataFrame = {
+    val bL = lit(numBuckets.toLong)
+    val base = docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+      TextFunctions.tokens(col(textCol)).as("tk"),
+      TextFunctions.ngrams(col(textCol), 2).as("bg"))
+    val docBuckets = base
+      .select(col("doc_id"), col("is_target"),
+        explode_outer(concat(col("tk"), col("bg"))).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("is_target"),
+        pmod(graft.functions.StringFunctions.polyHash(col("gram")), bL).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .transform(Stage.snapshotDF)
+    val model = docBuckets.groupBy("bucket").agg(
+      sum("c").as("s_b"),
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_b"))
+    val totals = model.agg(sum("s_b").as("s_tot"), sum("t_b").as("t_tot"))
+    docBuckets
+      .join(broadcast(model), "bucket")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lr",
+        log(((col("t_b") + lit(1L)) * (col("s_tot") + bL)) /
+            ((col("s_b") + lit(1L)) * (col("t_tot") + bL))))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feat"), round(sum(col("c") * col("__lr")), 4).as("dsir_w"))
+      .orderBy(col("dsir_w").desc, col("doc_id").asc)
+      .limit(topN)
+  }
 }

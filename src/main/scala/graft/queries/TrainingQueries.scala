@@ -433,6 +433,18 @@ object TrainingQueries {
     graft.operators.Corpus.bpePairStats(
       graft.operators.Dedup.spread(Tables.documents(s, dir)), "text", topN = 20)
 
+  /** q116 — DSIR importance weights ([[graft.operators.Corpus.dsirWeights]]):
+    * hashed unigram+bigram importance-resampling scores toward the
+    * `lang = 'en'` target slice — the data-selection signal that tilts a
+    * raw-corpus sampling mix toward a target domain. 512 feature buckets;
+    * top-20 most-target-like docs.
+    */
+  def q116_dsir_weights: Q = (s, dir) =>
+    graft.operators.Corpus.dsirWeights(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      "doc_id", "text", targetPred = col("lang") === "en",
+      numBuckets = 512, topN = 20)
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -459,6 +471,7 @@ object TrainingQueries {
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
     "q115_bpe_pairs" -> q115_bpe_pairs,
+    "q116_dsir_weights" -> q116_dsir_weights,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -506,6 +519,33 @@ object TrainingQueries {
              count(DISTINCT lang) AS n_langs,
              count(DISTINCT text) AS n_unique_texts
       FROM t GROUP BY 1 ORDER BY 1""",
+    "q116_dsir_weights" -> raw"""
+      WITH d AS (SELECT doc_id, (lang = 'en') AS is_target, $tk AS tk FROM documents),
+      g AS (SELECT doc_id, is_target, unnest(
+              tk || CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(0, len(tk) - 1),
+                           i -> array_to_string(tk[i+1:i+2], ' '))
+                    ELSE [] END) AS gram
+            FROM d),
+      hb AS (SELECT doc_id, is_target,
+               list_reduce(
+                 [0] || list_transform(regexp_extract_all(gram, '.'),
+                   c -> CAST(unicode(c) AS BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 512 AS bucket
+             FROM g),
+      counts AS (SELECT doc_id, is_target, bucket, count(1) AS c
+                 FROM hb GROUP BY 1, 2, 3),
+      model AS (SELECT bucket, sum(c) AS s_b,
+                       sum(CASE WHEN is_target THEN c ELSE 0 END) AS t_b
+                FROM counts GROUP BY 1),
+      tot AS (SELECT sum(s_b) AS s_tot, sum(t_b) AS t_tot FROM model),
+      sc AS (SELECT doc_id, c,
+                    ln(((t_b + 1) * (s_tot + 512)) /
+                       ((s_b + 1) * (t_tot + 512))) AS lr
+             FROM counts JOIN model USING (bucket) CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feat,
+             round(sum(c * lr), 4) AS dsir_w
+      FROM sc GROUP BY 1 ORDER BY 3 DESC, 1 LIMIT 20""",
     "q115_bpe_pairs" -> raw"""
       WITH w AS (SELECT tok AS word, count(1) AS wc FROM
                    (SELECT unnest($tk) AS tok FROM documents) GROUP BY 1),

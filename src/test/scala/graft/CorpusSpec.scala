@@ -264,4 +264,49 @@ class CorpusSpec extends SparkSuite {
     val single = Seq((3L, "x y z")).toDF("doc_id", "text")
     assert(Corpus.bpePairStats(single, "text", topN = 10).count() == 0)
   }
+
+  test("dsirWeights matches an independent driver-side mirror and separates the target") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count().toInt
+    val got = Corpus.dsirWeights(docs, "doc_id", "text",
+        targetPred = col("lang") === "en", numBuckets = 512, topN = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // independent mirror over collected rows
+    val raw = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en", r.getString(2)))
+    def grams(t: String): Seq[String] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty).toSeq
+      tk ++ (if (tk.length >= 2) tk.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+    }
+    def bucket(g: String): Long =
+      graft.functions.StringKernels.polyHash(UTF8String.fromString(g)) % 512
+    val counts = raw.flatMap { case (id, tgt, t) =>
+      grams(t).map(g => ((id, tgt, bucket(g)), 1L))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sB = counts.groupBy(_._1._3).view.mapValues(_.values.sum).toMap
+    val tB = counts.filter(_._1._2).groupBy(_._1._3).view.mapValues(_.values.sum).toMap
+    val sTot = sB.values.sum; val tTot = tB.values.sum
+    val mirror: Map[Long, (Long, Double)] =
+      counts.toSeq.groupBy(_._1._1).map { case (id, rows) =>
+        val w = rows.map { case ((_, _, b), c) =>
+          c * math.log(((tB.getOrElse(b, 0L) + 1.0) * (sTot + 512)) /
+                       ((sB(b) + 1.0) * (tTot + 512)))
+        }.sum
+        id -> ((rows.map(_._2).sum, w))
+      }
+    got.foreach { case (id, nf, w) =>
+      val (mnf, mw) = mirror(id)
+      assert(nf == mnf, s"doc $id n_feat $nf vs mirror $mnf")
+      assert(math.abs(w - mw) < 1e-4, s"doc $id w $w vs mirror $mw")
+    }
+    // the whole point: target-language docs must score higher on average
+    val byLang = raw.map { case (id, tgt, _) => id -> tgt }.toMap
+    val (en, rest) = got.partition(r => byLang(r._1))
+    val avg = (s: Array[(Long, Long, Double)]) => s.map(_._3).sum / s.length
+    assert(avg(en) > avg(rest) + 0.5,
+      s"target docs must separate: en=${avg(en)} rest=${avg(rest)}")
+  }
 }
