@@ -531,4 +531,65 @@ object Corpus {
       .orderBy(col("dsir_w").desc, col("doc_id").asc)
       .limit(topN)
   }
+
+  /** Interpolated bigram LM cross-entropy per document — the bigram
+    * upgrade of [[unigramSurprisal]]'s CCNet-style quality filter:
+    * estimate unigram and bigram counts over the corpus, score each doc by
+    * `ce = −Σ m·ln(λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/T) / Σ m` over its
+    * bigram occurrences (Jelinek–Mercer interpolation; the unigram backoff
+    * keeps unseen-context probabilities finite). High-ce docs are the
+    * incoherent ones a perplexity gate drops. Denominator convention:
+    * plain unigram counts (not prefix counts) — documented, mirrored in
+    * the oracle.
+    *
+    * One parquet scan, one tokenize: the token arrays are snapshotted and
+    * BOTH explodes (unigram model, per-doc bigrams) read the
+    * materialization; the per-doc bigram relation is snapshotted again
+    * because it feeds the global bigram model AND the scoring join (the
+    * tfidf double-execution rule). Scoring is equi-joins on the gram keys
+    * — vocab-sized sides, shuffle-partitionable, no windows.
+    *
+    * λ = 0.75 (exactly representable): every probability is built from
+    * divisions of exact-integer doubles, so both engines feed `ln`
+    * identical operands; per-doc sums rounded to 4.
+    */
+  def bigramInterpolatedCE(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .transform(Stage.snapshotDF)
+    val uni = base
+      .select(explode_outer(col("tk")).as("tok")).filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("t"))
+    // sequence(1, 0) DESCENDS in Spark (never empty) — guard short docs
+    // explicitly or element_at walks off the array under ANSI mode
+    val docBg = base
+      .select(col("doc_id"),
+        explode_outer(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"),
+                        element_at(col("tk"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .transform(Stage.snapshotDF)
+    val cb = docBg.groupBy("w1", "w2").agg(sum("m").as("cb"))
+    docBg
+      .join(cb, Seq("w1", "w2"))
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__lnp",
+        log(lit(0.75) * (col("cb") / col("cu1")) + lit(0.25) * (col("cu2") / col("t"))))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"),
+        round(-sum(col("m") * col("__lnp")) / sum("m"), 4).as("ce"))
+      .orderBy(col("ce").desc, col("doc_id").asc)
+      .limit(topN)
+  }
 }

@@ -445,6 +445,17 @@ object TrainingQueries {
       "doc_id", "text", targetPred = col("lang") === "en",
       numBuckets = 512, topN = 20)
 
+  /** q117 — interpolated bigram LM cross-entropy
+    * ([[graft.operators.Corpus.bigramInterpolatedCE]]): the
+    * perplexity-gate quality filter with bigram context — q92's unigram
+    * surprisal upgraded with Jelinek–Mercer interpolation (λ = 0.75).
+    * Top-20 most-surprising (least-coherent) documents.
+    */
+  def q117_bigram_ce: Q = (s, dir) =>
+    graft.operators.Corpus.bigramInterpolatedCE(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      "doc_id", "text", topN = 20)
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -472,6 +483,7 @@ object TrainingQueries {
     "q102_vocab" -> q102_vocab,
     "q115_bpe_pairs" -> q115_bpe_pairs,
     "q116_dsir_weights" -> q116_dsir_weights,
+    "q117_bigram_ce" -> q117_bigram_ce,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -519,6 +531,27 @@ object TrainingQueries {
              count(DISTINCT lang) AS n_langs,
              count(DISTINCT text) AS n_unique_texts
       FROM t GROUP BY 1 ORDER BY 1""",
+    "q117_bigram_ce" -> raw"""
+      WITH d AS (SELECT doc_id, $tk AS tk FROM documents),
+      uni AS (SELECT tok, count(1) AS cu FROM
+                (SELECT unnest(tk) AS tok FROM d) GROUP BY 1),
+      tot AS (SELECT sum(cu) AS t FROM uni),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> struct_pack(w1 := tk[i::INT], w2 := tk[(i+1)::INT]))) AS p
+             FROM d),
+      bgd AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(1) AS m
+              FROM bg GROUP BY 1, 2, 3),
+      cb AS (SELECT w1, w2, sum(m) AS cb FROM bgd GROUP BY 1, 2),
+      sc AS (SELECT bgd.doc_id, bgd.m,
+                    ln(0.75 * (cb.cb / u1.cu) + 0.25 * (u2.cu / tot.t)) AS lnp
+             FROM bgd
+             JOIN cb ON bgd.w1 = cb.w1 AND bgd.w2 = cb.w2
+             JOIN uni u1 ON bgd.w1 = u1.tok
+             JOIN uni u2 ON bgd.w2 = u2.tok
+             CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+             round(-sum(m * lnp) / sum(m), 4) AS ce
+      FROM sc GROUP BY 1 ORDER BY 3 DESC, 1 LIMIT 20""",
     "q116_dsir_weights" -> raw"""
       WITH d AS (SELECT doc_id, (lang = 'en') AS is_target, $tk AS tk FROM documents),
       g AS (SELECT doc_id, is_target, unnest(

@@ -309,4 +309,24 @@ class CorpusSpec extends SparkSuite {
     assert(avg(en) > avg(rest) + 0.5,
       s"target docs must separate: en=${avg(en)} rest=${avg(rest)}")
   }
+
+  test("bigramInterpolatedCE matches hand-computed interpolated cross-entropies") {
+    import spark.implicits._
+    // uni: a=3 b=3 c=1, T=7; bigrams: (a,b)=3 (b,a)=1 (b,c)=1
+    // p(a,b)=.75·(3/3)+.25·(3/7)=.857142857→ln=-.15415068
+    // p(b,a)=.75·(1/3)+.25·(3/7)=.357142857→ln=-1.02961942
+    // p(b,c)=.75·(1/3)+.25·(1/7)=.285714286→ln=-1.25276297
+    // doc1: (2·.15415068+1.02961942)/3=.4460 (3 bigrams)
+    // doc2: (.15415068+1.25276297)/2=.7035 (2 bigrams)
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Corpus.bigramInterpolatedCE(d, "doc_id", "text", topN = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 0.446)), s"doc1 ${out(1L)}")
+    assert(out(2L) == ((2L, 0.7035)), s"doc2 ${out(2L)}")
+    // the less-predictable doc must score the higher cross-entropy
+    assert(out(2L)._2 > out(1L)._2)
+    // docs with <2 tokens have no bigrams and no row
+    val tiny = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(Corpus.bigramInterpolatedCE(tiny, "doc_id", "text", 10).count() == 0)
+  }
 }
