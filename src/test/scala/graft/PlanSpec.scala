@@ -297,6 +297,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "vector fetch degraded to a corpus shuffle")
   }
 
+  test("q116: DSIR bucket model broadcasts; doc-bucket counts materialize once") {
+    val p = plan("q116_dsir_weights")
+    assert(p.contains("BroadcastExchange"), "bucket model + totals must broadcast")
+    assert(!p.contains("Window"), "no window funnel in the scoring path")
+    assert(p.contains("Scan ExistingRDD"),
+      "(doc,bucket) counts must be snapshotted — they feed model AND scoring")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q117: bigram CE tokenizes once (snapshot feeds both explodes), no windows") {
+    val p = plan("q117_bigram_ce")
+    assert(!p.contains("Window"), "per-doc aggregation must be a groupBy, not a window")
+    assert(p.contains("Scan ExistingRDD"),
+      "token arrays must be snapshotted — unigram and bigram explodes share one tokenize")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one parquet scan of documents: both model explodes and the
+    // scoring join must read the materialized token arrays, not re-scan
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"documents re-scanned $scans times past the snapshot")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
