@@ -578,14 +578,19 @@ object Corpus {
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
       .transform(Stage.snapshotDF)
-    val cb = docBg.groupBy("w1", "w2").agg(sum("m").as("cb"))
-    docBg
-      .join(cb, Seq("w1", "w2"))
+    // Score the DISTINCT-bigram model table first (|observed bigrams|
+    // rows), then hit the corpus-sized per-doc relation with ONE join —
+    // joining cb/cu1/cu2 onto docBg directly would run three
+    // corpus-sized shuffles instead of three vocab-sized ones.
+    val scored = docBg.groupBy("w1", "w2").agg(sum("m").as("cb"))
       .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
       .crossJoin(broadcast(tot))
-      .withColumn("__lnp",
-        log(lit(0.75) * (col("cb") / col("cu1")) + lit(0.25) * (col("cu2") / col("t"))))
+      .select(col("w1"), col("w2"),
+        log(lit(0.75) * (col("cb") / col("cu1")) +
+            lit(0.25) * (col("cu2") / col("t"))).as("__lnp"))
+    docBg
+      .join(scored, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum("m").as("n_bigrams"),
         round(-sum(col("m") * col("__lnp")) / sum("m"), 4).as("ce"))
