@@ -189,7 +189,31 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id").asc)
   }
 
+  /** q120 — PQ recall audit ([[Similarity.bruteForceTopK]] ×
+    * [[Similarity.pqTopK]]): the compressed-domain index's recall@10
+    * against exact ground truth as ONE relational row — q111's
+    * audit-as-a-query pattern applied to the quantizer path, so the
+    * codebook-size/subspace tuning number is runnable in-engine instead
+    * of spec-only. Both top-k sets are k-row relations; the audit is a
+    * full-outer join + one aggregate.
+    */
+  def q120_pq_recall_audit: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val cb = Similarity.pqCodebook(emb, numSubspaces = 4, codebookSize = 16, dim = 64)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(QueryVecId)).select("vec_id")
+    val approx = Similarity.pqTopK(emb, cb, q, 10, Some(QueryVecId))
+      .select(col("vec_id").as("a_id"))
+    exact.join(approx, col("vec_id") === col("a_id"), "full_outer")
+      .agg(count("vec_id").as("n_exact"), count("a_id").as("n_approx"),
+        sum(when(col("vec_id").isNotNull && col("a_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("n_exact"), col("n_approx"), col("n_common"),
+        round(col("n_common") / col("n_exact"), 4).as("recall_at_k"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q120_pq_recall_audit" -> q120_pq_recall_audit,
     "q118_sq8_topk" -> q118_sq8_topk,
     "q114_mmr_rerank" -> q114_mmr_rerank,
     "q113_ivf_pq" -> q113_ivf_pq,
@@ -204,6 +228,42 @@ object SimilarityQueries {
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   val oracle: Map[String, String] = Map(
+    "q120_pq_recall_audit" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv
+             FROM e ORDER BY vec_id LIMIT 16),
+      sub AS (SELECT s FROM range(0, 4) t(s)),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      d AS (SELECT e.vec_id, sub.s, cb.cw,
+              round(list_sum(list_transform(range(1, 17), i ->
+                (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
+                * (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS dist
+            FROM e, sub, cb),
+      code AS (SELECT vec_id, s, cw FROM (
+                 SELECT vec_id, s, cw,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cw) AS rn
+                 FROM d) WHERE rn = 1),
+      lut AS (SELECT sub.s, cb.cw,
+                round(list_sum(list_transform(range(1, 17), i ->
+                  (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
+                  * (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS qd
+              FROM sub, cb, q),
+      adc AS (SELECT c.vec_id, list_sum(list(l.qd ORDER BY c.s)) AS adc
+              FROM code c JOIN lut l ON l.s = c.s AND l.cw = c.cw
+              GROUP BY 1),
+      ap AS (SELECT vec_id FROM adc WHERE vec_id <> $QueryVecId
+             ORDER BY adc, vec_id LIMIT 10),
+      ex AS (SELECT e.vec_id FROM e, q WHERE e.vec_id <> $QueryVecId
+             ORDER BY list_cosine_similarity(e.v, qv) DESC, e.vec_id LIMIT 10),
+      j AS (SELECT CAST(count(x.vec_id) AS BIGINT) AS n_exact,
+                   CAST(count(y.vec_id) AS BIGINT) AS n_approx,
+                   CAST(sum(CASE WHEN x.vec_id IS NOT NULL
+                                  AND y.vec_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+            FROM ex x FULL OUTER JOIN ap y ON x.vec_id = y.vec_id)
+      SELECT n_exact, n_approx, n_common,
+             round(n_common / n_exact, 4) AS recall_at_k
+      FROM j""",
     "q118_sq8_topk" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       st AS (SELECT t.i AS i, min(e.v[t.i::INT]) AS mn, max(e.v[t.i::INT]) AS mx

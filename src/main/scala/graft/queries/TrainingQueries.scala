@@ -456,6 +456,39 @@ object TrainingQueries {
       graft.operators.Dedup.spread(Tables.documents(s, dir)),
       "doc_id", "text", topN = 20)
 
+  /** q119 — token-budget epoch plan: q110's temperature weights applied to
+    * a fixed training-token budget (B = 10M), with the data-constrained
+    * accounting of Muennighoff et al. 2023 — per-source allocated tokens,
+    * implied epoch count over the source's available tokens, and the
+    * `> 4 epochs` flag past which repeated data stops helping. Share is
+    * TOKEN share (the budget's unit), counted with a map-side tokenize
+    * into the per-source rollup; scalars broadcast; pow drift absorbed by
+    * the q110 6-decimal pre-normalization cushion. alloc uses an explicit
+    * `round()` on both engines (DuckDB CAST rounds, Spark cast truncates —
+    * never bare casts on this boundary).
+    */
+  def q119_token_budget: Q = (s, dir) => {
+    val budget = 10000000.0
+    val per = graft.operators.Dedup.spread(Tables.documents(s, dir))
+      .select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("ntok"))
+      .groupBy("source").agg(sum("ntok").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("double").as("total"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("share_raw", col("n_tokens") / col("total"))
+      .withColumn("wr", round(pow(col("share_raw"), lit(0.7)), 6))
+      .transform(graft.operators.Stage.snapshotDF)
+    val sw = w.agg(sum("wr").as("sw"))
+    w.crossJoin(broadcast(sw))
+      .withColumn("__alloc", round(col("wr") / col("sw") * lit(budget)).cast("long"))
+      .select(col("source"), col("n_tokens"),
+        round(col("wr") / col("sw"), 4).as("weight"),
+        col("__alloc").as("alloc_tokens"),
+        round(col("__alloc") / col("n_tokens"), 4).as("epochs"),
+        (col("__alloc") / col("n_tokens") > 4.0).as("over_4_epochs"))
+      .orderBy("source")
+  }
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -484,6 +517,7 @@ object TrainingQueries {
     "q115_bpe_pairs" -> q115_bpe_pairs,
     "q116_dsir_weights" -> q116_dsir_weights,
     "q117_bigram_ce" -> q117_bigram_ce,
+    "q119_token_budget" -> q119_token_budget,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -531,6 +565,21 @@ object TrainingQueries {
              count(DISTINCT lang) AS n_langs,
              count(DISTINCT text) AS n_unique_texts
       FROM t GROUP BY 1 ORDER BY 1""",
+    "q119_token_budget" -> raw"""
+      WITH per AS (SELECT source, CAST(sum(len($tk)) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per),
+      w AS (SELECT source, n_tokens,
+                   round(pow(n_tokens / total, 0.7), 6) AS wr
+            FROM per, tot),
+      sw AS (SELECT sum(wr) AS sw FROM w),
+      a AS (SELECT source, n_tokens, wr / sw.sw AS wn,
+                   CAST(round(wr / sw.sw * 10000000.0) AS BIGINT) AS alloc_tokens
+            FROM w, sw)
+      SELECT source, n_tokens, round(wn, 4) AS weight, alloc_tokens,
+             round(alloc_tokens / n_tokens, 4) AS epochs,
+             (alloc_tokens / n_tokens > 4.0) AS over_4_epochs
+      FROM a ORDER BY source""",
     "q117_bigram_ce" -> raw"""
       WITH d AS (SELECT doc_id, $tk AS tk FROM documents),
       uni AS (SELECT tok, count(1) AS cu FROM

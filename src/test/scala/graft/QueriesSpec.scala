@@ -45,6 +45,24 @@ class QueriesSpec extends SparkSuite {
     assert(boosts.max >= 1.0 && boosts.min <= 1.0, s"boosts: ${boosts.toSeq}")
   }
 
+  test("q119 token budget: allocations spend the budget, epochs are consistent") {
+    val rows = SparkEntry.queries("q119_token_budget")(spark, sfDir).collect()
+    val nTokens = rows.map(_.getLong(1))
+    val weights = rows.map(_.getDouble(2))
+    val allocs = rows.map(_.getLong(3))
+    val epochs = rows.map(_.getDouble(4))
+    val over = rows.map(_.getBoolean(5))
+    assert(math.abs(weights.sum - 1.0) < 1e-2, s"weights sum ${weights.sum}")
+    // allocations spend the whole budget up to per-source rounding
+    assert(math.abs(allocs.sum - 10000000L) <= rows.length,
+      s"allocs sum ${allocs.sum}")
+    rows.indices.foreach { i =>
+      val e = allocs(i).toDouble / nTokens(i)
+      assert(math.abs(epochs(i) - e) < 1e-3, s"epochs(${i}) ${epochs(i)} vs $e")
+      assert(over(i) == (e > 4.0), s"over-flag(${i}) disagrees at $e")
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")

@@ -258,6 +258,19 @@ class SimilaritySpec extends SparkSuite {
     assert(a.forall(!_._2.isNaN), "constant dimension must not produce NaN")
   }
 
+  test("q120 recall audit agrees with recomputing recall from the two top-k sets") {
+    val q = Similarity.queryVector(emb, 0L)
+    val cb = Similarity.pqCodebook(emb, 4, 16, 64)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.pqTopK(emb, cb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val row = SparkEntry.queries("q120_pq_recall_audit")(spark, sfDir).collect().head
+    assert(row.getLong(0) == 10 && row.getLong(1) == 10)
+    assert(row.getLong(2) == (exact intersect approx).size)
+    assert(math.abs(row.getDouble(3) - (exact intersect approx).size / 10.0) < 1e-9)
+  }
+
   test("mmrRerank matches an independent driver-side greedy over the shortlist") {
     import org.apache.spark.sql.functions.col
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
