@@ -516,9 +516,12 @@ object Corpus {
       .groupBy("doc_id", "is_target", "bucket")
       .agg(count(lit(1)).as("c"))
       .transform(Stage.snapshotDF)
+    // numBuckets rows, but its lineage is a full pass over the (doc,
+    // bucket) snapshot — materialize once, it feeds totals AND the join
     val model = docBuckets.groupBy("bucket").agg(
       sum("c").as("s_b"),
       sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_b"))
+      .transform(Stage.snapshotDF)
     val totals = model.agg(sum("s_b").as("s_tot"), sum("t_b").as("t_tot"))
     docBuckets
       .join(broadcast(model), "bucket")
@@ -561,9 +564,12 @@ object Corpus {
     val base = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("tk"))
       .transform(Stage.snapshotDF)
+    // vocab-sized, but consumed three times (total + both sides of the
+    // scoring join) and its lineage is a corpus-sized explode — materialize
     val uni = base
       .select(explode_outer(col("tk")).as("tok")).filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .transform(Stage.snapshotDF)
     val tot = uni.agg(sum("cu").as("t"))
     // sequence(1, 0) DESCENDS in Spark (never empty) — guard short docs
     // explicitly or element_at walks off the array under ANSI mode

@@ -51,6 +51,19 @@ object Similarity {
     math.copySign(r, s) / 1e6
   }
 
+  /** Driver-side sequential cosine — the same left-to-right accumulation
+    * order as the `CosineSim` kernel and DuckDB's
+    * `list_cosine_similarity`. The accumulation order is a cross-engine
+    * determinism contract: every driver-side mirror (IVF probe pick,
+    * IVF-PQ probe pick, MMR greedy) must use THIS one definition, so an
+    * edit can't silently change the order for one operator only.
+    */
+  private def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Dot product — native fused kernel (see
     * `graft.functions.VectorExpressions`): sequential left-to-right double
     * accumulation, the same IEEE order as an `aggregate(zip_with(...))` fold
@@ -125,12 +138,7 @@ object Similarity {
       k: Int,
       nprobe: Int,
       excludeVecId: Option[Long] = None): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeIds = cents.map { case (cid, v) => (cid, cos(v, query)) }
+    val probeIds = cents.map { case (cid, v) => (cid, cosSeq(v, query)) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
     val assigned = ivfAssign(embeddings, cents)
       .filter(col("centroid_id").isin(probeIds.toSeq: _*))
@@ -431,12 +439,7 @@ object Similarity {
       k: Int,
       nprobe: Int,
       excludeVecId: Option[Long] = None): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeIds = cents.map { case (cid, v) => (cid, cos(v, query)) }
+    val probeIds = cents.map { case (cid, v) => (cid, cosSeq(v, query)) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
     val m = codebook.map(_._1).max + 1
     val subDim = query.length / m
@@ -492,11 +495,6 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
 
     // Anchor vectors: bounded driver literal (|anchorIds| rows).
     val anchorVecs: Map[Long, Seq[Double]] = embeddings
@@ -507,8 +505,7 @@ object Similarity {
       .toMap
     require(anchorVecs.size == anchorIds.size,
       s"missing anchor vectors: wanted $anchorIds, found ${anchorVecs.keySet}")
-    val anchorsDf = broadcast(
-      anchorVecs.toSeq.map { case (id, v) => (id, v) }.toDF("anchor_id", "__av"))
+    val anchorsDf = broadcast(anchorVecs.toSeq.toDF("anchor_id", "__av"))
 
     // Shortlist: partial top-C per anchor (TopKAgg), then fetch the ≤
     // |anchors|·C candidate vectors by broadcasting the id list back at the
@@ -536,25 +533,38 @@ object Similarity {
         val pool = it.map { case (_, vid, rawSq, v) =>
           (vid, duckRound6(rawSq), v)
         }.toArray
-        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
-        val used = scala.collection.mutable.Set.empty[Long]
+        // running max-pairwise-similarity per candidate: updated once per
+        // pick, so the greedy costs O(k·C) cosines, not O(k²·C). Init −∞
+        // (cosines can be negative); rank 1 carries no diversity penalty.
+        val maxDiv = Array.fill(pool.length)(Double.NegativeInfinity)
+        val used = Array.fill(pool.length)(false)
         val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        var nUsed = 0
         var rank = 1
-        while (rank <= kk && used.size < pool.length) {
-          var bestId = -1L; var bestScore = Double.NegativeInfinity; var bestV: Seq[Double] = null
-          pool.foreach { case (vid, sq, v) =>
-            if (!used.contains(vid)) {
-              val div = if (picked.isEmpty) 0.0
-                else picked.map(p => duckRound6(cos(v, p._2))).max
-              val score = duckRound6(lam * sq - (1.0 - lam) * div)
-              if (score > bestScore || (score == bestScore && vid < bestId)) {
-                bestId = vid; bestScore = score; bestV = v
+        while (rank <= kk && nUsed < pool.length) {
+          var bj = -1; var bestScore = Double.NegativeInfinity
+          var j = 0
+          while (j < pool.length) {
+            if (!used(j)) {
+              val div = if (rank == 1) 0.0 else maxDiv(j)
+              val score = duckRound6(lam * pool(j)._2 - (1.0 - lam) * div)
+              if (score > bestScore ||
+                  (score == bestScore && (bj < 0 || pool(j)._1 < pool(bj)._1))) {
+                bj = j; bestScore = score
               }
             }
+            j += 1
           }
-          used += bestId
-          picked += ((bestId, bestV))
-          rows += ((aid, rank, bestId, bestScore))
+          used(bj) = true; nUsed += 1
+          rows += ((aid, rank, pool(bj)._1, bestScore))
+          j = 0
+          while (j < pool.length) {
+            if (!used(j)) {
+              val d = duckRound6(cosSeq(pool(j)._3, pool(bj)._3))
+              if (d > maxDiv(j)) maxDiv(j) = d
+            }
+            j += 1
+          }
           rank += 1
         }
         rows.iterator

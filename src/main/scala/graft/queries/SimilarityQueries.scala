@@ -227,8 +227,14 @@ object SimilarityQueries {
     "q88_ivf_refined" -> q88_ivf_refined,
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
-  val oracle: Map[String, String] = Map(
-    "q120_pq_recall_audit" -> s"""
+  /** Shared WITH-prefix of every flat PQ-ADC oracle (q109/q112/q120): ONE
+    * definition of the PQ contract — codebook seed = 16 lowest vec_ids,
+    * 6-decimal dist rounding, tie to the lowest codeword — so the recall
+    * audit (q120) can never drift from the index it audits. q113 (IVF-PQ)
+    * interleaves probe/assign CTEs and keeps its own structurally
+    * different block.
+    */
+  private val PqAdcCtes: String = s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv
              FROM e ORDER BY vec_id LIMIT 16),
@@ -250,7 +256,10 @@ object SimilarityQueries {
               FROM sub, cb, q),
       adc AS (SELECT c.vec_id, list_sum(list(l.qd ORDER BY c.s)) AS adc
               FROM code c JOIN lut l ON l.s = c.s AND l.cw = c.cw
-              GROUP BY 1),
+              GROUP BY 1)"""
+
+  val oracle: Map[String, String] = Map(
+    "q120_pq_recall_audit" -> s"""$PqAdcCtes,
       ap AS (SELECT vec_id FROM adc WHERE vec_id <> $QueryVecId
              ORDER BY adc, vec_id LIMIT 10),
       ex AS (SELECT e.vec_id FROM e, q WHERE e.vec_id <> $QueryVecId
@@ -372,29 +381,7 @@ object SimilarityQueries {
       JOIN assign s ON s.vec_id = e.vec_id AND s.rn = 1
       WHERE s.cid IN (SELECT cid FROM probe) AND e.vec_id <> $QueryVecId
       ORDER BY a.adc, e.vec_id LIMIT 10""",
-    "q112_pq_refined" -> s"""
-      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv
-             FROM e ORDER BY vec_id LIMIT 16),
-      sub AS (SELECT s FROM range(0, 4) t(s)),
-      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
-      d AS (SELECT e.vec_id, sub.s, cb.cw,
-              round(list_sum(list_transform(range(1, 17), i ->
-                (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
-                * (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS dist
-            FROM e, sub, cb),
-      code AS (SELECT vec_id, s, cw FROM (
-                 SELECT vec_id, s, cw,
-                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cw) AS rn
-                 FROM d) WHERE rn = 1),
-      lut AS (SELECT sub.s, cb.cw,
-                round(list_sum(list_transform(range(1, 17), i ->
-                  (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
-                  * (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS qd
-              FROM sub, cb, q),
-      adc AS (SELECT c.vec_id, list_sum(list(l.qd ORDER BY c.s)) AS adc
-              FROM code c JOIN lut l ON l.s = c.s AND l.cw = c.cw
-              GROUP BY 1),
+    "q112_pq_refined" -> s"""$PqAdcCtes,
       short AS (SELECT e.vec_id, e.label, e.v
                 FROM adc a JOIN e ON e.vec_id = a.vec_id
                 WHERE e.vec_id <> $QueryVecId
@@ -402,29 +389,7 @@ object SimilarityQueries {
       SELECT vec_id, label, round(list_cosine_similarity(v, qv), 4) AS sim
       FROM short, q
       ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10""",
-    "q109_pq_adc" -> s"""
-      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v AS cv
-             FROM e ORDER BY vec_id LIMIT 16),
-      sub AS (SELECT s FROM range(0, 4) t(s)),
-      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
-      d AS (SELECT e.vec_id, sub.s, cb.cw,
-              round(list_sum(list_transform(range(1, 17), i ->
-                (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
-                * (e.v[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS dist
-            FROM e, sub, cb),
-      code AS (SELECT vec_id, s, cw FROM (
-                 SELECT vec_id, s, cw,
-                   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cw) AS rn
-                 FROM d) WHERE rn = 1),
-      lut AS (SELECT sub.s, cb.cw,
-                round(list_sum(list_transform(range(1, 17), i ->
-                  (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT])
-                  * (q.qv[(sub.s*16 + i)::INT] - cb.cv[(sub.s*16 + i)::INT]))), 6) AS qd
-              FROM sub, cb, q),
-      adc AS (SELECT c.vec_id, list_sum(list(l.qd ORDER BY c.s)) AS adc
-              FROM code c JOIN lut l ON l.s = c.s AND l.cw = c.cw
-              GROUP BY 1)
+    "q109_pq_adc" -> s"""$PqAdcCtes
       SELECT e.vec_id, e.label, round(a.adc, 4) AS adc
       FROM adc a JOIN e ON e.vec_id = a.vec_id
       WHERE e.vec_id <> $QueryVecId

@@ -168,6 +168,7 @@ object TrainingQueries {
     val per = Tables.documents(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .transform(graft.operators.Stage.snapshotDF) // feeds total AND shares
     val tot = per.agg(sum("n_docs").cast("double").as("total"))
     val withShare = per.crossJoin(tot)
       .withColumn("share_raw", col("n_docs") / col("total"))
@@ -470,9 +471,11 @@ object TrainingQueries {
   def q119_token_budget: Q = (s, dir) => {
     val budget = 10000000.0
     val per = graft.operators.Dedup.spread(Tables.documents(s, dir))
+      .filter(col("text").isNotNull) // oracle's len(NULL) drops out of sum
       .select(col("source"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("ntok"))
       .groupBy("source").agg(sum("ntok").as("n_tokens"))
+      .transform(graft.operators.Stage.snapshotDF) // feeds total AND weights
     val tot = per.agg(sum("n_tokens").cast("double").as("total"))
     val w = per.crossJoin(broadcast(tot))
       .withColumn("share_raw", col("n_tokens") / col("total"))
