@@ -535,6 +535,61 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Top-n-gram concentration per document — the Gopher repetition family
+    * (Rae et al. 2021 §A1.1): the share of a doc's n-gram OCCURRENCES
+    * taken by its single most frequent n-gram, for n = 2 and 3, with the
+    * paper's gate thresholds (0.20 / 0.18, adapted from char fraction to
+    * occurrence fraction — documented delta). Complements
+    * [[repetitionRatio]] (distinct share) and [[boilerplateCoverage]]
+    * (cross-doc templates): this one catches the within-doc loop that
+    * repeats one phrase. Shape: per-(doc, gram) count → per-doc max/sum —
+    * two hash aggregations per n, no window, keyed by doc (never by the
+    * hot gram).
+    */
+  def topNgramConcentration(
+      docs: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    def shares(k: Int, outCol: String): DataFrame =
+      docs.select(col(idCol).as("doc_id"),
+          explode_outer(TextFunctions.ngrams(col(textCol), k)).as("gram"))
+        .filter(col("gram").isNotNull)
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as(s"n_${k}grams"), (max("c") / sum("c")).as(outCol))
+    shares(2, "top2_share")
+      .join(shares(3, "top3_share").drop("n_3grams"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_2grams"),
+        round(col("top2_share"), 4).as("top2_share"),
+        round(coalesce(col("top3_share"), lit(0.0)), 4).as("top3_share"),
+        (col("top2_share") > 0.2 ||
+          coalesce(col("top3_share"), lit(0.0)) > 0.18).as("rep_flag"))
+      .orderBy(col("top2_share").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
+  /** Per-source n-gram novelty — release accounting for content overlap:
+    * for every source, the share of its DISTINCT word-5-grams that appear
+    * in no other source. Low novelty = the source is mostly re-material.
+    * The (source, gram) distinct relation feeds the per-gram source count
+    * AND the per-source rollup, so it is snapshotted once; everything is
+    * gram-keyed hash aggregation + one equi-join — the inverted-index
+    * shape, AQE-splittable on hot grams.
+    */
+  def sourceNgramNovelty(
+      docs: DataFrame, sourceCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val sg = docs.select(col(sourceCol).as("source"),
+        explode_outer(TextFunctions.ngrams(col(textCol), k)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+      .transform(Stage.snapshotDF)
+    val perGram = sg.groupBy("gram").agg(count(lit(1)).as("nsrc"))
+    sg.join(perGram, Seq("gram"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", round(col("n_unique") / col("n_grams"), 4))
+      .orderBy("source")
+  }
+
   /** Interpolated bigram LM cross-entropy per document — the bigram
     * upgrade of [[unigramSurprisal]]'s CCNet-style quality filter:
     * estimate unigram and bigram counts over the corpus, score each doc by

@@ -492,6 +492,25 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q121 — top-n-gram concentration
+    * ([[graft.operators.Corpus.topNgramConcentration]]): the Gopher
+    * within-doc repetition gate — share of n-gram occurrences taken by the
+    * most frequent 2-/3-gram, flags at 0.20/0.18. Top-20 most-repetitive.
+    */
+  def q121_rep_concentration: Q = (s, dir) =>
+    graft.operators.Corpus.topNgramConcentration(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      "doc_id", "text", topN = 20)
+
+  /** q122 — per-source n-gram novelty
+    * ([[graft.operators.Corpus.sourceNgramNovelty]]): share of each
+    * source's distinct word-5-grams appearing in no other source — the
+    * content-overlap line of a release data card.
+    */
+  def q122_source_novelty: Q = (s, dir) =>
+    graft.operators.Corpus.sourceNgramNovelty(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)), "source", "text")
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -521,6 +540,8 @@ object TrainingQueries {
     "q116_dsir_weights" -> q116_dsir_weights,
     "q117_bigram_ce" -> q117_bigram_ce,
     "q119_token_budget" -> q119_token_budget,
+    "q121_rep_concentration" -> q121_rep_concentration,
+    "q122_source_novelty" -> q122_source_novelty,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -568,6 +589,39 @@ object TrainingQueries {
              count(DISTINCT lang) AS n_langs,
              count(DISTINCT text) AS n_unique_texts
       FROM t GROUP BY 1 ORDER BY 1""",
+    "q121_rep_concentration" -> raw"""
+      WITH d AS (SELECT doc_id, $tk AS tk FROM documents),
+      g2 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+               THEN list_transform(range(0, len(tk) - 1),
+                      i -> array_to_string(tk[i+1:i+2], ' '))
+               ELSE [] END) AS gram FROM d),
+      c2 AS (SELECT doc_id, gram, count(1) AS c FROM g2 GROUP BY 1, 2),
+      s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                    max(c) / sum(c) AS sh2 FROM c2 GROUP BY 1),
+      g3 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(0, len(tk) - 2),
+                      i -> array_to_string(tk[i+1:i+3], ' '))
+               ELSE [] END) AS gram FROM d),
+      c3 AS (SELECT doc_id, gram, count(1) AS c FROM g3 GROUP BY 1, 2),
+      s3 AS (SELECT doc_id, max(c) / sum(c) AS sh3 FROM c3 GROUP BY 1)
+      SELECT doc_id, n_2grams, round(sh2, 4) AS top2_share,
+             round(coalesce(sh3, 0.0), 4) AS top3_share,
+             (sh2 > 0.2 OR coalesce(sh3, 0.0) > 0.18) AS rep_flag
+      FROM s2 LEFT JOIN s3 USING (doc_id)
+      ORDER BY round(sh2, 4) DESC, doc_id LIMIT 20""",
+    "q122_source_novelty" -> raw"""
+      WITH d AS (SELECT source, $tk AS tk FROM documents),
+      g AS (SELECT DISTINCT source, gram FROM (
+              SELECT source, unnest(CASE WHEN len(tk) >= 5
+                THEN list_transform(range(0, len(tk) - 4),
+                       i -> array_to_string(tk[i+1:i+5], ' '))
+                ELSE [] END) AS gram FROM d)),
+      pg AS (SELECT gram, count(1) AS nsrc FROM g GROUP BY 1)
+      SELECT source, CAST(count(1) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             round(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) / count(1), 4) AS novelty
+      FROM g JOIN pg USING (gram)
+      GROUP BY 1 ORDER BY source""",
     "q119_token_budget" -> raw"""
       WITH per AS (SELECT source, CAST(sum(len($tk)) AS BIGINT) AS n_tokens
                    FROM documents GROUP BY 1),

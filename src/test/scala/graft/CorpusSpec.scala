@@ -310,6 +310,37 @@ class CorpusSpec extends SparkSuite {
       s"target docs must separate: en=${avg(en)} rest=${avg(rest)}")
   }
 
+  test("topNgramConcentration computes hand-checked shares and flags") {
+    import spark.implicits._
+    // doc 1: bigrams "a b"×3 "b a"×2 → top2 3/5 = 0.6; trigrams
+    // "a b a"×2 "b a b"×2 → top3 2/4 = 0.5 → flagged.
+    // doc 2: three distinct bigrams → top2 1/3; two distinct trigrams →
+    // top3 0.5 (> 0.18 → flagged; occurrence-share is harsh on short docs
+    // by construction). doc 3 has no bigrams → no row.
+    val d = Seq((1L, "a b a b a b"), (2L, "x y z w"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Corpus.topNgramConcentration(d, "doc_id", "text", topN = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5L, 0.6, 0.5, true)), s"doc1 ${out(1L)}")
+    assert(out(2L) == ((3L, 0.3333, 0.5, true)), s"doc2 ${out(2L)}")
+    assert(!out.contains(3L), "doc without bigrams must have no row")
+  }
+
+  test("sourceNgramNovelty counts distinct grams once and splits shared vs unique") {
+    import spark.implicits._
+    // s1 holds "a b c d e" (shared with s2) + "b c d e f" (unique); the
+    // duplicate doc must not double-count grams. Both sources → 0.5.
+    val d = Seq(
+      ("s1", "a b c d e f"), ("s1", "a b c d e f"),
+      ("s2", "a b c d e x")).toDF("source", "text")
+    val out = Corpus.sourceNgramNovelty(d, "source", "text", k = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("s1") == ((2L, 1L, 0.5)), s"s1 ${out("s1")}")
+    assert(out("s2") == ((2L, 1L, 0.5)), s"s2 ${out("s2")}")
+  }
+
   test("bigramInterpolatedCE matches hand-computed interpolated cross-entropies") {
     import spark.implicits._
     // uni: a=3 b=3 c=1, T=7; bigrams: (a,b)=3 (b,a)=1 (b,c)=1
