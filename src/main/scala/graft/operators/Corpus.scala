@@ -661,4 +661,53 @@ object Corpus {
       .orderBy(col("ce").desc, col("doc_id").asc)
       .limit(topN)
   }
+
+  /** Heaps-law vocabulary growth over ingestion order — the data-card curve
+    * that says whether more data still buys new content: the corpus is cut
+    * into `nBuckets` equal-width id ranges (ingestion order), and each
+    * bucket reports its word-k-gram occurrence count, the count of types
+    * FIRST seen in it, running totals, and the implied Heaps exponent
+    * ln(cum_types)/ln(cum_tokens). A flattening curve (new types → 0) is
+    * the empirical saturation signal behind data-constrained scaling
+    * decisions — it tells a corpus build when another crawl snapshot stops
+    * adding vocabulary.
+    *
+    * Shape at 100 TB: bucketing is map-side (id against two broadcast
+    * scalars — no rank window over the corpus; equal-width in ID space, so
+    * gappy id ranges tilt bucket sizes, documented); the exploded gram
+    * relation feeds BOTH the occurrence rollup and the first-bucket-per-type
+    * aggregation, so it is snapshotted once (the fan-out rule); everything
+    * after is gram- or bucket-keyed hash aggregation. The only window runs
+    * over `nBuckets` rows — bounded by the parameter, never the corpus
+    * (the q102 post-limit convention).
+    */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    val bounds = docs.agg(
+      min(col(idCol)).cast("double").as("__lo"),
+      (max(col(idCol)) + 1).cast("double").as("__hi"))
+    val tb = docs.crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col(idCol).cast("double") - col("__lo")) * nBuckets /
+            (col("__hi") - col("__lo"))), lit(nBuckets - 1)).cast("long").as("bucket"),
+        explode_outer(TextFunctions.ngrams(col(textCol), k)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .transform(Stage.snapshotDF)
+    val occ = tb.groupBy("bucket").agg(count(lit(1)).as("n_grams"))
+    val firstSeen = tb.groupBy("gram").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      .withColumn("cum_grams", sum("n_grams").over(w))
+      .withColumn("cum_types", sum("n_new_types").over(w))
+      .withColumn("heaps_beta", round(log(col("cum_types")) / log(col("cum_grams")), 4))
+      .orderBy("bucket")
+  }
 }

@@ -499,6 +499,68 @@ object Dedup {
     jaccardVerify(candidates,
       shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF), threshold)
 
+  /** Asymmetric CONTAINMENT pairs — C(src→dst) = |src ∩ dst| / |src| over
+    * distinct word-k-shingle sets: the "document A sits mostly INSIDE
+    * document B" signal (a quoted article inside a digest, a paragraph
+    * lifted into a longer page) that symmetric Jaccard structurally misses —
+    * a 100-shingle doc fully contained in a 2000-shingle doc scores
+    * J ≈ 0.05 but C = 1.0. Directed: (id_src, id_dst, containment) with
+    * C(src→dst) ≥ `threshold`, both directions reported when both qualify
+    * (near-identical sets are then ordinary near-dups; q42's family already
+    * owns that case).
+    *
+    * Pruning is the PPJoin prefix lemma applied to the ASYMMETRIC overlap
+    * bound, and only the src side can be prefix-restricted: C ≥ t forces
+    * |src ∩ dst| ≥ ⌈t·|src|⌉, so src's first |src| − ⌈t·|src|⌉ + 1 shingles
+    * in global rarest-first canonical order ([[prefixIndex]] — the identical
+    * length formula) must intersect dst's FULL set; dst's size is unbounded
+    * by t, so dst indexes everything. A size filter (|dst| ≥ t·|src|, since
+    * the intersection can't exceed |dst|) prunes before verification
+    * computes exact C on survivors from the full index. Exactness-
+    * preserving: both filters only discard pairs the bound proves
+    * non-qualifying (keep-more 1e-9 slack at the float boundary, the
+    * [[prefixIndex]] convention).
+    *
+    * Scale shape: candidate volume per shingle = (prefix postings) ×
+    * (full-index df). Rarest-first prefixes keep high-df boilerplate
+    * shingles out of the probe side, which bounds the product for normal
+    * corpora; a corpus whose documents are MOSTLY boilerplate re-creates
+    * the hot-shingle hazard, and an admission path under that skew should
+    * split hot shingles the way [[jaccardDropsGuarded]] does. The oracle is
+    * the deliberately-unpruned exhaustive SQL (the q90 convention: an
+    * oracle that mirrored the pruning would agree on a pruning bug).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    // the index feeds prefix ranking, the dst probe side, AND verification —
+    // one materialization (the fan-out rule)
+    val sh = shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF)
+    val cand = prefixIndex(sh, threshold)
+      .select(col("__id").as("id_src"), col("sz").as("sz_src"), col("shingle"))
+      .join(sh.select(col("__id").as("id_dst"), col("sz").as("sz_dst"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_src") =!= col("id_dst"))
+      .filter(col("sz_dst").cast("double") >=
+        col("sz_src").cast("double") * threshold - 1e-9)
+      .select("id_src", "id_dst").distinct()
+    cand.join(
+        sh.select(col("__id").as("id_src"), col("sz").as("sz_src"), col("shingle")),
+        "id_src")
+      .join(sh.select(col("__id").as("id_dst"), col("shingle")), Seq("id_dst", "shingle"))
+      .groupBy("id_src", "id_dst")
+      .agg(count(lit(1)).as("c"), max(col("sz_src")).as("sz_src"))
+      .withColumn("containment",
+        col("c").cast("double") / col("sz_src").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_src"), col("id_dst"), round(col("containment"), 4).as("containment"))
+  }
+
   /** Candidate-index quality audit: measure a candidate pair set against
     * exact ground truth and report recall (exact pairs the index found) and
     * precision (candidates that were real) as ONE relational row —

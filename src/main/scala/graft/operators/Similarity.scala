@@ -621,6 +621,72 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("__sim"), 4).as("sim"))
   }
 
+  /** Per-cluster silhouette audit (the centroid-based "simplified
+    * silhouette" of Hruschka et al.) over a cluster-id column — the
+    * embedding-space quality check a curation pipeline runs on its OWN
+    * clustering (SemDeDup cells, IVF cells, topic labels) before trusting
+    * it for dedup or mixing decisions: per vector, cohesion a = cosine
+    * distance to its own cluster centroid and separation b = distance to
+    * the nearest OTHER centroid; silhouette s = (b − a) / max(a, b)
+    * ∈ [−1, 1], negative = the vector sits closer to a foreign centroid
+    * (a misfit). Rolled up per cluster: mean silhouette, misfit count,
+    * mean cohesion.
+    *
+    * Shape at 100 TB: centroids are element-wise means computed in one
+    * (cluster, dim)-keyed aggregation and collected as a bounded driver
+    * literal (#clusters rows — the [[centroids]] convention); the scoring
+    * pass is then entirely map-side (every vector against the broadcast
+    * centroid array, the [[ivfAssign]] kernel shape) into one per-cluster
+    * hash aggregation. No vector ever shuffles.
+    *
+    * Determinism contract: centroid components pass through [[duckRound6]]
+    * (the q88 cushion — Spark's partial-aggregated avg and the oracle's
+    * avg differ by ulps), per-centroid cosines are rounded to 6 before the
+    * silhouette arithmetic, and per-vector silhouettes to 4 before the
+    * mean (the q101 convention). Vectors equidistant-at-zero from both
+    * centroids (a = b = 0) get s = 0.
+    */
+  def labelSilhouette(embeddings: DataFrame, clusterCol: String = "label"): DataFrame = {
+    val cents: Array[(Int, Seq[Double])] = embeddings
+      .select(col(clusterCol).cast("int").as("__c"),
+        posexplode(toDoubleArray(col("embedding"))).as(Seq("i", "x")))
+      .groupBy("__c", "i").agg(avg("x").as("m"))
+      .groupBy("__c")
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("cs"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => duckRound6(x.getDouble(1))).toSeq))
+      .sortBy(_._1)
+    require(cents.length >= 2,
+      s"silhouette needs >= 2 clusters, found ${cents.length}")
+    val centArr = array(cents.map { case (l, v) =>
+      struct(lit(l).as("lab"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    val v = toDoubleArray(col("embedding"))
+    embeddings
+      .withColumn("__sims", transform(centArr,
+        c => struct(c("lab").as("lab"), round(cosine(v, c("cv")), 6).as("sim"))))
+      .withColumn("__own",
+        element_at(filter(col("__sims"),
+          c => c("lab") === col(clusterCol).cast("int")), 1)("sim"))
+      .withColumn("__oth",
+        array_max(transform(filter(col("__sims"),
+          c => c("lab") =!= col(clusterCol).cast("int")), c => c("sim"))))
+      .withColumn("__a", lit(1.0) - col("__own"))
+      .withColumn("__b", lit(1.0) - col("__oth"))
+      .withColumn("__sil",
+        when(greatest(col("__a"), col("__b")) <= 0, lit(0.0))
+          .otherwise((col("__own") - col("__oth")) / greatest(col("__a"), col("__b"))))
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        // + 0.0 canonicalizes -0.0 (the q68 round-then-hash incident):
+        // silhouettes straddle zero, so a tiny negative mean rounds to -0.0
+        (round(avg(round(col("__sil"), 4)), 4) + lit(0.0)).as("avg_sil"),
+        sum(when(col("__sil") < 0, 1L).otherwise(0L)).as("n_misfit"),
+        round(avg(col("__own")), 4).as("avg_cohesion"))
+      .orderBy(col(clusterCol))
+  }
+
   def lshBuckets(embeddings: DataFrame, numPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))

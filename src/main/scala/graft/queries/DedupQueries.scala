@@ -128,6 +128,19 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q123 — asymmetric containment pairs ([[Dedup.containmentPairs]]):
+    * C(src→dst) = |src ∩ dst| / |src| ≥ 0.8 over word-3-shingle sets — the
+    * doc-inside-doc signal symmetric Jaccard misses. Directed src-side
+    * prefix pruning (PPJoin lemma on the asymmetric bound); the oracle is
+    * the deliberately-unpruned exhaustive SQL, the q90 convention, so the
+    * pruning's exactness is cross-engine-proven.
+    */
+  def q123_containment: Q = (s, dir) => {
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.8)
+      .orderBy("id_src", "id_dst")
+  }
+
   /** q91 — embedding near-dups blocked by the DETERMINISTIC LSH bucket:
     * q45's operator with the block key the 100 TB design prescribes (q45's
     * `label` column is the test-data stand-in). Bucketing is map-side, the
@@ -284,6 +297,7 @@ object DedupQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q123_containment" -> q123_containment,
     "q111_lsh_recall_audit" -> q111_lsh_recall_audit,
     "q108_guarded_drops" -> q108_guarded_drops,
     "q106_semantic_between" -> q106_semantic_between,
@@ -469,6 +483,29 @@ object DedupQueries {
              min(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS first_kept
       FROM a LEFT JOIN dropped d ON d.vec_id = a.vec_id
       GROUP BY 1 ORDER BY 1""",
+    // DELIBERATELY unpruned exhaustive directed-containment SQL (the q90
+    // convention): the src-side prefix + size filters are sound pruning, so
+    // the result must equal the brute-force directed join.
+    "q123_containment" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_src, b.doc_id AS id_dst, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_src, id_dst, round(c * 1.0 / sa.sz, 4) AS containment
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_src
+      WHERE c * 1.0 / sa.sz >= 0.8
+      ORDER BY 1, 2""",
     // DELIBERATELY the exhaustive exact-pair SQL (q42's oracle): prefix +
     // positional filtering are sound pruning, so q90's result must equal
     // the unpruned form — an oracle that does NOT mirror the pruning proves

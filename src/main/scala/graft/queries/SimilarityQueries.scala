@@ -212,7 +212,17 @@ object SimilarityQueries {
         round(col("n_common") / col("n_exact"), 4).as("recall_at_k"))
   }
 
+  /** q125 — per-label silhouette audit ([[Similarity.labelSilhouette]]):
+    * centroid-based simplified silhouette over the `label` clustering —
+    * cohesion vs nearest-foreign-centroid separation, misfit counts per
+    * label. The clustering-quality check run before trusting cells for
+    * SemDeDup/mixing; scoring is map-side against broadcast centroids.
+    */
+  def q125_silhouette: Q = (s, dir) =>
+    Similarity.labelSilhouette(Tables.embeddings(s, dir))
+
   val all: Map[String, Q] = Map(
+    "q125_silhouette" -> q125_silhouette,
     "q120_pq_recall_audit" -> q120_pq_recall_audit,
     "q118_sq8_topk" -> q118_sq8_topk,
     "q114_mmr_rerank" -> q114_mmr_rerank,
@@ -259,6 +269,27 @@ object SimilarityQueries {
               GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(
+    "q125_silhouette" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT label, t.i AS i, round(avg(v[t.i::INT]), 6) AS m
+               FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+      cv AS (SELECT label, list(m ORDER BY i) AS cv FROM cent GROUP BY 1),
+      sims AS (SELECT e.vec_id, e.label, c.label AS clab,
+                      round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+               FROM e CROSS JOIN cv c),
+      per AS (SELECT vec_id, label,
+                     max(CASE WHEN clab = label THEN sim END) AS own,
+                     max(CASE WHEN clab <> label THEN sim END) AS oth
+              FROM sims GROUP BY 1, 2),
+      s AS (SELECT vec_id, label, own,
+                   CASE WHEN greatest(1 - own, 1 - oth) <= 0 THEN 0.0
+                        ELSE (own - oth) / greatest(1 - own, 1 - oth) END AS sil
+            FROM per)
+      SELECT label, count(1) AS n_vectors,
+             round(avg(round(sil, 4)), 4) + 0.0 AS avg_sil,
+             CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit,
+             round(avg(own), 4) AS avg_cohesion
+      FROM s GROUP BY 1 ORDER BY 1""",
     "q120_pq_recall_audit" -> s"""$PqAdcCtes,
       ap AS (SELECT vec_id FROM adc WHERE vec_id <> $QueryVecId
              ORDER BY adc, vec_id LIMIT 10),

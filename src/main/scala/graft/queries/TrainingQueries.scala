@@ -511,6 +511,18 @@ object TrainingQueries {
     graft.operators.Corpus.sourceNgramNovelty(
       graft.operators.Dedup.spread(Tables.documents(s, dir)), "source", "text")
 
+  /** q124 — Heaps-law vocabulary growth ([[graft.operators.Corpus
+    * .vocabGrowth]]): word-3-gram type accumulation across 10 equal-width
+    * ingestion buckets — the saturation curve that tells a corpus build
+    * when more data stops adding vocabulary. Map-side bucketing (broadcast
+    * id bounds), one snapshotted gram relation feeding both rollups, and a
+    * 10-row cumulative window.
+    */
+  def q124_vocab_growth: Q = (s, dir) =>
+    graft.operators.Corpus.vocabGrowth(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      "doc_id", "text", k = 3, nBuckets = 10)
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -542,6 +554,7 @@ object TrainingQueries {
     "q119_token_budget" -> q119_token_budget,
     "q121_rep_concentration" -> q121_rep_concentration,
     "q122_source_novelty" -> q122_source_novelty,
+    "q124_vocab_growth" -> q124_vocab_growth,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -609,6 +622,31 @@ object TrainingQueries {
              (sh2 > 0.2 OR coalesce(sh3, 0.0) > 0.18) AS rep_flag
       FROM s2 LEFT JOIN s3 USING (doc_id)
       ORDER BY round(sh2, 4) DESC, doc_id LIMIT 20""",
+    "q124_vocab_growth" -> raw"""
+      WITH bnd AS (SELECT CAST(min(doc_id) AS DOUBLE) AS lo,
+                          CAST(max(doc_id) + 1 AS DOUBLE) AS hi FROM documents),
+      d AS (SELECT doc_id, $tk AS tk FROM documents),
+      tb AS (SELECT CAST(least(floor((doc_id - lo) * 10 / (hi - lo)), 9) AS BIGINT) AS bucket,
+                    unnest(CASE WHEN len(tk) >= 3
+                      THEN list_transform(range(0, len(tk) - 2),
+                             i -> array_to_string(tk[i+1:i+3], ' '))
+                      ELSE [] END) AS gram
+             FROM d CROSS JOIN bnd),
+      occ AS (SELECT bucket, count(1) AS n_grams FROM tb GROUP BY 1),
+      fst AS (SELECT gram, min(bucket) AS bucket FROM tb GROUP BY 1),
+      nw AS (SELECT bucket, count(1) AS n_new_types FROM fst GROUP BY 1),
+      j AS (SELECT o.bucket, o.n_grams, coalesce(nw.n_new_types, 0) AS n_new_types
+            FROM occ o LEFT JOIN nw USING (bucket)),
+      c AS (SELECT bucket, n_grams, n_new_types,
+                   sum(n_grams) OVER (ORDER BY bucket) AS cum_grams,
+                   sum(n_new_types) OVER (ORDER BY bucket) AS cum_types
+            FROM j)
+      SELECT bucket, CAST(n_grams AS BIGINT) AS n_grams,
+             CAST(n_new_types AS BIGINT) AS n_new_types,
+             CAST(cum_grams AS BIGINT) AS cum_grams,
+             CAST(cum_types AS BIGINT) AS cum_types,
+             round(ln(cum_types) / ln(cum_grams), 4) AS heaps_beta
+      FROM c ORDER BY bucket""",
     "q122_source_novelty" -> raw"""
       WITH d AS (SELECT source, $tk AS tk FROM documents),
       g AS (SELECT DISTINCT source, gram FROM (

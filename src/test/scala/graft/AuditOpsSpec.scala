@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Similarity}
+
+/** Specs for the round-9 audit/curation additions: asymmetric containment
+  * pairs (q123), Heaps-law vocabulary growth (q124), and the per-label
+  * silhouette audit (q125).
+  */
+class AuditOpsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("containmentPairs: a doc fully inside another scores C=1.0 one way only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      // doc 1's tokens are a prefix → every 3-shingle of doc 1 is in doc 2
+      (2L, "a b c d e f g h i j k l m n o p"),
+      (3L, "z y x w v u t s")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)          // 6 of doc 1's 6 shingles are in doc 2
+    assert(!got.contains((2L, 1L)))       // 6/14 < 0.8 the other way
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("containmentPairs equals the unpruned directed brute force (pruning is sound)") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val t = 0.8
+    val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+    val a = sh.select($"__id".as("id_src"), $"sz".as("sz_src"), $"shingle")
+    val b = sh.select($"__id".as("id_dst"), $"shingle")
+    val brute = a.join(b, Seq("shingle")).filter($"id_src" =!= $"id_dst")
+      .groupBy("id_src", "id_dst")
+      .agg(count(lit(1)).as("c"), max($"sz_src").as("sz_src"))
+      .filter($"c".cast("double") / $"sz_src".cast("double") >= t)
+      .select($"id_src", $"id_dst",
+        round($"c".cast("double") / $"sz_src".cast("double"), 4).as("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = Dedup.containmentPairs(docs, "doc_id", "text", 3, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute)
+    assert(brute.nonEmpty) // the fixture corpus must actually exercise the path
+  }
+
+  test("vocabGrowth: bucket totals and cumulative type accounting add up") {
+    val docs = (0L until 10L).map { i =>
+      // all docs share one phrase; each doc's trailing token mints exactly
+      // one unique trigram → bucket 0 first-sees the 3 shared types + 5
+      // unique, bucket 1 only its 5 unique
+      (i, s"alpha beta gamma delta epsilon t$i")
+    }.toDF("doc_id", "text")
+    val rows = Corpus.vocabGrowth(docs, "doc_id", "text", k = 3, nBuckets = 2)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val totalGrams = docs.select(explode(graft.functions.TextFunctions.ngrams($"text", 3)))
+      .count()
+    val distinctGrams = docs.select(explode(graft.functions.TextFunctions.ngrams($"text", 3)))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum == totalGrams)          // n_grams partitions occurrences
+    assert(rows.last.getLong(4) == distinctGrams)             // cum_types ends at |vocab|
+    assert(rows.map(_.getLong(2)).sum == distinctGrams)       // every type first-seen once
+    assert(rows(0).getLong(3) == rows(0).getLong(1))          // cum starts at bucket 0
+    assert(rows(1).getLong(2) > 0 && rows(1).getLong(2) < rows(0).getLong(2))
+  }
+
+  test("labelSilhouette: separated clusters score high, a planted misfit flips negative") {
+    def vec(hot: Int, v: Float): Array[Float] = {
+      val a = Array.fill(4)(0.01f); a(hot) = v; a
+    }
+    val emb = (
+      (0L until 5L).map(i => (i, vec(0, 1.0f + 0.01f * i), 0)) ++
+      (5L until 10L).map(i => (i, vec(1, 1.0f + 0.01f * i), 1)) :+
+      ((10L, vec(1, 1.0f), 0)) // labeled 0, sits on cluster 1's axis
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelSilhouette(emb)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val (n0, sil0, misfit0) = got(0)
+    val (n1, sil1, misfit1) = got(1)
+    assert(n0 == 6 && n1 == 5)
+    assert(misfit0 == 1 && misfit1 == 0) // only the planted vector is negative
+    assert(sil1 > 0.9)                   // tight, far-apart clusters
+    assert(sil0 > 0.5)                   // dragged down by the misfit but still positive
+  }
+
+  test("labelSilhouette requires at least two clusters") {
+    val emb = Seq((0L, Array(1.0f, 0.0f), 7), (1L, Array(0.9f, 0.1f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException](Similarity.labelSilhouette(emb))
+    assert(e.getMessage.contains("2 clusters"))
+  }
+}
