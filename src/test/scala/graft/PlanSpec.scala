@@ -318,6 +318,40 @@ class PlanSpec extends SparkSuite {
     assert(scans == 0, s"documents re-scanned $scans times past the snapshot")
   }
 
+  test("q123: containment verifies off one materialized shingle index, no cartesian") {
+    val p = plan("q123_containment")
+    assert(p.contains("Scan ExistingRDD"),
+      "shingle index must be snapshotted — it feeds prefix ranking, probe, and verify")
+    // past the snapshot nothing re-reads parquet: candidates and verify
+    // both consume the materialized index
+    assert(!"Scan parquet".r.findAllIn(p).hasNext,
+      "documents re-scanned past the shingle-index snapshot")
+    assert(!p.contains("CartesianProduct"))
+    // the only window is prefixIndex's per-document rank — partitioned,
+    // never a global single-partition funnel
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(__id"),
+      "window must be per-document (prefix rank), not global")
+  }
+
+  test("q124: vocab growth broadcasts the id bounds; gram relation materializes once") {
+    val p = plan("q124_vocab_growth")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "id bounds must ride a broadcast, not shuffle the corpus")
+    assert(p.contains("Scan ExistingRDD"),
+      "gram relation must be snapshotted — occurrence and first-seen rollups share it")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q125: silhouette scoring is map-side — no join, no window, one scan") {
+    val p = plan("q125_silhouette")
+    // centroids are a broadcast literal folded into the projection: the
+    // scoring pass must not join or window anything
+    assert(!p.contains("Join"), "centroid scoring must not become a join")
+    assert(!p.contains("Window"), "no window in the scoring path")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "embeddings must be scanned exactly once")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
