@@ -477,6 +477,69 @@ object Corpus {
       .limit(topN)
   }
 
+  /** BPE merge curve — the tokenizer-training LOOP that [[bpePairStats]] is
+    * one step of: starting from character symbols over the word-frequency
+    * table, repeatedly pick the most frequent adjacent symbol pair and
+    * merge every occurrence, reporting per round the chosen pair, its
+    * weighted count at pick time, and the corpus token total after the
+    * merge — the compression curve a tokenizer build watches to choose its
+    * vocab size.
+    *
+    * Scale shape: corpus-sized work is ONE tokenize → word-count shuffle;
+    * every round after operates on the vocabulary-sized symbol table
+    * (word-partitioned windows bounded by word length, snapshotted per
+    * round so lineage stays flat). The picked pair and the post-merge
+    * token total are 1-row driver reads per round (the bounded
+    * orchestration pattern of [[Dedup.jaccardDropsGuarded]]'s estimate);
+    * the merge APPLICATION stays distributed.
+    *
+    * Merge semantics: all occurrences of the pair merge simultaneously.
+    * For x ≠ y occurrences can never overlap (overlap at positions i, i+1
+    * forces sym[i+1] = y = x), so the set-wise merge is exactly BPE's
+    * left-to-right pass; self-pairs (x = y) WOULD need sequential
+    * tie-breaking, so they are excluded from the pick by policy — on both
+    * engines, keeping the whole loop relational and oracle-checkable.
+    * Ties break on (count desc, x asc, y asc).
+    */
+  def bpeMergeCurve(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 8, s"need 1 <= merges <= 8, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("word").orderBy("pos")
+    var rows = docs
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        posexplode_outer(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as(Seq("pos0", "sym")))
+      .filter(col("sym").isNotNull)
+      .select(col("word"), col("wc"), (col("pos0") + 1).cast("long").as("pos"), col("sym"))
+      .transform(Stage.snapshotDF)
+    val curve = Seq.newBuilder[(Int, String, Long, Long)]
+    for (r <- 1 to merges) {
+      val top = rows
+        .withColumn("nxt", lead("sym", 1).over(w))
+        .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+        .groupBy("sym", "nxt").agg(sum("wc").as("n"))
+        .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).head()
+      val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      val marked = rows
+        .withColumn("nxt", lead("sym", 1).over(w))
+        .withColumn("m", col("sym") === lit(x) && col("nxt") === lit(y))
+        .withColumn("pm", lag(col("m"), 1, false).over(w))
+      rows = marked.filter(!col("pm"))
+        .select(col("word"), col("wc"),
+          row_number().over(w).cast("long").as("pos"),
+          when(col("m"), lit(x + y)).otherwise(col("sym")).as("sym"))
+        .transform(Stage.snapshotDF)
+      val tokensAfter = rows.agg(sum("wc")).head().getLong(0)
+      curve += ((r, s"$x+$y", n, tokensAfter))
+    }
+    curve.result().toDF("merge_rank", "pair", "n_occurrences", "tokens_after")
+  }
+
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS 2023): score every raw
     * document by how target-like its hashed n-gram profile is —

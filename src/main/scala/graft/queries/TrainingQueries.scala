@@ -523,6 +523,16 @@ object TrainingQueries {
       graft.operators.Dedup.spread(Tables.documents(s, dir)),
       "doc_id", "text", k = 3, nBuckets = 10)
 
+  /** q126 — BPE merge curve ([[graft.operators.Corpus.bpeMergeCurve]]):
+    * four rounds of the tokenizer-training loop — pick the top adjacent
+    * symbol pair, merge it corpus-wide, report the compression curve. The
+    * oracle unrolls the four rounds as CTE layers (the q114 unrolled-greedy
+    * convention), so pick AND application are hash-checked each round.
+    */
+  def q126_bpe_merges: Q = (s, dir) =>
+    graft.operators.Corpus.bpeMergeCurve(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)), "text", merges = 4)
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -555,6 +565,7 @@ object TrainingQueries {
     "q121_rep_concentration" -> q121_rep_concentration,
     "q122_source_novelty" -> q122_source_novelty,
     "q124_vocab_growth" -> q124_vocab_growth,
+    "q126_bpe_merges" -> q126_bpe_merges,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -577,6 +588,49 @@ object TrainingQueries {
     "q66_stratified_sample" -> q66_stratified_sample)
 
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+  /** The q126 oracle, unrolled: layer k picks the top x≠y pair over symbol
+    * table l(k−1) and applies the merge to produce l(k) — one CTE chain per
+    * round (the q114 unrolled-greedy convention), built by loop so the four
+    * layers cannot drift from each other.
+    */
+  private def bpeMergeOracle(merges: Int): String = {
+    val layers = (1 to merges).map { k =>
+      val prev = s"l${k - 1}"
+      raw"""
+      p$k AS (SELECT sym AS x, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS y, wc
+             FROM $prev),
+      t$k AS (SELECT x, y, CAST(sum(wc) AS BIGINT) AS n FROM p$k
+             WHERE y IS NOT NULL AND x <> y GROUP BY 1, 2
+             ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+      m$k AS (SELECT l.word, l.wc, l.pos, l.sym,
+                    coalesce(l.sym = t.x AND
+                      lead(l.sym) OVER (PARTITION BY l.word ORDER BY l.pos) = t.y,
+                      false) AS m,
+                    t.x || t.y AS xy
+             FROM $prev l CROSS JOIN t$k t),
+      f$k AS (SELECT *, coalesce(lag(m) OVER (PARTITION BY word ORDER BY pos), false) AS pm
+             FROM m$k),
+      l$k AS (SELECT word, wc,
+                    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                    CASE WHEN m THEN xy ELSE sym END AS sym
+             FROM f$k WHERE NOT pm)"""
+    }.mkString(",")
+    val rows = (1 to merges).map { k =>
+      s"""
+      SELECT $k AS merge_rank, (SELECT x || '+' || y FROM t$k) AS pair,
+             (SELECT n FROM t$k) AS n_occurrences,
+             (SELECT CAST(sum(wc) AS BIGINT) FROM l$k) AS tokens_after"""
+    }.mkString(" UNION ALL ")
+    raw"""
+      WITH w AS (SELECT tok AS word, CAST(count(1) AS BIGINT) AS wc FROM
+                   (SELECT unnest($tk) AS tok FROM documents) GROUP BY 1),
+      l0 AS (SELECT word, wc, u.pos AS pos, u.sym AS sym FROM (
+               SELECT word, wc, unnest(list_transform(range(1, len(word) + 1),
+                       i -> struct_pack(pos := i, sym := substr(word, i::INT, 1)))) AS u
+               FROM w)),$layers
+      SELECT * FROM ($rows) ORDER BY merge_rank"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q110_mixture_weights" -> """
@@ -622,6 +676,7 @@ object TrainingQueries {
              (sh2 > 0.2 OR coalesce(sh3, 0.0) > 0.18) AS rep_flag
       FROM s2 LEFT JOIN s3 USING (doc_id)
       ORDER BY round(sh2, 4) DESC, doc_id LIMIT 20""",
+    "q126_bpe_merges" -> bpeMergeOracle(4),
     "q124_vocab_growth" -> raw"""
       WITH bnd AS (SELECT CAST(min(doc_id) AS DOUBLE) AS lo,
                           CAST(max(doc_id) + 1 AS DOUBLE) AS hi FROM documents),

@@ -84,6 +84,20 @@ class AuditOpsSpec extends SparkSuite {
     assert(sil0 > 0.5)                   // dragged down by the misfit but still positive
   }
 
+  test("bpeMergeCurve reproduces hand-computed BPE merges (hug/pug corpus)") {
+    // wc: hug 3, pug 2, hugs 1. Weighted pairs: u+g 6, h+u 4, p+u 2, g+s 1.
+    // r1 merges (u,g) n=6 → tokens 2·3+2·2+3·1 = 13
+    // r2 merges (h,ug) n=4 → tokens 1·3+2·2+2·1 = 9
+    // r3 merges (p,ug) n=2 → tokens 1·3+1·2+2·1 = 7
+    val docs = Seq((1L, "hug hug hug pug pug hugs")).toDF("doc_id", "text")
+    val got = Corpus.bpeMergeCurve(docs, "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "u+g", 6L, 13L),
+      (2, "h+ug", 4L, 9L),
+      (3, "p+ug", 2L, 7L)))
+  }
+
   test("labelSilhouette requires at least two clusters") {
     val emb = Seq((0L, Array(1.0f, 0.0f), 7), (1L, Array(0.9f, 0.1f), 7))
       .toDF("vec_id", "embedding", "label")
