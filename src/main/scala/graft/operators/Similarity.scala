@@ -459,6 +459,84 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("__adc"), 4).as("adc"))
   }
 
+  /** Residual-quantization ANN (the two-level additive quantizer — FAISS
+    * `IndexIVFPQ` with `by_residual=true`, the composition [[ivfPqTopK]]'s
+    * scaladoc flags as the one it does NOT implement): a coarse full-dim
+    * quantizer picks the nearest centroid by L2 (L2, not cosine — the
+    * residual's MAGNITUDE is what the second level must encode), and a
+    * second full-dim codebook quantizes the residual v − c₁. The code per
+    * vector is (coarse id, residual codeword) — reconstruction c₁ + c₂ —
+    * and the query scores codes through a driver LUT over the
+    * coarse×residual cross product: ‖q − (c₁+c₂)‖² = ‖(q−c₁) − c₂‖², so
+    * `lut[(cid, cw)]` is exact for the pair and the scan is pure lookup
+    * (the [[pqTopK]] ADC shape, one pass, TakeOrdered merge only).
+    *
+    * Determinism: codebooks are seeded from the lowest vec_ids (the
+    * [[centroids]] convention) — but the residual seeds START AFTER the
+    * coarse seeds (ids ranked numCoarse+1 …): a coarse seed is its own
+    * nearest centroid, so its residual is identically zero and seeding
+    * from the same ids would make every residual codeword the zero vector
+    * (caught by the reconstruction-MSE probe: second level contributed
+    * nothing). Codeword 0 IS the explicit zero vector — "no residual
+    * correction" stays representable, so RQ reconstruction is never worse
+    * than the coarse level alone. Every distance is the sequential-fold
+    * square distance rounded to 6 ([[sq2]] in-plan, [[sqDistRounded]] on
+    * the driver), ties to the lowest id. Output `adc` ascending, rounded
+    * to 4.
+    */
+  def rqTopK(
+      embeddings: DataFrame,
+      numCoarse: Int,
+      numResidual: Int,
+      query: Seq[Double],
+      k: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val cents = centroids(embeddings, numCoarse)
+    def nearestCoarse(v: Seq[Double]): (Long, Seq[Double]) = {
+      val (cid, cv, _) = cents.map { case (c, w) => (c, w, sqDistRounded(v, w)) }
+        .minBy { case (c, _, d) => (d, c) }
+      (cid, cv)
+    }
+    // residual codebook: cw 0 = zero correction; cw 1.. = residuals of the
+    // ids ranked AFTER the coarse seeds (their own residuals are nonzero)
+    val rcb: Array[(Int, Seq[Double])] =
+      (0, Seq.fill(query.length)(0.0)) +:
+        centroids(embeddings, numCoarse + numResidual - 1).drop(numCoarse)
+          .zipWithIndex.map { case ((_, v), i) =>
+            val (_, cv) = nearestCoarse(v)
+            (i + 1, v.zip(cv).map { case (a, b) => a - b })
+          }
+    val lut: Map[Long, Double] = (for {
+      (cid, cv) <- cents
+      (cw, rv) <- rcb
+    } yield (cid * numResidual + cw) ->
+      sqDistRounded(query.zip(cv).map { case (a, b) => a - b }, rv)).toMap
+    val centMap = map(cents.flatMap { case (cid, cv) =>
+      Seq(lit(cid), array(cv.map(lit): _*))
+    }: _*)
+    val lutMap = map(lut.toSeq.sortBy(_._1).flatMap { case (key, d) =>
+      Seq(lit(key), lit(d))
+    }: _*)
+    val v = toDoubleArray(col("embedding"))
+    val coarseScored = array(cents.map { case (cid, cv) =>
+      struct(sq2(v, array(cv.map(lit): _*)).as("dist"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
+    val withRes = base
+      .withColumn("__cid", array_min(coarseScored).getField("cid"))
+      .withColumn("__res", zip_with(v, element_at(centMap, col("__cid")), (a, b) => a - b))
+    val rScored = array(rcb.map { case (cw, rv) =>
+      struct(sq2(col("__res"), array(rv.map(lit): _*)).as("dist"), lit(cw).as("cw"))
+    }.toIndexedSeq: _*)
+    withRes
+      .withColumn("__cw", array_min(rScored).getField("cw"))
+      .withColumn("__adc",
+        element_at(lutMap, col("__cid") * numResidual + col("__cw")))
+      .orderBy(col("__adc").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("__adc"), 4).as("adc"))
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR 1998)
     * — the diversity-aware top-k a retrieval/hard-negative-mining pipeline
     * runs AFTER a similarity shortlist: greedily pick k of a C-candidate

@@ -212,6 +212,20 @@ object SimilarityQueries {
         round(col("n_common") / col("n_exact"), 4).as("recall_at_k"))
   }
 
+  /** q127 — residual-quantization top-k ([[Similarity.rqTopK]]): the
+    * two-level additive quantizer (coarse L2 cell + full-dim residual
+    * codebook — FAISS's `by_residual=true` composition, the one q113's
+    * IVF-PQ deliberately does not cover). Codes score through a
+    * coarse×residual driver LUT; fully deterministic → full oracle.
+    */
+  def q127_rq_topk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    Similarity.rqTopK(emb, numCoarse = 16, numResidual = 16, q, k = 10,
+        excludeVecId = Some(QueryVecId))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+  }
+
   /** q125 — per-label silhouette audit ([[Similarity.labelSilhouette]]):
     * centroid-based simplified silhouette over the `label` clustering —
     * cohesion vs nearest-foreign-centroid separation, misfit counts per
@@ -222,6 +236,7 @@ object SimilarityQueries {
     Similarity.labelSilhouette(Tables.embeddings(s, dir))
 
   val all: Map[String, Q] = Map(
+    "q127_rq_topk" -> q127_rq_topk,
     "q125_silhouette" -> q125_silhouette,
     "q120_pq_recall_audit" -> q120_pq_recall_audit,
     "q118_sq8_topk" -> q118_sq8_topk,
@@ -269,6 +284,40 @@ object SimilarityQueries {
               GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(
+    "q127_rq_topk" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      cseed AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      ca AS (SELECT e.vec_id, e.label, e.v, c.cid, c.cv,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      round(list_sum(list_transform(range(1, 65), i ->
+                        (e.v[i::INT] - c.cv[i::INT]) * (e.v[i::INT] - c.cv[i::INT]))), 6),
+                      c.cid) AS rn
+             FROM e, cseed c),
+      a AS (SELECT vec_id, label, v, cid, cv FROM ca WHERE rn = 1),
+      rs AS (SELECT row_number() OVER (ORDER BY vec_id) AS cw,
+                    list_transform(range(1, 65), i -> v[i::INT] - cv[i::INT]) AS rv
+             FROM a WHERE vec_id IN
+               (SELECT vec_id FROM e ORDER BY vec_id LIMIT 15 OFFSET 16)),
+      rseed AS (SELECT 0 AS cw, list_transform(range(1, 65), i -> 0.0) AS rv
+                UNION ALL SELECT cw, rv FROM rs),
+      r AS (SELECT vec_id, label, cid, cv,
+                   list_transform(range(1, 65), i -> v[i::INT] - cv[i::INT]) AS res
+            FROM a),
+      rc AS (SELECT r.vec_id, r.label, r.cid, r.cv, s.cw, s.rv,
+                    row_number() OVER (PARTITION BY r.vec_id ORDER BY
+                      round(list_sum(list_transform(range(1, 65), i ->
+                        (r.res[i::INT] - s.rv[i::INT]) * (r.res[i::INT] - s.rv[i::INT]))), 6),
+                      s.cw) AS rn
+             FROM r, rseed s),
+      p AS (SELECT vec_id, label, cv, rv FROM rc WHERE rn = 1),
+      adc AS (SELECT p.vec_id, p.label,
+                     round(list_sum(list_transform(range(1, 65), i ->
+                       ((qv[i::INT] - p.cv[i::INT]) - p.rv[i::INT])
+                       * ((qv[i::INT] - p.cv[i::INT]) - p.rv[i::INT]))), 6) AS adc6
+              FROM p, q WHERE p.vec_id <> $QueryVecId)
+      SELECT vec_id, label, round(adc6, 4) AS adc
+      FROM adc ORDER BY adc6, vec_id LIMIT 10""",
     "q125_silhouette" -> """
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT label, t.i AS i, round(avg(v[t.i::INT]), 6) AS m

@@ -98,6 +98,27 @@ class AuditOpsSpec extends SparkSuite {
       (3, "p+ug", 2L, 7L)))
   }
 
+  test("rqTopK: residual level corrects a known offset (hand-computed codes)") {
+    // coarse seeds = ids 0,1; residual seed = id 2's residual (0,0.5,0,0)
+    // against its nearest coarse centroid v0; codeword 0 = zero correction.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.5f, 0.0f, 0.0f), 1),
+      (3L, Array(1.0f, 0.5f, 0.0f, 0.01f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq(1.0, 0.5, 0.0, 0.01)
+    val got = Similarity.rqTopK(emb, numCoarse = 2, numResidual = 2, q, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // ids 2 and 3 share code (c0, cw1) → identical ADC ≈ 1e-4, tie to id 2;
+    // ids 0/1 keep the zero codeword (their residuals are exactly zero) →
+    // ADC = plain distance to their own centroid
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 0L, 1L))
+    assert(got(0)._2 == got(1)._2 && got(0)._2 < 0.001)
+    assert(math.abs(got(2)._2 - 0.2501) < 1e-9)
+    assert(math.abs(got(3)._2 - 1.2501) < 1e-9)
+  }
+
   test("labelSilhouette requires at least two clusters") {
     val emb = Seq((0L, Array(1.0f, 0.0f), 7), (1L, Array(0.9f, 0.1f), 7))
       .toDF("vec_id", "embedding", "label")
