@@ -421,7 +421,8 @@ object Similarity {
   }
 
   /** IVF-PQ: the two quantizers composed the way a billion-vector index
-    * deploys them (FAISS `IndexIVFPQ` with `by_residual=false`) — the
+    * deploys them (FAISS `IndexIVFPQ` with `by_residual=false`; the
+    * residual-coded composition is [[rqTopK]]) — the
     * coarse quantizer ([[ivfAssign]]'s argmax-cosine cells) prunes the
     * scan to the `nprobe` cells nearest the query, and PQ-ADC
     * ([[pqTopK]]'s lookup table) scores only those cells' codes. Scan
