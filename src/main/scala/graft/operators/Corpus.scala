@@ -502,9 +502,24 @@ object Corpus {
     * Ties break on (count desc, x asc, y asc).
     */
   def bpeMergeCurve(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges >= 1 && merges <= 8, s"need 1 <= merges <= 8, got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLearn(docs, textCol, merges)._2
+      .toDF("merge_rank", "pair", "n_occurrences", "tokens_after")
+  }
+
+  /** The shared BPE training loop behind [[bpeMergeCurve]] (the curve) and
+    * [[bpeEncode]] (applying the learned vocabulary): `merges` rounds of
+    * pick-top-pair → merge-everywhere over the character-symbol expansion
+    * of the word-frequency table. Returns the final symbol table
+    * `(word, wc, pos, sym)` and the per-round curve
+    * `(rank, pair, n_occurrences, tokens_after)`.
+    */
+  private def bpeLearn(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int): (DataFrame, Seq[(Int, String, Long, Long)]) = {
+    require(merges >= 1 && merges <= 8, s"need 1 <= merges <= 8, got $merges")
     val w = Window.partitionBy("word").orderBy("pos")
     var rows = docs
       .select(explode_outer(TextFunctions.tokens(col(textCol))).as("word"))
@@ -537,7 +552,106 @@ object Corpus {
       val tokensAfter = rows.agg(sum("wc")).head().getLong(0)
       curve += ((r, s"$x+$y", n, tokensAfter))
     }
-    curve.result().toDF("merge_rank", "pair", "n_occurrences", "tokens_after")
+    (rows, curve.result())
+  }
+
+  /** BPE encoding under the learned vocabulary — the APPLY half of the
+    * tokenizer loop [[bpeMergeCurve]] trains: run `merges` rounds of
+    * pick-and-merge, then tokenize the corpus with the resulting symbol
+    * table and report the per-document token counts and compression the
+    * new tokenizer achieves (Sennrich et al. 2016's encode step; the
+    * number a vocab build actually ships on).
+    *
+    * Scale shape: the corpus is touched exactly TWICE, both times by one
+    * tokenize → hash-aggregate — once inside [[bpeLearn]] for the word
+    * frequencies, once here for the per-(doc, word) counts. Everything
+    * between runs on the vocabulary-sized symbol table, and per-word token
+    * counts re-attach via a word-keyed equi-join (vocab-sized build side —
+    * AQE broadcasts it at any realistic vocabulary), so no row of text is
+    * ever re-segmented per document: a word is encoded once, corpus-wide.
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int,
+      topN: Int): DataFrame = {
+    val (symbols, _) = bpeLearn(docs, textCol, merges)
+    // pos was re-row_numbered after every merge, so max(pos) = token count
+    val wordTokens = symbols.groupBy("word").agg(max("pos").as("__wtok"))
+    val perDocWords = docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("__c"))
+    perDocWords.join(wordTokens, "word")
+      .groupBy("doc_id")
+      .agg(sum("__c").as("n_words"),
+           sum(col("__c") * length(col("word"))).as("char_tokens"),
+           sum(col("__c") * col("__wtok")).as("bpe_tokens"))
+      .withColumn("compression",
+        round(col("char_tokens").cast("double") / col("bpe_tokens"), 4))
+      .orderBy(col("bpe_tokens").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
+  /** UniMax language/source-balanced budget allocation (Chung et al., ICLR
+    * 2023): spread a total training-token budget as uniformly as possible
+    * across sources, capping every source at `epochCap` epochs of its
+    * available tokens — the sampling policy that avoids both head-language
+    * domination (proportional) and tail-language over-epoching (uniform).
+    *
+    * The paper's per-round redistribution loop has a closed form: sort
+    * sources by their epoch cap ascending; a source is capped iff its cap
+    * fits under the water level implied by the budget left after every
+    * smaller cap is granted — `cap_i · (L − i + 1) ≤ B − Σ_{j<i} cap_j`,
+    * which is downward-closed in i (c_i ≤ c_{i+1} makes the predicate
+    * monotone), so ONE cumulative-sum window over the |sources|-row rollup
+    * replaces the iteration entirely. All comparisons are exact long
+    * arithmetic; the only double is the final water level
+    * `(B − Σ_capped) / (L − k)`, one IEEE division both engines compute
+    * identically. At 100 TB the corpus-sized work is the one tokenize →
+    * per-source rollup; the waterfilling itself touches |sources| rows.
+    */
+  def unimaxAllocation(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      budget: Long,
+      epochCap: Int): DataFrame = {
+    require(budget > 0 && epochCap >= 1, s"need budget > 0, epochCap >= 1")
+    val per = docs
+      .filter(col(textCol).isNotNull) // size(tokens(NULL)) = -1, not 0
+      .select(col(sourceCol).as("source"),
+        size(TextFunctions.tokens(col(textCol))).as("__ntok"))
+      .groupBy("source").agg(sum("__ntok").cast("long").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * epochCap)
+      .transform(Stage.snapshotDF) // feeds the count scalar AND the window
+    val order = Seq(col("cap_tokens").asc, col("source").asc)
+    val cum = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nSources = per.agg(count(lit(1)).as("__L"))
+    val ranked = per.crossJoin(broadcast(nSources))
+      .withColumn("__i", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .withColumn("__cum", sum("cap_tokens").over(cum))
+      .withColumn("capped",
+        col("cap_tokens") * (col("__L") - col("__i") + 1L) <=
+          lit(budget) - (col("__cum") - col("cap_tokens")))
+      .transform(Stage.snapshotDF) // feeds the k/Σ scalars AND the output
+    val waterline = ranked.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("__k"),
+      sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).as("__ck"))
+    ranked.crossJoin(broadcast(waterline))
+      .withColumn("__level",
+        (lit(budget) - col("__ck")).cast("double") /
+          (col("__L") - col("__k")).cast("double"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(round(col("__level")).cast("long")))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"), col("capped"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 4).as("epochs"))
+      .orderBy("source")
   }
 
   /** DSIR importance weights (Xie et al., "Data Selection for Language

@@ -533,6 +533,35 @@ object TrainingQueries {
     graft.operators.Corpus.bpeMergeCurve(
       graft.operators.Dedup.spread(Tables.documents(s, dir)), "text", merges = 4)
 
+  /** q128 — UniMax balanced budget allocation
+    * ([[graft.operators.Corpus.unimaxAllocation]]): the epoch-capped
+    * waterfilling sampling policy (Chung et al. 2023) that q119's one-shot
+    * temperature weighting is not — capped sources pin at exactly
+    * `epochCap` epochs, everyone else shares one uniform water level. The
+    * paper's redistribution LOOP collapses to a single cumulative-sum
+    * window over the per-source rollup (closed form; all-long exactness),
+    * so unlike q126's unrolled rounds this oracle is one plain SQL chain.
+    * Budget 105k sits inside the sf0.01 interesting regime by
+    * construction: Σcaps = 108,660 > B forces ≥1 uncapped, B/20 = 5,250 >
+    * min-cap forces ≥1 capped.
+    */
+  def q128_unimax: Q = (s, dir) =>
+    graft.operators.Corpus.unimaxAllocation(
+      Tables.documents(s, dir), "source", "text",
+      budget = 105000L, epochCap = 4)
+
+  /** q129 — BPE encode under the learned vocabulary
+    * ([[graft.operators.Corpus.bpeEncode]]): q126 trains the merges, this
+    * APPLIES them — per-document token counts and compression under the
+    * 4-merge tokenizer, closing the tokenizer train→apply loop. Words are
+    * encoded once corpus-wide (vocab-keyed join), never re-segmented per
+    * document. Top-20 documents by post-BPE token count.
+    */
+  def q129_bpe_encode: Q = (s, dir) =>
+    graft.operators.Corpus.bpeEncode(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      "doc_id", "text", merges = 4, topN = 20)
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -566,6 +595,8 @@ object TrainingQueries {
     "q122_source_novelty" -> q122_source_novelty,
     "q124_vocab_growth" -> q124_vocab_growth,
     "q126_bpe_merges" -> q126_bpe_merges,
+    "q128_unimax" -> q128_unimax,
+    "q129_bpe_encode" -> q129_bpe_encode,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -594,7 +625,12 @@ object TrainingQueries {
     * round (the q114 unrolled-greedy convention), built by loop so the four
     * layers cannot drift from each other.
     */
-  private def bpeMergeOracle(merges: Int): String = {
+  /** The shared CTE chain of the BPE oracles (q126 curve, q129 encode):
+    * word frequencies `w`, character expansion `l0`, and `merges` unrolled
+    * pick+apply layers `l1..lK` (the q114 unrolled-greedy convention),
+    * built by loop so the layers cannot drift from each other.
+    */
+  private def bpeOracleCtes(merges: Int): String = {
     val layers = (1 to merges).map { k =>
       val prev = s"l${k - 1}"
       raw"""
@@ -616,6 +652,15 @@ object TrainingQueries {
                     CASE WHEN m THEN xy ELSE sym END AS sym
              FROM f$k WHERE NOT pm)"""
     }.mkString(",")
+    raw"""w AS (SELECT tok AS word, CAST(count(1) AS BIGINT) AS wc FROM
+                   (SELECT unnest($tk) AS tok FROM documents) GROUP BY 1),
+      l0 AS (SELECT word, wc, u.pos AS pos, u.sym AS sym FROM (
+               SELECT word, wc, unnest(list_transform(range(1, len(word) + 1),
+                       i -> struct_pack(pos := i, sym := substr(word, i::INT, 1)))) AS u
+               FROM w)),$layers"""
+  }
+
+  private def bpeMergeOracle(merges: Int): String = {
     val rows = (1 to merges).map { k =>
       s"""
       SELECT $k AS merge_rank, (SELECT x || '+' || y FROM t$k) AS pair,
@@ -623,14 +668,25 @@ object TrainingQueries {
              (SELECT CAST(sum(wc) AS BIGINT) FROM l$k) AS tokens_after"""
     }.mkString(" UNION ALL ")
     raw"""
-      WITH w AS (SELECT tok AS word, CAST(count(1) AS BIGINT) AS wc FROM
-                   (SELECT unnest($tk) AS tok FROM documents) GROUP BY 1),
-      l0 AS (SELECT word, wc, u.pos AS pos, u.sym AS sym FROM (
-               SELECT word, wc, unnest(list_transform(range(1, len(word) + 1),
-                       i -> struct_pack(pos := i, sym := substr(word, i::INT, 1)))) AS u
-               FROM w)),$layers
+      WITH ${bpeOracleCtes(merges)}
       SELECT * FROM ($rows) ORDER BY merge_rank"""
   }
+
+  /** The q129 oracle: the q126 layers, then per-word token counts off the
+    * final symbol table and the per-document rollup through the word join.
+    */
+  private def bpeEncodeOracle(merges: Int): String = raw"""
+      WITH ${bpeOracleCtes(merges)},
+      wt AS (SELECT word, CAST(max(pos) AS BIGINT) AS wtok FROM l$merges GROUP BY 1),
+      dw AS (SELECT doc_id, tok AS word, CAST(count(1) AS BIGINT) AS c FROM
+               (SELECT doc_id, unnest($tk) AS tok FROM documents) GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(sum(c * len(word)) AS BIGINT) AS char_tokens,
+             CAST(sum(c * wtok) AS BIGINT) AS bpe_tokens,
+             round(CAST(sum(c * len(word)) AS DOUBLE) /
+                   CAST(sum(c * wtok) AS DOUBLE), 4) AS compression
+      FROM dw JOIN wt USING (word)
+      GROUP BY 1 ORDER BY bpe_tokens DESC, doc_id LIMIT 20"""
 
   val oracle: Map[String, String] = Map(
     "q110_mixture_weights" -> """
@@ -677,6 +733,31 @@ object TrainingQueries {
       FROM s2 LEFT JOIN s3 USING (doc_id)
       ORDER BY round(sh2, 4) DESC, doc_id LIMIT 20""",
     "q126_bpe_merges" -> bpeMergeOracle(4),
+    "q129_bpe_encode" -> bpeEncodeOracle(4),
+    "q128_unimax" -> raw"""
+      WITH per AS (SELECT source, CAST(sum(len($tk)) AS BIGINT) AS n_tokens
+                   FROM documents WHERE text IS NOT NULL GROUP BY 1),
+      c AS (SELECT source, n_tokens, n_tokens * 4 AS cap_tokens FROM per),
+      n AS (SELECT CAST(count(1) AS BIGINT) AS L FROM c),
+      r AS (SELECT c.*, n.L,
+              CAST(row_number() OVER (ORDER BY cap_tokens, source) AS BIGINT) AS i,
+              sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM c, n),
+      p AS (SELECT *,
+              cap_tokens * (L - i + 1) <= 105000 - (cum - cap_tokens) AS capped
+            FROM r),
+      k AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
+                   CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS ck
+            FROM p)
+      SELECT source, n_tokens, cap_tokens, capped,
+             CASE WHEN capped THEN cap_tokens
+                  ELSE CAST(round((105000 - ck) / nullif(L - k, 0)) AS BIGINT)
+             END AS alloc_tokens,
+             round(CASE WHEN capped THEN cap_tokens
+                  ELSE CAST(round((105000 - ck) / nullif(L - k, 0)) AS BIGINT)
+             END / n_tokens, 4) AS epochs
+      FROM p, k ORDER BY source""",
     "q124_vocab_growth" -> raw"""
       WITH bnd AS (SELECT CAST(min(doc_id) AS DOUBLE) AS lo,
                           CAST(max(doc_id) + 1 AS DOUBLE) AS hi FROM documents),

@@ -98,6 +98,76 @@ class AuditOpsSpec extends SparkSuite {
       (3, "p+ug", 2L, 7L)))
   }
 
+  test("bpeEncode applies the learned merges per document (hand-computed)") {
+    // same word frequencies as the curve test (hug 3, pug 2, hugs 1) →
+    // same 3 merges; after them hug = 1 token, pug = 1, hugs = hug|s = 2
+    val docs = Seq((1L, "hug hug pug"), (2L, "hugs pug hug")).toDF("doc_id", "text")
+    val got = Corpus.bpeEncode(docs, "doc_id", "text", merges = 3, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // ordered by bpe_tokens desc: doc 2 (1+1+2 = 4), doc 1 (1+1+1 = 3)
+    assert(got.toSeq == Seq(
+      (2L, 3L, 10L, 4L, 2.5),
+      (1L, 3L, 9L, 3L, 3.0)))
+  }
+
+  test("bpeEncode: fewer merges mean more tokens, never more than characters") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    def totals(m: Int): (Long, Long) = {
+      val r = Corpus.bpeEncode(docs, "doc_id", "text", merges = m, topN = 1000)
+        .agg(sum("bpe_tokens"), sum("char_tokens")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (bpe1, chars1) = totals(1)
+    val (bpe4, chars4) = totals(4)
+    assert(chars1 == chars4)      // character mass is merge-invariant
+    assert(bpe4 < bpe1)           // more merges compress further
+    assert(bpe1 < chars1)         // even one merge beats char tokenization
+  }
+
+  test("unimaxAllocation equals the iterative UniMax loop across regimes") {
+    // A tiny enough to cap first, C big enough to soak the remainder
+    val docs = Seq(
+      (1L, "A", Seq.fill(100)("w").mkString(" ")),
+      (2L, "B", Seq.fill(1000)("w").mkString(" ")),
+      (3L, "C", Seq.fill(10000)("w").mkString(" "))).toDF("doc_id", "source", "text")
+    def mirror(n: Map[String, Long], budget: Long, cap: Int): Map[String, Long] = {
+      val caps = n.map { case (s, t) => s -> t * cap }
+      var (b, rem, out) = (budget.toDouble, n.keySet, Map.empty[String, Long])
+      while (rem.nonEmpty && rem.exists(s => caps(s) <= b / rem.size)) {
+        val hit = rem.filter(s => caps(s) <= b / rem.size)
+        out ++= hit.map(s => s -> caps(s)); b -= hit.map(caps).sum; rem --= hit
+      }
+      out ++ rem.map(s => s -> math.round(b / rem.size))
+    }
+    val n = Map("A" -> 100L, "B" -> 1000L, "C" -> 10000L)
+    for (budget <- Seq(10000L, 3000L, 100000L)) { // mixed / A-only / all capped
+      val got = Corpus.unimaxAllocation(docs, "source", "text", budget, epochCap = 4)
+        .collect().map(r => (r.getString(0), r.getBoolean(3), r.getLong(4), r.getDouble(5)))
+      val want = mirror(n, budget, 4)
+      assert(got.map(r => r._1 -> r._3).toMap == want, s"budget $budget")
+      assert(got.filter(_._2).forall(_._4 == 4.0), s"capped rows pin at 4 epochs")
+    }
+    // the mixed regime really is mixed: A and B capped, C at the water level
+    val mixed = Corpus.unimaxAllocation(docs, "source", "text", 10000L, 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(mixed == Map("A" -> true, "B" -> true, "C" -> false))
+  }
+
+  test("unimaxAllocation conserves the budget up to per-source rounding") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"text")
+    val caps = docs.groupBy("source")
+      .agg(sum(size(graft.functions.TextFunctions.tokens($"text"))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1) * 4).toMap
+    // Σcaps − min lands in the mixed regime even on near-uniform sources
+    // (Σ > B forces ≥1 uncapped; the missing min-cap pulls the level under
+    // the larger caps while the smallest still fit)
+    val budget = caps.values.sum - caps.values.min
+    val rows = Corpus.unimaxAllocation(docs, "source", "text", budget, 4).collect()
+    val alloc = rows.map(_.getLong(4)).sum
+    assert(math.abs(alloc - budget) <= rows.length) // nearest-rounding slack
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
   test("rqTopK: residual level corrects a known offset (hand-computed codes)") {
     // coarse seeds = ids 0,1; residual seed = id 2's residual (0,0.5,0,0)
     // against its nearest coarse centroid v0; codeword 0 = zero correction.
