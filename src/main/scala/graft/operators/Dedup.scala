@@ -561,6 +561,128 @@ object Dedup {
       .select(col("id_src"), col("id_dst"), round(col("containment"), 4).as("containment"))
   }
 
+  /** Exact directed-containment DROP list under the greedy CONTAINER-ORDER
+    * admission semantics: document `src` drops iff some strictly GREATER
+    * document `dst` — greater meaning (sz_dst > sz_src) or (sz_dst = sz_src
+    * and id_dst < id_src) — contains it at C(src→dst) = |src ∩ dst| / |src|
+    * ≥ `threshold`. The ordering makes the survivor canonical: mutual
+    * containment between near-identical docs drops exactly the lower-ranked
+    * one, and the corpus-wide maximal document (largest sz, lowest id on
+    * ties) can never drop. A doc contained only in a STRICTLY SMALLER doc
+    * does not drop here — with t ≤ 1 that pair overlaps near-symmetrically
+    * (J ≥ t/(2−t)) and is the Jaccard admission family's case, not the
+    * subsumption case this operator removes.
+    *
+    * Pruning is [[containmentPairs]]' src-side prefix lemma (identical
+    * prefix length formula); the container-order candidate filter SUBSUMES
+    * its size filter, since sz_dst ≥ sz_src ≥ t·sz_src for t ≤ 1. `sh`
+    * must be snapshotted (it feeds df, prefix ranking, and verification).
+    */
+  def containmentDrops(sh: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    containmentDropsVia(prefixIndex(sh, threshold), sh, threshold)
+  }
+
+  /** Cold-path core shared by [[containmentDrops]] (full prefix) and
+    * [[containmentDropsGuarded]] (cold-shingle subset): candidates from
+    * src-prefix × dst-full meetings under container order, exact C on
+    * survivors from the full index, one `__id` drop column.
+    */
+  private def containmentDropsVia(
+      pfx: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val strictlyGreater =
+      col("sz_dst") > col("sz_src") ||
+        (col("sz_dst") === col("sz_src") && col("id_dst") < col("id_src"))
+    val cand = pfx
+      .select(col("__id").as("id_src"), col("sz").as("sz_src"), col("shingle"))
+      .join(sh.select(col("__id").as("id_dst"), col("sz").as("sz_dst"), col("shingle")),
+        Seq("shingle"))
+      .filter(strictlyGreater)
+      .select("id_src", "id_dst").distinct()
+    cand
+      .join(sh.select(col("__id").as("id_src"), col("sz").as("sz_src"), col("shingle")),
+        "id_src")
+      .join(sh.select(col("__id").as("id_dst"), col("shingle")), Seq("id_dst", "shingle"))
+      .groupBy("id_src", "id_dst")
+      .agg(count(lit(1)).as("c"), max(col("sz_src")).as("sz_src"))
+      .filter(col("c").cast("double") / col("sz_src").cast("double") >= threshold)
+      .select(col("id_src").as("__id")).distinct()
+  }
+
+  /** [[containmentDrops]] with a COST GUARD — closes the one hot-shingle
+    * exposure [[containmentPairs]]' scaladoc documents: its candidate
+    * volume per shingle is (prefix postings) × (full-index df), and a
+    * corpus whose documents are MOSTLY boilerplate (a template-dominated
+    * crawl) re-creates the quadratic blowup that rarest-first prefixes
+    * normally avoid. Mirrors [[jaccardDropsGuarded]]:
+    *
+    *   1. Predict the candidate-instance count from one tiny aggregate —
+    *      Σ over shingles of (prefix postings × full df), an upper bound
+    *      (it includes each doc's self-meeting) that costs a pdf⋈df join
+    *      of two shingle-keyed counts, no explode.
+    *   2. Under `pairBudget`: the exact path, bit-identical to
+    *      [[containmentDrops]].
+    *   3. Over budget: split shingles at `hotDfCap` on the FULL-index df
+    *      (the probe-side explosion driver — contrast the Jaccard guard,
+    *      whose pair stage is prefix×prefix and splits on prefix-posting
+    *      count). COLD shingles (df ≤ cap) keep exact candidates →
+    *      verification. HOT shingles take a LINEAR rule: src drops iff the
+    *      container-order maximum over the shingle's full postings —
+    *      (sz desc, id asc), one groupBy — is strictly greater than src.
+    *
+    * Guarantees in guarded mode: drops ⊇ the exact drops (a qualifying
+    * pair dst ≻ src must meet on a src-prefix shingle; cold meeting →
+    * verified and dropped, hot meeting → dst's presence makes the
+    * shingle's maximum ≻ src, so the linear rule drops src), so no doc
+    * that exact admission would reject is ever admitted; and the
+    * container-order maximum of every hot shingle — hence the corpus-wide
+    * maximal document — always survives. The price is FALSE DROPS bounded
+    * to docs sharing a hot shingle with a strictly greater doc, the
+    * conservative direction for admission, observable via the
+    * `graft.containGuard` observe metric (no-silent-caps convention).
+    *
+    * `sh` must be snapshotted. The driver-side `head()` on the one-row
+    * estimate is the same per-batch orchestration pattern as
+    * [[jaccardDropsGuarded]]'s.
+    */
+  def containmentDropsGuarded(
+      sh: DataFrame,
+      threshold: Double,
+      pairBudget: Long = 1000000L,
+      hotDfCap: Int = 64): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    require(pairBudget > 0, s"need pairBudget > 0, got $pairBudget")
+    require(hotDfCap > 1, s"need hotDfCap > 1, got $hotDfCap")
+    val prefix = prefixIndex(sh, threshold).transform(Stage.snapshotDF)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfull"))
+      .transform(Stage.snapshotDF) // feeds the estimate AND the hot/cold split
+    val predicted = prefix.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+      .join(dfreq, "shingle")
+      .agg(coalesce(sum(col("pdf") * col("dfull")), lit(0L)).as("cand"))
+      .head().getLong(0)
+    if (predicted <= pairBudget) containmentDropsVia(prefix, sh, threshold)
+    else {
+      val pfx = prefix.join(dfreq, "shingle")
+      val coldDrops = containmentDropsVia(
+        pfx.filter(col("dfull") <= hotDfCap).drop("dfull"), sh, threshold)
+      // container-order maximum per hot shingle, over the FULL postings
+      val hotBest = sh.join(dfreq.filter(col("dfull") > hotDfCap), "shingle")
+        .groupBy("shingle")
+        .agg(max(struct(col("sz").as("sz"), (-col("__id")).as("nid"))).as("b"))
+        .select(col("shingle"), col("b.sz").as("sz_best"), (-col("b.nid")).as("id_best"))
+      val hotDrops = pfx.filter(col("dfull") > hotDfCap)
+        .join(hotBest, "shingle")
+        .filter(col("sz_best") > col("sz") ||
+          (col("sz_best") === col("sz") && col("id_best") < col("__id")))
+        .select("__id").distinct()
+        .observe(s"graft.containGuard.${capObsId.incrementAndGet()}",
+          count(lit(1)).as("hot_dropped_docs"))
+      coldDrops.union(hotDrops).distinct()
+    }
+  }
+
   /** Candidate-index quality audit: measure a candidate pair set against
     * exact ground truth and report recall (exact pairs the index found) and
     * precision (candidates that were real) as ONE relational row —
