@@ -32,11 +32,22 @@ object Verify {
       }
       .filter(_.nonEmpty)
       .getOrElse(SparkEntry.queries)
+    // Failed queries must be LOUD in the artifact: a broken query used to
+    // print to stderr and vanish from CORRECTNESS as an absent key (r10: 14
+    // events-backed queries disappeared silently). Now every failure writes
+    // a per-query `<name>/_error.txt` marker plus a top-level `errors.json`
+    // so the breakage is visible in the dump itself.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        val qDir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(qDir)
+        Files.writeString(qDir.resolve("_error.txt"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +57,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }
