@@ -54,6 +54,12 @@ object BenchSkew {
       docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 3)
     def shOld = Dedup.shingleIndex(
       docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 3)
+    // full corpus shingle index for the containment-subsumption family —
+    // the near-dup cluster's shared base makes every base shingle hot
+    // (df ≈ hotFrac·N), exactly the boilerplate-dominated shape whose
+    // candidate volume the containment guard exists to bound
+    def shAll = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+      .transform(Stage.snapshotDF)
 
     // SPARK_GRAFT_SKEW_OPS: comma-separated op-name filter (substring
     // match) — the 10×-scale soak runs the capped forms only, because the
@@ -72,6 +78,10 @@ object BenchSkew {
         Dedup.jaccardBetween(shNew, shOld, 0.6, maxPostings = 50).count()),
       "jacc_between_open" -> (() =>
         Dedup.jaccardBetween(shNew, shOld, 0.6, maxPostings = 0).count()),
+      "contain_drops_guarded" -> (() =>
+        Dedup.containmentDropsGuarded(shAll, 0.8).count()),
+      "contain_drops_open" -> (() =>
+        Dedup.containmentDrops(shAll, 0.8).count()),
       "embed_block_drop" -> (() =>
         Dedup.embeddingNearDups(emb, "label", 0.9, 500, "drop").count()),
       "embed_block_subblock" -> (() =>

@@ -268,6 +268,36 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** q130 — GUARDED containment-subsumption drops
+    * ([[Dedup.containmentDropsGuarded]]), guard FORCED (`pairBudget = 1`)
+    * with `hotDfCap = 2` so BOTH degraded-mode paths execute on the driver
+    * corpus: cold shingles (full-index df ≤ 2) run the exact
+    * candidates→verify pipeline against the full index, hot shingles take
+    * the linear container-order-maximum rule. Output = the docs a greedy
+    * container-order admitter would drop as subsumed (contained at C ≥ 0.8
+    * inside a strictly greater document) — the directed twin of q108's
+    * Jaccard drop list.
+    *
+    * ORACLE NOTE (the q108 convention): guarded mode is a DEFINED
+    * approximation — hot-shingle over-dropping is its documented
+    * semantics — so the oracle mirrors the definition (prefix → hot/cold
+    * split on FULL-index df → exact cold verify ∪ per-shingle container-
+    * order max rule). The shared numerics (ceil slack, prefix length) are
+    * the same expressions q90/q123 prove against UNPRUNED oracles, so a
+    * mirrored bug there would already fail those; DedupSpec separately
+    * asserts drops ⊇ the exact [[Dedup.containmentDrops]] list and
+    * maximal-document survival on a hand corpus, and that the under-budget
+    * form is bit-identical to the exact path.
+    */
+  def q130_contain_drops: Q = (s, dir) => {
+    val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
+      .transform(Stage.snapshotDF)
+    Dedup.containmentDropsGuarded(sh, threshold = 0.8,
+        pairBudget = 1L, hotDfCap = 2)
+      .select(col("__id").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** q111 — LSH index-quality audit ([[Dedup.candidateRecallAudit]]):
     * recall and precision of the deterministic MinHash-LSH candidate set
     * (q84's generator) against the exact J≥0.6 pair graph (q42/q90's
@@ -297,6 +327,7 @@ object DedupQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q130_contain_drops" -> q130_contain_drops,
     "q123_containment" -> q123_containment,
     "q111_lsh_recall_audit" -> q111_lsh_recall_audit,
     "q108_guarded_drops" -> q108_guarded_drops,
@@ -617,6 +648,56 @@ object DedupQueries {
       WHERE n.vec_id % 5 = 0 AND o.vec_id % 5 <> 0
         AND list_cosine_similarity(n.v, o.v) >= 0.35
       ORDER BY 1, 2""",
+    "q130_contain_drops" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      dfreq AS (SELECT shingle, count(1) AS df FROM sh GROUP BY 1),
+      ranked AS (
+        SELECT s.doc_id, s.shingle, z.sz, d.df,
+               row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rn
+        FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+        JOIN sizes z ON z.doc_id = s.doc_id),
+      prefix AS (
+        SELECT * FROM ranked WHERE rn <= sz - ceil(sz * 0.8 - 1e-9) + 1),
+      cold AS (SELECT * FROM prefix WHERE df <= 2),
+      hot  AS (SELECT * FROM prefix WHERE df > 2),
+      cands AS (
+        SELECT DISTINCT c.doc_id AS id_src, b.doc_id AS id_dst
+        FROM cold c JOIN sh b ON c.shingle = b.shingle
+        JOIN sizes zb ON zb.doc_id = b.doc_id
+        WHERE zb.sz > c.sz OR (zb.sz = c.sz AND b.doc_id < c.doc_id)),
+      verify AS (
+        SELECT v.id_src, count(1) AS c, max(za.sz) AS sz_src
+        FROM cands v
+        JOIN sh a ON a.doc_id = v.id_src
+        JOIN sh b ON b.doc_id = v.id_dst AND b.shingle = a.shingle
+        JOIN sizes za ON za.doc_id = v.id_src
+        GROUP BY v.id_src, v.id_dst),
+      cold_drops AS (
+        SELECT id_src AS doc_id FROM verify WHERE c * 1.0 / sz_src >= 0.8),
+      hotbest AS (
+        SELECT shingle, sz AS sz_best, doc_id AS id_best FROM (
+          SELECT s.shingle, s.doc_id, z.sz,
+                 row_number() OVER (PARTITION BY s.shingle
+                   ORDER BY z.sz DESC, s.doc_id) AS rb
+          FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+          JOIN sizes z ON z.doc_id = s.doc_id
+          WHERE d.df > 2)
+        WHERE rb = 1),
+      hot_drops AS (
+        SELECT h.doc_id FROM hot h JOIN hotbest b ON h.shingle = b.shingle
+        WHERE b.sz_best > h.sz OR (b.sz_best = h.sz AND b.id_best < h.doc_id))
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id FROM cold_drops UNION ALL SELECT doc_id FROM hot_drops)
+      ORDER BY 1""",
     "q108_guarded_drops" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

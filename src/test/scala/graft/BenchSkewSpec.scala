@@ -50,6 +50,29 @@ class BenchSkewSpec extends SparkSuite {
       "detector must distinguish a capped run from the simulated mutation")
   }
 
+  test("gate: containment guard fires on the skew corpus, drops ⊇ exact, maximal survives") {
+    val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+      .transform(graft.operators.Stage.snapshotDF)
+    // Predicted candidate volume scales with cluster², so the CI-size
+    // fixture (160-doc cluster → ~240k predicted) needs a fixture-scaled
+    // budget to trip; production hotDfCap stays. BenchSkew at full fixture
+    // size (2000-doc cluster → ~40M predicted) trips the true 1e6 default.
+    val guardedDf = Dedup.containmentDropsGuarded(sh, 0.8,
+      pairBudget = 100000L, hotDfCap = 64)
+    val guarded = guardedDf.collect().map(_.getLong(0)).toSet
+    val fired = guardedDf.queryExecution.observedMetrics.exists {
+      case (n, _) => n.startsWith("graft.containGuard.")
+    }
+    assert(fired, "skew corpus must push the guard over budget (else the fixture proves nothing)")
+    val exact = Dedup.containmentDrops(sh, 0.8).as[Long].collect().toSet
+    assert(exact.nonEmpty && exact.subsetOf(guarded),
+      s"guarded must never admit an exact-rejected doc; missing ${exact -- guarded}")
+    // container-order maximal doc of the corpus can never drop
+    val maximal = sh.groupBy("__id").agg(max("sz").as("sz"))
+      .orderBy(col("sz").desc, col("__id")).head().getLong(0)
+    assert(!guarded.contains(maximal), s"maximal doc $maximal must survive")
+  }
+
   test("gate: salted aggregation and join are bit-equal to their plain twins under skew") {
     val salted = Skew.saltedAggregate(docs.select("source", "n_chars"), Seq("source"),
       sum("n_chars").as("partial"), sum("partial").as("total_chars"))

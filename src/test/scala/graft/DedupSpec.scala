@@ -322,6 +322,65 @@ class DedupSpec extends SparkSuite {
     assert(row.getLong(2) == (exact intersect cand).size.toLong, s"n_hit: $row")
   }
 
+  // Hand corpus for the containment-subsumption family: doc 1 (10 tokens)
+  // sits entirely inside doc 2 (20 tokens, same leading text) → C(1→2)=1.0;
+  // doc 4 duplicates doc 2's text (equal size, higher id — the mutual-
+  // containment tie the container order must break toward the lower id);
+  // doc 3 shares nothing. Exact drops = {1, 4}; survivors = {2, 3}; doc 2
+  // is the corpus-wide container-order maximal document.
+  private lazy val containCorpus = Seq(
+    (1L, "a b c d e f g h i j"),
+    (2L, "a b c d e f g h i j k l m n o p q r s t"),
+    (3L, "x y z w v u t2 s2 r2 q2 p2 o2 n2 m2"),
+    (4L, "a b c d e f g h i j k l m n o p q r s t"))
+    .toDF("doc_id", "text")
+
+  private def containSh =
+    Dedup.shingleIndex(containCorpus, "doc_id", "text", 3)
+      .transform(graft.operators.Stage.snapshotDF)
+
+  test("containmentDrops: contained doc and tied duplicate drop; maximal + unrelated survive") {
+    val drops = Dedup.containmentDrops(containSh, 0.8)
+      .as[Long].collect().sorted.toSeq
+    assert(drops == Seq(1L, 4L), s"exact drops: $drops")
+  }
+
+  test("containmentDropsGuarded under budget is bit-identical to the exact path") {
+    val exact = Dedup.containmentDrops(containSh, 0.8).as[Long].collect().sorted.toSeq
+    val silent = Dedup.containmentDropsGuarded(containSh, 0.8,
+        pairBudget = 1000000L, hotDfCap = 64)
+      .as[Long].collect().sorted.toSeq
+    assert(silent == exact, s"under-budget guarded $silent vs exact $exact")
+  }
+
+  test("containmentDropsGuarded forced: drops ⊇ exact, maximal doc survives, guard observable") {
+    val exact = Dedup.containmentDrops(containSh, 0.8).as[Long].collect().toSet
+    val guardedDf = Dedup.containmentDropsGuarded(containSh, 0.8,
+      pairBudget = 1L, hotDfCap = 2)
+    // collect the DataFrame itself: observe metrics land only on the
+    // executed QueryExecution (.as[Long] would wrap a fresh one)
+    val guarded = guardedDf.collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(guarded),
+      s"guarded admission must never admit a doc exact would reject: $guarded vs $exact")
+    // doc 2 is the container-order maximum of every hot shingle → can't drop
+    assert(!guarded.contains(2L), "corpus-maximal doc must survive guarded mode")
+    assert(guarded.contains(1L) && guarded.contains(4L))
+    // the hot path's over-drop accounting is on the observability channel
+    val metrics = guardedDf.queryExecution.observedMetrics
+      .collect { case (name, row) if name.startsWith("graft.containGuard.") => row }
+    assert(metrics.nonEmpty, "forced guard must emit the containGuard observe metric")
+  }
+
+  test("containmentDropsGuarded forced ⊇ exact on the sf corpus (non-hand-picked skew)") {
+    val sh = Dedup.shingleIndex(corpus, "doc_id", "text", 3)
+      .transform(graft.operators.Stage.snapshotDF)
+    val exact = Dedup.containmentDrops(sh, 0.8).as[Long].collect().toSet
+    val forced = Dedup.containmentDropsGuarded(sh, 0.8, pairBudget = 1L, hotDfCap = 2)
+      .as[Long].collect().toSet
+    assert(exact.nonEmpty, "fixture must exercise a non-empty exact drop set")
+    assert(exact.subsetOf(forced), s"missing: ${exact -- forced}")
+  }
+
   test("a firing bucket cap is observable (dropped_rows/dropped_buckets metric)") {
     val vec = Array.fill(4)(1.0f)
     val rows = (0 until 10).map(i => (i.toLong, "hot", vec)) ++
