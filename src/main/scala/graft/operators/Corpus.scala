@@ -375,6 +375,30 @@ object Corpus {
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
+    val flagged = flaggedWindows(docs, idCol, textCol, k)
+    // gaps-and-islands per doc: consecutive duplicated positions share
+    // (pos − rank-among-dup-rows); window bounded by doc length
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("is_dup"))
+      .withColumn("__grp", col("pos") - row_number().over(runW))
+      .groupBy("doc_id", "__grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("longest_run"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .join(runs, Seq("doc_id"), "left")
+      .withColumn("longest_run", coalesce(col("longest_run"), lit(0L)))
+      .withColumn("dup_ratio", round(col("n_dup") / col("n_windows"), 4))
+  }
+
+  /** Shared stage of [[duplicatedSpans]] (census) and
+    * [[removeDuplicatedSpans]] (rewrite): positional k-token windows per
+    * document, each flagged `is_dup` when its text occurs in ≥ 2 distinct
+    * documents. Snapshotted internally (the window relation feeds both the
+    * dup-gram set and the flag join).
+    */
+  private def flaggedWindows(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int): DataFrame = {
     val tk = TextFunctions.tokens(col(textCol))
     // positional (pos, gram) windows; sequence() descends when start>stop,
     // so short docs must short-circuit to an empty array, not sequence(0,<0)
@@ -390,21 +414,60 @@ object Corpus {
     val dupGrams = w.select("gram", "doc_id").distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gram")
-    val flagged = w.join(dupGrams.withColumn("__d", lit(true)), Seq("gram"), "left")
+    w.join(dupGrams.withColumn("__d", lit(true)), Seq("gram"), "left")
       .withColumn("is_dup", coalesce(col("__d"), lit(false)))
-    // gaps-and-islands per doc: consecutive duplicated positions share
-    // (pos − rank-among-dup-rows); window bounded by doc length
+  }
+
+  /** Cross-document duplicated-span REMOVAL — the rewrite step of
+    * ExactSubstr deduplication (Lee et al. 2022 §4.2: cut every substring
+    * shared verbatim with another document, keep the rest of the text):
+    * [[duplicatedSpans]] censuses the damage, this operator repairs it.
+    * A maximal run of `run` consecutive duplicated windows covers tokens
+    * `[start, start + run + k − 2]`; every run with `run ≥ minRun` (span
+    * length ≥ minRun + k − 1 tokens — the paper's span threshold mapped to
+    * a run threshold) is cut from the document. Output per doc:
+    * `clean_text` (surviving tokens joined by single spaces — whitespace-
+    * normalized, like every tokenized rewrite), `n_tokens`, `n_removed`.
+    * ALL occurrences of a duplicated span are cut, in every document that
+    * carries it (the paper's choice; survivorship belongs to the Jaccard/
+    * containment admission family, not the span cutter).
+    *
+    * Dataflow at 100 TB: the census stages are [[duplicatedSpans]]'
+    * (linear, gram-keyed, no pairwise stage); the rewrite adds one
+    * doc-keyed aggregation of qualifying runs into an interval array
+    * (bounded by doc length) and one broadcast-friendly doc-keyed join
+    * back to the corpus; the cut itself is a codegen higher-order filter
+    * (token index ∉ any interval) — per-row cost O(tokens × intervals),
+    * both bounded by document length. The reference's K5 sink shows
+    * rewrite-on-sink is in-contract
+    * (`/root/reference/ingester/annotations_indexer.py:148-165`).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, minRun: Int = 1): DataFrame = {
+    require(minRun >= 1, s"need minRun >= 1, got $minRun")
     val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = flagged.filter(col("is_dup"))
+    val intervals = flaggedWindows(docs, idCol, textCol, k)
+      .filter(col("is_dup"))
       .withColumn("__grp", col("pos") - row_number().over(runW))
-      .groupBy("doc_id", "__grp").agg(count(lit(1)).as("run"))
-      .groupBy("doc_id").agg(max("run").as("longest_run"))
-    flagged.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
-      .join(runs, Seq("doc_id"), "left")
-      .withColumn("longest_run", coalesce(col("longest_run"), lit(0L)))
-      .withColumn("dup_ratio", round(col("n_dup") / col("n_windows"), 4))
+      .groupBy("doc_id", "__grp")
+      .agg(min("pos").as("s"), count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+      .withColumn("e", col("s") + col("run") + lit(k - 2))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s").cast("long").as("s"), col("e").as("e"))).as("iv"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(intervals, Seq("doc_id"), "left")
+      .withColumn("__tk", TextFunctions.tokens(col("__text")))
+      .withColumn("__kept",
+        when(col("iv").isNull, col("__tk"))
+          .otherwise(filter(col("__tk"), (t, i) =>
+            !exists(col("iv"), v =>
+              i.cast("long") >= v.getField("s") && i.cast("long") <= v.getField("e")))))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   /** Boilerplate detection by corpus-wide n-gram document frequency (the

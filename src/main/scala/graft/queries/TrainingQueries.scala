@@ -374,6 +374,24 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q131 — duplicated-span REMOVAL ([[Corpus.removeDuplicatedSpans]],
+    * the rewrite step of ExactSubstr dedup — Lee et al. 2022 §4.2): q107
+    * censuses cross-document word-5-gram spans, this query CUTS them and
+    * returns the rewritten corpus — per doc the whitespace-normalized
+    * `clean_text` with every cross-doc span removed, plus token/removed
+    * counts. `minRun = 1` cuts every duplicated window (span threshold =
+    * k = 5 tokens); all occurrences are cut in all carriers (the paper's
+    * semantics — survivor election belongs to the admission family). The
+    * oracle replays the definition end-to-end in SQL, including the
+    * rewritten strings, so the hash check covers the actual output text,
+    * not just the counts.
+    */
+  def q131_span_removal: Q = (s, dir) => {
+    Corpus.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, minRun = 1)
+      .orderBy("doc_id")
+  }
+
   /** q101 — CCNet-style quality buckets: per-language head/middle/tail
     * terciles by unigram-LM surprisal ([[Corpus.rankBuckets]], the exact
     * rank form — ordered by rounded score + doc_id so every boundary is
@@ -585,6 +603,7 @@ object TrainingQueries {
   val all: Map[String, Q] = Map(
     "q110_mixture_weights" -> q110_mixture_weights,
     "q107_dup_spans" -> q107_dup_spans,
+    "q131_span_removal" -> q131_span_removal,
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
     "q115_bpe_pairs" -> q115_bpe_pairs,
@@ -909,6 +928,49 @@ object TrainingQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_hash
       FROM s GROUP BY 1 ORDER BY 1""",
+    "q131_span_removal" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
+                 i -> struct_pack(pos := i,
+                   gram := array_to_string(tk[i+1:i+5], ' ')))) AS s
+        FROM toks),
+      ww AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM w),
+      dupg AS (
+        SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM ww)
+        GROUP BY gram HAVING count(1) >= 2),
+      f AS (
+        SELECT ww.doc_id, ww.pos, (d.gram IS NOT NULL) AS is_dup
+        FROM ww LEFT JOIN dupg d USING (gram)),
+      runs AS (
+        SELECT doc_id, grp, min(pos) AS s, count(1) AS run FROM (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM f WHERE is_dup)
+        GROUP BY doc_id, grp),
+      iv AS (SELECT doc_id, s, s + run + 3 AS e FROM runs WHERE run >= 1),
+      covered AS (
+        SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos FROM iv),
+      tp AS (
+        SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM toks),
+      tok AS (SELECT doc_id, pos, tk[pos+1] AS tok FROM tp),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.pos IS NULL),
+      agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(1) AS n_kept
+        FROM kept GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(a.clean_text, '') AS clean_text,
+             CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+      FROM toks t LEFT JOIN agg a USING (doc_id)
+      ORDER BY 1""",
     "q107_dup_spans" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

@@ -251,6 +251,35 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.duplicatedSpans(tiny, "doc_id", "text", k = 3).count() == 0)
   }
 
+  test("removeDuplicatedSpans cuts the shared span from every carrier, keeps the rest") {
+    // the duplicatedSpans fixture: docs 10/11 share the 7-token span
+    // "p q r s t u v" (5 consecutive dup windows at k=3 → interval
+    // [start, start+5+3−2] covers exactly the 7 shared tokens); doc 12
+    // self-repeats (cross-doc definition must NOT cut it); doc 13 unique;
+    // doc 20 shorter than k → no windows, text passes through normalized.
+    val d = Seq(
+      (10L, "p q r s t u v x1 y1"),
+      (11L, "z9 p q r s t u v w9"),
+      (12L, "m n o k m n o k"),
+      (13L, "a9 b9 c9 d9"),
+      (20L, "a  b")                       // double space: output normalizes
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDuplicatedSpans(d, "doc_id", "text", k = 3, minRun = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(out(10L) == (("x1 y1", 9L, 7L)))
+    assert(out(11L) == (("z9 w9", 9L, 7L)))
+    assert(out(12L) == (("m n o k m n o k", 8L, 0L)))
+    assert(out(13L) == (("a9 b9 c9 d9", 4L, 0L)))
+    assert(out(20L) == (("a b", 2L, 0L)))
+    assert(out.size == 5, "every input doc must appear in the rewrite")
+    // minRun above the fixture's longest run (5): nothing qualifies, all kept
+    val strict = Corpus.removeDuplicatedSpans(d, "doc_id", "text", k = 3, minRun = 6)
+      .agg(sum("n_removed")).head().getLong(0)
+    assert(strict == 0L, "runs below minRun must not be cut")
+  }
+
   test("bpePairStats counts every pair occurrence weighted by word frequency") {
     import spark.implicits._
     // word counts: "ab"×3 (two in doc 1, one in doc 2), "abc"×1, "aaa"×1.
