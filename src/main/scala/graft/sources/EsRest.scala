@@ -49,7 +49,9 @@ object EsRest {
       pass: Option[String] = None,
       apiKey: Option[String] = None,
       chunkSize: Int = 10000,
-      timeoutSec: Long = 30)
+      timeoutSec: Long = 30,
+      maxRetries: Int = 4,
+      retryBackoffMs: Long = 50)
 
   // one client per JVM (driver or executor) — HttpClient is thread-safe
   @transient private lazy val client: HttpClient =
@@ -74,6 +76,33 @@ object EsRest {
     authHeader(conf).foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
+  }
+
+  /** Transient-overload statuses a client must retry, never fail on:
+    * 429 (es rejected-execution backpressure) and 503 (cluster block).
+    */
+  private val Retryable = Set(429, 503)
+
+  /** [[request]] with bounded exponential backoff on retryable statuses —
+    * the client-side half of ES backpressure (the reference inherits the
+    * same policy from elasticsearch-py's `streaming_bulk` retry knobs,
+    * `es_common.py:199-203`; NLP-side twin: `NlpService` B3 retry).
+    * Non-retryable statuses and the final attempt's status return as-is —
+    * the CALLER decides between count-and-continue (bulk) and fail-fast
+    * (reads).
+    */
+  private[graft] def requestRetrying(
+      conf: EsConf, method: String, path: String,
+      body: Option[String] = None,
+      contentType: String = "application/json"): (Int, String) = {
+    var attempt = 0
+    var resp = request(conf, method, path, body, contentType)
+    while (Retryable(resp._1) && attempt < conf.maxRetries) {
+      Thread.sleep(conf.retryBackoffMs << attempt) // 50,100,200,400…
+      attempt += 1
+      resp = request(conf, method, path, body, contentType)
+    }
+    resp
   }
 
   /** S6/S7 — liveness ping (`es_common.py:81-82`: ping or refuse to
@@ -104,12 +133,24 @@ object EsRest {
     mapper.readTree(resp).path("count").asLong()
   }
 
+  /** One `_bulk` POST with the reference's counts-and-continues error
+    * model (`es_common.py:198-210`: streaming_bulk counts per-item
+    * failures; an exception logs and returns — the job never aborts):
+    * retryable statuses back off and retry ([[requestRetrying]]); a chunk
+    * still failing after retries counts ALL `nDocs` docs failed and moves
+    * on; a 200 with partial item rejects counts exactly the rejected
+    * items. B4 per-doc isolation either way.
+    */
   private def postChunk(
-      conf: EsConf, lines: Seq[String], failed: LongAccumulator): Unit = {
+      conf: EsConf, lines: Seq[String], nDocs: Int, failed: LongAccumulator): Unit = {
     val body = lines.mkString("", "\n", "\n")
     val (code, resp) =
-      request(conf, "POST", "/_bulk", Some(body), "application/x-ndjson")
-    require(code == 200, s"bulk failed: HTTP $code $resp")
+      requestRetrying(conf, "POST", "/_bulk", Some(body), "application/x-ndjson")
+    if (code != 200) {
+      System.err.println(s"[es-bulk] chunk of $nDocs docs failed after retries: HTTP $code")
+      failed.add(nDocs.toLong)
+      return
+    }
     val tree = mapper.readTree(resp)
     if (tree.path("errors").asBoolean(false)) {
       val items = tree.path("items")
@@ -134,7 +175,7 @@ object EsRest {
         // (B4 per-doc isolation, same as the reference's failed-docs log)
         val (bad, good) = g.partition(_.isNullAt(0))
         if (bad.nonEmpty) failed.add(bad.size.toLong)
-        if (good.nonEmpty) postChunk(conf, good.flatMap(mkLines).toSeq, failed)
+        if (good.nonEmpty) postChunk(conf, good.flatMap(mkLines).toSeq, good.size, failed)
       }
     }
     failed
@@ -206,7 +247,7 @@ object EsRest {
         sliceIds.flatMap { sliceId =>
           val sliceClause =
             if (slices == 1) "" else s""""slice":{"id":$sliceId,"max":$slices},"""
-          val first = request(conf, "POST", s"/$index/_search?scroll=1m",
+          val first = requestRetrying(conf, "POST", s"/$index/_search?scroll=1m",
             Some(s"""{$sliceClause"size":$pageSize,"query":{"match_all":{}}}"""))
           require(first._1 == 200, s"search slice $sliceId failed: ${first._2}")
           Iterator.unfold(Option(first._2)) {
@@ -233,8 +274,20 @@ object EsRest {
                 val next =
                   if (sid.isEmpty) None
                   else {
-                    val r = request(conf, "POST", "/_search/scroll",
+                    // transient overload retries; a 404 here means the
+                    // server-side search context EXPIRED mid-read — a
+                    // retry of the same scroll_id can never succeed, and
+                    // silently stopping would truncate the slice. Fail the
+                    // task descriptively: Spark's task retry restarts the
+                    // slice from a fresh search, the correct recovery (the
+                    // reference's driver-side scan likewise raises on a
+                    // lost scroll rather than returning partial data).
+                    val r = requestRetrying(conf, "POST", "/_search/scroll",
                       Some(s"""{"scroll":"1m","scroll_id":${JsonUtil.quote(sid)}}"""))
+                    if (r._1 == 404)
+                      throw new IllegalStateException(
+                        s"scroll context expired mid-read on slice $sliceId " +
+                          s"(scroll_id $sid): task retry restarts the slice")
                     require(r._1 == 200, s"scroll continuation failed: ${r._2}")
                     Some(r._2)
                   }

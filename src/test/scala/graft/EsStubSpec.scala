@@ -39,6 +39,11 @@ class EsStubSpec extends SparkSuite {
     // ids the stub refuses to index (per-item error, not HTTP failure) —
     // drives the failed-item accounting test
     val rejectIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // failure injection: next N _bulk POSTs answer 429 (backpressure);
+    // when set, every scroll continuation answers 404 (expired context)
+    val bulk429Remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bulkAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var expireScrolls = false
     // scrollId -> (index, sliceId, maxSlices, pageSize, offset)
     val scrolls = TrieMap.empty[String, (String, Int, Int, Int, Int)]
     private val scrollSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -91,6 +96,12 @@ class EsStubSpec extends SparkSuite {
               s"""{"_index":"$idx","_id":"$id","found":true,"_source":$src}""")
             case None => respond(ex, 404, s"""{"found":false}""")
           }
+        case ("POST", "_bulk" :: Nil) if {
+          bulkAttempts.incrementAndGet()
+          bulk429Remaining.getAndUpdate(n => math.max(n - 1, 0)) > 0
+        } =>
+          respond(ex, 429,
+            """{"error":{"type":"es_rejected_execution_exception"},"status":429}""")
         case ("POST", "_bulk" :: Nil) =>
           val lines = body.split("\n").filter(_.nonEmpty)
           bulkChunkSizes.add(lines.length / 2)
@@ -146,6 +157,8 @@ class EsStubSpec extends SparkSuite {
           val sid = mapper.readTree(body).path("scroll_id").asText()
           respond(ex, if (scrolls.remove(sid).isDefined) 200 else 404,
             """{"succeeded":true}""")
+        case ("POST", "_search" :: "scroll" :: Nil) if expireScrolls =>
+          respond(ex, 404, """{"error":"search context expired"}""")
         case ("POST", "_search" :: "scroll" :: Nil) =>
           val sid = mapper.readTree(body).path("scroll_id").asText()
           scrolls.get(sid) match {
@@ -227,6 +240,54 @@ class EsStubSpec extends SparkSuite {
         .toDF("doc_id", "text")
       assert(EsRest.bulkIndex(withNull, conf, "docs", "doc_id") == 1L)
       assert(EsRest.count(conf, "docs") == 9L)
+    }
+  }
+
+  test("B3: bulk 429 backpressure is retried with backoff until it clears (no failed docs)") {
+    withStub { stub =>
+      stub.bulk429Remaining.set(2) // first two attempts rejected, third lands
+      val conf = EsConf(stub.url, chunkSize = 50, retryBackoffMs = 5)
+      val docs = (0 until 20).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      val failed = EsRest.bulkIndex(docs.coalesce(1), conf, "docs", "doc_id")
+      assert(failed == 0L, "a cleared 429 must cost zero failed docs")
+      assert(EsRest.count(conf, "docs") == 20L)
+      assert(stub.bulkAttempts.get == 3,
+        s"expected 2 rejected + 1 accepted attempt, saw ${stub.bulkAttempts.get}")
+    }
+  }
+
+  test("B3/B4: a chunk still 429ing after max retries counts ALL its docs failed and the job continues") {
+    withStub { stub =>
+      stub.bulk429Remaining.set(Int.MaxValue) // never clears
+      val conf = EsConf(stub.url, chunkSize = 4, maxRetries = 2, retryBackoffMs = 5)
+      val docs = (0 until 10).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      // reference counts-and-continues (es_common.py:198-210): no exception,
+      // every doc of every chunk surfaces in the failed count
+      val failed = EsRest.bulkIndex(docs.coalesce(1), conf, "docs", "doc_id")
+      assert(failed == 10L, s"expected all 10 docs failed, got $failed")
+      // 3 chunks × (1 + 2 retries) attempts
+      assert(stub.bulkAttempts.get == 9, s"attempts: ${stub.bulkAttempts.get}")
+      // backpressure clears → the SAME writer call succeeds (idempotent replay)
+      stub.bulk429Remaining.set(0)
+      assert(EsRest.bulkIndex(docs.coalesce(1), conf, "docs", "doc_id") == 0L)
+      assert(EsRest.count(conf, "docs") == 10L)
+    }
+  }
+
+  test("scroll expiry mid-read fails the slice descriptively instead of truncating silently") {
+    withStub { stub =>
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val docs = (0 until 12).map(i => (i.toLong, s"body $i")).toDF("doc_id", "text")
+      EsRest.bulkIndex(docs, conf, "corpus", "doc_id")
+      stub.expireScrolls = true // every continuation now 404s
+      val e = intercept[org.apache.spark.SparkException] {
+        // pageSize 5 forces a continuation after the first page
+        EsRest.readSliced(spark, conf, "corpus", slices = 1, pageSize = 5).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m => m != null && m.contains("scroll context expired")),
+        s"expected the expired-scroll diagnosis in: ${messages(e)}")
     }
   }
 
