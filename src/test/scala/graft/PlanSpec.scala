@@ -352,6 +352,55 @@ class PlanSpec extends SparkSuite {
       "embeddings must be scanned exactly once")
   }
 
+  test("q126: merge curve is driver-local — every training round ran vocab-sized, none leak into the result plan") {
+    val df = SparkEntry.queries("q126_bpe_merges")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the curve has ≤ merges rows built during bpeLearn's bounded rounds:
+    // each round re-windows the SNAPSHOTTED vocab-sized symbol table and
+    // collects exactly one top-pair row. If any round's corpus work leaked
+    // into this plan (a parquet scan, a window), the bound is broken.
+    assert(p.contains("LocalTableScan"), "curve must be a driver-local relation")
+    assert(!p.contains("Scan parquet"), "corpus must not be re-scanned by the curve")
+    assert(!p.contains("Window"), "merge rounds must be fully materialized, not deferred")
+  }
+
+  test("q129: BPE encode touches the corpus once past the snapshot; top-N is TakeOrdered") {
+    val p = plan("q129_bpe_encode")
+    // the learn-side tokenize is behind bpeLearn's snapshot (ExistingRDD);
+    // THIS plan may tokenize the corpus exactly once for per-doc counts
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "encode must re-read the corpus exactly once (per-doc word counts)")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-word token counts must come from the snapshotted symbol table")
+    assert(p.contains("TakeOrderedAndProject"), "top-N must not be a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q127: RQ scoring is one pass — LUT stays a driver literal, top-k is TakeOrdered") {
+    val p = plan("q127_rq_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(!p.contains("CartesianProduct"))
+    // the coarse×residual LUT folds into the projection as a literal: any
+    // Exchange before the top-k merge means the corpus shuffled to score
+    assert(!p.contains("Exchange hashpartitioning"),
+      "RQ ADC must be map-side lookup only (no shuffle before the top-k merge)")
+  }
+
+  test("q128: the UniMax waterfilling window ran once (snapshotted); scalars broadcast") {
+    val p = plan("q128_unimax")
+    // the closed-form redistribution = ONE cumulative window over the
+    // per-source rollup, materialized in the snapshot — the output plan
+    // reads it and attaches the k/Σ scalars via broadcast
+    assert(p.contains("Scan ExistingRDD"),
+      "ranked rollup must be snapshotted (it feeds the scalars AND the output)")
+    assert(!p.contains("Scan parquet"),
+      "corpus rollup must be behind the snapshot, not re-scanned")
+    assert(!p.contains("Window"),
+      "the cumulative window must not re-run in the output plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "waterline scalars must ride a broadcast")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
