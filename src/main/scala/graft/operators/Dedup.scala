@@ -733,6 +733,28 @@ object Dedup {
     * with `id_new === id_old` are excluded so a replayed batch does not
     * match itself in the store (idempotent re-admission).
     */
+  /** History-side posting cap shared by the batch×history comparisons
+    * ([[jaccardBetween]], [[containmentBetween]]): a shingle present in
+    * more than `maxPostings` admitted documents is non-discriminative
+    * boilerplate whose postings grow without bound as history accumulates;
+    * the earliest-admitted (lowest-id) postings win, deterministically.
+    * No-silent-caps: the dropped-posting count rides `graft.postingCap`.
+    */
+  private def cappedPostings(shOld: DataFrame, maxPostings: Int): DataFrame =
+    if (maxPostings <= 0) shOld
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shingle").orderBy("__id")
+      val over = col("__pn") > maxPostings
+      shOld.withColumn("__pn", row_number().over(w))
+        // no-silent-caps: postings beyond the cap are uncompared history —
+        // visible via graft.postingCap (piggybacks on the window pass)
+        .observe(s"graft.postingCap.${capObsId.incrementAndGet()}",
+          sum(when(over, lit(1L)).otherwise(lit(0L))).as("dropped_postings"))
+        .filter(!over)
+        .drop("__pn")
+    }
+
   def jaccardBetween(
       shNew: DataFrame,
       shOld: DataFrame,
@@ -740,20 +762,7 @@ object Dedup {
       maxPostings: Int = 1000): DataFrame = {
     require(threshold > 0.0,
       "jaccardBetween emits only intersecting pairs; threshold must be > 0")
-    val oldCapped =
-      if (maxPostings <= 0) shOld
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("shingle").orderBy("__id")
-        val over = col("__pn") > maxPostings
-        shOld.withColumn("__pn", row_number().over(w))
-          // no-silent-caps: postings beyond the cap are uncompared history —
-          // visible via graft.postingCap (piggybacks on the window pass)
-          .observe(s"graft.postingCap.${capObsId.incrementAndGet()}",
-            sum(when(over, lit(1L)).otherwise(lit(0L))).as("dropped_postings"))
-          .filter(!over)
-          .drop("__pn")
-      }
+    val oldCapped = cappedPostings(shOld, maxPostings)
     val pairCounts = shNew
       .select(col("__id").as("id_a"), col("sz").as("sz_a"), col("shingle"))
       .join(oldCapped.select(
@@ -763,6 +772,46 @@ object Dedup {
       .agg(count(lit(1)).as("c"), max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
     jaccardScore(pairCounts, threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))
+  }
+
+  /** Directed CONTAINMENT of a micro-batch inside the admitted history —
+    * the incremental form of [[containmentPairs]]' subsumption signal:
+    * C(new→old) = |new ∩ old| / |new| over distinct word-k-shingle sets,
+    * emitted when ≥ `threshold`. The case [[jaccardBetween]] structurally
+    * misses: a short new document lifted verbatim from a long admitted one
+    * scores J ≈ |new|/|old| (tiny) but C = 1.0. Direction is fixed by the
+    * admission semantics — history is final, so only the NEW side can be
+    * judged contained and dropped; no container order is needed (contrast
+    * [[containmentDrops]], where both sides are candidates).
+    *
+    * Same inverted-index shape as [[jaccardBetween]]: cost is Σ over
+    * shared shingles of (new × capped-old postings), never |new|×|old|;
+    * the history side takes the shared [[cappedPostings]] boilerplate
+    * guard (capping only UNDERCOUNTS an intersection — a missed
+    * containment admits a duplicate, never drops an original; the
+    * conservative direction is the cap-free small-scale run, `maxPostings
+    * = 0`). Self-pairs are excluded for idempotent replay, like every
+    * between-form. Returns (`id_new`, `id_old`, `containment`).
+    */
+  def containmentBetween(
+      shNew: DataFrame,
+      shOld: DataFrame,
+      threshold: Double,
+      maxPostings: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val oldCapped = cappedPostings(shOld, maxPostings)
+    shNew
+      .select(col("__id").as("id_new"), col("sz").as("sz_new"), col("shingle"))
+      .join(oldCapped.select(col("__id").as("id_old"), col("shingle")), Seq("shingle"))
+      .filter(col("id_new") =!= col("id_old"))
+      .groupBy("id_new", "id_old")
+      .agg(count(lit(1)).as("c"), max(col("sz_new")).as("sz_new"))
+      .withColumn("containment",
+        col("c").cast("double") / col("sz_new").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_new"), col("id_old"),
+        round(col("containment"), 4).as("containment"))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token contributes

@@ -215,6 +215,31 @@ object DedupQueries {
       .orderBy("id_new", "id_old")
   }
 
+  /** q132 — incremental CONTAINMENT admission comparison
+    * ([[Dedup.containmentBetween]]): the simulated micro-batch (doc_id % 7
+    * = 0) against the admitted history (the rest), judging each new doc's
+    * directed containment C(new→old) = |new ∩ old| / |new| inside every
+    * history doc — the subsumption signal q105's symmetric Jaccard
+    * structurally misses (a short doc lifted verbatim from a long admitted
+    * one: J tiny, C = 1.0). This is the exact comparison the streaming
+    * admission path runs per batch when `containThreshold` is enabled
+    * ([[graft.streaming.StreamingDedup.admitBatch]]), under the driver's
+    * hash check. The posting cap is set far above the fixture's longest
+    * posting list so the capped code path executes but prunes nothing and
+    * the result is exact; the oracle is the unpruned cross-slice
+    * containment (the q105 convention). StreamingDedupSpec covers the cap
+    * firing and the admission wiring.
+    */
+  def q132_contain_between: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val shNew = Dedup.shingleIndex(
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 3)
+    val shOld = Dedup.shingleIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", shingleK = 3)
+    Dedup.containmentBetween(shNew, shOld, threshold = 0.5, maxPostings = 100000)
+      .orderBy("id_new", "id_old")
+  }
+
   /** q106 — incremental SEMANTIC admission comparison
     * ([[Dedup.semanticBetween]]): a simulated micro-batch (vec_id % 5 = 0)
     * against the admitted history (the rest), blocked by the broadcast-
@@ -327,6 +352,7 @@ object DedupQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q132_contain_between" -> q132_contain_between,
     "q130_contain_drops" -> q130_contain_drops,
     "q123_containment" -> q123_containment,
     "q111_lsh_recall_audit" -> q111_lsh_recall_audit,
@@ -746,6 +772,28 @@ object DedupQueries {
       SELECT DISTINCT doc_id
       FROM (SELECT doc_id FROM cold_drops UNION ALL SELECT doc_id FROM hot_drops)
       ORDER BY 1""",
+    "q132_contain_between" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        GROUP BY 1, 2)
+      SELECT id_new, id_old,
+             round(c * 1.0 / sa.sz, 4) AS containment
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_new
+      WHERE c * 1.0 / sa.sz >= 0.5
+      ORDER BY 1, 2""",
     "q105_jaccard_between" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

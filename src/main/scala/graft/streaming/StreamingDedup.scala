@@ -56,7 +56,8 @@ object StreamingDedup {
       threshold: Double = 0.6,
       maxPostings: Int = 1000,
       pairBudget: Long = 1000000L,
-      hotPostingCap: Int = 64): DataFrame = {
+      hotPostingCap: Int = 64,
+      containThreshold: Double = 0.0): DataFrame = {
     // one checkpointed shingle index feeds the within-batch pair stage AND
     // the history comparison
     val sh = Dedup.shingleIndex(batch, idCol, textCol, shingleK)
@@ -103,9 +104,20 @@ object StreamingDedup {
     val history = Sinks.readBatchStore(spark, storePath, excludeBatch = Some(batchId))
     val survivors = history match {
       case Some(store) =>
-        val crossDrops = Dedup
+        val jaccDrops = Dedup
           .jaccardBetween(shAfterWithin, store, threshold, maxPostings)
-          .select(col("id_new").as(idCol)).distinct()
+          .select(col("id_new").as(idCol))
+        // containment admission (`containThreshold` > 0 enables): a new doc
+        // subsumed inside an ADMITTED doc at C ≥ t drops even when their
+        // Jaccard is tiny — the quoted-article-in-digest case. History is
+        // final, so only the new side is judged; the same posting cap
+        // bounds the history postings per shingle.
+        val crossDrops =
+          (if (containThreshold > 0.0)
+            jaccDrops.union(Dedup
+              .containmentBetween(shAfterWithin, store, containThreshold, maxPostings)
+              .select(col("id_new").as(idCol)))
+          else jaccDrops).distinct()
         afterWithin.join(crossDrops, Seq(idCol), "left_anti")
       case None => afterWithin
     }
@@ -148,7 +160,8 @@ object StreamingDedup {
       threshold: Double = 0.6,
       pairBudget: Long = 1000000L,
       hotPostingCap: Int = 64,
-      compactEvery: Int = 16): StreamingQuery =
+      compactEvery: Int = 16,
+      containThreshold: Double = 0.0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -161,7 +174,8 @@ object StreamingDedup {
           Sinks.compactBatchStore(spark, storePath, upToBatch = batchId)
         val survivors = admitBatch(
           spark, batch, idCol, textCol, storePath, batchId, shingleK, threshold,
-          pairBudget = pairBudget, hotPostingCap = hotPostingCap)
+          pairBudget = pairBudget, hotPostingCap = hotPostingCap,
+          containThreshold = containThreshold)
         Sinks.upsert(spark, survivors, sinkPath, idCol)
       }
       .start()

@@ -82,6 +82,50 @@ class StreamingDedupSpec extends SparkSuite {
     assert(fired.map(_.getAs[Long]("hot_dropped_docs")).sum == 159L)
   }
 
+  test("containmentBetween: subsumed new doc found at tiny Jaccard; caps and self-pairs honored") {
+    // doc 20 is the FIRST 12 tokens of history doc 1 (31 tokens): C = 1.0
+    // but J ≈ 10/29 ≈ 0.34 — invisible to jaccardBetween at 0.6
+    val contained = baseA.split(" ").take(12).mkString(" ")
+    val newSh = Dedup.shingleIndex(
+      Seq((20L, contained), (21L, baseC)).toDF("doc_id", "text"), "doc_id", "text", 3)
+    val oldSh = Dedup.shingleIndex(
+      Seq((1L, baseA), (2L, baseB), (20L, contained)).toDF("doc_id", "text"),
+      "doc_id", "text", 3)
+    val jacc = Dedup.jaccardBetween(newSh, oldSh, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((20L, 1L)), "fixture must be a Jaccard blind spot")
+    val got = Dedup.containmentBetween(newSh, oldSh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 20 ⊂ 1 at C = 1.0; NOT its own store copy (self-pair excluded);
+    // carol contained in nothing
+    assert(got == Set((20L, 1L, 1.0)), s"got $got")
+    // posting cap 1: doc 1 is the lowest-id posting on every shared
+    // shingle, so the containment survives the cap
+    val capped = Dedup.containmentBetween(newSh, oldSh, 0.8, maxPostings = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((20L, 1L)), s"got $capped")
+  }
+
+  test("admitBatch containment admission: subsumed doc rejected only when enabled") {
+    val contained = baseA.split(" ").take(12).mkString(" ")
+    def freshStore() = Files.createTempDirectory("sd-contain").toString + "/store"
+    def run(store: String, containThreshold: Double): Set[Long] = {
+      StreamingDedup.admitBatch(spark,
+        Seq((1L, baseA), (2L, baseB)).toDF("doc_id", "text"),
+        "doc_id", "text", store, batchId = 0L,
+        containThreshold = containThreshold)
+      StreamingDedup.admitBatch(spark,
+        Seq((30L, contained), (31L, baseC)).toDF("doc_id", "text"),
+        "doc_id", "text", store, batchId = 1L,
+        containThreshold = containThreshold)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    // Jaccard-only admission admits the subsumed doc (the blind spot)…
+    assert(run(freshStore(), containThreshold = 0.0) == Set(30L, 31L))
+    // …containment admission (C ≥ 0.8) drops it; the fresh doc still lands
+    assert(run(freshStore(), containThreshold = 0.8) == Set(31L))
+  }
+
   test("admitBatch under the guard: mega-cluster batch admits one doc; history comparison intact") {
     val store = Files.createTempDirectory("sd-guard").toString + "/store"
     val cluster = graft.tools.SkewedCorpus.documents(spark, 400)
