@@ -352,6 +352,42 @@ class PlanSpec extends SparkSuite {
       "embeddings must be scanned exactly once")
   }
 
+  test("q130: guarded containment drops read one snapshotted shingle index, never a cartesian") {
+    val p = plan("q130_contain_drops")
+    assert(p.contains("Scan ExistingRDD"),
+      "shingle index must be snapshotted — estimate, split, and verify all read it")
+    assert(!"Scan parquet".r.findAllIn(p).hasNext,
+      "documents re-scanned past the shingle-index snapshot")
+    assert(!p.contains("CartesianProduct"))
+    // hot and cold paths are shingle-keyed joins/aggregations; the only
+    // windows are per-document (prefix rank) — never a global funnel
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(__id"),
+      "window must be per-document (prefix rank), not global")
+  }
+
+  test("q131: span removal is gram-keyed + doc-keyed — windows per-doc, no cartesian") {
+    val p = plan("q131_span_removal")
+    assert(p.contains("Scan ExistingRDD"),
+      "positional windows must be snapshotted — dup-gram set and flag join share them")
+    assert(!p.contains("CartesianProduct"))
+    // the run detection is a per-document gaps-and-islands window; a
+    // gram-partitioned or global window would melt on a hot gram at 100 TB
+    assert(!p.contains("windowspecdefinition(gram"),
+      "no window may partition by the (hot) gram key")
+  }
+
+  test("q132: containment admission joins on the shingle, posting cap windows per-shingle") {
+    val p = plan("q132_contain_between")
+    assert(!p.contains("CartesianProduct"))
+    // the batch×history meeting is an equi-join keyed by the shingle
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "cross-slice meeting must be an equi-join")
+    // the posting cap's row_number partitions by shingle — bounded postings
+    // per partition, never a global ordering
+    assert(p.contains("windowspecdefinition(shingle"),
+      "posting cap must window per shingle")
+  }
+
   test("q126: merge curve is driver-local — every training round ran vocab-sized, none leak into the result plan") {
     val df = SparkEntry.queries("q126_bpe_merges")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
