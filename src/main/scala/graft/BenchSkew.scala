@@ -82,6 +82,10 @@ object BenchSkew {
         Dedup.containmentDropsGuarded(shAll, 0.8).count()),
       "contain_drops_open" -> (() =>
         Dedup.containmentDrops(shAll, 0.8).count()),
+      "contain_between_capped" -> (() =>
+        Dedup.containmentBetween(shNew, shOld, 0.8, maxPostings = 50).count()),
+      "contain_between_open" -> (() =>
+        Dedup.containmentBetween(shNew, shOld, 0.8, maxPostings = 0).count()),
       "embed_block_drop" -> (() =>
         Dedup.embeddingNearDups(emb, "label", 0.9, 500, "drop").count()),
       "embed_block_subblock" -> (() =>
