@@ -39,6 +39,10 @@ object DriveStreamingDedup {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt.max(2)
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "8").toInt
+    // SPARK_GRAFT_CONTAIN_T > 0 enables the containment admission pass
+    // (batch×history subsumption) alongside the Jaccard comparison — the
+    // throughput knob for measuring what the extra directed pass costs
+    val containT = sys.env.getOrElse("SPARK_GRAFT_CONTAIN_T", "0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,7 +65,8 @@ object DriveStreamingDedup {
       if (compactEvery > 0 && i > 0 && i % compactEvery == 0)
         Sinks.compactBatchStore(spark, textStore, upToBatch = i.toLong)
       val survivors = StreamingDedup
-        .admitBatch(spark, batch, "doc_id", "text", textStore, batchId = i.toLong).count()
+        .admitBatch(spark, batch, "doc_id", "text", textStore, batchId = i.toLong,
+          containThreshold = containT).count()
       val sec = (System.nanoTime() - t0) / 1e9
       // store rows = shingle postings (the real state size), not documents
       val storeRows = Sinks.readBatchStore(spark, textStore).map(_.count()).getOrElse(0L)
