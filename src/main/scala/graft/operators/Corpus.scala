@@ -445,9 +445,54 @@ object Corpus {
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             k: Int, minRun: Int = 1): DataFrame = {
     require(minRun >= 1, s"need minRun >= 1, got $minRun")
+    cutFlaggedRuns(docs, idCol, textCol, k, minRun,
+      flaggedWindows(docs, idCol, textCol, k).filter(col("is_dup")))
+  }
+
+  /** WITHIN-document repeated-span removal — the self-repeat complement of
+    * [[removeDuplicatedSpans]] (Gopher's repetition REMOVAL posture where
+    * q121/q59 only detect): a window position is repeated when its k-token
+    * text occurs earlier in the SAME document; maximal runs of ≥ `minRun`
+    * repeated positions are cut, so of each repeated phrase the FIRST
+    * occurrence survives and later copies go — cutting every occurrence
+    * (the cross-doc rule) would destroy content that exists nowhere else.
+    * A looping generation artifact "a b a b a b" at k=2 keeps exactly one
+    * "a b". Cross-doc sharing is deliberately ignored here; compose with
+    * [[removeDuplicatedSpans]] for the full ExactSubstr treatment.
+    *
+    * Dataflow: one positional-window pass, a (doc, gram)-keyed min-pos
+    * window (partition sized by within-doc occurrence count — never
+    * corpus- or gram-global, so a corpus-wide hot gram costs nothing
+    * here), then the shared run-cut tail. Fully doc-keyed after the
+    * window pass.
+    */
+  def removeSelfRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int, minRun: Int = 1): DataFrame = {
+    require(minRun >= 1, s"need minRun >= 1, got $minRun")
+    val tk = TextFunctions.tokens(col(textCol))
+    val windows = when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => struct(i.as("pos"), array_join(slice(tk, i + lit(1), lit(k)), " ").as("gram"))))
+      .otherwise(array())
+    val firstW = Window.partitionBy(col("doc_id"), col("gram"))
+    val repeated = Dedup.spread(docs)
+      .select(col(idCol).as("doc_id"), explode_outer(windows).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+      .withColumn("__minp", min("pos").over(firstW))
+      .filter(col("pos") > col("__minp"))
+    cutFlaggedRuns(docs, idCol, textCol, k, minRun, repeated)
+  }
+
+  /** Shared rewrite tail of the span cutters: flagged window positions →
+    * maximal runs (gaps-and-islands per doc) → qualifying runs (≥ minRun)
+    * as an interval array per doc → token-index filter + rejoin. `flagged`
+    * needs (`doc_id`, `pos`) rows for exactly the positions to cut.
+    */
+  private def cutFlaggedRuns(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int, minRun: Int, flagged: DataFrame): DataFrame = {
     val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val intervals = flaggedWindows(docs, idCol, textCol, k)
-      .filter(col("is_dup"))
+    val intervals = flagged
       .withColumn("__grp", col("pos") - row_number().over(runW))
       .groupBy("doc_id", "__grp")
       .agg(min("pos").as("s"), count(lit(1)).as("run"))

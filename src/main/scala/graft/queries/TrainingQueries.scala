@@ -392,6 +392,20 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** q133 — WITHIN-document repeated-span removal
+    * ([[Corpus.removeSelfRepeatedSpans]]): the self-repeat complement of
+    * q131 — Gopher-style repetition REMOVAL where q121/q59 only detect.
+    * Word-3-gram window positions whose text occurred EARLIER in the same
+    * document are cut (maximal runs, minRun = 1); the first occurrence of
+    * every phrase survives, so a looping artifact collapses to one copy.
+    * Oracle replays the min-pos window + run cut + rewrite end-to-end,
+    * rewritten strings included.
+    */
+  def q133_self_repeat: Q = (s, dir) =>
+    Corpus.removeSelfRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, minRun = 1)
+      .orderBy("doc_id")
+
   /** q101 — CCNet-style quality buckets: per-language head/middle/tail
     * terciles by unigram-LM surprisal ([[Corpus.rankBuckets]], the exact
     * rank form — ordered by rounded score + doc_id so every boundary is
@@ -604,6 +618,7 @@ object TrainingQueries {
     "q110_mixture_weights" -> q110_mixture_weights,
     "q107_dup_spans" -> q107_dup_spans,
     "q131_span_removal" -> q131_span_removal,
+    "q133_self_repeat" -> q133_self_repeat,
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
     "q115_bpe_pairs" -> q115_bpe_pairs,
@@ -928,6 +943,49 @@ object TrainingQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_hash
       FROM s GROUP BY 1 ORDER BY 1""",
+    "q133_self_repeat" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(tk) - 2, 0)),
+                 i -> struct_pack(pos := i,
+                   gram := array_to_string(tk[i+1:i+3], ' ')))) AS s
+        FROM toks),
+      ww AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM w),
+      rep AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 min(pos) OVER (PARTITION BY doc_id, gram) AS minp
+          FROM ww)
+        WHERE pos > minp),
+      runs AS (
+        SELECT doc_id, grp, min(pos) AS s, count(1) AS run FROM (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM rep)
+        GROUP BY doc_id, grp),
+      iv AS (SELECT doc_id, s, s + run + 1 AS e FROM runs WHERE run >= 1),
+      covered AS (
+        SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos FROM iv),
+      tp AS (
+        SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM toks),
+      tok AS (SELECT doc_id, pos, tk[pos+1] AS tok FROM tp),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.pos IS NULL),
+      agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(1) AS n_kept
+        FROM kept GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(a.clean_text, '') AS clean_text,
+             CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+      FROM toks t LEFT JOIN agg a USING (doc_id)
+      ORDER BY 1""",
     "q131_span_removal" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

@@ -280,6 +280,32 @@ class CorpusSpec extends SparkSuite {
     assert(strict == 0L, "runs below minRun must not be cut")
   }
 
+  test("removeSelfRepeatedSpans keeps the first occurrence, cuts later copies, ignores cross-doc") {
+    // doc 1 loops "m n o" three times at k=2: windows repeat from pos 2 on
+    // → first "m n o" survives, the rest cut. doc 2 shares doc 3's text
+    // verbatim but has no WITHIN-doc repeat → untouched (cross-doc is
+    // q131's job). doc 4 unique, doc 5 shorter than k.
+    val d = Seq(
+      (1L, "m n o m n o m n o"),
+      (2L, "p q r s t u v"),
+      (3L, "p q r s t u v"),
+      (4L, "a1 b1 c1 d1"),
+      (5L, "x")
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeSelfRepeatedSpans(d, "doc_id", "text", k = 2, minRun = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+    // windows of doc 1: (0,mn)(1,no)(2,om)(3,mn)(4,no)(5,om)(6,mn)(7,no);
+    // repeated positions 3..7 → run s=3 len=5 → tokens 3..8 cut
+    assert(out(1L) == (("m n o", 9L, 6L)), s"got ${out(1L)}")
+    assert(out(2L) == (("p q r s t u v", 7L, 0L)))
+    assert(out(3L) == (("p q r s t u v", 7L, 0L)))
+    assert(out(4L) == (("a1 b1 c1 d1", 4L, 0L)))
+    assert(out(5L) == (("x", 1L, 0L)))
+    assert(out.size == 5)
+  }
+
   test("bpePairStats counts every pair occurrence weighted by word frequency") {
     import spark.implicits._
     // word counts: "ab"×3 (two in doc 1, one in doc 2), "abc"×1, "aaa"×1.
