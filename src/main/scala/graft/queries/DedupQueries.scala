@@ -323,6 +323,32 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** q134 — containment-subsumption dedup APPLIED
+    * ([[Dedup.containmentDrops]] → anti-join → per-source accounting): the
+    * end-to-end composition a release pipeline runs — drop every document
+    * contained at C ≥ 0.8 inside a strictly greater one, keep the rest,
+    * report the per-source survivor census. The directed twin of q82's
+    * Jaccard apply. Uses the exact drop list (deterministic); the guarded
+    * production form is q130's surface — same semantics under budget, and
+    * the over-budget degrade is measured in BenchSkew. The oracle derives
+    * the drops from the deliberately-UNPRUNED exhaustive pair join (the
+    * q90 convention), so the prefix pruning's exactness is cross-checked
+    * again through the applied result.
+    */
+  def q134_contain_apply: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+      .transform(Stage.snapshotDF)
+    val drops = Dedup.containmentDrops(sh, threshold = 0.8)
+      .select(col("__id").as("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum("n_chars").as("kept_chars"),
+           min("doc_id").as("first_kept"))
+      .orderBy("source")
+  }
+
   /** q111 — LSH index-quality audit ([[Dedup.candidateRecallAudit]]):
     * recall and precision of the deterministic MinHash-LSH candidate set
     * (q84's generator) against the exact J≥0.6 pair graph (q42/q90's
@@ -352,6 +378,7 @@ object DedupQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q134_contain_apply" -> q134_contain_apply,
     "q132_contain_between" -> q132_contain_between,
     "q130_contain_drops" -> q130_contain_drops,
     "q123_containment" -> q123_containment,
@@ -772,6 +799,35 @@ object DedupQueries {
       SELECT DISTINCT doc_id
       FROM (SELECT doc_id FROM cold_drops UNION ALL SELECT doc_id FROM hot_drops)
       ORDER BY 1""",
+    "q134_contain_apply" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+      drops AS (
+        SELECT DISTINCT p.src AS doc_id
+        FROM pairs p
+        JOIN sizes za ON za.doc_id = p.src
+        JOIN sizes zb ON zb.doc_id = p.dst
+        WHERE (zb.sz > za.sz OR (zb.sz = za.sz AND p.dst < p.src))
+          AND p.c * 1.0 / za.sz >= 0.8)
+      SELECT d.source,
+             count(1) AS n_kept,
+             CAST(sum(d.n_chars) AS BIGINT) AS kept_chars,
+             min(d.doc_id) AS first_kept
+      FROM documents d LEFT JOIN drops x ON d.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL
+      GROUP BY 1 ORDER BY 1""",
     "q132_contain_between" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
