@@ -75,6 +75,44 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("containment guard: property over random corpora (no-budget ≡ exact; forced ⊇ exact; maximal survives)") {
+    import graft.operators.{Dedup, Stage}
+    // random corpora with planted containment: every even doc is a strict
+    // PREFIX of its family base (subsumed at C = 1.0 inside the full-base
+    // doc), odd docs random; thresholds swept over the float-risky range
+    (0 until 6).foreach { trial =>
+      val t = Seq(0.55, 0.7, 0.8, 0.9)(trial % 4)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val nFam = 2 + rng.nextInt(2)
+      val bases = Seq.fill(nFam)(
+        Seq.fill(16 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))))
+      val docs = (0 until 20).map { id =>
+        val fam = bases(id % nFam)
+        val text =
+          if (id < nFam) fam.mkString(" ") // the full-base containers
+          else if (id % 2 == 0) fam.take(6 + rng.nextInt(6)).mkString(" ")
+          else Seq.fill(8 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+        (id.toLong, text)
+      }.toDF("doc_id", "text")
+      val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+        .transform(Stage.snapshotDF)
+      val exact = Dedup.containmentDrops(sh, t).as[Long].collect().toSet
+      val silent = Dedup.containmentDropsGuarded(sh, t).as[Long].collect().toSet
+      assert(silent == exact,
+        s"trial $trial t=$t: under-budget guard must be exact: $silent vs $exact")
+      val forced = Dedup.containmentDropsGuarded(sh, t, pairBudget = 1L, hotDfCap = 2)
+        .as[Long].collect().toSet
+      assert(exact.subsetOf(forced),
+        s"trial $trial t=$t: forced guard must never admit what exact rejects")
+      // the container-order maximal doc (max sz, min id on ties) never drops
+      val maximal = sh.groupBy($"__id")
+        .agg(org.apache.spark.sql.functions.max($"sz").as("sz"))
+        .orderBy($"sz".desc, $"__id".asc).head().getLong(0)
+      assert(!forced.contains(maximal) && !exact.contains(maximal),
+        s"trial $trial t=$t: maximal doc $maximal must survive every mode")
+    }
+  }
+
   test("mergeAnnotationArrays is idempotent and order-insensitive (D1/X2)") {
     import graft.operators.AnnotationPipeline.mergeAnnotationArrays
     val samples = Seq.fill(30) {
