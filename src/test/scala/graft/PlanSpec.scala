@@ -388,6 +388,28 @@ class PlanSpec extends SparkSuite {
       "posting cap must window per shingle")
   }
 
+  test("q133: self-repeat windows are (doc,gram)-local — never gram-global, no cartesian") {
+    val p = plan("q133_self_repeat")
+    assert(!p.contains("CartesianProduct"))
+    // the min-pos window partitions by (doc, gram): partition size =
+    // within-doc occurrences. A gram-only partition would funnel the
+    // corpus-wide hot gram through one task at 100 TB.
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "min-pos window must be doc-local")
+    assert(!p.contains("windowspecdefinition(gram"),
+      "no window may partition by the gram alone")
+  }
+
+  test("q134: containment apply reads one snapshotted index; survivor census is two-phase") {
+    val p = plan("q134_contain_apply")
+    assert(p.contains("Scan ExistingRDD"),
+      "shingle index must be snapshotted — prefix, probe, and verify share it")
+    assert(p.contains("LeftAnti"), "drop application must be an anti-join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source census must partial-aggregate map-side")
+  }
+
   test("q126: merge curve is driver-local — every training round ran vocab-sized, none leak into the result plan") {
     val df = SparkEntry.queries("q126_bpe_merges")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
