@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, JaroWinkler, PolyHash, SimHash64, TopKAgg, WordNgrams}
+import graft.functions.{CosineSim, DotProduct, JaroWinkler, MgHeavyHitters, PolyHash, SimHash64, TopKAgg, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions under SQL names, so `spark.sql("SELECT
@@ -35,6 +35,9 @@ object GraftExtensions {
     registry.createOrReplaceTempFunction(
       "graft_topk",
       args => TopKAgg(args(0), args(1), args(2)).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_heavy_hitters",
+      args => MgHeavyHitters(args(0), args(1)).toAggregateExpression(), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_shingles", args => WordNgrams(args(0), args(1), distinct = true), "built-in")
     registry.createOrReplaceTempFunction(
@@ -71,6 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_topk",
         "graft_topk(ord, payload, k) - top-k (ord, payload) pairs per group, partial-aggregated"),
       (args: Seq[Expression]) => TopKAgg(args(0), args(1), args(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(item, k) - Misra-Gries candidate summary, partial-aggregated"),
+      (args: Seq[Expression]) => MgHeavyHitters(args(0), args(1)).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(text, k) - distinct word k-shingles, single pass"),

@@ -515,6 +515,52 @@ object Corpus {
         (size(col("__tk")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** Exact corpus heavy hitters via a Misra–Gries sketch + recount — the
+    * bounded-memory form of "which tokens exceed share `minShare`":
+    *
+    *   1. ONE pass folds the token stream into a ≤ `k`-counter MG summary
+    *      ([[graft.functions.MgHeavyHitters]], map-side partial
+    *      aggregation — k counters per partition cross the wire, never a
+    *      corpus-wide token shuffle like q102's vocabulary build);
+    *   2. the ≤ k candidates broadcast back for an exact recount (the
+    *      second corpus pass groups on a ≤ k-key set — a tiny shuffle);
+    *   3. the threshold filter keeps true count ≥ ⌈N·minShare⌉.
+    *
+    * `minShare > 1/(k+1)` is REQUIRED: the MG guarantee (any item with
+    * true frequency > N/(k+1) survives the sketch) then makes the final
+    * set exact and deterministic regardless of partitioning or merge
+    * order, even though the sketch's own counts are merge-order-dependent
+    * lower bounds — which is why the recount exists and why the oracle
+    * can be the plain frequency SQL. Corpus touched exactly twice (the
+    * [[bpeEncode]] convention); the 1-row sketch relation is snapshotted
+    * because candidates AND the total-count scalar read it.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   k: Int, minShare: Double): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(minShare > 1.0 / (k + 1),
+      s"minShare must exceed 1/(k+1) = ${1.0 / (k + 1)} for the MG guarantee, got $minShare")
+    def toks = Dedup.spread(docs)
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
+    val sketch = toks.agg(
+        graft.functions.HeavyHitterFunctions.mgHeavyHitters(col("token"), k).as("cand"),
+        count(lit(1)).as("__n"))
+      .transform(Stage.snapshotDF)
+    val cands = sketch.select(explode(col("cand")).as("c"))
+      .select(col("c.item").as("token"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(sketch.select(col("__n"))))
+      // keep-more slack: N·minShare in double can land just above the true
+      // rational; erring low keeps the boundary token (oracle identical)
+      .filter(col("n_occurrences") >=
+        ceil(col("__n") * minShare - 1e-9).cast("long"))
+      .select(col("token"), col("n_occurrences"),
+        round(col("n_occurrences").cast("double") / col("__n"), 4).as("share"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
   /** Boilerplate detection by corpus-wide n-gram document frequency (the
     * repeated-template signal CCNet removes at paragraph level): a word
     * `k`-gram is boilerplate when it appears in more than `maxDfFraction`

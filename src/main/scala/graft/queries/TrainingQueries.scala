@@ -406,6 +406,19 @@ object TrainingQueries {
         k = 3, minRun = 1)
       .orderBy("doc_id")
 
+  /** q135 — exact heavy hitters via Misra–Gries sketch + recount
+    * ([[Corpus.heavyHitters]]): tokens holding ≥ 3% of all token
+    * occurrences, found with ≤ 64 counters per partition instead of
+    * q102's full token shuffle. minShare 0.03 > 1/(k+1) = 1/65, so the
+    * MG superset guarantee makes the recounted result exact and the
+    * oracle is the plain frequency SQL. At this corpus (31 distinct
+    * tokens < k) the sketch never evicts — the eviction and merge-prune
+    * paths are covered by HeavyHitterSpec on synthetic streams, the
+    * above-fixture-cap convention.
+    */
+  def q135_heavy_hitters: Q = (s, dir) =>
+    Corpus.heavyHitters(Tables.documents(s, dir), "text", k = 64, minShare = 0.03)
+
   /** q101 — CCNet-style quality buckets: per-language head/middle/tail
     * terciles by unigram-LM surprisal ([[Corpus.rankBuckets]], the exact
     * rank form — ordered by rounded score + doc_id so every boundary is
@@ -619,6 +632,7 @@ object TrainingQueries {
     "q107_dup_spans" -> q107_dup_spans,
     "q131_span_removal" -> q131_span_removal,
     "q133_self_repeat" -> q133_self_repeat,
+    "q135_heavy_hitters" -> q135_heavy_hitters,
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
     "q115_bpe_pairs" -> q115_bpe_pairs,
@@ -943,6 +957,17 @@ object TrainingQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_hash
       FROM s GROUP BY 1 ORDER BY 1""",
+    "q135_heavy_hitters" -> raw"""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        FROM documents),
+      tot AS (SELECT count(1) AS n FROM toks),
+      freq AS (SELECT token, count(1) AS n_occurrences FROM toks GROUP BY 1)
+      SELECT f.token, f.n_occurrences,
+             round(f.n_occurrences * 1.0 / t.n, 4) AS share
+      FROM freq f, tot t
+      WHERE f.n_occurrences >= CAST(ceil(t.n * 0.03 - 1e-9) AS BIGINT)
+      ORDER BY 2 DESC, 1""",
     "q133_self_repeat" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
