@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("heavy-hitter sketch runs as a streaming aggregate: candidates track the running stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      (0 until 8).map(i => s"cold$i"): _*)
+    val q = mem.toDF().toDF("tok")
+      .agg(graft.functions.HeavyHitterFunctions.mgHeavyHitters($"tok", 4).as("s"))
+      .writeStream.outputMode("complete").format("memory").queryName("hh").start()
+    q.processAllAvailable()
+    def items() = spark.table("hh").head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 48 items so far: anything above 48/5 ≈ 9.6 must be in the summary
+    val first = items()
+    assert(first.contains("hot") && first.contains("warm"), s"got $first")
+    // a second micro-batch shifts the stream: the complete-mode re-emit
+    // must reflect the union (hot still guaranteed at 30+20 of 68)
+    mem.addData(Seq.fill(20)("surge"): _*)
+    q.processAllAvailable(); q.stop()
+    val second = items()
+    assert(second.contains("hot") && second.contains("surge"), s"got $second")
+    assert(second("hot") <= 30L && second("surge") <= 20L,
+      "retained counts must stay lower bounds")
+  }
+
   test("streaming dedup within watermark drops replayed doc ids (F2 twin)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
