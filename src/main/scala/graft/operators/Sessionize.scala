@@ -37,4 +37,47 @@ object Sessionize {
       .agg(
         count(lit(1)).as("n_events"),
         (max(unix_millis(col(tsCol))) - min(unix_millis(col(tsCol)))).as("dur_ms"))
+
+  /** Time-BINNED interval join — the 100 TB form of "per probe event, the
+    * build events of the same key within the trailing `windowMs`": bin both
+    * sides at `windowMs` granularity, explode each probe row into its two
+    * candidate bins (its own and the previous — a trailing window of length
+    * `windowMs` can only reach build rows in those), EQUI-join on
+    * (key, bin), and post-filter the exact interval. Catalyst plans a
+    * hash-partitioned join keyed by (key, bin) — shuffle volume O(|probe|·2
+    * + |build|), AQE-splittable on hot keys — where the naive formulation
+    * (`p.key = b.key AND b.ts BETWEEN p.ts - w AND p.ts`) degrades to a
+    * BroadcastNestedLoopJoin the moment neither side broadcasts: every
+    * (key-match) pair is enumerated at 100 TB. Same candidate-bin trick as
+    * multi-probe LSH (q93): bounded key expansion buys an equi-join shape.
+    *
+    * LEFT join semantics: probe rows with no build match survive with null
+    * build columns — each probe row appears once per candidate bin on a
+    * miss, so aggregate with `count(buildCol)` (nulls free) and group by
+    * the probe id, which also collapses the two miss rows. Exactly one
+    * candidate bin can carry any true match (a build row has one bin), so
+    * matches are never duplicated. Returns probe columns + `__b_ts`
+    * (matched build event time, null on miss).
+    */
+  def binnedIntervalJoin(probe: DataFrame, build: DataFrame,
+                         keyCol: String, tsCol: String,
+                         windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"need windowMs > 0, got $windowMs")
+    val pm = unix_millis(col(tsCol))
+    val p = probe
+      .withColumn("__p_ms", pm)
+      .withColumn("__bin",
+        explode(array(floor(pm / windowMs) - 1, floor(pm / windowMs))))
+    val b = build.select(
+      col(keyCol).as("__b_key"),
+      col(tsCol).as("__b_ts"),
+      unix_millis(col(tsCol)).as("__b_ms"),
+      floor(unix_millis(col(tsCol)) / windowMs).as("__bin"))
+    p.join(b,
+        p(keyCol) === b("__b_key") && p("__bin") === b("__bin") &&
+          col("__b_ms") >= col("__p_ms") - windowMs &&
+          col("__b_ms") <= col("__p_ms"),
+        "left_outer")
+      .drop("__b_key", "__b_ms", "__p_ms", "__bin")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Sessionize}
 
 /** Third relational batch: reshaping (pivot/unpivot), statistical
   * aggregates, argmax selection, histogram bucketing, and edit distance.
@@ -175,6 +175,29 @@ object RelationalQueries3 {
       .orderBy("event_id")
   }
 
+  /** q136 — time-BINNED interval join ([[Sessionize.binnedIntervalJoin]]):
+    * per purchase, the COUNT of same-user clicks in the trailing hour —
+    * q79's as-of picks the single latest antecedent, this keeps the whole
+    * trailing window. The binned form turns the range join into an
+    * equi-join on (user, time-bin) with a 2-bin probe expansion (the q93
+    * multi-probe trick on the time axis): hash-shuffle cost, where the
+    * naive `BETWEEN` formulation is a BroadcastNestedLoopJoin that
+    * enumerates every same-user pair at 100 TB. The oracle IS that naive
+    * BETWEEN form — cross-engine proof the binning is exactness-preserving.
+    */
+  def q136_interval_join: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    Sessionize.binnedIntervalJoin(
+        probe = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        build = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        keyCol = "user_id", tsCol = "ts", windowMs = 3600000L)
+      .groupBy("event_id")
+      .agg(count(col("__b_ts")).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -196,6 +219,7 @@ object RelationalQueries3 {
     "q74_jaro_winkler" -> q74_jaro_winkler,
     "q75_topk_agg" -> q75_topk_agg,
     "q79_asof_join" -> q79_asof_join,
+    "q136_interval_join" -> q136_interval_join,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -204,6 +228,15 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q136_interval_join" -> """
+      WITH p AS (SELECT event_id, user_id, ts AS p_ts FROM events
+                 WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+      SELECT p.event_id, count(c.c_ts) AS n_clicks
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+      GROUP BY 1 ORDER BY 1""",
     "q87_percent_rank" -> """
       SELECT o_orderpriority, o_orderkey,
              round(percent_rank() OVER w, 4) AS pr,

@@ -53,6 +53,45 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out(103L) == ((None, None)))                  // 22 h > 2 h
   }
 
+  test("binnedIntervalJoin: trailing-window matches exact, bin boundaries inclusive, misses null") {
+    import graft.operators.Sessionize
+    val probe = Seq(
+      (7L, t("2024-01-01 10:00:00"), 100L), // clicks at 9:00(=t-1h, inclusive), 9:30, 10:00 → 3
+      (7L, t("2024-01-01 08:00:00"), 101L), // click at 7:00 exactly t-1h → 1
+      (8L, t("2024-01-01 10:00:00"), 102L), // user with no clicks → 0
+      (9L, t("2024-01-01 23:00:00"), 103L)  // click 22h earlier → 0
+    ).toDF("user_id", "ts", "event_id")
+    val build = Seq(
+      (7L, t("2024-01-01 07:00:00")),
+      (7L, t("2024-01-01 09:00:00")),
+      (7L, t("2024-01-01 09:30:00")),
+      (7L, t("2024-01-01 10:00:00")), // equal to probe ts → inclusive
+      (7L, t("2024-01-01 10:00:01")), // after → never visible
+      (9L, t("2024-01-01 01:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", 3600000L)
+      .groupBy("event_id").agg(count(col("__b_ts")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(100L -> 3L, 101L -> 1L, 102L -> 0L, 103L -> 0L), s"got $out")
+    // matches are never duplicated across the two candidate bins
+    val pairs = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", 3600000L)
+      .filter(col("__b_ts").isNotNull)
+      .select("event_id", "__b_ts").collect().map(_.toSeq)
+    assert(pairs.length == pairs.distinct.length, "bin expansion duplicated a match")
+  }
+
+  test("binnedIntervalJoin plans as an equi-join, never a nested-loop range join") {
+    import graft.operators.Sessionize
+    val probe = Seq((7L, t("2024-01-01 10:00:00"), 100L)).toDF("user_id", "ts", "event_id")
+    val build = Seq((7L, t("2024-01-01 09:30:00"))).toDF("user_id", "ts")
+    val p = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", 3600000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
   test("one shuffle: both windows share a single sort (one Window stage)") {
     val df = AsOfJoin.join(left, right, "user_id", "ts", "ts", "event_id", None)
     df.collect()
