@@ -129,11 +129,17 @@ case class MgHeavyHitters(
     new GenericArrayData(rows)
   }
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF throws on items above
+  // 64 KB of modified UTF-8, and a single unbroken token (a base64 blob,
+  // minified JS) can exceed that — the sketch must survive it
   override def serialize(buf: MgBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (it, c) => out.writeUTF(it); out.writeLong(c) }
+    buf.counts.foreach { case (it, c) =>
+      val bytes = it.getBytes("UTF-8")
+      out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -143,7 +149,13 @@ case class MgHeavyHitters(
     val n = in.readInt()
     val buf = new MgBuffer(k)
     var i = 0
-    while (i < n) { buf.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counts.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

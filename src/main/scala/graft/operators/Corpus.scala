@@ -399,23 +399,31 @@ object Corpus {
     */
   private def flaggedWindows(docs: DataFrame, idCol: String, textCol: String,
                              k: Int): DataFrame = {
-    val tk = TextFunctions.tokens(col(textCol))
-    // positional (pos, gram) windows; sequence() descends when start>stop,
-    // so short docs must short-circuit to an empty array, not sequence(0,<0)
-    val windows = when(size(tk) >= k,
-      transform(sequence(lit(0), size(tk) - k),
-        i => struct(i.as("pos"), array_join(slice(tk, i + lit(1), lit(k)), " ").as("gram"))))
-      .otherwise(array())
-    val w = Dedup.spread(docs)
-      .select(col(idCol).as("doc_id"), explode_outer(windows).as("w"))
-      .filter(col("w").isNotNull)
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+    val w = positionalWindows(docs, idCol, textCol, k)
       .transform(Stage.snapshotDF) // feeds the dup-gram set AND the flag join
     val dupGrams = w.select("gram", "doc_id").distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gram")
     w.join(dupGrams.withColumn("__d", lit(true)), Seq("gram"), "left")
       .withColumn("is_dup", coalesce(col("__d"), lit(false)))
+  }
+
+  /** Positional k-token windows per document: (`doc_id`, `pos`, `gram`) —
+    * the shared first stage of every span operator. sequence() DESCENDS
+    * when start > stop, so short docs must short-circuit to an empty
+    * array, not sequence(0, <0).
+    */
+  private def positionalWindows(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    val windows = when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => struct(i.as("pos"), array_join(slice(tk, i + lit(1), lit(k)), " ").as("gram"))))
+      .otherwise(array())
+    Dedup.spread(docs)
+      .select(col(idCol).as("doc_id"), explode_outer(windows).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
   }
 
   /** Cross-document duplicated-span REMOVAL — the rewrite step of
@@ -469,16 +477,8 @@ object Corpus {
   def removeSelfRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                               k: Int, minRun: Int = 1): DataFrame = {
     require(minRun >= 1, s"need minRun >= 1, got $minRun")
-    val tk = TextFunctions.tokens(col(textCol))
-    val windows = when(size(tk) >= k,
-      transform(sequence(lit(0), size(tk) - k),
-        i => struct(i.as("pos"), array_join(slice(tk, i + lit(1), lit(k)), " ").as("gram"))))
-      .otherwise(array())
     val firstW = Window.partitionBy(col("doc_id"), col("gram"))
-    val repeated = Dedup.spread(docs)
-      .select(col(idCol).as("doc_id"), explode_outer(windows).as("w"))
-      .filter(col("w").isNotNull)
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+    val repeated = positionalWindows(docs, idCol, textCol, k)
       .withColumn("__minp", min("pos").over(firstW))
       .filter(col("pos") > col("__minp"))
     cutFlaggedRuns(docs, idCol, textCol, k, minRun, repeated)

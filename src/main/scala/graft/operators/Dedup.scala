@@ -740,7 +740,7 @@ object Dedup {
     * the earliest-admitted (lowest-id) postings win, deterministically.
     * No-silent-caps: the dropped-posting count rides `graft.postingCap`.
     */
-  private def cappedPostings(shOld: DataFrame, maxPostings: Int): DataFrame =
+  private[graft] def cappedPostings(shOld: DataFrame, maxPostings: Int): DataFrame =
     if (maxPostings <= 0) shOld
     else {
       val w = org.apache.spark.sql.expressions.Window
@@ -812,6 +812,44 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_new"), col("id_old"),
         round(col("containment"), 4).as("containment"))
+  }
+
+  /** FUSED batch×history admission comparison — the drop list
+    * [[graft.streaming.StreamingDedup.admitBatch]] applies per batch: one
+    * [[cappedPostings]] window + ONE inverted-index join + ONE pair
+    * aggregation score BOTH the symmetric Jaccard and (when
+    * `containThreshold` > 0) the directed containment, since the two
+    * between-forms need the same (id_new, id_old, |∩|, sz_new, sz_old)
+    * relation. Result ≡ `jaccardBetween ∪ containmentBetween` drop ids
+    * (StreamingDedupSpec pins the equivalence); cost ≡ ONE between-form —
+    * the separate operators stay as the oracle-gate query surface
+    * (q105/q132), this is what production admission runs.
+    */
+  def admissionDropsBetween(
+      shNew: DataFrame,
+      shOld: DataFrame,
+      jaccardThreshold: Double,
+      containThreshold: Double,
+      maxPostings: Int): DataFrame = {
+    require(jaccardThreshold > 0.0, "jaccard threshold must be > 0")
+    require(containThreshold <= 1.0,
+      s"containment threshold must be <= 1, got $containThreshold")
+    val pairs = shNew
+      .select(col("__id").as("id_new"), col("sz").as("sz_new"), col("shingle"))
+      .join(cappedPostings(shOld, maxPostings)
+        .select(col("__id").as("id_old"), col("sz").as("sz_old"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_new") =!= col("id_old"))
+      .groupBy("id_new", "id_old")
+      .agg(count(lit(1)).as("c"),
+        max(col("sz_new")).as("sz_new"), max(col("sz_old")).as("sz_old"))
+    val jacc = col("c").cast("double") /
+      (col("sz_new") + col("sz_old") - col("c")).cast("double")
+    val cont = col("c").cast("double") / col("sz_new").cast("double")
+    val hit =
+      if (containThreshold > 0.0) jacc >= jaccardThreshold || cont >= containThreshold
+      else jacc >= jaccardThreshold
+    pairs.filter(hit).select("id_new").distinct()
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token contributes

@@ -63,21 +63,25 @@ object Sessionize {
                          keyCol: String, tsCol: String,
                          windowMs: Long): DataFrame = {
     require(windowMs > 0, s"need windowMs > 0, got $windowMs")
-    val pm = unix_millis(col(tsCol))
+    // compare at MICROsecond precision: event timestamps carry µs, and a
+    // millisecond-truncated comparison would misclassify boundary pairs
+    // that the full-precision oracle (BETWEEN on timestamps) gets right
+    val windowUs = windowMs * 1000L
+    val pm = unix_micros(col(tsCol))
     val p = probe
-      .withColumn("__p_ms", pm)
+      .withColumn("__p_us", pm)
       .withColumn("__bin",
-        explode(array(floor(pm / windowMs) - 1, floor(pm / windowMs))))
+        explode(array(floor(pm / windowUs) - 1, floor(pm / windowUs))))
     val b = build.select(
       col(keyCol).as("__b_key"),
       col(tsCol).as("__b_ts"),
-      unix_millis(col(tsCol)).as("__b_ms"),
-      floor(unix_millis(col(tsCol)) / windowMs).as("__bin"))
+      unix_micros(col(tsCol)).as("__b_us"),
+      floor(unix_micros(col(tsCol)) / windowUs).as("__bin"))
     p.join(b,
         p(keyCol) === b("__b_key") && p("__bin") === b("__bin") &&
-          col("__b_ms") >= col("__p_ms") - windowMs &&
-          col("__b_ms") <= col("__p_ms"),
+          col("__b_us") >= col("__p_us") - windowUs &&
+          col("__b_us") <= col("__p_us"),
         "left_outer")
-      .drop("__b_key", "__b_ms", "__p_ms", "__bin")
+      .drop("__b_key", "__b_us", "__p_us", "__bin")
   }
 }

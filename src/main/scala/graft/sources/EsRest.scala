@@ -147,7 +147,11 @@ object EsRest {
     val (code, resp) =
       requestRetrying(conf, "POST", "/_bulk", Some(body), "application/x-ndjson")
     if (code != 200) {
-      System.err.println(s"[es-bulk] chunk of $nDocs docs failed after retries: HTTP $code")
+      // keep (a truncated) response body: "HTTP 400" alone is undiagnosable
+      // when ES rejects a mapping or parse, and the job deliberately
+      // continues rather than aborting
+      System.err.println(
+        s"[es-bulk] chunk of $nDocs docs failed after retries: HTTP $code ${resp.take(500)}")
       failed.add(nDocs.toLong)
       return
     }

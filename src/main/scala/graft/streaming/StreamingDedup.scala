@@ -104,20 +104,15 @@ object StreamingDedup {
     val history = Sinks.readBatchStore(spark, storePath, excludeBatch = Some(batchId))
     val survivors = history match {
       case Some(store) =>
-        val jaccDrops = Dedup
-          .jaccardBetween(shAfterWithin, store, threshold, maxPostings)
+        // FUSED cross-history comparison ([[Dedup.admissionDropsBetween]]):
+        // one posting-cap window + one inverted-index join + one pair
+        // aggregation score Jaccard AND (when `containThreshold` > 0) the
+        // directed containment — the subsumed-new-doc case Jaccard scores
+        // near |new|/|old| — at the cost of a single between-form. History
+        // is final, so only the new side is judged.
+        val crossDrops = Dedup.admissionDropsBetween(
+            shAfterWithin, store, threshold, containThreshold, maxPostings)
           .select(col("id_new").as(idCol))
-        // containment admission (`containThreshold` > 0 enables): a new doc
-        // subsumed inside an ADMITTED doc at C ≥ t drops even when their
-        // Jaccard is tiny — the quoted-article-in-digest case. History is
-        // final, so only the new side is judged; the same posting cap
-        // bounds the history postings per shingle.
-        val crossDrops =
-          (if (containThreshold > 0.0)
-            jaccDrops.union(Dedup
-              .containmentBetween(shAfterWithin, store, containThreshold, maxPostings)
-              .select(col("id_new").as(idCol)))
-          else jaccDrops).distinct()
         afterWithin.join(crossDrops, Seq(idCol), "left_anti")
       case None => afterWithin
     }

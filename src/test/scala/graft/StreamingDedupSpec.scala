@@ -106,6 +106,28 @@ class StreamingDedupSpec extends SparkSuite {
     assert(capped == Set((20L, 1L)), s"got $capped")
   }
 
+  test("admissionDropsBetween ≡ jaccardBetween ∪ containmentBetween drop ids (fused plan, same answer)") {
+    val contained = baseA.split(" ").take(12).mkString(" ")
+    val newSh = Dedup.shingleIndex(
+      Seq((10L, mutate(baseA)), (20L, contained), (21L, baseC))
+        .toDF("doc_id", "text"), "doc_id", "text", 3)
+      .transform(graft.operators.Stage.snapshotDF)
+    val oldSh = Dedup.shingleIndex(
+      Seq((1L, baseA), (2L, baseB)).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .transform(graft.operators.Stage.snapshotDF)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_new").as[Long].collect().toSet
+    for (cap <- Seq(100000, 1)) {
+      val unioned = ids(Dedup.jaccardBetween(newSh, oldSh, 0.6, cap)) ++
+        ids(Dedup.containmentBetween(newSh, oldSh, 0.8, cap))
+      val fused = ids(Dedup.admissionDropsBetween(newSh, oldSh, 0.6, 0.8, cap))
+      assert(fused == unioned, s"cap=$cap: fused $fused vs unioned $unioned")
+      // jaccard-only mode ≡ jaccardBetween alone
+      assert(ids(Dedup.admissionDropsBetween(newSh, oldSh, 0.6, 0.0, cap)) ==
+        ids(Dedup.jaccardBetween(newSh, oldSh, 0.6, cap)))
+    }
+  }
+
   test("admitBatch containment admission: subsumed doc rejected only when enabled") {
     val contained = baseA.split(" ").take(12).mkString(" ")
     def freshStore() = Files.createTempDirectory("sd-contain").toString + "/store"
