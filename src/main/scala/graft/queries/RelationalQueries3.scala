@@ -198,6 +198,39 @@ object RelationalQueries3 {
       .orderBy("event_id")
   }
 
+  /** q137 — ordered funnel (signup → click → purchase): per user the
+    * earliest stage-completion chain with strict temporal ordering (each
+    * stage's earliest event AFTER the previous stage's completion), rolled
+    * up to stage conversion counts and the mean signup→purchase latency of
+    * completers. Three stage-filtered min-aggregations chained by
+    * broadcast-friendly user-key joins — each stage shuffles only its own
+    * event-type slice keyed by user, never a window over the whole log, so
+    * the funnel costs three type-pruned scans at 100 TB (event_type is the
+    * natural partition column there). The strict `>` makes a click before
+    * the signup not count — order matters, which is what distinguishes a
+    * funnel from three independent counts.
+    */
+  def q137_funnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def stage(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("ts"))
+    val s1 = stage("signup").groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stage("click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = stage("purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .agg(
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_clicked"),
+        count(col("t3")).as("n_purchased"),
+        round(avg((unix_micros(col("t3")) - unix_micros(col("t1"))).cast("double")), 4)
+          .as("avg_funnel_us"))
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -220,6 +253,7 @@ object RelationalQueries3 {
     "q75_topk_agg" -> q75_topk_agg,
     "q79_asof_join" -> q79_asof_join,
     "q136_interval_join" -> q136_interval_join,
+    "q137_funnel" -> q137_funnel,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -228,6 +262,20 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q137_funnel" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT count(s1.t1) AS n_signup,
+             count(s2.t2) AS n_clicked,
+             count(s3.t3) AS n_purchased,
+             round(avg(epoch_us(s3.t3) - epoch_us(s1.t1)), 4) AS avg_funnel_us
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
     "q136_interval_join" -> """
       WITH p AS (SELECT event_id, user_id, ts AS p_ts FROM events
                  WHERE event_type = 'purchase'),
