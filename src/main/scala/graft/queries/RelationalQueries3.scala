@@ -231,6 +231,36 @@ object RelationalQueries3 {
           .as("avg_funnel_us"))
   }
 
+  /** q138 — cohort retention: users grouped by the DAY of their first
+    * event (the cohort), tracked by distinct-active-user counts at each
+    * day offset since joining — the classic retention triangle. One
+    * min-aggregation per user (the cohort assignment) joined back to the
+    * log on the user key, then one (cohort, offset) count-distinct; at
+    * 100 TB the cohort relation is |users| rows (broadcast- or
+    * bucket-joinable) and nothing windows over the whole log. Offsets
+    * are capped to the first week and cohorts to the first 5 days
+    * RELATIVE to the log's own earliest cohort (a broadcast scalar —
+    * never a hard-coded date, the regeneration-brittleness class that
+    * broke the events suite in round 10), keeping the retention triangle
+    * bounded regardless of log span.
+    */
+  def q138_cohort_retention: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val cohortAll = ev.groupBy("user_id")
+      .agg(to_date(min("ts")).as("cohort_day"))
+    val base = cohortAll.agg(min("cohort_day").as("base_day"))
+    val cohort = cohortAll.crossJoin(broadcast(base))
+      .filter(col("cohort_day") <= date_add(col("base_day"), 4))
+      .drop("base_day")
+    ev.join(cohort, "user_id")
+      .withColumn("day_offset",
+        datediff(to_date(col("ts")), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= 6)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -254,6 +284,7 @@ object RelationalQueries3 {
     "q79_asof_join" -> q79_asof_join,
     "q136_interval_join" -> q136_interval_join,
     "q137_funnel" -> q137_funnel,
+    "q138_cohort_retention" -> q138_cohort_retention,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -262,6 +293,18 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q138_cohort_retention" -> """
+      WITH c AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                 FROM events GROUP BY 1),
+      b AS (SELECT min(cohort_day) AS base_day FROM c),
+      cc AS (SELECT c.user_id, c.cohort_day FROM c, b
+             WHERE c.cohort_day <= b.base_day + 4)
+      SELECT cc.cohort_day,
+             datediff('day', cc.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             count(DISTINCT e.user_id) AS n_active
+      FROM events e JOIN cc ON e.user_id = cc.user_id
+      WHERE datediff('day', cc.cohort_day, CAST(e.ts AS DATE)) <= 6
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "q137_funnel" -> """
       WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                   WHERE event_type = 'signup' GROUP BY 1),
