@@ -740,7 +740,7 @@ object Dedup {
     * the earliest-admitted (lowest-id) postings win, deterministically.
     * No-silent-caps: the dropped-posting count rides `graft.postingCap`.
     */
-  private[graft] def cappedPostings(shOld: DataFrame, maxPostings: Int): DataFrame =
+  private def cappedPostings(shOld: DataFrame, maxPostings: Int): DataFrame =
     if (maxPostings <= 0) shOld
     else {
       val w = org.apache.spark.sql.expressions.Window

@@ -62,7 +62,8 @@ object Sessionize {
   def binnedIntervalJoin(probe: DataFrame, build: DataFrame,
                          keyCol: String, tsCol: String,
                          windowMs: Long): DataFrame = {
-    require(windowMs > 0, s"need windowMs > 0, got $windowMs")
+    require(windowMs > 0 && windowMs <= Long.MaxValue / 1000L,
+      s"need 0 < windowMs <= ${Long.MaxValue / 1000L} (µs conversion must not overflow), got $windowMs")
     // compare at MICROsecond precision: event timestamps carry µs, and a
     // millisecond-truncated comparison would misclassify boundary pairs
     // that the full-precision oracle (BETWEEN on timestamps) gets right

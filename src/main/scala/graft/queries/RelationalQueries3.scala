@@ -246,8 +246,12 @@ object RelationalQueries3 {
     */
   def q138_cohort_retention: Q = (s, dir) => {
     val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    // snapshot: the per-user min-aggregation feeds the base scalar AND the
+    // cohort filter (the fan-out rule) — without the barrier the events
+    // scan + shuffle compiles into the plan twice
     val cohortAll = ev.groupBy("user_id")
       .agg(to_date(min("ts")).as("cohort_day"))
+      .transform(graft.operators.Stage.snapshotDF)
     val base = cohortAll.agg(min("cohort_day").as("base_day"))
     val cohort = cohortAll.crossJoin(broadcast(base))
       .filter(col("cohort_day") <= date_add(col("base_day"), 4))
