@@ -265,6 +265,32 @@ object RelationalQueries3 {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q139 — DAU/WAU stickiness: per day, the distinct active users that
+    * day over the distinct actives of the trailing 7 days. Sliding
+    * DISTINCT counts don't compose from per-day partials, so the trailing
+    * window is computed by exploding each (user, day) activity row into
+    * the ≤ 7 observation days it contributes to — a BOUNDED ×7 map-side
+    * expansion into one (day)-keyed distinct aggregation, the q136
+    * bin-expansion trick on the time axis — never a 7-day window over the
+    * raw log (which cannot dedup users) nor a per-day self-join fan-out.
+    * Days are only reported where the log has activity (the DAU side).
+    */
+  def q139_stickiness: Q = (s, dir) => {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .transform(graft.operators.Stage.snapshotDF) // feeds DAU and WAU
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -289,6 +315,7 @@ object RelationalQueries3 {
     "q136_interval_join" -> q136_interval_join,
     "q137_funnel" -> q137_funnel,
     "q138_cohort_retention" -> q138_cohort_retention,
+    "q139_stickiness" -> q139_stickiness,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -297,6 +324,14 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q139_stickiness" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+      wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+              FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+              GROUP BY 1)
+      SELECT d.day, d.dau, w.wau, round(d.dau * 1.0 / w.wau, 4) AS stickiness
+      FROM dau d JOIN wau w USING (day) ORDER BY 1""",
     "q138_cohort_retention" -> """
       WITH c AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
                  FROM events GROUP BY 1),
