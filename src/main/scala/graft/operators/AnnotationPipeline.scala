@@ -49,6 +49,64 @@ object AnnotationPipeline {
     docs.join(processedIds, docs(docIdCol) === col("__processed_id"), "left_anti")
   }
 
+  /** F2 at 100 TB — bloom-REROUTED already-processed anti-join.
+    *
+    * AQE's runtime bloom filters cannot prune an anti-join: a probe row that
+    * fails the build side's bloom filter is exactly the row the anti-join
+    * must KEEP, so `InjectRuntimeFilter` has nothing to drop and both sides
+    * shuffle in full. The scalable form is explicit rerouting: build one
+    * bloom filter over the processed-id side (one partial-aggregable
+    * `bloom_filter_agg`, the sketch merges associatively map-side), collect
+    * the bounded sketch (`numBits/8` bytes — a driver literal like the
+    * Similarity LUTs, NOT a data-sized collect), then split the probe side
+    * map-side with codegen `might_contain`:
+    *
+    *   - bloom-NEGATIVE docs are definitely unprocessed → straight to the
+    *     output, touching no shuffle at all;
+    *   - bloom-POSITIVE docs (true positives + the ~fpp false positives)
+    *     are the only rows that enter the exact anti-join.
+    *
+    * Result is EXACTLY `filterAlreadyProcessed` (blooms have no false
+    * negatives), but the anti-join shuffle carries |processed| + fpp·|new|
+    * rows instead of |processed| + |new|. The reference's shape is one ES
+    * count RPC per document (`ingester/annotations_indexer.py:80-101`);
+    * the plain anti-join distributes it, and this form un-bottlenecks the
+    * distribution at the 100 TB re-ingest where almost everything was
+    * already processed. Both bloom sides hash with `xxhash64` (seed 42) so
+    * any key type reduces to the long domain `bloom_filter_agg` fills.
+    */
+  def filterAlreadyProcessedBloom(
+      docs: DataFrame,
+      sink: DataFrame,
+      docIdCol: String = "doc_id",
+      sinkDocIdCol: String = "meta_doc_id",
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    // optimal bit count m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val processedIds = sink.select(col(sinkDocIdCol).as("__processed_id")).distinct()
+    val bfAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftBridge.expression(col("__processed_id")))),
+      Literal(expectedItems), Literal(numBits))
+    val bfBytes = processedIds
+      .select(GraftBridge.column(bfAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty processed side → bloom_filter_agg yields null → nothing processed
+    if (bfBytes == null) return docs
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(bfBytes),
+      new XxHash64(Seq(GraftBridge.expression(docs(docIdCol))))))
+    val fresh = docs.filter(!mightContain)
+    val maybe = docs.filter(mightContain)
+      .join(processedIds, docs(docIdCol) === col("__processed_id"), "left_anti")
+    fresh.unionByName(maybe)
+  }
+
   /** U1 (mock) — deterministic dictionary tagger. For every term in `terms`
     * found in the text (case-sensitive `instr`, first occurrence), emits one
     * annotation struct {term, start, end, source_value}. 0-based [start, end)

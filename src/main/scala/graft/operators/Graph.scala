@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge relations.
+  *
+  * Complements the hash-min connected components in [[Dedup]] (q80): CC
+  * answers "which docs are the same?", PageRank answers "which nodes
+  * matter?" — the importance signal used to weight crawl frontiers and
+  * training-mix sources by link authority (Page et al. 1999).
+  *
+  * The 100 TB cost profile of PageRank is lopsided: deriving the edge
+  * relation from raw logs is the corpus-sized work (one aggregation
+  * pipeline), while each rank iteration touches only the edge/node
+  * relations — a (src)-keyed equi-join plus a (dst)-keyed sum, both
+  * hash-shuffles on graph-sized (not log-sized) data that AQE can
+  * co-partition. Iterations unroll into one logical plan (the q126 loop
+  * convention): no driver-side collect of ranks, no RDD loop; the only
+  * driver scalar is the node COUNT, a bounded literal like the Similarity
+  * LUT sizes.
+  */
+object Graph {
+
+  /** Weighted PageRank with proper dangling-mass redistribution.
+    *
+    * rank_{t+1}(v) = (1−d)/N + d·( Σ_{u→v} rank_t(u)·w(u,v)/outw(u)
+    *                              + dangling_t/N )
+    *
+    * where `dangling_t` is the total rank mass sitting on nodes with no
+    * outgoing edges (they donate uniformly to everyone — dropping this term
+    * leaks mass and the ranks stop summing to 1).
+    *
+    * Every iteration ends in `round(pr, scale)`: the per-layer rounding
+    * contract (q114/q126 convention) that keeps the next layer's inputs
+    * bit-identical cross-engine even though per-group summation order is
+    * not. The rank and edge tables each fan out to two consumers per
+    * iteration (contribution join + dangling aggregate), so both are
+    * snapshotted ([[Stage.snapshotDF]]) — referencing them lazily would
+    * re-execute the whole upstream edge pipeline 2K times.
+    *
+    * Returns (node, pr) with pr rounded to `scale` decimals.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      iterations: Int = 4,
+      damping: Double = 0.85,
+      scale: Int = 9): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    // the edge pipeline is the corpus-sized work — snapshot it FIRST so the
+    // node/out-weight/transition consumers below execute it exactly once
+    val e = Stage.snapshotDF(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w")))
+    val nodes = Stage.snapshotDF(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count() // bounded: |V|, a driver scalar by design
+    val outw = e.groupBy(col("src")).agg(sum("w").as("outw"))
+    // normalized transition probabilities — w and outw are exact integer
+    // sums widened to double, so w/outw is the same division both engines
+    val enorm = Stage.snapshotDF(
+      e.join(outw, "src").select(col("src"), col("dst"), (col("w") / col("outw")).as("p")))
+    val srcs = Stage.snapshotDF(enorm.select("src").distinct())
+    val base = lit(1.0 - damping) / n
+
+    var ranks = nodes.withColumn("pr", lit(1.0) / n)
+    for (_ <- 1 to iterations) {
+      val r = Stage.snapshotDF(ranks)
+      val dangling = r.join(srcs, r("node") === srcs("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      val contrib = r.join(enorm, r("node") === enorm("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") * col("p")).as("con"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(base + lit(damping) * (coalesce(col("con"), lit(0.0)) + col("dm") / n), scale)
+            .as("pr"))
+    }
+    ranks
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Multimodal, Skew}
+import graft.operators.{Graph, Multimodal, Skew}
 import graft.sources.Sinks
 
 /** Remaining inventory: multimodal plumbing, sketch aggregates, and the
@@ -135,14 +135,87 @@ object MiscQueries {
       .orderBy("ship_month")
   }
 
+  /** q141 — weighted PageRank ([[Graph.pageRank]]) over the nation trade
+    * graph: edge src→dst = supplier-nation ships to customer-nation,
+    * weighted by lineitem count. Deriving the edges is the corpus-sized
+    * work (the TPC-H Q5 join pipeline collapsed to one aggregation); the 4
+    * rank iterations then run on the graph-sized edge relation only —
+    * PageRank's real 100 TB cost profile. Dangling mass is redistributed
+    * uniformly (ranks keep summing to 1, spec-pinned); the oracle unrolls
+    * the 4 iterations as CTE layers under the per-layer round(·, 9)
+    * contract (the q126 loop convention).
+    */
+  def q141_pagerank: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graph.pageRank(edges, "src", "dst", "w", iterations = 4)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), round(col("pr"), 6).as("pagerank"))
+      .orderBy("n_name")
+  }
+
+  /** The q141 oracle: edge CTEs + `iters` unrolled rank layers. Literals
+    * are CAST to DOUBLE so both engines run the identical IEEE arithmetic
+    * ((1 − 0.85) computed in double, never a decimal-typed 0.15).
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val layers = (1 to iters).map { k =>
+      s"""
+      r$k AS (
+        SELECT n.node,
+               round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                     + CAST(0.85 AS DOUBLE) *
+                       (coalesce(c.con, CAST(0 AS DOUBLE)) + dg.dm / nn.n), 9) AS pr
+        FROM nodes n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.pr * e.p) AS con
+                   FROM r${k - 1} r JOIN enorm e ON r.node = e.src
+                   GROUP BY 1) c ON n.node = c.node
+        CROSS JOIN (SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) AS dm
+                    FROM r${k - 1}
+                    WHERE node NOT IN (SELECT src FROM outw)) dg
+        CROSS JOIN nn)"""
+    }.mkString(",")
+    s"""
+      WITH edges AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+               CAST(count(1) AS DOUBLE) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges
+                   UNION ALL SELECT dst FROM edges)),
+      nn AS (SELECT count(1) AS n FROM nodes),
+      outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+      enorm AS (SELECT e.src, e.dst, e.w / o.ow AS p
+                FROM edges e JOIN outw o USING (src)),
+      r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+      $layers
+      SELECT n_name, round(pr, 6) AS pagerank
+      FROM r$iters JOIN nation ON node = n_nationkey
+      ORDER BY n_name"""
+  }
+
   val all: Map[String, Q] = Map(
     "q70_multimodal" -> q70_multimodal,
+    "q141_pagerank" -> q141_pagerank,
     "q71_approx_distinct" -> q71_approx_distinct,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
 
   val oracle: Map[String, String] = Map(
+    "q141_pagerank" -> pageRankOracle(4),
     // over the RAW table: the clustered rewrite must be result-invariant
     "q98_clustered_scan" -> """
       SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,

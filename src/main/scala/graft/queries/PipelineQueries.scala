@@ -95,6 +95,29 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** q140 — F2 at scale: bloom-REROUTED already-processed anti-join
+    * ([[graft.operators.AnnotationPipeline.filterAlreadyProcessedBloom]]).
+    * Same processed set as q33 (a prior run covered doc_id % 3 == 0), but
+    * the probe side is split map-side by a `might_contain` test against a
+    * bloom filter built over the processed ids: bloom-negative docs bypass
+    * the anti-join shuffle entirely, only the bloom-positive sliver joins.
+    * AQE's runtime filters structurally can't do this for anti-joins (the
+    * rows failing the filter are the KEPT rows), which is why the reroute
+    * is an explicit operator. The oracle is the plain NOT EXISTS anti-join
+    * — cross-engine proof the reroute is exactness-preserving. The bloom
+    * here is deliberately small (4096 items @ 5% fpp) so false positives
+    * actually flow through the exact-confirm branch at test scale.
+    */
+  def q140_bloom_antijoin: Q = (s, dir) => {
+    val docs = filterValidText(Tables.documents(s, dir))
+    val sink = withAnnId(annotateDictionary(docs.filter(col("doc_id") % 3 === 0)))
+      .select(col("doc_id").as("meta_doc_id"))
+    filterAlreadyProcessedBloom(docs, sink, expectedItems = 4096L, fpp = 0.05)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pending"), min("doc_id").as("first_pending"))
+      .orderBy("source")
+  }
+
   /** q34 — nested-object sink mode (K6/X2 inverse,
     * `ingester/annotations_indexer.py:166-200`): per-doc annotations array
     * rebuilt with collect_list. Nested arrays don't hash-compare across
@@ -117,6 +140,7 @@ object PipelineQueries {
     "q31_annotation_agg" -> q31_annotation_agg,
     "q32_split_sink" -> q32_split_sink,
     "q33_processed_antijoin" -> q33_processed_antijoin,
+    "q140_bloom_antijoin" -> q140_bloom_antijoin,
     "q34_nested_mode" -> q34_nested_mode)
 
   /** DuckDB twins. The tagger: CROSS JOIN the sorted term list, keep terms
@@ -169,6 +193,15 @@ object PipelineQueries {
                AND EXISTS (SELECT 1 FROM $termListSql
                            WHERE strpos(valid_docs.text, t.term) > 0))
       SELECT lang, count(1) AS n_pending
+      FROM valid_docs d
+      WHERE NOT EXISTS (SELECT 1 FROM sink WHERE sink.doc_id = d.doc_id)
+      GROUP BY 1 ORDER BY 1""",
+    "q140_bloom_antijoin" -> raw"""
+      WITH $validDocsCte,
+      sink AS (SELECT DISTINCT doc_id FROM valid_docs WHERE doc_id % 3 = 0
+               AND EXISTS (SELECT 1 FROM $termListSql
+                           WHERE strpos(valid_docs.text, t.term) > 0))
+      SELECT source, count(1) AS n_pending, min(doc_id) AS first_pending
       FROM valid_docs d
       WHERE NOT EXISTS (SELECT 1 FROM sink WHERE sink.doc_id = d.doc_id)
       GROUP BY 1 ORDER BY 1""",

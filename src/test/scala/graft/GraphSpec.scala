@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank semantics pinned against an independent driver-side mirror
+  * (plain Scala Maps, same per-layer rounding contract).
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Driver mirror of [[Graph.pageRank]]: same formula, same per-layer
+    * round-to-9, but computed with scala.collection loops.
+    */
+  private def mirror(
+      edges: Seq[(Long, Long, Double)], iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = edges.map { case (s, t, w) => ((s, t), w / outw(s)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outw.contains).map(pr).sum
+      pr = nodes.map { v =>
+        val con = p.collect { case ((s, t), pp) if t == v => pr(s) * pp }.sum
+        v -> r9((1.0 - d) / n + d * (con + dangling / n))
+      }.toMap
+    }
+    pr
+  }
+
+  private def run(edges: Seq[(Long, Long, Double)], iters: Int): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iterations = iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("uniform ring: every node ranks exactly 1/N") {
+    val ring = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 1L, 1.0))
+    val got = run(ring, 5)
+    assert(got.size == 4)
+    got.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9, got))
+  }
+
+  test("star with dangling leaves matches the driver mirror and conserves mass") {
+    // hub 0 points to 3 leaves; leaves are dangling (no out-edges)
+    val star = Seq((0L, 1L, 1.0), (0L, 2L, 2.0), (0L, 3L, 1.0))
+    for (iters <- Seq(1, 4)) {
+      val got = run(star, iters)
+      val want = mirror(star, iters)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"node $k iters $iters") }
+      // dangling redistribution keeps total mass at 1 (± rounding)
+      assert(math.abs(got.values.sum - 1.0) < 1e-6, s"mass leak at iters=$iters: ${got.values.sum}")
+    }
+    // the heavier edge (w=2) must rank node 2 above nodes 1 and 3
+    val r = run(star, 4)
+    assert(r(2L) > r(1L) && r(2L) > r(3L))
+  }
+
+  test("weighted digraph with cycles matches the driver mirror") {
+    val g = Seq(
+      (1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 3L, 2.0), (3L, 1L, 1.0),
+      (3L, 4L, 1.0), (4L, 4L, 2.0), (4L, 1L, 1.0), (5L, 1L, 7.0))
+    val got = run(g, 4)
+    val want = mirror(g, 4)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"node $k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+}

@@ -106,6 +106,46 @@ class PipelineSpec extends SparkSuite {
     assert(remaining.filter($"doc_id".isin(0L, 1L, 2L)).count() == 0)
   }
 
+  test("F2 bloom reroute ≡ plain anti-join, bit-exact, at any bloom size") {
+    val docs = Tables.documents(spark, sfDir)
+    val sink = docs.filter($"doc_id" % 3 === 0).select($"doc_id".as("meta_doc_id"))
+    val exact = AnnotationPipeline.filterAlreadyProcessed(docs, sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // properly sized bloom AND a pathologically tiny one (64 bits for ~20
+    // ids → dense false positives): both must reroute, never change results
+    for (items <- Seq(100000L, 1L)) {
+      val got = AnnotationPipeline.filterAlreadyProcessedBloom(
+          docs, sink, expectedItems = items, fpp = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == exact, s"expectedItems=$items")
+    }
+  }
+
+  test("F2 bloom reroute: empty processed side passes everything through") {
+    val docs = Tables.documents(spark, sfDir)
+    val sink = Seq.empty[Long].toDF("meta_doc_id")
+    val got = AnnotationPipeline.filterAlreadyProcessedBloom(docs, sink)
+    assert(got.count() == docs.count())
+  }
+
+  test("F2 bloom reroute plan: probe splits on might_contain, anti-join sees only the positive branch") {
+    val docs = Tables.documents(spark, sfDir)
+    val sink = docs.filter($"doc_id" % 3 === 0).select($"doc_id".as("meta_doc_id"))
+    val plan = AnnotationPipeline.filterAlreadyProcessedBloom(docs, sink)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    // the union's first branch (bloom-negative) must carry NO join
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    val union = AnnotationPipeline.filterAlreadyProcessedBloom(docs, sink)
+      .queryExecution.optimizedPlan.collectFirst { case u: Union => u }
+    assert(union.nonEmpty, "expected a Union of fresh/confirmed branches")
+    val freshBranch = union.get.children.head
+    assert(freshBranch.collectFirst { case j: Join => j }.isEmpty,
+      "bloom-negative branch must bypass the anti-join")
+    val posBranch = union.get.children(1)
+    assert(posBranch.collectFirst { case j: Join => j }.nonEmpty)
+  }
+
   test("tagger error isolation: a throwing tagger yields error rows, not task failure (B4)") {
     val docs = Seq((1L, "has join inside"), (2L, "boom")).toDF("doc_id", "text")
     val tagger = new NlpService.Tagger {
