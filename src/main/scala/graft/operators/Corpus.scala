@@ -104,6 +104,44 @@ object Corpus {
       .agg(sum("score").as("bm25"))
   }
 
+  /** Conjunctive (AND) retrieval with BM25 ranking: documents containing
+    * EVERY query term, scored like [[bm25]]. The intersection of the
+    * query terms' posting lists is computed as one (doc)-keyed count —
+    * `HAVING count(term) = |query|` — instead of |query|−1 posting
+    * self-joins; since `tf` already holds one row per (doc, DISTINCT
+    * term), the plain count is the distinct-match count. Work is bounded
+    * by the query terms' posting lengths (the map-side `array_contains`
+    * prunes the explode before the first shuffle), never corpus size —
+    * the search-engine cost model, reached here with one aggregation.
+    * Returns (doc_id, bm25) unrounded/unlimited; callers rank and cut.
+    */
+  def conjunctiveSearch(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      s"query terms must be non-empty and distinct: $queryTerms")
+    val toks = tokenRows(docs, idCol, textCol)
+    val qt = array(queryTerms.map(lit): _*)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(TextFunctions.tokens(col(textCol))).cast("double")).as("avgdl"))
+    val tf = toks.filter(array_contains(qt, col("tok")))
+      .groupBy("__id", "tok")
+      .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
+      .transform(Stage.snapshotDF)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("cnt") * (lit(k1) + 1)) /
+          (col("cnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("avgdl"))))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(sum("score").as("bm25"), count(lit(1)).as("__matched"))
+      .filter(col("__matched") === queryTerms.size)
+      .drop("__matched")
+  }
+
   /** Sparse TF-IDF cosine similarity between documents, inverted-index
     * style: pair weights meet on their TERM (one shuffle keyed by term,
     * pair products summed per document pair) — never a dense doc×doc

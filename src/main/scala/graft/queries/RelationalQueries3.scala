@@ -291,6 +291,31 @@ object RelationalQueries3 {
       .orderBy("day")
   }
 
+  /** q142 — time-decayed activity weights: per user, Σ exp(−age/τ) over
+    * their events with τ = 7 days, anchored at the log's own max timestamp
+    * (a broadcast scalar — never a wall-clock `now()`, which would be both
+    * non-deterministic and the regeneration-brittle class of r10). The
+    * exponential-decay sum is the recency-weighted sampling weight a
+    * training-mix pipeline uses to tilt toward fresh data — and unlike a
+    * sliding window it needs NO window machinery: decay against a fixed
+    * anchor is one map-side `exp` into an ordinary per-user hash
+    * aggregation, partial-aggregable, shuffling one row per user. Age is
+    * computed in exact integer microseconds before the single double
+    * division, so both engines exponentiate the same doubles.
+    */
+  def q142_time_decay: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val anchor = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("w",
+        exp(-((col("ref_us") - unix_micros(col("ts"))).cast("double") / lit(6.048e11))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("w"), 4).as("decay_weight"),
+           max(to_date(col("ts"))).as("last_day"))
+      .orderBy("user_id")
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -316,6 +341,7 @@ object RelationalQueries3 {
     "q137_funnel" -> q137_funnel,
     "q138_cohort_retention" -> q138_cohort_retention,
     "q139_stickiness" -> q139_stickiness,
+    "q142_time_decay" -> q142_time_decay,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -324,6 +350,14 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q142_time_decay" -> """
+      WITH a AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+      SELECT user_id, count(1) AS n_events,
+             round(sum(exp(-(CAST(a.ref_us - epoch_us(ts) AS DOUBLE)
+                             / 604800000000.0))), 4) AS decay_weight,
+             max(CAST(ts AS DATE)) AS last_day
+      FROM events CROSS JOIN a
+      GROUP BY 1 ORDER BY 1""",
     "q139_stickiness" -> """
       WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
       dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),

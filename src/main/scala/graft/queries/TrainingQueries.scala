@@ -33,6 +33,23 @@ object TrainingQueries {
       .limit(10)
   }
 
+  /** q143 — conjunctive (AND) retrieval with BM25 ranking
+    * ([[Corpus.conjunctiveSearch]]): top-15 documents containing ALL of a
+    * 3-term query, including the corpus's rarest term. The postings
+    * intersection is one `HAVING count = |query|` aggregation over only
+    * the query terms' posting rows — search-engine cost (Σ posting
+    * lengths), never a corpus scan past the tokenizer, and never
+    * |query|−1 posting self-joins. Ordered by the ROUNDED score (the q55
+    * tie contract) so the k-cut is cross-engine stable.
+    */
+  def q143_conjunctive_search: Q = (s, dir) => {
+    Corpus.conjunctiveSearch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("dup", "vector", "key"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
   /** q56 — n-gram frequency: top-20 word bigrams with counts. */
   def q56_bigram_freq: Q = (s, dir) => {
     graft.operators.Dedup.spread(Tables.documents(s, dir))
@@ -657,6 +674,7 @@ object TrainingQueries {
     "q82_dedup_apply" -> q82_dedup_apply,
     "q54_tfidf" -> q54_tfidf,
     "q55_bm25" -> q55_bm25,
+    "q143_conjunctive_search" -> q143_conjunctive_search,
     "q56_bigram_freq" -> q56_bigram_freq,
     "q57_sessionize" -> q57_sessionize,
     "q58_packing" -> q58_packing,
@@ -1272,6 +1290,24 @@ object TrainingQueries {
         FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
       SELECT doc_id, round(sum(score), 4) AS bm25
       FROM scored GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""",
+    "q143_conjunctive_search" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM documents)),
+      stats AS (SELECT count(1) AS n_docs,
+                       avg(len($tk) * 1.0) AS avgdl FROM documents),
+      tf AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+             FROM toks WHERE tok IN ('dup', 'vector', 'key') GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(1) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dlen / avgdl)) AS score
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+      agg AS (SELECT doc_id, round(sum(score), 4) AS bm25, count(1) AS m
+              FROM scored GROUP BY 1)
+      SELECT doc_id, bm25 FROM agg WHERE m = 3
+      ORDER BY 2 DESC, 1 ASC LIMIT 15""",
     "q56_bigram_freq" -> raw"""
       WITH toks AS (SELECT $tk AS tk FROM documents),
       g AS (SELECT unnest(list_transform(range(0, greatest(len(tk) - 2, 0) + 1),

@@ -43,6 +43,27 @@ class CorpusSpec extends SparkSuite {
     assert(!out.contains(1L) && !out.contains(3L))
   }
 
+  test("conjunctiveSearch keeps exactly the all-terms docs, scored identically to bm25") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma extra words"),
+      (2L, "alpha beta beta"),            // missing gamma → excluded
+      (3L, "gamma beta alpha alpha"),
+      (4L, "delta delta")                 // no query term
+    ).toDF("doc_id", "text")
+    val q = Seq("alpha", "beta", "gamma")
+    val got = Corpus.conjunctiveSearch(corpus, "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 3L))
+    // on the matching docs the conjunctive score IS the bm25 bag score
+    val bag = Corpus.bm25(corpus, "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => assert(math.abs(s - bag(id)) < 1e-12, s"doc $id") }
+    // a single-term query degenerates to bm25's matching set
+    val one = Corpus.conjunctiveSearch(corpus, "doc_id", "text", Seq("beta"))
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(1L, 2L, 3L))
+  }
+
   test("tfidfCosinePairs: identical docs similar, disjoint docs absent") {
     val corpus = Seq(
       (0L, "alpha beta gamma"),

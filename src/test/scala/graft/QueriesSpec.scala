@@ -63,6 +63,16 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q142 decay weights: positive, bounded by the event count, anchor user at full weight") {
+    val rows = SparkEntry.queries("q142_time_decay")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val w = r.getAs[Double]("decay_weight")
+      assert(w > 0.0 && w <= n + 1e-9, s"user ${r.get(0)}: weight $w vs $n events")
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
