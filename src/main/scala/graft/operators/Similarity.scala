@@ -195,6 +195,29 @@ object Similarity {
     cents.map { case (cid, v) => (cid, means.getOrElse(cid, v)) }
   }
 
+  /** K rounds of Lloyd's algorithm: iterated [[refineCentroids]] with every
+    * coordinate re-rounded to 6 decimals between rounds — the per-layer
+    * rounding contract (q114/q126/q141 convention) that keeps each round's
+    * assignment inputs bit-identical cross-engine even though per-cell mean
+    * summation order is not.
+    *
+    * The 100 TB shape: each round is one map-side broadcast assignment (the
+    * centroid table rides as a codegen literal, no shuffle) plus one
+    * (cell, dim)-keyed partial-aggregable mean; the iteration state is a
+    * numCells × dim driver literal — KB-sized regardless of corpus scale,
+    * the same state budget as the PQ/RQ codebooks. Empty cells keep their
+    * previous centroid, so the cell count never decays.
+    */
+  def lloyd(
+      embeddings: DataFrame,
+      seeds: Array[(Long, Seq[Double])],
+      rounds: Int): Array[(Long, Seq[Double])] = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    (1 to rounds).foldLeft(seeds) { (c, _) =>
+      refineCentroids(embeddings, c).map { case (cid, v) => (cid, v.map(duckRound6)) }
+    }
+  }
+
   /** Random-hyperplane LSH bucket key: `numPlanes` fixed pseudo-random
     * hyperplanes (seeded, deterministic), bucket = sign-bit string. Vectors
     * in the same bucket are cosine-close candidates.

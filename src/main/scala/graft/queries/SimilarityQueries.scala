@@ -79,6 +79,73 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id").asc)
   }
 
+  /** q144 — k-means converged census ([[Similarity.lloyd]]): 3 full Lloyd
+    * rounds over the 16 fixed-id seeds (q88 runs exactly one), then the
+    * per-cell census under the final centroids — size and mean
+    * within-cell cosine, the clustering-quality summary a curation
+    * pipeline reports next to q125's silhouette. Each round is one
+    * broadcast map-side assignment + one (cell, dim) mean; the oracle
+    * unrolls the 3 rounds as CTE layers under the 6-decimal per-round
+    * centroid rounding (the q88 refine conventions, iterated).
+    */
+  def q144_kmeans: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val spark = s
+    import spark.implicits._
+    val cents = Similarity.lloyd(emb, Similarity.centroids(emb, 16), rounds = 3)
+    val centDf = cents.toSeq.toDF("cid", "cv")
+    Similarity.ivfAssign(emb, cents)
+      .join(broadcast(centDf), col("centroid_id") === col("cid"))
+      // per-row sims quantized to exact 1e-6 integers (explicit floor-half-up,
+      // the q58 cast convention) so the cell mean is an exact integer sum —
+      // avg(round(sim, 6)) puts the HASH on a fresh summation-order boundary
+      // per cell and hit one at sf0.001 (0.3285795)
+      .withColumn("s6",
+        floor(Similarity.cosine(col("__v"), col("cv")) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vectors"),
+           round(sum("s6").cast("double") / count(lit(1)) / lit(1e6), 6).as("avg_sim"))
+      .orderBy("centroid_id")
+  }
+
+  /** The q144 oracle: c0 seeds, then `rounds` unrolled
+    * assign→per-dim-mean→carry layers (empty cells keep the previous,
+    * re-rounded centroid — exactly [[Similarity.refineCentroids]]'s
+    * getOrElse), then the census under the final layer.
+    */
+  private def kmeansOracle(rounds: Int): String = {
+    val layers = (1 to rounds).map { k =>
+      s"""
+      a$k AS (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c${k - 1} c),
+      comp$k AS (
+        SELECT cid, i, avg(v[i::INT]) AS m
+        FROM a$k, range(1, 65) t(i) WHERE rn = 1 GROUP BY 1, 2),
+      means$k AS (SELECT cid, list(round(m, 6) ORDER BY i) AS mv
+                  FROM comp$k GROUP BY 1),
+      c$k AS (
+        SELECT c.cid,
+               coalesce(means$k.mv, list_transform(c.cv, x -> round(x, 6))) AS cv
+        FROM c${k - 1} c LEFT JOIN means$k ON c.cid = means$k.cid)"""
+    }.mkString(",")
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      $layers,
+      af AS (
+        SELECT e.vec_id, e.v, c.cid, c.cv,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c$rounds c)
+      SELECT cid AS centroid_id, count(1) AS n_vectors,
+             round(CAST(sum(CAST(floor(list_cosine_similarity(v, cv) * 1000000 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / count(1) / 1000000, 6) AS avg_sim
+      FROM af WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
+  }
+
   /** q49 — LSH bucket histogram (rows-only; buckets are seed-dependent):
     * the candidate-generation structure for ANN and blocked near-dup.
     */
@@ -250,6 +317,7 @@ object SimilarityQueries {
     "q47_cosine_range" -> q47_cosine_range,
     "q48_ivf_topk" -> q48_ivf_topk,
     "q88_ivf_refined" -> q88_ivf_refined,
+    "q144_kmeans" -> q144_kmeans,
     "q49_lsh_buckets" -> q49_lsh_buckets)
 
   /** Shared WITH-prefix of every flat PQ-ADC oracle (q109/q112/q120): ONE
@@ -284,6 +352,7 @@ object SimilarityQueries {
               GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(
+    "q144_kmeans" -> kmeansOracle(3),
     "q127_rq_topk" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),

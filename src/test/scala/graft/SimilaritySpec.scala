@@ -67,6 +67,31 @@ class SimilaritySpec extends SparkSuite {
     assert(rRef >= rSeed - 0.2, s"refinement collapsed recall: $rSeed -> $rRef")
   }
 
+  test("lloyd: round 1 ≡ rounded refineCentroids; objective non-decreasing over rounds") {
+    import org.apache.spark.sql.functions._
+    val seeds = Similarity.centroids(emb, 16)
+    val one = Similarity.lloyd(emb, seeds, rounds = 1)
+    val manual = Similarity.refineCentroids(emb, seeds)
+      .map { case (cid, v) => (cid, v.map(Similarity.duckRound6)) }
+    assert(one.toSeq == manual.toSeq)
+    // mean within-cell cosine (the Lloyd objective under cosine assignment)
+    // must not degrade from seeds → 3 rounds
+    def objective(cents: Array[(Long, Seq[Double])]): Double = {
+      val spark2 = spark
+      import spark2.implicits._
+      val centDf = broadcast(cents.toSeq.toDF("cid", "cv"))
+      Similarity.ivfAssign(emb, cents)
+        .join(centDf, col("centroid_id") === col("cid"))
+        .agg(avg(Similarity.cosine(col("__v"), col("cv"))))
+        .head().getDouble(0)
+    }
+    val o0 = objective(seeds)
+    val o3 = objective(Similarity.lloyd(emb, seeds, rounds = 3))
+    assert(o3 >= o0 - 1e-6, s"objective degraded: $o0 -> $o3")
+    // every cell survives (empty cells carry their previous centroid)
+    assert(Similarity.lloyd(emb, seeds, rounds = 3).length == 16)
+  }
+
   test("q88 (refined IVF) returns k rows and holds recall vs the exact q46 answer") {
     val exact = SparkEntry.queries("q46_cosine_topk")(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
