@@ -316,6 +316,40 @@ object RelationalQueries3 {
       .orderBy("user_id")
   }
 
+  /** q145 — per-group z-score outlier gate over event values: per
+    * event_type, the count and share of events beyond 3σ and the maximum
+    * |z|. The two-pass shape (tiny per-group moment aggregate, broadcast
+    * back, map-side z) is the 100 TB form — never a window over the log.
+    * Values are quantized to exact integer cents BEFORE the moment sums
+    * (explicit floor-half-up, the q58 convention): the sums become exact
+    * integers, so μ, σ, and every per-row z are bit-identical across
+    * engines and across ANY summation order — a gate that flags different
+    * rows run-to-run is not a gate. (At 100 TB the cents·cents sums
+    * approach 2⁵³: shard the moment aggregation per day/partition and sum
+    * the exact partials, same contract.)
+    */
+  def q145_zscore_outliers: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v6"))
+    val st = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("v6").cast("double").as("s1"),
+      sum(col("v6") * col("v6")).cast("double").as("sq"))
+    ev.join(broadcast(st), "event_type")
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("sigma",
+        sqrt((col("sq") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+      .withColumn("z", abs((col("v6") - col("mu")) / col("sigma")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("z") > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+           round(sum(when(col("z") > 3.0, 1L).otherwise(0L)).cast("double")
+                 / count(lit(1)), 6).as("outlier_share"),
+           round(max("z"), 4).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -342,6 +376,7 @@ object RelationalQueries3 {
     "q138_cohort_retention" -> q138_cohort_retention,
     "q139_stickiness" -> q139_stickiness,
     "q142_time_decay" -> q142_time_decay,
+    "q145_zscore_outliers" -> q145_zscore_outliers,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -350,6 +385,23 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q145_zscore_outliers" -> """
+      WITH ev AS (SELECT event_type,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v6 FROM events),
+      st AS (SELECT event_type, count(1) AS n,
+                    CAST(sum(v6) AS DOUBLE) AS s1,
+                    CAST(sum(v6 * v6) AS DOUBLE) AS sq
+             FROM ev GROUP BY 1),
+      z AS (SELECT ev.event_type,
+                   abs((ev.v6 - st.s1 / st.n)
+                       / sqrt((st.sq - st.s1 * st.s1 / st.n) / (st.n - 1))) AS z
+            FROM ev JOIN st USING (event_type))
+      SELECT event_type, count(1) AS n_events,
+             CAST(sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             round(CAST(sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(1), 6) AS outlier_share,
+             round(max(z), 4) AS max_abs_z
+      FROM z GROUP BY 1 ORDER BY 1""",
     "q142_time_decay" -> """
       WITH a AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
       SELECT user_id, count(1) AS n_events,

@@ -50,6 +50,28 @@ object TrainingQueries {
       .limit(15)
   }
 
+  /** q146 — deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis 2006 priority sampling): each doc gets priority
+    * ln(u)/w with w = n_chars and u a hash-derived uniform
+    * (polyHash(doc_id) mod 999983 → (0,1), exact rational, the q99
+    * no-RNG convention); the top-k by priority IS a weight-proportional
+    * sample without replacement. At 100 TB this is a map-side key + one
+    * TakeOrdered partial top-k — no global sort, no RNG state, and
+    * bit-reproducible across retries/partitionings (a training-set sample
+    * that changes under re-execution poisons ablations). Priorities are
+    * ranked ROUNDED (9 dp) with a doc_id tie-break so the ln ulp gap
+    * can't flip the k-cut cross-engine.
+    */
+  def q146_priority_sample: Q = (s, dir) => {
+    val h = graft.functions.StringFunctions.polyHash(col("doc_id").cast("string"))
+    Tables.documents(s, dir)
+      .withColumn("u", (h % 999983L + 1L).cast("double") / lit(999984.0))
+      .withColumn("priority", round(log(col("u")) / col("n_chars"), 9))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(25)
+  }
+
   /** q56 — n-gram frequency: top-20 word bigrams with counts. */
   def q56_bigram_freq: Q = (s, dir) => {
     graft.operators.Dedup.spread(Tables.documents(s, dir))
@@ -675,6 +697,7 @@ object TrainingQueries {
     "q54_tfidf" -> q54_tfidf,
     "q55_bm25" -> q55_bm25,
     "q143_conjunctive_search" -> q143_conjunctive_search,
+    "q146_priority_sample" -> q146_priority_sample,
     "q56_bigram_freq" -> q56_bigram_freq,
     "q57_sessionize" -> q57_sessionize,
     "q58_packing" -> q58_packing,
@@ -1290,6 +1313,20 @@ object TrainingQueries {
         FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
       SELECT doc_id, round(sum(score), 4) AS bm25
       FROM scored GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""",
+    "q146_priority_sample" -> raw"""
+      WITH h AS (
+        SELECT doc_id, source, n_chars,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS hh
+        FROM documents),
+      p AS (SELECT doc_id, source, n_chars,
+                   round(ln((hh % 999983 + 1) / CAST(999984 AS DOUBLE))
+                         / n_chars, 9) AS priority
+            FROM h)
+      SELECT doc_id, source, n_chars, priority
+      FROM p ORDER BY priority DESC, doc_id ASC LIMIT 25""",
     "q143_conjunctive_search" -> raw"""
       WITH toks AS (
         SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen

@@ -73,6 +73,33 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q145 outlier gate: shares in range, z threshold actually separates") {
+    val rows = SparkEntry.queries("q145_zscore_outliers")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val out = r.getAs[Long]("n_outliers")
+      val share = r.getAs[Double]("outlier_share")
+      assert(out >= 0 && out <= n && share <= 0.2,
+        s"${r.getString(0)}: $out/$n outliers")
+      // a 3-sigma gate on real data must see SOME mass near/behind it
+      assert(r.getAs[Double]("max_abs_z") >= 1.0)
+    }
+  }
+
+  test("q146 priority sample is weight-biased toward long docs and rerun-stable") {
+    val q = SparkEntry.queries("q146_priority_sample")
+    val a = q(spark, sfDir).collect()
+    val b = q(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "priority sample must be bit-reproducible")
+    assert(a.length == 25)
+    val sampleMean = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    val corpusMean = Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"w=n_chars sampling must over-represent long docs: $sampleMean vs $corpusMean")
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
