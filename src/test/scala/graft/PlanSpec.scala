@@ -459,6 +459,41 @@ class PlanSpec extends SparkSuite {
       "waterline scalars must ride a broadcast")
   }
 
+  test("q141: PageRank iterations run on snapshots — no parquet rescans, no window") {
+    val p = plan("q141_pagerank")
+    // the corpus-sized edge pipeline and the per-iteration rank tables are
+    // all behind eager snapshots: the OUTPUT plan reads ExistingRDDs plus
+    // the broadcast nation join only
+    assert(p.contains("Scan ExistingRDD"), "iteration inputs must be snapshotted")
+    assert(!p.contains("Scan parquet lineitem") && !p.contains("Scan parquet orders"),
+      "edge pipeline must not re-run in the output plan")
+    assert(!p.contains("Window"), "PageRank has no window — aggregates only")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "dangling scalar + nation dimension must ride broadcasts")
+  }
+
+  test("q142: decay weights are one hash aggregate — no window, no join shuffle") {
+    val p = plan("q142_time_decay")
+    assert(!p.contains("Window"), "decay against a fixed anchor needs no window")
+    assert(!p.contains("SortMergeJoin"), "anchor scalar must broadcast, never SMJ")
+    assert(p.contains("HashAggregate"), "per-user rollup should be a hash aggregate")
+  }
+
+  test("q143/q146: retrieval and sampling top-k cuts are TakeOrdered, never a global sort") {
+    assert(plan("q143_conjunctive_search").contains("TakeOrderedAndProject"))
+    val p146 = plan("q146_priority_sample")
+    assert(p146.contains("TakeOrderedAndProject"))
+    assert(!p146.contains("Exchange rangepartitioning"),
+      "priority sampling must not range-shuffle the corpus")
+  }
+
+  test("q145: outlier gate is two hash aggregates + a broadcast — no window, no SMJ") {
+    val p = plan("q145_zscore_outliers")
+    assert(!p.contains("Window"))
+    assert(!p.contains("SortMergeJoin"), "moment table must broadcast back")
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
