@@ -350,6 +350,35 @@ object RelationalQueries3 {
       .orderBy("event_type")
   }
 
+  /** q147 — event-rate spike detection: per (event_type, day), today's
+    * count against the mean DAILY count of the 7 PRECEDING days, flagging
+    * ratios above 2× — the operational anomaly gate over an ingest log.
+    * The trailing baseline reuses q139's bounded-expansion trick: each
+    * (type, day, n) row contributes its count to the ≤ 7 following
+    * observation days via one map-side ×7 explode into a keyed SUM — counts
+    * (unlike q139's DISTINCT users) sum associatively, so the whole
+    * baseline is exact integer arithmetic, no log-wide window, no per-day
+    * self-join. Days with no 7-day history (the log's first day per type)
+    * are reported with a null baseline and never flagged.
+    */
+  def q147_spike_detection: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.operators.Stage.snapshotDF) // feeds obs AND baseline
+    val base = daily
+      .select(col("event_type"), col("n"),
+        explode(sequence(date_add(col("day"), 1), date_add(col("day"), 7))).as("day"))
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("base_n"), count(lit(1)).as("base_days"))
+    daily.join(base, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("base_n").cast("double") / col("base_days"), 4).as("trailing_avg"),
+        round(col("n") * col("base_days").cast("double") / col("base_n"), 4).as("ratio"),
+        (col("n") * col("base_days") > col("base_n") * 2).as("spike"))
+      .orderBy("event_type", "day")
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -377,6 +406,7 @@ object RelationalQueries3 {
     "q139_stickiness" -> q139_stickiness,
     "q142_time_decay" -> q142_time_decay,
     "q145_zscore_outliers" -> q145_zscore_outliers,
+    "q147_spike_detection" -> q147_spike_detection,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -385,6 +415,21 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q147_spike_detection" -> """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS n
+                     FROM events GROUP BY 1, 2),
+      base AS (SELECT o.event_type, o.day,
+                      sum(d.n) AS base_n, count(1) AS base_days
+               FROM daily o JOIN daily d
+                 ON d.event_type = o.event_type
+                AND d.day BETWEEN o.day - 7 AND o.day - 1
+               GROUP BY 1, 2)
+      SELECT dl.event_type, dl.day, dl.n,
+             round(CAST(b.base_n AS DOUBLE) / b.base_days, 4) AS trailing_avg,
+             round(dl.n * CAST(b.base_days AS DOUBLE) / b.base_n, 4) AS ratio,
+             dl.n * b.base_days > b.base_n * 2 AS spike
+      FROM daily dl LEFT JOIN base b USING (event_type, day)
+      ORDER BY 1, 2""",
     "q145_zscore_outliers" -> """
       WITH ev AS (SELECT event_type,
                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v6 FROM events),

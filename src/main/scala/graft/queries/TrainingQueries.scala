@@ -50,6 +50,33 @@ object TrainingQueries {
       .limit(15)
   }
 
+  /** q148 — per-source keyword extraction: the top-3 terms per source by
+    * summed TF-IDF — the data-card "what characterizes this source" line.
+    * Per-row tf-idf weights quantize to exact 1e-6 integers (floor-half-up)
+    * before the (source, term) sum, so the ranking key is an exact integer
+    * under any summation order (the q144/q145 determinism contract). The
+    * ranking window runs over the AGGREGATED relation — |sources|×|vocab|
+    * rows, corpus-size-independent — which is why a window (not TopKAgg)
+    * is the honest shape here: the reduction already happened in the hash
+    * aggregate, and a vocab-sized window partition can never be the 100 TB
+    * bottleneck.
+    */
+  def q148_keywords: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val st = Corpus.tfidf(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("t6", floor(col("tfidf") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("source", "term")
+      .agg(sum("t6").as("s6"))
+    val w = Window.partitionBy("source").orderBy(col("s6").desc, col("term").asc)
+    st.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank").cast("long").as("rank"), col("term"),
+              round(col("s6").cast("double") / lit(1e6), 6).as("score"))
+      .orderBy("source", "rank")
+  }
+
   /** q146 — deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis 2006 priority sampling): each doc gets priority
     * ln(u)/w with w = n_chars and u a hash-derived uniform
@@ -698,6 +725,7 @@ object TrainingQueries {
     "q55_bm25" -> q55_bm25,
     "q143_conjunctive_search" -> q143_conjunctive_search,
     "q146_priority_sample" -> q146_priority_sample,
+    "q148_keywords" -> q148_keywords,
     "q56_bigram_freq" -> q56_bigram_freq,
     "q57_sessionize" -> q57_sessionize,
     "q58_packing" -> q58_packing,
@@ -1313,6 +1341,27 @@ object TrainingQueries {
         FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
       SELECT doc_id, round(sum(score), 4) AS bm25
       FROM scored GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""",
+    "q148_keywords" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM documents)),
+      tf AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+             FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(1) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(1) AS n_docs FROM documents),
+      ti AS (SELECT doc_id, tok,
+                    CAST(floor(cnt * 1.0 / dlen * ln(n_docs * 1.0 / df)
+                               * 1000000 + 0.5) AS BIGINT) AS t6
+             FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+      st AS (SELECT d.source, ti.tok AS term, sum(ti.t6) AS s6
+             FROM ti JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      r AS (SELECT source, term, s6,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY s6 DESC, term ASC) AS rank
+            FROM st)
+      SELECT source, CAST(rank AS BIGINT) AS rank, term,
+             round(CAST(s6 AS DOUBLE) / 1000000, 6) AS score
+      FROM r WHERE rank <= 3 ORDER BY 1, 2""",
     "q146_priority_sample" -> raw"""
       WITH h AS (
         SELECT doc_id, source, n_chars,

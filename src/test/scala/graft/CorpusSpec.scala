@@ -64,6 +64,29 @@ class CorpusSpec extends SparkSuite {
     assert(one == Set(1L, 2L, 3L))
   }
 
+  test("per-source keyword extraction surfaces each source's distinctive term first") {
+    // mirror of the q148 pipeline over a hand corpus: 'alpha' is unique to
+    // src A, 'beta' to src B, 'noise' is everywhere (idf = 0 → weight 0)
+    val corpus = Seq(
+      (1L, "alpha alpha noise", "A"),
+      (2L, "alpha noise noise", "A"),
+      (3L, "beta noise noise", "B"),
+      (4L, "beta beta noise", "B")).toDF("doc_id", "text", "source")
+    val st = Corpus.tfidf(corpus, "doc_id", "text")
+      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("t6", floor(col("tfidf") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("source", "term").agg(sum("t6").as("s6"))
+    val top = st.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("s6").desc, col("term").asc)))
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top == Map("A" -> "alpha", "B" -> "beta"))
+    // the ubiquitous term carries zero weight (ln(N/df) = ln 1 = 0)
+    val noise = st.filter(col("term") === "noise").collect().map(_.getLong(2))
+    assert(noise.forall(_ == 0L))
+  }
+
   test("tfidfCosinePairs: identical docs similar, disjoint docs absent") {
     val corpus = Seq(
       (0L, "alpha beta gamma"),

@@ -494,6 +494,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("q147: spike baseline is the bounded expansion — no window, daily rollup snapshotted") {
+    val p = plan("q147_spike_detection")
+    assert(!p.contains("Window"), "trailing baseline must use the x7 expansion, not a window")
+    assert(p.contains("Scan ExistingRDD"), "daily rollup feeds obs+baseline via a snapshot")
+    assert(!p.contains("Scan parquet"), "events must not re-scan past the snapshot")
+  }
+
+  test("q148: keyword ranking windows the aggregated relation, not the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("q148_keywords")(spark, sfDir).queryExecution.optimizedPlan
+    val w = lp.collectFirst { case n: LWindow => n }
+    assert(w.nonEmpty, "expected the per-source ranking window")
+    // the window's child must already be the (source, term) aggregate —
+    // vocab-sized input, never raw tf rows
+    assert(w.get.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.size == 2 => a
+    }.nonEmpty, "ranking window must sit on the (source, term) aggregate")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
