@@ -141,6 +141,102 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash row: `decoded` separates real aHashes from the
+    * byte-fold fallback (the two domains never near-collide meaningfully,
+    * but a consumer can filter on provenance).
+    */
+  case class MediaHash(media_id: Long, modality: String, ahash: Long, decoded: Boolean)
+
+  /** 64-bit average hash (aHash): box-downsample the luminance plane to an
+    * 8×8 grid (every pixel contributes to exactly one cell, so the hash is
+    * resize-stable), then bit i = cell i's mean luminance above the grid
+    * mean. The classic image near-dup key: re-encodes, rescales, and small
+    * edits move few bits, so Hamming distance is the dedup radius.
+    */
+  private[graft] def aHashFromImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(7, x * 8 / w)
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        val c = cy * 8 + cx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    val mean = means.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-record perceptual hash: REAL aHash for decodable images
+    * (`javax.imageio`), the StubDecoder's wrapping 31-fold over the raw
+    * bytes for everything else (audio/video/undecodable) — so exact binary
+    * duplicates still collide and the synthetic test corpus (text-byte
+    * payloads) stays fully oracle-expressible (the q70 checksum contract).
+    * Map-side only; one decode per record.
+    */
+  def perceptualHashes(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val p = if (rec.payload == null) Array.empty[Byte] else rec.payload
+        val img = if (rec.modality == "image" && p.nonEmpty) decodeImage(p) else null
+        if (img != null) MediaHash(rec.media_id, rec.modality, aHashFromImage(img), decoded = true)
+        else MediaHash(rec.media_id, rec.modality,
+          p.foldLeft(0L)((a, b) => a * 31 + (b & 0xFF)), decoded = false)
+      }
+    }
+  }
+
+  /** Hamming-≤k near-dup pairs over a hash column via the pigeonhole band
+    * join (the SimHash blocking argument, `Dedup.simhashPairs`): split the
+    * 64-bit hash into 4 16-bit bands — any pair within Hamming ≤ 3 agrees
+    * EXACTLY on at least one band — equi-join per band, dedup the pair
+    * set, verify with one codegen `bit_count(xor)`. Comparison volume is
+    * Σ band-bucket², never corpus²; `maxHamming ≤ 3` is a hard require
+    * because 4 bands only guarantee completeness to 3 flipped bits.
+    * Input should be snapshotted by the caller if its lineage is expensive
+    * (the decode stage is) — both join sides reference it.
+    */
+  def perceptualPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole is complete only to Hamming 3: $maxHamming")
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(65535L)).as("bval"))
+      }: _*)).as("bb"))
+      .select(col("media_id"), col("ahash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** `ImageIO.read` with the failure modes collapsed to null: it returns
     * null for unrecognized formats and throws IOException for recognized-
     * but-corrupt streams — a per-row decode failure either way.

@@ -135,6 +135,25 @@ object MiscQueries {
       .orderBy("ship_month")
   }
 
+  /** q150 — perceptual-hash near-dup pairs over the media corpus
+    * ([[Multimodal.perceptualHashes]] → [[Multimodal.perceptualPairs]]):
+    * Hamming ≤ 3 pairs via the 4×16-bit pigeonhole band join (Σ bucket²
+    * comparison volume, never corpus²), verified with one codegen
+    * `bit_count(xor)`. On this synthetic corpus every payload is text
+    * bytes, so each record takes the deterministic byte-fold path
+    * (`decoded = false`) and the WHOLE query is oracle-expressible via the
+    * q70 HUGEINT fold — the REAL aHash path (decodable PNGs, resize
+    * stability, inverted-image separation) is pinned in MultimodalSpec on
+    * generated image fixtures.
+    */
+  def q150_perceptual_neardup: Q = (s, dir) => {
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+    val hashes = graft.operators.Stage.snapshotDF(
+      Multimodal.perceptualHashes(media).toDF()) // decode once, both join sides read the snapshot
+    Multimodal.perceptualPairs(hashes, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** q141 — weighted PageRank ([[Graph.pageRank]]) over the nation trade
     * graph: edge src→dst = supplier-nation ships to customer-nation,
     * weighted by lineitem count. Deriving the edges is the corpus-sized
@@ -209,6 +228,7 @@ object MiscQueries {
   val all: Map[String, Q] = Map(
     "q70_multimodal" -> q70_multimodal,
     "q141_pagerank" -> q141_pagerank,
+    "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q71_approx_distinct" -> q71_approx_distinct,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
@@ -216,6 +236,35 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q141_pagerank" -> pageRankOracle(4),
+    // the q70 wrapping-fold contract: hash in HUGEINT, bands by integer
+    // division in the unsigned domain, re-sign only for the xor/bit_count
+    "q150_perceptual_neardup" -> """
+      WITH b0 AS (
+        SELECT doc_id AS media_id,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(regexp_extract_all(text, '(?s).'),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, x) -> (a * 31 + x) % 18446744073709551616) AS u
+        FROM documents),
+      h AS (SELECT media_id, u,
+                   CASE WHEN u >= 9223372036854775808
+                        THEN CAST(u - 18446744073709551616 AS BIGINT)
+                        ELSE CAST(u AS BIGINT) END AS ahash
+            FROM b0),
+      bands AS (
+        SELECT media_id, ahash, d.band,
+               CAST((u // d.dv) % 65536 AS BIGINT) AS bval
+        FROM h, (VALUES (0, CAST(1 AS HUGEINT)),
+                        (1, CAST(65536 AS HUGEINT)),
+                        (2, CAST(4294967296 AS HUGEINT)),
+                        (3, CAST(281474976710656 AS HUGEINT))) d(band, dv)),
+      p AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+      ORDER BY id_a, id_b""",
     // over the RAW table: the clustered rewrite must be result-invariant
     "q98_clustered_scan" -> """
       SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,

@@ -175,6 +175,26 @@ object RelationalQueries3 {
       .orderBy("event_id")
   }
 
+  /** q149 — NEAREST as-of join ([[AsOfJoin.joinNearest]], pandas
+    * merge_asof direction='nearest'): per purchase, the click by the same
+    * user closest in time (either direction) within 6 h, ties resolved
+    * backward. Both traversals (backward carry + forward carry) run over
+    * ONE unioned, key-partitioned relation — two sorts, a single exchange
+    * (AsOfJoinSpec pins it) — and the pick is a map-side comparison; the
+    * oracle is the naive |Δt| argmin over the quadratic BETWEEN join with
+    * the same tie chain, cross-engine proof of the traversal composition.
+    */
+  def q149_asof_nearest: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    AsOfJoin.joinNearest(
+        left = ev.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id"),
+        right = ev.filter(col("event_type") === "click").select("user_id", "ts", "event_id"),
+        keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "ts",
+        rightIdCol = "event_id", toleranceMs = Some(21600000L))
+      .select(col("event_id"), col("asof_right_id"), col("asof_signed_lag_ms"))
+      .orderBy("event_id")
+  }
+
   /** q136 — time-BINNED interval join ([[Sessionize.binnedIntervalJoin]]):
     * per purchase, the COUNT of same-user clicks in the trailing hour —
     * q79's as-of picks the single latest antecedent, this keeps the whole
@@ -407,6 +427,7 @@ object RelationalQueries3 {
     "q142_time_decay" -> q142_time_decay,
     "q145_zscore_outliers" -> q145_zscore_outliers,
     "q147_spike_detection" -> q147_spike_detection,
+    "q149_asof_nearest" -> q149_asof_nearest,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -415,6 +436,23 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q149_asof_nearest" -> """
+      WITH p AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events
+                 WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_ms(ts) AS rt, event_id AS rid FROM events
+            WHERE event_type = 'click'),
+      cand AS (SELECT p.event_id, c.rid, p.t, c.rt
+               FROM p JOIN c ON p.user_id = c.user_id
+                AND abs(p.t - c.rt) <= 21600000),
+      r AS (SELECT event_id, rid, t - rt AS slag,
+                   row_number() OVER (PARTITION BY event_id ORDER BY
+                     abs(t - rt),
+                     CASE WHEN rt <= t THEN 0 ELSE 1 END,
+                     CASE WHEN rt <= t THEN -rid ELSE rid END) AS rn
+            FROM cand)
+      SELECT p.event_id, r.rid AS asof_right_id, r.slag AS asof_signed_lag_ms
+      FROM p LEFT JOIN r ON p.event_id = r.event_id AND r.rn = 1
+      ORDER BY p.event_id""",
     "q147_spike_detection" -> """
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS n
                      FROM events GROUP BY 1, 2),

@@ -53,6 +53,58 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out(103L) == ((None, None)))                  // 22 h > 2 h
   }
 
+  test("forward: at-or-after match with smallest-id tie-break and tolerance") {
+    val out = AsOfJoin.joinForward(left, right, "user_id", "ts", "ts", "event_id", None)
+      .select("event_id", "asof_right_id", "asof_lead_ms")
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(100L) == ((Some(3L), Some(0L))))          // tied 10:00 rows → SMALLEST id 3
+    assert(out(101L) == ((Some(2L), Some(3600000L))))    // next right after 8:00 is 9:00
+    assert(out(102L) == ((None, None)))
+    assert(out(103L) == ((None, None)))                  // nothing after 23:00
+    val tol = AsOfJoin.joinForward(left, right, "user_id", "ts", "ts", "event_id",
+        Some(30L * 60000))
+      .select("event_id", "asof_right_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tol(101L) == None, "9:00 is 1 h ahead — outside the 30 min tolerance")
+    assert(tol(100L) == Some(3L))
+  }
+
+  test("nearest: closest |lag| wins, equal distances resolve backward") {
+    val l2 = Seq(
+      (7L, t("2024-01-01 09:30:00"), 200L), // 9:00 (30m back) vs 10:00 (30m fwd) → TIE → backward id 2
+      (7L, t("2024-01-01 09:40:00"), 201L), // 10:00 is 20m fwd, 9:00 is 40m back → forward, ids 3/4 → smallest 3
+      (7L, t("2024-01-01 06:00:00"), 202L), // only forward candidates; nearest = 7:00 id 1
+      (8L, t("2024-01-01 06:00:00"), 203L)  // no rows → null
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsOfJoin.joinNearest(l2, right, "user_id", "ts", "ts", "event_id", None)
+      .select("event_id", "asof_right_id", "asof_signed_lag_ms")
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(200L) == ((Some(2L), Some(30L * 60000))), s"tie must resolve backward: $out")
+    assert(out(201L) == ((Some(3L), Some(-20L * 60000))), s"forward pick: $out")
+    assert(out(202L) == ((Some(1L), Some(-3600000L))))
+    assert(out(203L) == ((None, None)))
+    // tolerance excludes both directions
+    val tol = AsOfJoin.joinNearest(l2, right, "user_id", "ts", "ts", "event_id",
+        Some(10L * 60000))
+      .select("event_id", "asof_right_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tol(201L) == None && tol(202L) == None)
+  }
+
+  test("nearest: two traversals still shuffle ONCE (one exchange, two sorts)") {
+    val df = AsOfJoin.joinNearest(left, right, "user_id", "ts", "ts", "event_id", None)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one hash exchange, plan:\n$plan")
+  }
+
   test("binnedIntervalJoin: trailing-window matches exact, bin boundaries inclusive, misses null") {
     import graft.operators.Sessionize
     val probe = Seq(

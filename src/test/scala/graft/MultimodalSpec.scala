@@ -90,6 +90,47 @@ class MultimodalSpec extends SparkSuite {
     bos.toByteArray
   }
 
+  /** Half-split luminance pattern at any size (cell grid aligns with the
+    * split for sizes divisible by 8, so the aHash is size-invariant).
+    */
+  private def patternPng(size: Int, invert: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until size; x <- 0 until size) {
+      val bright = (x >= size / 2) ^ invert
+      val v = if (bright) 230 else 20
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash: real PNGs resize-stable, inverted image far, byte-fold fallback; pairs block correctly") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", patternPng(64, invert = false), "a"),
+      Multimodal.MediaRecord(2L, "image", patternPng(96, invert = false), "b"),
+      Multimodal.MediaRecord(3L, "image", patternPng(64, invert = true), "c"),
+      Multimodal.MediaRecord(4L, "image", "not an image at all".getBytes("UTF-8"), "d"))
+    val hs = Multimodal.perceptualHashes(recs.toDS())
+      .collect().map(h => h.media_id -> h).toMap
+    assert(hs(1L).decoded && hs(2L).decoded && hs(3L).decoded)
+    assert(!hs(4L).decoded)
+    // same pattern at 64 vs 96 px → identical hash (grid aligns with split)
+    assert(java.lang.Long.bitCount(hs(1L).ahash ^ hs(2L).ahash) <= 3)
+    // inverted pattern → complement hash, maximal distance
+    assert(java.lang.Long.bitCount(hs(1L).ahash ^ hs(3L).ahash) > 32)
+    // fallback = the StubDecoder byte fold
+    val expectFold = "not an image at all".getBytes("UTF-8")
+      .foldLeft(0L)((a, b) => a * 31 + (b & 0xFF))
+    assert(hs(4L).ahash == expectFold)
+    // band-blocked pairing finds the near-dup pair and nothing else
+    val hdf = Multimodal.perceptualHashes(recs.toDS()).toDF()
+    val pairs = Multimodal.perceptualPairs(hdf, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("ImageIODecoder really decodes a PNG: true dimensions and exact pixel stats") {
     val red = Multimodal.MediaRecord(1L, "image", pngBytes(6, 4, 0xFF0000), "u")
     val text = Multimodal.MediaRecord(2L, "image", "not an image".getBytes, "u")

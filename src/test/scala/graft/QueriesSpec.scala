@@ -7,7 +7,8 @@ package graft
 class QueriesSpec extends SparkSuite {
 
   // Queries that legitimately may return zero rows at the smallest SF.
-  private val mayBeEmpty = Set("q42_jaccard_pairs", "q43_minhash_lsh", "q44_simhash")
+  private val mayBeEmpty = Set("q42_jaccard_pairs", "q43_minhash_lsh", "q44_simhash",
+    "q150_perceptual_neardup") // no duplicate media below sf0.1 (8 pairs there)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
