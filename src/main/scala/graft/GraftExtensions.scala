@@ -91,5 +91,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_polyhash"),
       info("graft_polyhash", "graft_polyhash(s) - polynomial codepoint hash mod 1e9+7"),
       (args: Seq[Expression]) => PolyHash(args.head)))
+    // opt-in anti-join bloom reroute (inert unless
+    // spark.graft.bloomAntiJoin.enabled=true; see BloomAntiJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BloomAntiJoinRule)
   }
 }

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BloomFilterMightContain, Coalesce, EqualTo, Literal, Not, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+/** Opt-in Catalyst optimizer rule: rewrites a single-key equi LEFT ANTI
+  * join into the bloom-REROUTED form of
+  * [[graft.operators.AnnotationPipeline.filterAlreadyProcessedBloom]]:
+  *
+  * {{{
+  *   left ANTI JOIN right ON l = r
+  *   ⇒ Union(
+  *       Filter(NOT coalesce(might_contain(bf, xxhash64(l)), false), left),
+  *       Filter(coalesce(might_contain(bf, xxhash64(l)), false), left)
+  *         ANTI JOIN right ON l = r)
+  *   -- bf = scalar subquery: bloom_filter_agg(xxhash64(r)) over right
+  * }}}
+  *
+  * Spark's own `InjectRuntimeFilter` cannot touch anti-joins — a probe row
+  * FAILING the build side's bloom filter is exactly the row the anti-join
+  * must keep, so there is nothing to prune, and both sides shuffle in
+  * full. The reroute flips the filter's role from pruning to ROUTING:
+  * bloom-negative rows (definite non-members — blooms have no false
+  * negatives) bypass the join entirely; only the ~fpp sliver takes the
+  * shuffle. Exactness is unconditional; the spec pins rewritten ≡ plain
+  * bit-for-bit, including null join keys (either branch keeps them: the
+  * anti-join's null-never-matches semantics make routing irrelevant) and
+  * an EMPTY build side (`bloom_filter_agg` yields a null sketch; the
+  * `coalesce(…, false)` routes every row to the fresh branch, which is
+  * the correct "nothing matched" answer).
+  *
+  * Enabled by `spark.graft.bloomAntiJoin.enabled` (default FALSE — a plan
+  * rewrite that doubles the build-side execution must be a deliberate
+  * choice; it pays off when the probe side dwarfs the fp sliver, the
+  * 100 TB re-ingest shape). Sketch sizing via
+  * `spark.graft.bloomAntiJoin.expectedItems` / `.fpp`. Register through
+  * [[graft.GraftExtensions]] (session build) or
+  * `spark.experimental.extraOptimizations` (live session).
+  */
+object BloomAntiJoinRule extends Rule[LogicalPlan] {
+
+  val EnabledConf = "spark.graft.bloomAntiJoin.enabled"
+  val ExpectedItemsConf = "spark.graft.bloomAntiJoin.expectedItems"
+  val FppConf = "spark.graft.bloomAntiJoin.fpp"
+
+  /** Marks joins this rule created, so the fixed-point batch cannot
+    * re-reroute the inner anti-join forever.
+    */
+  private val Rerouted = TreeNodeTag[Boolean]("graft.bloomRerouted")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledConf, "false").toBoolean) return plan
+    val expectedItems = conf.getConfString(ExpectedItemsConf, "1000000").toLong
+    val fpp = conf.getConfString(FppConf, "0.01").toDouble
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    plan.transformUp {
+      case j @ Join(left, right, LeftAnti, Some(cond), hint)
+          if j.getTagValue(Rerouted).isEmpty && singleEquiKeys(j).isDefined =>
+        val (l, r) = singleEquiKeys(j).get
+        // prune the build side to the key before the sketch aggregate —
+        // the subquery re-executes right's lineage, keep it narrow
+        val bfAgg = new BloomFilterAggregate(new XxHash64(Seq(r)),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+        val agg = Aggregate(Nil, Seq(Alias(bfAgg, "graft_bf")()), Project(Seq(r), right))
+        val mc = Coalesce(Seq(
+          BloomFilterMightContain(ScalarSubquery(agg), new XxHash64(Seq(l))),
+          Literal(false)))
+        val inner = Join(Filter(mc, left), right, LeftAnti, Some(cond), hint)
+        inner.setTagValue(Rerouted, true)
+        Union(Filter(Not(mc), left), inner)
+    }
+  }
+
+  /** The join shapes we reroute: exactly one `l = r` equality between bare
+    * attributes, one from each side. Anything richer (casts, conjunctions,
+    * non-equi residuals) is left alone — correctness first.
+    */
+  private def singleEquiKeys(j: Join): Option[(AttributeReference, AttributeReference)] =
+    j.condition match {
+      case Some(EqualTo(l: AttributeReference, r: AttributeReference))
+          if j.left.outputSet.contains(l) && j.right.outputSet.contains(r) =>
+        Some((l, r))
+      case Some(EqualTo(r: AttributeReference, l: AttributeReference))
+          if j.left.outputSet.contains(l) && j.right.outputSet.contains(r) =>
+        Some((l, r))
+      case _ => None
+    }
+}
