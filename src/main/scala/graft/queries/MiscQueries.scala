@@ -50,6 +50,42 @@ object MiscQueries {
         approx_count_distinct("l_orderkey").as("approx_orders"))
   }
 
+  /** q151 — approx-quantile audit (rows-only, the q71 sketch convention;
+    * exact twin q36): Spark's `approx_percentile` (Greenwald–Khanna,
+    * accuracy 1000) against the exact `percentile` at p50/p90/p99 over
+    * order prices, scored by TRUE rank error — count(v ≤ approx)/n vs p,
+    * the audit that verifies the sketch honors its ≤ 1/accuracy rank
+    * contract as ONE relational result (q111/q120/q125's audit pattern on
+    * the quantile path). The sketch is the 100 TB order-statistics plan:
+    * bounded-memory partials merged associatively, vs the exact form's
+    * per-group full sort. Sketch results are merge-order-dependent →
+    * rows-only check; the bound itself is spec-asserted.
+    */
+  def q151_quantile_audit: Q = (s, dir) => {
+    val li = Tables.orders(s, dir).select(col("o_totalprice").as("v"))
+    val ps = Seq(0.5, 0.9, 0.99)
+    val agg = li.agg(
+      expr("approx_percentile(v, array(0.5D, 0.9D, 0.99D), 1000)").as("ap"),
+      expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("ex"),
+      count(lit(1)).as("n"))
+    val rows = agg
+      .select(posexplode(arrays_zip(col("ap"), col("ex"))).as(Seq("i", "z")), col("n"))
+      .select(col("i").cast("long").as("idx"), col("z.ap").as("approx_v"),
+        col("z.ex").as("exact_v"), col("n"))
+      .withColumn("p", element_at(array(ps.map(lit): _*), col("idx").cast("int") + 1))
+    val ranks = li.crossJoin(broadcast(rows.select(col("idx"), col("approx_v"))))
+      .groupBy("idx")
+      .agg(sum(when(col("v") <= col("approx_v"), 1L).otherwise(0L)).as("rank_le"))
+    rows.join(ranks, "idx")
+      .select(col("p"),
+        round(col("approx_v"), 2).as("approx_v"),
+        round(col("exact_v"), 2).as("exact_v"),
+        round(abs(col("rank_le").cast("double") / col("n") - col("p")), 6).as("rank_err"),
+        (abs(col("rank_le").cast("double") / col("n") - col("p")) <= 0.001 + 1e-9)
+          .as("within_bound"))
+      .orderBy("p")
+  }
+
   /** q76 — two-phase salted aggregation over a hot grouping key: the salt
     * spreads each key across 16 reducers for the partial phase; the merge
     * phase recombines. Result ≡ plain GROUP BY (the oracle).
@@ -225,10 +261,47 @@ object MiscQueries {
       ORDER BY n_name"""
   }
 
+  /** q153 — z-order (Morton) layout → TWO-dimension row-group pruning
+    * ([[Sinks.writeZOrdered]]): lineitem laid out by the interleaved
+    * bit-planes of (shipdate, extendedprice), read back through a
+    * predicate on BOTH dims. q98 proves 1-d range clustering prunes on
+    * its one key; z-order is what a lakehouse compaction runs when TWO
+    * query dimensions matter — either predicate skips row groups, at the
+    * price of neither being perfectly contiguous. The oracle is the same
+    * aggregate off the raw table (the layout must be result-invariant);
+    * the pruning-cost gap vs a 1-d layout is measured in
+    * LayoutPruningSpec, not here.
+    */
+  def q153_zorder_scan: Q = (s, dir) => {
+    val cols = Seq("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val path = rcCache.synchronized {
+      rcCache.getOrElseUpdate("zo:" + dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft_zo_demo").toString
+        val src = Tables.lineitem(s, dir).select(cols.map(col): _*)
+          .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+        Sinks.writeZOrdered(src, p,
+          unix_micros(col("l_shipdate")).cast("double"),
+          col("l_extendedprice"), numFiles = 16)
+        p
+      })
+    }
+    s.read.parquet(path)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-07-01").cast("timestamp") &&
+              col("l_extendedprice") >= 20000 && col("l_extendedprice") < 30000)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum("l_quantity"), 2).as("sum_qty"),
+           round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("ship_month")
+  }
+
   val all: Map[String, Q] = Map(
     "q70_multimodal" -> q70_multimodal,
+    "q153_zorder_scan" -> q153_zorder_scan,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
+    "q151_quantile_audit" -> q151_quantile_audit,
     "q71_approx_distinct" -> q71_approx_distinct,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
@@ -236,6 +309,17 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q141_pagerank" -> pageRankOracle(4),
+    // over the RAW table — the z-order rewrite must be result-invariant
+    "q153_zorder_scan" -> """
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+             count(1) AS n_items,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+        AND l_extendedprice >= 20000 AND l_extendedprice < 30000
+      GROUP BY 1 ORDER BY 1""",
     // the q70 wrapping-fold contract: hash in HUGEINT, bands by integer
     // division in the unsigned domain, re-sign only for the xor/bit_count
     "q150_perceptual_neardup" -> """

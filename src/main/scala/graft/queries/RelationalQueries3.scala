@@ -399,6 +399,35 @@ object RelationalQueries3 {
       .orderBy("event_type", "day")
   }
 
+  /** q152 — session path mining: the top-10 three-step event-type paths
+    * users take WITHIN a session (q57's 12 h-gap sessions) — the
+    * navigation-pattern summary behind funnel design. The path window
+    * partitions by USER (not (user, session)) and guards session
+    * boundaries by also leading session_id: session_id is monotone in the
+    * (ts, event_id) order, so the path window shares the sessionization
+    * windows' exact partitioning AND sort — Catalyst evaluates lag,
+    * running-sum, and the three leads in ONE shuffle + one sort, where a
+    * (user, session)-keyed window would add a second exchange for
+    * nothing.
+    */
+  def q152_session_paths: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sess = graft.operators.Sessionize.assign(
+      Tables.events(s, dir).select("user_id", "event_id", "ts", "event_type"),
+      "user_id", "ts", "event_id", 43200000L)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .withColumn("s1", lead(col("session_id"), 1).over(w))
+      .withColumn("s2", lead(col("session_id"), 2).over(w))
+      .filter(col("s1") === col("session_id") && col("s2") === col("session_id"))
+      .select(concat_ws(">", col("event_type"), col("e1"), col("e2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -428,6 +457,7 @@ object RelationalQueries3 {
     "q145_zscore_outliers" -> q145_zscore_outliers,
     "q147_spike_detection" -> q147_spike_detection,
     "q149_asof_nearest" -> q149_asof_nearest,
+    "q152_session_paths" -> q152_session_paths,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -436,6 +466,25 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q152_session_paths" -> """
+      WITH o AS (SELECT user_id, event_id, ts, event_type,
+                        lag(epoch_ms(ts)) OVER w AS prev
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      b AS (SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - prev > 43200000
+                           THEN 1 ELSE 0 END AS brk FROM o),
+      s AS (SELECT user_id, event_id, ts, event_type,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM b),
+      p AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2
+                   || '>' || lead(event_type, 2) OVER w2 AS path,
+                   sid, lead(sid, 1) OVER w2 AS s1, lead(sid, 2) OVER w2 AS s2
+            FROM s
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT path, count(1) AS n FROM p
+      WHERE s1 = sid AND s2 = sid
+      GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""",
     "q149_asof_nearest" -> """
       WITH p AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events
                  WHERE event_type = 'purchase'),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -110,6 +110,54 @@ object Sinks {
     withMicrosTimestamps(df.sparkSession) {
       df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
         .sortWithinPartitions(clusterCol)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+
+  /** Z-order (Morton) TWO-dimension clustered layout: the multi-column
+    * generalization of [[writeRangeClustered]] (Delta/Iceberg's OPTIMIZE
+    * ZORDER BY). Range clustering on one key gives that key tight per-file
+    * min/max stats and leaves every other column spanning the full range;
+    * interleaving the bit-planes of two rank-normalized keys gives BOTH
+    * columns locality, so a predicate on either — or both — skips row
+    * groups.
+    *
+    * `zColA`/`zColB` are NUMERIC sort-key expressions (cast timestamps via
+    * `unix_micros` at the call site); they only shape the LAYOUT — the
+    * written schema is `df`'s unchanged. Normalization is min/max-linear
+    * to 16 bits per dim off a one-row broadcast aggregate (rank-exact
+    * normalization would need a global sort; linear is layout-quality
+    * only, correctness-free), the interleave is 16 unrolled shift/mask
+    * terms (codegen), and the write is `repartitionByRange` + in-partition
+    * sort on the z-value — no global sort. Degenerate dims (min = max)
+    * collapse to bit plane 0.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zColA: Column,
+      zColB: Column,
+      numFiles: Int): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      import org.apache.spark.sql.functions._
+      val b = df.agg(
+        min(zColA).cast("double").as("__amin"), max(zColA).cast("double").as("__amax"),
+        min(zColB).cast("double").as("__bmin"), max(zColB).cast("double").as("__bmax"))
+      def bits16(c: Column, lo: Column, hi: Column): Column = {
+        val span = when(hi === lo, lit(1.0)).otherwise(hi - lo)
+        least(floor((c.cast("double") - lo) / span * 65536.0), lit(65535.0)).cast("long")
+      }
+      val az = bits16(zColA, col("__amin"), col("__amax"))
+      val bz = bits16(zColB, col("__bmin"), col("__bmax"))
+      val z = (0 until 16).map { i =>
+        shiftright(az, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+          shiftright(bz, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+      val cols = df.columns
+      df.crossJoin(broadcast(b))
+        .withColumn("__z", z)
+        .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
+        .sortWithinPartitions("__z")
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
         .write.mode(SaveMode.Overwrite).parquet(path)
     }
 

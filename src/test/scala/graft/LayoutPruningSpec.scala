@@ -69,6 +69,44 @@ class LayoutPruningSpec extends SparkSuite {
       s"clustered scan should skip most row groups: emitted $pruned of $total")
   }
 
+  test("z-order layout prunes on BOTH dimensions; 1-d clustering only on its own key") {
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    val base = Files.createTempDirectory("graft_prune_zo").toString
+    Sinks.writeRangeClustered(src, s"$base/rc", "l_shipdate", numFiles = 16)
+    Sinks.writeZOrdered(src, s"$base/zo",
+      unix_micros(col("l_shipdate")).cast("double"), col("l_extendedprice"), numFiles = 16)
+
+    def priceBand(path: String): DataFrame =
+      spark.read.parquet(path)
+        .filter(col("l_extendedprice") >= 20000 && col("l_extendedprice") < 30000)
+
+    // layouts never change results
+    val expected = priceBand(s"$base/rc").count()
+    assert(priceBand(s"$base/zo").count() == expected)
+    assert(expected > 0)
+    val total = src.count()
+
+    // a price predicate: the shipdate-clustered layout has every file
+    // spanning the full price range → zero pruning; the z-layout clusters
+    // the price bit-planes too → row groups skip
+    val rcRows = scanOutputRows(priceBand(s"$base/rc"))
+    val zoRows = scanOutputRows(priceBand(s"$base/zo"))
+    assert(rcRows == total, s"1-d layout can't prune the other dim ($rcRows vs $total)")
+    assert(zoRows >= expected, "pruning is row-group-granular, never lossy")
+    assert(zoRows <= (total * 3) / 4,
+      s"z-order should skip row groups on the second dim: emitted $zoRows of $total")
+
+    // the 2-d predicate prunes under BOTH layouts; z-order keeps pruning
+    def both(path: String): DataFrame =
+      priceBand(path).filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+    assert(both(s"$base/zo").count() == both(s"$base/rc").count())
+    assert(scanOutputRows(both(s"$base/zo")) < total)
+  }
+
   test("pinned limitation: NTZ and INT96 cluster keys silently defeat row-group skipping") {
     val base = Files.createTempDirectory("graft_prune_ntz").toString
     def filtered(path: String): DataFrame =

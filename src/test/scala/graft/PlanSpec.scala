@@ -513,6 +513,17 @@ class PlanSpec extends SparkSuite {
     }.nonEmpty, "ranking window must sit on the (source, term) aggregate")
   }
 
+  test("q152: sessionize + path leads coalesce into windows over ONE user-key exchange") {
+    val df = SparkEntry.queries("q152_session_paths")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // lag + running sum + 4 leads all share PARTITION BY user ORDER BY
+    // (ts, event_id): one hash exchange on the user key feeds every window
+    // (the final top-10 adds its own single-partition exchange only)
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1, s"expected one user-key exchange:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)

@@ -101,6 +101,17 @@ class QueriesSpec extends SparkSuite {
       s"w=n_chars sampling must over-represent long docs: $sampleMean vs $corpusMean")
   }
 
+  test("q151 quantile audit: sketch honors its 1/accuracy rank contract at every p") {
+    val rows = SparkEntry.queries("q151_quantile_audit")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"p=${r.getAs[Double]("p")}: rank_err ${r.getAs[Double]("rank_err")} > 1/1000")
+      // the sketch and exact answers agree to sketch precision
+      assert(r.getAs[Double]("rank_err") <= 0.001 + 1e-9)
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
