@@ -296,8 +296,32 @@ object MiscQueries {
       .orderBy("ship_month")
   }
 
+  /** q155 — snapshot CDC ([[graft.operators.ChangeCapture.snapshotDiff]]):
+    * the set-wise diff of two keyed snapshots of `orders`. Versions are
+    * derived deterministically: v1 is the table minus keys ≡ 0 (mod 97)
+    * (those rows "arrive later" → inserts), v2 is the table with
+    * totalprice bumped on keys ≡ 0 (mod 53) (updates) minus keys ≡ 0
+    * (mod 89) (deletes). A key hit by both delete and update rules is a
+    * delete (it's absent from v2); by insert and delete, absent from both
+    * → no diff row. One full-outer join on the key, one null-safe struct
+    * compare — vs the reference's per-key mget loop
+    * (`ingester/es_common.py:254-271`).
+    */
+  def q155_snapshot_diff: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val v1 = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+    val v2 = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(53)) === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    graft.operators.ChangeCapture.snapshotDiff(v1, v2, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q70_multimodal" -> q70_multimodal,
+    "q155_snapshot_diff" -> q155_snapshot_diff,
     "q153_zorder_scan" -> q153_zorder_scan,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
@@ -309,6 +333,24 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q141_pagerank" -> pageRankOracle(4),
+    "q155_snapshot_diff" -> """
+      WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                  FROM orders WHERE o_orderkey % 97 <> 0),
+      v2 AS (SELECT o_orderkey, o_custkey,
+                    CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1.0
+                         ELSE o_totalprice END AS o_totalprice,
+                    o_orderstatus
+             FROM orders WHERE o_orderkey % 89 <> 0)
+      SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                  WHEN v2.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+         OR v1.o_totalprice <> v2.o_totalprice
+         OR v1.o_custkey <> v2.o_custkey
+         OR v1.o_orderstatus <> v2.o_orderstatus
+      ORDER BY 1""",
     // over the RAW table — the z-order rewrite must be result-invariant
     "q153_zorder_scan" -> """
       SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,

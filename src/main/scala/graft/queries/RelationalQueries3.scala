@@ -428,6 +428,25 @@ object RelationalQueries3 {
       .limit(10)
   }
 
+  /** q156 — SCD type-2 fold ([[graft.operators.Scd.fold]]): the event log
+    * treated as a change stream of each user's current `event_type`, folded
+    * into validity intervals `[valid_from, valid_to)`; summarized per
+    * attribute value (interval counts, open rows, closed-interval
+    * milliseconds) so the result stays aggregate-sized at any SF while the
+    * fold itself runs over the full log. Change-point filter and
+    * interval-closing `lead` share one (user, (ts, id)) window — one
+    * shuffle. The incremental contract (`merge(fold(prefix), suffix) ≡
+    * fold(log)`) is pinned in IncrementalSpec; the reference's type-1
+    * overwrite sink (`ingester/es_common.py` index/update) loses exactly
+    * the history this keeps.
+    */
+  def q156_scd2: Q = (s, dir) => {
+    val dim = graft.operators.Scd.fold(
+      Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type")
+    graft.operators.Scd.summary(dim, "event_type", unix_millis)
+  }
+
   /** q87 — distribution window functions (percent_rank, cume_dist):
     * per-priority price percentile positions, completing the rank family
     * of q28. Same single (partition, order) sort serves both functions.
@@ -458,6 +477,7 @@ object RelationalQueries3 {
     "q147_spike_detection" -> q147_spike_detection,
     "q149_asof_nearest" -> q149_asof_nearest,
     "q152_session_paths" -> q152_session_paths,
+    "q156_scd2" -> q156_scd2,
     "q87_percent_rank" -> q87_percent_rank,
     "q67_unpivot" -> q67_unpivot,
     "q68_stats" -> q68_stats,
@@ -466,6 +486,25 @@ object RelationalQueries3 {
     "q73_levenshtein" -> q73_levenshtein)
 
   val oracle: Map[String, String] = Map(
+    "q156_scd2" -> """
+      WITH o AS (SELECT user_id, ts, event_id, event_type,
+                        lag(event_type) OVER w AS prev,
+                        row_number() OVER w AS rn
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (SELECT user_id, ts, event_id, event_type FROM o
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      d AS (SELECT event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS valid_to
+            FROM c)
+      SELECT event_type, count(1) AS n_intervals,
+             CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+             CAST(sum(CASE WHEN valid_to IS NOT NULL
+                           THEN epoch_ms(valid_to) - epoch_ms(valid_from) END)
+               AS BIGINT) AS closed_ms
+      FROM d GROUP BY 1 ORDER BY 1""",
     "q152_session_paths" -> """
       WITH o AS (SELECT user_id, event_id, ts, event_type,
                         lag(epoch_ms(ts)) OVER w AS prev

@@ -693,7 +693,40 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q154 — incremental data card ([[graft.operators.IncrementalAgg]]):
+    * the per-source corpus statistics maintained across ingest batches by
+    * merging mergeable partial states (algebraic counters + a DataSketches
+    * HLL sketch for distinct vocabulary) instead of rescanning history.
+    * The corpus is split into a "history" and a "new batch" slice, each
+    * reduced to its KB-sized partial independently; the merge unions the
+    * sketches and adds the counters. Emitted columns are the
+    * oracle-mirrorable exacts plus a `within_bound` audit of the HLL
+    * estimate against the exact per-source distinct-token count (lgK=12 →
+    * RSE ≈ 1.6%, asserted well inside 5%); sketch-merge exactness —
+    * merged estimate ≡ single-pass whole-corpus estimate — is pinned in
+    * IncrementalSpec.
+    */
+  def q154_incremental_datacard: Q = (s, dir) => {
+    import graft.operators.IncrementalAgg
+    val docs = Tables.documents(s, dir)
+    val hist = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val merged = IncrementalAgg.finalizeCard(IncrementalAgg.mergePartials(Seq(
+      IncrementalAgg.datacardPartials(hist), IncrementalAgg.datacardPartials(batch))))
+    val exact = docs
+      .select(col("source"),
+        explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("source").agg(countDistinct("tok").as("exact_words"))
+    merged.join(exact, "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("exact_words"),
+        (abs(col("distinct_words_est").cast("double") / col("exact_words") - 1.0)
+          <= 0.05).as("within_bound"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q154_incremental_datacard" -> q154_incremental_datacard,
     "q110_mixture_weights" -> q110_mixture_weights,
     "q107_dup_spans" -> q107_dup_spans,
     "q131_span_removal" -> q131_span_removal,
@@ -819,6 +852,14 @@ object TrainingQueries {
              round(wr / sw, 4) AS weight,
              round(wr / sw / share_raw, 4) AS boost
       FROM w, z ORDER BY source""",
+    "q154_incremental_datacard" -> raw"""
+      WITH t AS (SELECT source, unnest($tk) AS tok FROM documents),
+      e AS (SELECT source, count(DISTINCT tok) AS exact_words FROM t GROUP BY 1)
+      SELECT d.source, count(1) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+             e.exact_words, TRUE AS within_bound
+      FROM documents d JOIN e ON d.source = e.source
+      GROUP BY d.source, e.exact_words ORDER BY d.source""",
     "q104_datacard" -> raw"""
       WITH t AS (SELECT source, n_chars, lang, text, len($tk) AS ntok
                  FROM documents)

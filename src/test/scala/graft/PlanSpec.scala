@@ -524,6 +524,18 @@ class PlanSpec extends SparkSuite {
     assert(userExchanges == 1, s"expected one user-key exchange:\n$p")
   }
 
+  test("q156: SCD2 change-point filter and interval-closing lead share one user-key exchange") {
+    val df = SparkEntry.queries("q156_scd2")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // lag/row_number (change points) and the post-filter lead (valid_to)
+    // both window over (user_id, (ts, event_id)): the filter preserves the
+    // partitioning, so ONE hash exchange on user_id serves both; the only
+    // other exchange keys the event_type summary aggregate
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1, s"expected one user-key exchange:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
