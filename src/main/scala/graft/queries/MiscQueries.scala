@@ -171,6 +171,39 @@ object MiscQueries {
       .orderBy("ship_month")
   }
 
+  /** q157 — bloom-indexed point lookup ([[Sinks.writeBloomIndexed]]):
+    * lineitem in WRITE ORDER (no clustering — every file spans the full
+    * key range, min/max can't skip anything) but with per-row-group
+    * parquet bloom filters on the high-cardinality `l_orderkey`; the
+    * point probe (equality, or a small IN — Spark rewrites it under the
+    * parquet pushdown threshold as an OR of equalities, which the bloom
+    * visitor composes over) skips every true-negative row group. This is
+    * the lookup path clustering can't serve: q98/q153 buy their skips by
+    * sorting, which one layout can only give to one or two dimensions —
+    * blooms attach to ANY column at write cost only. Oracle is the same
+    * lookup off the raw table (the index must be result-invariant); the
+    * skip itself is measured in LayoutPruningSpec.
+    */
+  def q157_bloom_lookup: Q = (s, dir) => {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val path = rcCache.synchronized {
+      rcCache.getOrElseUpdate("bl:" + dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft_bl_demo").toString
+        Sinks.writeBloomIndexed(
+          Tables.lineitem(s, dir).select(cols.map(col): _*),
+          p, Seq("l_orderkey" -> 200000L), numFiles = 8)
+        p
+      })
+    }
+    s.read.parquet(path)
+      .filter(col("l_orderkey").isin(10L, 1234L))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum("l_quantity"), 2).as("sum_qty"),
+           round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_orderkey")
+  }
+
   /** q150 — perceptual-hash near-dup pairs over the media corpus
     * ([[Multimodal.perceptualHashes]] → [[Multimodal.perceptualPairs]]):
     * Hamming ≤ 3 pairs via the 4×16-bit pigeonhole band join (Σ bucket²
@@ -323,6 +356,7 @@ object MiscQueries {
     "q70_multimodal" -> q70_multimodal,
     "q155_snapshot_diff" -> q155_snapshot_diff,
     "q153_zorder_scan" -> q153_zorder_scan,
+    "q157_bloom_lookup" -> q157_bloom_lookup,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
@@ -351,6 +385,14 @@ object MiscQueries {
          OR v1.o_custkey <> v2.o_custkey
          OR v1.o_orderstatus <> v2.o_orderstatus
       ORDER BY 1""",
+    // over the RAW table — the bloom-indexed rewrite must be result-invariant
+    "q157_bloom_lookup" -> """
+      SELECT l_orderkey, count(1) AS n_items,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      WHERE l_orderkey IN (10, 1234)
+      GROUP BY 1 ORDER BY 1""",
     // over the RAW table — the z-order rewrite must be result-invariant
     "q153_zorder_scan" -> """
       SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,

@@ -161,6 +161,37 @@ object Sinks {
         .write.mode(SaveMode.Overwrite).parquet(path)
     }
 
+  /** Bloom-indexed layout for point lookups on HIGH-cardinality keys —
+    * the third leg of the skipping family: [[writeRangeClustered]] prunes
+    * by 1-d min/max, [[writeZOrdered]] by 2-d min/max, and this by
+    * per-row-group parquet bloom filters, which work when clustering
+    * cannot (the key arrives in write order, or there are too many
+    * distinct values for any layout to give tight ranges). An equality /
+    * IN predicate pushed to the scan probes each row group's bloom and
+    * skips true negatives — on a needle-in-haystack lookup over 100 TB
+    * that is (1 − FPP) of the row groups gone without clustering a thing.
+    *
+    * Per key column we also disable dictionary encoding (column-scoped —
+    * other columns keep theirs): parquet-mr skips writing the bloom when
+    * a column is fully dictionary-encoded, so a small-SF test corpus
+    * would silently fall back to dictionary pruning and the spec would
+    * pin the wrong mechanism. `expectedNdv` sizes the filter
+    * (~1.05 bytes/key at the default 1% FPP).
+    */
+  def writeBloomIndexed(
+      df: DataFrame,
+      path: String,
+      bloomCols: Seq[(String, Long)],
+      numFiles: Int): Unit = {
+    val base = df.repartition(numFiles).write.mode(SaveMode.Overwrite)
+    val w = bloomCols.foldLeft(base) { case (wr, (c, ndv)) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    w.parquet(path)
+  }
+
   /** Serializes the `spark.sql.parquet.outputTimestampType` set/restore
     * window across graft maintenance ops in this JVM: it is a SESSION conf
     * (ParquetOptions ignores the writer option), so two overlapping

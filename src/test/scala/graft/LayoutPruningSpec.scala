@@ -107,6 +107,50 @@ class LayoutPruningSpec extends SparkSuite {
     assert(scanOutputRows(both(s"$base/zo")) < total)
   }
 
+  test("bloom index skips row groups on a point lookup where write-order min/max cannot") {
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val base = Files.createTempDirectory("graft_prune_bloom").toString
+    // same write-order (round-robin) layout both sides — min/max stats are
+    // useless for a point probe in either; the bloom is the only variable
+    Sinks.writeBloomIndexed(src, s"$base/bloom",
+      Seq("l_orderkey" -> 200000L), numFiles = 8)
+    src.repartition(8).write
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .parquet(s"$base/plain")
+
+    // key 10 has ≤2 lineitem rows at every SF — at most 2 of 8 row groups
+    // are true positives, so a working bloom must skip most of the rest
+    def lookup(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("l_orderkey") === 10L)
+
+    val expected = lookup(s"$base/plain").count()
+    assert(lookup(s"$base/bloom").count() == expected)
+    assert(expected > 0, "probe key exists — the test is non-vacuous")
+    val total = src.count()
+
+    val plainRows = scanOutputRows(lookup(s"$base/plain"))
+    val bloomRows = scanOutputRows(lookup(s"$base/bloom"))
+    assert(plainRows == total,
+      s"write-order min/max can't serve a point probe ($plainRows vs $total)")
+    assert(bloomRows >= expected, "bloom pruning is row-group-granular, never lossy")
+    assert(bloomRows <= total / 2,
+      s"bloom should skip true-negative row groups: emitted $bloomRows of $total")
+
+    // small IN lists consult the bloom too (Spark rewrites them below the
+    // parquet pushdown threshold as an OR of equalities; the bloom visitor
+    // composes over or) — a row group survives iff positive for ANY key,
+    // so the probe reads the union of the per-key survivor sets, still a
+    // skip whenever the union leaves true negatives
+    val inRows = scanOutputRows(
+      spark.read.parquet(s"$base/bloom").filter(col("l_orderkey").isin(10L, 1234L)))
+    val eq1234 = scanOutputRows(
+      spark.read.parquet(s"$base/bloom").filter(col("l_orderkey") === 1234L))
+    assert(inRows <= eq1234 + bloomRows,
+      s"IN survivor set is the union of the per-key sets ($inRows vs $eq1234 + $bloomRows)")
+    assert(inRows < total, s"the 2-key IN must still skip true negatives ($inRows vs $total)")
+  }
+
   test("pinned limitation: NTZ and INT96 cluster keys silently defeat row-group skipping") {
     val base = Files.createTempDirectory("graft_prune_ntz").toString
     def filtered(path: String): DataFrame =
