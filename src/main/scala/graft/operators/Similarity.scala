@@ -93,6 +93,48 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Johnson–Lindenstrauss random projection, the dimensionality-reduction
+    * front of the ANN family: a ±1 (Achlioptas) projection matrix derived
+    * deterministically — `sign(i,j) = +1` iff the murmur3 fmix32 finalizer
+    * of `i·65536 + j` is even — so the "random" matrix is reproducible
+    * across engines and the oracle regenerates it with pure integer SQL
+    * (the q99/q116 no-RNG convention). The polyHash parity used elsewhere
+    * is NOT suitable here: parity of a mod-p-linear hash is itself
+    * quasi-linear, and the 8×64 matrix it produced had near-parallel rows
+    * (pairwise row dots of ±60/64 — a rank-2 "projection"); the xor-shift-
+    * multiply finalizer is non-linear and lands row dots in the ±20 range
+    * a random matrix would give. `outDim`-dim projected vectors preserve
+    * pairwise geometry to ~1/√outDim distortion; a 100 TB corpus stores
+    * the projected column once and every downstream distance costs
+    * `outDim/inDim`-th of the full-width scan. Projection is an unrolled
+    * left-associated sum per output coordinate (inDim × outDim codegen
+    * terms, no UDF) — the fold order is the cross-engine bit-identity
+    * contract with the oracle's `list_reduce`.
+    */
+  private def fmix32(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = ((x ^ (x >>> 16)) * 0x85ebca6bL) & 0xffffffffL
+    x = ((x ^ (x >>> 13)) * 0xc2b2ae35L) & 0xffffffffL
+    x ^ (x >>> 16)
+  }
+
+  def rpSigns(inDim: Int, outDim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      if (fmix32(i * 65536L + j) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Project a float-array column through a [[rpSigns]] matrix. */
+  def rpProject(vec: Column, signs: Array[Array[Double]]): Column =
+    array(signs.map { row =>
+      row.zipWithIndex.map { case (s, i) =>
+        element_at(vec, i + 1).cast("double") * lit(s)
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Project a driver-side query vector with the identical fold order. */
+  def rpProjectLocal(q: Seq[Double], signs: Array[Array[Double]]): Seq[Double] =
+    signs.toSeq.map(row => row.zip(q).map { case (s, v) => v * s }.reduce(_ + _))
+
   /** Fetch one embedding as a driver-side literal (the query vector — a
     * single row, not a distributed collect).
     */

@@ -302,7 +302,30 @@ object SimilarityQueries {
   def q125_silhouette: Q = (s, dir) =>
     Similarity.labelSilhouette(Tables.embeddings(s, dir))
 
+  /** q158 — random-projection top-k ([[Similarity.rpProject]]): exact
+    * cosine top-10 in the 8-dim Johnson–Lindenstrauss projection of the
+    * 64-dim corpus. The ±1 matrix derives from polyHash (the no-RNG
+    * convention) so the oracle regenerates it in SQL; the per-coordinate
+    * sum is a left-associated fold on both engines (bit-identity
+    * contract). The 100 TB shape: project once at ingest, store the
+    * 8-dim column, and every query scans 1/8th the bytes; recall vs the
+    * full-width exact top-k is asserted in SimilaritySpec (q48's audit
+    * convention).
+    */
+  def q158_rp_topk: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val signs = Similarity.rpSigns(64, 8)
+    val qp = Similarity.rpProjectLocal(Similarity.queryVector(emb, QueryVecId), signs)
+    emb.filter(col("vec_id") =!= QueryVecId)
+      .withColumn("sim", Similarity.cosine(
+        Similarity.rpProject(col("embedding"), signs), array(qp.map(lit): _*)))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q158_rp_topk" -> q158_rp_topk,
     "q127_rq_topk" -> q127_rq_topk,
     "q125_silhouette" -> q125_silhouette,
     "q120_pq_recall_audit" -> q120_pq_recall_audit,
@@ -616,6 +639,33 @@ object SimilarityQueries {
                      THEN 1 << i ELSE 0 END)) AS BIGINT) AS lsh_bucket
             FROM e)
       SELECT lsh_bucket, count(1) AS n FROM b GROUP BY 1 ORDER BY 1""",
+    // the ±1 matrix re-derived via the fmix32 finalizer (HUGEINT products
+    // % 2^32 ≡ Scala's wrapping long & 0xffffffff); pvec = left fold in
+    // i order per output dim — the same association order as rpProject's
+    // unrolled Add chain, so the doubles are bit-identical cross-engine
+    "q158_rp_topk" -> s"""
+      WITH ij AS (SELECT i, j, i*65536 + j AS x0
+                  FROM range(64) a(i), range(8) b(j)),
+      m1 AS (SELECT i, j, CAST((CAST(xor(x0, x0 >> 16) AS HUGEINT)
+               * 2246822507) % 4294967296 AS BIGINT) AS x1 FROM ij),
+      m2 AS (SELECT i, j, CAST((CAST(xor(x1, x1 >> 13) AS HUGEINT)
+               * 3266489909) % 4294967296 AS BIGINT) AS x2 FROM m1),
+      sg AS (SELECT i, j, CASE WHEN xor(x2, x2 >> 16) % 2 = 0
+               THEN 1.0 ELSE -1.0 END AS s FROM m2),
+      srows AS (SELECT j, list(s ORDER BY i) AS srow FROM sg GROUP BY j),
+      sgn AS (SELECT list(srow ORDER BY j) AS ss FROM srows),
+      pv AS (
+        SELECT vec_id, label,
+               list_transform(range(8), j -> list_reduce(
+                 list_transform(range(64), i -> embedding[i+1]::DOUBLE * ss[j+1][i+1]),
+                 (a, b) -> a + b)) AS pvec
+        FROM embeddings, sgn),
+      q AS (SELECT pvec AS qv FROM pv WHERE vec_id = $QueryVecId)
+      SELECT vec_id, label, round(list_cosine_similarity(pvec, qv), 4) AS sim
+      FROM pv, q
+      WHERE vec_id <> $QueryVecId
+      ORDER BY list_cosine_similarity(pvec, qv) DESC, vec_id ASC
+      LIMIT 10""",
     "q46_cosine_topk" -> s"""
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId)
       SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim

@@ -49,6 +49,39 @@ class SimilaritySpec extends SparkSuite {
     assert(means(1L) == Seq(10.0, 20.0))
   }
 
+  test("random projection: signs are ±1 and balanced, recall@10 beats chance, widening helps") {
+    import org.apache.spark.sql.functions._
+    val s8 = Similarity.rpSigns(64, 8)
+    assert(s8.flatten.forall(v => v == 1.0 || v == -1.0))
+    // non-degenerate matrix: no two rows (anti-)parallel — the polyHash
+    // parity derivation failed exactly this (rank-2, all sims ±1)
+    for (a <- s8.indices; b <- s8.indices if a < b) {
+      val dot = s8(a).zip(s8(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 40, s"rows $a,$b near-parallel (dot $dot)")
+    }
+    val q = Similarity.queryVector(emb, 0L)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    def rpTop(outDim: Int): Set[Long] = {
+      val signs = Similarity.rpSigns(64, outDim)
+      val qp = Similarity.rpProjectLocal(q, signs)
+      emb.filter(col("vec_id") =!= 0L)
+        .withColumn("sim", Similarity.cosine(
+          Similarity.rpProject(col("embedding"), signs), array(qp.map(lit): _*)))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val r8 = (exact intersect rpTop(8)).size / 10.0
+    val r32 = (exact intersect rpTop(32)).size / 10.0
+    // the sf0.001 corpus is tie-dense (clustered synthetic labels: many
+    // candidates within ~1e-2 of the rank-10 sim), so even 32 dims only
+    // hold the coarse ordering — the floors are chance-vs-structure
+    // gates (random 10 of 499 ⇒ E[recall] = 0.02), not quality targets
+    assert(r8 >= 0.2, s"8-dim JL recall@10 collapsed: $r8")
+    assert(r32 >= r8, s"wider projection must not lose recall ($r32 < $r8)")
+    assert(r32 >= 0.25, s"32-dim JL recall@10 too low: $r32")
+  }
+
   test("centroid refinement keeps all centroids and does not hurt IVF recall") {
     val q = Similarity.queryVector(emb, 0L)
     val seed = Similarity.centroids(emb, 16)
