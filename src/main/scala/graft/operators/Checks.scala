@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints evaluated against a table in as
+  * few passes as the constraint mix allows — the validation gate a 100 TB
+  * ingest runs before data is admitted downstream.
+  *
+  * The reference validates per document inside the NLP loop (shape guards
+  * in `ingester/nlp_service.py`, null/short-text skips) and has no
+  * table-level contract at all; a corpus pipeline needs the set-level
+  * form: completeness, uniqueness, ranges, referential integrity, each as
+  * a measured METRIC (fraction satisfied) with a pass/fail verdict, not a
+  * per-row exception.
+  *
+  * Evaluation shape:
+  *  - every ROW-level check (completeness, range, predicate) compiles to
+  *    one `sum(when(...))` term in a single aggregate — one scan total no
+  *    matter how many checks ride on it;
+  *  - uniqueness adds its `count_distinct` to the SAME aggregate (one
+  *    extra shuffle from the distinct expand, still the one scan);
+  *  - referential integrity is a left-anti probe of the (deduplicated)
+  *    reference keys — broadcastable whenever the reference dimension is.
+  *
+  * The report is one tiny DataFrame `(check_name, metric, passed)` — ordered,
+  * deterministic, oracle-checkable.
+  */
+object Checks {
+
+  sealed trait Check { def name: String }
+  /** Fraction of rows with a non-null value ≥ `minRatio`. */
+  final case class Complete(col: String, minRatio: Double = 1.0) extends Check {
+    def name = s"complete:$col"
+  }
+  /** Distinct values = rows (nulls count as rows, never as values). */
+  final case class Unique(col: String) extends Check { def name = s"unique:$col" }
+  /** Fraction of non-null values inside [lo, hi] ≥ `minRatio`. */
+  final case class InRange(col: String, lo: Double, hi: Double, minRatio: Double = 1.0)
+      extends Check {
+    def name = s"range:$col"
+  }
+  /** Fraction of rows satisfying an arbitrary boolean column ≥ `minRatio`. */
+  final case class Satisfies(label: String, predicate: Column, minRatio: Double = 1.0)
+      extends Check {
+    def name = s"satisfies:$label"
+  }
+  /** Every non-null value of `col` appears in `ref(refCol)`. */
+  final case class SubsetOf(col: String, ref: DataFrame, refCol: String) extends Check {
+    def name = s"subset:$col"
+  }
+
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    // try_divide: an empty table / all-null column divides by zero, which
+    // under ANSI mode (Spark 4 default) would throw — null here means
+    // "nothing to check" and coalesces to a vacuous pass below
+    val rowChecks = checks.collect {
+      case c: Complete  => c.name ->
+        (try_divide(count(col(c.col)).cast("double"), count(lit(1))), c.minRatio)
+      case c: InRange   =>
+        c.name -> (try_divide(sum(when(col(c.col).isNull, 0L)
+          .when(col(c.col) >= c.lo && col(c.col) <= c.hi, 1L).otherwise(0L))
+          .cast("double"), count(col(c.col))), c.minRatio)
+      case c: Satisfies => c.name -> (try_divide(sum(when(c.predicate, 1L).otherwise(0L))
+          .cast("double"), count(lit(1))), c.minRatio)
+      case c: Unique    => c.name -> (try_divide(countDistinct(col(c.col)).cast("double"),
+          count(col(c.col))), 1.0)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggReport: Option[DataFrame] =
+      if (rowChecks.isEmpty) None
+      else {
+        val aggs = rowChecks.zipWithIndex.map { case ((_, (m, _)), i) => m.as(s"c$i") }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val rows = rowChecks.zipWithIndex.map { case ((n, (_, thr)), i) =>
+          // an empty/all-null slice yields a 0/0 null metric — vacuously true
+          val m = coalesce(col(s"c$i"), lit(1.0))
+          struct(lit(n).as("check_name"), round(m, 6).as("metric"),
+            (m >= thr - 1e-9).as("passed"))
+        }
+        Some(one.select(explode(array(rows: _*)).as("r")).select("r.*"))
+      }
+    val refReports = checks.collect { case c: SubsetOf =>
+      val viol = df.select(col(c.col)).filter(col(c.col).isNotNull)
+        .join(c.ref.select(col(c.refCol).as(c.col)).distinct(), Seq(c.col), "left_anti")
+        .count()
+      val total = df.filter(col(c.col).isNotNull).count()
+      val metric = if (total == 0) 1.0 else (total - viol).toDouble / total
+      Seq((c.name, BigDecimal(metric).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, viol == 0L)).toDF("check_name", "metric", "passed")
+    }
+    (aggReport.toSeq ++ refReports)
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
+}

@@ -204,6 +204,27 @@ object MiscQueries {
       .orderBy("l_orderkey")
   }
 
+  /** q159 — data-quality constraint report ([[graft.operators.Checks]]):
+    * five declared constraints over `orders` — completeness, key
+    * uniqueness, a price range (deliberately tight: it FAILS with metric
+    * ≈ 0.4, proving metrics are measured, not assumed), a value-domain
+    * predicate, and referential integrity against `customer` — evaluated
+    * as ONE aggregate scan for all row-level checks plus one broadcast
+    * anti-probe for the reference check. The admission gate a 100 TB
+    * ingest runs before data goes downstream; the reference has only
+    * per-row NLP shape guards (`ingester/nlp_service.py`), no table-level
+    * contract.
+    */
+  def q159_quality_checks: Q = (s, dir) => {
+    import graft.operators.Checks
+    Checks.run(Tables.orders(s, dir), Seq(
+      Checks.Complete("o_custkey"),
+      Checks.Unique("o_orderkey"),
+      Checks.InRange("o_totalprice", 0.0, 200000.0),
+      Checks.Satisfies("status_domain", col("o_orderstatus").isin("O", "F", "P")),
+      Checks.SubsetOf("o_custkey", Tables.customer(s, dir), "c_custkey")))
+  }
+
   /** q150 — perceptual-hash near-dup pairs over the media corpus
     * ([[Multimodal.perceptualHashes]] → [[Multimodal.perceptualPairs]]):
     * Hamming ≤ 3 pairs via the 4×16-bit pigeonhole band join (Σ bucket²
@@ -357,6 +378,7 @@ object MiscQueries {
     "q155_snapshot_diff" -> q155_snapshot_diff,
     "q153_zorder_scan" -> q153_zorder_scan,
     "q157_bloom_lookup" -> q157_bloom_lookup,
+    "q159_quality_checks" -> q159_quality_checks,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
@@ -385,6 +407,46 @@ object MiscQueries {
          OR v1.o_custkey <> v2.o_custkey
          OR v1.o_orderstatus <> v2.o_orderstatus
       ORDER BY 1""",
+    "q159_quality_checks" -> """
+      WITH r AS (
+        SELECT 'complete:o_custkey' AS check_name,
+               round(CAST(count(o_custkey) AS DOUBLE) / count(1), 6) AS metric,
+               CAST(count(o_custkey) AS DOUBLE) / count(1) >= 1 - 0.000000001 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'range:o_totalprice',
+               round(CAST(sum(CASE WHEN o_totalprice IS NULL THEN 0
+                                   WHEN o_totalprice BETWEEN 0 AND 200000 THEN 1
+                                   ELSE 0 END) AS DOUBLE) / count(o_totalprice), 6),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 0
+                             WHEN o_totalprice BETWEEN 0 AND 200000 THEN 1
+                             ELSE 0 END) AS DOUBLE) / count(o_totalprice)
+                 >= 1 - 0.000000001
+        FROM orders
+        UNION ALL
+        SELECT 'satisfies:status_domain',
+               round(CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1
+                                   ELSE 0 END) AS DOUBLE) / count(1), 6),
+               CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1
+                             ELSE 0 END) AS DOUBLE) / count(1) >= 1 - 0.000000001
+        FROM orders
+        UNION ALL
+        SELECT 'subset:o_custkey',
+               round(CAST(count(1) - sum(CASE WHEN c.c_custkey IS NULL THEN 1
+                                              ELSE 0 END) AS DOUBLE) / count(1), 6),
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+                 / count(o_orderkey), 6),
+               CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(o_orderkey)
+                 >= 1 - 0.000000001
+        FROM orders)
+      SELECT check_name, metric, passed FROM r ORDER BY check_name""",
     // over the RAW table — the bloom-indexed rewrite must be result-invariant
     "q157_bloom_lookup" -> """
       SELECT l_orderkey, count(1) AS n_items,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Checks
+import graft.operators.Checks._
+
+/** Data-quality constraint engine: exact metrics on hand-built violations,
+  * vacuous-truth edges, and the single-aggregate evaluation shape.
+  */
+class ChecksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dirty = Seq(
+    (Some(1L), Some(10.0), "a"),
+    (Some(1L), Some(20.0), "b"),   // duplicate key
+    (Some(2L), None, "a"),         // null value
+    (Some(3L), Some(999.0), "zz"), // out of range + out of domain
+    (None, Some(30.0), "b")        // null key
+  ).toDF("k", "v", "cat")
+
+  private lazy val ref = Seq(1L, 2L).toDF("rk")
+
+  test("metrics are exact fractions and verdicts follow the thresholds") {
+    val rep = Checks.run(dirty, Seq(
+      Complete("k"),                       // 4/5 non-null
+      Unique("k"),                         // 3 distinct / 4 values
+      InRange("v", 0.0, 100.0),            // 3 of 4 non-null in range
+      Satisfies("cat_domain", col("cat").isin("a", "b")), // 4/5
+      SubsetOf("k", ref, "rk")))           // key 3 violates
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(rep("complete:k") == ((0.8, false)))
+    assert(rep("unique:k") == ((0.75, false)))
+    assert(rep("range:v") == ((0.75, false)))
+    assert(rep("satisfies:cat_domain") == ((0.8, false)))
+    assert(rep("subset:k") == ((0.75, false)))
+  }
+
+  test("relaxed thresholds flip verdicts without changing metrics") {
+    val rep = Checks.run(dirty, Seq(
+      Complete("k", minRatio = 0.8),
+      InRange("v", 0.0, 100.0, minRatio = 0.7),
+      Satisfies("cat_domain", col("cat").isin("a", "b"), minRatio = 0.5)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(rep("complete:k") == ((0.8, true)))
+    assert(rep("range:v") == ((0.75, true)))
+    assert(rep("satisfies:cat_domain") == ((0.8, true)))
+  }
+
+  test("clean data passes everything; empty slices are vacuously true") {
+    val clean = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
+    val rep = Checks.run(clean, Seq(Complete("k"), Unique("k"), InRange("v", 0.0, 10.0)))
+      .collect()
+    assert(rep.forall(_.getBoolean(2)), rep.mkString(","))
+    val empty = clean.filter(col("k") < 0)
+    val rep2 = Checks.run(empty, Seq(Unique("k"), InRange("v", 0.0, 10.0)))
+      .collect()
+    assert(rep2.forall(r => r.getBoolean(2) && r.getDouble(1) == 1.0))
+  }
+
+  test("all row-level checks share ONE aggregate over one scan") {
+    val df = Checks.run(Tables.orders(spark, sfDir), Seq(
+      Complete("o_custkey"), Unique("o_orderkey"),
+      InRange("o_totalprice", 0.0, 200000.0),
+      Satisfies("sd", col("o_orderstatus").isin("O", "F", "P"))))
+    df.collect()
+    val scans = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"row-level checks must fuse into one scan, saw $scans")
+  }
+
+  test("q159: the declared report at sfDir — range check fails, the rest pass") {
+    val rep = SparkEntry.queries("q159_quality_checks")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rep.size == 5)
+    assert(!rep("range:o_totalprice"), "the tight range gate must FAIL (measured, not assumed)")
+    assert(rep.filterNot(_._1 == "range:o_totalprice").values.forall(identity))
+  }
+}

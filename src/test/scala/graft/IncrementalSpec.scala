@@ -109,6 +109,39 @@ class IncrementalSpec extends SparkSuite {
       s"no duplicate interval for the unchanged 'a': ${merged.toList}")
   }
 
+  test("StreamingDatacard: card after N micro-batches ≡ one-shot card over all rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("card-store").toString + "/card"
+    val ckpt = java.nio.file.Files.createTempDirectory("card-ckpt").toString
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    def docsDf(m: org.apache.spark.sql.DataFrame) =
+      m.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingDatacard.start(docsDf(mem.toDF()), store, ckpt)
+      q.awaitTermination()
+    }
+    assert(graft.streaming.StreamingDatacard.card(spark, store).isEmpty)
+    val all = Seq(
+      (1L, "alpha beta gamma", "en", "s1", 16L),
+      (2L, "beta beta delta", "en", "s1", 15L),
+      (3L, "uno dos", "es", "s2", 7L),
+      (4L, "alpha dos tres", "es", "s2", 14L),
+      (5L, "gamma gamma", "en", "s1", 11L))
+    mem.addData(all(0), all(1))
+    drain()
+    mem.addData(all(2), all(3))
+    drain()
+    mem.addData(all(4))
+    drain()
+    val streamed = graft.streaming.StreamingDatacard.card(spark, store).get
+      .orderBy("source").collect().map(_.toSeq.toList).toList
+    val oneShot = IncrementalAgg.finalizeCard(IncrementalAgg.datacardPartials(
+      all.toDF("doc_id", "text", "lang", "source", "n_chars")))
+      .orderBy("source").collect().map(_.toSeq.toList).toList
+    assert(streamed == oneShot, s"$streamed vs $oneShot")
+  }
+
   test("zero-token documents still count toward n_docs and n_chars") {
     val tiny = Seq(
       (1L, "alpha beta", "en", "s1", 10L),
