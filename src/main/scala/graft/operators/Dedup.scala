@@ -254,6 +254,60 @@ object Dedup {
     * [[jaccardVerify]] (probabilistic recall); q90 and q82/q89 exercise
     * those compositions.
     */
+  /** Sorted-neighborhood blocking (Hernández–Stolfo SNM): sort each block
+    * by a normalized key and pair every row only with its `window − 1`
+    * successors — candidate volume is LINEAR (≤ n·(window−1)) where the
+    * inverted-index families pay Σ posting², and the whole method is one
+    * hash exchange on the block key + one in-partition sort (the leads all
+    * share a single window spec). The recall trade is explicit: a near-dup
+    * pair is found iff the key normalization lands the two rows within
+    * `window` positions of the same block — duplicates that diverge in
+    * their first characters are invisible to SNM and belong to the
+    * LSH/prefix families (q42/q43/q90); DedupSpec measures the recall
+    * subset relation vs the exact pair graph. Blocking by the key's first
+    * character keeps the sort distributed (no global `Window.orderBy` —
+    * a single-partition sort at 100 TB); production tunes the prefix
+    * length to block size.
+    *
+    * Verification is the q42 contract: word-`shingleK`-shingle Jaccard ≥
+    * `threshold`, exact integer ratio → cross-engine-stable double.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 4,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__txt"))
+      .withColumn("__key", lower(regexp_replace(col("__txt"), "\\s+", " ")))
+      .withColumn("__blk", substring(col("__key"), 1, 1))
+    val w = Window.partitionBy("__blk").orderBy(col("__key"), col("__id"))
+    // leads materialize BEFORE the explode: a window expression inside a
+    // generator is rejected at analysis (UNSUPPORTED_EXPR_FOR_OPERATOR);
+    // all 2·(window−1) leads still share the one window spec → one sort
+    val withLeads = (1 until window).foldLeft(base) { (df, d) =>
+      df.withColumn(s"__i$d", lead(col("__id"), d).over(w))
+        .withColumn(s"__t$d", lead(col("__txt"), d).over(w))
+    }
+    val leads = array((1 until window).map(d =>
+      struct(col(s"__i$d").as("id2"), col(s"__t$d").as("txt2"))): _*)
+    withLeads.withColumn("__cand", explode(leads))
+      .filter(col("__cand.id2").isNotNull)
+      .select(
+        least(col("__id"), col("__cand.id2")).as("id_a"),
+        greatest(col("__id"), col("__cand.id2")).as("id_b"),
+        TextFunctions.shingles(col("__txt"), shingleK).as("__sa"),
+        TextFunctions.shingles(col("__cand.txt2"), shingleK).as("__sb"))
+      .withColumn("__c", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", try_divide(col("__c").cast("double"),
+        (size(col("__sa")) + size(col("__sb")) - col("__c")).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,

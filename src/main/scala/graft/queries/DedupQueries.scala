@@ -51,6 +51,20 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q160 — sorted-neighborhood near-dup pairs
+    * ([[Dedup.sortedNeighborhoodPairs]]): the LINEAR-candidate blocking
+    * family member — sort each first-character block by the normalized
+    * text, pair each row with its 3 successors, verify at the q42 J≥0.6
+    * shingle contract. Finds the adjacency-visible subset of q42's exact
+    * pair graph at ≤ 3n candidates (vs the inverted index's Σ posting²);
+    * DedupSpec pins the subset relation and that prefix-divergent dups
+    * are the (documented) misses.
+    */
+  def q160_sorted_neighborhood: Q = (s, dir) => {
+    Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id", "text",
+      window = 4, shingleK = 3, threshold = 0.6)
+  }
+
   /** q43 — MinHash-LSH candidate pairs (rows-only: xxhash64-dependent).
     * DedupSpec asserts candidates ⊇ all true J≥0.9 pairs.
     */
@@ -396,6 +410,7 @@ object DedupQueries {
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_dedup_keep_first" -> q41_dedup_keep_first,
     "q42_jaccard_pairs" -> q42_jaccard_pairs,
+    "q160_sorted_neighborhood" -> q160_sorted_neighborhood,
     "q43_minhash_lsh" -> q43_minhash_lsh,
     "q44_simhash" -> q44_simhash,
     "q45_embed_neardup" -> q45_embed_neardup)
@@ -872,6 +887,41 @@ object DedupQueries {
       JOIN sizes sa ON sa.doc_id = id_new
       JOIN sizes sb ON sb.doc_id = id_old
       WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6
+      ORDER BY 1, 2""",
+    "q160_sorted_neighborhood" -> raw"""
+      WITH b AS (SELECT doc_id, text,
+                        lower(regexp_replace(text, '\s+', ' ', 'g')) AS key
+                 FROM documents),
+      c AS (SELECT doc_id, key, substr(key, 1, 1) AS blk FROM b),
+      l AS (SELECT doc_id,
+                   lead(doc_id, 1) OVER w AS i1,
+                   lead(doc_id, 2) OVER w AS i2,
+                   lead(doc_id, 3) OVER w AS i3
+            FROM c WINDOW w AS (PARTITION BY blk ORDER BY key, doc_id)),
+      p AS (SELECT least(doc_id, i1) AS id_a, greatest(doc_id, i1) AS id_b
+              FROM l WHERE i1 IS NOT NULL
+            UNION ALL
+            SELECT least(doc_id, i2), greatest(doc_id, i2)
+              FROM l WHERE i2 IS NOT NULL
+            UNION ALL
+            SELECT least(doc_id, i3), greatest(doc_id, i3)
+              FROM l WHERE i3 IS NOT NULL),
+      shl AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(tk) - 3, 0) + 1),
+                       i -> array_to_string(tk[i+1:i+3], ' '))) AS s
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                             t -> t <> '') AS tk
+                    FROM documents) z),
+      j AS (SELECT id_a, id_b,
+                   len(list_intersect(a.s, b.s)) AS c,
+                   len(a.s) AS sa, len(b.s) AS sb
+            FROM p JOIN shl a ON a.doc_id = p.id_a
+                   JOIN shl b ON b.doc_id = p.id_b)
+      SELECT id_a, id_b, round(c * 1.0 / (sa + sb - c), 4) AS jaccard
+      FROM j
+      WHERE sa + sb - c > 0 AND c * 1.0 / (sa + sb - c) >= 0.6
       ORDER BY 1, 2""",
     "q42_jaccard_pairs" -> """
       WITH toks AS (

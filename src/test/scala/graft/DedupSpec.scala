@@ -23,6 +23,35 @@ class DedupSpec extends SparkSuite {
   }
   import spark.implicits._
 
+  test("sortedNeighborhoodPairs: adjacency-visible dups found, prefix-divergent dups missed") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zets"),  // last-token edit: sort-adjacent
+      (3L, "omega beta gamma delta epsilon zeta"),  // first-token edit: other block
+      (4L, "completely unrelated text about fish"),
+      (5L, "alpha beta gamma delta epsilon zeta extra")) // shares prefix, adjacent
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 3, shingleK = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"adjacent near-dup must be found: $pairs")
+    assert(pairs.contains((1L, 5L)), s"shared-prefix near-dup must be found: $pairs")
+    // doc 3 is a true near-dup of 1 (J >= 0.5 on 3-shingles) but its first
+    // character lands it in another block — the documented SNM miss
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"prefix-divergent dup is invisible to SNM by design: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("sortedNeighborhoodPairs ⊆ exact pair graph at the same threshold, on the planted corpus") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snm = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text", 4, 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.nonEmpty, "planted mutations are sort-adjacent — SNM must find some")
+    assert(snm.subsetOf(exact), s"SNM pairs must verify at the exact contract: ${snm -- exact}")
+  }
+
   // sf0.1 documents contain real near-dups; sf0.001 may not, so build a
   // corpus with known duplicates: the test-table docs plus planted mutations.
   lazy val corpus = {

@@ -536,6 +536,16 @@ class PlanSpec extends SparkSuite {
     assert(userExchanges == 1, s"expected one user-key exchange:\n$p")
   }
 
+  test("q160: all SNM leads share one block-key exchange and one sort") {
+    val df = SparkEntry.queries("q160_sorted_neighborhood")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val blockExchanges = "Exchange hashpartitioning\\(__blk".r.findAllIn(p).size
+    assert(blockExchanges == 1, s"expected one block-key exchange:\n$p")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"all 6 leads must coalesce into ONE Window operator, saw $windows:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
