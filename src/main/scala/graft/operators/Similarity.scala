@@ -218,6 +218,115 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Typed Aggregator: ONE-pass second-moment (Gram) sums over quantized
+    * vectors — the covariance/PCA front end. Buffer = the d coordinate
+    * sums + the d(d+1)/2 upper-triangular product sums + a count, all
+    * exact 64-bit integers over `floor(x·1e6 + 0.5)`-quantized coordinates
+    * (the q145 integer-moment convention): partials merge by pure
+    * addition, so the result is independent of row order, partitioning,
+    * and merge tree — bit-stable against the oracle with no rounding
+    * contract needed. At 100 TB this is the only shape that works: each
+    * executor folds its slice into a ~17 KB buffer (d=64), one reduce
+    * merges the buffers, and the corpus is never shuffled at all.
+    * Overflow headroom: |q| ≲ 1e6·|x|, so Σ q_i·q_j ≲ n·1e12 — safe in a
+    * signed long to n ≈ 9·10⁶ rows per unit-scale dimension pair; larger
+    * corpora shard the aggregation and merge per-shard sums.
+    */
+  class GramAggregator(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], (Array[Long], Long), (Seq[Long], Long)] {
+    private val nPairs = dim * (dim + 1) / 2
+    override def zero: (Array[Long], Long) = (new Array[Long](dim + nPairs), 0L)
+    override def reduce(b: (Array[Long], Long), q: Seq[Long]): (Array[Long], Long) = {
+      val arr = q.toArray
+      var i = 0
+      var k = dim
+      while (i < dim) {
+        b._1(i) += arr(i)
+        var j = i
+        while (j < dim) { b._1(k) += arr(i) * arr(j); j += 1; k += 1 }
+        i += 1
+      }
+      (b._1, b._2 + 1)
+    }
+    override def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
+      var i = 0; while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(b: (Array[Long], Long)): (Seq[Long], Long) = (b._1.toSeq, b._2)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
+  }
+
+  /** Pairwise covariance of the quantized coordinates from ONE corpus
+    * pass: [[GramAggregator]] sums → a broadcast one-row literal → the
+    * d(d−1)/2 off-diagonal covariances unpacked against a driver-built
+    * (i, j, flat-index) pair table. `cov = (S_ij/n − (S_i/n)(S_j/n))/1e12`
+    * evaluated in exactly that association order (the oracle mirrors it).
+    */
+  def covariancePairs(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val quant = embeddings
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")).as("q"))
+      .as[Seq[Long]]
+    val packed = quant.select(new GramAggregator(dim).toColumn).toDF("sums", "n")
+    def flat(i: Int, j: Int): Int = dim + (i * (2 * dim - i + 1)) / 2 + (j - i)
+    val pairs = (for { i <- 0 until dim; j <- (i + 1) until dim }
+      yield (i, j, flat(i, j))).toDF("i", "j", "idx")
+    pairs.crossJoin(broadcast(packed))
+      .select(col("i"), col("j"),
+        ((element_at(col("sums"), col("idx") + 1).cast("double") / col("n") -
+          (element_at(col("sums"), col("i") + 1).cast("double") / col("n")) *
+          (element_at(col("sums"), col("j") + 1).cast("double") / col("n")))
+          / lit(1e12)).as("cov"))
+  }
+
+  /** Top principal component by power iteration, the PCA composition over
+    * [[GramAggregator]]: the 64×64 covariance matrix is derived on the
+    * driver from the ONE-pass exact integer Gram sums (KB-sized — the
+    * corpus is never shuffled and never rescanned), `iters` power steps
+    * run in driver doubles with every coordinate re-rounded to 6 decimals
+    * per step (the q114/q126/q141 per-layer rounding contract — each
+    * step's input is bit-identical cross-engine, so the whole iteration
+    * is), and the resulting component returns to the cluster as a literal
+    * for a map-side projection. Covariance entries use exactly the
+    * [[covariancePairs]] expression shape; the projection is a
+    * left-associated dot — both mirrored by the oracle.
+    */
+  def pcaProject(embeddings: DataFrame, dim: Int = 64, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val quant = embeddings
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")).as("q"))
+      .as[Seq[Long]]
+    val (sums, n) = quant.select(new GramAggregator(dim).toColumn).head()
+    val s = sums.toArray
+    def flat(i: Int, j: Int): Int = dim + (i * (2 * dim - i + 1)) / 2 + (j - i)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      (s(flat(a, b)).toDouble / n -
+        (s(a).toDouble / n) * (s(b).toDouble / n)) / 1e12
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var v = Array.fill(dim)(0.125) // 1/√64 exact
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim)(j =>
+        (0 until dim).map(k => cov(j)(k) * v(k)).reduce(_ + _))
+      val norm = math.sqrt(w.map(x => x * x).reduce(_ + _))
+      v = w.map(x => r6(x / norm))
+    }
+    val vc = array(v.map(lit): _*)
+    embeddings.select(col("vec_id"), col("label"),
+      zip_with(toDoubleArray(col("embedding")), vc, (a, b) => a * b).as("__t"))
+      .withColumn("proj", aggregate(col("__t"), lit(0.0), (acc, x) => acc + x))
+      .select(col("vec_id"), col("label"), col("proj"))
+  }
+
   /** One k-means refinement pass over the IVF index: assign to current
     * centroids, recompute each centroid as the mean of its members (typed
     * Aggregator above), keeping empty centroids in place. Improves probe

@@ -324,8 +324,45 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** q161 — one-pass covariance pairs ([[Similarity.GramAggregator]] →
+    * [[Similarity.covariancePairs]]): the top-10 most-covarying off-
+    * diagonal dimension pairs of the embedding corpus, from ONE scan that
+    * never shuffles a vector — each executor folds its slice into a
+    * ~17 KB integer Gram buffer, one merge, 2016 covariances unpacked
+    * against a driver pair table. Integer-quantized sums (q145
+    * convention) make the result independent of row order and merge
+    * tree — no per-layer rounding contract needed. The PCA/whitening
+    * front end at 100 TB.
+    */
+  def q161_covariance: Q = (s, dir) => {
+    Similarity.covariancePairs(Tables.embeddings(s, dir), 64)
+      .orderBy(abs(col("cov")).desc, col("i").asc, col("j").asc)
+      .limit(10)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("cov"), 6).as("cov"))
+  }
+
+  /** q162 — PCA projection ([[Similarity.pcaProject]]): the corpus
+    * projected onto its top principal component — 8 power-iteration steps
+    * over the covariance matrix derived from q161's one-pass integer Gram
+    * sums, each step's coordinates re-rounded to 6 decimals (the
+    * per-layer rounding contract that makes an iterative numeric
+    * algorithm oracle-checkable), then a map-side literal-vector dot.
+    * Top-10 rows by |projection|. Corpus cost: ONE scan for the Gram
+    * sums + ONE map-side projection pass; the 64×64 eigen-iteration is
+    * driver arithmetic on a KB of state.
+    */
+  def q162_pca_topk: Q = (s, dir) => {
+    Similarity.pcaProject(Tables.embeddings(s, dir), 64, iters = 8)
+      .orderBy(abs(col("proj")).desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("proj"), 4).as("proj"))
+  }
+
   val all: Map[String, Q] = Map(
     "q158_rp_topk" -> q158_rp_topk,
+    "q161_covariance" -> q161_covariance,
+    "q162_pca_topk" -> q162_pca_topk,
     "q127_rq_topk" -> q127_rq_topk,
     "q125_silhouette" -> q125_silhouette,
     "q120_pq_recall_audit" -> q120_pq_recall_audit,
@@ -666,6 +703,70 @@ object SimilarityQueries {
       WHERE vec_id <> $QueryVecId
       ORDER BY list_cosine_similarity(pvec, qv) DESC, vec_id ASC
       LIMIT 10""",
+    // the full 64×64 covariance (same exact-integer derivation as q161),
+    // then 8 power steps with per-step 6-decimal rounding — each CTE layer
+    // mirrors pcaProject's driver arithmetic in the identical fold order
+    "q162_pca_topk" -> ("""
+      WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT count(1) AS n FROM e),
+      s AS (SELECT i, sum(q[i+1]) AS si FROM e, range(64) t(i) GROUP BY i),
+      ap AS (SELECT a.i AS i, b.j AS j
+             FROM range(64) a(i), range(64) b(j) WHERE a.i <= b.j),
+      sp AS (SELECT p.i, p.j, sum(q[p.i+1] * q[p.j+1]) AS sij
+             FROM e, ap p GROUP BY 1, 2),
+      fm AS (SELECT a.i AS i, b.j AS j FROM range(64) a(i), range(64) b(j)),
+      centry AS (SELECT f.i, f.j,
+                   (CAST(sp.sij AS DOUBLE) / n.n
+                     - (CAST(si.si AS DOUBLE) / n.n)
+                       * (CAST(sj.si AS DOUBLE) / n.n))
+                     / 1000000000000.0 AS c
+                 FROM fm f, n
+                 JOIN sp ON sp.i = least(f.i, f.j) AND sp.j = greatest(f.i, f.j)
+                 JOIN s si ON si.i = least(f.i, f.j)
+                 JOIN s sj ON sj.i = greatest(f.i, f.j)),
+      crows AS (SELECT i, list(c ORDER BY j) AS row FROM centry GROUP BY i),
+      cm AS (SELECT list(row ORDER BY i) AS m FROM crows),
+      v0 AS (SELECT list_transform(range(64), x -> 0.125) AS v FROM n)""" +
+      (1 to 8).map { t => s""",
+      w$t AS (SELECT list_transform(range(64), j ->
+                list_reduce(list_transform(range(64), k -> m[j+1][k+1] * v[k+1]),
+                  (a, b) -> a + b)) AS w
+              FROM cm, v${t - 1}),
+      v$t AS (SELECT list_transform(w, x ->
+                floor(x / sqrt(list_reduce(list_transform(w, y -> y * y),
+                  (a, b) -> a + b)) * 1000000 + 0.5) / 1000000.0) AS v
+              FROM w$t)""" }.mkString + """,
+      p AS (SELECT vec_id, label,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(64), k -> embedding[k+1]::DOUBLE * v[k+1])),
+                (a, b) -> a + b) AS proj
+            FROM embeddings, v8)
+      SELECT vec_id, label, round(proj, 4) AS proj
+      FROM p ORDER BY abs(proj) DESC, vec_id LIMIT 10"""),
+    // integer Gram sums are order-independent exacts; the covariance
+    // expression mirrors covariancePairs' association order exactly
+    "q161_covariance" -> """
+      WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+                 FROM embeddings),
+      n AS (SELECT count(1) AS n FROM e),
+      s AS (SELECT i, sum(q[i+1]) AS si FROM e, range(64) t(i) GROUP BY i),
+      pairs AS (SELECT a.i AS i, b.j AS j
+                FROM range(64) a(i), range(64) b(j) WHERE a.i < b.j),
+      sp AS (SELECT p.i, p.j, sum(q[p.i+1] * q[p.j+1]) AS sij
+             FROM e, pairs p GROUP BY 1, 2),
+      c AS (SELECT sp.i, sp.j,
+                   (CAST(sij AS DOUBLE) / n.n
+                     - (CAST(si.si AS DOUBLE) / n.n)
+                       * (CAST(sj.si AS DOUBLE) / n.n))
+                     / 1000000000000.0 AS cov
+            FROM sp, n
+            JOIN s si ON si.i = sp.i
+            JOIN s sj ON sj.i = sp.j)
+      SELECT i, j, round(cov, 6) AS cov
+      FROM c ORDER BY abs(cov) DESC, i, j LIMIT 10""",
     "q46_cosine_topk" -> s"""
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId)
       SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim

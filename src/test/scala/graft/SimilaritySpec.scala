@@ -82,6 +82,44 @@ class SimilaritySpec extends SparkSuite {
     assert(r32 >= 0.25, s"32-dim JL recall@10 too low: $r32")
   }
 
+  test("GramAggregator: sums match a driver fold exactly; partitioning never changes them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val quant = emb.select(transform(col("embedding"),
+      x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")).as("q"))
+      .as[Seq[Long]]
+    def packed(ds: org.apache.spark.sql.Dataset[Seq[Long]]) =
+      ds.select(new Similarity.GramAggregator(64).toColumn).head()
+    val (s1, n1) = packed(quant)
+    val (s2, n2) = packed(quant.repartition(13))
+    assert(n1 == n2 && s1 == s2, "integer sums are partitioning-invariant")
+    val local = quant.collect()
+    assert(n1 == local.length)
+    assert(s1(5) == local.map(_(5)).sum, "coordinate sum mirror")
+    val flat57 = 64 + (5 * (2 * 64 - 5 + 1)) / 2 + (7 - 5)
+    assert(s1(flat57) == local.map(q => q(5) * q(7)).sum, "product sum mirror")
+  }
+
+  test("PCA: top component captures more projected variance than any single axis") {
+    import org.apache.spark.sql.functions._
+    val proj = Similarity.pcaProject(emb, 64, iters = 8)
+      .select(col("proj")).collect().map(_.getDouble(0))
+    val n = proj.length
+    val mean = proj.sum / n
+    val pcVar = proj.map(p => (p - mean) * (p - mean)).sum / n
+    // per-axis variances straight off the covariance diagonal
+    val diag = Similarity.covariancePairs(emb, 64) // off-diagonals only; rebuild diag locally
+    val coords = emb.select(Similarity.toDoubleArray(col("embedding"))).collect()
+      .map(_.getSeq[Double](0))
+    val axisVars = (0 until 64).map { i =>
+      val xs = coords.map(_(i)); val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    assert(pcVar >= axisVars.max * 0.99,
+      s"PC1 variance $pcVar must dominate best single axis ${axisVars.max}")
+    assert(diag.count() == 64L * 63 / 2)
+  }
+
   test("centroid refinement keeps all centroids and does not hurt IVF recall") {
     val q = Similarity.queryVector(emb, 0L)
     val seed = Similarity.centroids(emb, 16)
