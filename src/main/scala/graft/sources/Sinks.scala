@@ -512,6 +512,44 @@ object Sinks {
     * including it would make the replay's re-ingestion guard skip rows the
     * rewrite is about to overwrite (silent row loss on replay).
     */
+  /** Time-travel read: the store exactly as of batch `upToBatch` — the
+    * union of partitions with id ≤ `upToBatch`. Valid because a merged
+    * (compacted) partition carries the id of its NEWEST absorbed batch
+    * and therefore contains only rows from batches ≤ its own id; any
+    * partition with a larger id is excluded wholesale.
+    *
+    * The horizon contract (the same trade Delta's VACUUM makes): once a
+    * compaction has absorbed batches ≤ `upToBatch` into a partition with
+    * id > `upToBatch`, that snapshot can no longer be reconstructed —
+    * detected via the merge manifests and surfaced as an
+    * `IllegalStateException`, never as a silently short read. Snapshots
+    * at or above every merged partition's id remain exact forever.
+    */
+  def readBatchStoreAsOf(
+      spark: SparkSession, path: String, upToBatch: Long): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = liveBatchDirs(fs, root)
+    val crossing = dirs.filter { case (id, dir) =>
+      id > upToBatch && {
+        val m = new Path(dir, ManifestName)
+        fs.exists(m) && {
+          val in = fs.open(m)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          "-?\\d+".r.findAllIn(txt).exists(_.toLong <= upToBatch)
+        }
+      }
+    }
+    if (crossing.nonEmpty)
+      throw new IllegalStateException(
+        s"time-travel to batch $upToBatch is beyond the compaction horizon: " +
+        s"partition(s) ${crossing.map(_._1).mkString(", ")} absorbed older batches")
+    val visible = dirs.filter(_._1 <= upToBatch)
+    if (visible.isEmpty) None
+    else Some(spark.read.parquet(visible.map(_._2.toString): _*))
+  }
+
   def readBatchStore(
       spark: SparkSession, path: String,
       excludeBatch: Option[Long] = None): Option[DataFrame] = {

@@ -57,6 +57,34 @@ class BatchStoreSpec extends SparkSuite {
     assert(Sinks.compactBatchStore(spark, store, upToBatch = 4L) == 0)
   }
 
+  test("time travel: every historical snapshot exact until compaction crosses it; then loud") {
+    val store = mkStore()
+    (0 to 4).foreach(i =>
+      Sinks.appendBatchPartition(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), store, i.toLong))
+    def asOf(b: Long): Set[(Long, String)] =
+      Sinks.readBatchStoreAsOf(spark, store, b).map(
+        _.select("id", "v").as[(Long, String)].collect().toSet).getOrElse(Set.empty)
+    assert(Sinks.readBatchStoreAsOf(spark, store, -1L).isEmpty)
+    (0 to 4).foreach { b =>
+      assert(asOf(b.toLong) == (0 to b).map(i => (i.toLong, s"v$i")).toSet, s"asOf $b")
+    }
+    // CDC between two snapshots composes with ChangeCapture
+    val diff = graft.operators.ChangeCapture.snapshotDiff(
+      Sinks.readBatchStoreAsOf(spark, store, 1L).get,
+      Sinks.readBatchStoreAsOf(spark, store, 3L).get, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "insert", 3L -> "insert"))
+
+    // compaction absorbs batches 0-2 into partition 2: snapshots >= 2 stay
+    // exact, snapshots < 2 are beyond the horizon and must throw
+    assert(Sinks.compactBatchStore(spark, store, upToBatch = 3L) == 3)
+    (2 to 4).foreach { b =>
+      assert(asOf(b.toLong) == (0 to b).map(i => (i.toLong, s"v$i")).toSet, s"post-compact asOf $b")
+    }
+    intercept[IllegalStateException](asOf(1L))
+    intercept[IllegalStateException](asOf(0L))
+  }
+
   test("crash between compaction renames self-heals: aside copy restored, no row lost") {
     val store = mkStore()
     (0 until 3).foreach(i =>
