@@ -65,6 +65,38 @@ object DedupQueries {
       window = 4, shingleK = 3, threshold = 0.6)
   }
 
+  /** The q163 field rules, shared between the query and its oracle so the
+    * driver-computed log₂ weights are the SAME double literals in both
+    * plans (no transcendental is ever evaluated cross-engine).
+    */
+  private val LinkageRules = Seq(
+    graft.operators.Linkage.FieldRule("c_name",
+      (a, b) => substring(a, -3, 3) === substring(b, -3, 3), m = 0.95, u = 0.01),
+    graft.operators.Linkage.FieldRule("c_acctbal",
+      (a, b) => floor(a / 1000) === floor(b / 1000), m = 0.8, u = 0.15),
+    graft.operators.Linkage.FieldRule("c_acctbal",
+      (a, b) => (floor(a / 100) % 10) === (floor(b / 100) % 10), m = 0.85, u = 0.1))
+
+  /** q163 — Fellegi–Sunter record linkage ([[graft.operators.Linkage]]):
+    * probabilistic match scores over customer pairs blocked by
+    * (nation, segment) — three field rules (name tail, balance band,
+    * balance hundreds digit) summing driver-literal log₂ weights in
+    * declaration order. Top-20 by score. The scoring layer above the
+    * blocking family (SNM/LSH/prefix); Σ block² candidate volume, scoring
+    * map-side codegen.
+    */
+  def q163_record_linkage: Q = (s, dir) => {
+    import graft.operators.Linkage
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val pairs = Linkage.candidatePairs(c, "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+    Linkage.score(pairs, LinkageRules)
+      .orderBy(col("match_score").desc, col("a_id").asc, col("b_id").asc)
+      .limit(20)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        round(col("match_score"), 4).as("match_score"))
+  }
+
   /** q43 — MinHash-LSH candidate pairs (rows-only: xxhash64-dependent).
     * DedupSpec asserts candidates ⊇ all true J≥0.9 pairs.
     */
@@ -411,6 +443,7 @@ object DedupQueries {
     "q41_dedup_keep_first" -> q41_dedup_keep_first,
     "q42_jaccard_pairs" -> q42_jaccard_pairs,
     "q160_sorted_neighborhood" -> q160_sorted_neighborhood,
+    "q163_record_linkage" -> q163_record_linkage,
     "q43_minhash_lsh" -> q43_minhash_lsh,
     "q44_simhash" -> q44_simhash,
     "q45_embed_neardup" -> q45_embed_neardup)
@@ -888,6 +921,24 @@ object DedupQueries {
       JOIN sizes sb ON sb.doc_id = id_old
       WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6
       ORDER BY 1, 2""",
+    "q163_record_linkage" -> {
+      val Seq(r1, r2, r3) = LinkageRules
+      s"""
+      WITH p AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               (CASE WHEN substr(a.c_name, -3) = substr(b.c_name, -3)
+                     THEN ${r1.wAgree}::DOUBLE ELSE ${r1.wDisagree}::DOUBLE END)
+             + (CASE WHEN floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)
+                     THEN ${r2.wAgree}::DOUBLE ELSE ${r2.wDisagree}::DOUBLE END)
+             + (CASE WHEN floor(a.c_acctbal / 100) % 10
+                        = floor(b.c_acctbal / 100) % 10
+                     THEN ${r3.wAgree}::DOUBLE ELSE ${r3.wDisagree}::DOUBLE END) AS score
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey)
+      SELECT id_a, id_b, round(score, 4) AS match_score
+      FROM p ORDER BY score DESC, id_a, id_b LIMIT 20""" },
     "q160_sorted_neighborhood" -> raw"""
       WITH b AS (SELECT doc_id, text,
                         lower(regexp_replace(text, '\s+', ' ', 'g')) AS key

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Linkage
+import graft.operators.Linkage.FieldRule
+
+/** Fellegi–Sunter scoring: weight algebra, blocking behavior, and the
+  * separation property (a true duplicate outscores a random pair).
+  */
+class LinkageSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val people = Seq(
+    (1L, "ann smith", "b1", 100.0),
+    (2L, "ann smith", "b1", 105.0),   // dup of 1: name agrees, amount near
+    (3L, "bob jones", "b1", 900.0),   // same block, no field agreement
+    (4L, "ann smith", "b2", 100.0))   // other block: never paired with 1
+    .toDF("id", "name", "blk", "amt")
+
+  private val rules = Seq(
+    FieldRule("name", (a, b) => a === b, m = 0.9, u = 0.05),
+    FieldRule("amt", (a, b) => abs(a - b) <= 10.0, m = 0.8, u = 0.1))
+
+  test("weights: agreement positive, disagreement negative, discrimination ordering") {
+    val r = rules.head
+    assert(r.wAgree > 0 && r.wDisagree < 0)
+    val weak = FieldRule("x", (a, b) => a === b, m = 0.6, u = 0.4)
+    assert(r.wAgree > weak.wAgree, "a more discriminating field weighs more")
+    intercept[IllegalArgumentException](FieldRule("bad", (a, b) => a === b, m = 0.2, u = 0.5))
+  }
+
+  test("candidate pairs stay within blocks, id_a < id_b, payload carried twice") {
+    val pairs = Linkage.candidatePairs(people, "id", Seq("blk"))
+    val got = pairs.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $got")
+    assert(pairs.columns.contains("a_name") && pairs.columns.contains("b_amt"))
+  }
+
+  test("scores separate: the true duplicate gets both agreements, strangers get none") {
+    val scored = Linkage.score(Linkage.candidatePairs(people, "id", Seq("blk")), rules)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("match_score")).toMap
+    val expectDup = rules.map(_.wAgree).sum
+    val expectStranger = rules.map(_.wDisagree).sum
+    assert(math.abs(scored((1L, 2L)) - expectDup) < 1e-9)
+    assert(math.abs(scored((1L, 3L)) - expectStranger) < 1e-9)
+    assert(scored((1L, 2L)) > scored((1L, 3L)))
+  }
+
+  test("q163 returns 20 ranked rows with the top score = all-agree weight sum") {
+    val rows = SparkEntry.queries("q163_record_linkage")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("match_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}
