@@ -225,6 +225,51 @@ object MiscQueries {
       Checks.SubsetOf("o_custkey", Tables.customer(s, dir), "c_custkey")))
   }
 
+  /** q164 — market-basket pair rules ([[graft.operators.Association]]):
+    * top-20 co-ordered part pairs by lift (support ≥ 2) over the
+    * lineitem order-baskets. One distinct (basket, item) projection, one
+    * basket-keyed self-join (Σ basket² pair volume — basket sizes, not
+    * the catalog, bound the blow-up), exact integer support counts; lift
+    * and confidence are single declared double expressions over those
+    * integers — engine-stable with no rounding contract.
+    */
+  def q164_market_basket: Q = (s, dir) => {
+    graft.operators.Association.pairRules(
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+      .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+      .select(col("item_a"), col("item_b"), col("pair_support"),
+        round(col("lift"), 4).as("lift"),
+        round(col("conf_a_to_b"), 4).as("conf_a_to_b"))
+  }
+
+  /** q165 — triangle participation ([[Graph.triangleCounts]]) on the
+    * strong-trade-link nation graph: q141's edge derivation (the
+    * corpus-sized step), thresholded to above-average weight, then the
+    * node-iterator triangle join on the graph-sized relation only. The
+    * cohesion complement to q141's centrality and q80's components.
+    */
+  def q165_triangles: Q = (s, dir) => {
+    import graft.operators.{Graph, Stage}
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val edges = Stage.snapshotDF(li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w")))
+    val strong = edges
+      .crossJoin(broadcast(edges.agg(avg("w").as("__aw"))))
+      .filter(col("w") > col("__aw"))
+    Graph.triangleCounts(strong, "src", "dst")
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("n_name").asc)
+  }
+
   /** q150 — perceptual-hash near-dup pairs over the media corpus
     * ([[Multimodal.perceptualHashes]] → [[Multimodal.perceptualPairs]]):
     * Hamming ≤ 3 pairs via the 4×16-bit pigeonhole band join (Σ bucket²
@@ -379,6 +424,8 @@ object MiscQueries {
     "q153_zorder_scan" -> q153_zorder_scan,
     "q157_bloom_lookup" -> q157_bloom_lookup,
     "q159_quality_checks" -> q159_quality_checks,
+    "q164_market_basket" -> q164_market_basket,
+    "q165_triangles" -> q165_triangles,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
@@ -407,6 +454,45 @@ object MiscQueries {
          OR v1.o_custkey <> v2.o_custkey
          OR v1.o_orderstatus <> v2.o_orderstatus
       ORDER BY 1""",
+    "q164_market_basket" -> """
+      WITH op AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      n AS (SELECT count(DISTINCT bk) AS n FROM op),
+      isup AS (SELECT it, count(1) AS s FROM op GROUP BY 1),
+      ps AS (SELECT a.it AS item_a, b.it AS item_b, count(1) AS pair_support
+             FROM op a JOIN op b ON a.bk = b.bk AND a.it < b.it
+             GROUP BY 1, 2 HAVING count(1) >= 2),
+      r AS (SELECT item_a, item_b, pair_support,
+                   CAST(pair_support * n.n AS DOUBLE)
+                     / CAST(sa.s * sb.s AS DOUBLE) AS lift,
+                   CAST(pair_support AS DOUBLE) / CAST(sa.s AS DOUBLE) AS conf
+            FROM ps, n
+            JOIN isup sa ON sa.it = item_a
+            JOIN isup sb ON sb.it = item_b)
+      SELECT item_a, item_b, pair_support,
+             round(lift, 4) AS lift, round(conf, 4) AS conf_a_to_b
+      FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20""",
+    "q165_triangles" -> """
+      WITH edges AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst, count(1) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      aw AS (SELECT avg(w) AS aw FROM edges),
+      fe AS (SELECT src, dst FROM edges, aw WHERE w > aw),
+      ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM fe WHERE least(src, dst) < greatest(src, dst)),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM ce e1
+              JOIN ce e2 ON e1.b = e2.a
+              JOIN ce e3 ON e1.a = e3.a AND e2.b = e3.b),
+      nodes AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+      SELECT n_name, count(1) AS n_triangles
+      FROM nodes JOIN nation ON node = n_nationkey
+      GROUP BY 1 ORDER BY 2 DESC, 1""",
     "q159_quality_checks" -> """
       WITH r AS (
         SELECT 'complete:o_custkey' AS check_name,

@@ -70,4 +70,34 @@ class GraphSpec extends SparkSuite {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"node $k") }
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
+
+  test("triangleCounts: K4 corners in 3 each; dups/directions/self-loops canonicalized away") {
+    import spark.implicits._
+    val edges = Seq(
+      // K4 on 1-4, with one duplicate, one reversed, one self-loop
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 2L), (3L, 3L),
+      // pendant edge: no triangle
+      (5L, 6L))
+      .toDF("s", "d")
+    val got = graft.operators.Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("Association.pairRules: exact support/lift/confidence on a hand basket set") {
+    import spark.implicits._
+    val baskets = Seq(
+      (10L, "x"), (10L, "y"), (10L, "z"), (10L, "x"), // dup item in basket collapses
+      (20L, "x"), (20L, "y"),
+      (30L, "x"))
+      .toDF("bk", "it")
+    val rules = graft.operators.Association.pairRules(baskets, "bk", "it", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // only (x, y) reaches support 2: lift = 2·3/(3·2) = 1, conf = 2/3
+    assert(rules.keySet == Set(("x", "y")), s"got ${rules.keySet}")
+    val (s, lift, conf) = rules(("x", "y"))
+    assert(s == 2L && lift == 1.0 && math.abs(conf - 2.0 / 3.0) < 1e-12)
+  }
 }
