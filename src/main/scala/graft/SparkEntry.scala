@@ -26,11 +26,11 @@ object SparkEntry {
     RelationalQueries.all ++ RelationalQueries2.all ++ PipelineQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       StreamQueries.all ++ MiscQueries.all ++ TrainingQueries.all ++
-      RelationalQueries3.all
+      RelationalQueries3.all ++ TimeSeriesQueries.all
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ RelationalQueries2.oracle ++ PipelineQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ TextQueries.oracle ++
       StreamQueries.oracle ++ MiscQueries.oracle ++ TrainingQueries.oracle ++
-      RelationalQueries3.oracle
+      RelationalQueries3.oracle ++ TimeSeriesQueries.oracle
 }

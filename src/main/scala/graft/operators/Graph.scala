@@ -96,6 +96,85 @@ object Graph {
     * node-iterator) without changing the count. Both run in two
     * hash-joins on the edge relation — graph-sized, never corpus-sized.
     */
+  /** Single-source shortest hop counts (unweighted BFS) on the undirected
+    * graph of `edges`. Returns (node, hops) for every node within `maxHops`
+    * of `source`; unreachable nodes are absent.
+    *
+    * Frontier-expansion form: level h's frontier joins the symmetrized edge
+    * relation and anti-joins the settled set — each level is one graph-sized
+    * equi-join + one anti-join, snapshotted ([[Stage.snapshotDF]]) so the
+    * plan stays level-sized instead of unrolling the whole history into an
+    * exponential lineage. The loop is FIXED at `maxHops` iterations (the
+    * q141 convention — no per-level driver count actions); an exhausted
+    * frontier makes the remaining levels no-op joins on an empty snapshot.
+    * At cluster scale each level shuffles only frontier ∪ edges — never the
+    * corpus that derived the edges.
+    */
+  def shortestHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      source: Long,
+      maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val e = Stage.snapshotDF(
+      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).cast(e.schema("s").dataType).as("node"), lit(0).as("hops"))
+    for (h <- 1 to maxHops) {
+      val settled = Stage.snapshotDF(dist)
+      val next = settled.filter(col("hops") === h - 1)
+        .join(e, col("node") === col("s"))
+        .select(col("d").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hops"))
+      dist = settled.unionByName(next)
+    }
+    dist
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection by iterated neighbor-majority voting. Labels start as node
+    * ids; each round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — both choices make the
+    * fixed-iteration result fully deterministic (classic LPA randomizes
+    * order and ties; a cross-engine-checkable operator cannot), at the
+    * documented cost that bipartite-ish regions may oscillate rather than
+    * converge — `iterations` pins the answer either way.
+    *
+    * Each round = one (dst)-keyed join of labels to the symmetrized edges,
+    * one (node, label) count, a node-partitioned max window riding the same
+    * key, and a min fold — all graph-sized, snapshotted per round.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val e = Stage.snapshotDF(
+      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    val byNode = org.apache.spark.sql.expressions.Window.partitionBy("node")
+    var labels = e.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val l = Stage.snapshotDF(labels)
+      labels = e
+        .join(l.select(col("node").as("__n"), col("label")), col("d") === col("__n"))
+        .groupBy(col("s").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__mx", max("__c").over(byNode))
+        .filter(col("__c") === col("__mx"))
+        .groupBy("node")
+        .agg(min("label").as("label"))
+    }
+    labels
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = Stage.snapshotDF(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

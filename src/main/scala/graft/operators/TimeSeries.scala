@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series reshaping over event streams: fixed-interval resampling with
+  * gap-fill, and sequential changepoint detection.
+  *
+  * The reference ingests by timestamp interval but leaves the series ragged
+  * (one doc per source row — `ingester/es_common.py` range queries); a
+  * training pipeline consuming event telemetry needs the opposite: a dense,
+  * regular grid (for windowed features / drift monitors) and an alarm signal
+  * when a series shifts. Both operators here cost one key-shuffle over
+  * series-sized data and never touch the corpus twice.
+  */
+object TimeSeries {
+
+  /** Fixed-interval resample with last-observation-carried-forward gap-fill.
+    *
+    * Buckets `tsCol` into `bucketSeconds`-wide intervals (bucket key =
+    * floor(epoch/step)·step, a BIGINT — deliberately not a timestamp, so the
+    * result schema is tz-free and cross-engine stable), keeps the LAST
+    * observation per (key, bucket) — "last" defined by (ts, id) order, with
+    * `idCol` breaking equal-timestamp ties deterministically — then explodes
+    * each key's [min, max] bucket range into a dense grid and carries the
+    * previous observed value into empty buckets. Emitted `is_gap` marks
+    * filled rows.
+    *
+    * Cost shape: ONE event-volume shuffle — the partial-aggregated
+    * (key, bucket) last-observation pick (`max_by` over a (ts, id) struct,
+    * a small per-group state combined map-side). Everything after is
+    * bucket-grid-sized: the per-key min/max fold, the grid⋈observations
+    * equi-join, and the key-partitioned LOCF window each move at most
+    * keys × span/step rows, independent of event volume, so a 100× event
+    * scale-up changes only the first aggregate's input. No driver state,
+    * no collect.
+    */
+  def resampleLocf(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    val step = lit(bucketSeconds)
+    val obs = events
+      .select(col(keyCol).as("key"),
+        (floor(unix_timestamp(col(tsCol)) / step) * step).as("bucket"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"), col(valCol).as("__v"))
+      .groupBy("key", "bucket")
+      .agg(max_by(col("__v"), struct(col("__ts"), col("__id"))).as("obs_value"))
+    val grid = obs
+      .groupBy("key")
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .select(col("key"), explode(sequence(col("__lo"), col("__hi"), step)).as("bucket"))
+    val locf = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        last(col("obs_value"), ignoreNulls = true).over(locf).as("value"),
+        col("obs_value").isNull.as("is_gap"))
+  }
+
+  /** Two-sided CUSUM changepoint scores (Page 1954) per series.
+    *
+    * Standardizes `valCol` against the per-key mean/stddev, then runs the
+    * classic recursions
+    * {{{
+    *   s⁺_t = max(0, s⁺_{t-1} + (z_t − slack))
+    *   s⁻_t = max(0, s⁻_{t-1} − (z_t + slack))
+    * }}}
+    * and flags `alarm` when either side exceeds `threshold`. The max(0, ·)
+    * recursion is NOT a window primitive, but it has a closed prefix form —
+    * `s⁺_t = S_t − min(0, min_{j≤t} S_j)` where `S` is the running sum of
+    * `(z − slack)` — so the whole operator is two stacked window passes over
+    * ONE (key)-keyed sort: running sums, then running mins of those sums.
+    * No recursion, no driver loop, no second shuffle.
+    *
+    * Determinism contract (the q141 per-layer rounding convention): the
+    * per-key mean/stddev are whole-partition sums whose float summation
+    * order is engine-specific, so both are rounded to 6 decimals BEFORE
+    * standardizing; z is rounded to 6 likewise. Past that point every
+    * number is produced by the window's fixed (ts, id) order, and the
+    * emitted scores round to 2 — the q19 running-double-sum precision
+    * contract (expanding-frame sums are tree-associated in some engines,
+    * so sub-cent agreement is the proven cross-engine bar). A constant
+    * series (stddev 0) yields null z/scores by design.
+    *
+    * Output: (key, id-ordered series columns, z, cusum_pos, cusum_neg,
+    * alarm).
+    */
+  def cusum(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      slack: Double = 0.5,
+      threshold: Double = 4.0): DataFrame = {
+    val byKey = Window.partitionBy("key")
+    val ordered = Window.partitionBy("key").orderBy("__ts", "__id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = events
+      .select(col(keyCol).as("key"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(valCol).cast("double").as("__v"))
+      .withColumn("__mu", round(avg("__v").over(byKey), 6))
+      .withColumn("__sd", round(stddev_pop("__v").over(byKey), 6))
+      .withColumn("z", round((col("__v") - col("__mu")) / col("__sd"), 6))
+    val sums = stats
+      .withColumn("__sp", sum(col("z") - lit(slack)).over(ordered))
+      .withColumn("__sn", sum(-col("z") - lit(slack)).over(ordered))
+    sums
+      .withColumn("cusum_pos",
+        round(col("__sp") - least(lit(0.0), min("__sp").over(ordered)), 2) + lit(0.0))
+      .withColumn("cusum_neg",
+        round(col("__sn") - least(lit(0.0), min("__sn").over(ordered)), 2) + lit(0.0))
+      .withColumn("alarm",
+        col("cusum_pos") > threshold || col("cusum_neg") > threshold)
+      .select(col("key"), col("__ts").as("ts"), col("__id").as("id"),
+        col("z"), col("cusum_pos"), col("cusum_neg"), col("alarm"))
+  }
+}

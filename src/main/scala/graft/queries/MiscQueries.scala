@@ -270,6 +270,100 @@ object MiscQueries {
       .orderBy(col("n_triangles").desc, col("n_name").asc)
   }
 
+  /** Shared edge derivation for the graph-analytics trio q165/q167/q168:
+    * the above-average-weight nation trade graph. The 4-way join +
+    * aggregation is the corpus-sized step; everything downstream touches
+    * only the ≤ |nations|² edge relation.
+    */
+  private def strongTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stage
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val edges = Stage.snapshotDF(li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w")))
+    edges
+      .crossJoin(broadcast(edges.agg(avg("w").as("__aw"))))
+      .filter(col("w") > col("__aw"))
+      .select("src", "dst")
+  }
+
+  /** The matching oracle CTE prefix (edges/aw/fe = the strong graph,
+    * sym = symmetrized self-loop-free directed pairs).
+    */
+  private val strongTradeSql = """
+      edges AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst, count(1) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      aw AS (SELECT avg(w) AS aw FROM edges),
+      fe AS (SELECT src, dst FROM edges, aw WHERE w > aw),
+      sym AS (SELECT src AS s, dst AS d FROM fe WHERE src <> dst
+              UNION
+              SELECT dst, src FROM fe WHERE src <> dst)"""
+
+  /** q167 — single-source BFS hops ([[Graph.shortestHops]]) over the strong
+    * trade graph: the reachability/radius complement to q141's centrality
+    * and q165's cohesion. The source is the SMALLEST node carrying a
+    * non-self strong edge — a 1-row driver scalar (the pageRank node-count
+    * convention) that keeps the query meaningful at every SF instead of
+    * pinning a nation that may be isolated at small scales. Frontier levels
+    * are fixed at 6 (≥ the graph's diameter); the oracle runs the same
+    * traversal as a recursive CTE with the identical hop cap and seed.
+    */
+  def q167_bfs_hops: Q = (s, dir) => {
+    import graft.operators.Graph
+    val edges = strongTradeEdges(s, dir)
+    val source = edges.filter(col("src") =!= col("dst"))
+      .agg(least(min("src"), min("dst")).cast("long")).head.getLong(0)
+    Graph.shortestHops(edges, "src", "dst", source, maxHops = 6)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("hops"))
+      .orderBy("n_name")
+  }
+
+  /** q168 — label-propagation communities ([[Graph.labelPropagation]]) on
+    * the strong trade graph, 3 synchronous rounds, most-frequent-neighbor
+    * label with min-label ties. The oracle unrolls the 3 rounds as CTE
+    * layers (the q141/q162 iterative-mirror convention) — count/max/min are
+    * integer-exact, so no rounding contract is needed anywhere.
+    */
+  def q168_label_prop: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.labelPropagation(strongTradeEdges(s, dir), "src", "dst", iterations = 3)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("label").as("community"))
+      .orderBy("n_name")
+  }
+
+  private def labelPropOracle(iters: Int): String = {
+    val layers = (1 to iters).map { k =>
+      s"""
+      l$k AS (
+        SELECT node, min(label) AS label FROM (
+          SELECT sym.s AS node, l.label, count(1) AS c,
+                 max(count(1)) OVER (PARTITION BY sym.s) AS mx
+          FROM sym JOIN l${k - 1} l ON sym.d = l.node
+          GROUP BY 1, 2) t
+        WHERE c = mx GROUP BY 1)"""
+    }.mkString(",")
+    s"""
+      WITH $strongTradeSql,
+      nodes AS (SELECT DISTINCT s AS node FROM sym),
+      l0 AS (SELECT node, node AS label FROM nodes),$layers
+      SELECT n_name, label AS community
+      FROM l$iters JOIN nation ON node = n_nationkey
+      ORDER BY n_name"""
+  }
+
   /** q150 — perceptual-hash near-dup pairs over the media corpus
     * ([[Multimodal.perceptualHashes]] → [[Multimodal.perceptualPairs]]):
     * Hamming ≤ 3 pairs via the 4×16-bit pigeonhole band join (Σ bucket²
@@ -426,6 +520,8 @@ object MiscQueries {
     "q159_quality_checks" -> q159_quality_checks,
     "q164_market_basket" -> q164_market_basket,
     "q165_triangles" -> q165_triangles,
+    "q167_bfs_hops" -> q167_bfs_hops,
+    "q168_label_prop" -> q168_label_prop,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
@@ -454,6 +550,17 @@ object MiscQueries {
          OR v1.o_custkey <> v2.o_custkey
          OR v1.o_orderstatus <> v2.o_orderstatus
       ORDER BY 1""",
+    "q167_bfs_hops" -> s"""
+      WITH RECURSIVE $strongTradeSql,
+      h(node, hops) AS (
+        SELECT (SELECT min(s) FROM sym), 0
+        UNION
+        SELECT sym.d, h.hops + 1 FROM h JOIN sym ON sym.s = h.node
+        WHERE h.hops < 6)
+      SELECT n_name, min(hops) AS hops
+      FROM h JOIN nation ON node = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
+    "q168_label_prop" -> labelPropOracle(3),
     "q164_market_basket" -> """
       WITH op AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
       n AS (SELECT count(DISTINCT bk) AS n FROM op),

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TimeSeries
+
+/** Time-series reshaping surface ([[graft.operators.TimeSeries]]): dense
+  * resampling with gap-fill and sequential changepoint detection over the
+  * events stream — the "make a ragged event log a regular signal" step a
+  * telemetry-driven training pipeline runs before windowed featurization.
+  */
+object TimeSeriesQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q166 — hourly LOCF resample ([[TimeSeries.resampleLocf]]) of the event
+    * `value` per event_type: last observation per (type, hour), dense
+    * per-type hour grid, previous value carried into empty buckets,
+    * `is_gap` marking the filled rows. Bucket keys stay BIGINT epoch
+    * seconds end-to-end — no timestamp re-materialization, so the result
+    * schema is tz-free on both engines. `value` passes through untouched
+    * (no arithmetic → no rounding contract).
+    */
+  def q166_gapfill_locf: Q = (s, dir) => {
+    TimeSeries.resampleLocf(Tables.events(s, dir),
+        keyCol = "event_type", tsCol = "ts", idCol = "event_id",
+        valCol = "value", bucketSeconds = 3600L)
+      .select(col("key").as("event_type"), col("bucket"), col("value"), col("is_gap"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** q169 — two-sided CUSUM changepoint scores ([[TimeSeries.cusum]]) per
+    * event_type over the (ts, event_id)-ordered value series, slack 0.5σ,
+    * alarm at 4σ. The oracle replays the same prefix-sum-minus-running-min
+    * closed form; mean/σ/z round to 6 before the order-fixed window pass
+    * and the scores round to 2 (the q19 running-double-sum precision bar).
+    */
+  def q169_cusum: Q = (s, dir) => {
+    TimeSeries.cusum(Tables.events(s, dir),
+        keyCol = "event_type", tsCol = "ts", idCol = "event_id",
+        valCol = "value", slack = 0.5, threshold = 4.0)
+      .select(col("key").as("event_type"), col("id").as("event_id"),
+        col("z"), col("cusum_pos"), col("cusum_neg"), col("alarm"))
+      .orderBy("event_type", "event_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q166_gapfill_locf" -> q166_gapfill_locf,
+    "q169_cusum" -> q169_cusum)
+
+  val oracle: Map[String, String] = Map(
+    "q166_gapfill_locf" -> """
+      WITH obs AS (
+        SELECT event_type AS key,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+               value,
+               row_number() OVER (
+                 PARTITION BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      o1 AS (SELECT key, bucket, value AS obs_value FROM obs WHERE rn = 1),
+      grid AS (SELECT key, unnest(generate_series(lo, hi, CAST(3600 AS BIGINT))) AS bucket
+               FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+                     FROM o1 GROUP BY 1) b)
+      SELECT g.key AS event_type, g.bucket,
+             last_value(o.obs_value IGNORE NULLS) OVER (
+               PARTITION BY g.key ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             o.obs_value IS NULL AS is_gap
+      FROM grid g LEFT JOIN o1 o ON g.key = o.key AND g.bucket = o.bucket
+      ORDER BY 1, 2""",
+    "q169_cusum" -> """
+      WITH s AS (
+        SELECT event_type AS key, ts, event_id AS id, value,
+               round(avg(value) OVER (PARTITION BY event_type), 6) AS mu,
+               round(stddev_pop(value) OVER (PARTITION BY event_type), 6) AS sd
+        FROM events),
+      z AS (SELECT key, ts, id, round((value - mu) / sd, 6) AS z FROM s),
+      su AS (SELECT key, ts, id, z,
+               sum(z - CAST(0.5 AS DOUBLE)) OVER w AS sp,
+               sum(-z - CAST(0.5 AS DOUBLE)) OVER w AS sn
+             FROM z
+             WINDOW w AS (PARTITION BY key ORDER BY ts, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      c AS (SELECT key, id, z,
+              round(sp - least(CAST(0 AS DOUBLE), min(sp) OVER w2), 2) + CAST(0 AS DOUBLE) AS cusum_pos,
+              round(sn - least(CAST(0 AS DOUBLE), min(sn) OVER w2), 2) + CAST(0 AS DOUBLE) AS cusum_neg
+            FROM su
+            WINDOW w2 AS (PARTITION BY key ORDER BY ts, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT key AS event_type, id AS event_id, z, cusum_pos, cusum_neg,
+             (cusum_pos > CAST(4 AS DOUBLE) OR cusum_neg > CAST(4 AS DOUBLE)) AS alarm
+      FROM c ORDER BY event_type, event_id""")
+}

@@ -85,6 +85,36 @@ class GraphSpec extends SparkSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("shortestHops: path graph distances; hop cap truncates; unreachable absent") {
+    import spark.implicits._
+    // path 0-1-2-3-4 (mixed directions — BFS must symmetrize) + island 8-9
+    val edges = Seq((0L, 1L), (2L, 1L), (2L, 3L), (4L, 3L), (8L, 9L)).toDF("s", "d")
+    val full = graft.operators.Graph.shortestHops(edges, "s", "d", source = 0L, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4), s"got $full")
+    val capped = graft.operators.Graph.shortestHops(edges, "s", "d", source = 0L, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(0L -> 0, 1L -> 1, 2L -> 2), s"got $capped")
+  }
+
+  test("labelPropagation: two bridged cliques resolve to two min-label communities") {
+    import spark.implicits._
+    // K3 on 1-3, K3 on 7-9, one bridge 3-7. Hand-traced through 3
+    // synchronous min-tie rounds: the left clique settles on label 1; the
+    // right clique settles on label 3 (the bridge leaks 3 into node 7 in
+    // round 1 and the min tie-breaks keep it) — two distinct communities
+    // split exactly at the bridge.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L),
+      (3L, 7L)).toDF("s", "d")
+    val got = graft.operators.Graph.labelPropagation(edges, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 7L, 8L, 9L))
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L), s"left clique: $got")
+    assert(Set(7L, 8L, 9L).map(got) == Set(3L), s"right clique: $got")
+  }
+
   test("Association.pairRules: exact support/lift/confidence on a hand basket set") {
     import spark.implicits._
     val baskets = Seq(

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSuite {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("resampleLocf: gaps filled with previous value, flagged; ties broken by id") {
+    import spark.implicits._
+    // key a: observations in minute-buckets 0, 1 (two rows — id tie-break), 4
+    // → buckets 2 and 3 are gaps carrying bucket-1's winner.
+    // key b: single observation → single-row grid, no gaps.
+    val events = Seq(
+      ("a", ts(0), 1L, 10.0),
+      ("a", ts(1), 2L, 20.0),
+      ("a", ts(1), 3L, 25.0), // same ts, higher id → wins bucket 1
+      ("a", ts(4), 4L, 40.0),
+      ("b", ts(2), 5L, 99.0))
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeries.resampleLocf(events, "k", "t", "id", "v", bucketSeconds = 60L)
+      .orderBy("key", "bucket")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    assert(got.toSeq == Seq(
+      ("a", base, 10.0, false),
+      ("a", base + 60, 25.0, false),
+      ("a", base + 120, 25.0, true),
+      ("a", base + 180, 25.0, true),
+      ("a", base + 240, 40.0, false),
+      ("b", base + 120, 99.0, false)))
+  }
+
+  test("cusum: closed form ≡ the direct max(0, ·) recursion; alarm fires on the injected shift") {
+    import spark.implicits._
+    // 12 baseline points around 0, then 8 points shifted to +3: the
+    // positive side must accumulate past threshold, the negative side stay 0.
+    val vals = Seq(0.3, -0.2, 0.1, -0.4, 0.2, 0.0, -0.1, 0.3, -0.3, 0.1, -0.2, 0.2) ++
+      Seq.fill(8)(3.0)
+    val events = vals.zipWithIndex.map { case (v, i) => ("s", ts(i), i.toLong, v) }
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeries.cusum(events, "k", "t", "id", "v", slack = 0.5, threshold = 4.0)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+
+    // mirror the operator's rounding contract, then run the LITERAL recursion
+    val mu = BigDecimal(vals.sum / vals.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd = {
+      val v = vals.map(x => (x - vals.sum / vals.size) * (x - vals.sum / vals.size)).sum / vals.size
+      BigDecimal(math.sqrt(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val zs = vals.map(x => BigDecimal((x - mu) / sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    var sp = 0.0; var sn = 0.0
+    val want = zs.map { z =>
+      sp = math.max(0.0, sp + (z - 0.5)); sn = math.max(0.0, sn - (z + 0.5))
+      (BigDecimal(sp).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(sn).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    got.zip(want).zipWithIndex.foreach { case (((_, gp, gn, alarm), (wp, wn)), i) =>
+      assert(math.abs(gp - wp) < 1e-9, s"pos at $i: $gp vs $wp")
+      assert(math.abs(gn - wn) < 1e-9, s"neg at $i: $gn vs $wn")
+      assert(alarm == (wp > 4.0 || wn > 4.0), s"alarm at $i")
+    }
+    // the shift is what trips the positive side: no positive-side alarm in
+    // the baseline, a latched alarm by the end of the shifted segment
+    assert(got.take(12).forall(_._2 <= 4.0), "positive side quiet during baseline")
+    assert(got.last._4, "alarm raised by the end of the shifted segment")
+    val shifted = got.drop(12).map(_._2)
+    assert(shifted.zip(shifted.tail).forall { case (a, b) => b >= a },
+      "positive score non-decreasing across the shift")
+  }
+}
