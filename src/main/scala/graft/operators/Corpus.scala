@@ -1079,4 +1079,45 @@ object Corpus {
       .withColumn("heaps_beta", round(log(col("cum_types")) / log(col("cum_grams")), 4))
       .orderBy("bucket")
   }
+
+  /** Greedy max-coverage subset selection (Nemhauser et al. 1978: the
+    * (1−1/e)-approximate greedy for submodular coverage) — pick `k`
+    * documents that together cover the most distinct tokens, the curation
+    * step that seeds a diverse fine-tuning subset instead of a redundant
+    * top-k-by-score one.
+    *
+    * Each round: anti-join the (doc, token) relation against the covered
+    * set, count marginal gains per doc, take the argmax (ties → smallest
+    * doc id). The argmax is a 1-ROW eagerly-snapshotted DataFrame — never a
+    * driver collect — and the covered set grows by one semi-join per round,
+    * so the whole selection is k rounds × (one anti-join + one aggregate)
+    * over the token relation, all distributed. Rounds are inherently
+    * sequential (that IS the greedy); k bounds them like the q126 merge
+    * loop. At 100 TB the standard refinement is stochastic-greedy
+    * (Mirzasoleiman et al. 2015): run each round on a sampled candidate
+    * pool — same loop, one extra filter — documented, not needed at test
+    * scale. A doc with zero marginal gain is never emitted (its anti-join
+    * group vanishes), so exhausted corpora yield < k rows, matching the
+    * unrolled oracle layer-for-layer.
+    *
+    * Input: `docTokens` with columns (`doc`, `token`), duplicates allowed
+    * (de-duplicated internally). Output: (sel_rank, doc, gain).
+    */
+  def maxCoverageSelect(docTokens: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val dt = Stage.snapshotDF(docTokens.select(col("doc"), col("token")).distinct())
+    var covered = dt.select("token").limit(0)
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val pick = Stage.snapshotDF(
+        dt.join(covered, Seq("token"), "left_anti")
+          .groupBy("doc").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc").asc).limit(1)
+          .select(lit(r).as("sel_rank"), col("doc"), col("gain")))
+      covered = Stage.snapshotDF(
+        covered.union(dt.join(pick.select("doc"), Seq("doc"), "left_semi").select("token")))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+    }
+    selected.orderBy("sel_rank")
+  }
 }

@@ -100,14 +100,46 @@ object TimeSeries {
       slack: Double = 0.5,
       threshold: Double = 4.0): DataFrame = {
     val byKey = Window.partitionBy("key")
-    val ordered = Window.partitionBy("key").orderBy("__ts", "__id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val stats = events
       .select(col(keyCol).as("key"), col(tsCol).as("__ts"),
         col(idCol).as("__id"), col(valCol).cast("double").as("__v"))
       .withColumn("__mu", round(avg("__v").over(byKey), 6))
       .withColumn("__sd", round(stddev_pop("__v").over(byKey), 6))
       .withColumn("z", round((col("__v") - col("__mu")) / col("__sd"), 6))
+    cusumFromZ(stats, slack, threshold)
+  }
+
+  /** [[cusum]] with FIXED reference mean/σ instead of per-key whole-series
+    * estimates — the online form (the reference distribution is known up
+    * front), and the batch twin the streaming operator
+    * ([[graft.streaming.StreamingCusum]]) is spec-checked against: both
+    * standardize against the same literals, so batch-over-history and
+    * stream-over-arrivals produce the same scores.
+    */
+  def cusumWithParams(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      mu: Double,
+      sd: Double,
+      slack: Double = 0.5,
+      threshold: Double = 4.0): DataFrame = {
+    require(sd > 0, s"sd must be positive: $sd")
+    val stats = events
+      .select(col(keyCol).as("key"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(valCol).cast("double").as("__v"))
+      .withColumn("z", round((col("__v") - lit(mu)) / lit(sd), 6))
+    cusumFromZ(stats, slack, threshold)
+  }
+
+  /** Shared window tail: z → running sums → running mins → rounded scores.
+    * Expects (key, __ts, __id, z).
+    */
+  private def cusumFromZ(stats: DataFrame, slack: Double, threshold: Double): DataFrame = {
+    val ordered = Window.partitionBy("key").orderBy("__ts", "__id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sums = stats
       .withColumn("__sp", sum(col("z") - lit(slack)).over(ordered))
       .withColumn("__sn", sum(-col("z") - lit(slack)).over(ordered))

@@ -673,6 +673,51 @@ object TrainingQueries {
       graft.operators.Dedup.spread(Tables.documents(s, dir)),
       "doc_id", "text", merges = 4, topN = 20)
 
+  /** q170 — greedy max-coverage subset selection
+    * ([[graft.operators.Corpus.maxCoverageSelect]]): the 5 documents that
+    * together cover the most distinct tokens, with each pick's marginal
+    * gain — the diversity-seeded curation complement to q119's
+    * score-ordered token budget. The oracle unrolls the 5 greedy rounds as
+    * pick/covered CTE layers (the q126 unrolled-greedy convention);
+    * counts are integer-exact, ties break on the smaller doc id in both
+    * engines.
+    */
+  def q170_max_coverage: Q = (s, dir) => {
+    // coverage unit = word 2-shingles: the synthetic corpus has a ~31-word
+    // vocabulary (single docs cover ALL unigrams — greedy would exhaust in
+    // one pick), while bigram coverage keeps the marginal-gain race alive
+    val dt = graft.operators.Dedup.spread(Tables.documents(s, dir))
+      .select(col("doc_id").as("doc"),
+        explode_outer(graft.functions.TextFunctions.shingles(col("text"), 2)).as("token"))
+      .filter(col("token").isNotNull)
+    graft.operators.Corpus.maxCoverageSelect(dt, k = 5)
+      .select(col("sel_rank"), col("doc").as("doc_id"), col("gain"))
+      .orderBy("sel_rank")
+  }
+
+  private def maxCoverageOracle(k: Int): String = {
+    val layers = (1 to k).map { i =>
+      val notCovered = if (i == 1) "" else s"WHERE token NOT IN (SELECT token FROM c${i - 1})"
+      val carry = if (i == 1) "" else s"SELECT token FROM c${i - 1} UNION "
+      s"""
+      p$i AS (SELECT doc, count(1) AS gain FROM dt $notCovered
+              GROUP BY 1 ORDER BY gain DESC, doc LIMIT 1),
+      c$i AS (${carry}SELECT t.token FROM dt t JOIN p$i ON t.doc = p$i.doc)"""
+    }.mkString(",")
+    val unions = (1 to k)
+      .map(i => s"SELECT $i AS sel_rank, doc AS doc_id, gain FROM p$i")
+      .mkString(" UNION ALL ")
+    raw"""
+      WITH dt AS (
+        SELECT DISTINCT doc, token FROM (
+          SELECT doc_id AS doc,
+                 unnest(list_distinct(list_transform(
+                   range(0, greatest(len(tk) - 2, 0) + 1),
+                   i -> array_to_string(tk[i+1:i+2], ' ')))) AS token
+          FROM (SELECT doc_id, $tk AS tk FROM documents) t) x),$layers
+      $unions ORDER BY sel_rank"""
+  }
+
   /** q104 — per-source data card: the release-accounting summary every
     * published corpus ships (docs, chars, tokens, language spread, exact
     * uniqueness). ONE hash aggregation over a map-side tokenize — the
@@ -744,6 +789,7 @@ object TrainingQueries {
     "q126_bpe_merges" -> q126_bpe_merges,
     "q128_unimax" -> q128_unimax,
     "q129_bpe_encode" -> q129_bpe_encode,
+    "q170_max_coverage" -> q170_max_coverage,
     "q101_quality_buckets" -> q101_quality_buckets,
     "q99_shard_shuffle" -> q99_shard_shuffle,
     "q100_boilerplate" -> q100_boilerplate,
@@ -892,6 +938,7 @@ object TrainingQueries {
       ORDER BY round(sh2, 4) DESC, doc_id LIMIT 20""",
     "q126_bpe_merges" -> bpeMergeOracle(4),
     "q129_bpe_encode" -> bpeEncodeOracle(4),
+    "q170_max_coverage" -> maxCoverageOracle(5),
     "q128_unimax" -> raw"""
       WITH per AS (SELECT source, CAST(sum(len($tk)) AS BIGINT) AS n_tokens
                    FROM documents WHERE text IS NOT NULL GROUP BY 1),

@@ -459,4 +459,22 @@ class CorpusSpec extends SparkSuite {
     val tiny = Seq((9L, "solo")).toDF("doc_id", "text")
     assert(Corpus.bigramInterpolatedCE(tiny, "doc_id", "text", 10).count() == 0)
   }
+
+  test("maxCoverageSelect: greedy picks by marginal gain, ties to smaller id, exhausts early") {
+    import spark.implicits._
+    // doc 1 covers {a,b,c}; doc 2 covers {c,d} (gain 1 after doc 1); doc 3
+    // covers {a,b} (gain 0 — never emitted); doc 4 ties doc 2 pre-selection
+    // on raw size but loses the marginal race, then contributes {e}
+    val dt = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "c"), // dup collapses
+      (2L, "c"), (2L, "d"),
+      (3L, "a"), (3L, "b"),
+      (4L, "a"), (4L, "e"))
+      .toDF("doc", "token")
+    val got = Corpus.maxCoverageSelect(dt, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // rank 1: doc 1 (3 new). rank 2: tie doc 2 / doc 4 at gain 1 → doc 2.
+    // rank 3: doc 4 ({e}). rank 4+: nothing has gain ≥ 1 → only 3 rows.
+    assert(got == Seq((1, 1L, 3L), (2, 2L, 1L), (3, 4L, 1L)), s"got $got")
+  }
 }
