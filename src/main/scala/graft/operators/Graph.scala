@@ -135,6 +135,41 @@ object Graph {
     dist
   }
 
+  /** All-pairs shortest hop counts within `maxHops` — [[shortestHops]]
+    * lifted to EVERY source at once (the Pregel multi-source-BFS shape):
+    * the settled relation carries (src, node, hops) and each level joins
+    * the whole frontier against the edge relation in ONE shuffle, instead
+    * of |V| sequential single-source traversals. State is bounded by
+    * reachable pairs (≤ |V|² on the component structure), which is the
+    * operator's contract: it is for GRAPH-sized relations (the nation
+    * trade graph, a cluster topology), not the corpus — at 100 TB the
+    * corpus-sized work stays in the edge derivation, exactly as in
+    * [[pageRank]]. Feeds closeness/eccentricity centralities (q171).
+    */
+  def allPairsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val e = Stage.snapshotDF(
+      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    var dist = e.select(col("s").as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0).as("hops"))
+    for (h <- 1 to maxHops) {
+      val settled = Stage.snapshotDF(dist)
+      val next = settled.filter(col("hops") === h - 1)
+        .join(e, col("node") === col("s"))
+        .select(col("src"), col("d").as("node")).distinct()
+        .join(settled, Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(h).as("hops"))
+      dist = settled.unionByName(next)
+    }
+    dist
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection by iterated neighbor-majority voting. Labels start as node
     * ids; each round every node adopts the most frequent label among its

@@ -45,12 +45,15 @@ object TimeSeries {
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
     val step = lit(bucketSeconds)
-    val obs = events
+    // obs feeds TWO consumers (the grid bounds and the grid join) —
+    // snapshot it or the event-volume scan + aggregate execute twice
+    // (PlanSpec q166 pins zero rescans)
+    val obs = Stage.snapshotDF(events
       .select(col(keyCol).as("key"),
         (floor(unix_timestamp(col(tsCol)) / step) * step).as("bucket"),
         col(tsCol).as("__ts"), col(idCol).as("__id"), col(valCol).as("__v"))
       .groupBy("key", "bucket")
-      .agg(max_by(col("__v"), struct(col("__ts"), col("__id"))).as("obs_value"))
+      .agg(max_by(col("__v"), struct(col("__ts"), col("__id"))).as("obs_value")))
     val grid = obs
       .groupBy("key")
       .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))

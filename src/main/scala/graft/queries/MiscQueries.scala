@@ -344,6 +344,27 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q171 — closeness centrality from all-pairs hops
+    * ([[Graph.allPairsHops]], the multi-source Pregel BFS): per nation,
+    * reached-set size, total hops, and (n_reached−1)/Σhops — the
+    * distance-based centrality completing the graph family (importance
+    * q141, cohesion q165, communities q168, reachability q167). Integer
+    * counts/sums both sides; the one division is a single rounded double
+    * expression. `total_hops` is CAST to BIGINT in the oracle (DuckDB
+    * widens integer sums to HUGEINT — the q151 TYPEWARN class).
+    */
+  def q171_closeness: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.allPairsHops(strongTradeEdges(s, dir), "src", "dst", maxHops = 6)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_reached"),
+        sum("hops").as("total_hops"),
+        round((count(lit(1)) - lit(1)).cast("double") / sum("hops"), 6).as("closeness"))
+      .join(broadcast(Tables.nation(s, dir)), col("src") === col("n_nationkey"))
+      .select(col("n_name"), col("n_reached"), col("total_hops"), col("closeness"))
+      .orderBy("n_name")
+  }
+
   private def labelPropOracle(iters: Int): String = {
     val layers = (1 to iters).map { k =>
       s"""
@@ -465,6 +486,30 @@ object MiscQueries {
     * the pruning-cost gap vs a 1-d layout is measured in
     * LayoutPruningSpec, not here.
     */
+  /** q172 — JSONL round-trip ([[Sinks.writeJsonl]]/[[Sinks.readJsonl]]):
+    * documents → newline-delimited JSON → explicit-schema read → per-source
+    * accounting INCLUDING a text-content checksum (sum of char lengths +
+    * distinct docs), so any escaping loss in the round-trip breaks the
+    * hash. Oracle = the same aggregate off the parquet table — the q153
+    * result-invariance convention: the format must change NOTHING.
+    */
+  def q172_jsonl_roundtrip: Q = (s, dir) => {
+    val path = rcCache.synchronized {
+      rcCache.getOrElseUpdate("jsonl:" + dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft_jsonl_demo").toString
+        Sinks.writeJsonl(Tables.documents(s, dir), p)
+        p
+      })
+    }
+    Sinks.readJsonl(s, path, Tables.documents(s, dir).schema)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("doc_id").as("n_ids"),
+        sum(length(col("text"))).as("sum_text_chars"),
+        sum("n_chars").as("sum_n_chars"))
+      .orderBy("source")
+  }
+
   def q153_zorder_scan: Q = (s, dir) => {
     val cols = Seq("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
     val path = rcCache.synchronized {
@@ -522,6 +567,8 @@ object MiscQueries {
     "q165_triangles" -> q165_triangles,
     "q167_bfs_hops" -> q167_bfs_hops,
     "q168_label_prop" -> q168_label_prop,
+    "q171_closeness" -> q171_closeness,
+    "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
@@ -561,6 +608,26 @@ object MiscQueries {
       FROM h JOIN nation ON node = n_nationkey
       GROUP BY 1 ORDER BY 1""",
     "q168_label_prop" -> labelPropOracle(3),
+    "q172_jsonl_roundtrip" -> """
+      SELECT source, count(1) AS n_docs,
+             count(DISTINCT doc_id) AS n_ids,
+             CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+             CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q171_closeness" -> s"""
+      WITH RECURSIVE $strongTradeSql,
+      nodes AS (SELECT DISTINCT s AS node FROM sym),
+      h(src, node, hops) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT h.src, sym.d, h.hops + 1 FROM h JOIN sym ON sym.s = h.node
+        WHERE h.hops < 6),
+      d AS (SELECT src, node, min(hops) AS hops FROM h GROUP BY 1, 2)
+      SELECT n_name, count(1) AS n_reached,
+             CAST(sum(hops) AS BIGINT) AS total_hops,
+             round(CAST(count(1) - 1 AS DOUBLE) / sum(hops), 6) AS closeness
+      FROM d JOIN nation ON src = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
     "q164_market_basket" -> """
       WITH op AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
       n AS (SELECT count(DISTINCT bk) AS n FROM op),

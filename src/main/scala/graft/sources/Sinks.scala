@@ -43,6 +43,30 @@ object Sinks {
       .parquet(path)
   }
 
+  /** JSONL (newline-delimited JSON) sink — the interchange format most
+    * training corpora ship in. A plain partitioned `json` write: no
+    * coalesce (one file per task at cluster scale), gzip off by default so
+    * downstream readers can split files. Spark's JSON writer escapes
+    * embedded quotes/newlines/unicode, so [[readJsonl]] round-trips text
+    * exactly (JsonlSpec pins a hostile-payload round-trip).
+    */
+  def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** JSONL source with an EXPLICIT schema — mandatory, not optional: schema
+    * inference reads the whole dataset once before the real scan (a 100 TB
+    * corpus scanned twice), and silently types absent fields as string.
+    * Projection still prunes (Spark's JSON reader parses only requested
+    * fields), but filters do NOT push into JSON files — JSONL is an
+    * interchange format here; the query-optimized layouts are the parquet
+    * sinks (range-clustered / z-order / bloom).
+    */
+  def readJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** K7 — sink DDL / schema enforcement at write (reference `put_mapping`,
     * `ingester/annotations_indexer.py:835-840`): cast the batch to the
     * declared StructType, failing fast on missing or incompatible columns

@@ -97,6 +97,20 @@ class GraphSpec extends SparkSuite {
     assert(capped == Map(0L -> 0, 1L -> 1, 2L -> 2), s"got $capped")
   }
 
+  test("allPairsHops: symmetric path distances per source; components stay separate") {
+    import spark.implicits._
+    // path 0-1-2, island 8-9
+    val edges = Seq((0L, 1L), (1L, 2L), (8L, 9L)).toDF("s", "d")
+    val got = graft.operators.Graph.allPairsHops(edges, "s", "d", maxHops = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = Map(
+      (0L, 0L) -> 0, (0L, 1L) -> 1, (0L, 2L) -> 2,
+      (1L, 0L) -> 1, (1L, 1L) -> 0, (1L, 2L) -> 1,
+      (2L, 0L) -> 2, (2L, 1L) -> 1, (2L, 2L) -> 0,
+      (8L, 8L) -> 0, (8L, 9L) -> 1, (9L, 8L) -> 1, (9L, 9L) -> 0)
+    assert(got == want, s"got $got")
+  }
+
   test("labelPropagation: two bridged cliques resolve to two min-label communities") {
     import spark.implicits._
     // K3 on 1-3, K3 on 7-9, one bridge 3-7. Hand-traced through 3

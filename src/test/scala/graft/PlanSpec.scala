@@ -546,6 +546,33 @@ class PlanSpec extends SparkSuite {
     assert(windows == 1, s"all 6 leads must coalesce into ONE Window operator, saw $windows:\n$p")
   }
 
+  test("q166: events scanned once (obs snapshotted for its two consumers); one LOCF window") {
+    val p = plan("q166_gapfill_locf")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"grid bounds + grid join must read the obs SNAPSHOT, saw $scans parquet rescans")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"LOCF must be one window pass, saw $windows")
+  }
+
+  test("q169: both stacked CUSUM window passes ride ONE key exchange and one sort") {
+    val df = SparkEntry.queries("q169_cusum")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val keyExchanges = "Exchange hashpartitioning\\(key".r.findAllIn(p).size
+    assert(keyExchanges == 1, s"expected one key exchange:\n$p")
+    val sorts = "Sort \\[key".r.findAllIn(p).size
+    assert(sorts <= 2, s"window passes must share the (key, ts, id) sort, saw $sorts")
+  }
+
+  test("q171: the closeness aggregate runs on BFS snapshots — no parquet rescans") {
+    // allPairsHops snapshots each level during construction (q141
+    // convention); the final plan must read only snapshots
+    val p = plan("q171_closeness")
+    assert(!p.contains("FileScan parquet [l_"),
+      "final plan rescans lineitem — levels not snapshotted")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
