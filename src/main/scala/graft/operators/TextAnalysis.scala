@@ -51,6 +51,30 @@ object TextAnalysis {
     * punctuation ratio, stopword ratio — the standard cheap quality signals
     * for corpus filtering.
     */
+  /** Flesch reading-ease readability per document — the classic
+    * quality-filter signal (very low scores flag boilerplate/legalese,
+    * implausibly high ones flag token soup). Counts are pure regexp
+    * kernels, all codegen map-side, zero shuffles:
+    *  - words = whitespace tokens;
+    *  - syllables ≈ vowel GROUPS (`[aeiouy]+` runs — a vowel run cannot
+    *    cross whitespace, so the whole-text count equals the per-word sum);
+    *  - sentences = terminator runs (`[.!?]+`), floored at 1.
+    * Score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * every constant an explicit double (the q141 literal convention) and
+    * the result rounded to 4. Zero-word docs emit null score.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = size(graft.functions.TextFunctions.tokens(col(textCol)))
+    val syll = size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+    val sent = greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    docs.select(col(idCol), words.as("n_words"), sent.as("n_sentences"), syll.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4)))
+  }
+
   def qualityMetrics(docs: DataFrame): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val stop = array(Seq("the", "a", "of", "and").map(lit): _*)

@@ -348,6 +348,37 @@ object RelationalQueries3 {
     * approach 2⁵³: shard the moment aggregation per day/partition and sum
     * the exact partials, same contract.)
     */
+  /** q174 — robust MAD outlier gate, the heavy-tail-safe complement to
+    * q145's z-score (one wild value inflates mean AND σ, masking its own
+    * outlierness; median/MAD don't budge). Values quantize to exact cents
+    * (the q145/q58 convention) so median interpolation — the average of
+    * two ≤ 2^53 integers, exact in double — is bit-identical cross-engine
+    * and the 4.4478·MAD (= 3σ-equivalent · 1.4826) boundary can't flip on
+    * a ulp. Two key-sized aggregates + two broadcast joins; the event
+    * relation streams through twice, never shuffles on anything but the
+    * 5-key type column.
+    */
+  def q174_mad_outliers: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v2"))
+      .transform(graft.operators.Stage.snapshotDF) // feeds med, dev, AND flags
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("v2"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v2") - col("med")).as("d"))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("d"), lit(0.5)).as("mad"))
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("v2") - col("med")) > lit(4.4478) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first(col("med")) / 100, 6).as("median"),
+        round(first(col("mad")) / 100, 6).as("mad"))
+      .orderBy("event_type")
+  }
+
   def q145_zscore_outliers: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("event_type"),
@@ -476,6 +507,7 @@ object RelationalQueries3 {
     "q145_zscore_outliers" -> q145_zscore_outliers,
     "q147_spike_detection" -> q147_spike_detection,
     "q149_asof_nearest" -> q149_asof_nearest,
+    "q174_mad_outliers" -> q174_mad_outliers,
     "q152_session_paths" -> q152_session_paths,
     "q156_scd2" -> q156_scd2,
     "q87_percent_rank" -> q87_percent_rank,
@@ -541,6 +573,20 @@ object RelationalQueries3 {
       SELECT p.event_id, r.rid AS asof_right_id, r.slag AS asof_signed_lag_ms
       FROM p LEFT JOIN r ON p.event_id = r.event_id AND r.rn = 1
       ORDER BY p.event_id""",
+    "q174_mad_outliers" -> """
+      WITH ev AS (SELECT event_type,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+                  FROM events),
+      med AS (SELECT event_type, quantile_cont(v2, 0.5) AS med FROM ev GROUP BY 1),
+      mad AS (SELECT e.event_type, quantile_cont(abs(e.v2 - m.med), 0.5) AS mad
+              FROM ev e JOIN med m USING (event_type) GROUP BY 1)
+      SELECT e.event_type, count(1) AS n_events,
+             CAST(sum(CASE WHEN abs(e.v2 - m.med) > CAST(4.4478 AS DOUBLE) * d.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             round(any_value(m.med) / 100, 6) AS median,
+             round(any_value(d.mad) / 100, 6) AS mad
+      FROM ev e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      GROUP BY 1 ORDER BY 1""",
     "q147_spike_detection" -> """
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS n
                      FROM events GROUP BY 1, 2),

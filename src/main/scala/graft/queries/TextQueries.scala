@@ -83,18 +83,45 @@ object TextQueries {
       .limit(50)
   }
 
+  /** q173 — Flesch reading-ease ([[TextAnalysis.readability]]): per-doc
+    * word/sentence/vowel-group counts and the rounded score — the classic
+    * readability quality gate, all regexp kernels map-side (PlanSpec-free:
+    * no exchange to pin). The oracle reproduces the three counts with the
+    * identical regexes and the identical double-literal formula.
+    */
+  def q173_readability: Q = (s, dir) => {
+    TextAnalysis.readability(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q85_fingerprint_det" -> q85_fingerprint_det,
     "q86_simhash_det" -> q86_simhash_det,
     "q50_lang_id" -> q50_lang_id,
     "q51_quality" -> q51_quality,
     "q52_token_count" -> q52_token_count,
-    "q53_fingerprint" -> q53_fingerprint)
+    "q53_fingerprint" -> q53_fingerprint,
+    "q173_readability" -> q173_readability)
 
   private val lexValues = TextAnalysis.Lexicons
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q173_readability" -> raw"""
+      WITH c AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INTEGER) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             CASE WHEN n_words > 0 THEN
+               round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+             END AS flesch
+      FROM c ORDER BY doc_id""",
     "q85_fingerprint_det" -> raw"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

@@ -66,4 +66,24 @@ class TextAnalysisSpec extends SparkSuite {
     // abc | de | 1 | 2 | , | x
     assert(got == 6)
   }
+
+  test("readability: hand counts; terminator floor; empty doc yields null score") {
+    val docs = Seq(
+      // 6 words; 2 sentences ("..." is ONE terminator run); 7 vowel groups:
+      // the(e) cat(a) sat(a) here(e,e) down(o) now(o)
+      (1L, "the cat sat here. down now..."),
+      (2L, "no terminator at all"), // sentences floored to 1
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    assert(got(1L)._1 == 6 && got(1L)._2 == 2 && got(1L)._3 == 7, s"doc1 ${got(1L)}")
+    val expected1 = BigDecimal(206.835 - 1.015 * (6.0 / 2) - 84.6 * (7.0 / 6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._4.contains(expected1))
+    assert(got(2L)._2 == 1, "terminator-free doc must floor sentences at 1")
+    assert(got(3L) == ((0, 1, 0, None)), s"empty doc ${got(3L)}")
+  }
 }
