@@ -135,6 +135,44 @@ object Graph {
     dist
   }
 
+  /** k-core membership (Seidman 1983): the maximal subgraph where every
+    * node keeps degree ≥ k, found by iterated peeling — drop nodes under
+    * degree k, restrict edges to survivors, repeat. Returns (node,
+    * core_degree) for members, with their degree INSIDE the core.
+    *
+    * The loop is FIXED at `iterations` rounds (q141 convention — no
+    * per-round driver convergence probes); peeling is monotone, so once
+    * the core stabilizes further rounds are no-op filters and any
+    * `iterations` ≥ the true peel depth gives the exact core (GraphSpec
+    * pins 6 ≡ 9 on a chained-peel graph). Each round is one degree
+    * aggregate + two semi-joins, all graph-sized; the corpus-sized work
+    * stays in the edge derivation, as across the Graph family. The k-core
+    * is the standard cheap preconditioner for triangle/clique work
+    * (a triangle needs all three corners in the 2-core).
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      iterations: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    var e = Stage.snapshotDF(
+      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    for (_ <- 1 to iterations) {
+      val keep = e.groupBy("s").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select("s")
+      e = Stage.snapshotDF(
+        e.join(keep, Seq("s"), "left_semi")
+          .join(keep.select(col("s").as("d")), Seq("d"), "left_semi"))
+    }
+    e.groupBy(col("s").as("node")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
+
   /** All-pairs shortest hop counts within `maxHops` — [[shortestHops]]
     * lifted to EVERY source at once (the Pregel multi-source-BFS shape):
     * the settled relation carries (src, node, hops) and each level joins

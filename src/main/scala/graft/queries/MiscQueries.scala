@@ -306,7 +306,7 @@ object MiscQueries {
         GROUP BY 1, 2),
       aw AS (SELECT avg(w) AS aw FROM edges),
       fe AS (SELECT src, dst FROM edges, aw WHERE w > aw),
-      sym AS (SELECT src AS s, dst AS d FROM fe WHERE src <> dst
+      sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM fe WHERE src <> dst
               UNION
               SELECT dst, src FROM fe WHERE src <> dst)"""
 
@@ -363,6 +363,43 @@ object MiscQueries {
       .join(broadcast(Tables.nation(s, dir)), col("src") === col("n_nationkey"))
       .select(col("n_name"), col("n_reached"), col("total_hops"), col("closeness"))
       .orderBy("n_name")
+  }
+
+  /** q175 — k-core membership ([[Graph.kCore]], k=3) of the strong trade
+    * graph: nodes surviving iterated degree-3 peeling, with their in-core
+    * degree — the density backbone the rest of the graph family
+    * (triangles, communities) concentrates in. The oracle unrolls the 6
+    * peel rounds as keep/restrict CTE layers and applies the same final
+    * degree gate, so even a not-yet-converged state would agree
+    * layer-for-layer.
+    */
+  def q175_kcore: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.kCore(strongTradeEdges(s, dir), "src", "dst", k = 3, iterations = 6)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("core_degree"))
+      .orderBy("n_name")
+  }
+
+  /** MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs per
+    * reference, and every peel layer references its predecessor three
+    * times — un-materialized, the corpus-sized edge derivation would
+    * re-expand ~3^iters times (measured: the sf0.01 oracle ran for
+    * minutes; materialized it's instant).
+    */
+  private def kCoreOracle(k: Int, iters: Int): String = {
+    val layers = (1 to iters).map { i =>
+      s"""
+      n$i AS MATERIALIZED (SELECT s FROM e${i - 1} GROUP BY s HAVING count(1) >= $k),
+      e$i AS MATERIALIZED (SELECT e.s, e.d FROM e${i - 1} e
+              JOIN n$i a ON e.s = a.s JOIN n$i b ON e.d = b.s)"""
+    }.mkString(",")
+    s"""
+      WITH $strongTradeSql,
+      e0 AS MATERIALIZED (SELECT s, d FROM sym),$layers
+      SELECT n_name, count(1) AS core_degree
+      FROM e$iters JOIN nation ON s = n_nationkey
+      GROUP BY 1 HAVING count(1) >= $k ORDER BY 1"""
   }
 
   private def labelPropOracle(iters: Int): String = {
@@ -569,6 +606,7 @@ object MiscQueries {
     "q168_label_prop" -> q168_label_prop,
     "q171_closeness" -> q171_closeness,
     "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
+    "q175_kcore" -> q175_kcore,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
@@ -608,6 +646,7 @@ object MiscQueries {
       FROM h JOIN nation ON node = n_nationkey
       GROUP BY 1 ORDER BY 1""",
     "q168_label_prop" -> labelPropOracle(3),
+    "q175_kcore" -> kCoreOracle(3, 6),
     "q172_jsonl_roundtrip" -> """
       SELECT source, count(1) AS n_docs,
              count(DISTINCT doc_id) AS n_ids,

@@ -111,6 +111,22 @@ class GraphSpec extends SparkSuite {
     assert(got == want, s"got $got")
   }
 
+  test("kCore: chained peeling strips the tail; extra iterations are no-ops") {
+    import spark.implicits._
+    // K4 on 1-4, with a pendant chain 4-5-6: the 2-core must peel 6 THEN 5
+    // (two sequential rounds), leaving exactly the K4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val core6 = graft.operators.Graph.kCore(edges, "s", "d", k = 2, iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core6 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core6")
+    val core9 = graft.operators.Graph.kCore(edges, "s", "d", k = 2, iterations = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core9 == core6, "converged core must be iteration-count invariant")
+    // k above the max degree empties the core
+    assert(graft.operators.Graph.kCore(edges, "s", "d", k = 4, iterations = 6).count() == 0)
+  }
+
   test("labelPropagation: two bridged cliques resolve to two min-label communities") {
     import spark.implicits._
     // K3 on 1-3, K3 on 7-9, one bridge 3-7. Hand-traced through 3

@@ -196,4 +196,62 @@ class PropertySpec extends SparkSuite {
       assert(chunks.flatMap(_.split(" ")).toSet == (0 until nTok).map(i => s"t$i").toSet)
     }
   }
+
+  test("resampleLocf: property over random series (dense grid, no null after first obs, observed buckets exact)") {
+    import java.sql.Timestamp
+    for (trial <- 1 to 8) {
+      val r = new Random(100 + trial)
+      val n = 3 + r.nextInt(20)
+      val rows = (0 until n).map { i =>
+        ("k", new Timestamp(1700000000000L + r.nextInt(40) * 60000L), i.toLong,
+          math.rint(r.nextDouble() * 100) / 10)
+      }
+      val got = graft.operators.TimeSeries
+        .resampleLocf(rows.toDF("k", "t", "id", "v"), "k", "t", "id", "v", 60L)
+        .orderBy("bucket")
+        .collect().map(rr => (rr.getLong(1), rr.getDouble(2), rr.getBoolean(3)))
+      // dense: buckets are exactly the contiguous [min, max] minute range
+      val buckets = got.map(_._1)
+      assert(buckets.toSeq == (buckets.min to buckets.max by 60L).toSeq, s"trial $trial grid")
+      // observed buckets carry the (ts, id)-max row's value; gaps carry the
+      // most recent previous observation
+      val byBucket = rows.groupBy(e => e._2.getTime / 60000 * 60)
+        .map { case (b, es) => b -> es.maxBy(e => (e._2.getTime, e._3))._4 }
+      var last = Double.NaN
+      got.foreach { case (b, v, gap) =>
+        byBucket.get(b) match {
+          case Some(exp) => assert(!gap && v == exp, s"trial $trial bucket $b")
+          case None      => assert(gap && v == last, s"trial $trial gap $b")
+        }
+        last = v
+      }
+    }
+  }
+
+  test("cusum: property over random series (closed form ≡ literal recursion, scores non-negative)") {
+    import java.sql.Timestamp
+    for (trial <- 1 to 8) {
+      val r = new Random(200 + trial)
+      val n = 5 + r.nextInt(40)
+      val vals = Seq.fill(n)(math.rint((r.nextGaussian() + (if (r.nextInt(4) == 0) 2.5 else 0)) * 1000) / 1000)
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        ("k", new Timestamp(1700000000000L + i * 1000L), i.toLong, v)
+      }
+      val got = graft.operators.TimeSeries
+        .cusum(rows.toDF("k", "t", "id", "v"), "k", "t", "id", "v", slack = 0.5, threshold = 3.0)
+        .orderBy("id")
+        .collect().map(rr => (rr.getDouble(3), rr.getDouble(4), rr.getDouble(5)))
+      val mu = BigDecimal(vals.sum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val vr = vals.map(x => (x - vals.sum / n) * (x - vals.sum / n)).sum / n
+      val sd = BigDecimal(math.sqrt(vr)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var sp = 0.0; var sn = 0.0
+      got.zip(vals).zipWithIndex.foreach { case (((z, gp, gn), v), i) =>
+        val wz = BigDecimal((v - mu) / sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(z == wz, s"trial $trial z at $i: $z vs $wz")
+        sp = math.max(0.0, sp + (z - 0.5)); sn = math.max(0.0, sn - (z + 0.5))
+        assert(math.abs(gp - sp) < 5e-3 + 1e-9 && gp >= 0.0, s"trial $trial pos at $i: $gp vs $sp")
+        assert(math.abs(gn - sn) < 5e-3 + 1e-9 && gn >= 0.0, s"trial $trial neg at $i: $gn vs $sn")
+      }
+    }
+  }
 }
