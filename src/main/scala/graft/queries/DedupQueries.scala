@@ -97,6 +97,40 @@ object DedupQueries {
         round(col("match_score"), 4).as("match_score"))
   }
 
+  /** q176 — golden-record consolidation: the full entity-resolution
+    * pipeline composed end-to-end — [[graft.operators.Linkage]] scoring
+    * (q163) → match gate (score > 1) → [[Dedup.connectedComponents]]
+    * transitive clusters (q80's operator) → one canonical record per
+    * entity. Canonical attributes are SELECTIONS, never sums: the name
+    * rides a min-struct (lexicographically = the smallest custkey's name),
+    * the balance a max — so no float summation order exists anywhere.
+    * Unmatched customers are singleton clusters (component = own key);
+    * only merged entities (≥ 2 members) are emitted. Scale shape: the
+    * pair stage is q163's Σ block² self-join, CC is pair-graph-sized, and
+    * the final consolidation is ONE aggregate over customer ⋈ broadcast
+    * cluster labels.
+    */
+  def q176_golden_record: Q = (s, dir) => {
+    import graft.operators.Linkage
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .transform(graft.operators.Stage.snapshotDF) // feeds pairs AND membership
+    val matched = Linkage
+      .score(Linkage.candidatePairs(c, "c_custkey", Seq("c_nationkey", "c_mktsegment")),
+        LinkageRules)
+      .filter(col("match_score") > lit(1.0))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+    val clusters = Dedup.connectedComponents(matched, "id_a", "id_b")
+    c.join(broadcast(clusters), col("c_custkey") === col("node"), "left")
+      .withColumn("component", coalesce(col("component"), col("c_custkey")))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("c_custkey"), col("c_name"))).getField("c_name").as("canon_name"),
+        max("c_acctbal").as("max_acctbal"))
+      .filter(col("n_members") >= 2)
+      .orderBy("component")
+  }
+
   /** q43 — MinHash-LSH candidate pairs (rows-only: xxhash64-dependent).
     * DedupSpec asserts candidates ⊇ all true J≥0.9 pairs.
     */
@@ -444,6 +478,7 @@ object DedupQueries {
     "q42_jaccard_pairs" -> q42_jaccard_pairs,
     "q160_sorted_neighborhood" -> q160_sorted_neighborhood,
     "q163_record_linkage" -> q163_record_linkage,
+    "q176_golden_record" -> q176_golden_record,
     "q43_minhash_lsh" -> q43_minhash_lsh,
     "q44_simhash" -> q44_simhash,
     "q45_embed_neardup" -> q45_embed_neardup)
@@ -939,6 +974,38 @@ object DedupQueries {
          AND a.c_custkey < b.c_custkey)
       SELECT id_a, id_b, round(score, 4) AS match_score
       FROM p ORDER BY score DESC, id_a, id_b LIMIT 20""" },
+    "q176_golden_record" -> {
+      val Seq(r1, r2, r3) = LinkageRules
+      s"""
+      WITH RECURSIVE p AS MATERIALIZED (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE (CASE WHEN substr(a.c_name, -3) = substr(b.c_name, -3)
+                    THEN ${r1.wAgree}::DOUBLE ELSE ${r1.wDisagree}::DOUBLE END)
+            + (CASE WHEN floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)
+                    THEN ${r2.wAgree}::DOUBLE ELSE ${r2.wDisagree}::DOUBLE END)
+            + (CASE WHEN floor(a.c_acctbal / 100) % 10
+                       = floor(b.c_acctbal / 100) % 10
+                    THEN ${r3.wAgree}::DOUBLE ELSE ${r3.wDisagree}::DOUBLE END)
+            > CAST(1 AS DOUBLE)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+                             UNION SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      mem AS (SELECT c.c_custkey, c.c_name, c.c_acctbal,
+                     coalesce(l.component, c.c_custkey) AS component
+              FROM customer c LEFT JOIN lab l ON c.c_custkey = l.node)
+      SELECT component, count(1) AS n_members,
+             arg_min(c_name, c_custkey) AS canon_name,
+             max(c_acctbal) AS max_acctbal
+      FROM mem GROUP BY 1 HAVING count(1) >= 2 ORDER BY 1""" },
     "q160_sorted_neighborhood" -> raw"""
       WITH b AS (SELECT doc_id, text,
                         lower(regexp_replace(text, '\s+', ' ', 'g')) AS key

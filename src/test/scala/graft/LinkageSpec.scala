@@ -55,4 +55,26 @@ class LinkageSpec extends SparkSuite {
     val scores = rows.map(_.getAs[Double]("match_score"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("golden record: transitive matches consolidate, canonical attrs are min-id name + max balance") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // chain: 1-2 and 2-3 match pairwise → one entity {1,2,3}; 4 is a
+    // singleton and must not be emitted
+    val matched = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(matched, "id_a", "id_b")
+    val recs = Seq(
+      (1L, "alice ltd", 50.0), (2L, "alice limited", 90.0),
+      (3L, "alyce ltd", 70.0), (4L, "bob inc", 10.0))
+      .toDF("id", "name", "bal")
+    val golden = recs.join(clusters, recs("id") === clusters("node"), "left")
+      .withColumn("component", coalesce($"component", $"id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n"),
+        min(struct($"id", $"name")).getField("name").as("canon_name"),
+        max("bal").as("max_bal"))
+      .filter($"n" >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(golden.toSeq == Seq((1L, 3L, "alice ltd", 90.0)), s"got ${golden.toSeq}")
+  }
 }
