@@ -23,9 +23,15 @@ object Association {
       basketCol: String,
       itemCol: String,
       minSupport: Long = 2L): DataFrame = {
-    val op = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct()
+    // op feeds FOUR consumers (the universe count, the item supports, and
+    // both self-join sides) — snapshot it or the corpus-sized distinct
+    // re-executes per consumer; itemSupp likewise feeds both sides of the
+    // support join
+    val op = Stage.snapshotDF(
+      baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct())
     val n = op.select("__bk").distinct().count()
-    val itemSupp = op.groupBy(col("__it")).agg(count(lit(1)).as("__s"))
+    val itemSupp = Stage.snapshotDF(
+      op.groupBy(col("__it")).agg(count(lit(1)).as("__s")))
     val pairSupp = op.as("a").join(op.as("b"),
         col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
       .groupBy(col("a.__it").as("item_a"), col("b.__it").as("item_b"))
