@@ -42,6 +42,23 @@ object StreamingPipeline {
     AnnotationPipeline.annotateDictionary(filtered, terms)
   }
 
+  /** Stream–static enrichment: join each micro-batch against a STATIC
+    * dimension relation — the stateless streaming-join form (no watermark,
+    * no state store; contrast the stream-stream interval join, which buffers
+    * both sides). Semantics worth pinning: Spark re-plans the static side
+    * EVERY micro-batch, so a parquet-backed dimension picks up new files
+    * between batches — refresh-on-read for slowly-changing dims, and the
+    * reason the static side should be broadcast-sized or bucketed (a
+    * shuffling static side re-shuffles per batch). The P1/P3 enrichment
+    * shape (`ingester/annotations_indexer.py:169-190`, meta fields carried
+    * onto every annotation) as a stream.
+    */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** K5 upsert sink for a stream: foreachBatch read-merge-overwrite keyed by
     * the composite annotation key. Exactly-once under retries: the merge is
     * idempotent (same keys → same survivors), so a replayed batch converges.

@@ -39,6 +39,26 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrich: broadcast join per micro-batch, unmatched keys survive as null") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamingPipeline.enrichStream(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("enr").start()
+    mem.addData(Ev(t("2024-01-01 00:10:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(t("2024-01-01 00:20:00"), 9, "b", 2.0)) // no dim row
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enr").select("user_id", "tier")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 9L -> None), s"got $got")
+    // stateless: the micro-batch plan joins via broadcast, no state store
+    val progress = q.lastProgress
+    assert(progress == null || progress.stateOperators.isEmpty,
+      "stream-static join must not allocate a state store")
+  }
+
   test("heavy-hitter sketch runs as a streaming aggregate: candidates track the running stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
