@@ -573,6 +573,20 @@ class PlanSpec extends SparkSuite {
       "final plan rescans lineitem — levels not snapshotted")
   }
 
+  test("q170: greedy rounds ran eagerly — the final plan unions 1-row snapshots, no rescans") {
+    val p = plan("q170_max_coverage")
+    assert(!p.contains("FileScan parquet"),
+      "selection rounds must run on the token-relation snapshot, not rescans")
+    assert(p.contains("Union"), s"final plan should union the per-round picks:\n${p.take(400)}")
+  }
+
+  test("q176: golden-record consolidation broadcasts cluster labels; no cartesian anywhere") {
+    val p = plan("q176_golden_record")
+    assert(!p.contains("CartesianProduct"), "pair stage degraded to a cartesian")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster labels must broadcast onto customer:\n${p.take(400)}")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
