@@ -494,8 +494,32 @@ object RelationalQueries3 {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** q177 — equi-depth histogram via `ntile`: decile buckets of order
+    * value per priority (unique (price, key) sort → deterministic bucket
+    * assignment in both engines), summarized to per-bucket count/bounds —
+    * the equal-POPULATION complement to q72's fixed-width histogram, and
+    * the missing member of the ranking-window family (rank/percent_rank/
+    * cume_dist live in q28/q87). One exchange: the ntile window and the
+    * bucket aggregate share the priority key.
+    */
+  def q177_ntile_equidepth: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      // cast: Spark ntile yields INT, DuckDB's BIGINT — align for the
+      // schema-sensitive compare
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
   val all: Map[String, Q] = Map(
     "q39_pivot" -> q39_pivot,
+    "q177_ntile_equidepth" -> q177_ntile_equidepth,
     "q74_jaro_winkler" -> q74_jaro_winkler,
     "q75_topk_agg" -> q75_topk_agg,
     "q79_asof_join" -> q79_asof_join,
@@ -573,6 +597,14 @@ object RelationalQueries3 {
       SELECT p.event_id, r.rid AS asof_right_id, r.slag AS asof_signed_lag_ms
       FROM p LEFT JOIN r ON p.event_id = r.event_id AND r.rn = 1
       ORDER BY p.event_id""",
+    "q177_ntile_equidepth" -> """
+      SELECT o_orderpriority, decile, count(1) AS n,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM (SELECT o_orderpriority, o_totalprice,
+                   ntile(10) OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+            FROM orders) t
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "q174_mad_outliers" -> """
       WITH ev AS (SELECT event_type,
                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2

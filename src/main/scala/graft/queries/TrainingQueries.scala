@@ -770,8 +770,53 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q178 — sketch-algebra overlap audit: per source, the 2-shingle
+    * vocabulary OVERLAP with the rest of the corpus, estimated by HLL
+    * inclusion–exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B), where B =
+    * the union of every OTHER source's sketch — HLL cannot subtract, but
+    * source-cardinality sketch unions are free) and audited against the
+    * exact overlap. The 100 TB shape: the corpus reduces to one KB-sized
+    * sketch per source in ONE pass; all set algebra then runs on the
+    * |sources|² sketch relation. Emitted columns are the oracle-mirrorable
+    * exacts + `within_bound` (|est − exact| ≤ 5% of the global vocab, the
+    * compounded-RSE bound; the q154 audit convention — the oracle emits
+    * TRUE, so a drifting estimate breaks the hash).
+    */
+  def q178_sketch_overlap: Q = (s, dir) => {
+    import graft.operators.Stage
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode_outer(graft.functions.TextFunctions.shingles(col("text"), 2)).as("tok"))
+      .filter(col("tok").isNotNull)
+      .distinct()
+      .transform(Stage.snapshotDF) // feeds sketches, exact vocab, and overlap
+    val perSrc = Stage.snapshotDF(toks.groupBy("source")
+      .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"),
+        count(lit(1)).as("exact_vocab"))) // toks already distinct per (source, tok)
+    val others = perSrc.as("a")
+      .join(perSrc.as("b"), col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source"))
+      .agg(hll_union_agg(col("b.sk")).as("osk"))
+    val est = perSrc.join(others, "source")
+      .select(col("source"), col("exact_vocab"),
+        (hll_sketch_estimate(col("sk")) + hll_sketch_estimate(col("osk"))
+          - hll_sketch_estimate(hll_union(col("sk"), col("osk")))).as("ov_est"))
+    val nsPerTok = toks.groupBy("tok").agg(count(lit(1)).as("ns"))
+    val exactOv = toks.join(nsPerTok, "tok").filter(col("ns") >= 2)
+      .groupBy("source").agg(count(lit(1)).as("exact_overlap"))
+    val globalVocab = broadcast(toks.select("tok").distinct().agg(count(lit(1)).as("gv")))
+    est.join(exactOv, Seq("source"), "left")
+      .na.fill(0L, Seq("exact_overlap"))
+      .crossJoin(globalVocab)
+      .select(col("source"), col("exact_vocab"), col("exact_overlap"),
+        (abs(col("ov_est") - col("exact_overlap")).cast("double")
+          <= lit(0.05) * col("gv")).as("within_bound"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q154_incremental_datacard" -> q154_incremental_datacard,
+    "q178_sketch_overlap" -> q178_sketch_overlap,
     "q110_mixture_weights" -> q110_mixture_weights,
     "q107_dup_spans" -> q107_dup_spans,
     "q131_span_removal" -> q131_span_removal,
@@ -898,6 +943,24 @@ object TrainingQueries {
              round(wr / sw, 4) AS weight,
              round(wr / sw / share_raw, 4) AS boost
       FROM w, z ORDER BY source""",
+    "q178_sketch_overlap" -> raw"""
+      WITH st AS MATERIALIZED (
+        SELECT DISTINCT source, token FROM (
+          SELECT source,
+                 unnest(list_distinct(list_transform(
+                   range(0, greatest(len(tk) - 2, 0) + 1),
+                   i -> array_to_string(tk[i+1:i+2], ' ')))) AS token
+          FROM (SELECT source, $tk AS tk FROM documents) t) x),
+      v AS (SELECT source, count(1) AS exact_vocab FROM st GROUP BY 1),
+      ns AS (SELECT token, count(1) AS n FROM st GROUP BY 1),
+      ov AS (SELECT s.source, count(1) AS exact_overlap
+             FROM st s JOIN ns ON s.token = ns.token
+             WHERE ns.n >= 2 GROUP BY 1)
+      SELECT v.source, v.exact_vocab,
+             coalesce(ov.exact_overlap, 0) AS exact_overlap,
+             TRUE AS within_bound
+      FROM v LEFT JOIN ov ON v.source = ov.source
+      ORDER BY v.source""",
     "q154_incremental_datacard" -> raw"""
       WITH t AS (SELECT source, unnest($tk) AS tok FROM documents),
       e AS (SELECT source, count(DISTINCT tok) AS exact_words FROM t GROUP BY 1)
