@@ -197,6 +197,59 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("graph ops: properties over random graphs (k-core degree bound, BFS = Floyd reference, LPA covers nodes)") {
+    import graft.operators.Graph
+    for (trial <- 1 to 5) {
+      val r = new Random(300 + trial)
+      val n = 4 + r.nextInt(8)
+      val edges = (0 until n * 2).map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("s", "d")
+        // adjacency for the driver-side reference
+        val adj = (edges ++ edges.map(_.swap)).distinct
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val nodes = adj.keySet
+
+        // k-core: every member's in-core degree ≥ k, and the member set is
+        // the fixpoint of driver-side peeling
+        val k = 2
+        val core = Graph.kCore(df, "s", "d", k, iterations = 12)
+          .collect().map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+        var alive = nodes
+        var changed = true
+        while (changed) {
+          val next = alive.filter(v => (adj(v) & alive).size >= k)
+          changed = next != alive; alive = next
+        }
+        assert(core.keySet == alive, s"trial $trial core ${core.keySet} vs $alive")
+        core.foreach { case (v, d) =>
+          assert(d == (adj(v) & alive).size.toLong && d >= k, s"trial $trial degree of $v")
+        }
+
+        // BFS from the min node matches a driver Floyd-Warshall reference
+        val src = nodes.min
+        val got = Graph.shortestHops(df, "s", "d", src, maxHops = n)
+          .collect().map(rr => rr.getLong(0) -> rr.getInt(1)).toMap
+        var dist = Map(src -> 0)
+        var frontier = Set(src)
+        var h = 0
+        while (frontier.nonEmpty && h < n) {
+          h += 1
+          frontier = frontier.flatMap(adj).diff(dist.keySet)
+          dist ++= frontier.map(_ -> h)
+        }
+        assert(got == dist, s"trial $trial bfs $got vs $dist")
+
+        // LPA: every node labeled, labels are node ids from its component
+        val lpa = Graph.labelPropagation(df, "s", "d", iterations = 3)
+          .collect().map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+        assert(lpa.keySet == nodes, s"trial $trial lpa coverage")
+        assert(lpa.values.toSet.subsetOf(nodes), s"trial $trial lpa labels")
+      }
+    }
+  }
+
   test("resampleLocf: property over random series (dense grid, no null after first obs, observed buckets exact)") {
     import java.sql.Timestamp
     for (trial <- 1 to 8) {
