@@ -322,12 +322,17 @@ object MiscQueries {
   def q167_bfs_hops: Q = (s, dir) => {
     import graft.operators.Graph
     val edges = strongTradeEdges(s, dir)
-    val source = edges.filter(col("src") =!= col("dst"))
-      .agg(least(min("src"), min("dst")).cast("long")).head.getLong(0)
-    Graph.shortestHops(edges, "src", "dst", source, maxHops = 6)
-      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
-      .select(col("n_name"), col("hops"))
-      .orderBy("n_name")
+    val srcRow = edges.filter(col("src") =!= col("dst"))
+      .agg(least(min("src"), min("dst")).cast("long")).head
+    // a graph with no non-self strong edge has no BFS to run — mirror the
+    // oracle, whose NULL seed joins away to an empty result
+    if (srcRow.isNullAt(0))
+      Tables.nation(s, dir).select(col("n_name"), lit(0).as("hops")).limit(0)
+    else
+      Graph.shortestHops(edges, "src", "dst", srcRow.getLong(0), maxHops = 6)
+        .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("hops"))
+        .orderBy("n_name")
   }
 
   /** q168 — label-propagation communities ([[Graph.labelPropagation]]) on
