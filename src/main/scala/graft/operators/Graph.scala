@@ -83,19 +83,6 @@ object Graph {
     ranks
   }
 
-  /** Per-node triangle participation counts (undirected). Edges are
-    * canonicalized to `a < b` (self-loops dropped, directions and
-    * duplicates collapsed); triangles enumerate once each as ordered
-    * triples `a < b < c` via two graph-sized equi-joins — the
-    * node-iterator algorithm. Each found triangle then credits its three
-    * corners through one explode + count.
-    *
-    * Scale note: the id-ordering here is the oracle-friendly form; the
-    * production refinement orders corners by DEGREE (ties by id), which
-    * bounds the join fan-out of hub nodes (Suri & Vassilvitskii's MR
-    * node-iterator) without changing the count. Both run in two
-    * hash-joins on the edge relation — graph-sized, never corpus-sized.
-    */
   /** Single-source shortest hop counts (unweighted BFS) on the undirected
     * graph of `edges`. Returns (node, hops) for every node within `maxHops`
     * of `source`; unreachable nodes are absent.
@@ -248,6 +235,19 @@ object Graph {
     labels
   }
 
+  /** Per-node triangle participation counts (undirected). Edges are
+    * canonicalized to `a < b` (self-loops dropped, directions and
+    * duplicates collapsed); triangles enumerate once each as ordered
+    * triples `a < b < c` via two graph-sized equi-joins — the
+    * node-iterator algorithm. Each found triangle then credits its three
+    * corners through one explode + count.
+    *
+    * Scale note: the id-ordering here is the oracle-friendly form; the
+    * production refinement orders corners by DEGREE (ties by id), which
+    * bounds the join fan-out of hub nodes (Suri & Vassilvitskii's MR
+    * node-iterator) without changing the count. Both run in two
+    * hash-joins on the edge relation — graph-sized, never corpus-sized.
+    */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = Stage.snapshotDF(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -108,7 +108,11 @@ object TimeSeries {
         col(idCol).as("__id"), col(valCol).cast("double").as("__v"))
       .withColumn("__mu", round(avg("__v").over(byKey), 6))
       .withColumn("__sd", round(stddev_pop("__v").over(byKey), 6))
-      .withColumn("z", round((col("__v") - col("__mu")) / col("__sd"), 6))
+      // guarded: under Spark 4's ANSI default a bare /0.0 THROWS — the
+      // when() short-circuits so a constant series yields null z (matching
+      // DuckDB's null on double division by zero), per the doc contract
+      .withColumn("z",
+        when(col("__sd") > 0, round((col("__v") - col("__mu")) / col("__sd"), 6)))
     cusumFromZ(stats, slack, threshold)
   }
 

@@ -250,21 +250,8 @@ object MiscQueries {
     * cohesion complement to q141's centrality and q80's components.
     */
   def q165_triangles: Q = (s, dir) => {
-    import graft.operators.{Graph, Stage}
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
-    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-    val edges = Stage.snapshotDF(li
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w")))
-    val strong = edges
-      .crossJoin(broadcast(edges.agg(avg("w").as("__aw"))))
-      .filter(col("w") > col("__aw"))
-    Graph.triangleCounts(strong, "src", "dst")
+    import graft.operators.Graph
+    Graph.triangleCounts(strongTradeEdges(s, dir), "src", "dst")
       .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
       .select(col("n_name"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("n_name").asc)
@@ -688,7 +675,8 @@ object MiscQueries {
             JOIN isup sb ON sb.it = item_b)
       SELECT item_a, item_b, pair_support,
              round(lift, 4) AS lift, round(conf, 4) AS conf_a_to_b
-      FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20""",
+      FROM (SELECT * FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20) top
+      ORDER BY lift DESC, item_a, item_b""",
     "q165_triangles" -> """
       WITH edges AS (
         SELECT s_nationkey AS src, c_nationkey AS dst, count(1) AS w

@@ -40,9 +40,13 @@ object StreamingResample {
         (key: String, rows: Iterator[ResampleEvent], state: GroupState[(Long, Double)]) =>
           var last = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[ResamplePoint]
-          // (ts, id) order within the batch; per bucket the max wins
-          val byBucket = rows.toSeq.sortBy(e => (e.ts.getTime, e.id))
-            .groupBy(e => Math.floorDiv(e.ts.getTime / 1000, bucketSeconds) * bucketSeconds)
+          // floorDiv twice: getTime/1000 truncates TOWARD ZERO, which for
+          // pre-1970 sub-second timestamps lands one bucket high of the
+          // batch twin's floor(unix_timestamp); buckets fold in key order,
+          // each bucket's (ts, id)-max row winning via maxBy below
+          val byBucket = rows.toSeq
+            .groupBy(e => Math.floorDiv(
+              Math.floorDiv(e.ts.getTime, 1000L), bucketSeconds) * bucketSeconds)
             .toSeq.sortBy(_._1)
           byBucket.foreach { case (bucket, es) =>
             val obs = es.maxBy(e => (e.ts.getTime, e.id)).value

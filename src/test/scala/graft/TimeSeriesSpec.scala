@@ -37,6 +37,16 @@ class TimeSeriesSpec extends SparkSuite {
       ("b", base + 120, 99.0, false)))
   }
 
+  test("cusum: a constant series yields null z/scores (ANSI divide guard), not a crash") {
+    import spark.implicits._
+    val events = (0 until 4).map(i => ("c", ts(i), i.toLong, 7.5)).toDF("k", "t", "id", "v")
+    val rows = TimeSeries.cusum(events, "k", "t", "id", "v").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5), "σ=0 must null out, per the doc contract")
+    }
+  }
+
   test("cusum: closed form ≡ the direct max(0, ·) recursion; alarm fires on the injected shift") {
     import spark.implicits._
     // 12 baseline points around 0, then 8 points shifted to +3: the
