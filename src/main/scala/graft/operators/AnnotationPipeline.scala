@@ -85,10 +85,7 @@ object AnnotationPipeline {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
-    // optimal bit count m = -n ln(p) / (ln 2)^2
-    val numBits = math.max(64L,
-      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val numBits = graft.functions.BloomSizing.optimalNumBits(expectedItems, fpp)
     val processedIds = sink.select(col(sinkDocIdCol).as("__processed_id")).distinct()
     val bfAgg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(col("__processed_id")))),

@@ -33,7 +33,9 @@ object Checks {
   final case class Complete(col: String, minRatio: Double = 1.0) extends Check {
     def name = s"complete:$col"
   }
-  /** Distinct values = rows (nulls count as rows, never as values). */
+  /** Distinct NON-NULL values = non-null rows — null rows are outside the
+    * gate (pair with [[Complete]] to also forbid nulls on a key column).
+    */
   final case class Unique(col: String) extends Check { def name = s"unique:$col" }
   /** Fraction of non-null values inside [lo, hi] ≥ `minRatio`. */
   final case class InRange(col: String, lo: Double, hi: Double, minRatio: Double = 1.0)
@@ -51,6 +53,7 @@ object Checks {
   }
 
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Checks.run needs at least one declared check")
     // try_divide: an empty table / all-null column divides by zero, which
     // under ANSI mode (Spark 4 default) would throw — null here means
     // "nothing to check" and coalesces to a vacuous pass below

@@ -280,26 +280,32 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__txt"))
-      .withColumn("__key", lower(regexp_replace(col("__txt"), "\\s+", " ")))
+    val base = docs
+      .select(col(idCol).as("__id"),
+        lower(regexp_replace(col(textCol), "\\s+", " ")).as("__key"))
       .withColumn("__blk", substring(col("__key"), 1, 1))
+    // the window leads carry ONLY ids: leading the full text would push
+    // (window−1) extra copies of every document through the block-key
+    // shuffle and re-tokenize per candidate row — texts stay in a
+    // snapshotted (id → shingles) relation, tokenized exactly once, and
+    // the candidate pairs join back by id
+    val sh = Stage.snapshotDF(docs.select(col(idCol).as("__id"),
+      TextFunctions.shingles(col(textCol), shingleK).as("__s")))
     val w = Window.partitionBy("__blk").orderBy(col("__key"), col("__id"))
     // leads materialize BEFORE the explode: a window expression inside a
     // generator is rejected at analysis (UNSUPPORTED_EXPR_FOR_OPERATOR);
-    // all 2·(window−1) leads still share the one window spec → one sort
+    // all (window−1) leads still share the one window spec → one sort
     val withLeads = (1 until window).foldLeft(base) { (df, d) =>
       df.withColumn(s"__i$d", lead(col("__id"), d).over(w))
-        .withColumn(s"__t$d", lead(col("__txt"), d).over(w))
     }
-    val leads = array((1 until window).map(d =>
-      struct(col(s"__i$d").as("id2"), col(s"__t$d").as("txt2"))): _*)
-    withLeads.withColumn("__cand", explode(leads))
-      .filter(col("__cand.id2").isNotNull)
-      .select(
-        least(col("__id"), col("__cand.id2")).as("id_a"),
-        greatest(col("__id"), col("__cand.id2")).as("id_b"),
-        TextFunctions.shingles(col("__txt"), shingleK).as("__sa"),
-        TextFunctions.shingles(col("__cand.txt2"), shingleK).as("__sb"))
+    withLeads
+      .withColumn("__id2",
+        explode_outer(array((1 until window).map(d => col(s"__i$d")): _*)))
+      .filter(col("__id2").isNotNull)
+      .select(least(col("__id"), col("__id2")).as("id_a"),
+        greatest(col("__id"), col("__id2")).as("id_b"))
+      .join(sh.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
       .withColumn("__c", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("jaccard", try_divide(col("__c").cast("double"),
         (size(col("__sa")) + size(col("__sb")) - col("__c")).cast("double")))

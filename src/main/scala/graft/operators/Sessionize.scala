@@ -51,16 +51,19 @@ object Sessionize {
     * (key-match) pair is enumerated at 100 TB. Same candidate-bin trick as
     * multi-probe LSH (q93): bounded key expansion buys an equi-join shape.
     *
-    * LEFT join semantics: probe rows with no build match survive with null
-    * build columns — each probe row appears once per candidate bin on a
-    * miss, so aggregate with `count(buildCol)` (nulls free) and group by
-    * the probe id, which also collapses the two miss rows. Exactly one
-    * candidate bin can carry any true match (a build row has one bin), so
-    * matches are never duplicated. Returns probe columns + `__b_ts`
+    * TRUE left-join semantics, row for row: a matched probe emits exactly
+    * its match rows (exactly one candidate bin can carry any true match —
+    * a build row has one bin — so matches are never duplicated), and a
+    * probe with NO match in either bin emits ONE null-extended row. The
+    * miss side is the probe anti-joined against the snapshotted match
+    * relation on `idCol` (the probe's unique id) — the earlier left_outer
+    * formulation leaked a phantom null row from a matched probe's OTHER
+    * candidate bin, visible to any consumer beyond the
+    * count(buildCol)-per-id aggregate. Returns probe columns + `__b_ts`
     * (matched build event time, null on miss).
     */
   def binnedIntervalJoin(probe: DataFrame, build: DataFrame,
-                         keyCol: String, tsCol: String,
+                         keyCol: String, tsCol: String, idCol: String,
                          windowMs: Long): DataFrame = {
     require(windowMs > 0 && windowMs <= Long.MaxValue / 1000L,
       s"need 0 < windowMs <= ${Long.MaxValue / 1000L} (µs conversion must not overflow), got $windowMs")
@@ -78,11 +81,15 @@ object Sessionize {
       col(tsCol).as("__b_ts"),
       unix_micros(col(tsCol)).as("__b_us"),
       floor(unix_micros(col(tsCol)) / windowUs).as("__bin"))
-    p.join(b,
+    val matched = Stage.snapshotDF(p.join(b,
         p(keyCol) === b("__b_key") && p("__bin") === b("__bin") &&
           col("__b_us") >= col("__p_us") - windowUs &&
           col("__b_us") <= col("__p_us"),
-        "left_outer")
-      .drop("__b_key", "__b_us", "__p_us", "__bin")
+        "inner")
+      .drop("__b_key", "__b_us", "__p_us", "__bin"))
+    val missed = probe
+      .join(matched.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .withColumn("__b_ts", lit(null).cast(build.schema(tsCol).dataType))
+    matched.unionByName(missed.select(matched.columns.map(col): _*))
   }
 }

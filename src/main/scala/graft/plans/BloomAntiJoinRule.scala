@@ -56,8 +56,7 @@ object BloomAntiJoinRule extends Rule[LogicalPlan] {
     if (!conf.getConfString(EnabledConf, "false").toBoolean) return plan
     val expectedItems = conf.getConfString(ExpectedItemsConf, "1000000").toLong
     val fpp = conf.getConfString(FppConf, "0.01").toDouble
-    val numBits = math.max(64L,
-      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val numBits = graft.functions.BloomSizing.optimalNumBits(expectedItems, fpp)
     plan.transformUp {
       case j @ Join(left, right, LeftAnti, Some(cond), hint)
           if j.getTagValue(Rerouted).isEmpty && singleEquiKeys(j).isDefined =>

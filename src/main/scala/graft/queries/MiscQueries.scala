@@ -68,11 +68,15 @@ object MiscQueries {
       expr("approx_percentile(v, array(0.5D, 0.9D, 0.99D), 1000)").as("ap"),
       expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("ex"),
       count(lit(1)).as("n"))
-    val rows = agg
+    // snapshot: `rows` feeds BOTH the rank census and the final join — a
+    // second evaluation would re-run the merge-order-dependent GK sketch
+    // (possibly yielding a different approx_v than the one the rank was
+    // measured against) and a second full-sort exact-percentile scan
+    val rows = graft.operators.Stage.snapshotDF(agg
       .select(posexplode(arrays_zip(col("ap"), col("ex"))).as(Seq("i", "z")), col("n"))
       .select(col("i").cast("long").as("idx"), col("z.ap").as("approx_v"),
         col("z.ex").as("exact_v"), col("n"))
-      .withColumn("p", element_at(array(ps.map(lit): _*), col("idx").cast("int") + 1))
+      .withColumn("p", element_at(array(ps.map(lit): _*), col("idx").cast("int") + 1)))
     val ranks = li.crossJoin(broadcast(rows.select(col("idx"), col("approx_v"))))
       .groupBy("idx")
       .agg(sum(when(col("v") <= col("approx_v"), 1L).otherwise(0L)).as("rank_le"))

@@ -212,7 +212,7 @@ object RelationalQueries3 {
           .select(col("event_id"), col("user_id"), col("ts")),
         build = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts")),
-        keyCol = "user_id", tsCol = "ts", windowMs = 3600000L)
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id", windowMs = 3600000L)
       .groupBy("event_id")
       .agg(count(col("__b_ts")).as("n_clicks"))
       .orderBy("event_id")

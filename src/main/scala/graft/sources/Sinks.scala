@@ -612,10 +612,23 @@ object Sinks {
     val tmp = new Path(root, ".compact__tmp")
     spark.read.parquet(eligible.map(_._2.toString): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // the manifest must be TRANSITIVE: absorbed partitions (and the target
+    // itself, whose dir this rewrite replaces) may carry manifests from
+    // earlier compactions — dropping those ids would let a later
+    // readBatchStoreAsOf below the horizon miss the crossing check and
+    // return a silently short snapshot instead of throwing
+    val inherited = eligible.flatMap { case (_, dir) =>
+      val m = new Path(dir, ManifestName)
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        "-?\\d+".r.findAllIn(txt).map(_.toLong).toSeq
+      } else Seq.empty
+    }
+    val absorbedIds = (inherited ++ eligible.init.map(_._1)).distinct.sorted
     val manifest = new Path(tmp, ManifestName)
     val out = fs.create(manifest, true)
-    try out.write(
-      eligible.init.map(_._1).mkString("[", ",", "]").getBytes("UTF-8"))
+    try out.write(absorbedIds.mkString("[", ",", "]").getBytes("UTF-8"))
     finally out.close()
     val aside = new Path(root, "." + target.getName + "__old")
     fs.delete(aside, true)

@@ -121,14 +121,20 @@ class AsOfJoinSpec extends SparkSuite {
       (7L, t("2024-01-01 10:00:01")), // after → never visible
       (9L, t("2024-01-01 01:00:00"))
     ).toDF("user_id", "ts")
-    val out = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", 3600000L)
+    val out = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", "event_id", 3600000L)
       .groupBy("event_id").agg(count(col("__b_ts")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(100L -> 3L, 101L -> 1L, 102L -> 0L, 103L -> 0L), s"got $out")
-    // matches are never duplicated across the two candidate bins
-    val pairs = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", 3600000L)
-      .filter(col("__b_ts").isNotNull)
-      .select("event_id", "__b_ts").collect().map(_.toSeq)
+    // true LEFT semantics row for row: matched probes emit ONLY match rows
+    // (no phantom null from the other candidate bin), misses exactly one
+    // null row each — count(*) per id must equal max(count(__b_ts), 1)
+    val rows = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", "event_id", 3600000L)
+      .collect().map(r => (r.getAs[Long]("event_id"), Option(r.getAs[java.sql.Timestamp]("__b_ts"))))
+    val perId = rows.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(perId(100L).size == 3 && perId(100L).forall(_._2.nonEmpty), "phantom null on matched probe")
+    assert(perId(101L) == Seq((101L, Some(t("2024-01-01 07:00:00")))))
+    assert(perId(102L) == Seq((102L, None)) && perId(103L) == Seq((103L, None)))
+    val pairs = rows.filter(_._2.nonEmpty)
     assert(pairs.length == pairs.distinct.length, "bin expansion duplicated a match")
   }
 
@@ -136,7 +142,7 @@ class AsOfJoinSpec extends SparkSuite {
     import graft.operators.Sessionize
     val probe = Seq((7L, t("2024-01-01 10:00:00"), 100L)).toDF("user_id", "ts", "event_id")
     val build = Seq((7L, t("2024-01-01 09:30:00"))).toDF("user_id", "ts")
-    val p = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", 3600000L)
+    val p = Sessionize.binnedIntervalJoin(probe, build, "user_id", "ts", "event_id", 3600000L)
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range join degraded to a nested loop:\n$p")

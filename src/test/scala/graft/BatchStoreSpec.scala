@@ -85,6 +85,28 @@ class BatchStoreSpec extends SparkSuite {
     intercept[IllegalStateException](asOf(0L))
   }
 
+  test("chained compactions: the manifest stays transitive — sub-horizon reads throw, never a short snapshot") {
+    val store = mkStore()
+    (0 to 4).foreach(i =>
+      Sinks.appendBatchPartition(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), store, i.toLong))
+    def asOf(b: Long): Set[(Long, String)] =
+      Sinks.readBatchStoreAsOf(spark, store, b).map(
+        _.select("id", "v").as[(Long, String)].collect().toSet).getOrElse(Set.empty)
+    // first compaction absorbs 0,1 into 2; second absorbs 2,3 into 4 —
+    // partition 4's manifest must INHERIT {0,1} from partition 2's, or the
+    // crossing check below the original horizon silently misses and asOf(1)
+    // returns an empty/short snapshot instead of throwing
+    assert(Sinks.compactBatchStore(spark, store, upToBatch = 3L) == 3)
+    assert(Sinks.compactBatchStore(spark, store, upToBatch = 5L) == 3)
+    assert(asOf(4L) == (0 to 4).map(i => (i.toLong, s"v$i")).toSet)
+    (0L to 3L).foreach { b =>
+      intercept[IllegalStateException] { asOf(b); () }
+    }
+    // pre-history stays a clean "store empty", not an error: nothing ≤ -1
+    // was ever ingested OR absorbed
+    assert(Sinks.readBatchStoreAsOf(spark, store, -1L).isEmpty)
+  }
+
   test("crash between compaction renames self-heals: aside copy restored, no row lost") {
     val store = mkStore()
     (0 until 3).foreach(i =>
