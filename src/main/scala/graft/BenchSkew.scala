@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Similarity, Skew, Stage}
+import graft.operators.{Association, Corpus, Dedup, Similarity, Skew, Stage}
 import graft.tools.{CapMetricsListener, SkewedCorpus}
 
 /** Skew benchmark: runs the cap/sub-block/salting machinery over the
@@ -44,9 +44,11 @@ object BenchSkew {
     spark.sparkContext.setLogLevel("WARN")
     val listener = CapMetricsListener.register(spark)
 
-    SkewedCorpus.write(spark, dir, nDocs, nVecs)
+    val hotItems = sys.env.getOrElse("SPARK_GRAFT_SKEW_HOT_ITEMS", "4000").toInt
+    SkewedCorpus.write(spark, dir, nDocs, nVecs, hotItems)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val baskets = spark.read.parquet(s"$dir/baskets.parquet")
     val cents = Similarity.centroids(emb, 16)
 
     // jaccardBetween slices (the q105 / StreamingDedup shape)
@@ -116,6 +118,14 @@ object BenchSkew {
           .join(dim.withColumnRenamed("source", "__s"),
             col("source") === col("__s")).count()
       }),
+      // the mega-basket stressor: guarded excises basket 0 (its
+      // hotItems²/2 volume alone busts the budget), open pays it in full
+      "pair_rules_guarded" -> (() =>
+        Association.pairRulesGuarded(baskets, "basket_id", "item",
+          minSupport = 2L, pairBudget = 200000L, hotBasketCap = 64).count()),
+      "pair_rules_open" -> (() =>
+        Association.pairRules(baskets, "basket_id", "item",
+          minSupport = 2L).count()),
       "boilerplate" -> (() =>
         Corpus.boilerplateCoverage(docs, "doc_id", "text", 3, 0.02)
           .filter(col("boiler_ratio") > 0.5).count()),

@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
   * The Σ basket-size² term is unbounded on real data — one crawler
   * session with 10⁵ items detonates the pair stage on its own — so the
   * production surface is [[pairRulesGuarded]], which predicts the pair
-  * volume first and excises hot baskets when it exceeds a budget (the
-  * containment-guard convention, [[Dedup.containmentDropsGuarded]]).
-  * [[pairRules]] is the open exact form: right when basket sizes are
-  * known-bounded (TPC-H orders ≤ 7 items) and as the guarded form's
-  * under-budget fast path.
+  * volume first and, when it exceeds a budget, derives the largest basket
+  * cap whose residual volume still fits the budget (the containment-guard
+  * convention, [[Dedup.containmentDropsGuarded]]). [[pairRules]] is the
+  * open exact form: right when basket sizes are known-bounded (TPC-H
+  * orders ≤ 7 items) and as the guarded form's under-budget fast path.
   */
 object Association {
 
@@ -34,33 +34,43 @@ object Association {
       itemCol: String,
       minSupport: Long = 2L): DataFrame = {
     val op = snapshotProjection(baskets, basketCol, itemCol)
-    rulesFrom(op, op, minSupport)
+    rulesFrom(op, op, minSupport, None)
   }
 
   /** GUARDED pairwise rules — same output contract as [[pairRules]], with
     * the pair stage's Σ basket-size² volume bounded up front:
     *
-    *   1. PREDICT: per-basket distinct-item counts (one aggregation over
-    *      the projection — linear) give the exact pair volume
-    *      Σ k·(k−1)/2 as a one-row driver scalar.
+    *   1. PREDICT: the basket-size histogram (distinct sizes with counts —
+    *      at most O(√|projection|) rows, since m distinct sizes need
+    *      ≥ m·(m+1)/2 projection rows — a bounded driver literal by the
+    *      centroid/codebook convention) gives the exact pair volume
+    *      Σ c·k·(k−1)/2, summed in BigInt so an adversarial corpus cannot
+    *      wrap Long and sneak under the budget.
     *   2. Under `pairBudget` → the exact open form, bit-identical to
-    *      [[pairRules]] (spec-pinned).
-    *   3. Over budget → baskets with more than `hotBasketCap` distinct
-    *      items are EXCLUDED from the pair stage (the linear rule: a
+    *      [[pairRules]] (AssociationSpec pins this).
+    *   3. Over budget → the guard derives `cap` = the LARGEST basket size
+    *      ≤ `hotBasketCap` whose cumulative histogram volume still fits
+    *      `pairBudget` (floor 1), and baskets with more than `cap`
+    *      distinct items are EXCLUDED from the pair stage. By
+    *      construction the residual pair volume is ≤ `pairBudget` — a
+    *      true up-front bound, not just a per-basket cost cap (a
     *      mega-basket — a crawler session, a bot cart — costs only its
     *      size to detect and contributes no pairs). Item supports and the
     *      basket universe `n` stay exact over ALL baskets, so `conf` and
     *      `lift` denominators are unchanged; `pair_support` becomes a
     *      documented UNDERCOUNT of the open form, restricted to
-    *      co-occurrence within ≤ `hotBasketCap`-item baskets. The degrade
-    *      is observable via the `graft.basketGuard` observe metric
+    *      co-occurrence within ≤ `cap`-item baskets. The degrade is
+    *      observable via the `graft.basketGuard` observe metric
     *      (`hot_baskets`, `skipped_pairs` = the pair volume excised) —
     *      the no-silent-caps convention.
     *
     * Defined-approximation semantics (the q108/q130 oracle convention):
-    * over-budget output is exactly "pair statistics over the ≤ cap-item
-    * baskets with exact global denominators" — reproducible by any engine
-    * from the definition, not a best-effort truncation.
+    * over-budget output is exactly "pair statistics over baskets of at
+    * most `cap` distinct items with exact global denominators", where
+    * `cap` is a pure function of the size histogram and the budget —
+    * reproducible by any engine from the definition (q179's DuckDB oracle
+    * re-derives it with one cumulative window), not a best-effort
+    * truncation.
     */
   def pairRulesGuarded(
       baskets: DataFrame,
@@ -72,25 +82,37 @@ object Association {
     require(pairBudget > 0, s"need pairBudget > 0, got $pairBudget")
     require(hotBasketCap > 1, s"need hotBasketCap > 1, got $hotBasketCap")
     val op = snapshotProjection(baskets, basketCol, itemCol)
-    // feeds the volume estimate AND the hot/cold split
+    // feeds the volume histogram AND the hot/cold split
     val bs = Stage.snapshotDF(op.groupBy("__bk").agg(count(lit(1)).as("__k")))
-    // k·(k−1)/2 in pure integer arithmetic (k·(k−1) is even; `/` on
-    // Columns is double division, lossy past 2^53)
-    val pairVol = shiftright(col("__k") * (col("__k") - lit(1L)), 1)
-    val predicted = bs
-      .agg(coalesce(sum(pairVol), lit(0L)).as("vol"))
-      .head().getLong(0)
-    if (predicted <= pairBudget) rulesFrom(op, op, minSupport)
+    // size histogram, ascending: O(√|op|) rows — driver-bounded
+    val hist = bs.groupBy("__k").agg(count(lit(1)).as("__c"))
+      .orderBy("__k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum // basket universe, exact — threads into rulesFrom
+    def vol(k: Long, c: Long): BigInt = BigInt(c) * BigInt(k) * BigInt(k - 1) / 2
+    val predicted = hist.iterator.map { case (k, c) => vol(k, c) }.sum
+    if (predicted <= BigInt(pairBudget)) rulesFrom(op, op, minSupport, Some(n))
     else {
+      // cap = largest size ≤ hotBasketCap with cumulative volume ≤ budget
+      var cum = BigInt(0)
+      var cap = 1L
+      hist.iterator.takeWhile(_._1 <= hotBasketCap).foreach { case (k, c) =>
+        cum += vol(k, c)
+        if (cum <= BigInt(pairBudget)) cap = k
+      }
+      val pairVol = shiftright(col("__k") * (col("__k") - lit(1L)), 1)
       val obs = bs.observe(s"graft.basketGuard.${Dedup.capObsId.incrementAndGet()}",
-        sum(when(col("__k") > hotBasketCap, 1L).otherwise(0L)).as("hot_baskets"),
-        sum(when(col("__k") > hotBasketCap, pairVol).otherwise(0L))
-          .as("skipped_pairs"))
-      // cold projection feeds BOTH self-join sides — snapshot it (this
-      // also fires the observe exactly once, at the barrier)
-      val coldOp = Stage.snapshotDF(
-        op.join(obs.filter(col("__k") <= hotBasketCap).select("__bk"), Seq("__bk")))
-      rulesFrom(op, coldOp, minSupport)
+        sum(when(col("__k") > cap, 1L).otherwise(0L)).as("hot_baskets"),
+        sum(when(col("__k") > cap, pairVol).otherwise(0L)).as("skipped_pairs"))
+      // snapshot the cold BASKET LIST first — on its own, with no join
+      // above the metrics node: the barrier fires the observe exactly
+      // once, and keeps it immune to AQE empty-relation propagation
+      // (a join above CollectMetrics whose other side turns out empty
+      // would replace the whole subtree, metrics included)
+      val coldBk = Stage.snapshotDF(obs.filter(col("__k") <= cap).select("__bk"))
+      // cold projection feeds BOTH self-join sides — snapshot it too
+      val coldOp = Stage.snapshotDF(op.join(coldBk, Seq("__bk")))
+      rulesFrom(op, coldOp, minSupport, Some(n))
     }
   }
 
@@ -107,11 +129,14 @@ object Association {
     * exact denominators) and the pair stage over `pairOp` (full in the
     * open form, hot-baskets-excised in the guarded degrade). Both inputs
     * must be snapshotted: `op` feeds two consumers, `pairOp` both join
-    * sides.
+    * sides. `nOpt` is the precomputed basket-universe count when the
+    * caller already paid for it (the guarded form's histogram knows it) —
+    * None runs the one distinct-count job the open form needs.
     */
   private def rulesFrom(
-      op: DataFrame, pairOp: DataFrame, minSupport: Long): DataFrame = {
-    val n = op.select("__bk").distinct().count()
+      op: DataFrame, pairOp: DataFrame, minSupport: Long,
+      nOpt: Option[Long]): DataFrame = {
+    val n = nOpt.getOrElse(op.select("__bk").distinct().count())
     val itemSupp = Stage.snapshotDF(
       op.groupBy(col("__it")).agg(count(lit(1)).as("__s")))
     val pairSupp = pairOp.as("a").join(pairOp.as("b"),

@@ -107,10 +107,21 @@ object DedupQueries {
     * Unmatched customers are singleton clusters (component = own key);
     * only merged entities (≥ 2 members) are emitted. Scale shape: the
     * pair stage is q163's Σ block² self-join, CC is pair-graph-sized, and
-    * the final consolidation is ONE aggregate over customer ⋈ broadcast
-    * cluster labels.
+    * the final consolidation is ONE aggregate over customer ⋈ cluster
+    * labels — broadcast only under a SIZE GATE: on a dup-heavy corpus at
+    * 100× the label table is corpus-fraction-sized and a forced hint
+    * would OOM the driver, so the gate (one count on the CC snapshot —
+    * label rows are two longs, the default admits ~64 MB) falls back to
+    * a plain equi-join above threshold. PlanSpec pins both shapes.
     */
-  def q176_golden_record: Q = (s, dir) => {
+  def q176_golden_record: Q = (s, dir) => goldenRecord(s, dir)
+
+  /** ~4M (node, component) rows ≈ 64 MB — a driver-safe broadcast. */
+  private[graft] val MaxBroadcastLabelRows = 4000000L
+
+  private[graft] def goldenRecord(
+      s: SparkSession, dir: String,
+      maxBroadcastLabelRows: Long = MaxBroadcastLabelRows): DataFrame = {
     import graft.operators.Linkage
     val c = Tables.customer(s, dir)
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
@@ -121,7 +132,10 @@ object DedupQueries {
       .filter(col("match_score") > lit(1.0))
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
     val clusters = Dedup.connectedComponents(matched, "id_a", "id_b")
-    c.join(broadcast(clusters), col("c_custkey") === col("node"), "left")
+    // the count reads the CC loop's final snapshot — no recomputation
+    val gated =
+      if (clusters.count() <= maxBroadcastLabelRows) broadcast(clusters) else clusters
+    c.join(gated, col("c_custkey") === col("node"), "left")
       .withColumn("component", coalesce(col("component"), col("c_custkey")))
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"),

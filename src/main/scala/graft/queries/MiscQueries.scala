@@ -236,10 +236,47 @@ object MiscQueries {
     * the catalog, bound the blow-up), exact integer support counts; lift
     * and confidence are single declared double expressions over those
     * integers — engine-stable with no rounding contract.
+    *
+    * Routed through the GUARDED form: the driver corpora sit far under
+    * the 20M-pair budget at every SF (sf0.1 predicts 1.2M), so this IS
+    * the exact open computation (AssociationSpec pins the bit-identity) —
+    * but at 100× one bot-cart basket trips the budget and the derived cap
+    * excises it instead of detonating the stage. q179 oracle-checks the
+    * degrade itself with a forced budget.
     */
   def q164_market_basket: Q = (s, dir) => {
-    graft.operators.Association.pairRules(
-      Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L)
+    graft.operators.Association.pairRulesGuarded(
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 2L,
+      pairBudget = 20000000L, hotBasketCap = 4096)
+      .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+      .select(col("item_a"), col("item_b"), col("pair_support"),
+        round(col("lift"), 4).as("lift"),
+        round(col("conf_a_to_b"), 4).as("conf_a_to_b"))
+  }
+
+  /** q179 — GUARDED market-basket rules
+    * ([[graft.operators.Association.pairRulesGuarded]]), guard FORCED at
+    * sf ≥ 0.01 (`pairBudget = 25000` is below the corpus's predicted
+    * Σ k·(k−1)/2 there) so the degrade path executes under oracle check:
+    * the guard derives `cap` = the largest basket size whose cumulative
+    * histogram volume fits the budget (sf0.01 → 3, sf0.1 → 2), excises
+    * bigger baskets from the pair stage, and keeps item supports and the
+    * basket universe exact over ALL baskets. At sf0.001 the corpus is
+    * under budget and the query IS the open form — both regimes are
+    * covered across the three SFs.
+    *
+    * ORACLE NOTE (the q108/q130 convention): guarded mode is a DEFINED
+    * approximation — `cap` is a pure function of the size histogram and
+    * the budget, so the oracle re-derives it with one cumulative-sum
+    * window and replays the same restricted pair stage. AssociationSpec
+    * separately pins the under-budget form bit-identical to [[q164]]'s
+    * open operator and the forced degrade's exact-denominator semantics.
+    */
+  def q179_basket_guarded: Q = (s, dir) => {
+    graft.operators.Association.pairRulesGuarded(
+      Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+      minSupport = 1L, pairBudget = 25000L, hotBasketCap = 8)
       .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
       .limit(20)
       .select(col("item_a"), col("item_b"), col("pair_support"),
@@ -597,6 +634,7 @@ object MiscQueries {
     "q157_bloom_lookup" -> q157_bloom_lookup,
     "q159_quality_checks" -> q159_quality_checks,
     "q164_market_basket" -> q164_market_basket,
+    "q179_basket_guarded" -> q179_basket_guarded,
     "q165_triangles" -> q165_triangles,
     "q167_bfs_hops" -> q167_bfs_hops,
     "q168_label_prop" -> q168_label_prop,
@@ -670,6 +708,37 @@ object MiscQueries {
       ps AS (SELECT a.it AS item_a, b.it AS item_b, count(1) AS pair_support
              FROM op a JOIN op b ON a.bk = b.bk AND a.it < b.it
              GROUP BY 1, 2 HAVING count(1) >= 2),
+      r AS (SELECT item_a, item_b, pair_support,
+                   CAST(pair_support * n.n AS DOUBLE)
+                     / CAST(sa.s * sb.s AS DOUBLE) AS lift,
+                   CAST(pair_support AS DOUBLE) / CAST(sa.s AS DOUBLE) AS conf
+            FROM ps, n
+            JOIN isup sa ON sa.it = item_a
+            JOIN isup sb ON sb.it = item_b)
+      SELECT item_a, item_b, pair_support,
+             round(lift, 4) AS lift, round(conf, 4) AS conf_a_to_b
+      FROM (SELECT * FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20) top
+      ORDER BY lift DESC, item_a, item_b""",
+    // the guarded twin: cap re-derived from the size histogram with one
+    // cumulative window (the defined-approximation contract in the
+    // q179 scaladoc); denominators stay global
+    "q179_basket_guarded" -> """
+      WITH op AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      bs AS (SELECT bk, count(1) AS k FROM op GROUP BY 1),
+      hist AS (SELECT k, count(1) AS c FROM bs GROUP BY 1),
+      cum AS (SELECT k, sum(c * k * (k - 1) // 2) OVER (ORDER BY k) AS cv FROM hist),
+      cap AS (SELECT CASE WHEN (SELECT max(cv) FROM cum) <= 25000
+                          THEN (SELECT max(k) FROM hist)
+                          ELSE coalesce((SELECT max(k) FROM cum
+                                         WHERE cv <= 25000 AND k <= 8), 1)
+                     END AS cap),
+      cold AS (SELECT op.bk, op.it FROM op JOIN bs USING (bk), cap
+               WHERE bs.k <= cap.cap),
+      n AS (SELECT count(1) AS n FROM bs),
+      isup AS (SELECT it, count(1) AS s FROM op GROUP BY 1),
+      ps AS (SELECT a.it AS item_a, b.it AS item_b, count(1) AS pair_support
+             FROM cold a JOIN cold b ON a.bk = b.bk AND a.it < b.it
+             GROUP BY 1, 2 HAVING count(1) >= 1),
       r AS (SELECT item_a, item_b, pair_support,
                    CAST(pair_support * n.n AS DOUBLE)
                      / CAST(sa.s * sb.s AS DOUBLE) AS lift,

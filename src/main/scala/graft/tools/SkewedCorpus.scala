@@ -146,12 +146,37 @@ object SkewedCorpus {
     }.toDF("vec_id", "embedding", "label")
   }
 
-  /** Write both tables as parquet under `dir` (driver-table layout). */
-  def write(spark: SparkSession, dir: String, nDocs: Int, nVecs: Int): Unit = {
+  /** Build the skewed (basket, item) stream — the market-basket stressor:
+    * ONE MEGA-BASKET (basket_id 0 with `hotItems` distinct items — the
+    * crawler session / bot cart whose k·(k−1)/2 ≈ hotItems²/2 pair volume
+    * IS the reason [[graft.operators.Association.pairRulesGuarded]]
+    * exists) plus ~nRows/4 small 4-item baskets drawn from a 50k-item
+    * catalog (the benign population whose pairs a guard must not touch).
+    * Items are disjoint between the two populations so excising the hot
+    * basket provably leaves cold pair stats bit-stable.
+    */
+  def baskets(spark: SparkSession, nRows: Int, hotItems: Int = 4000): DataFrame = {
+    require(nRows > hotItems, s"need small baskets too: $nRows vs $hotItems")
+    import spark.implicits._
+    spark.range(nRows).map { id =>
+      if (id < hotItems) (0L, 1000000L + id) // hot: all-distinct items
+      else (id / 4 + 1L, (mix64(id * 17L) & 0x7FFFFFFFL) % 50000L)
+    }.toDF("basket_id", "item")
+  }
+
+  /** Write the tables as parquet under `dir` (driver-table layout).
+    * `hotItems` sizes the mega-basket: the default keeps the OPEN pair
+    * form affordable (~8M pairs) so BenchSkew can price both forms; the
+    * 10× soak raises it to where only the guarded form survives.
+    */
+  def write(spark: SparkSession, dir: String, nDocs: Int, nVecs: Int,
+            hotItems: Int = 4000): Unit = {
     documents(spark, nDocs).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/documents.parquet")
     embeddings(spark, nVecs).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/embeddings.parquet")
+    baskets(spark, nDocs * 4, hotItems).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/baskets.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -584,7 +584,28 @@ class PlanSpec extends SparkSuite {
     val p = plan("q176_golden_record")
     assert(!p.contains("CartesianProduct"), "pair stage degraded to a cartesian")
     assert(p.contains("BroadcastHashJoin"),
-      s"cluster labels must broadcast onto customer:\n${p.take(400)}")
+      s"under-threshold cluster labels must broadcast onto customer:\n${p.take(400)}")
+  }
+
+  test("q176: over-threshold labels take a plain equi-join, never a forced broadcast") {
+    // force the size gate shut AND disable auto-broadcast so the shape the
+    // gate chooses at 100× (labels too big for the driver) is the one
+    // planned here: a shuffle join on the label key, no driver collect
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.DedupQueries.goldenRecord(spark, sfDir,
+        maxBroadcastLabelRows = 0L)
+      val p = { df.collect(); df.queryExecution.executedPlan.toString }
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"over-threshold label join must shuffle, not broadcast:\n${p.take(600)}")
+      // both gate arms must be result-identical
+      val gatedRows = df.collect().map(_.toSeq).toSeq
+      val broadcastRows = graft.queries.DedupQueries.goldenRecord(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(gatedRows == broadcastRows, "gate arms diverged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
