@@ -195,6 +195,80 @@ object Graph {
     dist
   }
 
+  /** HyperBall-style closeness (Boldi & Vigna 2013): the neighborhood
+    * function per node carried as a DataSketches HLL sketch instead of a
+    * settled pair relation — the CORPUS-SCALE complement to
+    * [[allPairsHops]], whose (src, node, hops) state is ≤ |V|² by
+    * contract. Here state is one sketch per node (|V| · 2^lgK bytes,
+    * lgK=12 → 4 KB ceiling each) and each level is ONE (dst)-keyed join
+    * of balls to the symmetrized edges plus ONE `hll_union_agg` — the
+    * sketch-union pass per level that makes the neighborhood function
+    * computable on web-scale graphs where materializing reachable pairs
+    * cannot fit anywhere.
+    *
+    *   ball_0(v) = {v};  ball_h(v) = ball_{h−1}(v) ∪ ⋃_{(v,u)∈E} ball_{h−1}(u)
+    *
+    * Per-level cardinality estimates `est_h` then give
+    * `total_hops = Σ_h h·(est_h − est_{h−1})` and
+    * `n_reached = est_H` — the same (n_reached − 1)/total_hops closeness
+    * q171 computes exactly. On graphs whose per-ball cardinality stays
+    * under the sketch's sparse-mode threshold (every test graph here —
+    * |V| ≤ 25) DataSketches HLL is EXACT, so the result is
+    * oracle-checkable against the exact recursive-CTE closeness
+    * (q181); beyond it the estimate degrades gracefully to the sketch's
+    * published error (±~1.6% at lgK=12), which is the 100 TB trade the
+    * operator exists to make. GraphSpec pins ≡ exact closeness on the
+    * multi-component hand graph.
+    *
+    * Estimates are emitted as `round(est)` longs: sparse-mode exactness
+    * makes the round a no-op where the oracle applies, and integral
+    * outputs keep the result hash-stable.
+    */
+  def hyperBallCloseness(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int = 6,
+      lgK: Int = 12): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val e = Stage.snapshotDF(
+      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    // ball_0 = {self}; the sketch aggregate needs a group — one per node
+    var ball = Stage.snapshotDF(
+      e.select(col("s").as("node")).distinct()
+        .groupBy("node").agg(hll_sketch_agg(col("node"), lit(lgK)).as("ball")))
+    def level(h: Int, b: DataFrame): DataFrame =
+      b.select(col("node"), lit(h).as("hops"),
+        round(hll_sketch_estimate(col("ball"))).cast("long").as("est"))
+    var levels = level(0, ball)
+    for (h <- 1 to maxHops) {
+      val nbr = e.join(ball.withColumnRenamed("node", "d"), "d")
+        .groupBy(col("s").as("node"))
+        .agg(hll_union_agg(col("ball")).as("nbr_ball"))
+      ball = Stage.snapshotDF(
+        ball.join(nbr, Seq("node"), "left")
+          .select(col("node"),
+            when(col("nbr_ball").isNull, col("ball"))
+              .otherwise(hll_union(col("ball"), col("nbr_ball")))
+              .as("ball")))
+      levels = levels.unionByName(level(h, ball))
+    }
+    // total_hops = Σ h·(est_h − est_{h−1}) — one window over H·|V| rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy("hops")
+    levels
+      .withColumn("__gain", col("est") - lag("est", 1, 0L).over(w))
+      .groupBy("node")
+      .agg(max("est").as("n_reached"),
+        sum(when(col("hops") >= 1, col("hops") * col("__gain")).otherwise(0L))
+          .as("total_hops"))
+      .select(col("node"), col("n_reached"), col("total_hops"),
+        round((col("n_reached") - lit(1)).cast("double") / col("total_hops"), 6)
+          .as("closeness"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection by iterated neighbor-majority voting. Labels start as node
     * ids; each round every node adopts the most frequent label among its

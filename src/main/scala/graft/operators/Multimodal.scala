@@ -206,6 +206,31 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio-envelope signature over [[MediaFeatures]] — the audio
+    * counterpart of [[aHashFromImage]]: each of the 8 RMS-envelope
+    * segments ([[decodeAudioFeatures]]'s feature contract; the
+    * StubDecoder fallback keeps the same 8-slot shape) is quantized to a
+    * level q = min(7, ⌊f·8⌋) and emitted as a THERMOMETER code — q one
+    * bits in the segment's 8-bit lane. Unlike a binary Gray/straight
+    * code, thermometer Hamming distance between two signatures is exactly
+    * Σ|q_a − q_b| — the L1 distance of the quantized envelopes — so
+    * "small Hamming" IS "perceptually close loudness contour", and the
+    * pigeonhole band join ([[perceptualPairs]]) applies unchanged.
+    * Pure codegen column arithmetic (element_at / floor / shiftleft /
+    * bitwise-or) — no UDF, map-side only.
+    */
+  def audioSignatures(features: Dataset[MediaFeatures]): DataFrame = {
+    val sig = (0 until 8).map { s =>
+      val q = least(lit(7L),
+        floor(element_at(col("feature"), s + 1).cast("double") * lit(8.0))
+          .cast("long"))
+      // 2^q − 1 = q thermometer ones (pow is exact for q ≤ 7; shiftleft's
+      // numBits parameter is Int-only, so the variable shift goes via pow)
+      shiftleft(pow(lit(2.0), q).cast("long") - lit(1L), s * 8)
+    }.reduce(_ bitwiseOR _)
+    features.toDF().select(col("media_id"), col("modality"), sig.as("ahash"))
+  }
+
   /** Hamming-≤k near-dup pairs over a hash column via the pigeonhole band
     * join (the SimHash blocking argument, `Dedup.simhashPairs`): split the
     * 64-bit hash into 4 16-bit bands — any pair within Hamming ≤ 3 agrees
@@ -504,5 +529,25 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       concat(lit("synthetic://docs/"), col("doc_id")).as("source_uri"))
       .as[MediaRecord]
+  }
+
+  /** [[mediaFromDocuments]] plus PLANTED DUPLICATES: every `every`-th
+    * document contributes a second record (`media_id + idOffset`, same
+    * payload and modality) — the deterministic stand-in for the
+    * re-uploaded / re-crawled binary assets a real corpus is full of, so
+    * the perceptual near-dup queries (q150/q180) exercise non-empty true
+    * pair sets at every SF instead of matching on emptiness. Payload
+    * equality ⇒ hash equality on both the aHash and byte-fold paths, so
+    * each clone pairs with its source at Hamming 0.
+    */
+  def mediaWithClones(spark: SparkSession, docs: DataFrame,
+                      every: Int = 100, idOffset: Long = 1000000L): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val base = mediaFromDocuments(spark, docs)
+    val clones = mediaFromDocuments(spark, docs.filter(col("doc_id") % every === 0))
+      .withColumn("media_id", col("media_id") + idOffset)
+      .withColumn("source_uri", concat(col("source_uri"), lit("?clone=1")))
+      .as[MediaRecord]
+    base.union(clones)
   }
 }

@@ -398,6 +398,25 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q181 — HyperBall HLL closeness ([[Graph.hyperBallCloseness]]) on the
+    * strong trade graph: the sketch-carried neighborhood function — one
+    * HLL per node, one union pass per level — in place of q171's settled
+    * ≤ |V|² pair relation. At this graph size every ball stays in the
+    * sketch's exact sparse mode, so the ORACLE IS THE EXACT CLOSENESS SQL
+    * (identical to q171's): the strongest possible audit of the sketch
+    * path — estimate ≡ truth, hash-checked. At web scale the same plan
+    * holds |V|·4 KB of state instead of |V|² rows and degrades to the
+    * published ±1.6% HLL error; GraphSpec pins the ≡-exact property on
+    * the multi-component hand graph too.
+    */
+  def q181_hll_closeness: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.hyperBallCloseness(strongTradeEdges(s, dir), "src", "dst", maxHops = 6)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("n_reached"), col("total_hops"), col("closeness"))
+      .orderBy("n_name")
+  }
+
   /** q175 — k-core membership ([[Graph.kCore]], k=3) of the strong trade
     * graph: nodes surviving iterated degree-3 peeling, with their in-core
     * degree — the density backbone the rest of the graph family
@@ -467,11 +486,43 @@ object MiscQueries {
     * generated image fixtures.
     */
   def q150_perceptual_neardup: Q = (s, dir) => {
-    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+    // clone-planted media (every 100th doc re-uploaded): the true pair set
+    // is NON-EMPTY at every SF — a near-dup check that matches on
+    // emptiness proves nothing
+    val media = Multimodal.mediaWithClones(s, Tables.documents(s, dir))
     val hashes = graft.operators.Stage.snapshotDF(
       Multimodal.perceptualHashes(media).toDF()) // decode once, both join sides read the snapshot
     Multimodal.perceptualPairs(hashes, maxHamming = 3)
       .orderBy("id_a", "id_b")
+  }
+
+  /** q180 — audio perceptual near-dup pairs
+    * ([[Multimodal.audioSignatures]] → [[Multimodal.perceptualPairs]]):
+    * the 8-segment RMS-envelope feature, thermometer-quantized to a
+    * 64-bit signature whose Hamming distance is exactly the L1 distance
+    * of the quantized loudness contours, then the same 4×16-bit
+    * pigeonhole band join as q150 (Σ bucket², never corpus²). On the
+    * synthetic corpus every audio payload takes the StubDecoder
+    * fallback, whose feature vector is an affine transform of the q70
+    * byte-fold checksum — so the WHOLE pipeline (fold → feature →
+    * quantize → signature → band join) is oracle-expressible; the REAL
+    * WAV path (PCM decode, envelope stability under amplitude
+    * perturbation, contour separation) is pinned in MultimodalSpec on
+    * generated WAV fixtures. Clone planting gives ≥ 2 true pairs at
+    * every SF.
+    */
+  def q180_audio_neardup: Q = (s, dir) => {
+    val media = Multimodal.mediaWithClones(s, Tables.documents(s, dir))
+      .filter(col("modality") === "audio")
+    val feats = Multimodal.extractFeatures(media, () => new Multimodal.ImageIODecoder())
+    val sigs = graft.operators.Stage.snapshotDF(Multimodal.audioSignatures(feats))
+    // closest-first, bounded: the synthetic fallback features are an
+    // affine image of one checksum, so chance near-collisions scale with
+    // pairs — the top slice (clones at Hamming 0 first) keeps the
+    // artifact corpus-size-independent while still hashing pair identities
+    Multimodal.perceptualPairs(sigs, maxHamming = 3)
+      .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
+      .limit(50)
   }
 
   /** q141 — weighted PageRank ([[Graph.pageRank]]) over the nation trade
@@ -639,15 +690,36 @@ object MiscQueries {
     "q167_bfs_hops" -> q167_bfs_hops,
     "q168_label_prop" -> q168_label_prop,
     "q171_closeness" -> q171_closeness,
+    "q181_hll_closeness" -> q181_hll_closeness,
     "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
     "q175_kcore" -> q175_kcore,
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
+    "q180_audio_neardup" -> q180_audio_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
     "q71_approx_distinct" -> q71_approx_distinct,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
+
+  /** Exact recursive-CTE closeness over the strong trade graph — the
+    * shared oracle of q171 (exact operator) and q181 (HLL sketch path,
+    * exact in sparse mode at this scale).
+    */
+  private lazy val closenessExactSql = s"""
+      WITH RECURSIVE $strongTradeSql,
+      nodes AS (SELECT DISTINCT s AS node FROM sym),
+      h(src, node, hops) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT h.src, sym.d, h.hops + 1 FROM h JOIN sym ON sym.s = h.node
+        WHERE h.hops < 6),
+      d AS (SELECT src, node, min(hops) AS hops FROM h GROUP BY 1, 2)
+      SELECT n_name, count(1) AS n_reached,
+             CAST(sum(hops) AS BIGINT) AS total_hops,
+             round(CAST(count(1) - 1 AS DOUBLE) / sum(hops), 6) AS closeness
+      FROM d JOIN nation ON src = n_nationkey
+      GROUP BY 1 ORDER BY 1"""
 
   val oracle: Map[String, String] = Map(
     "q141_pagerank" -> pageRankOracle(4),
@@ -687,20 +759,10 @@ object MiscQueries {
              CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
              CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
       FROM documents GROUP BY 1 ORDER BY 1""",
-    "q171_closeness" -> s"""
-      WITH RECURSIVE $strongTradeSql,
-      nodes AS (SELECT DISTINCT s AS node FROM sym),
-      h(src, node, hops) AS (
-        SELECT node, node, 0 FROM nodes
-        UNION
-        SELECT h.src, sym.d, h.hops + 1 FROM h JOIN sym ON sym.s = h.node
-        WHERE h.hops < 6),
-      d AS (SELECT src, node, min(hops) AS hops FROM h GROUP BY 1, 2)
-      SELECT n_name, count(1) AS n_reached,
-             CAST(sum(hops) AS BIGINT) AS total_hops,
-             round(CAST(count(1) - 1 AS DOUBLE) / sum(hops), 6) AS closeness
-      FROM d JOIN nation ON src = n_nationkey
-      GROUP BY 1 ORDER BY 1""",
+    "q171_closeness" -> closenessExactSql,
+    // the HyperBall sketch path is EXACT at this graph size (HLL sparse
+    // mode) — the oracle is deliberately the same exact-closeness SQL
+    "q181_hll_closeness" -> closenessExactSql,
     "q164_market_basket" -> """
       WITH op AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
       n AS (SELECT count(DISTINCT bk) AS n FROM op),
@@ -834,13 +896,17 @@ object MiscQueries {
     // the q70 wrapping-fold contract: hash in HUGEINT, bands by integer
     // division in the unsigned domain, re-sign only for the xor/bit_count
     "q150_perceptual_neardup" -> """
-      WITH b0 AS (
-        SELECT doc_id AS media_id,
+      WITH src AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0),
+      b0 AS (
+        SELECT media_id,
                list_reduce(list_prepend(CAST(0 AS HUGEINT),
                  list_transform(regexp_extract_all(text, '(?s).'),
                    c -> CAST(unicode(c) AS HUGEINT))),
                  (a, x) -> (a * 31 + x) % 18446744073709551616) AS u
-        FROM documents),
+        FROM src),
       h AS (SELECT media_id, u,
                    CASE WHEN u >= 9223372036854775808
                         THEN CAST(u - 18446744073709551616 AS BIGINT)
@@ -860,6 +926,49 @@ object MiscQueries {
           ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)
       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
       ORDER BY id_a, id_b""",
+    // the q70/q150 fold contract extended through the StubDecoder feature
+    // affine transform and the thermometer quantizer: float rounding is
+    // mirrored by CAST(... AS REAL) before the double *8 (IEEE
+    // round-nearest in both engines), and the signature is non-negative so
+    // bands use plain integer division
+    "q180_audio_neardup" -> """
+      WITH src AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 100 = 0 AND doc_id % 3 = 1),
+      f AS (
+        SELECT media_id,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(regexp_extract_all(text, '(?s).'),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, x) -> (a * 31 + x) % 18446744073709551616) AS u
+        FROM src),
+      sg AS (
+        SELECT media_id, s.i AS seg,
+               least(7, CAST(floor(CAST(CAST(CAST(
+                 (((u + s.i * 2654435761) % 18446744073709551616) % 2147483648)
+                 AS DOUBLE) / 2147483647 AS REAL) AS DOUBLE) * 8) AS BIGINT)) AS q
+        FROM f, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(i)),
+      h AS (
+        SELECT media_id,
+               CAST(sum(((CAST(1 AS BIGINT) << CAST(q AS INT)) - 1)
+                        << (seg * 8)) AS BIGINT) AS ahash
+        FROM sg GROUP BY 1),
+      bands AS (
+        SELECT media_id, ahash, d.band,
+               (ahash // d.dv) % 65536 AS bval
+        FROM h, (VALUES (0, CAST(1 AS BIGINT)),
+                        (1, CAST(65536 AS BIGINT)),
+                        (2, CAST(4294967296 AS BIGINT)),
+                        (3, CAST(281474976710656 AS BIGINT))) d(band, dv)),
+      p AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+      ORDER BY hamming, id_a, id_b LIMIT 50""",
     // over the RAW table: the clustered rewrite must be result-invariant
     "q98_clustered_scan" -> """
       SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,

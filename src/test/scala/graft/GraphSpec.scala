@@ -111,6 +111,27 @@ class GraphSpec extends SparkSuite {
     assert(got == want, s"got $got")
   }
 
+  test("hyperBallCloseness ≡ exact closeness from allPairsHops (sparse-mode HLL is exact)") {
+    import spark.implicits._
+    // path 0-1-2-3 (distinct closeness per position), triangle 5-6-7,
+    // island pair 8-9 — multi-component, multi-diameter
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (8L, 9L)).toDF("s", "d")
+    val exact = graft.operators.Graph.allPairsHops(edges, "s", "d", maxHops = 6)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_reached"), sum("hops").as("total_hops"),
+        round((count(lit(1)) - lit(1)).cast("double") / sum("hops"), 6).as("closeness"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val hll = graft.operators.Graph.hyperBallCloseness(edges, "s", "d", maxHops = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(hll == exact, s"sketch path must be exact here:\nhll  $hll\nexact $exact")
+    // spot-pin one value so both paths can't be wrong together: node 1
+    // reaches 0,2 at 1 hop and 3 at 2 → (4, 4, 0.75)
+    assert(hll(1L) == ((4L, 4L, 0.75)))
+  }
+
   test("kCore: chained peeling strips the tail; extra iterations are no-ops") {
     import spark.implicits._
     // K4 on 1-4, with a pendant chain 4-5-6: the 2-core must peel 6 THEN 5

@@ -304,4 +304,68 @@ class MultimodalSpec extends SparkSuite {
     assert(av.filter($"duration_ms" <= 0).count() == 0)
     assert(img.filter($"duration_ms" =!= 0).count() == 0)
   }
+
+  /** 1 s of 16-bit mono PCM at 8 kHz as a WAV, segment s of 8 holding a
+    * square wave of amplitude `amps(s)` (fraction of full scale) — the
+    * same seg = i·8/n slicing [[Multimodal]]'s decoder uses, so each
+    * segment's RMS is exactly its amplitude.
+    */
+  private def envelopeWav(amps: Array[Double]): Array[Byte] = {
+    val rate = 8000
+    val n = rate
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val seg = math.min(7, i * 8 / n)
+      val mag = (amps(seg) * 32768.0).toInt.min(32767)
+      val v: Short = (if (i % 8 < 4) mag else -mag).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio near-dup end-to-end on REAL WAVs: perturbed envelope pairs, reversed contour apart") {
+    // mid-level amplitudes keep every quantizer input far from a q
+    // boundary (a*8 ≈ x.5), so small RMS estimation error cannot flip bits
+    val ampsA = Array(0.06, 0.19, 0.31, 0.44, 0.56, 0.69, 0.81, 0.94)
+    val ampsB = ampsA.clone() // two segments one level up → Hamming exactly 2
+    ampsB(0) = 0.19
+    ampsB(4) = 0.69
+    val ampsC = ampsA.reverse // contour-reversed: L1 of levels = 32
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", envelopeWav(ampsA), "a"),
+      Multimodal.MediaRecord(2L, "audio", envelopeWav(ampsB), "b"),
+      Multimodal.MediaRecord(3L, "audio", envelopeWav(ampsC), "c")).toDS()
+    val feats = Multimodal.extractFeatures(recs, () => new Multimodal.ImageIODecoder())
+    val sigs = Multimodal.audioSignatures(feats)
+    val pairs = Multimodal.perceptualPairs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"only the perturbed twin may pair: ${pairs.toSeq}")
+    // thermometer code: Hamming IS the L1 distance of quantized envelopes
+    assert(pairs.head._3 == 2L, s"two one-level bumps = Hamming 2: ${pairs.toSeq}")
+  }
+
+  test("mediaWithClones plants exact duplicates that pair at Hamming 0 for every 100th doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val withClones = Multimodal.mediaWithClones(spark, docs)
+    val expected = docs.filter($"doc_id" % 100 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty, "fixture must contain clone sources")
+    assert(withClones.count() == media.count() + expected.size)
+    val hashes = graft.operators.Stage.snapshotDF(
+      Multimodal.perceptualHashes(withClones).toDF())
+    val pairs = Multimodal.perceptualPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    expected.foreach { d =>
+      assert(pairs.contains((d, d + 1000000L, 0L)),
+        s"clone of $d must pair with its source at Hamming 0")
+    }
+  }
 }
