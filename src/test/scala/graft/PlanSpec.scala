@@ -608,6 +608,24 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q177: exactly one window pass computes the deciles; the scan reads only 3 columns") {
+    val p = plan("q177_ntile_equidepth")
+    assert("Window\\b".r.findAllIn(p).size == 1,
+      s"ntile must be ONE window pass, not stacked windows:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+    val f = formatted("q177_ntile_equidepth")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(f).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length == 3 && read.contains("o_totalprice"),
+      s"scan must prune to (priority, price, key): $read")
+  }
+
+  test("q178: all sketch algebra runs on snapshots — the final plan never rescans the corpus") {
+    val p = plan("q178_sketch_overlap")
+    assert(!p.contains("FileScan parquet"),
+      s"overlap audit must read the token/sketch snapshots, not documents:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "the sources² sketch join must stay an equi/theta join")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
