@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Association, Corpus, Dedup, Similarity, Skew, Stage}
+import graft.operators.{Association, Corpus, Dedup, Linkage, Similarity, Skew, Stage}
 import graft.tools.{CapMetricsListener, SkewedCorpus}
 
 /** Skew benchmark: runs the cap/sub-block/salting machinery over the
@@ -69,6 +69,9 @@ object BenchSkew {
     val opFilter = sys.env.get("SPARK_GRAFT_SKEW_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+    val linkRules = Seq(Linkage.FieldRule("n_chars",
+      (a, b) => abs(a - b) <= lit(2L), m = 0.9, u = 0.05))
+
     // each entry: name -> () => result cardinality (forces full execution)
     val allOps: Seq[(String, () => Long)] = Seq(
       "minhash_capped" -> (() =>
@@ -126,6 +129,21 @@ object BenchSkew {
       "pair_rules_open" -> (() =>
         Association.pairRules(baskets, "basket_id", "item",
           minSupport = 2L).count()),
+      // record linkage blocked on (lang, source): the hot source key puts
+      // ~70% of the corpus in ONE block — capped drops it whole (linear),
+      // open pays Σ block² in full
+      "linkage_capped" -> (() => {
+        val slim = docs.select("doc_id", "lang", "source", "n_chars")
+        Linkage.score(
+          Linkage.candidatePairsCapped(slim, "doc_id", Seq("lang", "source"), 500),
+          linkRules).filter(col("match_score") > 0).count()
+      }),
+      "linkage_open" -> (() => {
+        val slim = docs.select("doc_id", "lang", "source", "n_chars")
+        Linkage.score(
+          Linkage.candidatePairs(slim, "doc_id", Seq("lang", "source")),
+          linkRules).filter(col("match_score") > 0).count()
+      }),
       "boilerplate" -> (() =>
         Corpus.boilerplateCoverage(docs, "doc_id", "text", 3, 0.02)
           .filter(col("boiler_ratio") > 0.5).count()),

@@ -49,6 +49,31 @@ object Linkage {
       .filter(col("a_id") < col("b_id"))
   }
 
+  /** [[candidatePairs]] under the engine's bucket-cap guard: blocks with
+    * more than `maxBlockSize` members are DROPPED before the self-join
+    * (the [[Dedup]] cap convention — a block that big means the blocking
+    * key is non-discriminative there and its pairs would be mostly noise
+    * anyway; at 100× one hot block otherwise turns the stage quadratic).
+    * Cold blocks are untouched, so their pairs are bit-identical to the
+    * open form (LinkageSpec pins both properties); the drop is visible on
+    * the `graft.capBuckets` observe channel, the no-silent-caps
+    * convention. The TPC-H-shaped queries (q163/q176) keep the open form:
+    * their (nation, segment) blocks are bounded by construction, which is
+    * exactly the "blocking keys are chosen to bound block size" contract —
+    * this guard is for corpora where that contract can break.
+    */
+  def candidatePairsCapped(
+      df: DataFrame, idCol: String, blockCols: Seq[String],
+      maxBlockSize: Int): DataFrame = {
+    require(maxBlockSize > 1, s"need maxBlockSize > 1: $maxBlockSize")
+    // one composite key column (unit-separator joined, so ("ab","c") and
+    // ("a","bc") stay distinct blocks); the window count shuffles once
+    val keyed = df.withColumn("__blk",
+      concat_ws("\u0001", blockCols.map(c => col(c).cast("string")): _*))
+    val capped = Dedup.capBuckets(keyed, "__blk", maxBlockSize).drop("__blk")
+    candidatePairs(capped, idCol, blockCols)
+  }
+
   /** Score candidate pairs: Σ per-rule agree/disagree weights, summed in
     * declaration order (the cross-engine association contract).
     */

@@ -93,6 +93,31 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Matryoshka-style truncated-dimension cosine top-k: score on the
+    * FIRST `dims` components only (Kusupati et al. 2022 — MRL-trained
+    * embeddings concentrate meaning in the prefix, so a prefix scan reads
+    * `dims/D` of the bytes per candidate; with a dim-major / truncated
+    * column layout that is a proportional scan-cost cut at 100 TB).
+    * Same output contract as [[bruteForceTopK]]; pair it with the
+    * recall audit (q182) to price the truncation before adopting it —
+    * measure, don't guess.
+    */
+  def truncatedTopK(
+      embeddings: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      dims: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    require(dims >= 1, s"need dims >= 1: $dims")
+    val q = array(query.take(dims).map(lit): _*)
+    val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
+    base
+      .withColumn("sim", cosine(slice(toDoubleArray(col("embedding")), 1, dims), q))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Johnson–Lindenstrauss random projection, the dimensionality-reduction
     * front of the ANN family: a ±1 (Achlioptas) projection matrix derived
     * deterministically — `sign(i,j) = +1` iff the murmur3 fmix32 finalizer

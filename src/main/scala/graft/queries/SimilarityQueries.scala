@@ -34,6 +34,28 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id").asc)
   }
 
+  /** q182 — Matryoshka truncation recall audit
+    * ([[Similarity.truncatedTopK]] vs [[Similarity.bruteForceTopK]]):
+    * recall@10 of the first-16-of-64-dims cosine top-k against the
+    * full-dim exact answer, as ONE relational row — the number that
+    * prices a 4× scan-cost cut (prefix-dim layout) before a pipeline
+    * adopts it, the q111/q120 audit convention on the dimension axis.
+    * Both sides are exact deterministic computations → full oracle.
+    */
+  def q182_mrl_recall_audit: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val exact = Similarity.bruteForceTopK(emb, q, 10, Some(QueryVecId)).select("vec_id")
+    val trunc = Similarity.truncatedTopK(emb, q, 10, dims = 16, Some(QueryVecId))
+      .select(col("vec_id").as("a_id"))
+    exact.join(trunc, col("vec_id") === col("a_id"), "full_outer")
+      .agg(count("vec_id").as("n_exact"), count("a_id").as("n_trunc"),
+        sum(when(col("vec_id").isNotNull && col("a_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(lit(16L).as("dims"), col("n_exact"), col("n_trunc"), col("n_common"),
+        round(col("n_common") / col("n_exact"), 4).as("recall_at_k"))
+  }
+
   /** q47 — cosine range search: all vectors within sim ≥ 0.3 of the query
     * (oracle-checked; the set-returning twin of top-k).
     */
@@ -373,6 +395,7 @@ object SimilarityQueries {
     "q109_pq_adc" -> q109_pq_adc,
     "q103_knn_join" -> q103_knn_join,
     "q46_cosine_topk" -> q46_cosine_topk,
+    "q182_mrl_recall_audit" -> q182_mrl_recall_audit,
     "q83_lsh_det" -> q83_lsh_det,
     "q47_cosine_range" -> q47_cosine_range,
     "q48_ivf_topk" -> q48_ivf_topk,
@@ -779,5 +802,22 @@ object SimilarityQueries {
       SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
       FROM embeddings, q
       WHERE vec_id <> $QueryVecId AND list_cosine_similarity(embedding::DOUBLE[], qv) >= 0.3
-      ORDER BY vec_id""")
+      ORDER BY vec_id""",
+    "q182_mrl_recall_audit" -> s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+      ex AS (SELECT vec_id FROM embeddings, q WHERE vec_id <> $QueryVecId
+             ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+             LIMIT 10),
+      tr AS (SELECT vec_id AS a_id FROM embeddings, q WHERE vec_id <> $QueryVecId
+             ORDER BY list_cosine_similarity((embedding::DOUBLE[])[1:16], qv[1:16]) DESC, vec_id
+             LIMIT 10),
+      j AS (SELECT ex.vec_id, tr.a_id FROM ex FULL OUTER JOIN tr ON vec_id = a_id)
+      SELECT CAST(16 AS BIGINT) AS dims,
+             count(vec_id) AS n_exact, count(a_id) AS n_trunc,
+             CAST(sum(CASE WHEN vec_id IS NOT NULL AND a_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+             round(CAST(sum(CASE WHEN vec_id IS NOT NULL AND a_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                   / count(vec_id), 4) AS recall_at_k
+      FROM j""")
 }

@@ -77,4 +77,26 @@ class LinkageSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
     assert(golden.toSeq == Seq((1L, 3L, "alice ltd", 90.0)), s"got ${golden.toSeq}")
   }
+
+  test("candidatePairsCapped: hot block dropped whole, cold pairs bit-identical, cap observable") {
+    // hot block h: 6 members (15 pairs); cold blocks match `people`'s
+    val hot = (10L until 16L).map(i => (i, s"p$i", "h", i * 1.0))
+    val df = people.union(hot.toDF("id", "name", "blk", "amt"))
+    val capped = Linkage.candidatePairsCapped(df, "id", Seq("blk"), maxBlockSize = 4)
+    val got = capped.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val open = Linkage.candidatePairs(people, "id", Seq("blk"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == open, s"cold blocks must be untouched: $got vs $open")
+    // the composite-key guard reports on the shared capBuckets channel
+    capped.collect()
+    val metrics = capped.queryExecution.observedMetrics
+      .collect { case (name, row) if name.startsWith("graft.capBuckets.") => row }
+    assert(metrics.nonEmpty, "a firing block cap must be observable")
+    assert(metrics.head.getAs[Long]("dropped_rows") == 6L, s"${metrics.head}")
+    // multi-column blocks with colliding concatenations stay distinct
+    val tricky = Seq((1L, "ab", "c", 1.0), (2L, "a", "bc", 1.0)).toDF("id", "b1", "b2", "x")
+    assert(Linkage.candidatePairsCapped(tricky, "id", Seq("b1", "b2"), 4).count() == 0,
+      "(ab, c) and (a, bc) are different blocks")
+  }
 }

@@ -23,6 +23,24 @@ class SimilaritySpec extends SparkSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("truncatedTopK ≡ brute force over prefix-sliced vectors; full-dims degenerates exactly") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.queryVector(emb, 0L)
+    // ground truth: physically slice the embeddings to 16 dims, then exact top-k
+    val sliced = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+    val want = Similarity.bruteForceTopK(sliced, q.take(16), 10, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val got = Similarity.truncatedTopK(emb, q, 10, dims = 16, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == want, s"$got vs $want")
+    // dims = full dimensionality must reproduce bruteForceTopK bit-for-bit
+    val full = Similarity.bruteForceTopK(emb, q, 10, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val trunc64 = Similarity.truncatedTopK(emb, q, 10, dims = q.length, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(trunc64 == full)
+  }
+
   test("IVF top-k achieves recall >= 0.5 vs brute force at nprobe=4/16 " +
       "and full recall at nprobe=16/16") {
     val q = Similarity.queryVector(emb, 0L)
