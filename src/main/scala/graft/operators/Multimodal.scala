@@ -262,6 +262,45 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-FRAME perceptual hashes for time media ([[sampleFrames]] →
+    * aHash): real multi-frame containers (animated GIF, MJPEG-AVI) get
+    * true per-frame aHashes (each sampled frame is a decodable PNG);
+    * fallback-path frames (unsupported codecs — deterministic byte
+    * slices) keep the byte-fold so exact binary duplicates still
+    * collide. One row per (media_id, frame_idx).
+    */
+  def videoFrameHashes(media: Dataset[MediaRecord],
+                       everyMs: Long = 500L, maxFrames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    sampleFrames(media.filter(_.modality == "video"), everyMs, maxFrames)
+      .mapPartitions { it =>
+        it.map { f =>
+          val p = if (f.frame_payload == null) Array.empty[Byte] else f.frame_payload
+          val img = if (p.nonEmpty) decodeImage(p) else null
+          val h =
+            if (img != null) aHashFromImage(img)
+            else p.foldLeft(0L)((a, b) => a * 31 + (b & 0xFF))
+          (f.media_id, f.frame_idx, h)
+        }
+      }.toDF("media_id", "frame_idx", "ahash")
+  }
+
+  /** Video near-dup pairs: two videos match when ANY sampled frame pair
+    * lands within `maxHamming` (the shot-sampling argument — re-encodes
+    * and trims keep most sampled frames perceptually close to SOME frame
+    * of the source). Reuses [[perceptualPairs]]' pigeonhole band join on
+    * the FRAME relation (multiple rows per media_id are exactly the
+    * desired multiplicity: every cross-video frame pair in a shared band
+    * bucket becomes a candidate), then folds to one row per video pair
+    * with the closest frame distance. Σ band-bucket² over frames, never
+    * videos² — and frames per video are capped by the sampler.
+    */
+  def videoPairs(frameHashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    perceptualPairs(frameHashes, maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(min("hamming").as("min_hamming"))
+
   /** `ImageIO.read` with the failure modes collapsed to null: it returns
     * null for unrecognized formats and throws IOException for recognized-
     * but-corrupt streams — a per-row decode failure either way.

@@ -525,6 +525,27 @@ object MiscQueries {
       .limit(50)
   }
 
+  /** q183 — video perceptual near-dup pairs
+    * ([[Multimodal.videoFrameHashes]] → [[Multimodal.videoPairs]]): two
+    * videos match when ANY sampled frame pair lands within Hamming ≤ 3 —
+    * per-frame aHash over [[Multimodal.sampleFrames]]' output, the
+    * pigeonhole band join on the FRAME relation, then a fold to the
+    * closest frame distance per video pair. On the synthetic corpus
+    * every video payload takes the deterministic byte-slice frame
+    * fallback and the byte-fold hash, so the whole pipeline — frame
+    * count from the fake duration, slice offsets, HUGEINT fold, bands,
+    * min-fold — is oracle-expressible; the REAL multi-frame path
+    * (animated GIF / MJPEG-AVI with a perturbed re-encode pairing, a
+    * different animation staying apart) is pinned in MultimodalSpec.
+    */
+  def q183_video_neardup: Q = (s, dir) => {
+    val media = Multimodal.mediaWithClones(s, Tables.documents(s, dir))
+    val fh = graft.operators.Stage.snapshotDF(
+      Multimodal.videoFrameHashes(media, everyMs = 500L, maxFrames = 4))
+    Multimodal.videoPairs(fh, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** q141 — weighted PageRank ([[Graph.pageRank]]) over the nation trade
     * graph: edge src→dst = supplier-nation ships to customer-nation,
     * weighted by lineitem count. Deriving the edges is the corpus-sized
@@ -696,6 +717,7 @@ object MiscQueries {
     "q141_pagerank" -> q141_pagerank,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q180_audio_neardup" -> q180_audio_neardup,
+    "q183_video_neardup" -> q183_video_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
     "q71_approx_distinct" -> q71_approx_distinct,
     "q76_salted_agg" -> q76_salted_agg,
@@ -926,6 +948,51 @@ object MiscQueries {
           ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)
       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
       ORDER BY id_a, id_b""",
+    // the q70/q150 fold contract through the byte-slice frame fallback:
+    // fake duration → frame count, (i·7) mod len slice offsets, HUGEINT
+    // fold per slice, unsigned-domain bands, min-fold per video pair
+    "q183_video_neardup" -> """
+      WITH src AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 100 = 0 AND doc_id % 3 = 2),
+      par AS (
+        SELECT media_id, text, length(text) AS len,
+               least(4, greatest(1, (1000 + length(text) % 9000) // 500)) AS n
+        FROM src),
+      fr AS (
+        SELECT media_id, i.i AS frame_idx,
+               substring(text, ((i.i * 7) % len) + 1,
+                         least(16, len - ((i.i * 7) % len))) AS sl
+        FROM par, (VALUES (0),(1),(2),(3)) i(i) WHERE i.i < n),
+      b0 AS (
+        SELECT media_id,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(regexp_extract_all(sl, '(?s).'),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, x) -> (a * 31 + x) % 18446744073709551616) AS u
+        FROM fr),
+      h AS (SELECT media_id, u,
+                   CASE WHEN u >= 9223372036854775808
+                        THEN CAST(u - 18446744073709551616 AS BIGINT)
+                        ELSE CAST(u AS BIGINT) END AS ahash
+            FROM b0),
+      bands AS (
+        SELECT media_id, ahash, d.band,
+               CAST((u // d.dv) % 65536 AS BIGINT) AS bval
+        FROM h, (VALUES (0, CAST(1 AS HUGEINT)),
+                        (1, CAST(65536 AS HUGEINT)),
+                        (2, CAST(4294967296 AS HUGEINT)),
+                        (3, CAST(281474976710656 AS HUGEINT))) d(band, dv)),
+      p AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)
+      SELECT id_a, id_b, min(hamming) AS min_hamming
+      FROM p WHERE hamming <= 3
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     // the q70/q150 fold contract extended through the StubDecoder feature
     // affine transform and the thermometer quantizer: float rounding is
     // mirrored by CAST(... AS REAL) before the double *8 (IEEE

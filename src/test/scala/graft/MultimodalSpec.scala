@@ -305,6 +305,47 @@ class MultimodalSpec extends SparkSuite {
     assert(img.filter($"duration_ms" =!= 0).count() == 0)
   }
 
+  test("video near-dup end-to-end on REAL MJPEG AVIs: brightness re-encode pairs, inverted apart") {
+    // half-black/half-white frames: aHash = one half's bits, stable under
+    // JPEG noise; a global brightness change is aHash-INVARIANT (the hash
+    // is mean-relative), an inversion flips every bit
+    def frameJpeg(invert: Boolean, hi: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val white = (x >= 8) ^ invert
+        val g = if (white) hi else 0
+        img.setRGB(x, y, g << 16 | g << 8 | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = chunk("LIST",
+        "movi".getBytes("US-ASCII") ++ frames.flatMap(chunk("00dc", _)))
+      chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    }
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "video", avi(Seq.fill(3)(frameJpeg(false, 255))), "a"),
+      Multimodal.MediaRecord(2L, "video", avi(Seq.fill(3)(frameJpeg(false, 230))), "b"),
+      Multimodal.MediaRecord(3L, "video", avi(Seq.fill(3)(frameJpeg(true, 255))), "c")).toDS()
+    val fh = Multimodal.videoFrameHashes(recs, everyMs = 100, maxFrames = 4)
+    val rows = fh.collect()
+    assert(rows.length == 9, s"3 real frames per AVI: ${rows.toSeq}")
+    val pairs = Multimodal.videoPairs(fh, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"only the brightness re-encode may pair: ${pairs.toSeq}")
+    assert(pairs.head._3 == 0L, "aHash is mean-relative: global brightness is invariant")
+  }
+
   /** 1 s of 16-bit mono PCM at 8 kHz as a WAV, segment s of 8 holding a
     * square wave of amplitude `amps(s)` (fraction of full scale) — the
     * same seg = i·8/n slicing [[Multimodal]]'s decoder uses, so each
