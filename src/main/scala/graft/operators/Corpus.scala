@@ -1120,4 +1120,61 @@ object Corpus {
     }
     selected.orderBy("sel_rank")
   }
+
+  /** Cross-snapshot token-distribution DRIFT per key: Jensen–Shannon
+    * divergence between each key's token frequency distributions in
+    * snapshot `a` and snapshot `b`, plus the single most-drifted token —
+    * the monitor a continuously-refreshed training corpus runs between
+    * releases ("did source X's content shift, and toward what?").
+    *
+    *   JS(p‖q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2
+    *
+    * with 0·ln(0/·) = 0 (tokens absent on one side contribute only
+    * through the present side). JS is symmetric, bounded by ln 2, and
+    * defined even for disjoint supports — the reasons it beats raw KL
+    * for drift monitoring.
+    *
+    * Scale shape: one tokenize+count aggregation PER SNAPSHOT (the only
+    * corpus-sized work), one (key, token)-keyed full-outer join of the
+    * two vocab-sized count relations, per-key totals from one more
+    * aggregation over that join (snapshotted — it feeds totals AND the
+    * divergence fold), and a broadcast-friendly totals join back. The
+    * probabilities are exact-integer ratios, so both engines divide
+    * identical doubles; Σ is float-order sensitive at ~1e-13, absorbed
+    * by the 6-decimal emission rounding (the q117 Σ·ln convention).
+    */
+  def tokenDistributionDrift(
+      a: DataFrame, b: DataFrame,
+      keyCol: String, textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(col(keyCol).as("__k"),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy("__k", "__tok").agg(count(lit(1)).as("__n"))
+    val joined = Stage.snapshotDF(
+      counts(a).withColumnRenamed("__n", "__na")
+        .join(counts(b).withColumnRenamed("__n", "__nb"), Seq("__k", "__tok"), "full_outer")
+        .na.fill(0L, Seq("__na", "__nb")))
+    val totals = joined.groupBy("__k")
+      .agg(sum("__na").as("__ta"), sum("__nb").as("__tb"))
+    // zero-total guard: a key absent from one snapshot would otherwise
+    // poison m with 0/0 = NaN and erase the PRESENT side's terms too
+    val p = when(col("__ta") > 0,
+      col("__na").cast("double") / col("__ta").cast("double")).otherwise(lit(0.0))
+    val q = when(col("__tb") > 0,
+      col("__nb").cast("double") / col("__tb").cast("double")).otherwise(lit(0.0))
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("__na") > 0, p * log(p / m) * lit(0.5)).otherwise(lit(0.0)) +
+        when(col("__nb") > 0, q * log(q / m) * lit(0.5)).otherwise(lit(0.0))
+    joined.join(totals, "__k")
+      .groupBy(col("__k").as(keyCol))
+      .agg(max("__ta").as("n_tokens_a"), max("__tb").as("n_tokens_b"),
+        round(sum(term), 6).as("js_divergence"),
+        max(struct(abs(p - q).as("d"), col("__tok").as("t"))).as("__top"))
+      .select(col(keyCol), col("n_tokens_a"), col("n_tokens_b"),
+        col("js_divergence"),
+        col("__top.t").as("top_drift_token"),
+        round(col("__top.d"), 6).as("top_drift"))
+  }
 }

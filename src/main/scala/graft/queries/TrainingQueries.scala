@@ -770,6 +770,28 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** q184 — cross-snapshot token drift
+    * ([[graft.operators.Corpus.tokenDistributionDrift]]): per-source
+    * Jensen–Shannon divergence between two releases of the corpus —
+    * snapshot A drops every 97th document, snapshot B drops every 89th
+    * and APPENDS drift tokens to every 7th (the q155 snapshot-derivation
+    * convention on the documents table) — plus the single most-drifted
+    * token per source. The release-to-release "did source X shift, and
+    * toward what?" monitor. Probabilities are exact-integer ratios; the
+    * JS fold's float-order jitter (~1e-13) is absorbed by the 6-decimal
+    * emission rounding, the q117 Σ·ln convention.
+    */
+  def q184_token_drift: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val a = docs.filter(col("doc_id") % 97 =!= 0)
+    val b = docs.filter(col("doc_id") % 89 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" drifted drifted drifted"))).otherwise(col("text")))
+    graft.operators.Corpus.tokenDistributionDrift(a, b, "source", "text")
+      .orderBy("source")
+  }
+
   /** q178 — sketch-algebra overlap audit: per source, the 2-shingle
     * vocabulary OVERLAP with the rest of the corpus, estimated by HLL
     * inclusion–exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B), where B =
@@ -817,6 +839,7 @@ object TrainingQueries {
   val all: Map[String, Q] = Map(
     "q154_incremental_datacard" -> q154_incremental_datacard,
     "q178_sketch_overlap" -> q178_sketch_overlap,
+    "q184_token_drift" -> q184_token_drift,
     "q110_mixture_weights" -> q110_mixture_weights,
     "q107_dup_spans" -> q107_dup_spans,
     "q131_span_removal" -> q131_span_removal,
@@ -943,6 +966,45 @@ object TrainingQueries {
              round(wr / sw, 4) AS weight,
              round(wr / sw / share_raw, 4) AS boost
       FROM w, z ORDER BY source""",
+    // q155's snapshot derivations on documents, then the JS fold with the
+    // same expression grouping Spark evaluates (p·ln(p/m)·0.5); totals
+    // cast BIGINT against DuckDB's HUGEINT sum widening
+    "q184_token_drift" -> raw"""
+      WITH av AS (SELECT source, text FROM documents WHERE doc_id % 97 <> 0),
+      bv AS (SELECT source,
+                    CASE WHEN doc_id % 7 = 0
+                         THEN text || ' drifted drifted drifted'
+                         ELSE text END AS text
+             FROM documents WHERE doc_id % 89 <> 0),
+      ca AS (SELECT k, tok, count(1) AS na FROM
+               (SELECT source AS k, unnest($tk) AS tok FROM av) GROUP BY 1, 2),
+      cb AS (SELECT k, tok, count(1) AS nb FROM
+               (SELECT source AS k, unnest($tk) AS tok FROM bv) GROUP BY 1, 2),
+      j AS (SELECT coalesce(ca.k, cb.k) AS k, coalesce(ca.tok, cb.tok) AS tok,
+                   coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+            FROM ca FULL OUTER JOIN cb ON ca.k = cb.k AND ca.tok = cb.tok),
+      t AS (SELECT k, sum(na) AS ta, sum(nb) AS tb FROM j GROUP BY 1),
+      x AS (SELECT j.k, j.tok, j.na, j.nb, t.ta, t.tb,
+                   CASE WHEN t.ta > 0 THEN CAST(j.na AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                        ELSE 0.0 END AS p,
+                   CASE WHEN t.tb > 0 THEN CAST(j.nb AS DOUBLE) / CAST(t.tb AS DOUBLE)
+                        ELSE 0.0 END AS q
+            FROM j JOIN t USING (k)),
+      s AS (SELECT k, CAST(max(ta) AS BIGINT) AS n_tokens_a,
+                   CAST(max(tb) AS BIGINT) AS n_tokens_b,
+                   round(sum(CASE WHEN na > 0 THEN p * ln(p / ((p + q) / 2)) * 0.5
+                                  ELSE 0.0 END
+                           + CASE WHEN nb > 0 THEN q * ln(q / ((p + q) / 2)) * 0.5
+                                  ELSE 0.0 END), 6) AS js_divergence
+            FROM x GROUP BY 1),
+      top AS (SELECT k, tok AS top_drift_token, round(ad, 6) AS top_drift FROM
+                (SELECT k, tok, abs(p - q) AS ad,
+                        row_number() OVER (PARTITION BY k
+                                           ORDER BY abs(p - q) DESC, tok DESC) AS rn
+                 FROM x) WHERE rn = 1)
+      SELECT s.k AS source, n_tokens_a, n_tokens_b, js_divergence,
+             top_drift_token, top_drift
+      FROM s JOIN top ON s.k = top.k ORDER BY 1""",
     "q178_sketch_overlap" -> raw"""
       WITH st AS MATERIALIZED (
         SELECT DISTINCT source, token FROM (

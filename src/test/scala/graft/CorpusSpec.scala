@@ -477,4 +477,33 @@ class CorpusSpec extends SparkSuite {
     // rank 3: doc 4 ({e}). rank 4+: nothing has gain ≥ 1 → only 3 rows.
     assert(got == Seq((1, 1L, 3L), (2, 2L, 1L), (3, 4L, 1L)), s"got $got")
   }
+
+  test("tokenDistributionDrift: hand-computed JS, disjoint supports hit ln 2, one-sided keys survive") {
+    // key "s": A = {a:2, b:2} (p = ½,½), B = {a:3, b:1} (q = ¾,¼)
+    //   JS = ½[½ln(½/0.625)+½ln(½/0.375)] + ½[¾ln(¾/0.625)+¼ln(¼/0.375)]
+    // key "t": disjoint supports {x} vs {y} → JS = ln 2
+    // key "u": present only in A → zero-total guard must not NaN the row
+    val a = Seq(("s", "a a b b"), ("t", "x x"), ("u", "w w w")).toDF("src", "text")
+    val b = Seq(("s", "a a a b"), ("t", "y y")).toDF("src", "text")
+    val got = Corpus.tokenDistributionDrift(a, b, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getDouble(5)))).toMap
+    def js2(p: Seq[Double], q: Seq[Double]): Double =
+      p.zip(q).map { case (pi, qi) =>
+        val m = (pi + qi) / 2
+        (if (pi > 0) pi * math.log(pi / m) * 0.5 else 0.0) +
+          (if (qi > 0) qi * math.log(qi / m) * 0.5 else 0.0)
+      }.sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (na, nb, js, tok, drift) = got("s")
+    assert((na, nb) == ((4L, 4L)))
+    assert(math.abs(js - r6(js2(Seq(0.5, 0.5), Seq(0.75, 0.25)))) < 1e-9, s"js $js")
+    // both tokens drift by ¼ — the tie breaks to the LARGER token
+    assert(tok == "b" && math.abs(drift - 0.25) < 1e-9)
+    val (_, _, jsT, _, driftT) = got("t")
+    assert(math.abs(jsT - r6(math.log(2.0))) < 1e-9, s"disjoint JS must be ln2: $jsT")
+    assert(math.abs(driftT - 1.0) < 1e-9)
+    val (nu, nbu, jsU, _, _) = got("u")
+    assert(nu == 3L && nbu == 0L && !jsU.isNaN, s"one-sided key must stay finite: $jsU")
+  }
 }

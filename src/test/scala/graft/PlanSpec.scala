@@ -626,6 +626,36 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "the sources² sketch join must stay an equi/theta join")
   }
 
+  test("q179: guarded basket rules read snapshots only — no corpus rescan, no cartesian") {
+    val p = plan("q179_basket_guarded")
+    assert(!p.contains("FileScan parquet"),
+      s"pair/support stages must read the projection snapshots:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q180/q183: perceptual band joins run on the hash snapshot, never re-decode") {
+    for (q <- Seq("q180_audio_neardup", "q183_video_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("FileScan parquet"),
+        s"$q: both band-join sides must read the decoded-hash snapshot:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), s"$q: band join degraded to a cartesian")
+    }
+  }
+
+  test("q181: HyperBall levels are snapshot-fed — the final plan never rescans lineitem") {
+    val p = plan("q181_hll_closeness")
+    assert(!p.contains("FileScan parquet [l_"),
+      "final plan rescans lineitem — ball levels not snapshotted")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q182: both audit sides are top-k pushed (TakeOrderedAndProject), no cartesian") {
+    val p = plan("q182_mrl_recall_audit")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"exact and truncated sides must both push limit into the sort:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
