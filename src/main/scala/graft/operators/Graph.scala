@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Symmetrized, self-loop-free, deduplicated edge snapshot — the shared
+    * prologue of every undirected-graph operator here. The snapshot
+    * matters doubly: the union references `fwd` twice (an expensive edge
+    * derivation would otherwise execute per branch, the
+    * [[Dedup.connectedComponents]] concern), and the result fans out to
+    * every iteration downstream.
+    */
+  private def symmetrized(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val fwd = Stage.snapshotDF(edges.select(col(srcCol).as("s"), col(dstCol).as("d")))
+    Stage.snapshotDF(
+      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+  }
+
   /** Weighted PageRank with proper dangling-mass redistribution.
     *
     * rank_{t+1}(v) = (1−d)/N + d·( Σ_{u→v} rank_t(u)·w(u,v)/outw(u)
@@ -104,10 +118,7 @@ object Graph {
       source: Long,
       maxHops: Int = 6): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
-    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-    val e = Stage.snapshotDF(
-      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
-        .filter(col("s") =!= col("d")).distinct())
+    val e = symmetrized(edges, srcCol, dstCol)
     var dist = e.sparkSession.range(1)
       .select(lit(source).cast(e.schema("s").dataType).as("node"), lit(0).as("hops"))
     for (h <- 1 to maxHops) {
@@ -145,10 +156,7 @@ object Graph {
       iterations: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-    var e = Stage.snapshotDF(
-      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
-        .filter(col("s") =!= col("d")).distinct())
+    var e = symmetrized(edges, srcCol, dstCol)
     for (_ <- 1 to iterations) {
       val keep = e.groupBy("s").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select("s")
@@ -177,10 +185,7 @@ object Graph {
       dstCol: String,
       maxHops: Int = 6): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
-    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-    val e = Stage.snapshotDF(
-      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
-        .filter(col("s") =!= col("d")).distinct())
+    val e = symmetrized(edges, srcCol, dstCol)
     var dist = e.select(col("s").as("src")).distinct()
       .select(col("src"), col("src").as("node"), lit(0).as("hops"))
     for (h <- 1 to maxHops) {
@@ -231,10 +236,7 @@ object Graph {
       maxHops: Int = 6,
       lgK: Int = 12): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
-    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-    val e = Stage.snapshotDF(
-      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
-        .filter(col("s") =!= col("d")).distinct())
+    val e = symmetrized(edges, srcCol, dstCol)
     // ball_0 = {self}; the sketch aggregate needs a group — one per node
     var ball = Stage.snapshotDF(
       e.select(col("s").as("node")).distinct()
@@ -288,10 +290,7 @@ object Graph {
       dstCol: String,
       iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val fwd = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-    val e = Stage.snapshotDF(
-      fwd.union(fwd.select(col("d").as("s"), col("s").as("d")))
-        .filter(col("s") =!= col("d")).distinct())
+    val e = symmetrized(edges, srcCol, dstCol)
     val byNode = org.apache.spark.sql.expressions.Window.partitionBy("node")
     var labels = e.select(col("s").as("node")).distinct()
       .withColumn("label", col("node"))

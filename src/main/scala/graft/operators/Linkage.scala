@@ -66,9 +66,14 @@ object Linkage {
       df: DataFrame, idCol: String, blockCols: Seq[String],
       maxBlockSize: Int): DataFrame = {
     require(maxBlockSize > 1, s"need maxBlockSize > 1: $maxBlockSize")
+    // null-key rows can never pair (null never equi-joins) in EITHER
+    // form — exclude them up front so the cap accounting never counts
+    // rows into a pseudo-block (concat_ws silently SKIPS nulls, which
+    // would merge ("en", null) and (null, "en"))
+    val joinable = df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
     // one composite key column (unit-separator joined, so ("ab","c") and
     // ("a","bc") stay distinct blocks); the window count shuffles once
-    val keyed = df.withColumn("__blk",
+    val keyed = joinable.withColumn("__blk",
       concat_ws("\u0001", blockCols.map(c => col(c).cast("string")): _*))
     val capped = Dedup.capBuckets(keyed, "__blk", maxBlockSize).drop("__blk")
     candidatePairs(capped, idCol, blockCols)

@@ -27,6 +27,15 @@ object Multimodal {
     if (System.getProperty("java.awt.headless") == null)
       System.setProperty("java.awt.headless", "true")
 
+  /** The wrapping 31-fold over raw bytes — ONE definition for every
+    * fallback-hash site (StubDecoder checksum, perceptualHashes,
+    * videoFrameHashes): its bit-for-bit behavior is oracle-pinned (the
+    * q70 HUGEINT fold contract), so drift between copies would silently
+    * break oracle parity.
+    */
+  private[graft] def byteFold(p: Array[Byte]): Long =
+    p.foldLeft(0L)((a, b) => a * 31 + (b & 0xFF))
+
   /** A multimodal record: opaque payload + typed metadata. */
   case class MediaRecord(
       media_id: Long,
@@ -61,7 +70,7 @@ object Multimodal {
     override def decode(rec: MediaRecord): MediaFeatures = {
       val bytes = if (rec.payload == null) Array.empty[Byte] else rec.payload
       val n = bytes.length
-      val checksum = bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xFF))
+      val checksum = byteFold(bytes)
       val feats = Array.tabulate(featureDim) { i =>
         // stable per (payload, index) pseudo-feature in [0, 1)
         (((checksum + i * 2654435761L) & 0x7FFFFFFF).toDouble / Int.MaxValue).toFloat
@@ -201,7 +210,7 @@ object Multimodal {
         val img = if (rec.modality == "image" && p.nonEmpty) decodeImage(p) else null
         if (img != null) MediaHash(rec.media_id, rec.modality, aHashFromImage(img), decoded = true)
         else MediaHash(rec.media_id, rec.modality,
-          p.foldLeft(0L)((a, b) => a * 31 + (b & 0xFF)), decoded = false)
+          byteFold(p), decoded = false)
       }
     }
   }
@@ -280,7 +289,7 @@ object Multimodal {
           val img = if (p.nonEmpty) decodeImage(p) else null
           val h =
             if (img != null) aHashFromImage(img)
-            else p.foldLeft(0L)((a, b) => a * 31 + (b & 0xFF))
+            else byteFold(p)
           (f.media_id, f.frame_idx, h)
         }
       }.toDF("media_id", "frame_idx", "ahash")
@@ -582,6 +591,12 @@ object Multimodal {
   def mediaWithClones(spark: SparkSession, docs: DataFrame,
                       every: Int = 100, idOffset: Long = 1000000L): Dataset[MediaRecord] = {
     import spark.implicits._
+    // id-namespace guard: a doc_id at or above the offset would collide
+    // with a clone id and silently merge two distinct records (one
+    // column-pruned max scan — this is a fixture builder, not a hot path)
+    val maxId = docs.agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
+    require(maxId < idOffset,
+      s"doc_id $maxId collides with the clone id namespace (offset $idOffset)")
     val base = mediaFromDocuments(spark, docs)
     val clones = mediaFromDocuments(spark, docs.filter(col("doc_id") % every === 0))
       .withColumn("media_id", col("media_id") + idOffset)

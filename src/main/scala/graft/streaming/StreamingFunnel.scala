@@ -105,8 +105,12 @@ object StreamingFunnel {
         TimeMode.None(), OutputMode.Append())
   }
 
-  /** (cohort epoch-day, 7-bit offset mask); day −1 = unset. */
+  /** (cohort epoch-day, 7-bit offset mask); Int.MinValue = unset (a real
+    * epoch day can be negative — 1969-12-31 is −1 — so small sentinels
+    * collide).
+    */
   private case class CohortMask(day: Int, mask: Int)
+  private val UnsetDay = Int.MinValue
 
   private class RetentionProcessor(maxOffset: Int)
       extends StatefulProcessor[Long, FunnelEvent, RetentionHit] {
@@ -119,11 +123,11 @@ object StreamingFunnel {
         .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay.toInt
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[RetentionHit] = {
-      var cur = if (st.exists()) st.get() else CohortMask(-1, 0)
+      var cur = if (st.exists()) st.get() else CohortMask(UnsetDay, 0)
       val out = Seq.newBuilder[RetentionHit]
       rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
         val d = epochDay(e.ts)
-        if (cur.day == -1) cur = CohortMask(d, 0)
+        if (cur.day == UnsetDay) cur = CohortMask(d, 0)
         val off = d - cur.day
         if (off >= 0 && off <= maxOffset && (cur.mask & (1 << off)) == 0) {
           cur = cur.copy(mask = cur.mask | (1 << off))

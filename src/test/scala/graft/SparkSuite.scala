@@ -14,4 +14,15 @@ trait SparkSuite extends AnyFunSuite {
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
+
+  /** transformWithState needs a multi-column-family store → RocksDB
+    * provider, scoped per test: leaving it set would silently re-run
+    * every later streaming test on RocksDB.
+    */
+  def withRocksDb[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -13,17 +13,6 @@ import graft.streaming.{FunnelEvent, StreamingFunnel}
 class StreamingFunnelSpec extends SparkSuite {
   import spark.implicits._
 
-  /** transformWithState needs a multi-column-family store → RocksDB
-    * provider, scoped per test (leaving it set would silently re-run
-    * every later streaming test on RocksDB — StreamingSpec convention).
-    */
-  private def withRocksDb[A](body: => A): A = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-  }
-
   // the full sf0.001 event log in event-time order (in-order delivery);
   // ties broken by event_id so slicing is deterministic
   private lazy val ordered: Seq[FunnelEvent] =
@@ -132,5 +121,27 @@ class StreamingFunnelSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(batch.nonEmpty)
     assert(triangle == batch, s"triangle mismatch:\nstream $triangle\nbatch $batch")
+  }}
+
+  test("retention cohort anchors on a pre-1970 first event (epoch day −1 is a real day, not the sentinel)") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.retentionHits(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sret69").start()
+    // first event 1969-12-31T12:00Z (epoch day −1), then activity on the
+    // next two days — the cohort must anchor ONCE and offsets count from it
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val day = 86400000L
+    mem.addData(
+      FunnelEvent(7L, "view", ts(-day / 2)),
+      FunnelEvent(7L, "view", ts(day / 2)))
+    q.processAllAvailable()
+    mem.addData(FunnelEvent(7L, "view", ts(day + day / 2)))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("sret69")
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSet
+    assert(hits == Set(("1969-12-31", 0), ("1969-12-31", 1), ("1969-12-31", 2)),
+      s"cohort must stay anchored at 1969-12-31: $hits")
   }}
 }

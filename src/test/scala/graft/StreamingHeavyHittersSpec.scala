@@ -14,13 +14,6 @@ import graft.streaming.{StreamingHeavyHitters, TokenEvent}
 class StreamingHeavyHittersSpec extends SparkSuite {
   import spark.implicits._
 
-  private def withRocksDb[A](body: => A): A = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-  }
-
   // group "g": 400 "hot" + 600 tail tokens over 50 distinct values,
   // deterministically interleaved; group "h": pure uniform control
   private val events: Seq[TokenEvent] = {
