@@ -93,6 +93,39 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Cross-snapshot EMBEDDING drift per label: the cosine between each
+    * label's centroid in snapshot `a` and in snapshot `b` — the
+    * embedding-space twin of the token-distribution drift monitor
+    * ([[Corpus.tokenDistributionDrift]]): "did this cluster's semantic
+    * center move between releases?" Cosine of the component SUMS equals
+    * cosine of the means (scale cancels), so no per-label division ever
+    * happens — the statistic is a ratio of three exact-shaped double
+    * folds, emitted under 6-decimal rounding (sum-order jitter ~1e-13,
+    * the q117 convention).
+    *
+    * Scale shape: one posexplode + (label, pos) aggregation PER snapshot
+    * (corpus×dim rows through one shuffle each — the only corpus-sized
+    * work), then everything runs on the |labels|·dim component relation.
+    * Labels absent from a side emit null cosine (0/0 never evaluated).
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, labelCol: String): DataFrame = {
+    def sums(df: DataFrame, sCol: String, nCol: String): DataFrame = {
+      val comp = df.select(col(labelCol).as("__l"),
+          posexplode(toDoubleArray(col("embedding"))).as(Seq("__p", "__x")))
+        .groupBy("__l", "__p").agg(sum("__x").as(sCol))
+      val n = df.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as(nCol))
+      comp.join(n, "__l")
+    }
+    sums(a, "__sa", "n_a")
+      .join(sums(b, "__sb", "n_b"), Seq("__l", "__p"), "full_outer")
+      .groupBy(col("__l").as(labelCol))
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        round(sum(col("__sa") * col("__sb")) /
+          (sqrt(sum(col("__sa") * col("__sa"))) * sqrt(sum(col("__sb") * col("__sb")))), 6)
+          .as("centroid_cosine"))
+      .na.fill(0L, Seq("n_a", "n_b"))
+  }
+
   /** Matryoshka-style truncated-dimension cosine top-k: score on the
     * FIRST `dims` components only (Kusupati et al. 2022 — MRL-trained
     * embeddings concentrate meaning in the prefix, so a prefix scan reads

@@ -56,6 +56,26 @@ object SimilarityQueries {
         round(col("n_common") / col("n_exact"), 4).as("recall_at_k"))
   }
 
+  /** q185 — cross-snapshot embedding drift
+    * ([[Similarity.embeddingDrift]]): per-label centroid cosine between
+    * two releases of the embeddings table — release A drops every 97th
+    * vector, release B drops every 89th and re-scales every 11th by 1.25
+    * (in double, so both engines run identical arithmetic; the scaling
+    * shifts centroid DIRECTION only through the scaled subset, which is
+    * the point — uniform re-scaling cancels in cosine). The
+    * embedding-space twin of q184's token drift.
+    */
+  def q185_embedding_drift: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.filter(col("vec_id") % 97 =!= 0)
+    val b = emb.filter(col("vec_id") % 89 =!= 0)
+      .withColumn("embedding",
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding"), x => x.cast("double") * lit(1.25)))
+          .otherwise(Similarity.toDoubleArray(col("embedding"))))
+    Similarity.embeddingDrift(a, b, "label").orderBy("label")
+  }
+
   /** q47 — cosine range search: all vectors within sim ≥ 0.3 of the query
     * (oracle-checked; the set-returning twin of top-k).
     */
@@ -396,6 +416,7 @@ object SimilarityQueries {
     "q103_knn_join" -> q103_knn_join,
     "q46_cosine_topk" -> q46_cosine_topk,
     "q182_mrl_recall_audit" -> q182_mrl_recall_audit,
+    "q185_embedding_drift" -> q185_embedding_drift,
     "q83_lsh_det" -> q83_lsh_det,
     "q47_cosine_range" -> q47_cosine_range,
     "q48_ivf_topk" -> q48_ivf_topk,
@@ -803,6 +824,36 @@ object SimilarityQueries {
       FROM embeddings, q
       WHERE vec_id <> $QueryVecId AND list_cosine_similarity(embedding::DOUBLE[], qv) >= 0.3
       ORDER BY vec_id""",
+    // centroid cosine per label: cosine of the component SUMS (≡ cosine
+    // of means); the 1.25 rescale runs in DOUBLE on both engines
+    "q185_embedding_drift" -> s"""
+      WITH av AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id % 97 <> 0),
+      bv AS (SELECT label,
+                    CASE WHEN vec_id % 11 = 0
+                         THEN list_transform(embedding::DOUBLE[], x -> x * 1.25)
+                         ELSE embedding::DOUBLE[] END AS v
+             FROM embeddings WHERE vec_id % 89 <> 0),
+      ea AS (SELECT label, u.p AS p, sum(u.x) AS sa FROM
+               (SELECT label, unnest(list_transform(range(1, len(v) + 1),
+                  i -> struct_pack(p := i, x := v[i::INT]))) AS u FROM av)
+             GROUP BY 1, 2),
+      eb AS (SELECT label, u.p AS p, sum(u.x) AS sb FROM
+               (SELECT label, unnest(list_transform(range(1, len(v) + 1),
+                  i -> struct_pack(p := i, x := v[i::INT]))) AS u FROM bv)
+             GROUP BY 1, 2),
+      na AS (SELECT label, count(1) AS n_a FROM av GROUP BY 1),
+      nb AS (SELECT label, count(1) AS n_b FROM bv GROUP BY 1),
+      j AS (SELECT coalesce(ea.label, eb.label) AS label, sa, sb
+            FROM ea FULL OUTER JOIN eb ON ea.label = eb.label AND ea.p = eb.p),
+      c AS (SELECT label,
+                   round(sum(sa * sb) / (sqrt(sum(sa * sa)) * sqrt(sum(sb * sb))), 6)
+                     AS centroid_cosine
+            FROM j GROUP BY 1)
+      SELECT c.label, coalesce(na.n_a, 0) AS n_a, coalesce(nb.n_b, 0) AS n_b,
+             centroid_cosine
+      FROM c LEFT JOIN na ON c.label = na.label LEFT JOIN nb ON c.label = nb.label
+      ORDER BY 1""",
     "q182_mrl_recall_audit" -> s"""
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId),
       ex AS (SELECT vec_id FROM embeddings, q WHERE vec_id <> $QueryVecId

@@ -656,6 +656,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q184: the divergence fold reads the joined-count snapshot, never re-tokenizes") {
+    val p = plan("q184_token_drift")
+    assert(!p.contains("FileScan parquet"),
+      s"totals + JS fold must read the vocab snapshot:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q185: embedding drift shuffles component sums, no cartesian") {
+    val p = plan("q185_embedding_drift")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate"), "posexplode must drive the component relation")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)

@@ -41,6 +41,21 @@ class SimilaritySpec extends SparkSuite {
     assert(trunc64 == full)
   }
 
+  test("embeddingDrift: identical snapshots give cosine 1; one-sided labels stay null-safe") {
+    import org.apache.spark.sql.functions._
+    val same = Similarity.embeddingDrift(emb, emb, "label")
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(same.nonEmpty && same.values.forall(c => math.abs(c - 1.0) < 1e-9),
+      s"self-drift must be exactly 1: $same")
+    // label present only on one side: counts survive, cosine is null
+    val a = emb.filter(col("label") === 0)
+    val b = emb.filter(col("label") === 1)
+    val rows = Similarity.embeddingDrift(a, b, "label").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.isNullAt(3)))).toMap
+    assert(rows(0)._1 > 0 && rows(0)._2 == 0 && rows(0)._3, s"$rows")
+    assert(rows(1)._1 == 0 && rows(1)._2 > 0 && rows(1)._3, s"$rows")
+  }
+
   test("IVF top-k achieves recall >= 0.5 vs brute force at nprobe=4/16 " +
       "and full recall at nprobe=16/16") {
     val q = Similarity.queryVector(emb, 0L)
