@@ -97,4 +97,61 @@ object Checks {
       .reduce(_ unionByName _)
       .orderBy("check_name")
   }
+
+  /** Population Stability Index of a numeric column between a REFERENCE
+    * snapshot and a CURRENT one — the classic release-gate drift stat
+    * completing the monitor family (tokens → [[Corpus.tokenDistributionDrift]],
+    * embeddings → [[Similarity.embeddingDrift]], numeric columns → here):
+    *
+    *   PSI = Σ_b (p'_b − q'_b) · ln(p'_b / q'_b),
+    *   p' = ref_frac + ε, q' = cur_frac + ε
+    *
+    * over `bins` equal-population bins cut at the REFERENCE's exact
+    * continuous quantiles (computed once, entering both plans as driver
+    * double literals — the centroid/codebook convention, so the oracle
+    * interpolates identical boundaries). The ε-smoothing (declared, part
+    * of the definition) keeps bins the current snapshot vacated finite —
+    * an empty bin is precisely the drift signal PSI exists to flag, and
+    * the standard reading (< 0.1 stable, > 0.25 shifted) assumes the
+    * smoothed form. A value exactly ON a boundary bins LOW (strict `>`
+    * against each boundary) in both engines.
+    *
+    * Emits ONE ROW PER BIN (`psi_term` sums to the index — a rollup the
+    * caller can do; per-bin terms localize WHERE the mass moved, which
+    * the scalar alone cannot). Scale shape: one exact-quantile pass over
+    * the reference, one binning aggregation per snapshot (map-side
+    * literal comparisons → `bins` groups), one broadcast totals join.
+    */
+  def populationStability(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10, epsilon: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need bins >= 2: $bins")
+    require(epsilon > 0, s"need epsilon > 0: $epsilon")
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    // boundaries rounded to 6 decimals (DuckDB round semantics, the
+    // Similarity replica) — absorbs any 1-ulp interpolation-association
+    // difference between the two engines' exact-percentile kernels
+    val bounds = ref
+      .agg(expr(s"percentile(cast($valueCol as double), array(${ps.map(p => s"${p}D").mkString(", ")}))"))
+      .head().getSeq[Double](0).map(Similarity.duckRound6)
+    val v = col(valueCol).cast("double")
+    val binC = bounds.map(b => when(v > lit(b), 1).otherwise(0))
+      .reduce(_ + _).cast("long").as("bin")
+    def binned(df: DataFrame, nCol: String): DataFrame =
+      df.select(binC).groupBy("bin").agg(count(lit(1)).as(nCol))
+    val joined = binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val pf = col("n_ref").cast("double") / col("__tr").cast("double")
+    val qf = col("n_cur").cast("double") / col("__tc").cast("double")
+    val p = pf + lit(epsilon)
+    val q = qf + lit(epsilon)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pf, 6).as("ref_frac"),
+        round(qf, 6).as("cur_frac"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy("bin")
+  }
 }

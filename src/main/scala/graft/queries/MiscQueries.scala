@@ -229,6 +229,28 @@ object MiscQueries {
       Checks.SubsetOf("o_custkey", Tables.customer(s, dir), "c_custkey")))
   }
 
+  /** q186 — PSI release gate ([[graft.operators.Checks.populationStability]]):
+    * order-price population stability between two releases — reference
+    * drops every 97th order, current drops every 89th and re-prices every
+    * 13th by ×1.25 (double arithmetic, mirrored exactly) — over 10
+    * equal-population bins cut at the reference's exact deciles (driver
+    * double literals, rounded to 6 under the shared DuckDB-round replica
+    * so both engines bin identical boundaries). One row per bin: counts,
+    * fractions, and the smoothed PSI term (Σ = the index; per-bin terms
+    * localize WHERE the mass moved). The numeric-column member of the
+    * drift-monitor family (q184 tokens, q185 embeddings).
+    */
+  def q186_psi_drift: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val ref = o.filter(col("o_orderkey") % 97 =!= 0)
+    val cur = o.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0,
+          col("o_totalprice").cast("double") * lit(1.25))
+          .otherwise(col("o_totalprice").cast("double")))
+    graft.operators.Checks.populationStability(ref, cur, "o_totalprice", bins = 10)
+  }
+
   /** q164 — market-basket pair rules ([[graft.operators.Association]]):
     * top-20 co-ordered part pairs by lift (support ≥ 2) over the
     * lineitem order-baskets. One distinct (basket, item) projection, one
@@ -705,6 +727,7 @@ object MiscQueries {
     "q153_zorder_scan" -> q153_zorder_scan,
     "q157_bloom_lookup" -> q157_bloom_lookup,
     "q159_quality_checks" -> q159_quality_checks,
+    "q186_psi_drift" -> q186_psi_drift,
     "q164_market_basket" -> q164_market_basket,
     "q179_basket_guarded" -> q179_basket_guarded,
     "q165_triangles" -> q165_triangles,
@@ -803,6 +826,36 @@ object MiscQueries {
              round(lift, 4) AS lift, round(conf, 4) AS conf_a_to_b
       FROM (SELECT * FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20) top
       ORDER BY lift DESC, item_a, item_b""",
+    // reference deciles via quantile_cont rounded to 6 (both engines bin
+    // identical boundaries); the ε-smoothed PSI term mirrors Spark's
+    // expression grouping exactly
+    "q186_psi_drift" -> """
+      WITH rv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                  WHERE o_orderkey % 97 <> 0),
+      cv AS (SELECT CASE WHEN o_orderkey % 13 = 0
+                         THEN CAST(o_totalprice AS DOUBLE) * 1.25
+                         ELSE CAST(o_totalprice AS DOUBLE) END AS v
+             FROM orders WHERE o_orderkey % 89 <> 0),
+      b AS (SELECT list_transform(
+              quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+              x -> round(x, 6)) AS qs FROM rv),
+      rb AS (SELECT len(list_filter(b.qs, q -> v > q)) AS bin, count(1) AS n_ref
+             FROM rv, b GROUP BY 1),
+      cb AS (SELECT len(list_filter(b.qs, q -> v > q)) AS bin, count(1) AS n_cur
+             FROM cv, b GROUP BY 1),
+      j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+                   coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+            FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+      t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+      SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+             round(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS ref_frac,
+             round(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS cur_frac,
+             round((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) + 1e-6
+                    - (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) + 1e-6))
+                   * ln((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) + 1e-6)
+                        / (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) + 1e-6)), 6)
+               AS psi_term
+      FROM j, t ORDER BY 1""",
     // the guarded twin: cap re-derived from the size histogram with one
     // cumulative window (the defined-approximation contract in the
     // q179 scaladoc); denominators stay global

@@ -77,4 +77,23 @@ class ChecksSpec extends SparkSuite {
     assert(!rep("range:o_totalprice"), "the tight range gate must FAIL (measured, not assumed)")
     assert(rep.filterNot(_._1 == "range:o_totalprice").values.forall(identity))
   }
+
+  test("populationStability: identical snapshots are exactly zero; a shift is flagged; boundary values bin low") {
+    import spark.implicits._
+    val ref = (0 to 100).map(_.toDouble).toDF("v")
+    val same = graft.operators.Checks.populationStability(ref, ref, "v", bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // 0..100 with quartile cuts at 25/50/75 (exact data values): a value
+    // ON a boundary bins LOW, so bin 0 holds 0..25 = 26 members
+    assert(same.map(t => t._1 -> t._2).toMap == Map(0L -> 26L, 1L -> 25L, 2L -> 25L, 3L -> 25L),
+      s"got ${same.toSeq}")
+    assert(same.forall(t => t._2 == t._3 && t._4 == 0.0),
+      s"self-PSI must be exactly zero per bin: ${same.toSeq}")
+    // shifted population: most mass leaves the low bins → PSI over the
+    // 0.25 'significant shift' reading
+    val cur = (61 to 160).map(_.toDouble).toDF("v")
+    val psi = graft.operators.Checks.populationStability(ref, cur, "v", bins = 4)
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head().getDouble(0)
+    assert(psi > 0.25, s"a 60-point shift must flag: $psi")
+  }
 }
