@@ -93,6 +93,55 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
   }
 
+  /** ColBERT-style late-interaction (MaxSim) top-k: treat the query and
+    * each document as `subVecs` sub-vectors (contiguous `dim/subVecs`
+    * blocks — the multi-vector layout flattened into the one embedding
+    * column, the storage shape a real late-interaction index uses) and
+    * score
+    *
+    *   maxsim(q, d) = Σ_i max_j ⟨q_i, d_j⟩
+    *
+    * — each query sub-vector matches its BEST document sub-vector, summed.
+    * This is the retrieval scorer dense single-vector cosine cannot
+    * express (a document strong on two disjoint aspects of the query beats
+    * one mediocre on both).
+    *
+    * Scale shape: the exact baseline, same contract as [[bruteForceTopK]] —
+    * query sub-vectors enter as driver literals folded into ONE codegen'd
+    * projection (subVecs² fused [[dot]] kernels + exact `greatest`/`+`
+    * combine, no intermediate arrays, no UDF), then `TakeOrdered(k)` — a
+    * map-only scan with per-partition top-k, never a shuffle of vectors.
+    * The blocked scale path composes exactly as for cosine: any of the
+    * IVF/LSH block assignments upstream of this scorer (the q48/q91
+    * machinery) cuts the scanned fraction without touching the scoring
+    * expression. Sum order is the fixed left fold i = 0..subVecs−1 —
+    * the cross-engine determinism contract ([[cosSeq]] convention).
+    */
+  def maxSimTopK(
+      embeddings: DataFrame,
+      query: Seq[Double],
+      subVecs: Int,
+      k: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    require(subVecs > 0 && query.nonEmpty && query.length % subVecs == 0,
+      s"need dim divisible by subVecs: dim=${query.length}, subVecs=$subVecs")
+    val subDim = query.length / subVecs
+    val dv = toDoubleArray(col("embedding"))
+    val docSubs = (0 until subVecs).map(j => slice(dv, j * subDim + 1, subDim))
+    val score = query.grouped(subDim).map { qs =>
+      val qLit = array(qs.map(lit).toSeq: _*)
+      greatest(docSubs.map(ds => dot(ds, qLit)): _*)
+    }.reduce(_ + _)
+    val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
+    base
+      .withColumn("maxsim", score)
+      .orderBy(col("maxsim").desc, col("vec_id").asc)
+      .limit(k)
+      // + 0.0 canonicalizes a rounded -0.0 (the q68 repr-hash convention)
+      .select(col("vec_id"), col("label"),
+        (round(col("maxsim"), 4) + lit(0.0)).as("maxsim"))
+  }
+
   /** Cross-snapshot EMBEDDING drift per label: the cosine between each
     * label's centroid in snapshot `a` and in snapshot `b` — the
     * embedding-space twin of the token-distribution drift monitor

@@ -144,6 +144,59 @@ object TimeSeries {
   /** Shared window tail: z → running sums → running mins → rounded scores.
     * Expects (key, __ts, __id, z).
     */
+  /** Per-key exponentially-weighted moving average with breach counting —
+    * the EWMA control chart (the third member of the sequential-monitor
+    * family: CUSUM drift [[cusum]], spike detection, and here smoothing +
+    * deviation alarms):
+    *
+    *   ewma_1 = x_1;  ewma_t = α·x_t + (1−α)·ewma_{t−1}
+    *
+    * a breach is `|x_t − ewma_{t−1}| > threshold` (the point judged
+    * against the PRE-update smoothed level). Emits per key: point count,
+    * final EWMA (6-rounded), breach count.
+    *
+    * The fold is a per-key LEFT-TO-RIGHT `aggregate` over the (ts, id)-
+    * sorted value sequence — init = first value, fold from the second —
+    * element-for-element the recurrence's own order, which is also
+    * exactly DuckDB's `list_reduce` contract, so the oracle replays the
+    * identical IEEE operation sequence (the [[Similarity.cosSeq]]
+    * determinism convention; a window-sum formulation would leave the
+    * float combine order to the shuffle).
+    *
+    * Scale shape: one key-shuffle collecting each key's own sequence,
+    * then a codegen'd higher-order fold per row — per-KEY memory, never
+    * per-corpus; fine while a key's history fits an executor (events
+    * fixture: hundreds/user). For unbounded histories the streaming twin
+    * ([[graft.streaming.StreamingEwma]]) carries the same fold as two
+    * words of state per key, incremental and infinite.
+    */
+  def ewma(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, alpha: Double, threshold: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(threshold > 0, s"need threshold > 0, got $threshold")
+    val seq0 = array_sort(collect_list(struct(
+      col(tsCol).as("t"), col(idCol).as("i"),
+      col(valCol).cast("double").as("v"))))
+    // acc/element share one shape (e = running ewma | value, b = breaches)
+    // so the fold is list_reduce-replayable in the oracle
+    val folded = expr(
+      s"""aggregate(
+            slice(transform(__seq, x -> struct(x.v AS e, 0L AS b)), 2, size(__seq) - 1),
+            struct(element_at(__seq, 1).v AS e, 0L AS b),
+            (acc, x) -> struct(
+              ${alpha}D * x.e + ${1 - alpha}D * acc.e AS e,
+              acc.b + if(abs(x.e - acc.e) > ${threshold}D, 1L, 0L) AS b))""")
+    events
+      .groupBy(col(keyCol))
+      .agg(seq0.as("__seq"))
+      .select(col(keyCol), size(col("__seq")).cast("long").as("n_points"),
+        folded.as("__f"))
+      .select(col(keyCol), col("n_points"),
+        (round(col("__f.e"), 6) + lit(0.0)).as("ewma"),
+        col("__f.b").as("n_breaches"))
+  }
+
   private def cusumFromZ(stats: DataFrame, slack: Double, threshold: Double): DataFrame = {
     val ordered = Window.partitionBy("key").orderBy("__ts", "__id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

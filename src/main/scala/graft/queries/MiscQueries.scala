@@ -229,6 +229,23 @@ object MiscQueries {
       Checks.SubsetOf("o_custkey", Tables.customer(s, dir), "c_custkey")))
   }
 
+  /** q187 — ingest provenance manifest ([[graft.operators.Provenance]]):
+    * one row per (table, physical parquet file) across all ten driver
+    * tables — row count, key range, and a per-file `row_index` integrity
+    * bit, all derived from the scan's hidden `_metadata` columns (reader-
+    * generated, zero extra I/O; `ReadSchema` stays one physical column
+    * per table). The "which file did this row come from" audit artifact
+    * a 100 TB ingest keeps so later questions are |files|-sized lookups,
+    * not rescans.
+    */
+  def q187_ingest_manifest: Q = (s, dir) =>
+    graft.operators.Provenance.ingestManifest(s, dir, Seq(
+      "customer" -> "c_custkey", "documents" -> "doc_id",
+      "embeddings" -> "vec_id", "events" -> "event_id",
+      "lineitem" -> "l_orderkey", "nation" -> "n_nationkey",
+      "orders" -> "o_orderkey", "part" -> "p_partkey",
+      "region" -> "r_regionkey", "supplier" -> "s_suppkey"))
+
   /** q186 — PSI release gate ([[graft.operators.Checks.populationStability]]):
     * order-price population stability between two releases — reference
     * drops every 97th order, current drops every 89th and re-prices every
@@ -728,6 +745,7 @@ object MiscQueries {
     "q157_bloom_lookup" -> q157_bloom_lookup,
     "q159_quality_checks" -> q159_quality_checks,
     "q186_psi_drift" -> q186_psi_drift,
+    "q187_ingest_manifest" -> q187_ingest_manifest,
     "q164_market_basket" -> q164_market_basket,
     "q179_basket_guarded" -> q179_basket_guarded,
     "q165_triangles" -> q165_triangles,
@@ -826,6 +844,21 @@ object MiscQueries {
              round(lift, 4) AS lift, round(conf, 4) AS conf_a_to_b
       FROM (SELECT * FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20) top
       ORDER BY lift DESC, item_a, item_b""",
+    // each driver table is one physical file named <table>.parquet; a
+    // healthy reader numbers its rows 0..n-1, so the oracle pins
+    // row_index_ok = true — a Spark row_index regression would mismatch
+    "q187_ingest_manifest" -> Seq(
+      ("customer", "c_custkey"), ("documents", "doc_id"),
+      ("embeddings", "vec_id"), ("events", "event_id"),
+      ("lineitem", "l_orderkey"), ("nation", "n_nationkey"),
+      ("orders", "o_orderkey"), ("part", "p_partkey"),
+      ("region", "r_regionkey"), ("supplier", "s_suppkey")).map {
+        case (t, k) =>
+          s"""SELECT '$t' AS table_name, '$t.parquet' AS file_name,
+                 count(1) AS n_rows, CAST(min($k) AS BIGINT) AS key_min,
+                 CAST(max($k) AS BIGINT) AS key_max, true AS row_index_ok
+             FROM $t"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, file_name"),
     // reference deciles via quantile_cont rounded to 6 (both engines bin
     // identical boundaries); the ε-smoothed PSI term mirrors Spark's
     // expression grouping exactly

@@ -34,6 +34,23 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id").asc)
   }
 
+  /** q188 — late-interaction (MaxSim) top-10
+    * ([[Similarity.maxSimTopK]]): the query and every document read as 4
+    * contiguous 16-dim sub-vectors; score = Σ over query sub-vectors of
+    * the best-matching document sub-vector dot — the ColBERT retrieval
+    * scorer single-vector cosine cannot express. Exact baseline: one
+    * codegen'd projection (16 fused dot kernels + exact greatest/sum),
+    * TakeOrdered — no shuffle of vectors; IVF/LSH blocking composes
+    * upstream unchanged for the scale path.
+    */
+  def q188_maxsim: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    Similarity.maxSimTopK(emb, q, subVecs = 4, k = 10,
+      excludeVecId = Some(QueryVecId))
+      .orderBy(col("maxsim").desc, col("vec_id").asc)
+  }
+
   /** q182 — Matryoshka truncation recall audit
     * ([[Similarity.truncatedTopK]] vs [[Similarity.bruteForceTopK]]):
     * recall@10 of the first-16-of-64-dims cosine top-k against the
@@ -415,6 +432,7 @@ object SimilarityQueries {
     "q109_pq_adc" -> q109_pq_adc,
     "q103_knn_join" -> q103_knn_join,
     "q46_cosine_topk" -> q46_cosine_topk,
+    "q188_maxsim" -> q188_maxsim,
     "q182_mrl_recall_audit" -> q182_mrl_recall_audit,
     "q185_embedding_drift" -> q185_embedding_drift,
     "q83_lsh_det" -> q83_lsh_det,
@@ -818,6 +836,25 @@ object SimilarityQueries {
       WHERE vec_id <> $QueryVecId
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
       LIMIT 10""",
+    // 4 × 16-dim sub-vector MaxSim, fully unrolled: greatest() of the 4
+    // per-query-sub dots, summed in the fixed left-fold order the Spark
+    // expression uses; + 0.0 canonicalizes a rounded -0.0
+    "q188_maxsim" -> {
+      val d = 16
+      def dp(i: Int, j: Int) =
+        s"list_dot_product(list_slice(qv, ${i * d + 1}, ${(i + 1) * d}), " +
+          s"list_slice(dv, ${j * d + 1}, ${(j + 1) * d}))"
+      val score = (0 until 4)
+        .map(i => "greatest(" + (0 until 4).map(j => dp(i, j)).mkString(", ") + ")")
+        .mkString(" + ")
+      s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+      docs AS (SELECT vec_id, label, embedding::DOUBLE[] AS dv, qv
+               FROM embeddings, q WHERE vec_id <> $QueryVecId),
+      s AS (SELECT vec_id, label, $score AS ms FROM docs)
+      SELECT vec_id, label, round(ms, 4) + 0.0 AS maxsim
+      FROM s ORDER BY ms DESC, vec_id ASC LIMIT 10"""
+    },
     "q47_cosine_range" -> s"""
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVecId)
       SELECT vec_id, label, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim

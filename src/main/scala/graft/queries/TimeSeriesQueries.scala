@@ -46,9 +46,26 @@ object TimeSeriesQueries {
       .orderBy("event_type", "event_id")
   }
 
+  /** q189 — per-user EWMA control chart ([[TimeSeries.ewma]]): smoothing
+    * recursion over each user's (ts, event_id)-ordered value series,
+    * α = 0.25, breach when a point deviates from the pre-update smoothed
+    * level by > 1.5. The oracle replays the identical left fold with
+    * DuckDB `list_reduce` (init = first element, fold from the second —
+    * the same IEEE operation sequence), so the final EWMA matches
+    * bit-for-bit before the 6-rounding. Streaming twin:
+    * [[graft.streaming.StreamingEwma]] (same fold, two words of state).
+    */
+  def q189_ewma: Q = (s, dir) => {
+    TimeSeries.ewma(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        valCol = "value", alpha = 0.25, threshold = 1.5)
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q166_gapfill_locf" -> q166_gapfill_locf,
-    "q169_cusum" -> q169_cusum)
+    "q169_cusum" -> q169_cusum,
+    "q189_ewma" -> q189_ewma)
 
   val oracle: Map[String, String] = Map(
     "q166_gapfill_locf" -> """
@@ -71,6 +88,36 @@ object TimeSeriesQueries {
              o.obs_value IS NULL AS is_gap
       FROM grid g LEFT JOIN o1 o ON g.key = o.key AND g.bucket = o.bucket
       ORDER BY 1, 2""",
+    // the same left fold, replayed ROW BY ROW as a recursive CTE — the
+    // breadth-first recursion advances every key one (ts, id)-ordered
+    // step per iteration, exactly the recurrence's own IEEE order.
+    // Deliberately NOT list_reduce: DuckDB 1.0's vectorized list_reduce
+    // mis-evaluates cross-field reads in struct accumulators on longer
+    // lists (the breach test against acc.e sees the ALREADY-UPDATED e —
+    // off by one whenever only the pre-update deviation clears the
+    // threshold; single-step folds evaluate pre-update, so the bug is
+    // length-dependent)
+    "q189_ewma" -> """
+      WITH RECURSIVE pts AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      npts AS (SELECT user_id, max(rn) AS m FROM pts GROUP BY 1),
+      walk(user_id, rn, e, b) AS (
+        SELECT user_id, 1, v, CAST(0 AS BIGINT) FROM pts WHERE rn = 1
+        UNION ALL
+        SELECT p.user_id, w.rn + 1,
+               CAST(0.25 AS DOUBLE) * p.v + CAST(0.75 AS DOUBLE) * w.e,
+               w.b + CASE WHEN abs(p.v - w.e) > CAST(1.5 AS DOUBLE)
+                          THEN 1 ELSE 0 END
+        FROM walk w JOIN pts p
+          ON p.user_id = w.user_id AND p.rn = w.rn + 1)
+      SELECT w.user_id, CAST(n.m AS BIGINT) AS n_points,
+             round(w.e, 6) + CAST(0 AS DOUBLE) AS ewma,
+             CAST(w.b AS BIGINT) AS n_breaches
+      FROM walk w JOIN npts n ON w.user_id = n.user_id AND w.rn = n.m
+      ORDER BY w.user_id""",
     "q169_cusum" -> """
       WITH s AS (
         SELECT event_type AS key, ts, event_id AS id, value,

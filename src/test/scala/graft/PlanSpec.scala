@@ -669,6 +669,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), "posexplode must drive the component relation")
   }
 
+  test("q187: manifest reads ONE physical column per table; aggregates stay partial") {
+    val f = formatted("q187_ingest_manifest")
+    // _metadata is reader-generated: every ReadSchema must carry only the
+    // key column (a second physical column means the metadata projection
+    // started costing I/O)
+    val schemas = f.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { rs =>
+      assert(rs.count(_ == ':') - 1 <= 2, s"more than one physical column read: $rs")
+    }
+    val p = plan("q187_ingest_manifest")
+    assert(p.contains("partial"), "per-file stats must combine map-side")
+  }
+
+  test("q188: MaxSim is a map-only scan + TakeOrdered — no shuffle, no UDF") {
+    val p = plan("q188_maxsim")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must push into TakeOrdered")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"MaxSim scoring must not shuffle vectors:\n${p.take(600)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("q189: EWMA is ONE key-shuffle; the fold is a projection, not a join") {
+    val p = plan("q189_ewma")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one key shuffle expected:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
