@@ -522,6 +522,31 @@ object TrainingQueries {
     * rows by construction, so the single-partition window is bounded by
     * the vocabulary size, never the corpus.
     */
+  /** q190 — Count-Min sketch audit ([[graft.operators.CountMin]]): build
+    * the 4 × 256 counter matrix over the q102 token-count stream (polyHash
+    * + the q84 affine row family — both DuckDB-replayable, so the WHOLE
+    * sketch is oracle-checked, not twinned), then read back the top-20
+    * tokens' point estimates next to their exact counts. `overcount ≥ 0`
+    * on every row is the CMS guarantee made visible — the audit the
+    * q111/q120 convention applies to the frequency-sketch axis. Sketch =
+    * one vocab-sized groupBy to d·w = 1024 rows (broadcast-sized,
+    * mergeable by plain sum — the q178 partials algebra); estimates = a
+    * broadcast probe join, no corpus rescan.
+    */
+  def q190_cms_audit: Q = (s, dir) => {
+    import graft.operators.CountMin
+    val counts = graft.operators.Stage.snapshotDF(
+      graft.operators.Dedup.spread(Tables.documents(s, dir))
+        .select(explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        .filter(col("token").isNotNull)
+        .groupBy("token").agg(count(lit(1)).as("exact_count")))
+    val cms = CountMin.sketch(counts, "token", "exact_count", width = 256)
+    val probes = counts.orderBy(col("exact_count").desc, col("token").asc).limit(20)
+    CountMin.estimate(cms, probes, "token", width = 256)
+      .withColumn("overcount", col("cms_estimate") - col("exact_count"))
+      .orderBy(col("exact_count").desc, col("token").asc)
+  }
+
   def q102_vocab: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val counts = graft.operators.Dedup.spread(Tables.documents(s, dir))
@@ -847,6 +872,7 @@ object TrainingQueries {
     "q135_heavy_hitters" -> q135_heavy_hitters,
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
+    "q190_cms_audit" -> q190_cms_audit,
     "q115_bpe_pairs" -> q115_bpe_pairs,
     "q116_dsir_weights" -> q116_dsir_weights,
     "q117_bigram_ce" -> q117_bigram_ce,
@@ -1197,6 +1223,35 @@ object TrainingQueries {
             FROM w WHERE len(word) >= 2)
       SELECT pair, CAST(sum(wc) AS BIGINT) AS n
       FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+    // the whole sketch replayed: polyHash char fold (prepended-0
+    // list_reduce, the q85 replica), the q84 affine row family, bucket =
+    // affine % 256; HUGEINT sums cast back to BIGINT
+    "q190_cms_audit" -> raw"""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        FROM documents),
+      vc AS (SELECT token, count(1) AS exact_count FROM toks GROUP BY 1),
+      h AS (SELECT token, exact_count,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(token, '(?s).'),
+                  c -> CAST(unicode(c) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007) AS h
+            FROM vc),
+      params(r, a, b) AS (VALUES (0, 1, 3), (1, 3, 10), (2, 5, 17), (3, 7, 24)),
+      cms AS (SELECT p.r, ((h.h * p.a + p.b) % 1000000007) % 256 AS col,
+                     CAST(sum(exact_count) AS BIGINT) AS n
+              FROM h, params p GROUP BY 1, 2),
+      probes AS (SELECT token, exact_count, h FROM h
+                 ORDER BY exact_count DESC, token ASC LIMIT 20),
+      est AS (SELECT pr.token, pr.exact_count, min(c.n) AS cms_estimate
+              FROM probes pr
+              JOIN params p ON true
+              JOIN cms c ON c.r = p.r
+               AND c.col = ((pr.h * p.a + p.b) % 1000000007) % 256
+              GROUP BY 1, 2)
+      SELECT token, exact_count, cms_estimate,
+             cms_estimate - exact_count AS overcount
+      FROM est ORDER BY exact_count DESC, token ASC""",
     "q102_vocab" -> raw"""
       WITH toks AS (SELECT unnest($tk) AS token FROM documents),
       c AS (SELECT token, count(1) AS n FROM toks GROUP BY 1),

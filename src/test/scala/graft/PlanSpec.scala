@@ -698,6 +698,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q190: CMS estimate probes the counters by broadcast; no corpus rescan") {
+    val p = plan("q190_cms_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"1024-row counter relation must broadcast:\n${p.take(600)}")
+    assert(!p.contains("FileScan parquet"),
+      "both sketch build and probes must read the snapshotted token counts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
