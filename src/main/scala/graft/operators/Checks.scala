@@ -122,18 +122,26 @@ object Checks {
     * the reference, one binning aggregation per snapshot (map-side
     * literal comparisons → `bins` groups), one broadcast totals join.
     */
+  /** The reference snapshot's `bins − 1` equal-population boundaries:
+    * exact continuous quantiles, 6-decimal-rounded under the shared
+    * DuckDB-round replica — absorbs any 1-ulp interpolation-association
+    * difference between the two engines' exact-percentile kernels. Public
+    * so the streaming monitor ([[graft.streaming.StreamingPsi]]) bins
+    * against the SAME boundaries the batch gate used.
+    */
+  def referenceBins(ref: DataFrame, valueCol: String, bins: Int): Seq[Double] = {
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    ref
+      .agg(expr(s"percentile(cast($valueCol as double), array(${ps.map(p => s"${p}D").mkString(", ")}))"))
+      .head().getSeq[Double](0).map(Similarity.duckRound6)
+  }
+
   def populationStability(
       ref: DataFrame, cur: DataFrame, valueCol: String,
       bins: Int = 10, epsilon: Double = 1e-6): DataFrame = {
     require(bins >= 2, s"need bins >= 2: $bins")
     require(epsilon > 0, s"need epsilon > 0: $epsilon")
-    val ps = (1 until bins).map(i => i.toDouble / bins)
-    // boundaries rounded to 6 decimals (DuckDB round semantics, the
-    // Similarity replica) — absorbs any 1-ulp interpolation-association
-    // difference between the two engines' exact-percentile kernels
-    val bounds = ref
-      .agg(expr(s"percentile(cast($valueCol as double), array(${ps.map(p => s"${p}D").mkString(", ")}))"))
-      .head().getSeq[Double](0).map(Similarity.duckRound6)
+    val bounds = referenceBins(ref, valueCol, bins)
     val v = col(valueCol).cast("double")
     val binC = bounds.map(b => when(v > lit(b), 1).otherwise(0))
       .reduce(_ + _).cast("long").as("bin")
