@@ -246,6 +246,18 @@ object MiscQueries {
       "orders" -> "o_orderkey", "part" -> "p_partkey",
       "region" -> "r_regionkey", "supplier" -> "s_suppkey"))
 
+  /** q191 — Pareto skyline ([[graft.operators.Skyline]]): the parts no
+    * other part beats on both axes — cheaper-or-equal retail price AND
+    * larger-or-equal size, at least one strict. Linear two-window
+    * formulation (never the O(n²) dominance join), sharded local skyline
+    * → one survivor-band global pass.
+    */
+  def q191_skyline: Q = (s, dir) =>
+    graft.operators.Skyline.skyline2D(
+        Tables.part(s, dir).select("p_partkey", "p_size", "p_retailprice"),
+        minCol = "p_retailprice", maxCol = "p_size", idCol = "p_partkey")
+      .orderBy(col("p_size").desc, col("p_partkey").asc)
+
   /** q186 — PSI release gate ([[graft.operators.Checks.populationStability]]):
     * order-price population stability between two releases — reference
     * drops every 97th order, current drops every 89th and re-prices every
@@ -746,6 +758,7 @@ object MiscQueries {
     "q159_quality_checks" -> q159_quality_checks,
     "q186_psi_drift" -> q186_psi_drift,
     "q187_ingest_manifest" -> q187_ingest_manifest,
+    "q191_skyline" -> q191_skyline,
     "q164_market_basket" -> q164_market_basket,
     "q179_basket_guarded" -> q179_basket_guarded,
     "q165_triangles" -> q165_triangles,
@@ -844,6 +857,20 @@ object MiscQueries {
              round(lift, 4) AS lift, round(conf, 4) AS conf_a_to_b
       FROM (SELECT * FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20) top
       ORDER BY lift DESC, item_a, item_b""",
+    // independent exact derivation: ONE global window (no shards, no
+    // two-phase) — the strictly-higher-size running min + same-size min
+    "q191_skyline" -> """
+      WITH w AS (
+        SELECT p_partkey, p_size, p_retailprice,
+               min(p_retailprice) OVER (
+                 ORDER BY p_size DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+               min(p_retailprice) OVER (PARTITION BY p_size) AS ms
+        FROM part)
+      SELECT p_partkey, p_size, p_retailprice
+      FROM w
+      WHERE (m1 IS NULL OR m1 > p_retailprice) AND p_retailprice = ms
+      ORDER BY p_size DESC, p_partkey ASC""",
     // each driver table is one physical file named <table>.parquet; a
     // healthy reader numbers its rows 0..n-1, so the oracle pins
     // row_index_ok = true — a Spark row_index regression would mismatch

@@ -707,6 +707,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q191: skyline sorts corpus data per shard; only the survivor band goes single-partition") {
+    val p = plan("q191_skyline")
+    assert(p.contains("hashpartitioning(__shard"),
+      s"local pass must window within hash shards:\n${p.take(600)}")
+    assert(p.contains("SinglePartition"),
+      "global pass runs once over the survivor band")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "skyline must never plan a dominance join")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
