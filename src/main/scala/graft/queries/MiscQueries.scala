@@ -258,6 +258,34 @@ object MiscQueries {
         minCol = "p_retailprice", maxCol = "p_size", idCol = "p_partkey")
       .orderBy(col("p_size").desc, col("p_partkey").asc)
 
+  /** q192 — incremental view maintenance
+    * ([[graft.operators.IncrementalView]]): the per-customer
+    * (count, Σ price) view materialized over release v1 is refreshed to
+    * v2 by applying ONLY the signed CDC delta (the q155 snapshot
+    * derivations: −old/+new pairs from the full-outer struct compare) —
+    * never rescanning the base. DECIMAL sums make the refresh exact, so
+    * the oracle is the strongest one possible: the full recompute over
+    * v2, which the delta-applied view must equal row for row.
+    */
+  def q192_ivm_refresh: Q = (s, dir) => {
+    import graft.operators.IncrementalView
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val v1 = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+    val v2 = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(53)) === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).cast("decimal(18,2)"))
+    val mat = v1.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
+    val delta = IncrementalView.signedDelta(v1, v2, Seq("o_orderkey"))
+    IncrementalView.refreshCountSum(mat, delta,
+        Seq("o_custkey"), "o_totalprice", "n_orders", "sum_price")
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_price").cast("decimal(18,2)").as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
   /** q186 — PSI release gate ([[graft.operators.Checks.populationStability]]):
     * order-price population stability between two releases — reference
     * drops every 97th order, current drops every 89th and re-prices every
@@ -759,6 +787,7 @@ object MiscQueries {
     "q186_psi_drift" -> q186_psi_drift,
     "q187_ingest_manifest" -> q187_ingest_manifest,
     "q191_skyline" -> q191_skyline,
+    "q192_ivm_refresh" -> q192_ivm_refresh,
     "q164_market_basket" -> q164_market_basket,
     "q179_basket_guarded" -> q179_basket_guarded,
     "q165_triangles" -> q165_triangles,
@@ -857,6 +886,18 @@ object MiscQueries {
              round(lift, 4) AS lift, round(conf, 4) AS conf_a_to_b
       FROM (SELECT * FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20) top
       ORDER BY lift DESC, item_a, item_b""",
+    // result-invariance at its strongest: the oracle is the FULL
+    // recompute over v2 — the delta-applied view must equal it exactly
+    // (decimal sums, no float drift)
+    "q192_ivm_refresh" -> """
+      WITH v2 AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 89 <> 0)
+      SELECT o_custkey, count(1) AS n_orders,
+             CAST(sum(CAST(p AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      FROM v2 GROUP BY 1 ORDER BY 1""",
     // independent exact derivation: ONE global window (no shards, no
     // two-phase) — the strictly-higher-size running min + same-size min
     "q191_skyline" -> """
