@@ -197,6 +197,60 @@ object TimeSeries {
         col("__f.b").as("n_breaches"))
   }
 
+  /** Time-weighted linear interpolation of a series at arbitrary probe
+    * instants — the as-of family's missing member (q22 latest-per-key,
+    * q79/q149 nearest/backward/forward pick a NEIGHBOR; this blends the
+    * two surrounding ones):
+    *
+    *   v(t) = v_prev + (v_next − v_prev) · (t − t_prev) / (t_next − t_prev)
+    *
+    * Strict interpolation: a probe before the key's first observation or
+    * after its last yields null (no extrapolation — fabricating values
+    * outside the observed range is a modeling decision, not a join). A
+    * probe exactly ON an observation returns that observation via an
+    * explicit t = t_prev branch — exact even when the observation is the
+    * key's LAST point and no next neighbor exists; same-instant
+    * observations all order before the probe, ties among them by `idCol`,
+    * so "the" observation is deterministic.
+    *
+    * Shape: ONE key-shuffle — union probes into the series, tag them, and
+    * resolve each probe's surrounding pair with two IGNORE-NULLS window
+    * passes (last non-null before, first non-null after) over one
+    * (ts, tag, id) sort — the resampleLocf cost model, no join at all.
+    */
+  def interpolateAt(
+      series: DataFrame, probes: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val pts = series.select(col(keyCol).as("__k"),
+      col(tsCol).as("__ts"), col(idCol).as("__id"),
+      col(valCol).cast("double").as("__v"), lit(0).as("__probe"))
+    val prb = probes.select(col(keyCol).as("__k"),
+      col(tsCol).as("__ts"), col(idCol).as("__id"),
+      lit(null).cast("double").as("__v"), lit(1).as("__probe"))
+    val order = Seq(col("__ts"), col("__probe"), col("__id"))
+    val wPrev = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros(col("__ts"))
+    val tsd = when(col("__v").isNotNull, us).cast("double")
+    pts.unionByName(prb)
+      .withColumn("__vp", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__tp", last(tsd, ignoreNulls = true).over(wPrev))
+      .withColumn("__vn", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__tn", first(tsd, ignoreNulls = true).over(wNext))
+      .filter(col("__probe") === 1)
+      .select(col("__k").as(keyCol), col("__id").as(idCol),
+        col("__ts").as(tsCol),
+        when(col("__vp").isNotNull && col("__tp") === us.cast("double"),
+          col("__vp")) // exactly ON an observation — exact even at series end
+          .when(col("__vp").isNotNull && col("__vn").isNotNull,
+            col("__vp") + (col("__vn") - col("__vp")) *
+              ((us.cast("double") - col("__tp")) / (col("__tn") - col("__tp"))))
+          .as("interp"))
+  }
+
   private def cusumFromZ(stats: DataFrame, slack: Double, threshold: Double): DataFrame = {
     val ordered = Window.partitionBy("key").orderBy("__ts", "__id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

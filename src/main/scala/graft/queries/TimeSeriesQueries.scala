@@ -62,10 +62,32 @@ object TimeSeriesQueries {
       .orderBy("user_id")
   }
 
+  /** q193 — time-weighted interpolation ([[TimeSeries.interpolateAt]]):
+    * per user, each purchase instant's linearly-interpolated click value
+    * from the two surrounding clicks — the as-of blend q149's
+    * nearest-neighbor pick cannot express. Strict (null outside the
+    * observed range), exact on an observation instant, one key-shuffle
+    * union-window, no join.
+    */
+  def q193_time_interp: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    TimeSeries.interpolateAt(
+        series = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id", "value"),
+        probes = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        valCol = "value")
+      .select(col("event_id"), col("user_id"),
+        (round(col("interp"), 6) + lit(0.0)).as("interp"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q166_gapfill_locf" -> q166_gapfill_locf,
     "q169_cusum" -> q169_cusum,
-    "q189_ewma" -> q189_ewma)
+    "q189_ewma" -> q189_ewma,
+    "q193_time_interp" -> q193_time_interp)
 
   val oracle: Map[String, String] = Map(
     "q166_gapfill_locf" -> """
@@ -88,6 +110,39 @@ object TimeSeriesQueries {
              o.obs_value IS NULL AS is_gap
       FROM grid g LEFT JOIN o1 o ON g.key = o.key AND g.bucket = o.bucket
       ORDER BY 1, 2""",
+    // identical union-window derivation with the same (ts, probe, id)
+    // tie order and the same parenthesization of the blend
+    "q193_time_interp" -> """
+      WITH u AS (
+        SELECT user_id AS k, ts, event_id AS id, CAST(value AS DOUBLE) AS v,
+               0 AS probe
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, NULL, 1
+        FROM events WHERE event_type = 'purchase'),
+      w AS (
+        SELECT k, ts, id, probe,
+          last_value(v IGNORE NULLS) OVER wp AS vp,
+          last_value(CASE WHEN v IS NOT NULL
+                          THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+            OVER wp AS tp,
+          first_value(v IGNORE NULLS) OVER wn AS vn,
+          first_value(CASE WHEN v IS NOT NULL
+                           THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+            OVER wn AS tn
+        FROM u
+        WINDOW wp AS (PARTITION BY k ORDER BY ts, probe, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY k ORDER BY ts, probe, id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT id AS event_id, k AS user_id,
+             round(CASE WHEN vp IS NOT NULL
+                          AND tp = CAST(epoch_us(ts) AS DOUBLE) THEN vp
+                        WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+                          vp + (vn - vp) *
+                          ((CAST(epoch_us(ts) AS DOUBLE) - tp) / (tn - tp))
+                   END, 6) + CAST(0 AS DOUBLE) AS interp
+      FROM w WHERE probe = 1 ORDER BY 1""",
     // the same left fold, replayed ROW BY ROW as a recursive CTE — the
     // breadth-first recursion advances every key one (ts, id)-ordered
     // step per iteration, exactly the recurrence's own IEEE order.

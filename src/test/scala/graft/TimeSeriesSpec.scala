@@ -86,4 +86,32 @@ class TimeSeriesSpec extends SparkSuite {
     assert(shifted.zip(shifted.tail).forall { case (a, b) => b >= a },
       "positive score non-decreasing across the shift")
   }
+
+  test("interpolateAt: midpoint blend, on-point exactness, strict range, same-ts ties") {
+    import spark.implicits._
+    // key a: clicks v=10 @m0, v=30 @m10, v=30 @m10 dup-ts (id 3 wins prev),
+    //        v=50 @m20; key b: single point (no interval to blend)
+    val series = Seq(
+      ("a", ts(0), 1L, 10.0),
+      ("a", ts(10), 2L, 28.0),
+      ("a", ts(10), 3L, 30.0), // same instant, higher id — THE observation
+      ("a", ts(20), 4L, 50.0),
+      ("b", ts(5), 5L, 7.0))
+      .toDF("k", "t", "id", "v")
+    val probes = Seq(
+      ("a", ts(5), 100L),   // midpoint of 10 → 28? no: prev=10@m0, next=28@m10 (first in order) → 19.0
+      ("a", ts(10), 101L),  // exactly ON the m10 pair → id-3 value 30.0
+      ("a", ts(15), 102L),  // midpoint of 30@m10(id3 last) prev? prev=30, next=50 → 40.0
+      ("a", ts(25), 103L),  // after last point → null
+      ("b", ts(1), 104L),   // before b's only point → null
+      ("b", ts(5), 105L))   // exactly on b's only point → 7.0
+      .toDF("k", "t", "id")
+    val got = TimeSeries.interpolateAt(series, probes, "k", "t", "id", "v")
+      .select("id", "interp").as[(Long, Option[Double])].collect().toMap
+    assert(got(100L).contains(19.0), s"got ${got(100L)}")
+    assert(got(101L).contains(30.0), "on-instant probe must take the id-ordered LAST same-ts observation")
+    assert(got(102L).contains(40.0))
+    assert(got(103L).isEmpty && got(104L).isEmpty, "no extrapolation")
+    assert(got(105L).contains(7.0))
+  }
 }
