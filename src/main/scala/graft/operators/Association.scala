@@ -100,10 +100,16 @@ object Association {
         cum += vol(k, c)
         if (cum <= BigInt(pairBudget)) cap = k
       }
-      val pairVol = shiftright(col("__k") * (col("__k") - lit(1L)), 1)
+      // excised volume accounted in DECIMAL end to end: the prediction was
+      // hardened to BigInt against corpora whose pair volume wraps Long,
+      // and the no-silent-caps channel must survive the same corpora
+      // (k·(k−1) is even, so the /2 is exact in decimal)
+      val kd = col("__k").cast("decimal(38,0)")
+      val pairVol = (kd * (kd - lit(1)) / lit(2)).cast("decimal(38,0)")
       val obs = bs.observe(s"graft.basketGuard.${Dedup.capObsId.incrementAndGet()}",
         sum(when(col("__k") > cap, 1L).otherwise(0L)).as("hot_baskets"),
-        sum(when(col("__k") > cap, pairVol).otherwise(0L)).as("skipped_pairs"))
+        sum(when(col("__k") > cap, pairVol)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("skipped_pairs"))
       // snapshot the cold BASKET LIST first — on its own, with no join
       // above the metrics node: the barrier fires the observe exactly
       // once, and keeps it immune to AQE empty-relation propagation

@@ -98,6 +98,20 @@ object Checks {
       .orderBy("check_name")
   }
 
+  /** The reference snapshot's `bins − 1` equal-population boundaries:
+    * exact continuous quantiles, 6-decimal-rounded under the shared
+    * DuckDB-round replica — absorbs any 1-ulp interpolation-association
+    * difference between the two engines' exact-percentile kernels. Public
+    * so the streaming monitor ([[graft.streaming.StreamingPsi]]) bins
+    * against the SAME boundaries the batch gate used.
+    */
+  def referenceBins(ref: DataFrame, valueCol: String, bins: Int): Seq[Double] = {
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    ref
+      .agg(expr(s"percentile(cast($valueCol as double), array(${ps.map(p => s"${p}D").mkString(", ")}))"))
+      .head().getSeq[Double](0).map(Similarity.duckRound6)
+  }
+
   /** Population Stability Index of a numeric column between a REFERENCE
     * snapshot and a CURRENT one — the classic release-gate drift stat
     * completing the monitor family (tokens → [[Corpus.tokenDistributionDrift]],
@@ -122,20 +136,6 @@ object Checks {
     * the reference, one binning aggregation per snapshot (map-side
     * literal comparisons → `bins` groups), one broadcast totals join.
     */
-  /** The reference snapshot's `bins − 1` equal-population boundaries:
-    * exact continuous quantiles, 6-decimal-rounded under the shared
-    * DuckDB-round replica — absorbs any 1-ulp interpolation-association
-    * difference between the two engines' exact-percentile kernels. Public
-    * so the streaming monitor ([[graft.streaming.StreamingPsi]]) bins
-    * against the SAME boundaries the batch gate used.
-    */
-  def referenceBins(ref: DataFrame, valueCol: String, bins: Int): Seq[Double] = {
-    val ps = (1 until bins).map(i => i.toDouble / bins)
-    ref
-      .agg(expr(s"percentile(cast($valueCol as double), array(${ps.map(p => s"${p}D").mkString(", ")}))"))
-      .head().getSeq[Double](0).map(Similarity.duckRound6)
-  }
-
   def populationStability(
       ref: DataFrame, cur: DataFrame, valueCol: String,
       bins: Int = 10, epsilon: Double = 1e-6): DataFrame = {
@@ -147,9 +147,13 @@ object Checks {
       .reduce(_ + _).cast("long").as("bin")
     def binned(df: DataFrame, nCol: String): DataFrame =
       df.select(binC).groupBy("bin").agg(count(lit(1)).as(nCol))
-    val joined = binned(ref, "n_ref")
+    // the joined bin relation feeds BOTH the totals aggregate and the
+    // final projection — snapshot it, or each consumer re-executes the
+    // two corpus-sized binning aggregations (the tokenDistributionDrift
+    // convention)
+    val joined = Stage.snapshotDF(binned(ref, "n_ref")
       .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .na.fill(0L, Seq("n_ref", "n_cur")))
     val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
     val pf = col("n_ref").cast("double") / col("__tr").cast("double")
     val qf = col("n_cur").cast("double") / col("__tc").cast("double")

@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * The multi-objective shortlist operator (cheapest-per-capability,
   * best-quality-per-cost) that top-k by any single score cannot express.
   *
-  * 2-D skylines admit a LINEAR window formulation instead of the naive
-  * O(n²) dominance join: sort by `maxCol` descending and a row survives
-  * iff (a) its `minCol` beats the running min over all STRICTLY higher
-  * `maxCol` values (`RANGE … 1 PRECEDING` — equal-value peers excluded by
-  * the frame, so ties never dominate each other through this window) and
-  * (b) it attains the min of `minCol` within its own `maxCol` group
-  * (equal-on-both-axes rows all survive — no strict part).
+  * 2-D skylines admit a LINEAR formulation instead of the naive O(n²)
+  * dominance join: aggregate to per-`maxCol`-group minima, sort the group
+  * relation by `maxCol` descending, and a row survives iff (a) its
+  * `minCol` beats the running min over all STRICTLY higher `maxCol`
+  * groups (`ROWS … 1 PRECEDING` over the distinct-value relation — every
+  * preceding row is a strictly greater value, exact for any numeric
+  * axis) and (b) it attains the min of `minCol` within its own `maxCol`
+  * group (equal-on-both-axes rows all survive — no strict part).
   *
   * Scale shape — the skyline-of-skylines decomposition: pass 1 runs that
   * filter WITHIN each of `shards` deterministic hash shards (each shard's
@@ -29,21 +30,29 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
-  /** The survive filter: one pass of the two-window linear skyline over
-    * an optional shard partition.
+  /** The survive filter: one pass of the linear skyline over an optional
+    * shard partition. "Strictly higher maxCol" is resolved on the
+    * DISTINCT-maxCol group relation (one aggregate to per-group minima,
+    * then `ROWS … 1 PRECEDING` over group rows — each preceding ROW is a
+    * strictly greater value by construction), which is exact for ANY
+    * numeric maxCol. A value-offset RANGE frame would only exclude values
+    * within 1.0 of the current row — correct for integer axes, silently
+    * wrong for fractional ones (a (min=2.0, max=5.5) row would never see
+    * its (1.0, 5.9) dominator).
     */
   private def prune(df: DataFrame, shard: Option[String],
                     minCol: String, maxCol: String): DataFrame = {
     val part: Seq[Column] = shard.map(c => col(c)).toSeq
+    val joinKeys = shard.toSeq :+ maxCol
+    val gm = df.groupBy(joinKeys.map(col): _*).agg(min(col(minCol)).as("__gmin"))
     val wHigher = Window.partitionBy(part: _*)
       .orderBy(col(maxCol).desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wSame = Window.partitionBy(part :+ col(maxCol): _*)
-    df.withColumn("__m1", min(col(minCol)).over(wHigher))
-      .withColumn("__ms", min(col(minCol)).over(wSame))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m1 = gm.withColumn("__m1", min(col("__gmin")).over(wHigher))
+    df.join(m1, joinKeys)
       .filter((col("__m1").isNull || col("__m1") > col(minCol)) &&
-        col(minCol) === col("__ms"))
-      .drop("__m1", "__ms")
+        col(minCol) === col("__gmin"))
+      .drop("__gmin", "__m1")
   }
 
   /** Skyline minimizing `minCol` while maximizing `maxCol`. `idCol` (any

@@ -42,16 +42,14 @@ object StreamingCusum {
       threshold: Double = 4.0): Dataset[CusumPoint] = {
     require(sd > 0, s"sd must be positive: $sd")
     import events.sparkSession.implicits._
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def r2(x: Double) =
       BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[CusumEvent], state: GroupState[(Double, Double)]) =>
           var (sp, sn) = state.getOption.getOrElse((0.0, 0.0))
-          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.id)).map { e =>
-            val z = r6((e.value - mu) / sd)
+          val out = rows.toSeq.sortBy(e => (Emit.micros(e.ts), e.id)).map { e =>
+            val z = Emit.r6((e.value - mu) / sd)
             sp = math.max(0.0, sp + (z - slack))
             sn = math.max(0.0, sn - (z + slack))
             val (p2, n2) = (r2(sp), r2(sn))

@@ -34,19 +34,17 @@ object StreamingEwma {
     require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
     require(threshold > 0, s"need threshold > 0, got $threshold")
     import events.sparkSession.implicits._
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[CusumEvent],
          state: GroupState[(Double, Long, Long)]) =>
           var (e, n, b) = state.getOption.getOrElse((0.0, 0L, 0L))
-          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).map { r =>
+          val out = rows.toSeq.sortBy(r => (Emit.micros(r.ts), r.id)).map { r =>
             val breach = n > 0L && math.abs(r.value - e) > threshold
             e = if (n == 0L) r.value else alpha * r.value + (1 - alpha) * e
             n += 1
             if (breach) b += 1
-            EwmaPoint(key, r.id, n, r6(e), breach, b)
+            EwmaPoint(key, r.id, n, Emit.r6(e), breach, b)
           }
           state.update((e, n, b))
           out.iterator

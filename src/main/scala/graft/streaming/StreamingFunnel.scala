@@ -61,8 +61,6 @@ object StreamingFunnel {
   /** (t1, t2, t3, n_seen) in micros; MinValue = unset. */
   private case class StageTimes(t1: Long, t2: Long, t3: Long, n: Long)
 
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos % 1000000) / 1000
 
   private class StageProcessor(s1: String, s2: String, s3: String)
       extends StatefulProcessor[Long, FunnelEvent, FunnelStages] {
@@ -74,8 +72,8 @@ object StreamingFunnel {
         timerValues: TimerValues): Iterator[FunnelStages] = {
       val unset = Long.MinValue
       var cur = if (st.exists()) st.get() else StageTimes(unset, unset, unset, 0L)
-      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-        val t = micros(e.ts)
+      rows.toSeq.sortBy(e => Emit.micros(e.ts)).foreach { e =>
+        val t = Emit.micros(e.ts)
         if (e.event_type == s1 && cur.t1 == unset) cur = cur.copy(t1 = t)
         else if (e.event_type == s2 && cur.t1 != unset && t > cur.t1 && cur.t2 == unset)
           cur = cur.copy(t2 = t)
@@ -125,7 +123,7 @@ object StreamingFunnel {
         timerValues: TimerValues): Iterator[RetentionHit] = {
       var cur = if (st.exists()) st.get() else CohortMask(UnsetDay, 0)
       val out = Seq.newBuilder[RetentionHit]
-      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+      rows.toSeq.sortBy(e => Emit.micros(e.ts)).foreach { e =>
         val d = epochDay(e.ts)
         if (cur.day == UnsetDay) cur = CohortMask(d, 0)
         val off = d - cur.day

@@ -48,8 +48,6 @@ object StreamingPsi {
     require(epsilon > 0, s"need epsilon > 0: $epsilon")
     import events.sparkSession.implicits._
     val bins = refFracs.length
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     events.groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (group: String, rows: Iterator[PsiEvent],
@@ -70,7 +68,7 @@ object StreamingPsi {
             val p = refFracs(b) + epsilon
             val q = qf + epsilon
             PsiBinRow(group, emitted + 1, b.toLong, counts(b),
-              r6(qf), r6((p - q) * math.log(p / q)))
+              Emit.r6(qf), Emit.r6((p - q) * math.log(p / q)))
           }
       }
   }

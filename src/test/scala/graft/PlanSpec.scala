@@ -672,12 +672,15 @@ class PlanSpec extends SparkSuite {
   test("q187: manifest reads ONE physical column per table; aggregates stay partial") {
     val f = formatted("q187_ingest_manifest")
     // _metadata is reader-generated: every ReadSchema must carry only the
-    // key column (a second physical column means the metadata projection
-    // started costing I/O)
+    // key column plus the reader's own _tmp_metadata_row_index marker (a
+    // second DATA column means the metadata projection started costing I/O)
     val schemas = f.linesIterator.filter(_.contains("ReadSchema:")).toSeq
     assert(schemas.nonEmpty)
     schemas.foreach { rs =>
-      assert(rs.count(_ == ':') - 1 <= 2, s"more than one physical column read: $rs")
+      val cols = rs.dropWhile(_ != '<').stripPrefix("<").stripSuffix(">")
+        .split(",").map(_.takeWhile(_ != ':').trim)
+      val dataCols = cols.filterNot(_.startsWith("_tmp_metadata"))
+      assert(dataCols.length <= 1, s"more than one DATA column read: $rs")
     }
     val p = plan("q187_ingest_manifest")
     assert(p.contains("partial"), "per-file stats must combine map-side")

@@ -49,4 +49,14 @@ class SkylineSpec extends SparkSuite {
     assert(one == brute(all))
     assert(one.nonEmpty)
   }
+
+  test("fractional maxCol: dominators farther than 1.0 on the max axis still prune (regression)") {
+    // A=(1.0, 5.9) dominates B=(2.0, 5.5); a value-offset RANGE frame
+    // (|Δ| <= 1.0 lookback) would miss A from B's frame and leak B
+    val df = Seq((1L, 1.0, 5.9), (2L, 2.0, 5.5), (3L, 0.5, 0.1))
+      .toDF("id", "price", "score")
+    val got = Skyline.skyline2D(df, "price", "score", "id")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"B must be dominated by A: $got")
+  }
 }
