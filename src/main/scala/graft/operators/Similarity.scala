@@ -541,6 +541,57 @@ object Similarity {
       .select(col("anchor"), col("neighbor"), col("sim"), col("rank"))
   }
 
+  /** Local Outlier Factor (Breunig, Kriegel, Ng, Sander, SIGMOD 2000) over
+    * the [[knnJoinLsh]] neighborhood graph — DENSITY-relative anomaly
+    * scoring: a point is anomalous not by absolute distance (q145's
+    * z-score, q174's MAD) but relative to its neighbors' local density,
+    * which is what separates "sparse but normal region" from "isolated in
+    * a dense region". Distance d = 1 − cosine (the rounded knn sim, so
+    * the whole chain is deterministic):
+    *
+    *   reach(a←b) = max(kdist(b), d(a,b)),
+    *   lrd(a)     = |kNN(a)| / Σ_b reach(a←b),
+    *   LOF(a)     = (Σ_b lrd(b) / |kNN(a)|) / lrd(a)   — ≈1 inlier, ≫1 outlier.
+    *
+    * Every relation after the knn self-join is |V|·k-sized; the per-anchor
+    * Σ folds run in RANK order over collected ≤k-element lists (the
+    * cross-engine determinism contract — a groupBy sum would leave the
+    * float combine order to the shuffle). Points whose capped LSH bucket
+    * has fewer than k neighbors score over their actual neighborhood
+    * (|kNN| < k), the standard small-neighborhood LOF reading.
+    */
+  def lofScores(
+      embeddings: DataFrame,
+      numPlanes: Int,
+      dim: Int,
+      k: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val knn = Stage.snapshotDF(
+      knnJoinLsh(embeddings, numPlanes, dim, k, maxBucketSize)
+        .withColumn("d", lit(1.0) - col("sim")))
+    val stats = knn.groupBy(col("anchor").as("neighbor"))
+      .agg(max_by(col("d"), col("rank")).as("__kd"))
+    val reach = knn.join(stats, Seq("neighbor"))
+      .withColumn("__reach", greatest(col("__kd"), col("d")))
+    val lrd = Stage.snapshotDF(reach.groupBy("anchor")
+      .agg(sort_array(collect_list(struct(col("rank").as("r"),
+        col("__reach").as("x")))).as("__l"), count(lit(1)).as("__n"))
+      .select(col("anchor"), col("__n"),
+        (col("__n").cast("double") /
+          expr("aggregate(__l, 0D, (acc, e) -> acc + e.x)")).as("__lrd")))
+    knn
+      .join(lrd.select(col("anchor").as("neighbor"), col("__lrd").as("__nb")),
+        Seq("neighbor"))
+      .groupBy("anchor")
+      .agg(sort_array(collect_list(struct(col("rank").as("r"),
+        col("__nb").as("x")))).as("__l"), count(lit(1)).as("__n"))
+      .join(lrd.select(col("anchor"), col("__lrd")), Seq("anchor"))
+      .select(col("anchor"), col("__n").as("n_nn"),
+        col("__lrd").as("__lrd_raw"),
+        (expr("aggregate(__l, 0D, (acc, e) -> acc + e.x)") /
+          col("__n") / col("__lrd")).as("__lof_raw"))
+  }
+
   /** Product-quantization codebook (Jégou, Douze, Schmid — "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split the
     * `dim`-dimensional space into `numSubspaces` contiguous subspaces and

@@ -51,6 +51,24 @@ object SimilarityQueries {
       .orderBy(col("maxsim").desc, col("vec_id").asc)
   }
 
+  /** q194 — Local Outlier Factor top-20 ([[Similarity.lofScores]]):
+    * density-relative anomaly scores over the q103 LSH-kNN graph
+    * (d = 1 − rounded cosine) — reach-distance → local reachability
+    * density → LOF, every post-join relation |V|·k-sized, Σ folds in
+    * rank order. The anomaly family's density member next to q145
+    * (z-score) and q174 (MAD).
+    */
+  def q194_lof: Q = (s, dir) => {
+    Similarity.lofScores(Tables.embeddings(s, dir),
+        numPlanes = 8, dim = 64, k = 3)
+      .orderBy(col("__lof_raw").desc, col("anchor").asc)
+      .limit(20)
+      .select(col("anchor"), col("n_nn"),
+        (round(col("__lrd_raw"), 6) + lit(0.0)).as("lrd"),
+        (round(col("__lof_raw"), 6) + lit(0.0)).as("lof"))
+      .orderBy(col("lof").desc, col("anchor").asc)
+  }
+
   /** q182 — Matryoshka truncation recall audit
     * ([[Similarity.truncatedTopK]] vs [[Similarity.bruteForceTopK]]):
     * recall@10 of the first-16-of-64-dims cosine top-k against the
@@ -431,6 +449,7 @@ object SimilarityQueries {
     "q112_pq_refined" -> q112_pq_refined,
     "q109_pq_adc" -> q109_pq_adc,
     "q103_knn_join" -> q103_knn_join,
+    "q194_lof" -> q194_lof,
     "q46_cosine_topk" -> q46_cosine_topk,
     "q188_maxsim" -> q188_maxsim,
     "q182_mrl_recall_audit" -> q182_mrl_recall_audit,
@@ -683,6 +702,47 @@ object SimilarityQueries {
                         ORDER BY sim DESC, neighbor) AS rank FROM p)
       SELECT anchor, neighbor, sim, rank
       FROM r WHERE rank <= 3 ORDER BY anchor, rank""",
+    // the q103 knn chain extended: d = 1 − rounded sim; k-distance by
+    // max_by(d, rank); rank-ordered list_sum folds mirror the Spark
+    // aggregate() folds; lof parenthesized (Σlrd / n) / lrd
+    "q194_lof" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CASE WHEN list_dot_product(v,
+                       list_transform(range(0, 64),
+                         j -> (((i*37 + j*17) % 13) - 6)::DOUBLE)) >= 0
+                     THEN 1 << i ELSE 0 END)) AS BIGINT) AS lsh_bucket
+            FROM e),
+      kk AS (SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY lsh_bucket) <= 1000),
+      p AS (SELECT a.vec_id AS anchor, n.vec_id AS neighbor,
+                   round(list_cosine_similarity(a.v, n.v), 4) AS sim
+            FROM kk a JOIN kk n
+              ON a.lsh_bucket = n.lsh_bucket AND a.vec_id <> n.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY anchor
+                        ORDER BY sim DESC, neighbor) AS rank FROM p),
+      knn AS (SELECT anchor, neighbor, 1 - sim AS d, rank
+              FROM r WHERE rank <= 3),
+      st AS (SELECT anchor AS neighbor, max_by(d, rank) AS kd
+             FROM knn GROUP BY 1),
+      re AS (SELECT knn.anchor, knn.rank, greatest(st.kd, knn.d) AS reach
+             FROM knn JOIN st ON st.neighbor = knn.neighbor),
+      lrd AS (SELECT anchor, count(1) AS n,
+                CAST(count(1) AS DOUBLE) /
+                  list_sum(list(reach ORDER BY rank)) AS lrd
+              FROM re GROUP BY anchor),
+      lo AS (SELECT knn.anchor, count(1) AS n_nn,
+               list_sum(list(nb.lrd ORDER BY knn.rank)) AS slrd
+             FROM knn JOIN lrd nb ON nb.anchor = knn.neighbor
+             GROUP BY knn.anchor),
+      top AS (SELECT lo.anchor, lo.n_nn, l.lrd AS lrd_raw,
+                     lo.slrd / lo.n_nn / l.lrd AS lof_raw
+              FROM lo JOIN lrd l ON l.anchor = lo.anchor
+              ORDER BY lof_raw DESC, lo.anchor ASC LIMIT 20)
+      SELECT anchor, CAST(n_nn AS BIGINT) AS n_nn,
+             round(lrd_raw, 6) + CAST(0 AS DOUBLE) AS lrd,
+             round(lof_raw, 6) + CAST(0 AS DOUBLE) AS lof
+      FROM top ORDER BY lof DESC, anchor ASC""",
     "q48_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
