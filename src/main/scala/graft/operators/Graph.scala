@@ -36,6 +36,25 @@ object Graph {
         .filter(col("s") =!= col("d")).distinct())
   }
 
+  /** Shared directed-graph prologue of [[pageRank]] / [[personalizedPageRank]]:
+    * snapshotted edges, node universe, out-weight-normalized transition
+    * probabilities, and the dangling-detection src set — ONE definition so
+    * the two recursions can never diverge on the transition structure.
+    */
+  private def transitionPrologue(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = Stage.snapshotDF(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w")))
+    val nodes = Stage.snapshotDF(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val outw = e.groupBy(col("src")).agg(sum("w").as("outw"))
+    val enorm = Stage.snapshotDF(
+      e.join(outw, "src").select(col("src"), col("dst"), (col("w") / col("outw")).as("p")))
+    val srcs = Stage.snapshotDF(enorm.select("src").distinct())
+    (nodes, enorm, srcs)
+  }
+
   /** Weighted PageRank with proper dangling-mass redistribution.
     *
     * rank_{t+1}(v) = (1−d)/N + d·( Σ_{u→v} rank_t(u)·w(u,v)/outw(u)
@@ -64,19 +83,12 @@ object Graph {
       damping: Double = 0.85,
       scale: Int = 9): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    // the edge pipeline is the corpus-sized work — snapshot it FIRST so the
-    // node/out-weight/transition consumers below execute it exactly once
-    val e = Stage.snapshotDF(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("double").as("w")))
-    val nodes = Stage.snapshotDF(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    // the edge pipeline is the corpus-sized work — the prologue snapshots
+    // it FIRST so the node/out-weight/transition consumers execute it once;
+    // w and outw are exact integer sums widened to double, so w/outw is
+    // the same division both engines
+    val (nodes, enorm, srcs) = transitionPrologue(edges, srcCol, dstCol, wCol)
     val n = nodes.count() // bounded: |V|, a driver scalar by design
-    val outw = e.groupBy(col("src")).agg(sum("w").as("outw"))
-    // normalized transition probabilities — w and outw are exact integer
-    // sums widened to double, so w/outw is the same division both engines
-    val enorm = Stage.snapshotDF(
-      e.join(outw, "src").select(col("src"), col("dst"), (col("w") / col("outw")).as("p")))
-    val srcs = Stage.snapshotDF(enorm.select("src").distinct())
     val base = lit(1.0 - damping) / n
 
     var ranks = nodes.withColumn("pr", lit(1.0) / n)
@@ -92,6 +104,59 @@ object Graph {
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           round(base + lit(damping) * (coalesce(col("con"), lit(0.0)) + col("dm") / n), scale)
+            .as("pr"))
+    }
+    ranks
+  }
+
+  /** Personalized PageRank — the [[pageRank]] recursion with the reset
+    * (and the dangling mass) redirected to a SEED set instead of the
+    * uniform vector:
+    *
+    *   pr(v) = (1−d)·1{v∈S}/|S| + d·(Σ_u pr(u)·p(u→v) + dm·1{v∈S}/|S|)
+    *
+    * — the "relevance to THESE nodes" ranking behind seed-based topic
+    * ranking and related-entity retrieval, which global PageRank cannot
+    * express (its scores are query-independent). Seeds enter as driver
+    * literals (the codebook convention — a seed set is query-sized, not
+    * corpus-sized). Same dataflow and cost shape as [[pageRank]]: the
+    * edge pipeline snapshots once, each iteration is one contribution
+    * shuffle + a broadcast dangling scalar, ranks round to `scale` per
+    * iteration (the determinism anchor the unrolled oracle replays).
+    * A seed absent from the graph contributes no mass on either engine
+    * (it has no node row) — callers seed from known vertices.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      seeds: Seq[Long],
+      iterations: Int = 4,
+      damping: Double = 0.85,
+      scale: Int = 9): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val (nodes, enorm, srcs) = transitionPrologue(edges, srcCol, dstCol, wCol)
+    val s = seeds.size
+    val isSeed = col("node").isin(seeds: _*)
+    val base = when(isSeed, lit((1.0 - damping) / s)).otherwise(lit(0.0))
+
+    var ranks = nodes.withColumn("pr",
+      when(isSeed, lit(1.0 / s)).otherwise(lit(0.0)))
+    for (_ <- 1 to iterations) {
+      val r = Stage.snapshotDF(ranks)
+      val dangling = r.join(srcs, r("node") === srcs("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      val contrib = r.join(enorm, r("node") === enorm("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") * col("p")).as("con"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(base + lit(damping) * (coalesce(col("con"), lit(0.0)) +
+            when(isSeed, col("dm") / s).otherwise(lit(0.0))), scale)
             .as("pr"))
     }
     ranks

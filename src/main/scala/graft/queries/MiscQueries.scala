@@ -652,6 +652,31 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q195 — personalized PageRank ([[graft.operators.Graph.personalizedPageRank]]):
+    * the q141 trade graph re-ranked by relevance to seed nations
+    * {1, 7, 13} — reset and dangling mass flow to the seeds, so scores
+    * answer "how strongly does trade flow lead back to THESE economies",
+    * the query-dependent ranking the global q141 cannot express. Same
+    * unrolled-layer oracle under the per-layer round(·, 9) contract.
+    */
+  def q195_ppr: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graph.personalizedPageRank(edges, "src", "dst", "w",
+        seeds = Seq(1L, 7L, 13L), iterations = 4)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), (round(col("pr"), 6) + lit(0.0)).as("ppr"))
+      .orderBy("n_name")
+  }
+
   /** The q141 oracle: edge CTEs + `iters` unrolled rank layers. Literals
     * are CAST to DOUBLE so both engines run the identical IEEE arithmetic
     * ((1 − 0.85) computed in double, never a decimal-typed 0.15).
@@ -692,6 +717,57 @@ object MiscQueries {
       r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
       $layers
       SELECT n_name, round(pr, 6) AS pagerank
+      FROM r$iters JOIN nation ON node = n_nationkey
+      ORDER BY n_name"""
+  }
+
+  /** The q195 oracle: [[pageRankOracle]]'s layer structure with the reset
+    * and dangling mass gated onto the seed set — the CASE mirrors the
+    * Spark `when(isSeed, …)` exactly, divisions by the declared |S|.
+    */
+  private def pprOracle(iters: Int, seeds: Seq[Long]): String = {
+    val inSeeds = seeds.mkString("(", ", ", ")")
+    val ns = seeds.size
+    val layers = (1 to iters).map { k =>
+      s"""
+      r$k AS (
+        SELECT n.node,
+               round(CASE WHEN n.node IN $inSeeds
+                          THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / $ns
+                          ELSE CAST(0 AS DOUBLE) END
+                     + CAST(0.85 AS DOUBLE) *
+                       (coalesce(c.con, CAST(0 AS DOUBLE))
+                        + CASE WHEN n.node IN $inSeeds THEN dg.dm / $ns
+                               ELSE CAST(0 AS DOUBLE) END), 9) AS pr
+        FROM nodes n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.pr * e.p) AS con
+                   FROM r${k - 1} r JOIN enorm e ON r.node = e.src
+                   GROUP BY 1) c ON n.node = c.node
+        CROSS JOIN (SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) AS dm
+                    FROM r${k - 1}
+                    WHERE node NOT IN (SELECT src FROM outw)) dg)"""
+    }.mkString(",")
+    s"""
+      WITH edges AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+               CAST(count(1) AS DOUBLE) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges
+                   UNION ALL SELECT dst FROM edges)),
+      outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+      enorm AS (SELECT e.src, e.dst, e.w / o.ow AS p
+                FROM edges e JOIN outw o USING (src)),
+      r0 AS (SELECT node,
+               CASE WHEN node IN $inSeeds THEN CAST(1 AS DOUBLE) / $ns
+                    ELSE CAST(0 AS DOUBLE) END AS pr
+             FROM nodes),
+      $layers
+      SELECT n_name, round(pr, 6) + CAST(0 AS DOUBLE) AS ppr
       FROM r$iters JOIN nation ON node = n_nationkey
       ORDER BY n_name"""
   }
@@ -798,6 +874,7 @@ object MiscQueries {
     "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
     "q175_kcore" -> q175_kcore,
     "q141_pagerank" -> q141_pagerank,
+    "q195_ppr" -> q195_ppr,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q180_audio_neardup" -> q180_audio_neardup,
     "q183_video_neardup" -> q183_video_neardup,
@@ -828,6 +905,7 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q141_pagerank" -> pageRankOracle(4),
+    "q195_ppr" -> pprOracle(4, Seq(1L, 7L, 13L)),
     "q155_snapshot_diff" -> """
       WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
                   FROM orders WHERE o_orderkey % 97 <> 0),

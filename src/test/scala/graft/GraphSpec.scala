@@ -181,4 +181,28 @@ class GraphSpec extends SparkSuite {
     val (s, lift, conf) = rules(("x", "y"))
     assert(s == 2L && lift == 1.0 && math.abs(conf - 2.0 / 3.0) < 1e-12)
   }
+
+  test("personalizedPageRank: all-nodes seed set IS global PageRank; seed-restricted mass stays on the seed's reachable set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // weighted digraph with a dangling node (4) and an isolated pair 5→6
+    val edges = Seq((0L, 1L, 2L), (1L, 2L, 1L), (2L, 0L, 1L), (1L, 3L, 1L),
+      (3L, 4L, 1L), (5L, 6L, 1L)).toDF("src", "dst", "w")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double)].collect().toMap
+    val nodes = (0L to 6L)
+    val global = ranks(Graph.pageRank(edges, "src", "dst", "w", iterations = 3))
+    val allSeeds = ranks(Graph.personalizedPageRank(
+      edges, "src", "dst", "w", seeds = nodes, iterations = 3))
+    assert(allSeeds == global,
+      s"S = V must reduce to global PageRank\nppr $allSeeds\npr $global")
+    // seeding only node 5: mass can only reach {5, 6}; everything else 0
+    val p5 = ranks(Graph.personalizedPageRank(
+      edges, "src", "dst", "w", seeds = Seq(5L), iterations = 3))
+    assert(nodes.filterNot(Set(5L, 6L)).forall(n => p5(n) == 0.0),
+      s"unreachable nodes must score 0: $p5")
+    assert(p5(5L) > 0.0 && p5(6L) > 0.0)
+    // mass conservation within per-layer rounding
+    assert(math.abs(p5.values.sum - 1.0) < 1e-6, s"mass leaked: ${p5.values.sum}")
+  }
 }
