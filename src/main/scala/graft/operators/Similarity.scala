@@ -592,6 +592,91 @@ object Similarity {
           col("__n") / col("__lrd")).as("__lof_raw"))
   }
 
+  /** Blocked DBSCAN (Ester, Kriegel, Sander, Xu, KDD 1996) over the
+    * deterministic LSH blocks — density CLUSTERING next to [[lofScores]]'s
+    * density anomaly scoring: partitions the corpus into dense clusters,
+    * boundary members, and noise, with no cluster count chosen up front
+    * (the k-means assumption [[lloyd]] bakes in) and arbitrary-shape
+    * clusters (a chain of close neighbors clusters even when no centroid
+    * represents it).
+    *
+    * Distance is cosine: `a ~ b` iff round(cos(a,b), 4) ≥ `minSim` (the
+    * rounded-sim determinism contract of [[knnJoinLsh]]). Roles:
+    *
+    *   core:   ≥ `minPts` ε-neighbors (the point itself NOT counted)
+    *   border: non-core with ≥ 1 CORE ε-neighbor
+    *   noise:  everything else
+    *
+    * Clusters = connected components of the core–core ε-graph
+    * ([[Dedup.connectedComponents]], label = min member id); a core with
+    * no core neighbor is its own singleton cluster; a border point joins
+    * the SMALLEST cluster id among its core neighbors (classic DBSCAN
+    * leaves this assignment order-dependent — a cross-engine-checkable
+    * operator cannot, so the tie is pinned).
+    *
+    * Defined approximation (the q108/q130 convention): ε-neighborhoods are
+    * computed WITHIN capped deterministic LSH buckets, so pair volume is
+    * Σ bucket² (never corpus²) with over-cap buckets dropped observably
+    * ([[Dedup.capBuckets]]); cross-bucket neighbors are unseen, splitting —
+    * never merging — true clusters, and the capped universe is the
+    * operator's population. Everything after the blocked self-join is
+    * pair-volume-sized: one degree count, a CC recursion on the core–core
+    * edges (graph-sized), one border attach join.
+    */
+  def dbscan(
+      embeddings: DataFrame,
+      numPlanes: Int,
+      dim: Int,
+      minSim: Double,
+      minPts: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(minPts >= 1, s"need minPts >= 1, got $minPts")
+    val b = Dedup.capBuckets(
+      lshBucketsDeterministic(embeddings, numPlanes, dim)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
+          col("lsh_bucket")),
+      "lsh_bucket", maxBucketSize)
+      .transform(Stage.snapshotDF)
+    val a = b.select(col("lsh_bucket"), col("vec_id").as("anchor"), col("v").as("va"))
+    val n = b.select(col("lsh_bucket"), col("vec_id").as("neighbor"), col("v").as("vn"))
+    // both directions of every ε-pair — the self-join emits (a,b) and (b,a)
+    val pairs = a.join(n, Seq("lsh_bucket"))
+      .filter(col("anchor") =!= col("neighbor"))
+      .filter(round(cosine(col("va"), col("vn")), 4) >= minSim)
+      .select(col("anchor"), col("neighbor"))
+      .transform(Stage.snapshotDF) // feeds degrees, core edges, border attach
+    val cores = Stage.snapshotDF(
+      pairs.groupBy("anchor").agg(count(lit(1)).as("n_eps"))
+        .filter(col("n_eps") >= minPts))
+    val coreEdges = pairs
+      .join(cores.select(col("anchor")), Seq("anchor"), "left_semi")
+      .join(cores.select(col("anchor").as("neighbor")), Seq("neighbor"), "left_semi")
+      .filter(col("anchor") < col("neighbor"))
+    val comp = Dedup.connectedComponents(coreEdges, "anchor", "neighbor")
+    val coreOut = Stage.snapshotDF(
+      cores.join(comp, cores("anchor") === comp("node"), "left")
+        .select(cores("anchor").as("vec_id"),
+          coalesce(col("component"), cores("anchor")).as("cluster"),
+          lit("core").as("role"), col("n_eps")))
+    val borderOut = pairs
+      .join(coreOut.select(col("vec_id").as("neighbor"), col("cluster")),
+        Seq("neighbor"))
+      .join(coreOut.select(col("vec_id").as("anchor")), Seq("anchor"), "left_anti")
+      .groupBy(col("anchor").as("vec_id"))
+      .agg(min("cluster").as("cluster"))
+      .select(col("vec_id"), col("cluster"), lit("border").as("role"))
+      .join(pairs.groupBy(col("anchor").as("vec_id"))
+        .agg(count(lit(1)).as("n_eps")), Seq("vec_id"))
+    val clustered = Stage.snapshotDF(coreOut.unionByName(borderOut))
+    val noise = b.select(col("vec_id"))
+      .join(clustered.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(pairs.groupBy(col("anchor").as("vec_id"))
+        .agg(count(lit(1)).as("n_eps")), Seq("vec_id"), "left")
+      .select(col("vec_id"), lit(null).cast("long").as("cluster"),
+        lit("noise").as("role"), coalesce(col("n_eps"), lit(0L)).as("n_eps"))
+    clustered.unionByName(noise)
+  }
+
   /** Product-quantization codebook (Jégou, Douze, Schmid — "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split the
     * `dim`-dimensional space into `numSubspaces` contiguous subspaces and

@@ -69,6 +69,21 @@ object SimilarityQueries {
       .orderBy(col("lof").desc, col("anchor").asc)
   }
 
+  /** q196 — blocked DBSCAN ([[Similarity.dbscan]]): density clustering
+    * over the q103 LSH blocks — per point its role (core ≥ 3 ε-neighbors
+    * at rounded cosine ≥ 0.25 / border / noise), cluster id (connected
+    * components of the core–core ε-graph, borders to the smallest
+    * neighboring cluster), and ε-degree. The clustering member of the
+    * density family (q194 LOF scores anomalies against the same
+    * neighborhood structure); no cluster count chosen up front, unlike
+    * q144's k-means.
+    */
+  def q196_dbscan: Q = (s, dir) => {
+    Similarity.dbscan(Tables.embeddings(s, dir),
+        numPlanes = 8, dim = 64, minSim = 0.25, minPts = 3)
+      .orderBy("vec_id")
+  }
+
   /** q182 — Matryoshka truncation recall audit
     * ([[Similarity.truncatedTopK]] vs [[Similarity.bruteForceTopK]]):
     * recall@10 of the first-16-of-64-dims cosine top-k against the
@@ -450,6 +465,7 @@ object SimilarityQueries {
     "q109_pq_adc" -> q109_pq_adc,
     "q103_knn_join" -> q103_knn_join,
     "q194_lof" -> q194_lof,
+    "q196_dbscan" -> q196_dbscan,
     "q46_cosine_topk" -> q46_cosine_topk,
     "q188_maxsim" -> q188_maxsim,
     "q182_mrl_recall_audit" -> q182_mrl_recall_audit,
@@ -743,6 +759,57 @@ object SimilarityQueries {
              round(lrd_raw, 6) + CAST(0 AS DOUBLE) AS lrd,
              round(lof_raw, 6) + CAST(0 AS DOUBLE) AS lof
       FROM top ORDER BY lof DESC, anchor ASC""",
+    // the q103 bucket/pair chain at minSim 0.25, then: degree count,
+    // core gate (n_eps >= 3), recursive-reach CC on the core–core edges
+    // (p already holds both directions), least-label components with
+    // singleton cores coalescing to their own id, border = min cluster
+    // among core neighbors, noise = the capped universe's remainder
+    "q196_dbscan" -> """
+      WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                CASE WHEN list_dot_product(v,
+                       list_transform(range(0, 64),
+                         j -> (((i*37 + j*17) % 13) - 6)::DOUBLE)) >= 0
+                     THEN 1 << i ELSE 0 END)) AS BIGINT) AS lsh_bucket
+            FROM e),
+      k AS (SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY lsh_bucket) <= 1000),
+      p AS (SELECT a.vec_id AS anchor, n.vec_id AS neighbor
+            FROM k a JOIN k n
+              ON a.lsh_bucket = n.lsh_bucket AND a.vec_id <> n.vec_id
+            WHERE round(list_cosine_similarity(a.v, n.v), 4) >= 0.25),
+      deg AS (SELECT anchor, count(1) AS n_eps FROM p GROUP BY 1),
+      core AS (SELECT anchor, n_eps FROM deg WHERE n_eps >= 3),
+      ce AS (SELECT p.anchor AS src, p.neighbor AS dst FROM p
+             JOIN core c1 ON c1.anchor = p.anchor
+             JOIN core c2 ON c2.anchor = p.neighbor),
+      reach(src, dst) AS (
+        SELECT src, dst FROM ce
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN ce e2 ON r.dst = e2.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      core_out AS (
+        SELECT c.anchor AS vec_id, coalesce(l.component, c.anchor) AS cluster,
+               'core' AS role, c.n_eps
+        FROM core c LEFT JOIN lab l ON l.node = c.anchor),
+      border_out AS (
+        SELECT p.anchor AS vec_id, min(co.cluster) AS cluster,
+               'border' AS role, min(d.n_eps) AS n_eps
+        FROM p JOIN core_out co ON co.vec_id = p.neighbor
+        JOIN deg d ON d.anchor = p.anchor
+        WHERE p.anchor NOT IN (SELECT anchor FROM core)
+        GROUP BY p.anchor),
+      noise AS (
+        SELECT k.vec_id, CAST(NULL AS BIGINT) AS cluster, 'noise' AS role,
+               coalesce(d.n_eps, 0) AS n_eps
+        FROM k LEFT JOIN deg d ON d.anchor = k.vec_id
+        WHERE k.vec_id NOT IN (SELECT vec_id FROM core_out)
+          AND k.vec_id NOT IN (SELECT vec_id FROM border_out))
+      SELECT vec_id, cluster, role, CAST(n_eps AS BIGINT) AS n_eps FROM core_out
+      UNION ALL SELECT vec_id, cluster, role, CAST(n_eps AS BIGINT) FROM border_out
+      UNION ALL SELECT vec_id, cluster, role, CAST(n_eps AS BIGINT) FROM noise
+      ORDER BY vec_id""",
     "q48_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

@@ -633,6 +633,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q196: every dbscan stage reads the bucketed/pair snapshots — no embeddings rescan") {
+    val p = plan("q196_dbscan")
+    assert(!p.contains("FileScan parquet"),
+      s"degree/CC/border/noise stages must read snapshots, not embeddings:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "the ε-pair join degraded to a cartesian")
+  }
+
   test("q180/q183: perceptual band joins run on the hash snapshot, never re-decode") {
     for (q <- Seq("q180_audio_neardup", "q183_video_neardup")) {
       val p = plan(q)
