@@ -113,6 +113,82 @@ object TextAnalysis {
         .as("fingerprint"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken — "Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003; the MOSS
+    * scheme): hash every positional `k`-gram, slide a window of `w`
+    * consecutive hashes, select each window's minimum — the selected set
+    * is a position-aware fingerprint with the winnowing guarantee (any
+    * shared substring of ≥ w+k−1 tokens yields ≥ 1 shared selected
+    * fingerprint), which the single-min [[fingerprintDeterministic]]
+    * cannot give (it only catches near-identical WHOLE documents).
+    *
+    * Determinism: hashes are the oracle-expressible polynomial hash; ties
+    * inside a window break to the LEFTMOST occurrence by comparing the
+    * encoded (hash ≪ 33 | position) key — one total order both engines
+    * share. Only COMPLETE windows select (documents with < w+k−1 tokens
+    * emit nothing — chunk longer-lived fragments upstream, q94); position
+    * space is 2^33 (hash < 2^30 keeps the encoding overflow-free).
+    *
+    * Cost shape: one tokenize + posexplode (corpus-sized, map-side), one
+    * doc-partitioned window min, one distinct — no joins. Returns
+    * (doc_id, fingerprint, pos): the leftmost selected occurrence per
+    * distinct window minimum.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(w >= 2, s"need w >= 2, got $w")
+    val tk = TextFunctions.tokens(col("text"))
+    val grams = when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - lit(k)),
+        i => concat_ws(" ", slice(tk, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val enc = Dedup.spread(docs)
+      .select(col("doc_id"), posexplode_outer(grams).as(Seq("pos", "gram")))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        (shiftleft(graft.functions.StringFunctions.polyHash(col("gram")), 33)
+          + col("pos")).as("__e"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    enc
+      .withColumn("__sel", min("__e").over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("__sel")).distinct()
+      .select(col("doc_id"),
+        shiftright(col("__sel"), 33).as("fingerprint"),
+        (col("__sel") % (1L << 33)).as("pos"))
+  }
+
+  /** MOSS-style overlap pairs over [[winnowFingerprints]]: documents
+    * sharing ≥ `minShared` distinct selected fingerprint VALUES, with the
+    * shared count — the plagiarism/near-copy report, position-blind (a
+    * moved passage still matches; that locality is winnowing's point).
+    *
+    * Scale shape: the pair stage inverts on the fingerprint value, so
+    * volume is Σ bucket² over fingerprint buckets — fingerprints shared
+    * by more than `maxDocsPerFingerprint` documents are boilerplate
+    * (non-discriminative) and their buckets drop whole via the shared
+    * [[Dedup.capBuckets]] guard, observable like every other blocked
+    * pairwise family here. The selected-set relation feeds both join
+    * sides → snapshotted once.
+    */
+  def winnowOverlapPairs(
+      docs: DataFrame, k: Int, w: Int,
+      minShared: Int, maxDocsPerFingerprint: Int): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    val selected = Stage.snapshotDF(
+      Dedup.capBuckets(
+        winnowFingerprints(docs, k, w).select("doc_id", "fingerprint").distinct(),
+        "fingerprint", maxDocsPerFingerprint))
+    selected.select(col("fingerprint"), col("doc_id").as("doc_a"))
+      .join(selected.select(col("fingerprint"), col("doc_id").as("doc_b")),
+        Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 16-bit SimHash on the polynomial hash, oracle-checkable: each token
     * votes ±1 per bit of its hash; fingerprint bit b is set when the vote
     * sum is positive. One explode + 16 conditional sums in a single hash

@@ -95,8 +95,25 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q197 — winnowing overlap pairs ([[TextAnalysis.winnowOverlapPairs]]):
+    * MOSS document fingerprinting — per-window minimum of the positional
+    * 3-gram polynomial hashes (window 8, leftmost tie), then documents
+    * sharing ≥ 2 distinct selected fingerprints with the shared count.
+    * The winnowing guarantee (any shared run of ≥ 10 tokens selects ≥ 1
+    * common fingerprint) is what q85's whole-document min-hash cannot
+    * give. Fingerprints on > 50 documents are boilerplate and drop whole
+    * (`graft.capBuckets` observable) — the defined-approximation cap per
+    * the q108/q130 convention, re-derived in the oracle.
+    */
+  def q197_winnow_overlap: Q = (s, dir) => {
+    TextAnalysis.winnowOverlapPairs(Tables.documents(s, dir),
+        k = 3, w = 8, minShared = 2, maxDocsPerFingerprint = 50)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+  }
+
   val all: Map[String, Q] = Map(
     "q85_fingerprint_det" -> q85_fingerprint_det,
+    "q197_winnow_overlap" -> q197_winnow_overlap,
     "q86_simhash_det" -> q86_simhash_det,
     "q50_lang_id" -> q50_lang_id,
     "q51_quality" -> q51_quality,
@@ -108,6 +125,39 @@ object TextQueries {
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // positional 3-gram polynomial hashes (the q85 fold), encoded
+    // (h << 33) + pos, per-window min over ROWS 7 PRECEDING..CURRENT on
+    // complete windows only, distinct selected values per doc, then the
+    // fingerprint-value self-join with the 50-doc boilerplate cap
+    "q197_winnow_overlap" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(array_to_string(tk[i+1:i+3], ' '), '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM toks, unnest(range(0, CASE WHEN len(tk) >= 3
+                                        THEN len(tk) - 3 + 1 ELSE 0 END)) t(i)),
+      wmin AS (
+        SELECT doc_id, i,
+               min((h << 33) + i) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+        FROM grams),
+      selected AS (
+        SELECT DISTINCT doc_id, sel >> 33 AS fingerprint
+        FROM wmin WHERE i >= 7),
+      capped AS (SELECT * FROM selected
+                 QUALIFY count(*) OVER (PARTITION BY fingerprint) <= 50),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+      ORDER BY n_shared DESC, doc_a, doc_b""",
     "q173_readability" -> raw"""
       WITH c AS (
         SELECT doc_id,

@@ -640,6 +640,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "the ε-pair join degraded to a cartesian")
   }
 
+  test("q197: both overlap-join sides read the winnowed snapshot, never re-tokenize") {
+    val p = plan("q197_winnow_overlap")
+    assert(!p.contains("FileScan parquet"),
+      s"pair stage must read the selected-fingerprint snapshot:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "the fingerprint join degraded to a cartesian")
+  }
+
   test("q180/q183: perceptual band joins run on the hash snapshot, never re-decode") {
     for (q <- Seq("q180_audio_neardup", "q183_video_neardup")) {
       val p = plan(q)

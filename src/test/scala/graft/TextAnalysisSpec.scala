@@ -86,4 +86,65 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(2L)._2 == 1, "terminator-free doc must floor sentences at 1")
     assert(got(3L) == ((0, 1, 0, None)), s"empty doc ${got(3L)}")
   }
+
+  // --- winnowing (q197) ---
+
+  private def polyHash(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Independent naive winnowing: per-window min of (hash ≪ 33 | pos). */
+  private def naiveWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return Set.empty
+    val enc = toks.sliding(k).map(_.mkString(" ")).zipWithIndex
+      .map { case (g, i) => (polyHash(g) << 33) + i }.toArray
+    (w - 1 until enc.length)
+      .map(j => enc.slice(j - w + 1, j + 1).min)
+      .toSet.map((e: Long) => (e >> 33, e % (1L << 33)))
+  }
+
+  test("winnowing equals the naive per-window-min selection (incl. repeated grams)") {
+    // repeated 3-grams inside one window exercise the leftmost tie rule
+    val t1 = "a b c a b c a b c d e f g h i j k l m n"
+    val t2 = "x y z w v u t s r q p o n m l k j i h g f e d c b a"
+    val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, k = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(got(1L) == naiveWinnow(t1, 3, 4), s"doc1: ${got(1L)}")
+    assert(got(2L) == naiveWinnow(t2, 3, 4), s"doc2: ${got(2L)}")
+  }
+
+  test("winnowing guarantee: a shared ≥ w+k−1 token run yields a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 = w+k−1
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine ten"),
+      (2L, s"uno dos tres cuatro cinco seis $shared siete ocho nueve diez"),
+      (3L, "totally different text with no overlap at all whatsoever here today"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(docs, k = 3, w = 8,
+        minShared = 1, maxDocsPerFingerprint = 50)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"shared run must be caught: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"doc3 matches nothing: $pairs")
+  }
+
+  test("winnowing: sub-window documents emit nothing; boilerplate cap drops hot fingerprints") {
+    val tiny = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text") // 9 < w+k−1
+    assert(TextAnalysis.winnowFingerprints(tiny, 3, 8).count() == 0L)
+
+    val boiler = "same exact boilerplate text repeated on every single document here"
+    val docs = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val open = TextAnalysis.winnowOverlapPairs(docs, 3, 8, 1, maxDocsPerFingerprint = 50)
+    assert(open.count() == 10L, "5 identical docs → all 10 pairs")
+    val capped = TextAnalysis.winnowOverlapPairs(docs, 3, 8, 1, maxDocsPerFingerprint = 4)
+    assert(capped.count() == 0L, "fingerprints on 5 > cap=4 docs drop whole")
+  }
 }
