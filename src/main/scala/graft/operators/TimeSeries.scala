@@ -197,6 +197,58 @@ object TimeSeries {
         col("__f.b").as("n_breaches"))
   }
 
+  /** Holt's linear-trend double exponential smoothing (Holt 1957) — the
+    * two-state extension of [[ewma]] for series that DRIFT: level and
+    * trend smoothed jointly, so the one-step forecast follows a ramp
+    * instead of lagging it (single-EWMA's systematic bias on trending
+    * series):
+    *
+    *   l_1 = x_1, b_1 = 0
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * Emits per key: point count, final level and trend, the one-step
+    * forecast l+b, and the in-sample sum of squared one-step errors
+    * (e_t = x_t − (l_{t−1}+b_{t−1})) — the fit-quality number that says
+    * whether the trend model earned its second state over plain EWMA.
+    *
+    * Same fold contract and cost shape as [[ewma]]: one key-shuffle
+    * collecting each key's (ts, id)-sorted sequence, then a codegen'd
+    * left fold — per-KEY memory. `b_t` re-derives `l_t` with the
+    * IDENTICAL sub-expression (same parenthesization both engines), the
+    * determinism anchor the recursive-CTE oracle replays row by row.
+    * Callers pass α/β with exact binary representations (0.25, 0.125)
+    * so the literals are the same double cross-engine.
+    */
+  def holt(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(beta > 0 && beta <= 1, s"need 0 < beta <= 1, got $beta")
+    val seq0 = array_sort(collect_list(struct(
+      col(tsCol).as("t"), col(idCol).as("i"),
+      col(valCol).cast("double").as("v"))))
+    val lNew = s"${alpha}D * x + ${1 - alpha}D * (acc.l + acc.b)"
+    val folded = expr(
+      s"""aggregate(
+            slice(transform(__seq, e -> e.v), 2, size(__seq) - 1),
+            struct(element_at(__seq, 1).v AS l, 0D AS b, 0D AS s),
+            (acc, x) -> struct(
+              $lNew AS l,
+              ${beta}D * (($lNew) - acc.l) + ${1 - beta}D * acc.b AS b,
+              acc.s + (x - (acc.l + acc.b)) * (x - (acc.l + acc.b)) AS s))""")
+    events
+      .groupBy(col(keyCol))
+      .agg(seq0.as("__seq"))
+      .select(col(keyCol), size(col("__seq")).cast("long").as("n_points"),
+        folded.as("__f"))
+      .select(col(keyCol), col("n_points"),
+        (round(col("__f.l"), 6) + lit(0.0)).as("level"),
+        (round(col("__f.b"), 6) + lit(0.0)).as("trend"),
+        (round(col("__f.l") + col("__f.b"), 6) + lit(0.0)).as("forecast"),
+        (round(col("__f.s"), 6) + lit(0.0)).as("sse"))
+  }
+
   /** Time-weighted linear interpolation of a series at arbitrary probe
     * instants — the as-of family's missing member (q22 latest-per-key,
     * q79/q149 nearest/backward/forward pick a NEIGHBOR; this blends the

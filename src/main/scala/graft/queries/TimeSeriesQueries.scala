@@ -83,8 +83,24 @@ object TimeSeriesQueries {
       .orderBy("event_id")
   }
 
+  /** q198 — Holt linear-trend smoothing ([[TimeSeries.holt]]) per user
+    * over the (ts, event_id)-ordered value series, α = 0.25, β = 0.125
+    * (exact binary literals — the cross-engine double contract): final
+    * level/trend, one-step forecast, and in-sample SSE. The two-state
+    * sibling of q189's EWMA; the oracle replays the identical recurrence
+    * (including the duplicated l_t sub-expression inside b_t) as a
+    * recursive CTE advancing every key one step per iteration.
+    */
+  def q198_holt_trend: Q = (s, dir) => {
+    TimeSeries.holt(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        valCol = "value", alpha = 0.25, beta = 0.125)
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q166_gapfill_locf" -> q166_gapfill_locf,
+    "q198_holt_trend" -> q198_holt_trend,
     "q169_cusum" -> q169_cusum,
     "q189_ewma" -> q189_ewma,
     "q193_time_interp" -> q193_time_interp)
@@ -152,6 +168,36 @@ object TimeSeriesQueries {
     // off by one whenever only the pre-update deviation clears the
     // threshold; single-step folds evaluate pre-update, so the bug is
     // length-dependent)
+    // the q189 recursive-CTE convention with the two-state Holt walk;
+    // b's update re-derives l_t with the IDENTICAL parenthesization the
+    // Spark fold uses, so every intermediate double matches bit-for-bit
+    "q198_holt_trend" -> """
+      WITH RECURSIVE pts AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      npts AS (SELECT user_id, max(rn) AS m FROM pts GROUP BY 1),
+      walk(user_id, rn, l, b, s) AS (
+        SELECT user_id, 1, v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+        FROM pts WHERE rn = 1
+        UNION ALL
+        SELECT p.user_id, w.rn + 1,
+               CAST(0.25 AS DOUBLE) * p.v
+                 + CAST(0.75 AS DOUBLE) * (w.l + w.b),
+               CAST(0.125 AS DOUBLE) * ((CAST(0.25 AS DOUBLE) * p.v
+                 + CAST(0.75 AS DOUBLE) * (w.l + w.b)) - w.l)
+                 + CAST(0.875 AS DOUBLE) * w.b,
+               w.s + (p.v - (w.l + w.b)) * (p.v - (w.l + w.b))
+        FROM walk w JOIN pts p
+          ON p.user_id = w.user_id AND p.rn = w.rn + 1)
+      SELECT w.user_id, CAST(n.m AS BIGINT) AS n_points,
+             round(w.l, 6) + CAST(0 AS DOUBLE) AS level,
+             round(w.b, 6) + CAST(0 AS DOUBLE) AS trend,
+             round(w.l + w.b, 6) + CAST(0 AS DOUBLE) AS forecast,
+             round(w.s, 6) + CAST(0 AS DOUBLE) AS sse
+      FROM walk w JOIN npts n ON w.user_id = n.user_id AND w.rn = n.m
+      ORDER BY w.user_id""",
     "q189_ewma" -> """
       WITH RECURSIVE pts AS (
         SELECT user_id, CAST(value AS DOUBLE) AS v,

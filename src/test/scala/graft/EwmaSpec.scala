@@ -42,6 +42,40 @@ class EwmaSpec extends SparkSuite {
     assert(m("c") == (("c", 2L, 4.0, 1L)), s"got ${m("c")}")
   }
 
+  // key a, all-dyadic inputs so every recurrence value is EXACT in double:
+  //   init l=10 b=0 s=0
+  //   x=20:    e=10        s=100                l=12.5          b=0.3125
+  //   x=2:     e=−10.8125  s=216.91015625       l=10.109375     b=−0.025390625
+  //   x=12.25: e=2.166015625 s=221.601779937744140625
+  //            l=10.62548828125 b=0.04229736328125 forecast=10.66778564453125
+  test("holt: exact dyadic hand-fold; trend init 0; single point; tie by id") {
+    val hrows = Seq(
+      ("a", ts(0), 1L, 10.0), ("a", ts(1), 2L, 20.0),
+      ("a", ts(2), 3L, 2.0), ("a", ts(3), 4L, 12.25),
+      ("b", ts(0), 5L, 42.0),
+      ("c", ts(0), 7L, 1.0), ("c", ts(0), 6L, 5.0))
+    val m = TimeSeries.holt(hrows.toDF("key", "ts", "id", "value"),
+        "key", "ts", "id", "value", alpha = 0.25, beta = 0.125)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m("a") == (("a", 4L, 10.625488, 0.042297, 10.667786, 221.60178)),
+      s"got ${m("a")}")
+    assert(m("b") == (("b", 1L, 42.0, 0.0, 42.0, 0.0)),
+      "single point: level = the point, zero trend and SSE")
+    // c: init 5.0 (id 6 orders first at the equal ts); x=1 → l=4, b=−0.125
+    assert(m("c") == (("c", 2L, 4.0, -0.125, 3.875, 16.0)), s"got ${m("c")}")
+  }
+
+  test("holt: on a clean linear ramp the trend state converges to the slope") {
+    val ramp = (0 until 40).map(t => ("r", ts(t), t.toLong, 5.0 + 3.0 * t))
+    val r = TimeSeries.holt(ramp.toDF("key", "ts", "id", "value"),
+        "key", "ts", "id", "value", alpha = 0.25, beta = 0.125)
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    assert(math.abs(r._4 - 3.0) < 0.05, s"trend must approach the slope 3: $r")
+    // one-step forecast of the NEXT point (t=40 → 125) is near-exact
+    assert(math.abs(r._5 - 125.0) < 0.5, s"forecast must track the ramp: $r")
+  }
+
   test("streaming twin: in-order micro-batches, final rows ≡ batch summary; state carries unrounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CusumEvent]

@@ -715,6 +715,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q198: Holt is ONE key-shuffle; the two-state fold is a projection, not a join") {
+    val p = plan("q198_holt_trend")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one key shuffle expected:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q190: CMS estimate probes the counters by broadcast; no corpus rescan") {
     val p = plan("q190_cms_audit")
     assert(p.contains("BroadcastHashJoin"),
