@@ -1031,6 +1031,61 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Pointwise mutual information collocations (Church & Hanks 1990) —
+    * adjacent word pairs that co-occur far above chance:
+    *
+    *   pmi(w₁w₂) = ln( (c(w₁w₂)/N) / ((c(w₁)/T)·(c(w₂)/T)) )
+    *
+    * with N = total bigram occurrences, T = total tokens. Raw frequency
+    * (q56) surfaces "of the"; PMI surfaces the bound phrases (named
+    * entities, technical terms) a tokenizer or phrase-mining pass wants —
+    * the `minCount` floor is the standard guard against PMI's
+    * rare-pair explosion (a 1-occurrence pair of two hapaxes maxes the
+    * score vacuously).
+    *
+    * Cost shape (the [[bigramInterpolatedCE]] dataflow): ONE scan + ONE
+    * tokenize snapshotted, unigram/bigram models are vocab-sized
+    * aggregations off it, scoring is two vocab-sized equi-joins + two
+    * broadcast scalars. Every probability is a division of exact-integer
+    * doubles — both engines feed `ln` identical operands (round 6).
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Int,
+      topN: Int): DataFrame = {
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    val base = docs
+      .select(TextFunctions.tokens(col(textCol)).as("tk"))
+      .transform(Stage.snapshotDF)
+    val uni = base
+      .select(explode_outer(col("tk")).as("tok")).filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = base.agg(sum(size(col("tk"))).cast("double").as("t"))
+    val cb = base
+      .select(explode_outer(when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+                      element_at(col("tk"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .transform(Stage.snapshotDF) // feeds the N scalar AND the scoring join
+    val nb = cb.agg(sum("cb").cast("double").as("n"))
+    cb.filter(col("cb") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cb"),
+        (round(log((col("cb").cast("double") / col("n")) /
+          ((col("cu1").cast("double") / col("t")) *
+           (col("cu2").cast("double") / col("t")))), 6) + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
+
   /** Heaps-law vocabulary growth over ingestion order — the data-card curve
     * that says whether more data still buys new content: the corpus is cut
     * into `nBuckets` equal-width id ranges (ingestion order), and each

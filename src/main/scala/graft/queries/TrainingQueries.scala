@@ -110,6 +110,17 @@ object TrainingQueries {
       .limit(20)
   }
 
+  /** q199 — PMI collocations ([[Corpus.pmiCollocations]]): top-50 adjacent
+    * word pairs by pointwise mutual information (count floor 5) — the
+    * bound-phrase miner next to q56's raw bigram frequency (which raw
+    * counts alone cannot separate from "of the"). All probabilities are
+    * exact-integer-double divisions; ln operands identical cross-engine.
+    */
+  def q199_pmi_collocations: Q = (s, dir) => {
+    Corpus.pmiCollocations(graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      textCol = "text", minCount = 5, topN = 50)
+  }
+
   /** q57 — batch sessionization of `events`: 12-hour inactivity gap,
     * per-session event count and duration (the lag + running-sum-of-breaks
     * assignment; batch twin of the streaming session_window q62).
@@ -900,6 +911,7 @@ object TrainingQueries {
     "q146_priority_sample" -> q146_priority_sample,
     "q148_keywords" -> q148_keywords,
     "q56_bigram_freq" -> q56_bigram_freq,
+    "q199_pmi_collocations" -> q199_pmi_collocations,
     "q57_sessionize" -> q57_sessionize,
     "q58_packing" -> q58_packing,
     "q59_repetition" -> q59_repetition,
@@ -1662,6 +1674,27 @@ object TrainingQueries {
               FROM scored GROUP BY 1)
       SELECT doc_id, bm25 FROM agg WHERE m = 3
       ORDER BY 2 DESC, 1 ASC LIMIT 15""",
+    // identical probability derivation and ln-operand parenthesization:
+    // (cb/N) / ((cu1/T) * (cu2/T)), every term an exact-integer double
+    "q199_pmi_collocations" -> raw"""
+      WITH toks AS (SELECT $tk AS tk FROM documents),
+      uni AS (SELECT unnest(tk) AS tok FROM toks),
+      cu AS (SELECT tok, count(1) AS cu FROM uni GROUP BY 1),
+      tt AS (SELECT CAST(count(1) AS DOUBLE) AS t FROM uni),
+      bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+             FROM toks WHERE len(tk) >= 2),
+      cb AS (SELECT p.w1 AS w1, p.w2 AS w2, count(1) AS cb FROM bg GROUP BY 1, 2),
+      nb AS (SELECT CAST(sum(cb) AS DOUBLE) AS n FROM cb)
+      SELECT c.w1, c.w2, c.cb,
+             round(ln((CAST(c.cb AS DOUBLE) / nb.n) /
+               ((CAST(u1.cu AS DOUBLE) / tt.t) *
+                (CAST(u2.cu AS DOUBLE) / tt.t))), 6) + CAST(0 AS DOUBLE) AS pmi
+      FROM cb c
+      JOIN cu u1 ON u1.tok = c.w1
+      JOIN cu u2 ON u2.tok = c.w2, nb, tt
+      WHERE c.cb >= 5
+      ORDER BY pmi DESC, c.w1 ASC, c.w2 ASC LIMIT 50""",
     "q56_bigram_freq" -> raw"""
       WITH toks AS (SELECT $tk AS tk FROM documents),
       g AS (SELECT unnest(list_transform(range(0, greatest(len(tk) - 2, 0) + 1),

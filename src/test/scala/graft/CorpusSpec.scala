@@ -460,6 +460,28 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.bigramInterpolatedCE(tiny, "doc_id", "text", 10).count() == 0)
   }
 
+  test("pmiCollocations: hand-computed PMI ranking; minCount floor; bound phrase beats frequent pair") {
+    import spark.implicits._
+    // uni: a=5 b=4 c=9, T=18; bigrams (N=15): (a,b)=3 (b,a)=2 (c,c)=5
+    //   (a,c)=2 (c,b)=1 (b,c)=1 (c,a)=1
+    // pmi(a,b)=ln((3/15)/((5/18)(4/18)))=ln(3.24)   =1.175573
+    // pmi(b,a)=ln((2/15)/((4/18)(5/18)))=ln(2.16)   =0.770108
+    // pmi(c,c)=ln((5/15)/((9/18)(9/18)))=ln(4/3)    =0.287682
+    // pmi(a,c)=ln((2/15)/((5/18)(9/18)))=ln(0.96)   =-0.040822
+    val d = Seq((1L, "a b a b a b"), (2L, "c c c c c c"), (3L, "a c b c a c"))
+      .toDF("doc_id", "text")
+    val got = Corpus.pmiCollocations(d, "text", minCount = 2, topN = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 1.175573), ("b", "a", 2L, 0.770108),
+      ("c", "c", 5L, 0.287682), ("a", "c", 2L, -0.040822)), s"got $got")
+    // the cb=1 pairs (c,b)/(b,c)/(c,a) fall to the floor even though a
+    // hapax pair would out-PMI everything — the rare-pair guard
+    assert(!got.exists(_._3 < 2L))
+    // the bound phrase (a,b) outranks the more FREQUENT (c,c)
+    assert(got.head._1 == "a" && got.head._2 == "b")
+  }
+
   test("maxCoverageSelect: greedy picks by marginal gain, ties to smaller id, exhausts early") {
     import spark.implicits._
     // doc 1 covers {a,b,c}; doc 2 covers {c,d} (gain 1 after doc 1); doc 3

@@ -715,6 +715,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q199: PMI scores vocab-sized models off the token snapshot — no corpus rescan") {
+    val p = plan("q199_pmi_collocations")
+    assert(!p.contains("FileScan parquet"),
+      s"unigram/bigram models must read the token snapshot, not documents:\n${p.take(600)}")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "the N and T scalars must ride as broadcasts")
+  }
+
   test("q198: Holt is ONE key-shuffle; the two-state fold is a projection, not a join") {
     val p = plan("q198_holt_trend")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
