@@ -265,6 +265,39 @@ object Graph {
     dist
   }
 
+  /** Harmonic centrality (Marchiori & Latora 2000; Boldi & Vigna's
+    * axiomatic pick): H(u) = Σ_{v ≠ u} 1/d(u,v), unreachable nodes
+    * contributing 0 — the centrality that stays meaningful on
+    * DISCONNECTED graphs, where closeness's (n_reached−1)/Σd silently
+    * rescales per component (a 2-node island outranks the giant
+    * component's hub). Built on the same multi-source BFS relation as
+    * q171's closeness ([[allPairsHops]] — graph-sized by contract).
+    *
+    * Determinism contract: within `maxHops` every distance d ∈ 1..H, so
+    * each 1/d is summed as the EXACT integer lcm(1..H)/d (all terms and
+    * partial sums exact in double far below 2^53) — the float combine
+    * order the shuffle picks cannot matter, unlike a naive Σ 1/d. The
+    * single closing division by the lcm is one rounded expression, the
+    * q171 convention.
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 40, s"maxHops out of range: $maxHops")
+    val l = (1 to maxHops).foldLeft(1L) { (acc, d) =>
+      val g = BigInt(acc).gcd(BigInt(d)).toLong; acc / g * d
+    }
+    allPairsHops(edges, srcCol, dstCol, maxHops)
+      .filter(col("hops") >= 1)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(lit(l.toDouble) / col("hops")).as("__hx"))
+      .select(col("src"), col("n_reached"),
+        (round(col("__hx") / lit(l.toDouble), 6) + lit(0.0)).as("harmonic"))
+  }
+
   /** HyperBall-style closeness (Boldi & Vigna 2013): the neighborhood
     * function per node carried as a DataSketches HLL sketch instead of a
     * settled pair relation — the CORPUS-SCALE complement to

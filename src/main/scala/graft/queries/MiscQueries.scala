@@ -477,6 +477,21 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q200 — harmonic centrality ([[Graph.harmonicCentrality]]) on the
+    * strong trade graph: Σ 1/d(u,v) per nation — q171's closeness twin
+    * that survives disconnection (unreachable nodes contribute 0 instead
+    * of silently rescaling the mean). Each 1/d sums as the exact integer
+    * 60/d (lcm(1..6)-scaled), so the shuffle's float combine order cannot
+    * matter; one closing division, rounded.
+    */
+  def q200_harmonic: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.harmonicCentrality(strongTradeEdges(s, dir), "src", "dst", maxHops = 6)
+      .join(broadcast(Tables.nation(s, dir)), col("src") === col("n_nationkey"))
+      .select(col("n_name"), col("n_reached"), col("harmonic"))
+      .orderBy("n_name")
+  }
+
   /** q181 — HyperBall HLL closeness ([[Graph.hyperBallCloseness]]) on the
     * strong trade graph: the sketch-carried neighborhood function — one
     * HLL per node, one union pass per level — in place of q171's settled
@@ -870,6 +885,7 @@ object MiscQueries {
     "q167_bfs_hops" -> q167_bfs_hops,
     "q168_label_prop" -> q168_label_prop,
     "q171_closeness" -> q171_closeness,
+    "q200_harmonic" -> q200_harmonic,
     "q181_hll_closeness" -> q181_hll_closeness,
     "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
     "q175_kcore" -> q175_kcore,
@@ -943,6 +959,23 @@ object MiscQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
       FROM documents GROUP BY 1 ORDER BY 1""",
     "q171_closeness" -> closenessExactSql,
+    // the same recursive BFS relation; each 1/d summed as the exact
+    // integer 60/d before ONE closing division (the operator's contract)
+    "q200_harmonic" -> s"""
+      WITH RECURSIVE $strongTradeSql,
+      nodes AS (SELECT DISTINCT s AS node FROM sym),
+      h(src, node, hops) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT h.src, sym.d, h.hops + 1 FROM h JOIN sym ON sym.s = h.node
+        WHERE h.hops < 6),
+      d AS (SELECT src, node, min(hops) AS hops FROM h GROUP BY 1, 2)
+      SELECT n_name, count(1) AS n_reached,
+             round(sum(CAST(60 AS DOUBLE) / hops) / CAST(60 AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS harmonic
+      FROM d JOIN nation ON src = n_nationkey
+      WHERE hops >= 1
+      GROUP BY 1 ORDER BY 1""",
     // the HyperBall sketch path is EXACT at this graph size (HLL sparse
     // mode) — the oracle is deliberately the same exact-closeness SQL
     "q181_hll_closeness" -> closenessExactSql,

@@ -132,6 +132,24 @@ class GraphSpec extends SparkSuite {
     assert(hll(1L) == ((4L, 4L, 0.75)))
   }
 
+  test("harmonicCentrality: hand values; disconnection ranks sanely where closeness inverts") {
+    import spark.implicits._
+    // 5-path 0-1-2-3-4 plus island pair 8-9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("s", "d")
+    val got = graft.operators.Graph.harmonicCentrality(edges, "s", "d", maxHops = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // node 2 (path center): 1/1+1/1+1/2+1/2 = 3; node 0: 1+1/2+1/3+1/4 = 2.083333
+    // node 1: 1+1+1/2+1/3 = 2.833333; island nodes: exactly 1
+    assert(got(2L) == ((4L, 3.0)), s"center ${got(2L)}")
+    assert(got(0L) == ((4L, 2.083333)), s"end ${got(0L)}")
+    assert(got(1L) == ((4L, 2.833333)), s"near-end ${got(1L)}")
+    assert(got(8L) == ((1L, 1.0)) && got(9L) == ((1L, 1.0)))
+    // the property harmonic exists for: closeness scores the island pair
+    // (1/1 = 1.0) ABOVE the 5-path center ((5−1)/6 ≈ 0.67); harmonic
+    // keeps the well-connected center on top
+    assert(got(2L)._2 > got(8L)._2, "center must outrank the island under harmonic")
+  }
+
   test("kCore: chained peeling strips the tail; extra iterations are no-ops") {
     import spark.implicits._
     // K4 on 1-4, with a pendant chain 4-5-6: the 2-core must peel 6 THEN 5

@@ -573,6 +573,13 @@ class PlanSpec extends SparkSuite {
       "final plan rescans lineitem — levels not snapshotted")
   }
 
+  test("q200: the harmonic aggregate runs on BFS snapshots — no parquet rescans") {
+    val p = plan("q200_harmonic")
+    assert(!p.contains("FileScan parquet [l_"),
+      "final plan rescans lineitem — levels not snapshotted")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q170: greedy rounds ran eagerly — the final plan unions 1-row snapshots, no rescans") {
     val p = plan("q170_max_coverage")
     assert(!p.contains("FileScan parquet"),
