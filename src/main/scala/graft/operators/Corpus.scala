@@ -142,6 +142,40 @@ object Corpus {
       .drop("__matched")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher, SIGIR 2009):
+    * combine N retrievers' rank lists by
+    *
+    *   rrf(d) = Σᵢ 1/(k + rankᵢ(d)),   d absent from list i contributing 0
+    *
+    * — the standard hybrid-search ensemble (lexical + semantic, or any
+    * scorer mix): rank-space fusion needs no score calibration between
+    * retrievers with incomparable score scales, and k (canonically 60)
+    * damps the head so one list's #1 cannot steamroll consensus.
+    *
+    * Inputs are (idCol, rank) relations — each retriever's ALREADY-CUT
+    * top-k, so every join here is k-sized regardless of corpus scale (the
+    * expensive work stays in the upstream retrievers, which prune/block
+    * per their own contracts). Fusion is a fold of full-outer equi-joins
+    * plus ONE projection whose Σ is written in fixed list order — the
+    * per-term 1/(k+r) values are engine-identical IEEE ops, so the fused
+    * score is deterministic (round 6). Per-retriever ranks pass through
+    * (null where unranked) for interpretability.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kRrf: Int = 60): DataFrame = {
+    require(rankings.size >= 2, s"fusion needs >= 2 rankings, got ${rankings.size}")
+    require(kRrf >= 1, s"need kRrf >= 1, got $kRrf")
+    val renamed = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").cast("long").as(s"rank_$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf) + col(s"rank_$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(
+      (col(idCol) +: rankings.indices.map(i => col(s"rank_$i"))) :+
+        ((round(score, 6) + lit(0.0)).as("rrf")): _*)
+  }
+
   /** Sparse TF-IDF cosine similarity between documents, inverted-index
     * style: pair weights meet on their TERM (one shuffle keyed by term,
     * pair products summed per document pair) — never a dense doc×doc

@@ -33,6 +33,38 @@ object TrainingQueries {
       .limit(10)
   }
 
+  /** q201 — reciprocal-rank fusion ([[Corpus.rrfFuse]]) of two retrievers
+    * for the q55 query bag: the BM25 top-20 (ranked by the rounded score,
+    * the q55 tie contract) fused with the TF-IDF-sum top-20 (summed in
+    * integer micros, the q148 determinism convention — different idf form
+    * and no length saturation, so the lists genuinely disagree). Both
+    * top-k cuts are TakeOrdered (distributed), the fusion joins 20-row
+    * snapshots; rrf = 1/(60+r₁) + 1/(60+r₂) summed in written order.
+    */
+  def q201_rrf_fusion: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val terms = Seq("hash", "customer", "stream")
+    def rank1(df: DataFrame, scoreCol: String) = Stage.snapshotDF(df)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col(scoreCol).desc, col("doc_id").asc)))
+      .select("doc_id", "rank")
+    val bm = rank1(
+      Corpus.bm25(docs, "doc_id", "text", terms)
+        .select(col("doc_id"), round(col("bm25"), 4).as("s"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(20), "s")
+    val ti = rank1(
+      Corpus.tfidf(docs, "doc_id", "text")
+        .filter(col("term").isin(terms: _*))
+        .withColumn("t6", floor(col("tfidf") * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy("doc_id").agg(sum("t6").as("s6"))
+        .orderBy(col("s6").desc, col("doc_id").asc).limit(20), "s6")
+    Corpus.rrfFuse(Seq(bm, ti), "doc_id", kRrf = 60)
+      .select(col("doc_id"), col("rank_0").as("rank_bm25"),
+        col("rank_1").as("rank_tfidf"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+  }
+
   /** q143 — conjunctive (AND) retrieval with BM25 ranking
     * ([[Corpus.conjunctiveSearch]]): top-15 documents containing ALL of a
     * 3-term query, including the corpus's rarest term. The postings
@@ -908,6 +940,7 @@ object TrainingQueries {
     "q54_tfidf" -> q54_tfidf,
     "q55_bm25" -> q55_bm25,
     "q143_conjunctive_search" -> q143_conjunctive_search,
+    "q201_rrf_fusion" -> q201_rrf_fusion,
     "q146_priority_sample" -> q146_priority_sample,
     "q148_keywords" -> q148_keywords,
     "q56_bigram_freq" -> q56_bigram_freq,
@@ -1621,6 +1654,50 @@ object TrainingQueries {
         FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
       SELECT doc_id, round(sum(score), 4) AS bm25
       FROM scored GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""",
+    // both retriever chains verbatim (q55 BM25 / q148 integer-micros
+    // tfidf), ranked by their tie contracts, fused 1/(60+r) in written
+    // order — CAST(1 AS DOUBLE), not the DECIMAL literal 1.0
+    "q201_rrf_fusion" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM documents)),
+      stats AS (SELECT count(1) AS n_docs,
+                       avg(len($tk) * 1.0) AS avgdl FROM documents),
+      tfq AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+              FROM toks WHERE tok IN ('hash', 'customer', 'stream') GROUP BY 1, 2),
+      dfq AS (SELECT tok, count(1) AS df FROM tfq GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dlen / avgdl)) AS score
+        FROM tfq JOIN dfq USING (tok) CROSS JOIN stats),
+      bm AS (SELECT doc_id, round(sum(score), 4) AS s
+             FROM scored GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20),
+      bmr AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r1
+              FROM bm),
+      tf AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+             FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(1) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(1) AS n_docs FROM documents),
+      ti AS (SELECT doc_id,
+                    CAST(floor(cnt * 1.0 / dlen * ln(n_docs * 1.0 / df)
+                               * 1000000 + 0.5) AS BIGINT) AS t6
+             FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+             WHERE tok IN ('hash', 'customer', 'stream')),
+      tis AS (SELECT doc_id, sum(t6) AS s6 FROM ti GROUP BY 1
+              ORDER BY 2 DESC, 1 ASC LIMIT 20),
+      tir AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY s6 DESC, doc_id ASC) AS r2
+              FROM tis)
+      SELECT coalesce(bmr.doc_id, tir.doc_id) AS doc_id,
+             CAST(r1 AS BIGINT) AS rank_bm25,
+             CAST(r2 AS BIGINT) AS rank_tfidf,
+             round(coalesce(CAST(1 AS DOUBLE) / (60 + r1), CAST(0 AS DOUBLE))
+                 + coalesce(CAST(1 AS DOUBLE) / (60 + r2), CAST(0 AS DOUBLE)), 6)
+               + CAST(0 AS DOUBLE) AS rrf
+      FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id
+      ORDER BY rrf DESC, 1 ASC""",
     "q148_keywords" -> raw"""
       WITH toks AS (
         SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen

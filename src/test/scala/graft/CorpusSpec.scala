@@ -482,6 +482,24 @@ class CorpusSpec extends SparkSuite {
     assert(got.head._1 == "a" && got.head._2 == "b")
   }
 
+  test("rrfFuse: hand-computed fusion, absent items contribute 0, ranks pass through") {
+    import spark.implicits._
+    val r1 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val r2 = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val got = Corpus.rrfFuse(Seq(r1, r2), "doc_id", kRrf = 60)
+      .as[(Long, Option[Long], Option[Long], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 1/61=0.016393..., 1/62=0.016129..., 1/63=0.015873...
+    assert(got(1L) == ((1L, Some(1L), None, 0.016393)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, Some(2L), Some(1L), 0.032522)),
+      s"consensus item must sum both lists: ${got(2L)}")
+    assert(got(3L) == ((3L, Some(3L), None, 0.015873)))
+    assert(got(4L) == ((4L, None, Some(2L), 0.016129)))
+    // the item on BOTH lists outranks every single-list item, including
+    // each list's #1 — the consensus property fusion exists for
+    assert(got.values.maxBy(_._4)._1 == ((2L, Some(2L), Some(1L), 0.032522))._1)
+  }
+
   test("maxCoverageSelect: greedy picks by marginal gain, ties to smaller id, exhausts early") {
     import spark.implicits._
     // doc 1 covers {a,b,c}; doc 2 covers {c,d} (gain 1 after doc 1); doc 3

@@ -722,6 +722,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q201: retriever cuts are TakeOrdered; fusion joins the 20-row snapshots only") {
+    // the cuts run eagerly inside snapshots — pin the shape on the
+    // retriever expression itself, then the final fused plan
+    import org.apache.spark.sql.functions._
+    val cut = graft.operators.Corpus.bm25(
+        SparkEntry.queries("q20_count")(spark, sfDir).sparkSession
+          .read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", "text", Seq("hash", "customer", "stream"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("s"))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(20)
+    assert(cut.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "the top-k cut must push the limit into the sort")
+    val p = plan("q201_rrf_fusion")
+    assert(!p.contains("FileScan parquet"),
+      s"fusion must read the ranked snapshots, not documents:\n${p.take(600)}")
+  }
+
   test("q199: PMI scores vocab-sized models off the token snapshot — no corpus rescan") {
     val p = plan("q199_pmi_collocations")
     assert(!p.contains("FileScan parquet"),
