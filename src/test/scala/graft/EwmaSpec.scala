@@ -76,6 +76,35 @@ class EwmaSpec extends SparkSuite {
     assert(math.abs(r._5 - 125.0) < 0.5, s"forecast must track the ramp: $r")
   }
 
+  test("streaming Holt twin: in-order micro-batches, final rows ≡ batch summary bit-for-bit") {
+    import graft.streaming.StreamingHolt
+    implicit val sqlCtx = spark.sqlContext
+    val hrows = Seq(
+      ("a", ts(0), 1L, 10.0), ("a", ts(1), 2L, 20.0),
+      ("a", ts(2), 3L, 2.0), ("a", ts(3), 4L, 12.25),
+      ("b", ts(0), 5L, 42.0),
+      ("c", ts(0), 7L, 1.0), ("c", ts(0), 6L, 5.0))
+    val mem = MemoryStream[CusumEvent]
+    val q = StreamingHolt.smooth(mem.toDS(), alpha = 0.25, beta = 0.125)
+      .writeStream.outputMode("append").format("memory").queryName("holt").start()
+    // slice boundary lands mid-series for a (after two points)
+    val evs = hrows.sortBy(r => (r._2.getTime, r._3))
+      .map(r => CusumEvent(r._1, r._2, r._3, r._4))
+    evs.grouped(3).foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+    q.stop()
+    val finals = spark.table("holt")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+      .groupBy(_._1).map { case (k, xs) =>
+        val last = xs.maxBy(_._3)
+        k -> ((k, last._3, last._4, last._5, last._6, last._7))
+      }
+    val batch = TimeSeries.holt(hrows.toDF("key", "ts", "id", "value"),
+        "key", "ts", "id", "value", alpha = 0.25, beta = 0.125)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(finals == batch, s"stream $finals\nbatch $batch")
+  }
+
   test("streaming twin: in-order micro-batches, final rows ≡ batch summary; state carries unrounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CusumEvent]
