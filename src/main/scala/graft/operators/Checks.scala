@@ -166,4 +166,72 @@ object Checks {
         round((p - q) * log(p / q), 6).as("psi_term"))
       .orderBy("bin")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic — the bin-free
+    * member of the drift family ([[populationStability]] commits to bins
+    * up front and is blind to shifts INSIDE a bin; JS/centroid drift are
+    * categorical/embedding-space):
+    *
+    *   KS = max_v |F_a(v) − F_b(v)|
+    *
+    * over the pooled observed values, with the classic two-sample 95%
+    * critical value 1.358·√((n_a+n_b)/(n_a·n_b)) and a verdict. Also
+    * emits the SMALLEST value attaining the max — where the
+    * distributions pull apart.
+    *
+    * The global CDF needs a total order, but NOT a single partition: per
+    * side, values pre-aggregate to (value, count) — one corpus-sized
+    * shuffle each — then the pooled distinct-value relation is
+    * range-partitioned and each partition computes a LOCAL prefix sum;
+    * the global prefix is local + the broadcast prefix-of-partition-
+    * totals offset (the textbook distributed scan). The result is
+    * invariant to where the range boundaries land (equal values never
+    * split across ranges), so the sampled partitioner cannot perturb it;
+    * all counts are exact integers, each CDF value ONE division of exact
+    * integers, |diff| comparisons exact.
+    */
+  def ksDrift(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      rangePartitions: Int = 32): DataFrame = {
+    val v = col(valueCol).cast("double").as("value")
+    val ca = a.select(v).groupBy("value").agg(count(lit(1)).as("ca"))
+    val cb = b.select(v).groupBy("value").agg(count(lit(1)).as("cb"))
+    val pooled = Stage.snapshotDF(
+      ca.join(cb, Seq("value"), "full_outer").na.fill(0L, Seq("ca", "cb"))
+        .repartitionByRange(rangePartitions, col("value"))
+        .withColumn("__pid", spark_partition_id()))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val offW = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // the offset relation is ≤ rangePartitions rows — its single-partition
+    // window is bounded by construction
+    val offsets = pooled.groupBy("__pid")
+      .agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
+      .select(col("__pid"),
+        coalesce(sum("__ta").over(offW), lit(0L)).as("__oa"),
+        coalesce(sum("__tb").over(offW), lit(0L)).as("__ob"))
+    val totals = pooled.agg(sum("ca").as("__na"), sum("cb").as("__nb"))
+    val diffs = pooled
+      .withColumn("__la", sum("ca").over(localW))
+      .withColumn("__lb", sum("cb").over(localW))
+      .join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(totals))
+      .select(col("value"), col("__na"), col("__nb"),
+        abs((col("__la") + col("__oa")).cast("double") / col("__na") -
+            (col("__lb") + col("__ob")).cast("double") / col("__nb")).as("__d"))
+    diffs
+      .orderBy(col("__d").desc, col("value").asc).limit(1)
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        (round(col("__d"), 6) + lit(0.0)).as("ks"),
+        col("value").as("ks_at_value"),
+        (round(lit(1.358) * sqrt((col("__na") + col("__nb")).cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double"))), 6)
+          + lit(0.0)).as("crit_95"),
+        // n_a·n_b multiplies as doubles — the long product overflows
+        // exactly at the corpus sizes this gate is for
+        (col("__d") > lit(1.358) * sqrt((col("__na") + col("__nb")).cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double")))).as("drifted"))
+  }
 }

@@ -308,6 +308,25 @@ object MiscQueries {
     graft.operators.Checks.populationStability(ref, cur, "o_totalprice", bins = 10)
   }
 
+  /** q202 — exact two-sample KS drift ([[graft.operators.Checks.ksDrift]])
+    * between the q186 release pair: the bin-free drift statistic (PSI is
+    * blind to shifts inside a bin), with the 95% critical value and the
+    * smallest price where the CDFs pull apart the most. The global CDF
+    * runs as a DISTRIBUTED prefix sum — range-partitioned local scans +
+    * a broadcast partition-offset reconstruction — never a
+    * single-partition window over the value relation.
+    */
+  def q202_ks_drift: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val ref = o.filter(col("o_orderkey") % 97 =!= 0)
+    val cur = o.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0,
+          col("o_totalprice").cast("double") * lit(1.25))
+          .otherwise(col("o_totalprice").cast("double")))
+    graft.operators.Checks.ksDrift(ref, cur, "o_totalprice")
+  }
+
   /** q164 — market-basket pair rules ([[graft.operators.Association]]):
     * top-20 co-ordered part pairs by lift (support ≥ 2) over the
     * lineitem order-baskets. One distinct (basket, item) projection, one
@@ -876,6 +895,7 @@ object MiscQueries {
     "q157_bloom_lookup" -> q157_bloom_lookup,
     "q159_quality_checks" -> q159_quality_checks,
     "q186_psi_drift" -> q186_psi_drift,
+    "q202_ks_drift" -> q202_ks_drift,
     "q187_ingest_manifest" -> q187_ingest_manifest,
     "q191_skyline" -> q191_skyline,
     "q192_ivm_refresh" -> q192_ivm_refresh,
@@ -1041,6 +1061,43 @@ object MiscQueries {
     // reference deciles via quantile_cont rounded to 6 (both engines bin
     // identical boundaries); the ε-smoothed PSI term mirrors Spark's
     // expression grouping exactly
+    // one cumulative window over the pooled distinct prices (the oracle
+    // needs no distributed scan), identical CDF divisions and the
+    // CAST(1.358 AS DOUBLE) critical-value expression
+    "q202_ks_drift" -> """
+      WITH refr AS (SELECT CAST(o_totalprice AS DOUBLE) AS value
+                    FROM orders WHERE o_orderkey % 97 <> 0),
+      curr AS (SELECT CASE WHEN o_orderkey % 13 = 0
+                           THEN CAST(o_totalprice AS DOUBLE) * 1.25
+                           ELSE CAST(o_totalprice AS DOUBLE) END AS value
+               FROM orders WHERE o_orderkey % 89 <> 0),
+      ca AS (SELECT value, count(1) AS ca FROM refr GROUP BY 1),
+      cb AS (SELECT value, count(1) AS cb FROM curr GROUP BY 1),
+      pooled AS (SELECT coalesce(ca.value, cb.value) AS value,
+                        coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+                 FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM pooled),
+      c AS (SELECT value,
+                   sum(ca) OVER (ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+                   sum(cb) OVER (ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+            FROM pooled),
+      d AS (SELECT value,
+                   abs(CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb) AS d
+            FROM c, t)
+      SELECT t.na AS n_a, t.nb AS n_b,
+             round(d.d, 6) + CAST(0 AS DOUBLE) AS ks,
+             d.value AS ks_at_value,
+             round(CAST(1.358 AS DOUBLE) *
+               sqrt(CAST(na + nb AS DOUBLE) /
+                    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+               + CAST(0 AS DOUBLE) AS crit_95,
+             d.d > CAST(1.358 AS DOUBLE) *
+               sqrt(CAST(na + nb AS DOUBLE) /
+                    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drifted
+      FROM d, t ORDER BY d.d DESC, d.value ASC LIMIT 1""",
     "q186_psi_drift" -> """
       WITH rv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
                   WHERE o_orderkey % 97 <> 0),

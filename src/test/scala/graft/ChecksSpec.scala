@@ -96,4 +96,31 @@ class ChecksSpec extends SparkSuite {
       .agg(org.apache.spark.sql.functions.sum("psi_term")).head().getDouble(0)
     assert(psi > 0.25, s"a 60-point shift must flag: $psi")
   }
+
+  test("ksDrift: hand CDF gap; self-KS zero; disjoint samples hit 1 and flag") {
+    import spark.implicits._
+    def ks(a: Seq[Double], b: Seq[Double], parts: Int = 32) =
+      graft.operators.Checks.ksDrift(a.toDF("v"), b.toDF("v"), "v", parts)
+        .as[(Long, Long, Double, Double, Double, Boolean)].head()
+    // a=[1,2,3] b=[2,3,4,4]: F_a=[1/3,2/3,1,1] F_b=[0,1/4,1/2,1] →
+    // gaps [.333,.417,.5,0]; max .5 at value 3; crit=1.358·√(7/12)=1.03719
+    val h = ks(Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0, 4.0, 4.0))
+    assert(h == ((3L, 4L, 0.5, 3.0, 1.03719, false)), s"got $h")
+    val self = ks(Seq(1.0, 2.0, 2.0, 5.0), Seq(1.0, 2.0, 2.0, 5.0))
+    assert(self._3 == 0.0 && !self._6, s"self-KS must be zero: $self")
+    val disj = ks((1 to 50).map(_.toDouble), (101 to 150).map(_.toDouble))
+    assert(disj._3 == 1.0 && disj._6, s"disjoint samples: $disj")
+  }
+
+  test("ksDrift: invariant to the range-partition count (distributed scan ≡ one partition)") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => (i * 7 % 97).toDouble)
+    val b = (1 to 400).map(i => (i * 11 % 89).toDouble + 3.0)
+    val runs = Seq(1, 2, 32).map { p =>
+      graft.operators.Checks.ksDrift(a.toDF("v"), b.toDF("v"), "v", p)
+        .as[(Long, Long, Double, Double, Double, Boolean)].head()
+    }
+    assert(runs.distinct.size == 1,
+      s"offset reconstruction must make the partition count invisible: $runs")
+  }
 }

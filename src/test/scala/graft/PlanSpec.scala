@@ -739,6 +739,14 @@ class PlanSpec extends SparkSuite {
       s"fusion must read the ranked snapshots, not documents:\n${p.take(600)}")
   }
 
+  test("q202: the CDF scan is __pid-partitioned windows + a broadcast offset — no global sort window") {
+    val p = plan("q202_ks_drift")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"local prefix sums must partition by the range-partition id:\n${p.take(800)}")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "partition offsets and totals must ride as broadcasts")
+  }
+
   test("q199: PMI scores vocab-sized models off the token snapshot — no corpus rescan") {
     val p = plan("q199_pmi_collocations")
     assert(!p.contains("FileScan parquet"),
