@@ -249,6 +249,67 @@ object TimeSeries {
         (round(col("__f.s"), 6) + lit(0.0)).as("sse"))
   }
 
+  /** Per-key ordinary-least-squares trend fit — y = a + b·(t − t₀) over
+    * each key's series with t₀ the key's FIRST observation (so the
+    * intercept is "fitted value at series start", a translation every
+    * closed-form term survives exactly):
+    *
+    *   b = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),  r² = (n·Σxy − ΣxΣy)² / (den_x·den_y)
+    *
+    * The monitor-family member for TREND (CUSUM detects level shifts,
+    * EWMA/Holt smooth; this one answers "how fast is it moving and how
+    * linear is it" in one pass).
+    *
+    * Exactness contract: x = MICROSECONDS since the key's first point
+    * (exact long, no sub-second truncation question on either engine),
+    * y folded to integer micros (the q148 convention) — with both axes
+    * in micros the raw slope IS y-units per second (emitted per DAY,
+    * one exact ×86400, for readable magnitudes); every sum and
+    * every closed-form product/difference is computed in DECIMAL(38,0) —
+    * EXACT integers, immune to both the shuffle's float combine order
+    * and the catastrophic cancellation that kills naive nΣx²−(Σx)² on
+    * raw epoch x (recentring bounds x by the series SPAN, then decimal
+    * keeps even the 10²⁹-magnitude cross terms exact). Only the final
+    * divisions run in double, on identically-cast exact operands. The
+    * oracle replays the same algebra in HUGEINT.
+    *
+    * One key-shuffle: the recentring window min and the sum aggregate
+    * ride the same hash partitioning (AQE reuses the exchange).
+    * Degenerate keys: zero x-variance (single point / one timestamp) →
+    * null slope/intercept/r²; zero y-variance → slope 0 with null r².
+    */
+  def linearFit(
+      events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byKey = Window.partitionBy("__k")
+    val base = events
+      .select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol)).as("__x"),
+        floor(col(valCol).cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("__y"))
+      .withColumn("__xr", col("__x") - min("__x").over(byKey))
+    val xd = col("__xr").cast(dec)
+    val yd = col("__y").cast(dec)
+    val g = base.groupBy(col("__k"))
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(xd).as("__sx"), sum(yd).as("__sy"),
+        sum(xd * xd).as("__sxx"), sum(xd * yd).as("__sxy"),
+        sum(yd * yd).as("__syy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val denX = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val denY = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val b = num / denX
+    g.select(col("__k").as(keyCol), col("__n").cast("long").as("n_points"),
+      when(col("__sxx") > 0 && denX > 0,
+        round(b * lit(86400.0), 9) + lit(0.0)).as("slope_per_day"),
+      when(col("__sxx") > 0 && denX > 0,
+        round((col("__sy").cast("double") - b * col("__sx").cast("double")) /
+          col("__n").cast("double") / lit(1e6), 6) + lit(0.0)).as("intercept"),
+      when(col("__sxx") > 0 && denX > 0 && denY > 0,
+        round((num / denX) * (num / denY), 6) + lit(0.0)).as("r2"))
+  }
+
   /** Time-weighted linear interpolation of a series at arbitrary probe
     * instants — the as-of family's missing member (q22 latest-per-key,
     * q79/q149 nearest/backward/forward pick a NEIGHBOR; this blends the

@@ -98,14 +98,61 @@ object TimeSeriesQueries {
       .orderBy("user_id")
   }
 
+  /** q203 — per-key OLS trend fit ([[TimeSeries.linearFit]]): slope per
+    * day, intercept at series start, and r² of each event type's value
+    * series. Every closed-form term is exact DECIMAL(38,0) integer
+    * algebra on micros-scaled axes (the oracle replays it in HUGEINT);
+    * only the two final divisions run in double.
+    */
+  def q203_linear_fit: Q = (s, dir) => {
+    TimeSeries.linearFit(Tables.events(s, dir),
+        keyCol = "event_type", tsCol = "ts", valCol = "value")
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q166_gapfill_locf" -> q166_gapfill_locf,
+    "q203_linear_fit" -> q203_linear_fit,
     "q198_holt_trend" -> q198_holt_trend,
     "q169_cusum" -> q169_cusum,
     "q189_ewma" -> q189_ewma,
     "q193_time_interp" -> q193_time_interp)
 
   val oracle: Map[String, String] = Map(
+    // the identical integer algebra in HUGEINT: micros axes, recentred x,
+    // exact n·Σxy − ΣxΣy / n·Σx² − (Σx)² terms, double only at the final
+    // divisions (same parenthesization: b·86400, (Σy − b·Σx)/n/1e6,
+    // (num/denX)·(num/denY))
+    "q203_linear_fit" -> """
+      WITH b AS (
+        SELECT event_type AS k, epoch_us(ts) AS x,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS y
+        FROM events),
+      r AS (SELECT k, x - min(x) OVER (PARTITION BY k) AS xr, y FROM b),
+      g AS (SELECT k, CAST(count(1) AS HUGEINT) AS n,
+                   sum(CAST(xr AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(xr AS HUGEINT) * xr) AS sxx,
+                   sum(CAST(xr AS HUGEINT) * y) AS sxy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM r GROUP BY 1),
+      t AS (SELECT k, n, sx, sy, sxx,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS den_x,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS den_y
+            FROM g)
+      SELECT k AS event_type, CAST(n AS BIGINT) AS n_points,
+             CASE WHEN sxx > 0 AND den_x > 0 THEN
+               round(num / den_x * CAST(86400 AS DOUBLE), 9) + CAST(0 AS DOUBLE)
+             END AS slope_per_day,
+             CASE WHEN sxx > 0 AND den_x > 0 THEN
+               round((CAST(sy AS DOUBLE) - num / den_x * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE)
+             END AS intercept,
+             CASE WHEN sxx > 0 AND den_x > 0 AND den_y > 0 THEN
+               round((num / den_x) * (num / den_y), 6) + CAST(0 AS DOUBLE)
+             END AS r2
+      FROM t ORDER BY 1""",
     "q166_gapfill_locf" -> """
       WITH obs AS (
         SELECT event_type AS key,

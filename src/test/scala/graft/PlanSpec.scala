@@ -755,6 +755,13 @@ class PlanSpec extends SparkSuite {
       "the N and T scalars must ride as broadcasts")
   }
 
+  test("q203: the OLS window and aggregate share ONE key exchange; no join") {
+    val p = plan("q203_linear_fit")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"recentring window + sum aggregate must reuse one exchange:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q198: Holt is ONE key-shuffle; the two-state fold is a projection, not a join") {
     val p = plan("q198_holt_trend")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

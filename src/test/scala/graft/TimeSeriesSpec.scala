@@ -87,6 +87,35 @@ class TimeSeriesSpec extends SparkSuite {
       "positive score non-decreasing across the shift")
   }
 
+  test("linearFit: perfect line exact, hand 3-point fit, degenerate keys null out") {
+    import spark.implicits._
+    def tsd(day: Int, minute: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:$minute%02d:00")
+    val rows = Seq(
+      // perfect line y = 2 + 3·days → slope 3/day, intercept 2, r² = 1
+      ("line", tsd(0), 2.0), ("line", tsd(1), 5.0), ("line", tsd(2), 8.0),
+      // hand fit at 0/60/120 s, y = 1/2/1.5: b = 1/240 y/s → 360/day,
+      // intercept 1.25, r² = 0.25 (all terms exact dyadic/decimal)
+      ("hand", ts(0), 1.0), ("hand", ts(1), 2.0), ("hand", ts(2), 1.5),
+      // degenerates: one point; two points at ONE instant; constant y
+      ("single", ts(0), 7.0),
+      ("onets", ts(0), 1.0), ("onets", ts(0), 9.0),
+      ("flat", ts(0), 4.0), ("flat", ts(1), 4.0), ("flat", ts(2), 4.0))
+      .toDF("key", "ts", "value")
+    val got = TimeSeries.linearFit(rows, "key", "ts", "value")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("line") == (("line", 3L, Some(3.0), Some(2.0), Some(1.0))),
+      s"perfect line: ${got("line")}")
+    assert(got("hand") == (("hand", 3L, Some(360.0), Some(1.25), Some(0.25))),
+      s"hand fit: ${got("hand")}")
+    assert(got("single") == (("single", 1L, None, None, None)))
+    assert(got("onets") == (("onets", 2L, None, None, None)),
+      "zero x-variance must null out, not divide by zero")
+    assert(got("flat") == (("flat", 3L, Some(0.0), Some(4.0), None)),
+      s"constant y: zero slope, mean intercept, null r²: ${got("flat")}")
+  }
+
   test("interpolateAt: midpoint blend, on-point exactness, strict range, same-ts ties") {
     import spark.implicits._
     // key a: clicks v=10 @m0, v=30 @m10, v=30 @m10 dup-ts (id 3 wins prev),
