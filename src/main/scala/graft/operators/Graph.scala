@@ -369,6 +369,61 @@ object Graph {
           .as("closeness"))
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999), weighted — the DUAL
+    * link-analysis scores PageRank's single importance number cannot
+    * express: an authority is pointed at by good hubs, a hub points at
+    * good authorities (directories vs destinations; in the trade graph,
+    * supplier-heavy vs customer-heavy nations):
+    *
+    *   a(v) ← Σ_{u→v} w·h(u);   h(u) ← Σ_{u→v} w·a(v)
+    *
+    * each update normalized by its MAX (L∞) — unlike the classic L2 norm,
+    * a max is combine-order-free, and L∞-normalized HITS converges to the
+    * same ranking (normalization only rescales the power iteration).
+    * Every layer rounds to `scale` (the q141 per-layer contract), so the
+    * unrolled oracle replays bit-identical layers. Same cost shape as
+    * [[pageRank]]: the edge pipeline snapshots once; each half-iteration
+    * is one graph-sized equi-join + aggregate with a broadcast max.
+    * Nodes with no in-edges hold authority 0 (resp. hub 0 for no
+    * out-edges) — the bipartite separation the dual scores exist for.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      iterations: Int = 4,
+      scale: Int = 9): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = Stage.snapshotDF(edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst"), col(wCol).cast("double").as("w")))
+    val nodes = Stage.snapshotDF(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val filled = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col(c), lit(0.0)).as(c))
+      val mx = filled.agg(max(col(c)).as("__mx"))
+      // snapshot: each score relation feeds the next half-iteration's join
+      // AND (for the final pair) the output join
+      Stage.snapshotDF(filled.crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("__mx") > 0, round(col(c) / col("__mx"), scale))
+            .otherwise(lit(0.0)).as(c)))
+    }
+    var h = Stage.snapshotDF(nodes.withColumn("h", lit(1.0)))
+    var a = nodes.withColumn("a", lit(0.0))
+    for (_ <- 1 to iterations) {
+      a = normalized(
+        e.join(h.withColumnRenamed("node", "__s"), col("src") === col("__s"))
+          .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("a")), "a")
+      h = normalized(
+        e.join(a.withColumnRenamed("node", "__d"), col("dst") === col("__d"))
+          .groupBy(col("src").as("node")).agg(sum(col("w") * col("a")).as("h")), "h")
+    }
+    nodes.join(a, Seq("node")).join(h, Seq("node"))
+      .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection by iterated neighbor-majority voting. Labels start as node
     * ids; each round every node adopts the most frequent label among its

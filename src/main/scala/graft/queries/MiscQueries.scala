@@ -686,6 +686,32 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q204 — HITS hubs/authorities ([[graft.operators.Graph.hits]]) on the
+    * q141 weighted trade graph: per nation the dual link-analysis scores —
+    * authority (pointed at by good hubs: customer-heavy) vs hub (points
+    * at good authorities: supplier-heavy) — which PageRank's single
+    * number conflates. L∞-normalized (combine-order-free max), per-layer
+    * round(·, 9); the oracle unrolls the 4 double-layers exactly.
+    */
+  def q204_hits: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graph.hits(edges, "src", "dst", "w", iterations = 4)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"),
+        (round(col("authority"), 6) + lit(0.0)).as("authority"),
+        (round(col("hub"), 6) + lit(0.0)).as("hub"))
+      .orderBy("n_name")
+  }
+
   /** q195 — personalized PageRank ([[graft.operators.Graph.personalizedPageRank]]):
     * the q141 trade graph re-ranked by relevance to seed nations
     * {1, 7, 13} — reset and dangling mass flow to the seeds, so scores
@@ -752,6 +778,51 @@ object MiscQueries {
       $layers
       SELECT n_name, round(pr, 6) AS pagerank
       FROM r$iters JOIN nation ON node = n_nationkey
+      ORDER BY n_name"""
+  }
+
+  /** The q204 oracle: the HITS double-layers unrolled — per iteration an
+    * authority layer (in-edge weighted sum of the previous hubs, filled
+    * 0, divided by the max, rounded 9) then a hub layer over the fresh
+    * authorities; builds by loop so layers cannot drift.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val layers = (1 to iters).map { k =>
+      s"""
+      a${k}raw AS (SELECT e.dst AS node, sum(e.w * h.h) AS ar
+                   FROM h${k - 1} h JOIN edges e ON h.node = e.src GROUP BY 1),
+      a${k}f AS MATERIALIZED (SELECT n.node, coalesce(ar, CAST(0 AS DOUBLE)) AS ar
+                 FROM nodes n LEFT JOIN a${k}raw USING (node)),
+      a$k AS MATERIALIZED (SELECT node, CASE WHEN mx.m > 0 THEN round(ar / mx.m, 9)
+                                ELSE CAST(0 AS DOUBLE) END AS a
+              FROM a${k}f CROSS JOIN (SELECT max(ar) AS m FROM a${k}f) mx),
+      h${k}raw AS (SELECT e.src AS node, sum(e.w * a.a) AS hr
+                   FROM a$k a JOIN edges e ON a.node = e.dst GROUP BY 1),
+      h${k}f AS MATERIALIZED (SELECT n.node, coalesce(hr, CAST(0 AS DOUBLE)) AS hr
+                 FROM nodes n LEFT JOIN h${k}raw USING (node)),
+      h$k AS MATERIALIZED (SELECT node, CASE WHEN mx.m > 0 THEN round(hr / mx.m, 9)
+                                ELSE CAST(0 AS DOUBLE) END AS h
+              FROM h${k}f CROSS JOIN (SELECT max(hr) AS m FROM h${k}f) mx)"""
+    }.mkString(",")
+    s"""
+      WITH edges AS MATERIALIZED (
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+               CAST(count(1) AS DOUBLE) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges
+                   UNION ALL SELECT dst FROM edges)),
+      h0 AS (SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes),
+      $layers
+      SELECT n_name,
+             round(a.a, 6) + CAST(0 AS DOUBLE) AS authority,
+             round(h.h, 6) + CAST(0 AS DOUBLE) AS hub
+      FROM a$iters a JOIN h$iters h USING (node)
+      JOIN nation ON node = n_nationkey
       ORDER BY n_name"""
   }
 
@@ -910,6 +981,7 @@ object MiscQueries {
     "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
     "q175_kcore" -> q175_kcore,
     "q141_pagerank" -> q141_pagerank,
+    "q204_hits" -> q204_hits,
     "q195_ppr" -> q195_ppr,
     "q150_perceptual_neardup" -> q150_perceptual_neardup,
     "q180_audio_neardup" -> q180_audio_neardup,
@@ -941,6 +1013,7 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q141_pagerank" -> pageRankOracle(4),
+    "q204_hits" -> hitsOracle(4),
     "q195_ppr" -> pprOracle(4, Seq(1L, 7L, 13L)),
     "q155_snapshot_diff" -> """
       WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

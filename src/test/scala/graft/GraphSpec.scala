@@ -132,6 +132,24 @@ class GraphSpec extends SparkSuite {
     assert(hll(1L) == ((4L, 4L, 0.75)))
   }
 
+  test("hits: hand-iterated star values; pure sources/sinks separate; deterministic") {
+    import spark.implicits._
+    // 1,2,3 → 10 and 1 → 20, unit weights, 2 iterations:
+    //   it1: a = (10:1, 20:1/3); h = (1:1, 2:.75, 3:.75)
+    //   it2: a_raw = (10:2.5, 20:1) → a = (10:1, 20:.4)
+    //        h_raw = (1:1.4, 2:1, 3:1) → h = (1:1, 2:1/1.4, 3:1/1.4)
+    val edges = Seq((1L, 10L, 1L), (2L, 10L, 1L), (3L, 10L, 1L), (1L, 20L, 1L))
+      .toDF("src", "dst", "w")
+    def run() = graft.operators.Graph.hits(edges, "src", "dst", "w", iterations = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = run()
+    assert(got(10L) == ((1.0, 0.0)), s"sink is the top authority, zero hub: ${got(10L)}")
+    assert(got(20L) == ((0.4, 0.0)), s"got ${got(20L)}")
+    assert(got(1L) == ((0.0, 1.0)), s"the double-pointer is the top hub: ${got(1L)}")
+    assert(got(2L) == ((0.0, 0.714285714)) && got(3L) == got(2L), s"got ${got(2L)}")
+    assert(run() == got, "must be deterministic run to run")
+  }
+
   test("harmonicCentrality: hand values; disconnection ranks sanely where closeness inverts") {
     import spark.implicits._
     // 5-path 0-1-2-3-4 plus island pair 8-9

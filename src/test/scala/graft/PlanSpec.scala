@@ -573,6 +573,13 @@ class PlanSpec extends SparkSuite {
       "final plan rescans lineitem — levels not snapshotted")
   }
 
+  test("q204: the HITS output joins score snapshots — no trade-graph rescans, maxes broadcast") {
+    val p = plan("q204_hits")
+    assert(!p.contains("FileScan parquet [l_"),
+      "final plan rescans lineitem — score layers not snapshotted")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q200: the harmonic aggregate runs on BFS snapshots — no parquet rescans") {
     val p = plan("q200_harmonic")
     assert(!p.contains("FileScan parquet [l_"),
