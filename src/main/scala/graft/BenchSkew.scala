@@ -144,6 +144,23 @@ object BenchSkew {
           Linkage.candidatePairs(slim, "doc_id", Seq("lang", "source")),
           linkRules).filter(col("match_score") > 0).count()
       }),
+      // winnowing overlap: the 2000-doc near-dup cluster makes every shared
+      // selected fingerprint a 2000-doc bucket — capped drops boilerplate
+      // fingerprints whole (linear), open pays Σ bucket² in full
+      "winnow_overlap_capped" -> (() =>
+        graft.operators.TextAnalysis.winnowOverlapPairs(docs, 3, 8,
+          minShared = 2, maxDocsPerFingerprint = 50).count()),
+      "winnow_overlap_open" -> (() =>
+        graft.operators.TextAnalysis.winnowOverlapPairs(docs, 3, 8,
+          minShared = 2, maxDocsPerFingerprint = Int.MaxValue).count()),
+      // dbscan: the hot semantic cell lands in ONE LSH bucket — capped
+      // excises it observably, open pays the bucket² ε-join
+      "dbscan_capped" -> (() =>
+        Similarity.dbscan(emb, numPlanes = 8, dim = 64,
+          minSim = 0.9, minPts = 3, maxBucketSize = 500).count()),
+      "dbscan_open" -> (() =>
+        Similarity.dbscan(emb, numPlanes = 8, dim = 64,
+          minSim = 0.9, minPts = 3, maxBucketSize = Int.MaxValue).count()),
       "boilerplate" -> (() =>
         Corpus.boilerplateCoverage(docs, "doc_id", "text", 3, 0.02)
           .filter(col("boiler_ratio") > 0.5).count()),

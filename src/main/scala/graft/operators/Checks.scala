@@ -167,6 +167,79 @@ object Checks {
       .orderBy("bin")
   }
 
+  /** Benford first-digit conformance audit (Newcomb 1881, Benford 1938) —
+    * the forensic data-quality check for "naturally grown" numeric
+    * columns (amounts, populations, trade volumes): the first significant
+    * digit of organic multi-scale data follows p(d) = log₁₀(1 + 1/d), and
+    * fabricated / truncated / default-filled values don't. Emits one row
+    * per digit with the observed count, the Benford probability, and the
+    * χ² contribution (Σ = the test statistic; per-digit terms localize
+    * WHICH digit is inflated — the per-bin convention of
+    * [[populationStability]]).
+    *
+    * Values < 1 are outside the audit (their leading digit lives in the
+    * fraction — filter, don't guess). The first digit is the first
+    * character of floor(x) as a BIGINT string — integer-to-string is
+    * byte-identical across engines, where a log₁₀/pow extraction risks
+    * libm last-ulp disagreement exactly at powers of ten. The
+    * nine Benford probabilities enter both plans as driver double
+    * literals (the centroid/codebook convention). One corpus-sized
+    * aggregation into nine groups; everything after is nine-row algebra.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = broadcast(
+      (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
+        .toDF("digit", "benford_p"))
+    val obs = Stage.snapshotDF(df
+      .filter(col(valueCol).cast("double") >= 1.0)
+      .select(substring(floor(col(valueCol).cast("double")).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs")))
+    val n = obs.agg(sum("n_obs").as("__n"))
+    val expN = col("__n").cast("double") * col("benford_p")
+    expected.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("benford_p"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("n_obs"),
+        (round(col("benford_p"), 6) + lit(0.0)).as("benford_p"),
+        (round((col("n_obs").cast("double") - expN) *
+          (col("n_obs").cast("double") - expN) / expN, 6) + lit(0.0))
+          .as("chi2_term"))
+  }
+
+  /** Pointwise and total mutual information between two categorical
+    * columns — the column-association audit ("does `source` determine
+    * `lang`?" — a leakage/stratification question every mixing plan
+    * should ask before treating dimensions as independent):
+    *
+    *   mi_term(x,y) = (n_xy/N) · ln( (n_xy·N) / (n_x·n_y) ),  MI = Σ terms
+    *
+    * One corpus-sized (x, y) count; marginals and N fold off that
+    * snapshot (cell-table-sized), so the corpus is read once. Every
+    * ratio is a division/product of exact-integer doubles — identical
+    * IEEE operands cross-engine (the q199 PMI contract; this is PMI's
+    * occurrence-weighted expectation). Emits one row per observed cell.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = Stage.snapshotDF(
+      df.select(col(xCol).as("x"), col(yCol).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n_xy")))
+    val mx = joint.groupBy("x").agg(sum("n_xy").as("n_x"))
+    val my = joint.groupBy("y").agg(sum("n_xy").as("n_y"))
+    val tot = joint.agg(sum("n_xy").as("__n"))
+    val d = (c: String) => col(c).cast("double")
+    joint.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x").as(xCol), col("y").as(yCol),
+        col("n_xy"), col("n_x"), col("n_y"),
+        (round((d("n_xy") / d("__n")) *
+          log((d("n_xy") * d("__n")) / (d("n_x") * d("n_y"))), 6) + lit(0.0))
+          .as("mi_term"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift statistic — the bin-free
     * member of the drift family ([[populationStability]] commits to bins
     * up front and is blind to shifts INSIDE a bin; JS/centroid drift are

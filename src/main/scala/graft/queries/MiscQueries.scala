@@ -327,6 +327,30 @@ object MiscQueries {
     graft.operators.Checks.ksDrift(ref, cur, "o_totalprice")
   }
 
+  /** q205 — Benford first-digit audit ([[graft.operators.Checks.benford]])
+    * of order totals: per digit the observed count, the Benford
+    * probability log₁₀(1+1/d) (driver double literals, interpolated
+    * verbatim into the oracle), and the χ² contribution. TPC-H prices are
+    * uniform-ish, NOT Benford — the audit flagging real data is the
+    * point; the cross-engine contract is the arithmetic, not conformance.
+    */
+  def q205_benford: Q = (s, dir) => {
+    graft.operators.Checks.benford(Tables.orders(s, dir), "o_totalprice")
+      .orderBy("digit")
+  }
+
+  /** q206 — mutual information between `lang` and `source`
+    * ([[graft.operators.Checks.mutualInformation]]): per-cell PMI terms
+    * weighted by occurrence (Σ = the MI) — the column-association audit
+    * run before a mixing plan treats the two dimensions as independent
+    * strata. One corpus aggregation; cell-table algebra after.
+    */
+  def q206_mutual_info: Q = (s, dir) => {
+    graft.operators.Checks.mutualInformation(
+        Tables.documents(s, dir), "lang", "source")
+      .orderBy("lang", "source")
+  }
+
   /** q164 — market-basket pair rules ([[graft.operators.Association]]):
     * top-20 co-ordered part pairs by lift (support ≥ 2) over the
     * lineitem order-baskets. One distinct (basket, item) projection, one
@@ -781,6 +805,14 @@ object MiscQueries {
       ORDER BY n_name"""
   }
 
+  /** The nine Benford probabilities as the SAME driver doubles the Spark
+    * plan uses — shortest-roundtrip repr, so DuckDB parses back the
+    * identical bit pattern.
+    */
+  private val benfordVals = (1 to 9)
+    .map(d => s"($d, CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE))")
+    .mkString(", ")
+
   /** The q204 oracle: the HITS double-layers unrolled — per iteration an
     * authority layer (in-edge weighted sum of the previous hubs, filled
     * 0, divided by the max, rounded 9) then a hub layer over the fresh
@@ -967,6 +999,8 @@ object MiscQueries {
     "q159_quality_checks" -> q159_quality_checks,
     "q186_psi_drift" -> q186_psi_drift,
     "q202_ks_drift" -> q202_ks_drift,
+    "q205_benford" -> q205_benford,
+    "q206_mutual_info" -> q206_mutual_info,
     "q187_ingest_manifest" -> q187_ingest_manifest,
     "q191_skyline" -> q191_skyline,
     "q192_ivm_refresh" -> q192_ivm_refresh,
@@ -1014,6 +1048,41 @@ object MiscQueries {
   val oracle: Map[String, String] = Map(
     "q141_pagerank" -> pageRankOracle(4),
     "q204_hits" -> hitsOracle(4),
+    // first digit via floor→BIGINT→string (integer printing is
+    // byte-identical cross-engine; log10/pow risks libm ulp at powers of
+    // ten); (obs − n·p)²/(n·p) with the interpolated driver literals
+    "q205_benford" -> s"""
+      WITH expd(digit, p) AS (VALUES $benfordVals),
+      v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+            WHERE CAST(o_totalprice AS DOUBLE) >= 1),
+      obs AS (SELECT CAST(substring(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR), 1, 1)
+                          AS BIGINT) AS digit,
+                     count(1) AS n_obs
+              FROM v GROUP BY 1),
+      n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+      SELECT CAST(e.digit AS BIGINT) AS digit, coalesce(o.n_obs, 0) AS n_obs,
+             round(e.p, 6) + CAST(0 AS DOUBLE) AS benford_p,
+             round((CAST(coalesce(o.n_obs, 0) AS DOUBLE) - CAST(n.n AS DOUBLE) * e.p)
+                 * (CAST(coalesce(o.n_obs, 0) AS DOUBLE) - CAST(n.n AS DOUBLE) * e.p)
+                 / (CAST(n.n AS DOUBLE) * e.p), 6) + CAST(0 AS DOUBLE) AS chi2_term
+      FROM expd e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN n
+      ORDER BY e.digit""",
+    // identical exact-integer-double ratio algebra and parenthesization:
+    // (n_xy/N)·ln((n_xy·N)/(n_x·n_y))
+    "q206_mutual_info" -> """
+      WITH joint AS (SELECT lang, source, count(1) AS n_xy
+                     FROM documents GROUP BY 1, 2),
+      mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1),
+      my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
+      t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM joint)
+      SELECT j.lang, j.source, j.n_xy, mx.n_x, my.n_y,
+             round((CAST(j.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+               ln((CAST(j.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE)) /
+                  (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))), 6)
+               + CAST(0 AS DOUBLE) AS mi_term
+      FROM joint j
+      JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
+      ORDER BY j.lang, j.source""",
     "q195_ppr" -> pprOracle(4, Seq(1L, 7L, 13L)),
     "q155_snapshot_diff" -> """
       WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -97,6 +97,45 @@ class ChecksSpec extends SparkSuite {
     assert(psi > 0.25, s"a 60-point shift must flag: $psi")
   }
 
+  test("benford: hand digit census, sub-1 exclusion, power-of-ten boundaries, zero-digit χ² term") {
+    import spark.implicits._
+    // digits: 1.5→1, 19→1, 123→1, 2→2, 2.7→2; 0.5 excluded (< 1)
+    val df = Seq(1.5, 19.0, 123.0, 2.0, 2.7, 0.5).toDF("v")
+    val got = graft.operators.Checks.benford(df, "v")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == (1L to 9L).toSet, "one row per digit, always")
+    assert(got(1L)._2 == 3L && got(2L)._2 == 2L &&
+      (3L to 9L).forall(got(_)._2 == 0L), s"census: $got")
+    // an unobserved digit's χ² term is exactly n·p (here n = 5)
+    val p9 = math.log10(1.0 + 1.0 / 9)
+    val exp9 = BigDecimal(5 * p9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(9L)._4 == exp9, s"zero-obs χ² term: ${got(9L)}")
+
+    // the extraction path the operator exists to keep exact: powers of ten
+    val pow = Seq(1.0, 10.0, 100.0, 1000.0, 1e6).toDF("v")
+    val d1 = graft.operators.Checks.benford(pow, "v")
+      .filter($"digit" === 1).as[(Long, Long, Double, Double)].head()
+    assert(d1._2 == 5L, s"every power of ten has first digit 1: $d1")
+  }
+
+  test("mutualInformation: independent columns score exactly 0; identity scores ln 2 split") {
+    import spark.implicits._
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("c", "d"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val gotI = graft.operators.Checks.mutualInformation(indep, "x", "y")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(gotI.length == 4 && gotI.forall(_._6 == 0.0),
+      s"uniform independent cells have zero MI terms: ${gotI.toSeq}")
+    // x determines y: two cells, each (1/2)·ln((n/2·n)/(n/2·n/2)) = ln(2)/2
+    val dep = (for { x <- Seq("a", "b"); _ <- 1 to 6 } yield (x, x)).toDF("x", "y")
+    val gotD = graft.operators.Checks.mutualInformation(dep, "x", "y")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val half = BigDecimal(0.5 * math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gotD.length == 2 && gotD.forall(_._6 == half),
+      s"identity columns: each cell carries ln(2)/2: ${gotD.toSeq}")
+  }
+
   test("ksDrift: hand CDF gap; self-KS zero; disjoint samples hit 1 and flag") {
     import spark.implicits._
     def ks(a: Seq[Double], b: Seq[Double], parts: Int = 32) =

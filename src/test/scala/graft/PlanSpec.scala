@@ -746,6 +746,16 @@ class PlanSpec extends SparkSuite {
       s"fusion must read the ranked snapshots, not documents:\n${p.take(600)}")
   }
 
+  test("q205/q206: the audit algebra runs on count snapshots/aggregates — one corpus pass each") {
+    for (q <- Seq("q205_benford", "q206_mutual_info")) {
+      val p = plan(q)
+      assert(!p.contains("FileScan parquet"),
+        s"$q: digit/cell algebra must read the count snapshot, not the corpus:\n${p.take(600)}")
+      assert("BroadcastExchange".r.findAllIn(p).size >= 1,
+        s"$q: the total-count scalar must ride as a broadcast")
+    }
+  }
+
   test("q202: the CDF scan is __pid-partitioned windows + a broadcast offset — no global sort window") {
     val p = plan("q202_ks_drift")
     assert(p.contains("windowspecdefinition(__pid"),
