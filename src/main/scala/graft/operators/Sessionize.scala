@@ -29,6 +29,38 @@ object Sessionize {
       .drop("__prev_ms", "__brk")
   }
 
+  /** First-order Markov transition matrix over within-session event
+    * sequences: for every consecutive pair inside a session (same user,
+    * inter-event gap ≤ `gapMs` — the [[assign]] break rule, so a session
+    * boundary never fabricates a transition), the count and the
+    * row-normalized probability p(to | from). The behavioral bigram model
+    * behind next-event prediction, funnel diagnosis, and bot detection
+    * (a scraper's transition rows are near-deterministic; a human's are
+    * not).
+    *
+    * Cost shape: ONE user-key shuffle — the lag window rides the
+    * [[assign]] sort — then a |types|²-bounded count and a broadcast-size
+    * row-total join. Probabilities are exact-integer-double divisions
+    * (round 6), counts exact; no float accumulation anywhere.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String, gapMs: Long): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("__prev_ms", lag(unix_millis(col(tsCol)), 1).over(order))
+      .withColumn("__prev_ty", lag(col(typeCol), 1).over(order))
+      .filter(col("__prev_ms").isNotNull &&
+        unix_millis(col(tsCol)) - col("__prev_ms") <= gapMs)
+      .groupBy(col("__prev_ty").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .transform(Stage.snapshotDF) // feeds the row totals AND the output
+    val rowTot = trans.groupBy("from_type").agg(sum("n").as("__rt"))
+    trans.join(broadcast(rowTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (round(col("n").cast("double") / col("__rt").cast("double"), 6) + lit(0.0))
+          .as("p"))
+  }
+
   /** Per-session rollup: event count and duration per (user, session). */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
                idCol: String, gapMs: Long): DataFrame =

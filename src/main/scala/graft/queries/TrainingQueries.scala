@@ -163,6 +163,18 @@ object TrainingQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** q207 — session Markov transitions ([[Sessionize.transitionMatrix]]):
+    * within-session consecutive event-type pairs (12-hour gap rule — the
+    * q57 sessionization contract, so a session boundary never fabricates
+    * a transition) with counts and row-normalized p(to | from). One
+    * user-key shuffle; probabilities exact-integer-double divisions.
+    */
+  def q207_markov_transitions: Q = (s, dir) => {
+    Sessionize.transitionMatrix(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", gapMs = 12L * 3600 * 1000)
+      .orderBy("from_type", "to_type")
+  }
+
   /** q58 — context-window sequence packing: documents binned into
     * 2048-token budgets per source shard; per-bin fill statistics.
     */
@@ -946,6 +958,7 @@ object TrainingQueries {
     "q56_bigram_freq" -> q56_bigram_freq,
     "q199_pmi_collocations" -> q199_pmi_collocations,
     "q57_sessionize" -> q57_sessionize,
+    "q207_markov_transitions" -> q207_markov_transitions,
     "q58_packing" -> q58_packing,
     "q59_repetition" -> q59_repetition,
     "q63_entropy" -> q63_entropy,
@@ -1779,6 +1792,24 @@ object TrainingQueries {
             FROM toks WHERE len(tk) >= 2)
       SELECT bigram, count(1) AS n FROM g GROUP BY 1
       ORDER BY 2 DESC, 1 ASC LIMIT 20""",
+    "q207_markov_transitions" -> """
+      WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(epoch_ms(ts)) OVER w AS prev_ms,
+               lag(event_type) OVER w AS prev_ty
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      tr AS (SELECT prev_ty AS from_type, event_type AS to_type,
+                    count(1) AS n
+             FROM o
+             WHERE prev_ms IS NOT NULL AND epoch_ms(ts) - prev_ms <= 43200000
+             GROUP BY 1, 2),
+      rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM tr GROUP BY 1)
+      SELECT tr.from_type, tr.to_type, tr.n,
+             round(CAST(tr.n AS DOUBLE) / CAST(rt.rt AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS p
+      FROM tr JOIN rt USING (from_type)
+      ORDER BY tr.from_type, tr.to_type""",
     "q57_sessionize" -> """
       WITH o AS (
         SELECT user_id, event_id, ts,

@@ -268,6 +268,26 @@ class CorpusSpec extends SparkSuite {
     assert(out((8L, 1L)) == ((1L, 0L)))
   }
 
+  test("transitionMatrix: session-gap transitions only, exact counts, rows normalize to 1") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 7: a→b, b→a, then a >1h later (NOT a transition), then a→b
+      (1L, t(0), 7L, "a"), (2L, t(1), 7L, "b"), (3L, t(2), 7L, "a"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 7L, "a"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 02:01:00"), 7L, "b"),
+      // user 8: single event — no transitions; never crosses into user 7
+      (6L, t(0), 8L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessionize.transitionMatrix(ev, "user_id", "ts", "event_id",
+        "event_type", gapMs = 3600 * 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1.0)),   // both within-session a's go to b
+      ("b", "a") -> ((1L, 1.0))),
+      s"got $got")
+  }
+
   test("duplicatedSpans: cross-doc spans, run lengths, within-doc repeats excluded") {
     // docs 10/11 share the verbatim 7-token span "p q r s t u v": with k=3
     // that is 5 consecutive duplicated windows (span = run + k − 1 = 7).

@@ -772,6 +772,14 @@ class PlanSpec extends SparkSuite {
       "the N and T scalars must ride as broadcasts")
   }
 
+  test("q207: transitions ride ONE user-key exchange; the row-total join is broadcast") {
+    val p = plan("q207_markov_transitions")
+    assert(!p.contains("FileScan parquet"),
+      s"normalization must read the transition snapshot, not events:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"), "row totals must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q203: the OLS window and aggregate share ONE key exchange; no join") {
     val p = plan("q203_linear_fit")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
