@@ -84,6 +84,49 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** q208 — retrieval-quality audit: nDCG@10 and MRR of the q46 exact
+    * cosine top-k, with relevance = shares the query vector's label —
+    * the RANK-WEIGHTED audit completing the recall family (q111/q120/q182
+    * count hits; position matters to a consumer of the short-list and
+    * recall cannot see it). Binary-gain DCG with the ln(rank+1) discount
+    * (declared variant — both engines' ln over exact integer operands),
+    * ideal DCG over min(k, corpus relevant count) positions, MRR = 1/rank
+    * of the first relevant hit (0 when the top-k has none). Folds run in
+    * rank order over the collected ≤k-element list (the q194 convention);
+    * the corpus relevant count joins as a broadcast scalar.
+    */
+  def q208_ndcg_audit: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    val qLabel = emb.filter(col("vec_id") === QueryVecId)
+      .select("label").head().getInt(0) // bounded driver scalar (codebook convention)
+    val ranked = graft.operators.Stage.snapshotDF(
+      Similarity.bruteForceTopK(emb, q, k = 10, excludeVecId = Some(QueryVecId)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+      .withColumn("rel", when(col("label") === qLabel, 1L).otherwise(0L))
+    val nRel = emb.filter(col("vec_id") =!= QueryVecId && col("label") === qLabel)
+      .agg(count(lit(1)).as("n_rel"))
+    ranked
+      .agg(sort_array(collect_list(struct(col("rank").as("r"),
+        col("rel").as("g")))).as("__l"), sum("rel").as("n_rel_at_k"))
+      .crossJoin(broadcast(nRel))
+      .select(lit(10L).as("k"), lit(qLabel.toLong).as("q_label"),
+        col("n_rel"), col("n_rel_at_k"),
+        expr("aggregate(__l, 0D, (acc, e) -> acc + e.g / ln(e.r + 1))").as("__dcg"),
+        expr("aggregate(__l, 0D, (acc, e) -> acc + if(e.r <= n_rel, 1D / ln(e.r + 1), 0D))")
+          .as("__idcg"),
+        expr("aggregate(__l, 0D, (acc, e) -> " +
+          "if(acc = 0D and e.g = 1L, 1D / e.r, acc))").as("__mrr"))
+      .select(col("k"), col("q_label"), col("n_rel"), col("n_rel_at_k"),
+        (round(col("__dcg"), 6) + lit(0.0)).as("dcg"),
+        (round(col("__idcg"), 6) + lit(0.0)).as("idcg"),
+        when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 6) + lit(0.0))
+          .as("ndcg"),
+        (round(col("__mrr"), 6) + lit(0.0)).as("mrr"))
+  }
+
   /** q182 — Matryoshka truncation recall audit
     * ([[Similarity.truncatedTopK]] vs [[Similarity.bruteForceTopK]]):
     * recall@10 of the first-16-of-64-dims cosine top-k against the
@@ -466,6 +509,7 @@ object SimilarityQueries {
     "q103_knn_join" -> q103_knn_join,
     "q194_lof" -> q194_lof,
     "q196_dbscan" -> q196_dbscan,
+    "q208_ndcg_audit" -> q208_ndcg_audit,
     "q46_cosine_topk" -> q46_cosine_topk,
     "q188_maxsim" -> q188_maxsim,
     "q182_mrl_recall_audit" -> q182_mrl_recall_audit,
@@ -810,6 +854,40 @@ object SimilarityQueries {
       UNION ALL SELECT vec_id, cluster, role, CAST(n_eps AS BIGINT) FROM border_out
       UNION ALL SELECT vec_id, cluster, role, CAST(n_eps AS BIGINT) FROM noise
       ORDER BY vec_id""",
+    // the q46 chain ranked by the rounded-sim total order; binary DCG
+    // with ln(rank+1) discounts summed in rank order (list_sum over an
+    // ORDER BY rank list — the q194 fold contract); MRR via min rel rank
+    "q208_ndcg_audit" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv, label AS ql FROM e WHERE vec_id = $QueryVecId),
+      top AS (SELECT vec_id, label, round(list_cosine_similarity(v, qv), 4) AS sim
+              FROM e, q WHERE vec_id <> $QueryVecId
+              ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10),
+      r AS (SELECT vec_id, label, sim,
+                   row_number() OVER (ORDER BY sim DESC, vec_id) AS rank,
+                   CASE WHEN label = (SELECT ql FROM q) THEN 1 ELSE 0 END AS rel
+            FROM top),
+      nr AS (SELECT CAST(count(1) AS BIGINT) AS n_rel FROM e, q
+             WHERE vec_id <> $QueryVecId AND label = ql),
+      agg AS (SELECT
+                CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+                list_sum(list(CAST(rel AS DOUBLE) / ln(rank + 1) ORDER BY rank)) AS dcg,
+                list_sum(list(CASE WHEN rank <= nr.n_rel
+                                   THEN CAST(1 AS DOUBLE) / ln(rank + 1)
+                                   ELSE CAST(0 AS DOUBLE) END ORDER BY rank)) AS idcg,
+                coalesce(CAST(1 AS DOUBLE) /
+                         min(CASE WHEN rel = 1 THEN rank END),
+                         CAST(0 AS DOUBLE)) AS mrr,
+                min(nr.n_rel) AS n_rel
+              FROM r CROSS JOIN nr)
+      SELECT CAST(10 AS BIGINT) AS k,
+             (SELECT CAST(ql AS BIGINT) FROM q) AS q_label,
+             n_rel, n_rel_at_k,
+             round(dcg, 6) + CAST(0 AS DOUBLE) AS dcg,
+             round(idcg, 6) + CAST(0 AS DOUBLE) AS idcg,
+             CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) + CAST(0 AS DOUBLE) END AS ndcg,
+             round(mrr, 6) + CAST(0 AS DOUBLE) AS mrr
+      FROM agg""",
     "q48_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

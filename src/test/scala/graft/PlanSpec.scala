@@ -677,6 +677,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q208: the nDCG folds read the ranked snapshot; the relevant-count rides broadcast") {
+    val p = plan("q208_ndcg_audit")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the corpus relevant-count scalar must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q182: both audit sides are top-k pushed (TakeOrderedAndProject), no cartesian") {
     val p = plan("q182_mrl_recall_audit")
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
