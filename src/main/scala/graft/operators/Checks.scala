@@ -240,6 +240,36 @@ object Checks {
           .as("mi_term"))
   }
 
+  /** Functional-dependency violation census — "does `detCol` determine
+    * `depCol`?", the schema-inference / deduplication-key question
+    * [[mutualInformation]] answers softly and this answers exactly: per
+    * determinant group the majority dependent value is the repair target
+    * (Fan's CFD framing), so `violations = group size − majority count`
+    * is the minimum number of rows that must change for the FD to hold.
+    * Emits one row: group/violation counts and the verdict.
+    *
+    * Cost: one (det, dep) corpus aggregation, then group-sized algebra —
+    * all exact integers, no rounding contract. Null determinants form
+    * their own group; null dependents are a value (an FD over nullable
+    * columns is still checkable).
+    */
+  def functionalDependency(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val groups = df
+      .groupBy(col(detCol).as("__a"), col(depCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("__a")
+      .agg(sum("__n").as("__tot"), max("__n").as("__maj"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__tot") > col("__maj"), 1L).otherwise(0L))
+        .as("n_violating_groups"),
+      sum(col("__tot") - col("__maj")).as("n_violating_rows"),
+      sum("__tot").as("n_rows"))
+      .select(col("n_groups"), col("n_violating_groups"),
+        col("n_violating_rows"), col("n_rows"),
+        (col("n_violating_rows") === 0L).as("fd_holds"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift statistic — the bin-free
     * member of the drift family ([[populationStability]] commits to bins
     * up front and is blind to shifts INSIDE a bin; JS/centroid drift are

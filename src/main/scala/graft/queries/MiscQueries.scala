@@ -351,6 +351,17 @@ object MiscQueries {
       .orderBy("lang", "source")
   }
 
+  /** q209 — functional-dependency census
+    * ([[graft.operators.Checks.functionalDependency]]): does `source`
+    * determine `lang` in the documents table — exact violation counts
+    * (minimum rows to repair, the CFD framing) where q206's MI scores the
+    * association softly. All-integer output, no rounding contract.
+    */
+  def q209_fd_census: Q = (s, dir) => {
+    graft.operators.Checks.functionalDependency(
+      Tables.documents(s, dir), "source", "lang")
+  }
+
   /** q164 — market-basket pair rules ([[graft.operators.Association]]):
     * top-20 co-ordered part pairs by lift (support ≥ 2) over the
     * lineitem order-baskets. One distinct (basket, item) projection, one
@@ -1000,6 +1011,7 @@ object MiscQueries {
     "q186_psi_drift" -> q186_psi_drift,
     "q202_ks_drift" -> q202_ks_drift,
     "q205_benford" -> q205_benford,
+    "q209_fd_census" -> q209_fd_census,
     "q206_mutual_info" -> q206_mutual_info,
     "q187_ingest_manifest" -> q187_ingest_manifest,
     "q191_skyline" -> q191_skyline,
@@ -1051,6 +1063,19 @@ object MiscQueries {
     // first digit via floor→BIGINT→string (integer printing is
     // byte-identical cross-engine; log10/pow risks libm ulp at powers of
     // ten); (obs − n·p)²/(n·p) with the interpolated driver literals
+    "q209_fd_census" -> """
+      WITH cells AS (SELECT source, lang, count(1) AS n
+                     FROM documents GROUP BY 1, 2),
+      g AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+                   CAST(max(n) AS BIGINT) AS maj
+            FROM cells GROUP BY 1)
+      SELECT count(1) AS n_groups,
+             CAST(sum(CASE WHEN tot > maj THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+             CAST(sum(tot - maj) AS BIGINT) AS n_violating_rows,
+             CAST(sum(tot) AS BIGINT) AS n_rows,
+             sum(tot - maj) = 0 AS fd_holds
+      FROM g""",
     "q205_benford" -> s"""
       WITH expd(digit, p) AS (VALUES $benfordVals),
       v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders

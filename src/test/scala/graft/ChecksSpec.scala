@@ -136,6 +136,22 @@ class ChecksSpec extends SparkSuite {
       s"identity columns: each cell carries ln(2)/2: ${gotD.toSeq}")
   }
 
+  test("functionalDependency: holding FD, minimal-repair counts, null det/dep handling") {
+    import spark.implicits._
+    def fd(rows: Seq[(String, String)]) =
+      graft.operators.Checks.functionalDependency(rows.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long, Long, Boolean)].head()
+    // a→b holds: every determinant has one dependent
+    assert(fd(Seq(("x", "1"), ("x", "1"), ("y", "2"))) == ((2L, 0L, 0L, 3L, true)))
+    // x maps to {1×3, 2×1}: majority 3, one violating group, 1 repair row
+    assert(fd(Seq(("x", "1"), ("x", "1"), ("x", "1"), ("x", "2"), ("y", "2")))
+      == ((2L, 1L, 1L, 5L, false)))
+    // null determinant is a group; null dependent is a value
+    assert(fd(Seq((null, "1"), (null, "1"), ("x", null), ("x", null)))
+      == ((2L, 0L, 0L, 4L, true)))
+    assert(fd(Seq((null, "1"), (null, "2"))) == ((1L, 1L, 1L, 2L, false)))
+  }
+
   test("ksDrift: hand CDF gap; self-KS zero; disjoint samples hit 1 and flag") {
     import spark.implicits._
     def ks(a: Seq[Double], b: Seq[Double], parts: Int = 32) =
