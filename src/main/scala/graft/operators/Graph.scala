@@ -424,6 +424,44 @@ object Graph {
       .select(col("node"), col("a").as("authority"), col("h").as("hub"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — one number that
+    * says whether hubs link to hubs (r > 0, social-graph shape) or to
+    * leaves (r < 0, hub-and-spoke/internet shape). The graph-level
+    * audit complementing the per-node centralities: a crawl frontier
+    * weighted by PageRank behaves very differently on the two shapes.
+    *
+    * Exactness (the q203 linearFit contract): degrees are integers, so
+    * every Σ and every closed-form cross term is DECIMAL(38,0) integer
+    * algebra — combine-order-free; only the final divide-by-√ runs in
+    * double on identically-cast exact operands. Each undirected edge
+    * contributes BOTH directions (the standard symmetric estimator).
+    * Cost: one degree aggregation + one graph-sized join + one scalar
+    * fold. Returns one row (n_nodes, n_directed_edges, assortativity —
+    * null on a degree-regular graph, where the variance is 0 and the
+    * coefficient is undefined).
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = symmetrized(edges, srcCol, dstCol)
+    val deg = Stage.snapshotDF(e.groupBy("s").agg(count(lit(1)).as("deg")))
+    val xy = e
+      .join(deg.select(col("s"), col("deg").as("__dx")), Seq("s"))
+      .join(deg.select(col("s").as("d"), col("deg").as("__dy")), Seq("d"))
+    val xd = col("__dx").cast(dec)
+    val yd = col("__dy").cast(dec)
+    val g = xy.agg(count(lit(1)).cast(dec).as("__m"),
+      sum(xd).as("__sx"), sum(yd).as("__sy"),
+      sum(xd * yd).as("__sxy"), sum(xd * xd).as("__sxx"), sum(yd * yd).as("__syy"))
+    val num = (col("__m") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val vx = (col("__m") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val vy = (col("__m") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    g.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), col("__m").cast("long").as("n_directed_edges"),
+        when(vx > 0 && vy > 0,
+          round(num / sqrt(vx * vy), 6) + lit(0.0)).as("assortativity"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection by iterated neighbor-majority voting. Labels start as node
     * ids; each round every node adopts the most frequent label among its

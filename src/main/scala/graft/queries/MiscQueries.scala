@@ -546,6 +546,17 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q210 — degree assortativity ([[graft.operators.Graph.assortativity]])
+    * of the strong trade graph: Pearson correlation of endpoint degrees
+    * over the symmetrized edges — hubs-to-hubs vs hub-and-spoke in one
+    * number. Exact DECIMAL integer algebra (the q203 contract); the one
+    * division-by-√ runs on identically-cast exact operands.
+    */
+  def q210_assortativity: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.assortativity(strongTradeEdges(s, dir), "src", "dst")
+  }
+
   /** q181 — HyperBall HLL closeness ([[Graph.hyperBallCloseness]]) on the
     * strong trade graph: the sketch-carried neighborhood function — one
     * HLL per node, one union pass per level — in place of q171's settled
@@ -1023,6 +1034,7 @@ object MiscQueries {
     "q168_label_prop" -> q168_label_prop,
     "q171_closeness" -> q171_closeness,
     "q200_harmonic" -> q200_harmonic,
+    "q210_assortativity" -> q210_assortativity,
     "q181_hll_closeness" -> q181_hll_closeness,
     "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
     "q175_kcore" -> q175_kcore,
@@ -1148,6 +1160,28 @@ object MiscQueries {
     "q171_closeness" -> closenessExactSql,
     // the same recursive BFS relation; each 1/d summed as the exact
     // integer 60/d before ONE closing division (the operator's contract)
+    // the shared sym graph; HUGEINT closed-form terms, one double √
+    "q210_assortativity" -> s"""
+      WITH $strongTradeSql,
+      deg AS (SELECT s, CAST(count(1) AS BIGINT) AS deg FROM sym GROUP BY 1),
+      xy AS (SELECT dx.deg AS x, dy.deg AS y
+             FROM sym JOIN deg dx ON sym.s = dx.s
+             JOIN deg dy ON sym.d = dy.s),
+      g AS (SELECT CAST(count(1) AS HUGEINT) AS m,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM xy)
+      SELECT (SELECT count(1) FROM deg) AS n_nodes,
+             CAST(m AS BIGINT) AS n_directed_edges,
+             CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+                   AND CAST(m * syy - sy * sy AS DOUBLE) > 0 THEN
+               round(CAST(m * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+                      CAST(m * syy - sy * sy AS DOUBLE)), 6) + CAST(0 AS DOUBLE)
+             END AS assortativity
+      FROM g""",
     "q200_harmonic" -> s"""
       WITH RECURSIVE $strongTradeSql,
       nodes AS (SELECT DISTINCT s AS node FROM sym),

@@ -168,6 +168,19 @@ class GraphSpec extends SparkSuite {
     assert(got(2L)._2 > got(8L)._2, "center must outrank the island under harmonic")
   }
 
+  test("assortativity: star exactly −1, path −0.5, regular ring undefined (null)") {
+    import spark.implicits._
+    def r(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) =
+      graft.operators.Graph.assortativity(edges.toDF("s", "d"), "s", "d")
+        .as[(Long, Long, Option[Double])].head()
+    // K1,3 hub-and-spoke: perfect disassortativity
+    assert(r(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == ((4L, 6L, Some(-1.0))))
+    // path of 4: hand closed form gives −0.5
+    assert(r(Seq((0L, 1L), (1L, 2L), (2L, 3L))) == ((4L, 6L, Some(-0.5))))
+    // 4-ring: every degree 2 — zero variance, coefficient undefined
+    assert(r(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) == ((4L, 8L, None)))
+  }
+
   test("kCore: chained peeling strips the tail; extra iterations are no-ops") {
     import spark.implicits._
     // K4 on 1-4, with a pendant chain 4-5-6: the 2-core must peel 6 THEN 5
