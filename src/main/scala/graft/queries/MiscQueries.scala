@@ -546,6 +546,24 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q211 — eccentricity census: per nation the reached-set size and
+    * eccentricity (max hop distance over the reached set, within the
+    * 6-hop contract) from the same multi-source BFS relation as
+    * q171/q200 — the diameter/radius diagnostic (max/min of this column)
+    * and the "how deep is the graph from HERE" complement to closeness's
+    * average. Integer-only output, no rounding contract.
+    */
+  def q211_eccentricity: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.allPairsHops(strongTradeEdges(s, dir), "src", "dst", maxHops = 6)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_reached"),
+        max("hops").cast("long").as("eccentricity"))
+      .join(broadcast(Tables.nation(s, dir)), col("src") === col("n_nationkey"))
+      .select(col("n_name"), col("n_reached"), col("eccentricity"))
+      .orderBy("n_name")
+  }
+
   /** q210 — degree assortativity ([[graft.operators.Graph.assortativity]])
     * of the strong trade graph: Pearson correlation of endpoint degrees
     * over the symmetrized edges — hubs-to-hubs vs hub-and-spoke in one
@@ -1035,6 +1053,7 @@ object MiscQueries {
     "q171_closeness" -> q171_closeness,
     "q200_harmonic" -> q200_harmonic,
     "q210_assortativity" -> q210_assortativity,
+    "q211_eccentricity" -> q211_eccentricity,
     "q181_hll_closeness" -> q181_hll_closeness,
     "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
     "q175_kcore" -> q175_kcore,
@@ -1161,6 +1180,19 @@ object MiscQueries {
     // the same recursive BFS relation; each 1/d summed as the exact
     // integer 60/d before ONE closing division (the operator's contract)
     // the shared sym graph; HUGEINT closed-form terms, one double √
+    "q211_eccentricity" -> s"""
+      WITH RECURSIVE $strongTradeSql,
+      nodes AS (SELECT DISTINCT s AS node FROM sym),
+      h(src, node, hops) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT h.src, sym.d, h.hops + 1 FROM h JOIN sym ON sym.s = h.node
+        WHERE h.hops < 6),
+      d AS (SELECT src, node, min(hops) AS hops FROM h GROUP BY 1, 2)
+      SELECT n_name, count(1) AS n_reached,
+             CAST(max(hops) AS BIGINT) AS eccentricity
+      FROM d JOIN nation ON src = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
     "q210_assortativity" -> s"""
       WITH $strongTradeSql,
       deg AS (SELECT s, CAST(count(1) AS BIGINT) AS deg FROM sym GROUP BY 1),

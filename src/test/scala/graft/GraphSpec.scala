@@ -168,6 +168,17 @@ class GraphSpec extends SparkSuite {
     assert(got(2L)._2 > got(8L)._2, "center must outrank the island under harmonic")
   }
 
+  test("eccentricity from allPairsHops: path ends 3, center 2; island pair 1 each") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L)).toDF("s", "d")
+    val got = graft.operators.Graph.allPairsHops(edges, "s", "d", maxHops = 6)
+      .groupBy("src").agg(count(lit(1)).as("n"), max("hops").as("ecc"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(0L) == ((4L, 3)) && got(3L) == ((4L, 3)), s"path ends: $got")
+    assert(got(1L) == ((4L, 2)) && got(2L) == ((4L, 2)), s"inner: $got")
+    assert(got(8L) == ((2L, 1)) && got(9L) == ((2L, 1)), s"island: $got")
+  }
+
   test("assortativity: star exactly −1, path −0.5, regular ring undefined (null)") {
     import spark.implicits._
     def r(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) =
