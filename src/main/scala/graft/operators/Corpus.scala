@@ -142,6 +142,66 @@ object Corpus {
       .drop("__matched")
   }
 
+  /** Skip-gram PPMI co-occurrence (Levy & Goldberg 2014's "neural word
+    * embedding as implicit matrix factorization" target): for every
+    * token pair within a ±`window` offset,
+    *
+    *   ppmi(x,y) = max(0, ln( (c_xy·N) / (c_x·c_y) ))
+    *
+    * with N = total pair occurrences and marginals summed from the pair
+    * table — the sparse matrix whose factorization IS a static word
+    * embedding, and the windowed generalization of [[pmiCollocations]]'s
+    * adjacent-only bigrams (with the standard positive clip: negative
+    * association is noise at corpus scale).
+    *
+    * Shape: pair construction is 2·window MAP-SIDE `zip_with` slices per
+    * document (each offset's aligned zip, both directions) — no window
+    * function, no join, 2w·tokens rows total; then ONE (x, y) count and
+    * vocab-sized marginal/total folds off its snapshot (the corpus is
+    * read once, the q199 dataflow). `minCount` floors the rare-pair
+    * explosion exactly as in PMI.
+    */
+  def skipgramPpmi(
+      docs: DataFrame,
+      textCol: String,
+      window: Int,
+      minCount: Int,
+      topN: Int): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    val tk = TextFunctions.tokens(col(textCol))
+    val n = size(tk)
+    val pairCols = (1 to window).flatMap { off =>
+      val zipped = zip_with(
+        slice(tk, lit(1), n - lit(off)), slice(tk, lit(off) + 1, n - lit(off)),
+        (a, b) => struct(a.as("x"), b.as("y")))
+      val fwd = when(n > off, zipped).otherwise(array().cast("array<struct<x:string,y:string>>"))
+      val rev = when(n > off,
+        zip_with(slice(tk, lit(off) + 1, n - lit(off)), slice(tk, lit(1), n - lit(off)),
+          (a, b) => struct(a.as("x"), b.as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))
+      Seq(fwd, rev)
+    }
+    val cxy = Stage.snapshotDF(docs
+      .select(explode_outer(concat(pairCols: _*)).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("c_xy")))
+    val cx = cxy.groupBy("x").agg(sum("c_xy").as("c_x"))
+    val cy = cxy.groupBy("y").agg(sum("c_xy").as("c_y"))
+    val tot = cxy.agg(sum("c_xy").cast("double").as("n"))
+    val d = (c: String) => col(c).cast("double")
+    cxy.filter(col("c_xy") >= minCount)
+      .join(cx, Seq("x")).join(cy, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("c_xy"),
+        (round(greatest(lit(0.0),
+          log((d("c_xy") * col("n")) / (d("c_x") * d("c_y")))), 6) + lit(0.0))
+          .as("ppmi"))
+      .orderBy(col("ppmi").desc, col("x").asc, col("y").asc)
+      .limit(topN)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher, SIGIR 2009):
     * combine N retrievers' rank lists by
     *

@@ -153,6 +153,17 @@ object TrainingQueries {
       textCol = "text", minCount = 5, topN = 50)
   }
 
+  /** q212 — skip-gram PPMI co-occurrence ([[Corpus.skipgramPpmi]]):
+    * top-50 word pairs by positive PMI within a ±3 window (count floor
+    * 5) — the sparse matrix a static-embedding factorization trains on,
+    * and q199's adjacent-bigram PMI generalized to contexts. Pair
+    * construction is 6 map-side zip slices, no joins or windows.
+    */
+  def q212_skipgram_ppmi: Q = (s, dir) => {
+    Corpus.skipgramPpmi(graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      textCol = "text", window = 3, minCount = 5, topN = 50)
+  }
+
   /** q57 — batch sessionization of `events`: 12-hour inactivity gap,
     * per-session event count and duration (the lag + running-sum-of-breaks
     * assignment; batch twin of the streaming session_window q62).
@@ -957,6 +968,7 @@ object TrainingQueries {
     "q148_keywords" -> q148_keywords,
     "q56_bigram_freq" -> q56_bigram_freq,
     "q199_pmi_collocations" -> q199_pmi_collocations,
+    "q212_skipgram_ppmi" -> q212_skipgram_ppmi,
     "q57_sessionize" -> q57_sessionize,
     "q207_markov_transitions" -> q207_markov_transitions,
     "q58_packing" -> q58_packing,
@@ -1766,6 +1778,46 @@ object TrainingQueries {
       ORDER BY 2 DESC, 1 ASC LIMIT 15""",
     // identical probability derivation and ln-operand parenthesization:
     // (cb/N) / ((cu1/T) * (cu2/T)), every term an exact-integer double
+    // the 6 offset zips mirrored as unnested list_transforms; identical
+    // (c_xy·N)/(c_x·c_y) operands and the positive clip
+    "q212_skipgram_ppmi" -> raw"""
+      WITH toks AS (SELECT $tk AS tk FROM documents),
+      pairs AS (
+        SELECT unnest(list_transform(range(1, len(tk) - 1 + 1),
+                 i -> struct_pack(x := tk[i], y := tk[i + 1]))) AS p
+        FROM toks WHERE len(tk) > 1
+        UNION ALL
+        SELECT unnest(list_transform(range(1, len(tk) - 1 + 1),
+                 i -> struct_pack(x := tk[i + 1], y := tk[i]))) AS p
+        FROM toks WHERE len(tk) > 1
+        UNION ALL
+        SELECT unnest(list_transform(range(1, len(tk) - 2 + 1),
+                 i -> struct_pack(x := tk[i], y := tk[i + 2]))) AS p
+        FROM toks WHERE len(tk) > 2
+        UNION ALL
+        SELECT unnest(list_transform(range(1, len(tk) - 2 + 1),
+                 i -> struct_pack(x := tk[i + 2], y := tk[i]))) AS p
+        FROM toks WHERE len(tk) > 2
+        UNION ALL
+        SELECT unnest(list_transform(range(1, len(tk) - 3 + 1),
+                 i -> struct_pack(x := tk[i], y := tk[i + 3]))) AS p
+        FROM toks WHERE len(tk) > 3
+        UNION ALL
+        SELECT unnest(list_transform(range(1, len(tk) - 3 + 1),
+                 i -> struct_pack(x := tk[i + 3], y := tk[i]))) AS p
+        FROM toks WHERE len(tk) > 3),
+      cxy AS (SELECT p.x AS x, p.y AS y, count(1) AS c_xy FROM pairs GROUP BY 1, 2),
+      cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY 1),
+      cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cxy GROUP BY 1),
+      t AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n FROM cxy)
+      SELECT cxy.x, cxy.y, cxy.c_xy,
+             round(greatest(CAST(0 AS DOUBLE),
+               ln((CAST(c_xy AS DOUBLE) * t.n) /
+                  (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))), 6)
+               + CAST(0 AS DOUBLE) AS ppmi
+      FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN t
+      WHERE c_xy >= 5
+      ORDER BY ppmi DESC, cxy.x ASC, cxy.y ASC LIMIT 50""",
     "q199_pmi_collocations" -> raw"""
       WITH toks AS (SELECT $tk AS tk FROM documents),
       uni AS (SELECT unnest(tk) AS tok FROM toks),

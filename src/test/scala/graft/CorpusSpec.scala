@@ -502,6 +502,26 @@ class CorpusSpec extends SparkSuite {
     assert(got.head._1 == "a" && got.head._2 == "b")
   }
 
+  test("skipgramPpmi: hand-counted ±2 window pairs and PPMI; clip keeps scores non-negative") {
+    import spark.implicits._
+    // "a b c a", window 2 → 10 pairs; c(a,b)=2 c(b,a)=2 c(c,a)=2 c(a,c)=2
+    // c(b,c)=1 c(c,b)=1; x-marginals a:4 b:3 c:3 = y-marginals (symmetric)
+    // ppmi(a,b)=ln(2·10/(4·3))=ln(5/3)=0.510826; ppmi(b,c)=ln(10/9)=0.105361
+    val d = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val got = Corpus.skipgramPpmi(d, "text", window = 2, minCount = 1, topN = 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size == 6, s"got $got")
+    assert(got(("a", "b")) == ((2L, 0.510826)) && got(("b", "a")) == ((2L, 0.510826)))
+    assert(got(("a", "c")) == ((2L, 0.510826)) && got(("c", "a")) == ((2L, 0.510826)))
+    assert(got(("b", "c")) == ((1L, 0.105361)) && got(("c", "b")) == ((1L, 0.105361)))
+    // the positive clip on real data: no emitted score is ever negative
+    val real = Corpus.skipgramPpmi(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", 3, 1, 500)
+      .as[(String, String, Long, Double)].collect()
+    assert(real.nonEmpty && real.forall(_._4 >= 0.0), "PPMI clips at zero")
+  }
+
   test("rrfFuse: hand-computed fusion, absent items contribute 0, ranks pass through") {
     import spark.implicits._
     val r1 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")

@@ -771,6 +771,13 @@ class PlanSpec extends SparkSuite {
       "partition offsets and totals must ride as broadcasts")
   }
 
+  test("q212: pair construction is map-side zips — no window, no join before the count") {
+    val p = plan("q212_skipgram_ppmi")
+    assert(!p.contains("FileScan parquet"),
+      s"marginals must read the pair-count snapshot, not documents:\n${p.take(600)}")
+    assert(!p.contains("Window"), "the ±w pairs must come from zip slices, not a window")
+  }
+
   test("q199: PMI scores vocab-sized models off the token snapshot — no corpus rescan") {
     val p = plan("q199_pmi_collocations")
     assert(!p.contains("FileScan parquet"),
