@@ -310,6 +310,72 @@ object TimeSeries {
         round((num / denX) * (num / denY), 6) + lit(0.0)).as("r2"))
   }
 
+  /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) over per-key
+    * lifetimes with right censoring — the churn/retention curve q138's
+    * fixed-offset cohort grid cannot express (KM uses every censored
+    * lifetime's partial information instead of dropping incomplete
+    * cohorts):
+    *
+    *   S(t) = Π_{tⱼ ≤ t} (1 − dⱼ/nⱼ)
+    *
+    * Lifetime = whole days between a key's first and last event (exact
+    * integer micros division). A key CHURNS if its last event is more
+    * than `horizonDays` before the observation cutoff (the global max
+    * timestamp); otherwise it is right-censored at its observed
+    * lifetime. One row per distinct lifetime day: at-risk count, churn
+    * and censor counts, and the survival estimate after that day.
+    *
+    * Determinism: every count is exact; at-risk is a DESC integer
+    * running sum (exact in any association); the survival product folds
+    * SEQUENTIALLY in day order over the collected census — the census is
+    * distinct-days-sized (≤ the observation span), the operator's
+    * documented state bound, replayed row-by-row by the recursive-CTE
+    * oracle (the q189 convention). Each factor (1 − d/n) is a division
+    * of exact-integer doubles; survival rounds to 6 at emission.
+    *
+    * Cost: one key-shuffle (per-key min/max), a broadcast cutoff, a
+    * days-sized census + fold. Censor-only days keep S flat but shrink
+    * the risk set — the standard KM reading.
+    */
+  def kaplanMeier(
+      events: DataFrame, keyCol: String, tsCol: String,
+      horizonDays: Int): DataFrame = {
+    require(horizonDays >= 0, s"need horizonDays >= 0, got $horizonDays")
+    val dayUs = 86400000000L
+    val perKey = Stage.snapshotDF(events
+      .groupBy(col(keyCol).as("__k"))
+      .agg(min(unix_micros(col(tsCol))).as("__f"),
+        max(unix_micros(col(tsCol))).as("__l")))
+    val cutoff = perKey.agg(max("__l").as("__cut"))
+    val census = perKey.crossJoin(broadcast(cutoff))
+      .select(expr(s"(__l - __f) div $dayUs").as("day"),
+        (col("__l") < col("__cut") - lit(horizonDays.toLong * dayUs)).as("__churned"))
+      .groupBy("day")
+      .agg(sum(when(col("__churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__churned"), 0L).otherwise(1L)).as("c"))
+    // at-risk at day t = everyone whose lifetime reached t — a DESC
+    // integer running sum over the days-sized census (bounded relation,
+    // the q191 survivor-band contract)
+    val atRisk = org.apache.spark.sql.expressions.Window.orderBy(col("day").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val seq0 = census
+      .withColumn("n", sum(col("d") + col("c")).over(atRisk))
+      .agg(sort_array(collect_list(struct(
+        col("day").as("t"), col("n"), col("d"), col("c")))).as("__seq"))
+    seq0
+      .select(explode(expr(
+        """aggregate(__seq,
+             struct(1.0D AS s, cast(array() AS array<struct<t:bigint,n:bigint,d:bigint,c:bigint,s:double>>) AS out),
+             (acc, x) -> struct(
+               acc.s * (1.0D - cast(x.d AS double) / cast(x.n AS double)) AS s,
+               concat(acc.out, array(struct(x.t AS t, x.n AS n, x.d AS d, x.c AS c,
+                 acc.s * (1.0D - cast(x.d AS double) / cast(x.n AS double)) AS s))) AS out),
+             acc -> acc.out)""")).as("r"))
+      .select(col("r.t").as("day"), col("r.n").as("n_at_risk"),
+        col("r.d").as("n_churned"), col("r.c").as("n_censored"),
+        (round(col("r.s"), 6) + lit(0.0)).as("survival"))
+  }
+
   /** Time-weighted linear interpolation of a series at arbitrary probe
     * instants — the as-of family's missing member (q22 latest-per-key,
     * q79/q149 nearest/backward/forward pick a NEIGHBOR; this blends the

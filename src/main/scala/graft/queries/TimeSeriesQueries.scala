@@ -110,8 +110,21 @@ object TimeSeriesQueries {
       .orderBy("event_type")
   }
 
+  /** q213 — Kaplan–Meier user survival ([[TimeSeries.kaplanMeier]]):
+    * per lifetime-day the risk set, churn/censor counts, and S(t) — a
+    * user churns when quiet for > 14 days before the global cutoff,
+    * otherwise right-censored. The oracle replays the sequential
+    * survival product as a recursive CTE over the day census.
+    */
+  def q213_kaplan_meier: Q = (s, dir) => {
+    TimeSeries.kaplanMeier(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", horizonDays = 14)
+      .orderBy("day")
+  }
+
   val all: Map[String, Q] = Map(
     "q166_gapfill_locf" -> q166_gapfill_locf,
+    "q213_kaplan_meier" -> q213_kaplan_meier,
     "q203_linear_fit" -> q203_linear_fit,
     "q198_holt_trend" -> q198_holt_trend,
     "q169_cusum" -> q169_cusum,
@@ -119,6 +132,36 @@ object TimeSeriesQueries {
     "q193_time_interp" -> q193_time_interp)
 
   val oracle: Map[String, String] = Map(
+    // exact integer lifetimes/counts; DESC-sum risk set; the survival
+    // product replayed row-by-row (q189 recursive-walk convention)
+    "q213_kaplan_meier" -> """
+      WITH RECURSIVE pu AS (
+        SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+        FROM events GROUP BY 1),
+      cut AS (SELECT max(l) AS m FROM pu),
+      life AS (SELECT (l - f) // 86400000000 AS day,
+                      l < m - CAST(14 AS BIGINT) * 86400000000 AS churned
+               FROM pu, cut),
+      census AS (SELECT day,
+                        CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                        CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+                 FROM life GROUP BY 1),
+      ar AS (SELECT day, d, c,
+                    CAST(sum(d + c) OVER (ORDER BY day DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+                    row_number() OVER (ORDER BY day ASC) AS rn
+             FROM census),
+      walk(rn, day, n, d, c, s) AS (
+        SELECT rn, day, n, d, c,
+               CAST(1 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+        FROM ar WHERE rn = 1
+        UNION ALL
+        SELECT a.rn, a.day, a.n, a.d, a.c,
+               w.s * (CAST(1 AS DOUBLE) - CAST(a.d AS DOUBLE) / CAST(a.n AS DOUBLE))
+        FROM walk w JOIN ar a ON a.rn = w.rn + 1)
+      SELECT day, n AS n_at_risk, d AS n_churned, c AS n_censored,
+             round(s, 6) + CAST(0 AS DOUBLE) AS survival
+      FROM walk ORDER BY day""",
     // the identical integer algebra in HUGEINT: micros axes, recentred x,
     // exact n·Σxy − ΣxΣy / n·Σx² − (Σx)² terms, double only at the final
     // divisions (same parenthesization: b·86400, (Σy − b·Σx)/n/1e6,

@@ -116,6 +116,32 @@ class TimeSeriesSpec extends SparkSuite {
       s"constant y: zero slope, mean intercept, null r²: ${got("flat")}")
   }
 
+  test("kaplanMeier: hand curve with censoring; risk set shrinks on censor-only days") {
+    import spark.implicits._
+    def td(day: Int, hour: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(day).atTime(hour, 0))
+    // horizon 10; cutoff = day 30 (u_e). Lifetimes/fates:
+    //   u_a 0d churn, u_b 2d churn, u_c 2d censored (last day 23 ≥ 20),
+    //   u_d 5d churn, u_e 30d censored (the cutoff definer)
+    // KM: day0 n=5 S=0.8; day2 n=4 (1 churn,1 censor) S=0.6;
+    //     day5 n=2 S=0.3; day30 n=1 censor-only S=0.3
+    val ev = Seq(
+      ("a", td(0)), ("a", td(0, 1)),
+      ("b", td(0)), ("b", td(2)),
+      ("c", td(21)), ("c", td(23)),
+      ("d", td(10)), ("d", td(15)),
+      ("e", td(0)), ("e", td(30)))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.kaplanMeier(ev, "user_id", "ts", horizonDays = 10)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 5L, 1L, 0L, 0.8),
+      (2L, 4L, 1L, 1L, 0.6),
+      (5L, 2L, 1L, 0L, 0.3),
+      (30L, 1L, 0L, 1L, 0.3)), s"got $got")
+  }
+
   test("interpolateAt: midpoint blend, on-point exactness, strict range, same-ts ties") {
     import spark.implicits._
     // key a: clicks v=10 @m0, v=30 @m10, v=30 @m10 dup-ts (id 3 wins prev),
