@@ -259,12 +259,15 @@ object Checks {
       .agg(count(lit(1)).as("__n"))
       .groupBy("__a")
       .agg(sum("__n").as("__tot"), max("__n").as("__maj"))
+    // coalesce: over zero groups the sums are null — an empty relation
+    // holds every FD vacuously, and a consumer gating on fd_holds must
+    // get a real boolean, not null
     groups.agg(
       count(lit(1)).as("n_groups"),
-      sum(when(col("__tot") > col("__maj"), 1L).otherwise(0L))
+      coalesce(sum(when(col("__tot") > col("__maj"), 1L).otherwise(0L)), lit(0L))
         .as("n_violating_groups"),
-      sum(col("__tot") - col("__maj")).as("n_violating_rows"),
-      sum("__tot").as("n_rows"))
+      coalesce(sum(col("__tot") - col("__maj")), lit(0L)).as("n_violating_rows"),
+      coalesce(sum("__tot"), lit(0L)).as("n_rows"))
       .select(col("n_groups"), col("n_violating_groups"),
         col("n_violating_rows"), col("n_rows"),
         (col("n_violating_rows") === 0L).as("fd_holds"))
@@ -296,9 +299,15 @@ object Checks {
   def ksDrift(
       a: DataFrame, b: DataFrame, valueCol: String,
       rangePartitions: Int = 32): DataFrame = {
+    // nulls (and null-casting values) are outside the distribution by
+    // contract: a null key never equi-joins, so it would survive the
+    // full-outer pool as TWO phantom rows inflating n_a/n_b, ordered
+    // differently by each engine's null placement
     val v = col(valueCol).cast("double").as("value")
-    val ca = a.select(v).groupBy("value").agg(count(lit(1)).as("ca"))
-    val cb = b.select(v).groupBy("value").agg(count(lit(1)).as("cb"))
+    val ca = a.select(v).filter(col("value").isNotNull)
+      .groupBy("value").agg(count(lit(1)).as("ca"))
+    val cb = b.select(v).filter(col("value").isNotNull)
+      .groupBy("value").agg(count(lit(1)).as("cb"))
     val pooled = Stage.snapshotDF(
       ca.join(cb, Seq("value"), "full_outer").na.fill(0L, Seq("ca", "cb"))
         .repartitionByRange(rangePartitions, col("value"))

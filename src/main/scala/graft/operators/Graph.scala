@@ -285,7 +285,10 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxHops: Int = 6): DataFrame = {
-    require(maxHops >= 1 && maxHops <= 40, s"maxHops out of range: $maxHops")
+    // H ≤ 20 keeps the proof: lcm(1..20) ≈ 2.3e8, so partial sums stay
+    // exact doubles up to ~3.8e7 reached nodes (2^53 / lcm); beyond that
+    // the "combine order cannot matter" claim would silently stop holding
+    require(maxHops >= 1 && maxHops <= 20, s"maxHops out of range: $maxHops")
     val l = (1 to maxHops).foldLeft(1L) { (acc, d) =>
       val g = BigInt(acc).gcd(BigInt(d)).toLong; acc / g * d
     }
@@ -410,15 +413,18 @@ object Graph {
           when(col("__mx") > 0, round(col(c) / col("__mx"), scale))
             .otherwise(lit(0.0)).as(c)))
     }
-    var h = Stage.snapshotDF(nodes.withColumn("h", lit(1.0)))
-    var a = nodes.withColumn("a", lit(0.0))
-    for (_ <- 1 to iterations) {
-      a = normalized(
-        e.join(h.withColumnRenamed("node", "__s"), col("src") === col("__s"))
+    val h0 = Stage.snapshotDF(nodes.withColumn("h", lit(1.0)))
+    // each iteration maps the previous hubs to (authorities, hubs) — a
+    // fold with no pre-loop authority state (there is none: a₁ derives
+    // from h₀)
+    val (a, h) = (1 to iterations).foldLeft((h0, h0)) { case ((_, hPrev), _) =>
+      val aNext = normalized(
+        e.join(hPrev.withColumnRenamed("node", "__s"), col("src") === col("__s"))
           .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("a")), "a")
-      h = normalized(
-        e.join(a.withColumnRenamed("node", "__d"), col("dst") === col("__d"))
+      val hNext = normalized(
+        e.join(aNext.withColumnRenamed("node", "__d"), col("dst") === col("__d"))
           .groupBy(col("src").as("node")).agg(sum(col("w") * col("a")).as("h")), "h")
+      (aNext, hNext)
     }
     nodes.join(a, Seq("node")).join(h, Seq("node"))
       .select(col("node"), col("a").as("authority"), col("h").as("hub"))
@@ -442,20 +448,15 @@ object Graph {
     * coefficient is undefined).
     */
   def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val e = symmetrized(edges, srcCol, dstCol)
     val deg = Stage.snapshotDF(e.groupBy("s").agg(count(lit(1)).as("deg")))
     val xy = e
       .join(deg.select(col("s"), col("deg").as("__dx")), Seq("s"))
       .join(deg.select(col("s").as("d"), col("deg").as("__dy")), Seq("d"))
-    val xd = col("__dx").cast(dec)
-    val yd = col("__dy").cast(dec)
-    val g = xy.agg(count(lit(1)).cast(dec).as("__m"),
-      sum(xd).as("__sx"), sum(yd).as("__sy"),
-      sum(xd * yd).as("__sxy"), sum(xd * xd).as("__sxx"), sum(yd * yd).as("__syy"))
-    val num = (col("__m") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
-    val vx = (col("__m") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
-    val vy = (col("__m") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val terms = ExactCorr.aggs(col("__dx").cast(ExactCorr.dec),
+      col("__dy").cast(ExactCorr.dec))
+    val g = xy.agg(terms.head, terms.tail: _*)
+    val (num, vx, vy) = (ExactCorr.num, ExactCorr.denX, ExactCorr.denY)
     g.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select(col("n_nodes"), col("__m").cast("long").as("n_directed_edges"),
         when(vx > 0 && vy > 0,

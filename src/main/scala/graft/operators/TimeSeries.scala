@@ -260,18 +260,20 @@ object TimeSeries {
     * EWMA/Holt smooth; this one answers "how fast is it moving and how
     * linear is it" in one pass).
     *
-    * Exactness contract: x = MICROSECONDS since the key's first point
-    * (exact long, no sub-second truncation question on either engine),
-    * y folded to integer micros (the q148 convention) — with both axes
-    * in micros the raw slope IS y-units per second (emitted per DAY,
-    * one exact ×86400, for readable magnitudes); every sum and
-    * every closed-form product/difference is computed in DECIMAL(38,0) —
-    * EXACT integers, immune to both the shuffle's float combine order
-    * and the catastrophic cancellation that kills naive nΣx²−(Σx)² on
-    * raw epoch x (recentring bounds x by the series SPAN, then decimal
-    * keeps even the 10²⁹-magnitude cross terms exact). Only the final
-    * divisions run in double, on identically-cast exact operands. The
-    * oracle replays the same algebra in HUGEINT.
+    * Exactness contract: x = whole SECONDS since the key's first point
+    * (exact integer floor division of micros — identical both engines),
+    * y folded to integer micros (the q148 convention); every sum and
+    * every closed-form product/difference is the shared [[ExactCorr]]
+    * DECIMAL(38,0) algebra — EXACT integers, immune to both the
+    * shuffle's float combine order and the catastrophic cancellation
+    * that kills naive nΣx²−(Σx)² on raw epoch x. Headroom ([[ExactCorr]]
+    * contract): seconds-scaled x keeps the largest term n²·max(x,y6)²
+    * under 10³⁸ up to ~10⁹ points per key over ~30-year spans — micros-x
+    * would overflow (silent nulls / oracle error) near 10⁶ points. Only
+    * the final divisions run in double, on identically-cast exact
+    * operands; the raw slope is y-micros per second, emitted per day via
+    * the exact-literal ·86400/10⁶ pair. The oracle replays the same
+    * algebra in HUGEINT.
     *
     * One key-shuffle: the recentring window min and the sum aggregate
     * ride the same hash partitioning (AQE reuses the exchange).
@@ -281,31 +283,25 @@ object TimeSeries {
   def linearFit(
       events: DataFrame, keyCol: String, tsCol: String,
       valCol: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val byKey = Window.partitionBy("__k")
     val base = events
       .select(col(keyCol).as("__k"),
-        unix_micros(col(tsCol)).as("__x"),
+        unix_micros(col(tsCol)).as("__us"),
         floor(col(valCol).cast("double") * lit(1e6) + lit(0.5))
           .cast("long").as("__y"))
-      .withColumn("__xr", col("__x") - min("__x").over(byKey))
-    val xd = col("__xr").cast(dec)
-    val yd = col("__y").cast(dec)
-    val g = base.groupBy(col("__k"))
-      .agg(count(lit(1)).cast(dec).as("__n"),
-        sum(xd).as("__sx"), sum(yd).as("__sy"),
-        sum(xd * xd).as("__sxx"), sum(xd * yd).as("__sxy"),
-        sum(yd * yd).as("__syy"))
-    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
-    val denX = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
-    val denY = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+      .withColumn("__xr",
+        expr("(__us - min(__us) OVER (PARTITION BY __k)) div 1000000"))
+    val terms = ExactCorr.aggs(col("__xr").cast(ExactCorr.dec),
+      col("__y").cast(ExactCorr.dec))
+    val g = base.groupBy(col("__k")).agg(terms.head, terms.tail: _*)
+    val (num, denX, denY) = (ExactCorr.num, ExactCorr.denX, ExactCorr.denY)
     val b = num / denX
-    g.select(col("__k").as(keyCol), col("__n").cast("long").as("n_points"),
+    g.select(col("__k").as(keyCol), col("__m").cast("long").as("n_points"),
       when(col("__sxx") > 0 && denX > 0,
-        round(b * lit(86400.0), 9) + lit(0.0)).as("slope_per_day"),
+        round(b * lit(86400.0) / lit(1e6), 9) + lit(0.0)).as("slope_per_day"),
       when(col("__sxx") > 0 && denX > 0,
         round((col("__sy").cast("double") - b * col("__sx").cast("double")) /
-          col("__n").cast("double") / lit(1e6), 6) + lit(0.0)).as("intercept"),
+          col("__m").cast("double") / lit(1e6), 6) + lit(0.0)).as("intercept"),
       when(col("__sxx") > 0 && denX > 0 && denY > 0,
         round((num / denX) * (num / denY), 6) + lit(0.0)).as("r2"))
   }

@@ -1304,8 +1304,10 @@ object MiscQueries {
                            THEN CAST(o_totalprice AS DOUBLE) * 1.25
                            ELSE CAST(o_totalprice AS DOUBLE) END AS value
                FROM orders WHERE o_orderkey % 89 <> 0),
-      ca AS (SELECT value, count(1) AS ca FROM refr GROUP BY 1),
-      cb AS (SELECT value, count(1) AS cb FROM curr GROUP BY 1),
+      ca AS (SELECT value, count(1) AS ca FROM refr
+             WHERE value IS NOT NULL GROUP BY 1),
+      cb AS (SELECT value, count(1) AS cb FROM curr
+             WHERE value IS NOT NULL GROUP BY 1),
       pooled AS (SELECT coalesce(ca.value, cb.value) AS value,
                         coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
                  FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),

@@ -101,7 +101,7 @@ object TimeSeriesQueries {
   /** q203 — per-key OLS trend fit ([[TimeSeries.linearFit]]): slope per
     * day, intercept at series start, and r² of each event type's value
     * series. Every closed-form term is exact DECIMAL(38,0) integer
-    * algebra on micros-scaled axes (the oracle replays it in HUGEINT);
+    * algebra on seconds-x/micros-y axes (the oracle replays it in HUGEINT);
     * only the two final divisions run in double.
     */
   def q203_linear_fit: Q = (s, dir) => {
@@ -171,7 +171,7 @@ object TimeSeriesQueries {
         SELECT event_type AS k, epoch_us(ts) AS x,
                CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS y
         FROM events),
-      r AS (SELECT k, x - min(x) OVER (PARTITION BY k) AS xr, y FROM b),
+      r AS (SELECT k, (x - min(x) OVER (PARTITION BY k)) // 1000000 AS xr, y FROM b),
       g AS (SELECT k, CAST(count(1) AS HUGEINT) AS n,
                    sum(CAST(xr AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
                    sum(CAST(xr AS HUGEINT) * xr) AS sxx,
@@ -185,7 +185,8 @@ object TimeSeriesQueries {
             FROM g)
       SELECT k AS event_type, CAST(n AS BIGINT) AS n_points,
              CASE WHEN sxx > 0 AND den_x > 0 THEN
-               round(num / den_x * CAST(86400 AS DOUBLE), 9) + CAST(0 AS DOUBLE)
+               round(num / den_x * CAST(86400 AS DOUBLE)
+                 / CAST(1000000 AS DOUBLE), 9) + CAST(0 AS DOUBLE)
              END AS slope_per_day,
              CASE WHEN sxx > 0 AND den_x > 0 THEN
                round((CAST(sy AS DOUBLE) - num / den_x * CAST(sx AS DOUBLE))

@@ -150,6 +150,8 @@ class ChecksSpec extends SparkSuite {
     assert(fd(Seq((null, "1"), (null, "1"), ("x", null), ("x", null)))
       == ((2L, 0L, 0L, 4L, true)))
     assert(fd(Seq((null, "1"), (null, "2"))) == ((1L, 1L, 1L, 2L, false)))
+    // empty input: vacuously holding, REAL booleans — never null
+    assert(fd(Seq.empty) == ((0L, 0L, 0L, 0L, true)))
   }
 
   test("ksDrift: hand CDF gap; self-KS zero; disjoint samples hit 1 and flag") {
@@ -165,6 +167,13 @@ class ChecksSpec extends SparkSuite {
     assert(self._3 == 0.0 && !self._6, s"self-KS must be zero: $self")
     val disj = ks((1 to 50).map(_.toDouble), (101 to 150).map(_.toDouble))
     assert(disj._3 == 1.0 && disj._6, s"disjoint samples: $disj")
+    // nulls are outside the distribution: totals and CDFs unchanged
+    val withNull = graft.operators.Checks.ksDrift(
+      Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v"),
+      Seq(Some(2.0), Some(3.0), Some(4.0), Some(4.0), None).toDF("v"), "v")
+      .as[(Long, Long, Double, Double, Double, Boolean)].head()
+    assert(withNull == ((3L, 4L, 0.5, 3.0, 1.03719, false)),
+      s"null rows must not shift the CDFs: $withNull")
   }
 
   test("ksDrift: invariant to the range-partition count (distributed scan ≡ one partition)") {

@@ -741,8 +741,7 @@ class PlanSpec extends SparkSuite {
     // retriever expression itself, then the final fused plan
     import org.apache.spark.sql.functions._
     val cut = graft.operators.Corpus.bm25(
-        SparkEntry.queries("q20_count")(spark, sfDir).sparkSession
-          .read.parquet(s"$sfDir/documents.parquet"),
+        spark.read.parquet(s"$sfDir/documents.parquet"),
         "doc_id", "text", Seq("hash", "customer", "stream"))
       .select(col("doc_id"), round(col("bm25"), 4).as("s"))
       .orderBy(col("s").desc, col("doc_id").asc).limit(20)
