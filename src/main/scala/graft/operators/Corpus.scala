@@ -202,6 +202,58 @@ object Corpus {
       .limit(topN)
   }
 
+  /** Neyman optimal sampling allocation (Neyman 1934): split a sampling
+    * budget across strata proportionally to N_h·σ_h — the
+    * minimum-variance design for estimating a mean under a fixed budget,
+    * and the principled way to size an eval set per source (uniform
+    * rates oversample homogeneous strata; q66's fixed-rate sample cannot
+    * adapt). Emits per stratum: size, σ, the exact-integer weight, and
+    * the allocated sample size.
+    *
+    * Determinism: σ rounds to 6 (the CUSUM whole-partition-stat
+    * contract); each stratum weight folds to the INTEGER
+    * floor(N·σ·10⁶ + ½) (the q148 micros trick) so the total is an exact
+    * integer sum — immune to combine order where a double Σ N·σ is not —
+    * and every allocation division is an exact-integer-double ratio.
+    * Seats: floor allocations + largest-remainder top-up (remainder
+    * desc, stratum asc — a fixed total order), each capped at N_h; a cap
+    * binding at the same time as the top-up leaves the budget undershot
+    * rather than silently re-redistributed (single-pass contract,
+    * documented). Cost: one corpus aggregation; strata-sized algebra
+    * after (the per-bin convention).
+    */
+  def neymanAllocation(
+      df: DataFrame, strataCol: String, valCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    val stats = Stage.snapshotDF(df
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(stddev_pop(col(valCol).cast("double")), 6).as("sigma"))
+      .select(col("stratum"), col("n_rows"), col("sigma"),
+        floor(col("n_rows").cast("double") * coalesce(col("sigma"), lit(0.0))
+          * lit(1e6) + lit(0.5)).cast("long").as("w6")))
+    val tot = stats.agg(sum("w6").as("__t6"))
+    // zero total weight (all strata constant) carries no signal — nothing
+    // allocates, rather than a division blow-up under ANSI
+    val based = Stage.snapshotDF(stats.crossJoin(broadcast(tot))
+      .withColumn("__raw", when(col("__t6") > 0,
+        lit(budget).cast("double") * col("w6").cast("double") /
+          col("__t6").cast("double")).otherwise(lit(0.0)))
+      .withColumn("__base", floor(col("__raw")).cast("long"))
+      .withColumn("__rem", col("__raw") - col("__base").cast("double")))
+    val left = based.agg(greatest(lit(0L),
+      lit(budget) - sum("__base")).as("__left"))
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("stratum").asc)
+    based
+      .withColumn("__rank", row_number().over(byRem).cast("long"))
+      .crossJoin(broadcast(left))
+      .select(col("stratum"), col("n_rows"), col("sigma"), col("w6"),
+        least(col("n_rows"),
+          col("__base") + when(col("__rank") <= col("__left") && col("w6") > 0, 1L)
+            .otherwise(0L)).as("alloc"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher, SIGIR 2009):
     * combine N retrievers' rank lists by
     *

@@ -258,6 +258,18 @@ object TrainingQueries {
   /** q66 — deterministic 1-in-10 stratified sample per source (rank-based,
     * reproducible under retries), with per-stratum acceptance stats.
     */
+  /** q214 — Neyman optimal allocation ([[Corpus.neymanAllocation]]): a
+    * 500-row sampling budget split across sources ∝ N_h·σ_h of n_chars —
+    * the minimum-variance eval-set design q66's fixed rate cannot adapt
+    * to. Integer-micros weights (exact total), largest-remainder seats,
+    * N_h caps; all-integer output except the 6-rounded σ.
+    */
+  def q214_neyman_alloc: Q = (s, dir) => {
+    Corpus.neymanAllocation(Tables.documents(s, dir),
+        strataCol = "source", valCol = "n_chars", budget = 500L)
+      .orderBy("stratum")
+  }
+
   def q66_stratified_sample: Q = (s, dir) => {
     Corpus.stratifiedSample(Tables.documents(s, dir), "source", "doc_id", 10)
       .groupBy("source")
@@ -976,7 +988,8 @@ object TrainingQueries {
     "q63_entropy" -> q63_entropy,
     "q64_redact" -> q64_redact,
     "q65_contamination" -> q65_contamination,
-    "q66_stratified_sample" -> q66_stratified_sample)
+    "q66_stratified_sample" -> q66_stratified_sample,
+    "q214_neyman_alloc" -> q214_neyman_alloc)
 
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
@@ -1780,6 +1793,36 @@ object TrainingQueries {
     // (cb/N) / ((cu1/T) * (cu2/T)), every term an exact-integer double
     // the 6 offset zips mirrored as unnested list_transforms; identical
     // (c_xy·N)/(c_x·c_y) operands and the positive clip
+    // identical micros-integer weights, guarded division, floor seats,
+    // largest-remainder top-up (rem desc, stratum asc), N_h caps
+    "q214_neyman_alloc" -> """
+      WITH stats AS (
+        SELECT source AS stratum, CAST(count(1) AS BIGINT) AS n_rows,
+               round(stddev_pop(CAST(n_chars AS DOUBLE)), 6) AS sigma
+        FROM documents GROUP BY 1),
+      w AS (SELECT stratum, n_rows, sigma,
+                   CAST(floor(CAST(n_rows AS DOUBLE) * coalesce(sigma, CAST(0 AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS w6
+            FROM stats),
+      t AS (SELECT CAST(sum(w6) AS BIGINT) AS t6 FROM w),
+      based AS (
+        SELECT stratum, n_rows, sigma, w6,
+               CASE WHEN t.t6 > 0 THEN
+                 CAST(500 AS DOUBLE) * CAST(w6 AS DOUBLE) / CAST(t.t6 AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END AS raw
+        FROM w CROSS JOIN t),
+      b2 AS (SELECT *, CAST(floor(raw) AS BIGINT) AS base,
+                    raw - CAST(floor(raw) AS BIGINT) AS rem
+             FROM based),
+      lft AS (SELECT greatest(CAST(0 AS BIGINT),
+                              500 - CAST(sum(base) AS BIGINT)) AS l FROM b2),
+      rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rnk
+             FROM b2)
+      SELECT stratum, n_rows, sigma, w6,
+             least(n_rows, base + CASE WHEN rnk <= lft.l AND w6 > 0
+                                        THEN 1 ELSE 0 END) AS alloc
+      FROM rk CROSS JOIN lft
+      ORDER BY stratum""",
     "q212_skipgram_ppmi" -> raw"""
       WITH toks AS (SELECT $tk AS tk FROM documents),
       pairs AS (

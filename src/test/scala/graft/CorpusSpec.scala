@@ -522,6 +522,30 @@ class CorpusSpec extends SparkSuite {
     assert(real.nonEmpty && real.forall(_._4 >= 0.0), "PPMI clips at zero")
   }
 
+  test("neymanAllocation: σ-proportional seats, largest-remainder top-up, N_h cap, zero-signal") {
+    import spark.implicits._
+    // stratum a: 4 rows, values {0,10,0,10} → σ=5, w6=20e6
+    // stratum b: 2 rows, {0,30} → σ=15, w6=30e6; c: 3 rows constant → σ=0
+    // budget 7, t6=50e6: raw a=2.8, b=4.2, c=0 → base 2/4/0, left=1,
+    // remainders .8 > .2 → a gets the seat; b capped at N_h=2!
+    val df = Seq(("a", 0.0), ("a", 10.0), ("a", 0.0), ("a", 10.0),
+      ("b", 0.0), ("b", 30.0),
+      ("c", 7.0), ("c", 7.0), ("c", 7.0)).toDF("s", "v")
+    val got = Corpus.neymanAllocation(df, "s", "v", budget = 7L)
+      .as[(String, Long, Option[Double], Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 4L, Some(5.0), 20000000L, 3L)), s"got ${got("a")}")
+    assert(got("b") == (("b", 2L, Some(15.0), 30000000L, 2L)),
+      s"raw 4.2 must cap at the stratum size 2: ${got("b")}")
+    assert(got("c") == (("c", 3L, Some(0.0), 0L, 0L)),
+      s"zero-variance stratum gets nothing: ${got("c")}")
+    // all-constant corpus: zero total signal → zero allocations, no throw
+    val flat = Seq(("x", 1.0), ("x", 1.0), ("y", 2.0)).toDF("s", "v")
+    val z = Corpus.neymanAllocation(flat, "s", "v", 5L)
+      .as[(String, Long, Option[Double], Long, Long)].collect()
+    assert(z.forall(_._5 == 0L), s"no signal, no allocation: ${z.toSeq}")
+  }
+
   test("rrfFuse: hand-computed fusion, absent items contribute 0, ranks pass through") {
     import spark.implicits._
     val r1 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
