@@ -111,8 +111,30 @@ object TextQueries {
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** q215 — language-ID confusion audit: the q50 heuristic's predictions
+    * cross-tabulated against the labeled `lang` column — per (true,
+    * predicted) cell the count and the within-truth recall share; the
+    * evaluation twin q50's aggregate census cannot express (it never
+    * sees the labels). Exact counts; shares are exact-integer-double
+    * divisions (round 6).
+    */
+  def q215_langid_confusion: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.languageId(s, docs)
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("true_lang")))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        (round(col("n").cast("double") / col("row_total").cast("double"), 6)
+          + lit(0.0)).as("share"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q85_fingerprint_det" -> q85_fingerprint_det,
+    "q215_langid_confusion" -> q215_langid_confusion,
     "q197_winnow_overlap" -> q197_winnow_overlap,
     "q86_simhash_det" -> q86_simhash_det,
     "q50_lang_id" -> q50_lang_id,
@@ -125,6 +147,32 @@ object TextQueries {
     .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the q50 prediction chain joined back to the labels; shares are
+    // exact-integer-double divisions over window row totals
+    "q215_langid_confusion" -> raw"""
+      WITH lex(lex_lang, lex_tok) AS (VALUES $lexValues),
+      toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        FROM documents),
+      hits AS (
+        SELECT doc_id, lex_lang, count(1) AS hits
+        FROM toks JOIN lex ON tok = lex_tok
+        GROUP BY 1, 2),
+      best AS (
+        SELECT doc_id, lex_lang AS pred_lang, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lex_lang ASC) AS rn
+        FROM hits),
+      labeled AS (
+        SELECT d.doc_id, d.lang AS true_lang,
+               coalesce(b.pred_lang, 'unknown') AS pred_lang
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id),
+      cells AS (SELECT true_lang, pred_lang, count(1) AS n
+                FROM labeled GROUP BY 1, 2)
+      SELECT true_lang, pred_lang, n,
+             round(CAST(n AS DOUBLE) /
+               CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS share
+      FROM cells ORDER BY 1, 2""",
     // positional 3-gram polynomial hashes (the q85 fold), encoded
     // (h << 33) + pos, per-window min over ROWS 7 PRECEDING..CURRENT on
     // complete windows only, distinct selected values per doc, then the
