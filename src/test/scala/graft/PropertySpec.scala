@@ -281,6 +281,111 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("holt: property over random series (fold ≡ literal driver recursion)") {
+    import java.sql.Timestamp
+    for (trial <- 1 to 8) {
+      val r = new Random(300 + trial)
+      val n = 1 + r.nextInt(30)
+      val vals = Seq.fill(n)(math.rint(r.nextGaussian() * 1000) / 1000 + 0.01 * r.nextInt(50))
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        ("k", new Timestamp(1700000000000L + i * 1000L), i.toLong, v)
+      }
+      val got = graft.operators.TimeSeries
+        .holt(rows.toDF("k", "t", "id", "v"), "k", "t", "id", "v",
+          alpha = 0.25, beta = 0.125)
+        .collect().map(rr => (rr.getLong(1), rr.getDouble(2), rr.getDouble(3),
+          rr.getDouble(4), rr.getDouble(5))).head
+      var l = vals.head; var b = 0.0; var s = 0.0
+      vals.tail.foreach { x =>
+        val e = x - (l + b); s += e * e
+        val lNew = 0.25 * x + 0.75 * (l + b)
+        b = 0.125 * (lNew - l) + 0.875 * b
+        l = lNew
+      }
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(got == ((n.toLong, r6(l), r6(b), r6(l + b), r6(s))),
+        s"trial $trial: $got vs (${r6(l)}, ${r6(b)}, ${r6(l + b)}, ${r6(s)})")
+    }
+  }
+
+  test("winnowing: property over random corpora (guarantee, density bound, selection ⊆ grams)") {
+    import graft.operators.TextAnalysis
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (trial <- 1 to 6) {
+      val r = new Random(400 + trial)
+      val k = 2 + r.nextInt(2); val w = 3 + r.nextInt(4)
+      val shared = Seq.fill(w + k - 1)(words(r.nextInt(words.size))).mkString(" ")
+      def randText(n: Int) = Seq.fill(n)(words(r.nextInt(words.size))).mkString(" ")
+      val docs = Seq(
+        (1L, s"${randText(5 + r.nextInt(10))} $shared ${randText(5)}"),
+        (2L, s"${randText(3)} $shared ${randText(8 + r.nextInt(6))}"),
+        (3L, randText(20 + r.nextInt(10))))
+        .toDF("doc_id", "text")
+      val sel = TextAnalysis.winnowFingerprints(docs, k, w)
+        .as[(Long, Long, Long)].collect()
+      // density: selections never exceed the complete-window count
+      val grams = docs.as[(Long, String)].collect().map { case (id, t) =>
+        id -> (t.split("\\s+").count(_.nonEmpty) - k + 1)
+      }.toMap
+      sel.groupBy(_._1).foreach { case (id, ss) =>
+        val maxSel = math.max(grams(id) - w + 1, 0)
+        assert(ss.length <= math.max(maxSel, 1) && ss.length <= grams(id),
+          s"trial $trial doc $id: ${ss.length} selections, ${grams(id)} grams, w=$w")
+      }
+      // the winnowing guarantee: docs 1 and 2 share the planted run
+      val f1 = sel.filter(_._1 == 1L).map(_._2).toSet
+      val f2 = sel.filter(_._1 == 2L).map(_._2).toSet
+      assert((f1 & f2).nonEmpty,
+        s"trial $trial: shared ≥ w+k−1 run must select a common fingerprint")
+    }
+  }
+
+  test("ksDrift: property over random samples (range, symmetry, zero iff same multiset)") {
+    import graft.operators.Checks
+    for (trial <- 1 to 6) {
+      val r = new Random(500 + trial)
+      val a = Seq.fill(20 + r.nextInt(60))(r.nextInt(15).toDouble)
+      val b = Seq.fill(20 + r.nextInt(60))(r.nextInt(15).toDouble + r.nextInt(3))
+      val ab = Checks.ksDrift(a.toDF("v"), b.toDF("v"), "v")
+        .as[(Long, Long, Double, Double, Double, Boolean)].head()
+      val ba = Checks.ksDrift(b.toDF("v"), a.toDF("v"), "v")
+        .as[(Long, Long, Double, Double, Double, Boolean)].head()
+      assert(ab._3 >= 0.0 && ab._3 <= 1.0, s"trial $trial: KS in [0,1]: $ab")
+      assert(ab._3 == ba._3 && ab._4 == ba._4,
+        s"trial $trial: KS is symmetric: $ab vs $ba")
+      val self = Checks.ksDrift(a.toDF("v"), r.shuffle(a).toDF("v"), "v")
+        .as[(Long, Long, Double, Double, Double, Boolean)].head()
+      assert(self._3 == 0.0, s"trial $trial: same multiset ⇒ KS 0: $self")
+    }
+  }
+
+  test("kaplanMeier: property over random lifetimes (S non-increasing in (0,1], risk set strict, census total)") {
+    import java.sql.Timestamp
+    for (trial <- 1 to 6) {
+      val r = new Random(600 + trial)
+      val nKeys = 5 + r.nextInt(20)
+      val rows = (0 until nKeys).flatMap { i =>
+        val start = r.nextInt(20).toLong
+        val life = r.nextInt(25).toLong
+        Seq((s"u$i", new Timestamp(1700000000000L + start * 86400000L)),
+            (s"u$i", new Timestamp(1700000000000L + (start + life) * 86400000L)))
+      }
+      val got = graft.operators.TimeSeries
+        .kaplanMeier(rows.toDF("k", "ts"), "k", "ts", horizonDays = 5)
+        .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+      assert(got.map(g => g._3 + g._4).sum == nKeys,
+        s"trial $trial: census must account every key once")
+      got.sliding(2).foreach {
+        case Array(p, c) =>
+          assert(c._5 <= p._5 + 1e-12, s"trial $trial: S must not increase: $p → $c")
+          assert(c._2 < p._2, s"trial $trial: risk set strictly shrinks: $p → $c")
+        case _ =>
+      }
+      assert(got.forall(g => g._5 >= 0.0 && g._5 <= 1.0), s"trial $trial: S in [0,1]")
+    }
+  }
+
   test("cusum: property over random series (closed form ≡ literal recursion, scores non-negative)") {
     import java.sql.Timestamp
     for (trial <- 1 to 8) {
