@@ -189,6 +189,35 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[winnowOverlapPairs]] BETWEEN two slices (the q105/q132 between
+    * convention): which NEW documents share ≥ `minShared` winnowed
+    * fingerprints with an OLD document — the admission-control form (a
+    * new crawl shard screened against the standing corpus before ingest),
+    * where the self-join form audits a finished corpus. The boilerplate
+    * cap counts a fingerprint's documents over the UNION population
+    * (boilerplate is boilerplate regardless of side) and drops its bucket
+    * whole, observably; pair volume is Σ new_bucket · old_bucket — never
+    * |new|·|old|.
+    */
+  def winnowOverlapBetween(
+      newDocs: DataFrame, oldDocs: DataFrame, k: Int, w: Int,
+      minShared: Int, maxDocsPerFingerprint: Int): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    val tagged = Stage.snapshotDF(Dedup.capBuckets(
+      winnowFingerprints(newDocs, k, w).select(col("doc_id"), col("fingerprint"))
+        .distinct().withColumn("__new", lit(true))
+        .unionByName(
+          winnowFingerprints(oldDocs, k, w).select(col("doc_id"), col("fingerprint"))
+            .distinct().withColumn("__new", lit(false))),
+      "fingerprint", maxDocsPerFingerprint))
+    tagged.filter(col("__new")).select(col("fingerprint"), col("doc_id").as("doc_new"))
+      .join(tagged.filter(!col("__new"))
+        .select(col("fingerprint"), col("doc_id").as("doc_old")), Seq("fingerprint"))
+      .groupBy("doc_new", "doc_old")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 16-bit SimHash on the polynomial hash, oracle-checkable: each token
     * votes ±1 per bit of its hash; fingerprint bit b is set when the vote
     * sum is positive. One explode + 16 conditional sums in a single hash

@@ -132,8 +132,25 @@ object TextQueries {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** q216 — cross-slice winnowing overlap
+    * ([[TextAnalysis.winnowOverlapBetween]]): new docs (doc_id % 7 = 0,
+    * the q105 slice convention) screened against the standing rest —
+    * which arrivals share ≥ 2 winnowed fingerprints with an existing
+    * document. Union-population boilerplate cap (50), re-derived in the
+    * oracle.
+    */
+  def q216_winnow_between: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.winnowOverlapBetween(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        k = 3, w = 8, minShared = 2, maxDocsPerFingerprint = 50)
+      .orderBy(col("n_shared").desc, col("doc_new"), col("doc_old"))
+  }
+
   val all: Map[String, Q] = Map(
     "q85_fingerprint_det" -> q85_fingerprint_det,
+    "q216_winnow_between" -> q216_winnow_between,
     "q215_langid_confusion" -> q215_langid_confusion,
     "q197_winnow_overlap" -> q197_winnow_overlap,
     "q86_simhash_det" -> q86_simhash_det,
@@ -173,6 +190,37 @@ object TextQueries {
                CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
                + CAST(0 AS DOUBLE) AS share
       FROM cells ORDER BY 1, 2""",
+    // the q197 winnow chain computed per slice, union-population cap,
+    // new×old join only
+    "q216_winnow_between" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(array_to_string(tk[i+1:i+3], ' '), '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM toks, unnest(range(0, CASE WHEN len(tk) >= 3
+                                        THEN len(tk) - 3 + 1 ELSE 0 END)) t(i)),
+      wmin AS (
+        SELECT doc_id, i,
+               min((h << 33) + i) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+        FROM grams),
+      selected AS (
+        SELECT DISTINCT doc_id, sel >> 33 AS fingerprint, doc_id % 7 = 0 AS is_new
+        FROM wmin WHERE i >= 7),
+      capped AS (SELECT * FROM selected
+                 QUALIFY count(*) OVER (PARTITION BY fingerprint) <= 50),
+      pairs AS (
+        SELECT n.doc_id AS doc_new, o.doc_id AS doc_old, count(1) AS n_shared
+        FROM capped n JOIN capped o
+          ON n.fingerprint = o.fingerprint AND n.is_new AND NOT o.is_new
+        GROUP BY 1, 2)
+      SELECT doc_new, doc_old, n_shared FROM pairs WHERE n_shared >= 2
+      ORDER BY n_shared DESC, doc_new, doc_old""",
     // positional 3-gram polynomial hashes (the q85 fold), encoded
     // (h << 33) + pos, per-window min over ROWS 7 PRECEDING..CURRENT on
     // complete windows only, distinct selected values per doc, then the

@@ -136,6 +136,36 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"doc3 matches nothing: $pairs")
   }
 
+  test("winnowOverlapBetween: cross-slice pairs only; union-population boilerplate cap") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val newD = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"prefix tokens here $shared and a tail of words now")) // new-new pair exists in self-join form
+      .toDF("doc_id", "text")
+    val oldD = Seq(
+      (10L, s"uno dos tres $shared cuatro cinco seis siete"),
+      (11L, "totally unrelated old content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowOverlapBetween(newD, oldD, 3, 8,
+        minShared = 1, maxDocsPerFingerprint = 50)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(got.contains((1L, 10L)) && got.contains((2L, 10L)), s"got $got")
+    assert(got.forall(p => Set(1L, 2L)(p._1) && Set(10L, 11L)(p._2)),
+      s"only new×old pairs may emit: $got")
+    // identical texts: EVERY selected fingerprint sits on all 3 docs
+    // across sides → a union cap of 2 drops them whole even though each
+    // side alone (2 and 1 docs) is under the cap
+    val t = s"$shared lambda mu nu xi omicron pi rho sigma"
+    val cloneNew = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val cloneOld = Seq((10L, t)).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowOverlapBetween(cloneNew, cloneOld, 3, 8, 1, 50)
+      .count() == 2L, "sanity: uncapped finds both cross pairs")
+    val capped = TextAnalysis.winnowOverlapBetween(cloneNew, cloneOld, 3, 8,
+      minShared = 1, maxDocsPerFingerprint = 2)
+    assert(capped.count() == 0L,
+      "boilerplate is counted over the union population")
+  }
+
   test("winnowing: sub-window documents emit nothing; boilerplate cap drops hot fingerprints") {
     val tiny = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text") // 9 < w+k−1
     assert(TextAnalysis.winnowFingerprints(tiny, 3, 8).count() == 0L)
