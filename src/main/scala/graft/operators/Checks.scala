@@ -240,6 +240,53 @@ object Checks {
           .as("mi_term"))
   }
 
+  /** [[ksDrift]] per group — drift monitored PER SLICE (source, priority,
+    * region), which is how a production gate actually runs: an aggregate
+    * KS can stay flat while one slice's distribution walks away. Same
+    * exact-integer CDF algebra; here the cumulative scans are ordinary
+    * GROUP-keyed windows (each group's distinct values ride its own
+    * partition — the per-key shape of cusum/resample), so no range-scan
+    * machinery is needed; a single giant group is exactly the global
+    * [[ksDrift]] case, which exists for it. One row per group present in
+    * either side.
+    */
+  def ksDriftByGroup(
+      a: DataFrame, b: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val sel = (df: DataFrame) => df
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("value"))
+      .filter(col("value").isNotNull)
+    val ca = sel(a).groupBy("g", "value").agg(count(lit(1)).as("ca"))
+    val cb = sel(b).groupBy("g", "value").agg(count(lit(1)).as("cb"))
+    val pooled = Stage.snapshotDF(
+      ca.join(cb, Seq("g", "value"), "full_outer").na.fill(0L, Seq("ca", "cb")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = pooled.groupBy("g")
+      .agg(sum("ca").as("__na"), sum("cb").as("__nb"))
+    val crit = lit(1.358) * sqrt((col("__na") + col("__nb")).cast("double") /
+      (col("__na").cast("double") * col("__nb").cast("double")))
+    val both = col("__na") > 0 && col("__nb") > 0
+    val byD = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("__d").desc, col("value").asc)
+    pooled
+      .withColumn("__fa", sum("ca").over(w))
+      .withColumn("__fb", sum("cb").over(w))
+      .join(broadcast(totals), Seq("g"))
+      // a group present on ONE side only has no comparison sample: KS is
+      // undefined there (null scores, null verdict) — its appearance/
+      // disappearance is its own signal, not a CDF gap
+      .withColumn("__d", when(both,
+        abs(col("__fa").cast("double") / col("__na") -
+            col("__fb").cast("double") / col("__nb"))))
+      .withColumn("__rn", row_number().over(byD))
+      .filter(col("__rn") === 1)
+      .select(col("g").as(groupCol), col("__na").as("n_a"), col("__nb").as("n_b"),
+        (round(col("__d"), 6) + lit(0.0)).as("ks"),
+        when(both, col("value")).as("ks_at_value"),
+        (round(when(both, crit), 6) + lit(0.0)).as("crit_95"),
+        (col("__d") > crit).as("drifted"))
+  }
+
   /** Functional-dependency violation census — "does `detCol` determine
     * `depCol`?", the schema-inference / deduplication-key question
     * [[mutualInformation]] answers softly and this answers exactly: per

@@ -362,6 +362,23 @@ object MiscQueries {
       Tables.documents(s, dir), "source", "lang")
   }
 
+  /** q217 — per-slice KS drift ([[graft.operators.Checks.ksDriftByGroup]]):
+    * the q202 release pair monitored per order priority — the production
+    * gate shape (an aggregate KS can stay flat while one slice walks
+    * away). Group-keyed cumulative windows; same exact CDF algebra.
+    */
+  def q217_ks_by_group: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val ref = o.filter(col("o_orderkey") % 97 =!= 0)
+    val cur = o.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0,
+          col("o_totalprice").cast("double") * lit(1.25))
+          .otherwise(col("o_totalprice").cast("double")))
+    graft.operators.Checks.ksDriftByGroup(ref, cur, "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderpriority")
+  }
+
   /** q164 — market-basket pair rules ([[graft.operators.Association]]):
     * top-20 co-ordered part pairs by lift (support ≥ 2) over the
     * lineitem order-baskets. One distinct (basket, item) projection, one
@@ -1039,6 +1056,7 @@ object MiscQueries {
     "q159_quality_checks" -> q159_quality_checks,
     "q186_psi_drift" -> q186_psi_drift,
     "q202_ks_drift" -> q202_ks_drift,
+    "q217_ks_by_group" -> q217_ks_by_group,
     "q205_benford" -> q205_benford,
     "q209_fd_census" -> q209_fd_census,
     "q206_mutual_info" -> q206_mutual_info,
@@ -1294,6 +1312,49 @@ object MiscQueries {
     // reference deciles via quantile_cont rounded to 6 (both engines bin
     // identical boundaries); the ε-smoothed PSI term mirrors Spark's
     // expression grouping exactly
+    // the q202 chain per priority group: group-partitioned cumulative
+    // windows, per-group argmax row, identical guards
+    "q217_ks_by_group" -> """
+      WITH refr AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS value
+                    FROM orders WHERE o_orderkey % 97 <> 0),
+      curr AS (SELECT o_orderpriority AS g,
+                      CASE WHEN o_orderkey % 13 = 0
+                           THEN CAST(o_totalprice AS DOUBLE) * 1.25
+                           ELSE CAST(o_totalprice AS DOUBLE) END AS value
+               FROM orders WHERE o_orderkey % 89 <> 0),
+      ca AS (SELECT g, value, count(1) AS ca FROM refr
+             WHERE value IS NOT NULL GROUP BY 1, 2),
+      cb AS (SELECT g, value, count(1) AS cb FROM curr
+             WHERE value IS NOT NULL GROUP BY 1, 2),
+      pooled AS (SELECT coalesce(ca.g, cb.g) AS g,
+                        coalesce(ca.value, cb.value) AS value,
+                        coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+                 FROM ca FULL OUTER JOIN cb
+                   ON ca.g = cb.g AND ca.value = cb.value),
+      t AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM pooled GROUP BY 1),
+      c AS (SELECT g, value,
+                   sum(ca) OVER w AS fa, sum(cb) OVER w AS fb
+            FROM pooled
+            WINDOW w AS (PARTITION BY g ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      d AS (SELECT c.g, c.value, t.na, t.nb,
+                   CASE WHEN t.na > 0 AND t.nb > 0 THEN
+                     abs(CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb)
+                   END AS d
+            FROM c JOIN t ON c.g = t.g),
+      top AS (SELECT *, row_number() OVER (PARTITION BY g
+                          ORDER BY d DESC, value ASC) AS rn FROM d)
+      SELECT g AS o_orderpriority, na AS n_a, nb AS n_b,
+             round(d, 6) + CAST(0 AS DOUBLE) AS ks,
+             CASE WHEN na > 0 AND nb > 0 THEN value END AS ks_at_value,
+             round(CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(1.358 AS DOUBLE) * sqrt(CAST(na + nb AS DOUBLE) /
+                 (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END, 6)
+               + CAST(0 AS DOUBLE) AS crit_95,
+             d > CAST(1.358 AS DOUBLE) * sqrt(CAST(na + nb AS DOUBLE) /
+                 (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drifted
+      FROM top WHERE rn = 1 ORDER BY 1""",
     // one cumulative window over the pooled distinct prices (the oracle
     // needs no distributed scan), identical CDF divisions and the
     // CAST(1.358 AS DOUBLE) critical-value expression

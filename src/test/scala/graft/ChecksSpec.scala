@@ -176,6 +176,29 @@ class ChecksSpec extends SparkSuite {
       s"null rows must not shift the CDFs: $withNull")
   }
 
+  test("ksDriftByGroup: per-group ≡ global on each slice; one-sided groups null out") {
+    import spark.implicits._
+    val a = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g2", 5.0), ("g2", 6.0),
+      ("only_a", 9.0)).toDF("g", "v")
+    val b = Seq(("g1", 2.0), ("g1", 3.0), ("g1", 4.0), ("g1", 4.0), ("g2", 5.0),
+      ("only_b", 1.0)).toDF("g", "v")
+    val got = graft.operators.Checks.ksDriftByGroup(a, b, "g", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double], Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    // g1 is the ChecksSpec hand case: KS 0.5 at 3, crit 1.03719
+    assert(got("g1") == (("g1", 3L, 4L, Some(0.5), Some(3.0), Some(1.03719), Some(false))),
+      s"g1 must equal the global hand case on its slice: ${got("g1")}")
+    // g2 per-slice vs the global ksDrift on the same slice
+    val global = graft.operators.Checks.ksDrift(
+        a.filter($"g" === "g2").select("v"), b.filter($"g" === "g2").select("v"), "v")
+      .as[(Long, Long, Double, Double, Double, Boolean)].head()
+    assert(got("g2") == (("g2", global._1, global._2, Some(global._3),
+      Some(global._4), Some(global._5), Some(global._6))),
+      s"per-group must equal global-on-slice: ${got("g2")} vs $global")
+    assert(got("only_a")._4.isEmpty && got("only_a")._7.isEmpty &&
+      got("only_b")._4.isEmpty, "one-sided groups carry null scores/verdicts")
+  }
+
   test("ksDrift: invariant to the range-partition count (distributed scan ≡ one partition)") {
     import spark.implicits._
     val a = (1 to 500).map(i => (i * 7 % 97).toDouble)
