@@ -500,6 +500,44 @@ object Graph {
     labels
   }
 
+  /** Local clustering coefficient (Watts & Strogatz 1998): per node,
+    * triangles / (deg·(deg−1)/2) — "how much of my neighborhood knows
+    * each other", the community-cohesion number [[triangleCounts]]'
+    * raw participation can't normalize (a hub in 100 triangles over
+    * 10k possible pairs is LESS clustered than a leaf in 3 of 3).
+    * Degree-1 nodes have no possible pair and emit null (undefined,
+    * the standard reading — not 0, which claims "open neighborhood").
+    *
+    * Composition: the [[triangleCounts]] enumeration (two graph-sized
+    * equi-joins on the canonicalized snapshot) plus one degree
+    * aggregation off the SAME snapshot, met in a node-keyed join. The
+    * coefficient is one division of exact integers, rounded.
+    */
+  def clusteringCoefficients(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = Stage.snapshotDF(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct())
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val pairs = (col("degree") * (col("degree") - 1) / 2).cast("long")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            pairs.cast("double"), 6) + lit(0.0)).as("clustering"))
+  }
+
   /** Per-node triangle participation counts (undirected). Edges are
     * canonicalized to `a < b` (self-loops dropped, directions and
     * duplicates collapsed); triangles enumerate once each as ordered

@@ -362,6 +362,20 @@ object MiscQueries {
       Tables.documents(s, dir), "source", "lang")
   }
 
+  /** q218 — local clustering coefficients
+    * ([[graft.operators.Graph.clusteringCoefficients]]) on the strong
+    * trade graph: per nation, degree, triangle count, and
+    * triangles/(deg choose 2) — the cohesion normalization q165's raw
+    * counts can't give; degree-1 nodes null (undefined, not "open").
+    */
+  def q218_clustering: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.clusteringCoefficients(strongTradeEdges(s, dir), "src", "dst")
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("degree"), col("n_triangles"), col("clustering"))
+      .orderBy("n_name")
+  }
+
   /** q217 — per-slice KS drift ([[graft.operators.Checks.ksDriftByGroup]]):
     * the q202 release pair monitored per order priority — the production
     * gate shape (an aggregate KS can stay flat while one slice walks
@@ -1057,6 +1071,7 @@ object MiscQueries {
     "q186_psi_drift" -> q186_psi_drift,
     "q202_ks_drift" -> q202_ks_drift,
     "q217_ks_by_group" -> q217_ks_by_group,
+    "q218_clustering" -> q218_clustering,
     "q205_benford" -> q205_benford,
     "q209_fd_census" -> q209_fd_census,
     "q206_mutual_info" -> q206_mutual_info,
@@ -1312,6 +1327,30 @@ object MiscQueries {
     // reference deciles via quantile_cont rounded to 6 (both engines bin
     // identical boundaries); the ε-smoothed PSI term mirrors Spark's
     // expression grouping exactly
+    // canonical a<b edges off the shared sym graph; the q165 triangle
+    // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    "q218_clustering" -> s"""
+      WITH $strongTradeSql,
+      ce AS (SELECT DISTINCT s AS a, d AS b FROM sym WHERE s < d),
+      deg AS (SELECT node, CAST(count(1) AS BIGINT) AS degree FROM
+                (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+              GROUP BY 1),
+      tri AS (
+        SELECT node, CAST(count(1) AS BIGINT) AS n_triangles FROM (
+          SELECT unnest([e1.a, e1.b, e2.b]) AS node
+          FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+          JOIN ce e3 ON e1.a = e3.a AND e2.b = e3.b)
+        GROUP BY 1)
+      SELECT n_name, deg.degree,
+             coalesce(tri.n_triangles, 0) AS n_triangles,
+             CASE WHEN deg.degree >= 2 THEN
+               round(CAST(coalesce(tri.n_triangles, 0) AS DOUBLE) /
+                 CAST(deg.degree * (deg.degree - 1) // 2 AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE)
+             END AS clustering
+      FROM deg LEFT JOIN tri USING (node)
+      JOIN nation ON node = n_nationkey
+      ORDER BY n_name""",
     // the q202 chain per priority group: group-partitioned cumulative
     // windows, per-group argmax row, identical guards
     "q217_ks_by_group" -> """

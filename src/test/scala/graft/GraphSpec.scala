@@ -179,6 +179,21 @@ class GraphSpec extends SparkSuite {
     assert(got(8L) == ((2L, 1)) && got(9L) == ((2L, 1)), s"island: $got")
   }
 
+  test("clusteringCoefficients: K4 all 1, K4+pendant hand values, degree-1 null") {
+    import spark.implicits._
+    // K4 on 0-3 plus pendant 9 hanging off node 0
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    val got = graft.operators.Graph.clusteringCoefficients(
+        (k4 :+ ((0L, 9L))).toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    // nodes 1-3: deg 3, 3 triangles, cc = 3/3 = 1
+    (1L to 3L).foreach(i => assert(got(i) == ((i, 3L, 3L, Some(1.0))), s"$i: ${got(i)}"))
+    // node 0: deg 4 (pendant), still 3 triangles → 3/6 = 0.5
+    assert(got(0L) == ((0L, 4L, 3L, Some(0.5))), s"hub: ${got(0L)}")
+    // pendant: degree 1 → undefined, not zero
+    assert(got(9L) == ((9L, 1L, 0L, None)), s"pendant: ${got(9L)}")
+  }
+
   test("assortativity: star exactly −1, path −0.5, regular ring undefined (null)") {
     import spark.implicits._
     def r(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) =
