@@ -257,8 +257,17 @@ object Checks {
       .filter(col("value").isNotNull)
     val ca = sel(a).groupBy("g", "value").agg(count(lit(1)).as("ca"))
     val cb = sel(b).groupBy("g", "value").agg(count(lit(1)).as("cb"))
+      .withColumnsRenamed(Map("g" -> "__g2", "value" -> "__v2"))
+    // null-SAFE group matching: a null slice is a real slice (the
+    // functionalDependency convention) — a plain equi-join would split it
+    // into phantom one-sided halves and hide its drift entirely
     val pooled = Stage.snapshotDF(
-      ca.join(cb, Seq("g", "value"), "full_outer").na.fill(0L, Seq("ca", "cb")))
+      ca.join(cb, col("g") <=> col("__g2") && col("value") === col("__v2"),
+          "full_outer")
+        .select(coalesce(col("g"), col("__g2")).as("g"),
+          coalesce(col("value"), col("__v2")).as("value"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("value")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val totals = pooled.groupBy("g")
@@ -271,7 +280,8 @@ object Checks {
     pooled
       .withColumn("__fa", sum("ca").over(w))
       .withColumn("__fb", sum("cb").over(w))
-      .join(broadcast(totals), Seq("g"))
+      .join(broadcast(totals.withColumnRenamed("g", "__gt")),
+        col("g") <=> col("__gt"))
       // a group present on ONE side only has no comparison sample: KS is
       // undefined there (null scores, null verdict) — its appearance/
       // disappearance is its own signal, not a CDF gap

@@ -513,15 +513,17 @@ object Graph {
     * aggregation off the SAME snapshot, met in a node-keyed join. The
     * coefficient is one division of exact integers, rounded.
     */
-  def clusteringCoefficients(
-      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  /** Canonical a<b edge snapshot + the node-iterator triangle credit —
+    * ONE definition shared by [[triangleCounts]] and
+    * [[clusteringCoefficients]] so the enumeration cannot diverge.
+    */
+  private def canonicalTriangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, DataFrame) = {
     val e = Stage.snapshotDF(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b"))
       .distinct())
-    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -529,6 +531,14 @@ object Graph {
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    (e, tri)
+  }
+
+  def clusteringCoefficients(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (e, tri) = canonicalTriangleCounts(edges, srcCol, dstCol)
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
     val pairs = (col("degree") * (col("degree") - 1) / 2).cast("long")
     deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
@@ -551,19 +561,6 @@ object Graph {
     * node-iterator) without changing the count. Both run in two
     * hash-joins on the edge relation — graph-sized, never corpus-sized.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = Stage.snapshotDF(edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct())
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node")
-      .agg(count(lit(1)).as("n_triangles"))
-  }
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    canonicalTriangleCounts(edges, srcCol, dstCol)._2
 }

@@ -203,16 +203,22 @@ object TextAnalysis {
       newDocs: DataFrame, oldDocs: DataFrame, k: Int, w: Int,
       minShared: Int, maxDocsPerFingerprint: Int): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    // side membership folds to FLAGS per distinct (fingerprint, doc) — a
+    // document present on BOTH sides (a re-crawl of standing content)
+    // counts once toward the boilerplate cap and never pairs with itself
     val tagged = Stage.snapshotDF(Dedup.capBuckets(
       winnowFingerprints(newDocs, k, w).select(col("doc_id"), col("fingerprint"))
-        .distinct().withColumn("__new", lit(true))
+        .distinct().withColumn("__side", lit(1))
         .unionByName(
           winnowFingerprints(oldDocs, k, w).select(col("doc_id"), col("fingerprint"))
-            .distinct().withColumn("__new", lit(false))),
+            .distinct().withColumn("__side", lit(2)))
+        .groupBy("fingerprint", "doc_id")
+        .agg(max(col("__side") === 1).as("__new"), max(col("__side") === 2).as("__old")),
       "fingerprint", maxDocsPerFingerprint))
     tagged.filter(col("__new")).select(col("fingerprint"), col("doc_id").as("doc_new"))
-      .join(tagged.filter(!col("__new"))
+      .join(tagged.filter(col("__old"))
         .select(col("fingerprint"), col("doc_id").as("doc_old")), Seq("fingerprint"))
+      .filter(col("doc_new") =!= col("doc_old"))
       .groupBy("doc_new", "doc_old")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -1324,9 +1324,6 @@ object MiscQueries {
                  CAST(max($k) AS BIGINT) AS key_max, true AS row_index_ok
              FROM $t"""
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, file_name"),
-    // reference deciles via quantile_cont rounded to 6 (both engines bin
-    // identical boundaries); the ε-smoothed PSI term mirrors Spark's
-    // expression grouping exactly
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
     "q218_clustering" -> s"""
@@ -1369,7 +1366,7 @@ object MiscQueries {
                         coalesce(ca.value, cb.value) AS value,
                         coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
                  FROM ca FULL OUTER JOIN cb
-                   ON ca.g = cb.g AND ca.value = cb.value),
+                   ON ca.g IS NOT DISTINCT FROM cb.g AND ca.value = cb.value),
       t AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
                    CAST(sum(cb) AS BIGINT) AS nb FROM pooled GROUP BY 1),
       c AS (SELECT g, value,
@@ -1381,7 +1378,7 @@ object MiscQueries {
                    CASE WHEN t.na > 0 AND t.nb > 0 THEN
                      abs(CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb)
                    END AS d
-            FROM c JOIN t ON c.g = t.g),
+            FROM c JOIN t ON c.g IS NOT DISTINCT FROM t.g),
       top AS (SELECT *, row_number() OVER (PARTITION BY g
                           ORDER BY d DESC, value ASC) AS rn FROM d)
       SELECT g AS o_orderpriority, na AS n_a, nb AS n_b,
@@ -1433,6 +1430,9 @@ object MiscQueries {
                sqrt(CAST(na + nb AS DOUBLE) /
                     (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drifted
       FROM d, t ORDER BY d.d DESC, d.value ASC LIMIT 1""",
+    // reference deciles via quantile_cont rounded to 6 (both engines bin
+    // identical boundaries); the ε-smoothed PSI term mirrors Spark's
+    // expression grouping exactly
     "q186_psi_drift" -> """
       WITH rv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
                   WHERE o_orderkey % 97 <> 0),

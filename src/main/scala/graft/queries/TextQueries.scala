@@ -218,6 +218,7 @@ object TextQueries {
         SELECT n.doc_id AS doc_new, o.doc_id AS doc_old, count(1) AS n_shared
         FROM capped n JOIN capped o
           ON n.fingerprint = o.fingerprint AND n.is_new AND NOT o.is_new
+             AND n.doc_id <> o.doc_id
         GROUP BY 1, 2)
       SELECT doc_new, doc_old, n_shared FROM pairs WHERE n_shared >= 2
       ORDER BY n_shared DESC, doc_new, doc_old""",

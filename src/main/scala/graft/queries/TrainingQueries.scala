@@ -258,6 +258,15 @@ object TrainingQueries {
   /** q66 — deterministic 1-in-10 stratified sample per source (rank-based,
     * reproducible under retries), with per-stratum acceptance stats.
     */
+  def q66_stratified_sample: Q = (s, dir) => {
+    Corpus.stratifiedSample(Tables.documents(s, dir), "source", "doc_id", 10)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum("n_chars").as("sum_chars"),
+           min("doc_id").as("first_id"))
+      .orderBy("source")
+  }
+
   /** q214 — Neyman optimal allocation ([[Corpus.neymanAllocation]]): a
     * 500-row sampling budget split across sources ∝ N_h·σ_h of n_chars —
     * the minimum-variance eval-set design q66's fixed rate cannot adapt
@@ -270,14 +279,6 @@ object TrainingQueries {
       .orderBy("stratum")
   }
 
-  def q66_stratified_sample: Q = (s, dir) => {
-    Corpus.stratifiedSample(Tables.documents(s, dir), "source", "doc_id", 10)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_kept"),
-           sum("n_chars").as("sum_chars"),
-           min("doc_id").as("first_id"))
-      .orderBy("source")
-  }
 
   /** q78 — sparse TF-IDF cosine document pairs via the inverted index
     * (one term-keyed shuffle; no dense doc×doc comparison), over a bounded
@@ -1789,10 +1790,6 @@ object TrainingQueries {
               FROM scored GROUP BY 1)
       SELECT doc_id, bm25 FROM agg WHERE m = 3
       ORDER BY 2 DESC, 1 ASC LIMIT 15""",
-    // identical probability derivation and ln-operand parenthesization:
-    // (cb/N) / ((cu1/T) * (cu2/T)), every term an exact-integer double
-    // the 6 offset zips mirrored as unnested list_transforms; identical
-    // (c_xy·N)/(c_x·c_y) operands and the positive clip
     // identical micros-integer weights, guarded division, floor seats,
     // largest-remainder top-up (rem desc, stratum asc), N_h caps
     "q214_neyman_alloc" -> """
@@ -1823,6 +1820,8 @@ object TrainingQueries {
                                         THEN 1 ELSE 0 END) AS alloc
       FROM rk CROSS JOIN lft
       ORDER BY stratum""",
+    // the 6 offset zips mirrored as unnested list_transforms; identical
+    // (c_xy·N)/(c_x·c_y) operands and the positive clip
     "q212_skipgram_ppmi" -> raw"""
       WITH toks AS (SELECT $tk AS tk FROM documents),
       pairs AS (
@@ -1861,6 +1860,8 @@ object TrainingQueries {
       FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN t
       WHERE c_xy >= 5
       ORDER BY ppmi DESC, cxy.x ASC, cxy.y ASC LIMIT 50""",
+    // identical probability derivation and ln-operand parenthesization:
+    // (cb/N) / ((cu1/T) * (cu2/T)), every term an exact-integer double
     "q199_pmi_collocations" -> raw"""
       WITH toks AS (SELECT $tk AS tk FROM documents),
       uni AS (SELECT unnest(tk) AS tok FROM toks),

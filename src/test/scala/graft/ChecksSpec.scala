@@ -197,6 +197,19 @@ class ChecksSpec extends SparkSuite {
       s"per-group must equal global-on-slice: ${got("g2")} vs $global")
     assert(got("only_a")._4.isEmpty && got("only_a")._7.isEmpty &&
       got("only_b")._4.isEmpty, "one-sided groups carry null scores/verdicts")
+
+    // a null group key is a REAL slice: present on both sides, it gets
+    // one row with a computed KS, not two phantom one-sided halves
+    val an = Seq((null.asInstanceOf[String], 1.0), (null.asInstanceOf[String], 2.0),
+      ("g1", 5.0)).toDF("g", "v")
+    val bn = Seq((null.asInstanceOf[String], 2.0), (null.asInstanceOf[String], 3.0),
+      ("g1", 5.0)).toDF("g", "v")
+    val rows = graft.operators.Checks.ksDriftByGroup(an, bn, "g", "v")
+      .as[(Option[String], Long, Long, Option[Double], Option[Double], Option[Double], Option[Boolean])]
+      .collect().filter(_._1.isEmpty)
+    assert(rows.length == 1 && rows.head._2 == 2L && rows.head._3 == 2L &&
+      rows.head._4.contains(0.5),
+      s"the null slice must surface once with its CDF gap: ${rows.toSeq}")
   }
 
   test("ksDrift: invariant to the range-partition count (distributed scan ≡ one partition)") {

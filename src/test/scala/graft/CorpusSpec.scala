@@ -598,7 +598,6 @@ class CorpusSpec extends SparkSuite {
         (if (pi > 0) pi * math.log(pi / m) * 0.5 else 0.0) +
           (if (qi > 0) qi * math.log(qi / m) * 0.5 else 0.0)
       }.sum
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val (na, nb, js, tok, drift) = got("s")
     assert((na, nb) == ((4L, 4L)))
     assert(math.abs(js - r6(js2(Seq(0.5, 0.5), Seq(0.75, 0.25)))) < 1e-9, s"js $js")

@@ -302,8 +302,6 @@ class PropertySpec extends SparkSuite {
         b = 0.125 * (lNew - l) + 0.875 * b
         l = lNew
       }
-      def r6(x: Double) =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
       assert(got == ((n.toLong, r6(l), r6(b), r6(l + b), r6(s))),
         s"trial $trial: $got vs (${r6(l)}, ${r6(b)}, ${r6(l + b)}, ${r6(s)})")
     }

@@ -19,6 +19,13 @@ trait SparkSuite extends AnyFunSuite {
     * provider, scoped per test: leaving it set would silently re-run
     * every later streaming test on RocksDB.
     */
+  /** Spark `round(x, 6) + 0.0` twin for hand-computed expectations —
+    * BigDecimal HALF_UP, NOT Similarity.duckRound6 (float-multiply based,
+    * intentionally different semantics).
+    */
+  def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
   def withRocksDb[A](body: => A): A = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -164,6 +164,15 @@ class TextAnalysisSpec extends SparkSuite {
       minShared = 1, maxDocsPerFingerprint = 2)
     assert(capped.count() == 0L,
       "boilerplate is counted over the union population")
+
+    // a doc present on BOTH sides (a re-crawl of standing content) never
+    // pairs with itself and counts ONCE toward the cap
+    val overlapNew = Seq((1L, t), (10L, t)).toDF("doc_id", "text")
+    val both = TextAnalysis.winnowOverlapBetween(overlapNew, cloneOld, 3, 8,
+        minShared = 1, maxDocsPerFingerprint = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(both == Set((1L, 10L)),
+      s"no self-pair; 2 distinct docs stay under cap 2: $both")
   }
 
   test("winnowing: sub-window documents emit nothing; boilerplate cap drops hot fingerprints") {
