@@ -563,4 +563,42 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     canonicalTriangleCounts(edges, srcCol, dstCol)._2
+
+  /** Doulion triangle estimation (Tsourakakis et al., KDD 2009): keep
+    * each canonical edge with probability 1/`denom` — selected by a
+    * DETERMINISTIC polynomial hash of the endpoint pair, so the "coin"
+    * is replayable cross-engine — count triangles in the SPARSIFIED
+    * graph, scale by denom³. The scale path for [[triangleCounts]]:
+    * sparsification happens BEFORE the two enumeration joins, cutting
+    * their input by 1/denom and the expected join work by 1/denom²,
+    * which is the whole point on a hub-heavy web graph where exact
+    * enumeration detonates. Emitted as an AUDIT row against the exact
+    * count (the q111/q120 convention): the number that prices the
+    * sparsification before a pipeline trusts it.
+    */
+  def triangleEstimateDoulion(
+      edges: DataFrame, srcCol: String, dstCol: String, denom: Int = 2): DataFrame = {
+    require(denom >= 2, s"need denom >= 2, got $denom")
+    val (e, triExact) = canonicalTriangleCounts(edges, srcCol, dstCol)
+    val keep = pmod((col("a") * lit(1315423911L) + col("b")) % lit(1000000007L),
+      lit(denom.toLong)) === 0
+    val sampled = Stage.snapshotDF(e.filter(keep))
+    val triS = sampled.as("e1")
+      .join(sampled.as("e2"), col("e1.b") === col("e2.a"))
+      .join(sampled.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("sampled_triangles"))
+    val exact = triExact.agg((sum("n_triangles") / 3).cast("long").as("exact_triangles"))
+    val est = (col("sampled_triangles") *
+      lit(denom.toLong * denom * denom)).as("estimate")
+    triS.crossJoin(broadcast(exact))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(sampled.agg(count(lit(1)).as("n_sampled_edges"))))
+      .select(col("n_edges"), col("n_sampled_edges"),
+        col("exact_triangles"), col("sampled_triangles"), est,
+        when(col("exact_triangles") > 0,
+          round(abs(est.cast("double") - col("exact_triangles").cast("double")) /
+            col("exact_triangles").cast("double"), 6) + lit(0.0))
+          .as("rel_error"))
+  }
 }

@@ -362,6 +362,18 @@ object MiscQueries {
       Tables.documents(s, dir), "source", "lang")
   }
 
+  /** q219 — Doulion triangle estimate audit
+    * ([[graft.operators.Graph.triangleEstimateDoulion]]): hash-sparsified
+    * (p = 1/2) triangle count scaled by 8 vs the exact count on the
+    * strong trade graph — one audit row pricing the sparsification the
+    * way q111/q120 price LSH/PQ recall. The deterministic edge coin is
+    * replayed verbatim by the oracle.
+    */
+  def q219_triangle_estimate: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.triangleEstimateDoulion(strongTradeEdges(s, dir), "src", "dst", denom = 2)
+  }
+
   /** q218 — local clustering coefficients
     * ([[graft.operators.Graph.clusteringCoefficients]]) on the strong
     * trade graph: per nation, degree, triangle count, and
@@ -1072,6 +1084,7 @@ object MiscQueries {
     "q202_ks_drift" -> q202_ks_drift,
     "q217_ks_by_group" -> q217_ks_by_group,
     "q218_clustering" -> q218_clustering,
+    "q219_triangle_estimate" -> q219_triangle_estimate,
     "q205_benford" -> q205_benford,
     "q209_fd_census" -> q209_fd_census,
     "q206_mutual_info" -> q206_mutual_info,
@@ -1324,6 +1337,30 @@ object MiscQueries {
                  CAST(max($k) AS BIGINT) AS key_max, true AS row_index_ok
              FROM $t"""
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, file_name"),
+    // the same canonical edges; the deterministic polynomial edge coin
+    // (a·1315423911 + b) mod 1e9+7 mod 2, triangle joins on the
+    // sparsified relation, estimate = count·8 vs the exact enumeration
+    "q219_triangle_estimate" -> s"""
+      WITH $strongTradeSql,
+      ce AS (SELECT DISTINCT s AS a, d AS b FROM sym WHERE s < d),
+      ex AS (SELECT CAST(count(1) AS BIGINT) AS exact_triangles
+             FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+             JOIN ce e3 ON e1.a = e3.a AND e2.b = e3.b),
+      sp AS (SELECT a, b FROM ce
+             WHERE ((CAST(a AS BIGINT) * 1315423911 + b) % 1000000007) % 2 = 0),
+      st AS (SELECT CAST(count(1) AS BIGINT) AS sampled_triangles
+             FROM sp e1 JOIN sp e2 ON e1.b = e2.a
+             JOIN sp e3 ON e1.a = e3.a AND e2.b = e3.b)
+      SELECT (SELECT CAST(count(1) AS BIGINT) FROM ce) AS n_edges,
+             (SELECT CAST(count(1) AS BIGINT) FROM sp) AS n_sampled_edges,
+             ex.exact_triangles, st.sampled_triangles,
+             st.sampled_triangles * 8 AS estimate,
+             CASE WHEN ex.exact_triangles > 0 THEN
+               round(abs(CAST(st.sampled_triangles * 8 AS DOUBLE)
+                         - CAST(ex.exact_triangles AS DOUBLE))
+                     / CAST(ex.exact_triangles AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+             END AS rel_error
+      FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
     "q218_clustering" -> s"""

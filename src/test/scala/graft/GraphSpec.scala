@@ -179,6 +179,28 @@ class GraphSpec extends SparkSuite {
     assert(got(8L) == ((2L, 1)) && got(9L) == ((2L, 1)), s"island: $got")
   }
 
+  test("triangleEstimateDoulion: estimate ≡ denom³ × sampled-graph exact; denom→1-like recovery on K6") {
+    import spark.implicits._
+    // K6: 20 triangles exactly; the deterministic coin keeps a fixed
+    // edge subset, and the estimate must equal 8 × the triangles of that
+    // EXACT sampled subgraph (replayed driver-side)
+    val edges = (for { i <- 0L to 5L; j <- (i + 1) to 5L } yield (i, j)).toSeq
+    val got = graft.operators.Graph.triangleEstimateDoulion(
+        edges.toDF("s", "d"), "s", "d", denom = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(got._1 == 15L && got._3 == 20L, s"K6 baseline: $got")
+    val keptEdges = edges.filter { case (a, b) =>
+      ((a * 1315423911L + b) % 1000000007L) % 2 == 0
+    }.toSet
+    assert(got._2 == keptEdges.size.toLong, s"coin replay: $got vs $keptEdges")
+    val sampledTri = (for {
+      x <- 0L to 5L; y <- (x + 1) to 5L; z <- (y + 1) to 5L
+      if keptEdges((x, y)) && keptEdges((y, z)) && keptEdges((x, z))
+    } yield 1).size.toLong
+    assert(got._4 == sampledTri && got._5 == sampledTri * 8,
+      s"estimate must be 8× the sampled subgraph's exact count: $got")
+  }
+
   test("clusteringCoefficients: K4 all 1, K4+pendant hand values, degree-1 null") {
     import spark.implicits._
     // K4 on 0-3 plus pendant 9 hanging off node 0
