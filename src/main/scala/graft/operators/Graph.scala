@@ -601,4 +601,68 @@ object Graph {
             col("exact_triangles").cast("double"), 6) + lit(0.0))
           .as("rel_error"))
   }
+
+  /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    * 2003): for every NON-adjacent pair with at least `minCommon` shared
+    * neighbors, the common-neighbor count and the Jaccard coefficient
+    * |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| — the "which edge appears next"
+    * ranking behind recommendation candidates and crawl-frontier
+    * prioritization.
+    *
+    * Scale shape: candidate pairs are enumerated THROUGH the shared
+    * neighbor (one self-join of the adjacency keyed by the wedge center),
+    * so the volume is Σ_z deg(z)·(deg(z)−1)/2 — degrees, never |V|²,
+    * bound the blow-up, exactly the triangle-enumeration cost profile.
+    * On a hub-heavy graph that sum is dominated by a few celebrity nodes,
+    * so centers with degree > `hubCap` are EXCISED from the wedge stage
+    * (a hub's neighborhood is near-useless as an overlap signal — it
+    * certifies popularity, not affinity — and enumerating it is
+    * quadratic in its degree). Degrees — the Jaccard denominators — stay
+    * exact over the FULL graph, so scores for surviving pairs are exact;
+    * what degrades is only which pairs are seen, a DEFINED approximation
+    * (pairs whose every shared neighbor is a hub disappear) replayable by
+    * any engine from the cap. The excision is observable via the
+    * `graft.wedgeGuard` metric (`hot_nodes`, `skipped_wedges` in exact
+    * decimal) — the no-silent-caps convention.
+    */
+  def linkPrediction(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      hubCap: Int = 10000,
+      minCommon: Long = 1L): DataFrame = {
+    require(hubCap >= 2, s"need hubCap >= 2, got $hubCap")
+    val sym = symmetrized(edges, srcCol, dstCol)
+    val deg = Stage.snapshotDF(
+      sym.groupBy(col("s").as("node")).agg(count(lit(1)).as("degree")))
+    // observe on the degree relation ALONE, snapshot-barriered before any
+    // join sits above it (AQE empty-relation propagation would delete a
+    // CollectMetrics node under a join — the basketGuard precedent)
+    val kd = col("degree").cast("decimal(38,0)")
+    val obs = deg.observe(s"graft.wedgeGuard.${Dedup.capObsId.incrementAndGet()}",
+      sum(when(col("degree") > hubCap, 1L).otherwise(0L)).as("hot_nodes"),
+      sum(when(col("degree") > hubCap, (kd * (kd - lit(1)) / lit(2)).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("skipped_wedges"))
+    val coldCenters = Stage.snapshotDF(
+      obs.filter(col("degree") <= hubCap).select(col("node")))
+    // adjacency keyed by the wedge CENTER z — feeds both self-join sides
+    val adjByCenter = Stage.snapshotDF(
+      sym.select(col("s").as("u"), col("d").as("z"))
+        .join(coldCenters, col("z") === col("node")).drop("node"))
+    val cand = adjByCenter.as("l")
+      .join(adjByCenter.as("r"),
+        col("l.z") === col("r.z") && col("l.u") < col("r.u"))
+      .groupBy(col("l.u").as("node_a"), col("r.u").as("node_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minCommon)
+    val existing = sym.filter(col("s") < col("d"))
+      .select(col("s").as("node_a"), col("d").as("node_b"))
+    cand.join(existing, Seq("node_a", "node_b"), "left_anti")
+      .join(deg.select(col("node").as("node_a"), col("degree").as("__da")), "node_a")
+      .join(deg.select(col("node").as("node_b"), col("degree").as("__db")), "node_b")
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        (round(col("common_neighbors").cast("double") /
+          (col("__da") + col("__db") - col("common_neighbors")).cast("double"), 6)
+          + lit(0.0)).as("jaccard"))
+  }
 }

@@ -388,6 +388,27 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q221 — link prediction ([[graft.operators.Graph.linkPrediction]]) on
+    * the strong trade graph: non-adjacent nation pairs ranked by shared
+    * strong-trade neighbors (common-neighbor count + Jaccard overlap) —
+    * "which trade link appears next". Wedge enumeration through the
+    * shared neighbor (Σ deg², never |V|²), full-graph-exact Jaccard
+    * denominators; the hub cap (10k) excises nothing at any driver SF,
+    * and the oracle replays the same cap filter so the defined
+    * approximation — not just this corpus's behavior — is what's checked.
+    */
+  def q221_link_prediction: Q = (s, dir) => {
+    import graft.operators.Graph
+    val names = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    Graph.linkPrediction(strongTradeEdges(s, dir), "src", "dst")
+      .join(broadcast(names.select(col("n_nationkey").as("node_a"),
+        col("n_name").as("name_a"))), "node_a")
+      .join(broadcast(names.select(col("n_nationkey").as("node_b"),
+        col("n_name").as("name_b"))), "node_b")
+      .select(col("name_a"), col("name_b"), col("common_neighbors"), col("jaccard"))
+      .orderBy(col("common_neighbors").desc, col("name_a"), col("name_b"))
+  }
+
   /** q217 — per-slice KS drift ([[graft.operators.Checks.ksDriftByGroup]]):
     * the q202 release pair monitored per order priority — the production
     * gate shape (an aggregate KS can stay flat while one slice walks
@@ -1085,6 +1106,7 @@ object MiscQueries {
     "q217_ks_by_group" -> q217_ks_by_group,
     "q218_clustering" -> q218_clustering,
     "q219_triangle_estimate" -> q219_triangle_estimate,
+    "q221_link_prediction" -> q221_link_prediction,
     "q205_benford" -> q205_benford,
     "q209_fd_census" -> q209_fd_census,
     "q206_mutual_info" -> q206_mutual_info,
@@ -1363,6 +1385,37 @@ object MiscQueries {
       FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    // replays the wedge-center enumeration INCLUDING the hub-cap filter
+    // (excises nothing at driver SFs — the defined approximation, not
+    // this corpus's accident, is what gets checked); Jaccard denominators
+    // from the full-graph degrees, one correctly-rounded double division
+    "q221_link_prediction" -> s"""
+      WITH $strongTradeSql,
+      deg AS MATERIALIZED (
+        SELECT s AS node, CAST(count(1) AS BIGINT) AS degree
+        FROM sym GROUP BY 1),
+      adj AS MATERIALIZED (
+        SELECT s AS u, d AS z FROM sym
+        JOIN deg ON d = node WHERE degree <= 10000),
+      cand AS (
+        SELECT l.u AS node_a, r.u AS node_b,
+               CAST(count(1) AS BIGINT) AS common_neighbors
+        FROM adj l JOIN adj r ON l.z = r.z AND l.u < r.u
+        GROUP BY 1, 2
+        HAVING count(1) >= 1),
+      ne AS (
+        SELECT * FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sym
+                          WHERE s = c.node_a AND d = c.node_b))
+      SELECT na.n_name AS name_a, nb.n_name AS name_b, c.common_neighbors,
+             round(CAST(c.common_neighbors AS DOUBLE) /
+                   (da.degree + db.degree - c.common_neighbors), 6) AS jaccard
+      FROM ne c
+      JOIN deg da ON c.node_a = da.node
+      JOIN deg db ON c.node_b = db.node
+      JOIN nation na ON c.node_a = na.n_nationkey
+      JOIN nation nb ON c.node_b = nb.n_nationkey
+      ORDER BY c.common_neighbors DESC, name_a, name_b""",
     "q218_clustering" -> s"""
       WITH $strongTradeSql,
       ce AS (SELECT DISTINCT s AS a, d AS b FROM sym WHERE s < d),

@@ -302,4 +302,46 @@ class GraphSpec extends SparkSuite {
     // mass conservation within per-layer rounding
     assert(math.abs(p5.values.sum - 1.0) < 1e-6, s"mass leaked: ${p5.values.sum}")
   }
+
+  private def lpRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+    df.as[(Long, Long, Long, Double)].collect().toSet
+
+  test("linkPrediction: hand-computed overlap scores on a path-plus-spur graph") {
+    // 1-2-3-4 path with spur 2-5; adjacency is undirected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    val got = lpRows(Graph.linkPrediction(edges, "src", "dst"))
+    // degrees: 1→1, 2→3, 3→2, 4→1, 5→1; every non-adjacent pair shares
+    // exactly one neighbor; jaccard = 1/(da+db−1)
+    val want = Set(
+      (1L, 3L, 1L, 0.5),       // via 2; 1/(1+2−1)
+      (1L, 5L, 1L, 1.0),       // via 2; 1/(1+1−1)
+      (3L, 5L, 1L, 0.5),       // via 2; 1/(2+1−1)
+      (2L, 4L, 1L, 0.333333))  // via 3; 1/(3+1−1) rounded 6
+    assert(got == want, s"got $got")
+  }
+
+  test("linkPrediction: hub wedge excision fires the wedgeGuard metric; denominators stay full-graph") {
+    // star: hub 100 — {1..5}, plus true edge (1,2). hubCap=4 excises the
+    // hub (deg 5) as a wedge CENTER; the surviving centers only generate
+    // already-adjacent pairs, so the result is empty — but degrees (and so
+    // any surviving pair's Jaccard) would still be full-graph exact.
+    val edges = ((1 to 5).map(i => (100L, i.toLong)) :+ (1L, 2L)).toDF("src", "dst")
+    val listener = graft.tools.CapMetricsListener.register(spark)
+    try {
+      val got = lpRows(Graph.linkPrediction(edges, "src", "dst", hubCap = 4))
+      assert(got.isEmpty, s"hub-mediated pairs must be excised: $got")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!listener.snapshot.keys.exists(_.startsWith("graft.wedgeGuard")) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val m = listener.snapshot.filter(_._1.startsWith("graft.wedgeGuard"))
+      assert(m.get("graft.wedgeGuard:hot_nodes").contains(1L), s"$m")
+      assert(m.get("graft.wedgeGuard:skipped_wedges").contains(10L), s"5*4/2: $m")
+    } finally spark.listenerManager.unregister(listener)
+    // with the cap above the hub degree the wedges come back: all 9
+    // non-adjacent pairs of {1..5} share the hub ((1,2) is an edge)
+    val open = lpRows(Graph.linkPrediction(edges, "src", "dst", hubCap = 10))
+    assert(open.size == 9, s"got ${open.size}: $open")
+    assert(open.contains((3L, 4L, 1L, 1.0)) && open.contains((1L, 3L, 1L, 0.5)), s"$open")
+  }
 }
