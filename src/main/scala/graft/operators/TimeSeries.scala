@@ -442,4 +442,47 @@ object TimeSeries {
       .select(col("key"), col("__ts").as("ts"), col("__id").as("id"),
         col("z"), col("cusum_pos"), col("cusum_neg"), col("alarm"))
   }
+
+  /** Autocorrelation function over a pre-aggregated integer series: for
+    * each lag k ∈ [1, maxLag], the Pearson correlation between the
+    * series and its calendar-shifted self (pairs (xₜ, xₜ₊ₖ) wherever
+    * BOTH instants exist — gaps pair nothing, they don't realign the
+    * series) — the seasonality/persistence diagnostic run before anyone
+    * trusts a lag-based feature or picks a resample stride.
+    *
+    * Scale shape: the caller aggregates the corpus to the series (one
+    * corpus-sized groupBy); everything here touches only series-sized
+    * relations — one explode to maxLag lag keys, one (instant+k = instant)
+    * equi-join, one [[ExactCorr]] aggregation per lag. The correlation
+    * terms are the shared DECIMAL(38,0) exact algebra (the q203
+    * contract: immune to shuffle combine order and to the catastrophic
+    * cancellation in naive nΣx² − (Σx)²); only the final division and
+    * the IEEE-correctly-rounded sqrt run in double, identically both
+    * engines. Degenerate lags (under 2 pairs, or zero variance on either
+    * leg — a constant series) emit null, not 1.0/NaN.
+    *
+    * `series` must carry an integer `instantCol` (epoch day, hour index —
+    * any unit where "+k" means "k steps later") and an integer-scaled
+    * `valCol` (the ExactCorr headroom contract: n²·max² < 10³⁸).
+    */
+  def acf(
+      series: DataFrame, instantCol: String, valCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val s = Stage.snapshotDF(series.select(
+      col(instantCol).cast("long").as("__t"),
+      col(valCol).cast(ExactCorr.dec).as("__x")))
+    val lagged = s.withColumn("lag",
+      explode(array((1 to maxLag).map(k => lit(k)): _*)))
+    val pairs = lagged.as("a").join(s.as("b"),
+        col("a.__t") + col("a.lag") === col("b.__t"))
+      .select(col("a.lag"), col("a.__x").as("__xa"), col("b.__x").as("__xb"))
+    val terms = ExactCorr.aggs(col("__xa"), col("__xb"))
+    val g = pairs.groupBy(col("lag")).agg(terms.head, terms.tail: _*)
+    val (num, denX, denY) = (ExactCorr.num, ExactCorr.denX, ExactCorr.denY)
+    g.select(col("lag"), col("__m").cast("long").as("n_pairs"),
+      when(col("__m") >= 2 && denX > 0 && denY > 0,
+        round(num / sqrt(denX * denY), 6) + lit(0.0)).as("acf"))
+      .orderBy("lag")
+  }
 }

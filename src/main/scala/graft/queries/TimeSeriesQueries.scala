@@ -122,7 +122,23 @@ object TimeSeriesQueries {
       .orderBy("day")
   }
 
+  /** q222 — autocorrelation function ([[TimeSeries.acf]]) of daily order
+    * revenue at lags 1–7 days: the weekly-seasonality/persistence
+    * diagnostic over the exact-cents daily series. One corpus-sized
+    * groupBy builds the series; the lag pairing and the exact
+    * DECIMAL(38,0) correlation algebra run on the days-sized relation
+    * only. Calendar lags: a missing day pairs nothing — it does not
+    * realign the series.
+    */
+  def q222_acf: Q = (s, dir) => {
+    val daily = Tables.orders(s, dir)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("day"))
+      .agg(sum((col("o_totalprice") * lit(100)).cast("long")).as("cents"))
+    TimeSeries.acf(daily, "day", "cents", maxLag = 7)
+  }
+
   val all: Map[String, Q] = Map(
+    "q222_acf" -> q222_acf,
     "q166_gapfill_locf" -> q166_gapfill_locf,
     "q213_kaplan_meier" -> q213_kaplan_meier,
     "q203_linear_fit" -> q203_linear_fit,
@@ -132,6 +148,31 @@ object TimeSeriesQueries {
     "q193_time_interp" -> q193_time_interp)
 
   val oracle: Map[String, String] = Map(
+    // the q203 HUGEINT replay of the ExactCorr algebra; calendar-lag
+    // pairing (a.t + lag = b.t), sqrt/division in double at the end only
+    "q222_acf" -> """
+      WITH daily AS MATERIALIZED (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS t,
+               CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS HUGEINT) AS x
+        FROM orders GROUP BY 1),
+      l AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+      p AS (SELECT l.lag AS lag, a.x AS xa, b.x AS xb
+            FROM daily a CROSS JOIN l
+            JOIN daily b ON a.t + l.lag = b.t),
+      g AS (SELECT lag, CAST(count(1) AS HUGEINT) AS m,
+                   sum(xa) AS sx, sum(xb) AS sy, sum(xa * xb) AS sxy,
+                   sum(xa * xa) AS sxx, sum(xb * xb) AS syy
+            FROM p GROUP BY 1),
+      t AS (SELECT lag, m,
+                   CAST(m * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(m * sxx - sx * sx AS DOUBLE) AS den_x,
+                   CAST(m * syy - sy * sy AS DOUBLE) AS den_y
+            FROM g)
+      SELECT CAST(lag AS INTEGER) AS lag, CAST(m AS BIGINT) AS n_pairs,
+             CASE WHEN m >= 2 AND den_x > 0 AND den_y > 0 THEN
+               round(num / sqrt(den_x * den_y), 6) + CAST(0 AS DOUBLE)
+             END AS acf
+      FROM t ORDER BY 1""",
     // exact integer lifetimes/counts; DESC-sum risk set; the survival
     // product replayed row-by-row (q189 recursive-walk convention)
     "q213_kaplan_meier" -> """

@@ -169,4 +169,26 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got(103L).isEmpty && got(104L).isEmpty, "no extrapolation")
     assert(got(105L).contains(7.0))
   }
+
+  test("acf: hand-computed lags, under-2-pair null, zero-pair lag absent, constant-series null") {
+    import spark.implicits._
+    // t = 0..3, x = 1,3,2,4 — lag1 Pearson = −0.5 by hand, lag2 = 1.0
+    // (two ascending pairs), lag3 = single pair → null, lag4 = no pairs
+    val s = Seq((0L, 1L), (1L, 3L), (2L, 2L), (3L, 4L)).toDF("t", "x")
+    val got = TimeSeries.acf(s, "t", "x", maxLag = 4)
+      .as[(Int, Long, Option[Double])].collect().toList
+    assert(got == List((1, 3L, Some(-0.5)), (2, 2L, Some(1.0)), (3, 1L, None)),
+      s"got $got")
+    // a calendar gap pairs nothing — it must not realign the series:
+    // t = 0,1,3,4 has only (0,1) and (3,4) at lag 1
+    val gapped = Seq((0L, 10L), (1L, 20L), (3L, 5L), (4L, 15L)).toDF("t", "x")
+    val g1 = TimeSeries.acf(gapped, "t", "x", maxLag = 1)
+      .as[(Int, Long, Option[Double])].collect().toList
+    assert(g1 == List((1, 2L, Some(1.0))), s"got $g1")
+    // constant series: zero variance on both legs → null, never NaN/1.0
+    val const = Seq((0L, 7L), (1L, 7L), (2L, 7L)).toDF("t", "x")
+    val c = TimeSeries.acf(const, "t", "x", maxLag = 2)
+      .as[(Int, Long, Option[Double])].collect().toList
+    assert(c == List((1, 2L, None), (2, 1L, None)), s"got $c")
+  }
 }
