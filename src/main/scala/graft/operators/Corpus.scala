@@ -1378,4 +1378,62 @@ object Corpus {
         col("__top.t").as("top_drift_token"),
         round(col("__top.d"), 6).as("top_drift"))
   }
+
+  /** χ² term–label association (the classic feature-selection statistic,
+    * Yang & Pedersen 1997): for each term, the 2×2 contingency of
+    * document-level presence against a binary label and the chi-square
+    * score N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — "which terms are the
+    * label" run before a mixing plan keys on a slice, or to build a
+    * domain lexicon from a labeled seed corpus.
+    *
+    * Exactness: the contingency is exact integers from ONE corpus-sized
+    * distinct-(doc, term) aggregation; the label totals are a 1-row
+    * broadcast scalar (the centroid/codebook convention). The ad−bc
+    * cross-term is computed in DECIMAL(38,0) (products of two doc-count
+    * integers — 10¹⁹ headroom at 10⁹ docs) and only then cast to double
+    * for the single declared χ² expression, so the score is
+    * engine-stable. Terms present in every doc or no doc of a class can
+    * zero a margin → null score (undefined, not ∞). `minDf` floors the
+    * document frequency — rare-term χ² is noise and the floor keeps the
+    * output vocab-sized and the ranking stable.
+    */
+  def chiSquareTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      minDf: Long = 5L,
+      topN: Int = 25): DataFrame = {
+    val base = Stage.snapshotDF(docs.select(
+      col(idCol).as("__id"),
+      when(label, 1L).otherwise(0L).as("__y"),
+      col(textCol).as("__t")))
+    val tot = base.agg(
+      sum("__y").cast("long").as("__p"),
+      (count(lit(1)) - sum("__y")).cast("long").as("__q"))
+    val dt = base
+      .select(col("__id"), col("__y"),
+        explode_outer(graft.functions.TextFunctions.tokens(col("__t"))).as("token"))
+      .filter(col("token").isNotNull)
+      .distinct()
+    val dec = "decimal(38,0)"
+    val counts = dt.groupBy("token")
+      .agg(sum("__y").cast("long").as("a"), count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(tot))
+    val b = col("df") - col("a")
+    val c = col("__p") - col("a")
+    val d = col("__q") - b
+    val diff = (col("a").cast(dec) * d.cast(dec) - b.cast(dec) * c.cast(dec))
+      .cast("double")
+    val nD = (col("__p") + col("__q")).cast("double")
+    val den = (col("a") + b).cast("double") * (c + d).cast("double") *
+      (col("a") + c).cast("double") * (b + d).cast("double")
+    counts
+      .select(col("token"), col("df"), col("a").as("pos_docs"),
+        when(den > 0, round(nD * diff * diff / den, 4) + lit(0.0)).as("chi2"),
+        (diff > 0).as("label_enriched"))
+      .orderBy(col("chi2").desc_nulls_last, col("token").asc)
+      .limit(topN)
+  }
 }

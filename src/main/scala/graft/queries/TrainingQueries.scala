@@ -639,6 +639,19 @@ object TrainingQueries {
       .orderBy("token_id")
   }
 
+  /** q223 — χ² term–label feature selection
+    * ([[graft.operators.Corpus.chiSquareTerms]]): the 25 terms whose
+    * document-level presence is most associated with the `lang = 'en'`
+    * slice — the lexicon-building/feature-selection statistic over one
+    * distinct-(doc, term) aggregation, exact integer contingencies, the
+    * ad−bc cross term in DECIMAL(38,0), one declared double χ²
+    * expression (the q203 exactness posture applied to a 2×2 table).
+    */
+  def q223_chi2_terms: Q = (s, dir) =>
+    Corpus.chiSquareTerms(
+      graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      "doc_id", "text", col("lang") === "en", minDf = 5L, topN = 25)
+
   /** q115 — BPE pair statistics ([[graft.operators.Corpus.bpePairStats]]):
     * the adjacent-character-pair count over the word-frequency table that
     * picks the next byte-pair-encoding merge — the tokenizer-TRAINING
@@ -951,6 +964,7 @@ object TrainingQueries {
     "q135_heavy_hitters" -> q135_heavy_hitters,
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
+    "q223_chi2_terms" -> q223_chi2_terms,
     "q190_cms_audit" -> q190_cms_audit,
     "q115_bpe_pairs" -> q115_bpe_pairs,
     "q116_dsir_weights" -> q116_dsir_weights,
@@ -1336,6 +1350,39 @@ object TrainingQueries {
       SELECT token, exact_count, cms_estimate,
              cms_estimate - exact_count AS overcount
       FROM est ORDER BY exact_count DESC, token ASC""",
+    // exact 2×2 contingencies from the distinct (doc, term) relation;
+    // ad−bc in HUGEINT (Spark: DECIMAL(38,0)) cast to double once; the
+    // χ² expression mirrors the Spark operand order factor-for-factor
+    "q223_chi2_terms" -> raw"""
+      WITH base AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               $tk AS tk
+        FROM documents),
+      tot AS (SELECT CAST(sum(y) AS BIGINT) AS p,
+                     CAST(count(1) - sum(y) AS BIGINT) AS q
+              FROM base),
+      dt AS (SELECT DISTINCT doc_id, y, token
+             FROM (SELECT doc_id, y, unnest(tk) AS token FROM base)),
+      c AS (SELECT token, CAST(sum(y) AS BIGINT) AS a,
+                   CAST(count(1) AS BIGINT) AS df
+            FROM dt GROUP BY 1 HAVING count(1) >= 5),
+      x AS (SELECT token, df, a, df - a AS b, p - a AS c2,
+                   q - (df - a) AS d, p, q
+            FROM c CROSS JOIN tot),
+      s AS (SELECT token, df, a,
+                   CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c2
+                     AS DOUBLE) AS diff,
+                   CAST(p + q AS DOUBLE) AS n,
+                   CAST(a + b AS DOUBLE) * CAST(c2 + d AS DOUBLE) *
+                     CAST(a + c2 AS DOUBLE) * CAST(b + d AS DOUBLE) AS den
+            FROM x)
+      SELECT token, df, a AS pos_docs,
+             CASE WHEN den > 0 THEN
+               round(n * diff * diff / den, 4) + CAST(0 AS DOUBLE)
+             END AS chi2,
+             diff > 0 AS label_enriched
+      FROM s
+      ORDER BY chi2 DESC NULLS LAST, token LIMIT 25""",
     "q102_vocab" -> raw"""
       WITH toks AS (SELECT unnest($tk) AS token FROM documents),
       c AS (SELECT token, count(1) AS n FROM toks GROUP BY 1),

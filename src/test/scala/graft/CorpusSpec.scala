@@ -609,4 +609,32 @@ class CorpusSpec extends SparkSuite {
     val (nu, nbu, jsU, _, _) = got("u")
     assert(nu == 3L && nbu == 0L && !jsU.isNaN, s"one-sided key must stay finite: $jsU")
   }
+
+  test("chiSquareTerms: hand 2×2 contingencies, zero-margin null, enrichment direction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // P = 2 'en' docs, Q = 2 others; 'the' appears in EVERY doc (c+d margin
+    // zero → null χ², not ∞); 'cat' en-enriched, 'bird' de-enriched with
+    // the SAME χ² (the statistic is direction-blind — the flag isn't)
+    val docs = Seq(
+      (1L, "the cat dog", "en"), (2L, "the cat fish", "en"),
+      (3L, "the dog fish", "de"), (4L, "the cat bird", "de")).toDF("doc_id", "text", "lang")
+    val got = graft.operators.Corpus
+      .chiSquareTerms(docs, "doc_id", "text", col("lang") === "en", minDf = 1L, topN = 10)
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().toList
+    // by hand: cat df=3,a=2 → 4·(2·1−1·0)²/(3·1·2·2) = 1.3333 enriched;
+    // bird df=1,a=0 → 4·(0·1−1·2)²/(1·3·2·2) = 1.3333 not; dog/fish 0
+    val want = List(
+      ("bird", 1L, 0L, Some(1.3333), false),
+      ("cat", 3L, 2L, Some(1.3333), true),
+      ("dog", 2L, 1L, Some(0.0), false),
+      ("fish", 2L, 1L, Some(0.0), false),
+      ("the", 4L, 2L, None, false))
+    assert(got == want, s"got $got")
+    // minDf floors rare terms out
+    val floored = graft.operators.Corpus
+      .chiSquareTerms(docs, "doc_id", "text", col("lang") === "en", minDf = 2L, topN = 10)
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().map(_._1).toSet
+    assert(floored == Set("cat", "dog", "fish", "the"), s"got $floored")
+  }
 }
