@@ -1379,6 +1379,49 @@ object Corpus {
         round(col("__top.d"), 6).as("top_drift"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — terms that co-occur with many
+    * well-connected terms rank highest, the unsupervised keyword signal
+    * TF-IDF's corpus-frequency weighting can't give on a single-domain
+    * corpus. Pure composition: the [[skipgramPpmi]] map-side slice
+    * pairing (forward offsets only, pair canonicalized a<b — the graph
+    * is undirected) builds vocab-sized weighted edges in ONE corpus
+    * aggregation; [[Graph.pageRank]] then iterates on the graph-sized
+    * relation with its per-layer rounding contract. `minCount` floors
+    * the edge weight — singleton co-occurrences are noise and the floor
+    * keeps the graph (and the oracle's unrolled layers) vocab-bounded.
+    * Ranking key is the ROUNDED score (the q143 cross-engine-cut
+    * convention), term-asc tiebreak.
+    */
+  def textrankKeywords(
+      docs: DataFrame,
+      textCol: String,
+      window: Int = 2,
+      minCount: Int = 5,
+      iterations: Int = 4,
+      topN: Int = 20): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val tkc = TextFunctions.tokens(col(textCol))
+    val n = size(tkc)
+    val pairCols = (1 to window).map { off =>
+      when(n > off, zip_with(
+        slice(tkc, lit(1), n - lit(off)), slice(tkc, lit(off) + 1, n - lit(off)),
+        (a, b) => struct(least(a, b).as("a"), greatest(a, b).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    }
+    val ce = Stage.snapshotDF(docs
+      .select(explode_outer(concat(pairCols: _*)).as("p"))
+      .filter(col("p").isNotNull && col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount))
+    val both = ce.union(ce.select(col("b").as("a"), col("a").as("b"), col("w")))
+    Graph.pageRank(both, "a", "b", "w", iterations = iterations)
+      .select(col("node").as("term"), (round(col("pr"), 6) + lit(0.0)).as("textrank"))
+      .orderBy(col("textrank").desc, col("term").asc)
+      .limit(topN)
+  }
+
   /** χ² term–label association (the classic feature-selection statistic,
     * Yang & Pedersen 1997): for each term, the 2×2 contingency of
     * document-level presence against a binary label and the chi-square

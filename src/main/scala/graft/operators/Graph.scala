@@ -89,6 +89,9 @@ object Graph {
     // the same division both engines
     val (nodes, enorm, srcs) = transitionPrologue(edges, srcCol, dstCol, wCol)
     val n = nodes.count() // bounded: |V|, a driver scalar by design
+    // an empty edge relation has no rank vector — return the empty frame
+    // instead of folding 1/0 into the reset constant (ANSI divide-by-zero)
+    if (n == 0) return nodes.select(col("node"), lit(0.0).as("pr"))
     val base = lit(1.0 - damping) / n
 
     var ranks = nodes.withColumn("pr", lit(1.0) / n)

@@ -639,6 +639,18 @@ object TrainingQueries {
       .orderBy("token_id")
   }
 
+  /** q224 — TextRank keywords ([[graft.operators.Corpus.textrankKeywords]]):
+    * top-20 terms by PageRank over the ±2-window word co-occurrence
+    * graph (edge floor 5) — the unsupervised keyword signal for a
+    * single-domain corpus where TF-IDF's cross-corpus contrast is flat.
+    * One corpus-sized pair aggregation; the 4 rank iterations run on the
+    * vocab-sized graph with q141's per-layer rounding contract, replayed
+    * by the oracle as MATERIALIZED unrolled layers.
+    */
+  def q224_textrank: Q = (s, dir) =>
+    Corpus.textrankKeywords(graft.operators.Dedup.spread(Tables.documents(s, dir)),
+      "text", window = 2, minCount = 5, iterations = 4, topN = 20)
+
   /** q223 — χ² term–label feature selection
     * ([[graft.operators.Corpus.chiSquareTerms]]): the 25 terms whose
     * document-level presence is most associated with the `lang = 'en'`
@@ -965,6 +977,7 @@ object TrainingQueries {
     "q104_datacard" -> q104_datacard,
     "q102_vocab" -> q102_vocab,
     "q223_chi2_terms" -> q223_chi2_terms,
+    "q224_textrank" -> q224_textrank,
     "q190_cms_audit" -> q190_cms_audit,
     "q115_bpe_pairs" -> q115_bpe_pairs,
     "q116_dsir_weights" -> q116_dsir_weights,
@@ -1007,6 +1020,61 @@ object TrainingQueries {
     "q214_neyman_alloc" -> q214_neyman_alloc)
 
   private val tk = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+  /** The q224 oracle: q212's slice pairing canonicalized a<b (undirected
+    * co-occurrence, forward offsets only), then q141's PageRank layers —
+    * MATERIALIZED per layer because each references the previous twice
+    * (contribution join + dangling scan; the kCoreOracle inlining
+    * precedent).
+    */
+  private def textrankOracle(iters: Int): String = {
+    val layers = (1 to iters).map { k =>
+      s"""
+      r$k AS MATERIALIZED (
+        SELECT n.node,
+               round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                     + CAST(0.85 AS DOUBLE) *
+                       (coalesce(c.con, CAST(0 AS DOUBLE)) + dg.dm / nn.n), 9) AS pr
+        FROM nodes n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.pr * e.p) AS con
+                   FROM r${k - 1} r JOIN enorm e ON r.node = e.src
+                   GROUP BY 1) c ON n.node = c.node
+        CROSS JOIN (SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) AS dm
+                    FROM r${k - 1}
+                    WHERE node NOT IN (SELECT src FROM outw)) dg
+        CROSS JOIN nn)"""
+    }.mkString(",")
+    raw"""
+      WITH toks AS (SELECT $tk AS tk FROM documents),
+      rp AS (
+        SELECT unnest(list_transform(range(1, len(tk) - 1 + 1),
+                 i -> struct_pack(a := least(tk[i], tk[i + 1]),
+                                  b := greatest(tk[i], tk[i + 1])))) AS p
+        FROM toks WHERE len(tk) > 1
+        UNION ALL
+        SELECT unnest(list_transform(range(1, len(tk) - 2 + 1),
+                 i -> struct_pack(a := least(tk[i], tk[i + 2]),
+                                  b := greatest(tk[i], tk[i + 2])))) AS p
+        FROM toks WHERE len(tk) > 2),
+      ce AS MATERIALIZED (
+        SELECT p.a AS a, p.b AS b, count(1) AS w FROM rp
+        WHERE p.a <> p.b GROUP BY 1, 2 HAVING count(1) >= 5),
+      edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst, CAST(w AS DOUBLE) AS w FROM ce
+        UNION ALL
+        SELECT b, a, CAST(w AS DOUBLE) FROM ce),
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      nn AS (SELECT count(1) AS n FROM nodes),
+      outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+      enorm AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.ow AS p
+                FROM edges e JOIN outw o USING (src)),
+      r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+      $layers
+      SELECT node AS term, round(pr, 6) + CAST(0 AS DOUBLE) AS textrank
+      FROM r$iters
+      ORDER BY textrank DESC, term LIMIT 20"""
+  }
 
   /** The q126 oracle, unrolled: layer k picks the top x≠y pair over symbol
     * table l(k−1) and applies the merge to produce l(k) — one CTE chain per
@@ -1350,6 +1418,7 @@ object TrainingQueries {
       SELECT token, exact_count, cms_estimate,
              cms_estimate - exact_count AS overcount
       FROM est ORDER BY exact_count DESC, token ASC""",
+    "q224_textrank" -> textrankOracle(4),
     // exact 2×2 contingencies from the distinct (doc, term) relation;
     // ad−bc in HUGEINT (Spark: DECIMAL(38,0)) cast to double once; the
     // χ² expression mirrors the Spark operand order factor-for-factor

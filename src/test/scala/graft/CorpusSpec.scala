@@ -637,4 +637,28 @@ class CorpusSpec extends SparkSuite {
       .as[(String, Long, Long, Option[Double], Boolean)].collect().map(_._1).toSet
     assert(floored == Set("cat", "dog", "fish", "the"), s"got $floored")
   }
+
+  test("textrankKeywords: symmetric 2-word graph splits mass evenly; the hub term ranks first") {
+    import spark.implicits._
+    // one alternating doc → single undirected edge (x, y): both 0.5
+    val alt = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val even = graft.operators.Corpus
+      .textrankKeywords(alt, "text", window = 1, minCount = 1, iterations = 5, topN = 10)
+      .as[(String, Double)].collect().toMap
+    assert(even == Map("x" -> 0.5, "y" -> 0.5), s"got $even")
+    // h co-occurs with everything; a/b/c only with h → h must rank first
+    // and total mass stays 1 (± the per-layer rounding)
+    val hub = Seq((1L, "h a h b h c h a h b h c")).toDF("doc_id", "text")
+    val ranked = graft.operators.Corpus
+      .textrankKeywords(hub, "text", window = 1, minCount = 1, iterations = 4, topN = 10)
+      .as[(String, Double)].collect().toList
+    assert(ranked.head._1 == "h", s"got $ranked")
+    assert(math.abs(ranked.map(_._2).sum - 1.0) < 1e-5, s"mass: $ranked")
+    // the minCount floor prunes one-off co-occurrences out of the graph
+    val floored = graft.operators.Corpus
+      .textrankKeywords(Seq((1L, "p q r")).toDF("doc_id", "text"),
+        "text", window = 1, minCount = 2, iterations = 2, topN = 10)
+      .count()
+    assert(floored == 0L, "all edges under the floor must vanish")
+  }
 }
