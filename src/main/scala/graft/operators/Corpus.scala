@@ -1379,6 +1379,63 @@ object Corpus {
         round(col("__top.d"), 6).as("top_drift"))
   }
 
+  /** Rocchio pseudo-relevance feedback (Rocchio 1971, the PRF instance):
+    * retrieve with [[bm25]], treat the top `feedbackK` documents as
+    * relevant, lift the `expandM` highest-weight terms from them
+    * (feedback term frequency × global ln(N/df), the Rocchio centroid
+    * restricted to the positive class), append them to the query, and
+    * re-rank — the recall-recovery step behind "find me more like the
+    * good hits" without any labels.
+    *
+    * Determinism: both retrieval cuts order by the ROUNDED score with an
+    * id tiebreak (the q143 cross-engine-cut convention); the expansion
+    * ranking key is the 1e-6-quantized integer weight (the q148
+    * convention), term-asc tiebreak. The expansion terms come to the
+    * driver as a bounded literal (`expandM` strings — the codebook
+    * convention) because they parameterize the second retrieval's
+    * pushed-down term filter exactly like the caller's own query bag.
+    * Cost: two bounded-vocabulary retrieval passes plus one
+    * feedback-restricted term aggregation and one candidate-bounded df
+    * count — every per-term relation is semi-join-bounded, never
+    * vocabulary-wide.
+    */
+  def rocchioPrf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      feedbackK: Int = 5,
+      expandM: Int = 3,
+      topN: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(feedbackK >= 1 && expandM >= 0, s"bad ($feedbackK, $expandM)")
+    val fb = Stage.snapshotDF(
+      bm25(docs, idCol, textCol, queryTerms, k1, b)
+        .select(col("doc_id"), (round(col("bm25"), 4) + lit(0.0)).as("__s"))
+        .orderBy(col("__s").desc, col("doc_id").asc).limit(feedbackK)
+        .select("doc_id"))
+    val toks = tokenRows(docs, idCol, textCol)
+    val ftf = Stage.snapshotDF(toks
+      .join(fb, toks("__id") === fb("doc_id"))
+      .filter(!col("tok").isInCollection(queryTerms))
+      .groupBy("tok").agg(count(lit(1)).as("ftf")))
+    val dfreq = toks.select(col("__id"), col("tok")).distinct()
+      .join(ftf.select("tok"), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val expansion = ftf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        floor(col("ftf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("__wq"))
+      .orderBy(col("__wq").desc, col("tok").asc).limit(expandM)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    bm25(docs, idCol, textCol, (queryTerms ++ expansion).distinct, k1, b)
+      .select(col("doc_id"), (round(col("bm25"), 4) + lit(0.0)).as("prf_bm25"))
+      .orderBy(col("prf_bm25").desc, col("doc_id").asc).limit(topN)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     * the word co-occurrence graph — terms that co-occur with many
     * well-connected terms rank highest, the unsupervised keyword signal

@@ -639,6 +639,19 @@ object TrainingQueries {
       .orderBy("token_id")
   }
 
+  /** q225 — Rocchio pseudo-relevance feedback
+    * ([[graft.operators.Corpus.rocchioPrf]]): q55's exact query bag as
+    * the first pass, its top-5 hits as pseudo-relevant, the 3
+    * highest-weight feedback terms (tf × ln(N/df), 1e-6-quantized
+    * ranking key) appended, and the expanded bag re-ranked — label-free
+    * recall recovery on top of the q55 retrieval chain. Every per-term
+    * relation is query- or feedback-bounded; the oracle replays both
+    * passes and the expansion pick verbatim.
+    */
+  def q225_rocchio_prf: Q = (s, dir) =>
+    Corpus.rocchioPrf(Tables.documents(s, dir), "doc_id", "text",
+      Seq("hash", "customer", "stream"), feedbackK = 5, expandM = 3, topN = 10)
+
   /** q224 — TextRank keywords ([[graft.operators.Corpus.textrankKeywords]]):
     * top-20 terms by PageRank over the ±2-window word co-occurrence
     * graph (edge floor 5) — the unsupervised keyword signal for a
@@ -978,6 +991,7 @@ object TrainingQueries {
     "q102_vocab" -> q102_vocab,
     "q223_chi2_terms" -> q223_chi2_terms,
     "q224_textrank" -> q224_textrank,
+    "q225_rocchio_prf" -> q225_rocchio_prf,
     "q190_cms_audit" -> q190_cms_audit,
     "q115_bpe_pairs" -> q115_bpe_pairs,
     "q116_dsir_weights" -> q116_dsir_weights,
@@ -1419,6 +1433,55 @@ object TrainingQueries {
              cms_estimate - exact_count AS overcount
       FROM est ORDER BY exact_count DESC, token ASC""",
     "q224_textrank" -> textrankOracle(4),
+    // both retrieval passes + the expansion pick replayed: rounded-score
+    // cuts with id tiebreaks, 1e-6-quantized expansion ranking key;
+    // toks MATERIALIZED (referenced by both passes and the term stats)
+    "q225_rocchio_prf" -> raw"""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest(tk) AS tok, len(tk) AS dlen
+        FROM (SELECT doc_id, $tk AS tk FROM documents)),
+      stats AS (SELECT count(1) AS n_docs,
+                       avg(len($tk) * 1.0) AS avgdl FROM documents),
+      tf1 AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+              FROM toks WHERE tok IN ('hash', 'customer', 'stream')
+              GROUP BY 1, 2),
+      df1 AS (SELECT tok, count(1) AS df FROM tf1 GROUP BY 1),
+      s1 AS (SELECT doc_id,
+                    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                      (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+                      AS score
+             FROM tf1 JOIN df1 USING (tok) CROSS JOIN stats),
+      top1 AS MATERIALIZED (
+        SELECT doc_id, round(sum(score), 4) + CAST(0 AS DOUBLE) AS s
+        FROM s1 GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 5),
+      ftf AS MATERIALIZED (
+        SELECT tok, count(1) AS ftf
+        FROM toks JOIN top1 USING (doc_id)
+        WHERE tok NOT IN ('hash', 'customer', 'stream')
+        GROUP BY 1),
+      dfc AS (SELECT tok, count(1) AS df
+              FROM (SELECT DISTINCT doc_id, tok FROM toks)
+              WHERE tok IN (SELECT tok FROM ftf) GROUP BY 1),
+      nn AS (SELECT count(1) AS n FROM documents),
+      expand AS (
+        SELECT f.tok FROM ftf f JOIN dfc d USING (tok) CROSS JOIN nn
+        ORDER BY CAST(floor(CAST(ftf AS DOUBLE) *
+                   ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) *
+                   1000000 + 0.5) AS BIGINT) DESC, tok ASC
+        LIMIT 3),
+      q2 AS (SELECT tok FROM expand
+             UNION
+             SELECT unnest(['hash', 'customer', 'stream'])),
+      tf2 AS (SELECT doc_id, tok, count(1) AS cnt, max(dlen) AS dlen
+              FROM toks WHERE tok IN (SELECT tok FROM q2) GROUP BY 1, 2),
+      df2 AS (SELECT tok, count(1) AS df FROM tf2 GROUP BY 1),
+      s2 AS (SELECT doc_id,
+                    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                      (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+                      AS score
+             FROM tf2 JOIN df2 USING (tok) CROSS JOIN stats)
+      SELECT doc_id, round(sum(score), 4) + CAST(0 AS DOUBLE) AS prf_bm25
+      FROM s2 GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10""",
     // exact 2×2 contingencies from the distinct (doc, term) relation;
     // ad−bc in HUGEINT (Spark: DECIMAL(38,0)) cast to double once; the
     // χ² expression mirrors the Spark operand order factor-for-factor

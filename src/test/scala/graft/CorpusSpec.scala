@@ -638,6 +638,30 @@ class CorpusSpec extends SparkSuite {
     assert(floored == Set("cat", "dog", "fish", "the"), s"got $floored")
   }
 
+  test("rocchioPrf: expansion recovers a seed-miss document; expandM=0 reduces to plain BM25") {
+    import spark.implicits._
+    // doc 3 has no seed term but shares 'cherry' with the feedback set;
+    // doc 4 is unrelated and must stay invisible to both passes
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana date"),
+      (3L, "banana cherry egg"), (4L, "zebra yak xylophone")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus
+      .rocchioPrf(docs, "doc_id", "text", Seq("apple"),
+        feedbackK = 2, expandM = 2, topN = 10)
+      .as[(Long, Double)].collect().toList
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), s"got $got")
+    assert(got.forall(_._2 > 0.0), s"got $got")
+    // no expansion → the ranking IS the first-pass BM25 cut
+    val plain = graft.operators.Corpus
+      .rocchioPrf(docs, "doc_id", "text", Seq("apple"),
+        feedbackK = 2, expandM = 0, topN = 10)
+      .as[(Long, Double)].collect().toList
+    val base = graft.operators.Corpus.bm25(docs, "doc_id", "text", Seq("apple"))
+      .select(col("doc_id"), (round(col("bm25"), 4) + lit(0.0)).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).as[(Long, Double)].collect().toList
+    assert(plain == base, s"prf $plain vs bm25 $base")
+  }
+
   test("textrankKeywords: symmetric 2-word graph splits mass evenly; the hub term ranks first") {
     import spark.implicits._
     // one alternating doc → single undirected edge (x, y): both 0.5
