@@ -443,6 +443,61 @@ object TimeSeries {
         col("z"), col("cusum_pos"), col("cusum_neg"), col("alarm"))
   }
 
+  /** Seasonal profile by classical decomposition (the 2×m centered
+    * moving average of Kendall & Stuart): over a pre-aggregated integer
+    * series on an integer instant axis, the per-phase (instant mod
+    * `period`) mean deviation from the centered trend — "how much does
+    * hour-18 run above trend" — the load-shaping/seasonality table read
+    * before picking resample strides or staffing a scrape schedule.
+    *
+    * Exactness: for even m the 2×m MA at t has the exact integer
+    * numerator N_t = x_{t−m/2} + 2·Σ_{t−m/2+1..t+m/2−1} x + x_{t+m/2}
+    * over denominator 2m, so the additive deviation is the exact
+    * rational (2m·x_t − N_t)/2m and the per-phase mean is
+    * Σ(2m·x_t − N_t) / (2m·n_phase) — ALL integer arithmetic until one
+    * final rounded double division, immune to combine order. RANGE
+    * window frames on the instant give missing-instants-count-as-zero
+    * semantics (a quiet hour is a zero, not a frame misalignment); edge
+    * instants without a full ±m/2 window are excluded (partial-window
+    * trend is biased, the no-silent-approximation stance).
+    *
+    * Scale shape: the caller aggregates the corpus to the series; the
+    * three RANGE windows and the phase aggregation run on the
+    * series-sized relation (one unpartitioned window over the aggregate
+    * — the q177 plan contract, instants-bounded by the observation span,
+    * never corpus-sized). Deviations are evaluated at OBSERVED instants:
+    * an absent instant contributes zero to every trend window it spans
+    * but no deviation row of its own — densify upstream if phase means
+    * must count silent periods.
+    */
+  def seasonalProfile(
+      series: DataFrame, instantCol: String, valCol: String,
+      period: Int = 24): DataFrame = {
+    require(period >= 2 && period % 2 == 0, s"need even period >= 2, got $period")
+    val h = period / 2
+    val w = Window.orderBy("__t")
+    val s = series.select(
+      col(instantCol).cast("long").as("__t"),
+      col(valCol).cast("long").as("__x"))
+    val span = s.agg(min("__t").as("__lo"), max("__t").as("__hi"))
+    val inner = sum("__x").over(w.rangeBetween(-(h - 1), h - 1))
+    val lo = sum("__x").over(w.rangeBetween(-h, -h))
+    val hi = sum("__x").over(w.rangeBetween(h, h))
+    s.withColumn("__n",
+        coalesce(lo, lit(0L)) + lit(2L) * coalesce(inner, lit(0L)) +
+          coalesce(hi, lit(0L)))
+      .crossJoin(broadcast(span))
+      .filter(col("__t") - h >= col("__lo") && col("__t") + h <= col("__hi"))
+      .groupBy(pmod(col("__t"), lit(period.toLong)).as("phase"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(lit(2L * period) * col("__x") - col("__n")).as("__dev"))
+      .select(col("phase"), col("n_points"),
+        (round(col("__dev").cast("double") /
+          (lit(2.0 * period) * col("n_points").cast("double")), 6) + lit(0.0))
+          .as("seasonal"))
+      .orderBy("phase")
+  }
+
   /** Autocorrelation function over a pre-aggregated integer series: for
     * each lag k ∈ [1, maxLag], the Pearson correlation between the
     * series and its calendar-shifted self (pairs (xₜ, xₜ₊ₖ) wherever

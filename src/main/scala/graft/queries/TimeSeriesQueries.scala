@@ -137,8 +137,23 @@ object TimeSeriesQueries {
     TimeSeries.acf(daily, "day", "cents", maxLag = 7)
   }
 
+  /** q226 — hour-of-day seasonal profile ([[TimeSeries.seasonalProfile]]):
+    * per-phase mean deviation of hourly event counts from the 2×24
+    * centered moving-average trend — exact integer numerators end to
+    * end, one rounded division per phase. The trend windows are RANGE
+    * frames on the hour index (quiet hours count as zero); edge hours
+    * without a full ±12 window are excluded.
+    */
+  def q226_seasonal: Q = (s, dir) => {
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    TimeSeries.seasonalProfile(hourly, "hour", "cnt", period = 24)
+  }
+
   val all: Map[String, Q] = Map(
     "q222_acf" -> q222_acf,
+    "q226_seasonal" -> q226_seasonal,
     "q166_gapfill_locf" -> q166_gapfill_locf,
     "q213_kaplan_meier" -> q213_kaplan_meier,
     "q203_linear_fit" -> q203_linear_fit,
@@ -148,6 +163,28 @@ object TimeSeriesQueries {
     "q193_time_interp" -> q193_time_interp)
 
   val oracle: Map[String, String] = Map(
+    // exact integer 2×24-MA numerators via RANGE frames (absent hours
+    // are zeros, not misalignments); one rounded division per phase
+    "q226_seasonal" -> """
+      WITH hourly AS MATERIALIZED (
+        SELECT epoch_us(ts) // 3600000000 AS t, CAST(count(1) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      sp AS (SELECT min(t) AS lo, max(t) AS hi FROM hourly),
+      tr AS (SELECT t, x,
+               coalesce(sum(x) OVER (ORDER BY t
+                 RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING), 0)
+               + 2 * coalesce(sum(x) OVER (ORDER BY t
+                 RANGE BETWEEN 11 PRECEDING AND 11 FOLLOWING), 0)
+               + coalesce(sum(x) OVER (ORDER BY t
+                 RANGE BETWEEN 12 FOLLOWING AND 12 FOLLOWING), 0) AS n
+             FROM hourly),
+      d AS (SELECT t % 24 AS phase, 48 * x - n AS dev
+            FROM tr CROSS JOIN sp WHERE t - 12 >= lo AND t + 12 <= hi)
+      SELECT CAST(phase AS BIGINT) AS phase,
+             CAST(count(1) AS BIGINT) AS n_points,
+             round(CAST(sum(dev) AS DOUBLE) / (48.0 * count(1)), 6)
+               + CAST(0 AS DOUBLE) AS seasonal
+      FROM d GROUP BY 1 ORDER BY 1""",
     // the q203 HUGEINT replay of the ExactCorr algebra; calendar-lag
     // pairing (a.t + lag = b.t), sqrt/division in double at the end only
     "q222_acf" -> """

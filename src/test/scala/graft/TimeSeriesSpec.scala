@@ -170,6 +170,26 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got(105L).contains(7.0))
   }
 
+  test("seasonalProfile: hand 2×m deviations, gap-counts-as-zero trend, edge exclusion") {
+    import spark.implicits._
+    // period 2: deviation at t is (2x_t − x_{t−1} − x_{t+1})/4; the
+    // alternating series 1,5,1,5,1,5 has ±2 around the flat trend
+    val alt = Seq((0L, 1L), (1L, 5L), (2L, 1L), (3L, 5L), (4L, 1L), (5L, 5L))
+      .toDF("t", "x")
+    val got = TimeSeries.seasonalProfile(alt, "t", "x", period = 2)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((0L, 2L, -2.0), (1L, 2L, 2.0)), s"got $got")
+    // missing t=3 contributes ZERO to t=2's trend window (dev = 1.0),
+    // and t=4 is edge-excluded because t+1 exceeds the observed span
+    val gapped = Seq((0L, 4L), (1L, 4L), (2L, 4L), (4L, 4L)).toDF("t", "x")
+    val g = TimeSeries.seasonalProfile(gapped, "t", "x", period = 2)
+      .as[(Long, Long, Double)].collect().toList
+    assert(g == List((0L, 1L, 1.0), (1L, 1L, 0.0)), s"got $g")
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalProfile(alt, "t", "x", period = 3)
+    }
+  }
+
   test("acf: hand-computed lags, under-2-pair null, zero-pair lag absent, constant-series null") {
     import spark.implicits._
     // t = 0..3, x = 1,3,2,4 — lag1 Pearson = −0.5 by hand, lag2 = 1.0
