@@ -443,6 +443,65 @@ object TimeSeries {
         col("z"), col("cusum_pos"), col("cusum_neg"), col("alarm"))
   }
 
+  /** Theil–Sen robust trend (Theil 1950, Sen 1968): per key the MEDIAN of
+    * pairwise slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j — the trend
+    * estimator with a 29% breakdown point where [[linearFit]]'s OLS is
+    * dragged by a single corrupted batch. Axes are the q203 contract
+    * (whole seconds since the key's first point, integer-micros y).
+    *
+    * The pair stage is quadratic per key, so it is CAPPED by a
+    * deterministic rank-stride sample: points ordered by (x, y), every
+    * ⌈k/maxPoints⌉-th kept — at most ~maxPoints²/2 pairs per key
+    * regardless of key size, and the sample is a pure function of the
+    * ordered series (a DEFINED approximation the oracle replays
+    * verbatim, the q179 cap posture — under `maxPoints` points the
+    * operator IS the exact full-pair median). Median selection orders by
+    * the IEEE-division slope with an exact-integer (dy, dx, x, y)
+    * tiebreak — identical doubles and identical total order both
+    * engines; lower median at rank ⌊(n+1)/2⌋. Same-x pairs carry no
+    * slope information and are excluded (the standard estimator);
+    * keys with no valid pair emit a null slope, not a dropped row.
+    */
+  def theilSen(
+      events: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      maxPoints: Int = 64): DataFrame = {
+    require(maxPoints >= 2, s"need maxPoints >= 2, got $maxPoints")
+    val byKey = Window.partitionBy("__k")
+    val base = events
+      .select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol)).as("__us"),
+        floor(col(valCol).cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("__y"))
+      .withColumn("__xr",
+        expr("(__us - min(__us) OVER (PARTITION BY __k)) div 1000000"))
+      .select("__k", "__xr", "__y")
+    val sampled = Stage.snapshotDF(base
+      .withColumn("__rn", row_number().over(byKey.orderBy("__xr", "__y")))
+      .withColumn("__cnt", count(lit(1)).over(byKey))
+      .withColumn("__st", expr(s"(__cnt + ${maxPoints - 1}) div $maxPoints"))
+      .filter((col("__rn") - 1) % col("__st") === 0)
+      .select("__k", "__xr", "__y"))
+    val np = sampled.groupBy(col("__k")).agg(count(lit(1)).as("n_points"))
+    val pairs = sampled.as("a").join(sampled.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__xr") < col("b.__xr"))
+      .select(col("a.__k").as("__k"),
+        ((col("b.__y") - col("a.__y")).cast("double") /
+          (col("b.__xr") - col("a.__xr")).cast("double")).as("__s"),
+        (col("b.__y") - col("a.__y")).as("__dy"),
+        (col("b.__xr") - col("a.__xr")).as("__dx"),
+        col("a.__xr").as("__xa"), col("a.__y").as("__ya"))
+    val med = pairs
+      .withColumn("__pn", count(lit(1)).over(byKey))
+      .withColumn("__pr", row_number().over(byKey.orderBy(
+        col("__s"), col("__dy"), col("__dx"), col("__xa"), col("__ya"))))
+      .filter(col("__pr") === expr("(__pn + 1) div 2"))
+      .select(col("__k"), col("__s"), col("__pn").as("n_pairs"))
+    np.join(med, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n_points"), col("n_pairs"),
+        (round(col("__s") * lit(86400.0) / lit(1e6), 6) + lit(0.0))
+          .as("slope_per_day"))
+  }
+
   /** Seasonal profile by classical decomposition (the 2×m centered
     * moving average of Kendall & Stuart): over a pre-aggregated integer
     * series on an integer instant axis, the per-phase (instant mod

@@ -151,9 +151,23 @@ object TimeSeriesQueries {
     TimeSeries.seasonalProfile(hourly, "hour", "cnt", period = 24)
   }
 
+  /** q227 — Theil–Sen robust slope ([[TimeSeries.theilSen]]) per event
+    * type: the median-of-pairwise-slopes trend beside q203's OLS — the
+    * robust/classical pair on the same seconds/micros axes. The
+    * quadratic pair stage is capped at 64 rank-stride points per key (a
+    * defined approximation the oracle replays; exact under 64 points);
+    * median selection on the IEEE slope with an exact-integer tiebreak.
+    */
+  def q227_theil_sen: Q = (s, dir) => {
+    TimeSeries.theilSen(Tables.events(s, dir),
+        keyCol = "event_type", tsCol = "ts", valCol = "value", maxPoints = 64)
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q222_acf" -> q222_acf,
     "q226_seasonal" -> q226_seasonal,
+    "q227_theil_sen" -> q227_theil_sen,
     "q166_gapfill_locf" -> q166_gapfill_locf,
     "q213_kaplan_meier" -> q213_kaplan_meier,
     "q203_linear_fit" -> q203_linear_fit,
@@ -163,6 +177,40 @@ object TimeSeriesQueries {
     "q193_time_interp" -> q193_time_interp)
 
   val oracle: Map[String, String] = Map(
+    // rank-stride sample and lower-median pick replayed verbatim; the
+    // slope ORDER BY uses the IEEE-division double with exact-integer
+    // tiebreaks, identical both engines
+    "q227_theil_sen" -> """
+      WITH b AS (
+        SELECT event_type AS k, epoch_us(ts) AS us,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS y
+        FROM events),
+      r AS (SELECT k, (us - min(us) OVER (PARTITION BY k)) // 1000000 AS xr, y
+            FROM b),
+      w AS (SELECT k, xr, y,
+                   row_number() OVER (PARTITION BY k ORDER BY xr, y) AS rn,
+                   count(1) OVER (PARTITION BY k) AS cnt
+            FROM r),
+      s AS MATERIALIZED (
+        SELECT k, xr, y FROM w WHERE (rn - 1) % ((cnt + 63) // 64) = 0),
+      np AS (SELECT k, CAST(count(1) AS BIGINT) AS n_points FROM s GROUP BY 1),
+      p AS (SELECT a.k AS k,
+                   CAST(b2.y - a.y AS DOUBLE) / CAST(b2.xr - a.xr AS DOUBLE) AS sl,
+                   b2.y - a.y AS dy, b2.xr - a.xr AS dx,
+                   a.xr AS xa, a.y AS ya
+            FROM s a JOIN s b2 ON a.k = b2.k AND a.xr < b2.xr),
+      m AS (SELECT k, sl,
+                   row_number() OVER (PARTITION BY k
+                     ORDER BY sl, dy, dx, xa, ya) AS pr,
+                   count(1) OVER (PARTITION BY k) AS pn
+            FROM p),
+      med AS (SELECT k, sl, CAST(pn AS BIGINT) AS n_pairs
+              FROM m WHERE pr = (pn + 1) // 2)
+      SELECT np.k AS event_type, np.n_points, med.n_pairs,
+             round(med.sl * CAST(86400 AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS slope_per_day
+      FROM np LEFT JOIN med USING (k)
+      ORDER BY 1""",
     // exact integer 2×24-MA numerators via RANGE frames (absent hours
     // are zeros, not misalignments); one rounded division per phase
     "q226_seasonal" -> """

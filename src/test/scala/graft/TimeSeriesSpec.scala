@@ -170,6 +170,32 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got(105L).contains(7.0))
   }
 
+  test("theilSen: median slope shrugs off the outlier OLS is dragged by; stride cap; degenerate keys") {
+    import spark.implicits._
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    // y = x except a wild outlier at x=3: 6 pair slopes sorted
+    // 1,1,1,33.3,49.5,98 → lower median 1 unit/sec = 86400/day
+    val pts = Seq(("a", ts(0), 0.0), ("a", ts(1), 1.0),
+      ("a", ts(2), 2.0), ("a", ts(3), 100.0),
+      ("b", ts(5), 7.0),                      // single point: no pair
+      ("c", ts(9), 1.0), ("c", ts(9), 2.0))   // same-second pair: no slope info
+      .toDF("k", "t", "v")
+    val got = TimeSeries.theilSen(pts, "k", "t", "v")
+      .as[(String, Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((4L, Some(6L), Some(86400.0))), s"got ${got("a")}")
+    assert(got("b") == ((1L, None, None)), s"got ${got("b")}")
+    assert(got("c") == ((2L, None, None)), s"got ${got("c")}")
+    // OLS on the same key is dragged far above the robust estimate
+    val ols = TimeSeries.linearFit(pts.filter(col("k") === "a"), "k", "t", "v")
+      .select("slope_per_day").as[Double].head()
+    assert(ols > 86400.0 * 10, s"ols $ols")
+    // maxPoints=2 keeps ranks 1 and 3 (x=0, x=2) → one pair, exact slope
+    val capped = TimeSeries.theilSen(pts.filter(col("k") === "a"), "k", "t", "v",
+      maxPoints = 2).as[(String, Long, Option[Long], Option[Double])].head()
+    assert(capped == (("a", 2L, Some(1L), Some(86400.0))), s"got $capped")
+  }
+
   test("seasonalProfile: hand 2×m deviations, gap-counts-as-zero trend, edge exclusion") {
     import spark.implicits._
     // period 2: deviation at t is (2x_t − x_{t−1} − x_{t+1})/4; the
