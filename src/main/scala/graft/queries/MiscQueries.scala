@@ -37,6 +37,16 @@ object MiscQueries {
       .orderBy("modality")
   }
 
+  /** q228 — KMV distinct sketch audit ([[graft.operators.Kmv.kmvDistinct]]):
+    * k = 256 minimum polynomial-hash values over `l_orderkey`, the
+    * ⌊(k−1)·p/h₍ₖ₎⌋ estimate beside the exact distinct count and the
+    * relative error — the ORACLE-CHECKABLE distinct sketch (q71's HLL is
+    * rows-only because xxhash64 can't be replayed; the polynomial hash
+    * can, so every column here is hash-checked, estimate included).
+    */
+  def q228_kmv_distinct: Q = (s, dir) =>
+    graft.operators.Kmv.kmvDistinct(Tables.lineitem(s, dir), "l_orderkey", k = 256)
+
   /** q71 — HLL sketch cardinalities (rows-only: approx values are
     * engine-specific; exact twins are oracle-checked in q09). The 100 TB
     * dedup-stats operator: one pass, bounded memory, no exact-distinct
@@ -1133,6 +1143,7 @@ object MiscQueries {
     "q183_video_neardup" -> q183_video_neardup,
     "q151_quantile_audit" -> q151_quantile_audit,
     "q71_approx_distinct" -> q71_approx_distinct,
+    "q228_kmv_distinct" -> q228_kmv_distinct,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1385,6 +1396,32 @@ object MiscQueries {
       FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    // the polynomial-hash fold replayed per key (the minhash-oracle
+    // pattern), k smallest distinct hashes, EXACT integer-division
+    // estimate — a sketch whose every output column hash-checks
+    "q228_kmv_distinct" -> raw"""
+      WITH hashed AS MATERIALIZED (
+        SELECT DISTINCT (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(CAST(l_orderkey AS VARCHAR), '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007)
+                 * 961748927 + 12345) % 1000000007 AS h
+        FROM lineitem),
+      st AS (SELECT CAST(count(1) AS BIGINT) AS n_hashes FROM hashed),
+      kth AS (SELECT CAST(count(1) AS BIGINT) AS n_kept,
+                     CAST(max(h) AS BIGINT) AS kth_hash
+              FROM (SELECT h FROM hashed ORDER BY h LIMIT 256)),
+      ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+             FROM lineitem),
+      e AS (SELECT n_kept, kth_hash, n_hashes,
+                   CASE WHEN n_hashes < 256 THEN n_hashes
+                        ELSE 255000001785 // kth_hash END AS estimate,
+                   exact_distinct
+            FROM kth CROSS JOIN st CROSS JOIN ex)
+      SELECT n_kept, kth_hash, n_hashes, estimate, exact_distinct,
+             round(abs(CAST(estimate AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+               / CAST(exact_distinct AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS rel_error
+      FROM e""",
     // replays the wedge-center enumeration INCLUDING the hub-cap filter
     // (excises nothing at driver SFs — the defined approximation, not
     // this corpus's accident, is what gets checked); Jaccard denominators
