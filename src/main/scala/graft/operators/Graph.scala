@@ -605,6 +605,52 @@ object Graph {
           .as("rel_error"))
   }
 
+  /** Strongly connected components by mutual reachability: nodes u, v
+    * share an SCC iff each reaches the other along DIRECTED edges — the
+    * cycle structure undirected components ([[Dedup.connectedComponents]])
+    * erase, and the question behind "which markets trade both ways" /
+    * dependency-cycle detection. Component id = the smallest node in the
+    * class (the hash-min labeling convention), with the size census
+    * attached.
+    *
+    * Contract: |V|²-state like [[allPairsHops]] — directed mutuality is
+    * inherently all-pairs, so this runs on DERIVED entity graphs
+    * (nations, services, event types), never corpus-sized relations; the
+    * frontier expansion is level-snapshotted with a fixed `maxHops`
+    * unroll ≥ the graph diameter (the q167 cap convention, replayed by
+    * the oracle's hop-capped recursive CTE).
+    */
+  def stronglyConnected(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val e = Stage.snapshotDF(edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d")).distinct())
+    var reach = e.select(col("s").as("node")).union(e.select(col("d").as("node")))
+      .distinct()
+      .select(col("node").as("src"), col("node"), lit(0).as("hops"))
+    for (h <- 1 to maxHops) {
+      val settled = Stage.snapshotDF(reach)
+      val next = settled.filter(col("hops") === h - 1)
+        .join(e, col("node") === col("s"))
+        .select(col("src"), col("d").as("node")).distinct()
+        .join(settled, Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(h).as("hops"))
+      reach = settled.unionByName(next)
+    }
+    val fwd = Stage.snapshotDF(reach.select("src", "node"))
+    val scc = fwd.as("f")
+      .join(fwd.as("b"),
+        col("f.src") === col("b.node") && col("f.node") === col("b.src"))
+      .groupBy(col("f.src").as("node"))
+      .agg(min(col("f.node")).as("scc_id"))
+    val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, "scc_id").select(col("node"), col("scc_id"), col("scc_size"))
+  }
+
   /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
     * 2003): for every NON-adjacent pair with at least `minCommon` shared
     * neighbors, the common-neighbor count and the Jaccard coefficient

@@ -398,6 +398,22 @@ object MiscQueries {
       .orderBy("n_name")
   }
 
+  /** q229 — strongly connected components
+    * ([[graft.operators.Graph.stronglyConnected]]) of the DIRECTED
+    * strong trade graph (supplier nation → customer nation): which
+    * nation groups trade strongly both ways — the cycle structure q80's
+    * undirected components erase. Mutual-reachability join over the
+    * hop-capped directed closure; |V|² contract per the allPairsHops
+    * convention, graph-sized relations only.
+    */
+  def q229_scc: Q = (s, dir) => {
+    import graft.operators.Graph
+    Graph.stronglyConnected(strongTradeEdges(s, dir), "src", "dst")
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("scc_id"), col("scc_size"))
+      .orderBy("n_name")
+  }
+
   /** q221 — link prediction ([[graft.operators.Graph.linkPrediction]]) on
     * the strong trade graph: non-adjacent nation pairs ranked by shared
     * strong-trade neighbors (common-neighbor count + Jaccard overlap) —
@@ -1117,6 +1133,7 @@ object MiscQueries {
     "q218_clustering" -> q218_clustering,
     "q219_triangle_estimate" -> q219_triangle_estimate,
     "q221_link_prediction" -> q221_link_prediction,
+    "q229_scc" -> q229_scc,
     "q205_benford" -> q205_benford,
     "q209_fd_census" -> q209_fd_census,
     "q206_mutual_info" -> q206_mutual_info,
@@ -1396,6 +1413,29 @@ object MiscQueries {
       FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    // DIRECTED hop-capped closure (the q167 cap convention) both ways via
+    // one self-join of the closure; scc id = min mutual partner
+    "q229_scc" -> s"""
+      WITH RECURSIVE $strongTradeSql,
+      de AS MATERIALIZED (SELECT src AS s, dst AS d FROM fe WHERE src <> dst),
+      nodes AS (SELECT DISTINCT node FROM
+                  (SELECT s AS node FROM de UNION ALL SELECT d FROM de)),
+      r(src, node, hops) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT r.src, de.d, r.hops + 1 FROM r JOIN de ON de.s = r.node
+        WHERE r.hops < 6),
+      f AS MATERIALIZED (SELECT DISTINCT src, node FROM r),
+      scc AS MATERIALIZED (
+        SELECT a.src AS node, min(a.node) AS scc_id
+        FROM f a JOIN f b ON a.src = b.node AND a.node = b.src
+        GROUP BY 1),
+      z AS (SELECT scc_id, CAST(count(1) AS BIGINT) AS scc_size
+            FROM scc GROUP BY 1)
+      SELECT n_name, scc_id, scc_size
+      FROM scc JOIN z USING (scc_id)
+      JOIN nation ON node = n_nationkey
+      ORDER BY 1""",
     // the polynomial-hash fold replayed per key (the minhash-oracle
     // pattern), k smallest distinct hashes, EXACT integer-division
     // estimate — a sketch whose every output column hash-checks

@@ -306,6 +306,24 @@ class GraphSpec extends SparkSuite {
   private def lpRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
     df.as[(Long, Long, Long, Double)].collect().toSet
 
+  test("stronglyConnected: cycles group, direction matters, min-label ids and sizes") {
+    // 3-cycle {1,2,3} → tail 4 → 2-cycle {5,6}
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.stronglyConnected(g, "src", "dst")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((4L, 1L)), 5L -> ((5L, 2L)), 6L -> ((5L, 2L)))
+    assert(got == want, s"got $got")
+    // a one-way path has no cycles: every node its own singleton SCC —
+    // the undirected-components answer (one blob) would be wrong here
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val singletons = Graph.stronglyConnected(path, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(singletons == Set((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)), s"$singletons")
+  }
+
   test("linkPrediction: hand-computed overlap scores on a path-plus-spur graph") {
     // 1-2-3-4 path with spur 2-5; adjacency is undirected
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
