@@ -57,6 +57,27 @@ object CountMin {
       .agg(sum("__n").as("n"))
   }
 
+  /** Equi-join SIZE estimate from two sketches built with the same
+    * `width` and row family (Alon–Matias–Szegedy inner-product form,
+    * Cormode & Muthukrishnan 2005 §4.2): per sketch row the inner
+    * product Σ_col a[r][col]·b[r][col], min over the d rows — an
+    * OVERESTIMATE of Σ_key cntA(k)·cntB(k) by construction (collisions
+    * only add cross terms), within ε·‖a‖₁‖b‖₁. The cardinality-planning
+    * primitive: price a join (or a self-join's pair volume — the
+    * basket-guard question) from two d·w relations WITHOUT running it or
+    * rescanning either input. Products and sums run in DECIMAL(38,0)
+    * (‖a‖₁‖b‖₁ headroom), one d-row min at the end.
+    */
+  def joinSizeEstimate(cmsA: DataFrame, cmsB: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = cmsA.select(col("r"), col("col"), col("n").cast(dec).as("__na"))
+    val b = cmsB.select(col("r"), col("col"), col("n").cast(dec).as("__nb"))
+    a.join(b, Seq("r", "col"))
+      .groupBy(col("r"))
+      .agg(sum(col("__na") * col("__nb")).as("__ip"))
+      .agg(min("__ip").cast(dec).as("join_size_estimate"))
+  }
+
   /** Point estimates for `probes` (`keyCol` + any carried columns):
     * min over the d rows of the probed counters. `cms` must come from
     * [[sketch]] with the same `width`; it is broadcast (d·width rows).

@@ -639,6 +639,31 @@ object TrainingQueries {
       .orderBy("token_id")
   }
 
+  /** q230 — CMS join-size estimate
+    * ([[graft.operators.CountMin.joinSizeEstimate]]): the pair volume of
+    * a lineitem self-join on `l_partkey` (Σ cnt² — the exact quantity
+    * the basket guard predicts by histogram) priced from the sketch
+    * alone: per-row inner products, min over depth — an overestimate by
+    * construction, reported beside the exact volume and the relative
+    * overcount. Width 65536 → d·w = 262k counter rows, still a
+    * no-rescan plan-time answer.
+    */
+  def q230_cms_join_size: Q = (s, dir) => {
+    import graft.operators.CountMin
+    val dec = "decimal(38,0)"
+    val counts = Stage.snapshotDF(Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").cast("string").as("k"))
+      .agg(count(lit(1)).as("c")))
+    val cms = Stage.snapshotDF(CountMin.sketch(counts, "k", "c", width = 65536))
+    val exact = counts.agg(
+      sum(col("c").cast(dec) * col("c").cast(dec)).cast(dec).as("exact_size"))
+    CountMin.joinSizeEstimate(cms, cms)
+      .crossJoin(broadcast(exact))
+      .select(col("join_size_estimate"), col("exact_size"),
+        (round((col("join_size_estimate") - col("exact_size")).cast("double") /
+          col("exact_size").cast("double"), 6) + lit(0.0)).as("rel_overcount"))
+  }
+
   /** q225 — Rocchio pseudo-relevance feedback
     * ([[graft.operators.Corpus.rocchioPrf]]): q55's exact query bag as
     * the first pass, its top-5 hits as pseudo-relevant, the 3
@@ -992,6 +1017,7 @@ object TrainingQueries {
     "q223_chi2_terms" -> q223_chi2_terms,
     "q224_textrank" -> q224_textrank,
     "q225_rocchio_prf" -> q225_rocchio_prf,
+    "q230_cms_join_size" -> q230_cms_join_size,
     "q190_cms_audit" -> q190_cms_audit,
     "q115_bpe_pairs" -> q115_bpe_pairs,
     "q116_dsir_weights" -> q116_dsir_weights,
@@ -1433,6 +1459,32 @@ object TrainingQueries {
              cms_estimate - exact_count AS overcount
       FROM est ORDER BY exact_count DESC, token ASC""",
     "q224_textrank" -> textrankOracle(4),
+    // the q190 sketch SQL at width 65536, then per-row inner products in
+    // HUGEINT and the depth-min — estimate, exact, and overcount all
+    // hash-checked as DECIMAL(38,0)
+    "q230_cms_join_size" -> raw"""
+      WITH counts AS MATERIALIZED (
+        SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(count(1) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1),
+      h AS (SELECT c,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(k, '.'),
+                  x -> CAST(unicode(x) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007) AS h
+            FROM counts),
+      params(r, a, b) AS (VALUES (0, 1, 3), (1, 3, 10), (2, 5, 17), (3, 7, 24)),
+      cms AS MATERIALIZED (
+        SELECT p.r, ((h.h * p.a + p.b) % 1000000007) % 65536 AS col,
+               CAST(sum(c) AS HUGEINT) AS n
+        FROM h, params p GROUP BY 1, 2),
+      ip AS (SELECT r, sum(n * n) AS ip FROM cms GROUP BY 1),
+      e AS (SELECT CAST(min(ip) AS DECIMAL(38, 0)) AS join_size_estimate FROM ip),
+      x AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38, 0))
+              AS exact_size FROM counts)
+      SELECT join_size_estimate, exact_size,
+             round(CAST(join_size_estimate - exact_size AS DOUBLE) /
+               CAST(exact_size AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS rel_overcount
+      FROM e CROSS JOIN x""",
     // both retrieval passes + the expansion pick replayed: rounded-score
     // cuts with id tiebreaks, 1e-6-quantized expansion ranking key;
     // toks MATERIALIZED (referenced by both passes and the term stats)

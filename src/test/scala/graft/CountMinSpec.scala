@@ -53,4 +53,23 @@ class CountMinSpec extends SparkSuite {
       .collect().map(r => r.getLong(2))
     assert(est.length == 1 && est.head >= 0L)
   }
+
+  test("joinSizeEstimate: collision-free sketches give the exact inner product; collisions only overestimate") {
+    def jse(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+            w: Int): Long = {
+      CountMin.joinSizeEstimate(
+        CountMin.sketch(a, "k", "n", w), CountMin.sketch(b, "k", "n", w))
+        .collect().head.getDecimal(0).longValueExact()
+    }
+    // Σ_k cntA·cntB over the shared keys: 2·5 (alpha) + 3·7 (beta) = 31;
+    // gamma/delta are one-sided and contribute nothing
+    val a = countsOf(("alpha", 2L), ("beta", 3L), ("gamma", 11L))
+    val b = countsOf(("alpha", 5L), ("beta", 7L), ("delta", 13L))
+    assert(jse(a, b, 65536) == 31L)
+    // self-join size = Σ cnt² = 4 + 9 + 121 = 134
+    assert(jse(a, a, 65536) == 134L)
+    // width 1 collapses every key into one counter: the estimate is the
+    // full cross term ‖a‖₁·‖b‖₁ — the documented overestimate extreme
+    assert(jse(a, b, 1) == 16L * 25L)
+  }
 }
