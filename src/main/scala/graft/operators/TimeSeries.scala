@@ -535,9 +535,11 @@ object TimeSeries {
     require(period >= 2 && period % 2 == 0, s"need even period >= 2, got $period")
     val h = period / 2
     val w = Window.orderBy("__t")
-    val s = series.select(
+    // the series fans out to the window chain AND the span aggregate —
+    // snapshot so the caller's corpus-sized groupBy executes once
+    val s = Stage.snapshotDF(series.select(
       col(instantCol).cast("long").as("__t"),
-      col(valCol).cast("long").as("__x"))
+      col(valCol).cast("long").as("__x")))
     val span = s.agg(min("__t").as("__lo"), max("__t").as("__hi"))
     val inner = sum("__x").over(w.rangeBetween(-(h - 1), h - 1))
     val lo = sum("__x").over(w.rangeBetween(-h, -h))

@@ -826,6 +826,72 @@ class PlanSpec extends SparkSuite {
       "skyline must never plan a dominance join")
   }
 
+  test("q221: wedge stage reads the edge snapshot; name joins broadcast; never cartesian") {
+    val p = plan("q221_link_prediction")
+    assert(p.contains("BroadcastHashJoin"), "nation name joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q222: lag pairing is a series join, not a window; corpus read once inside the snapshot") {
+    val p = plan("q222_acf")
+    assert(!p.contains("Window"), "calendar lags must pair by join, not lag windows")
+    assert(!p.contains("FileScan parquet"),
+      s"both join sides must read the snapshotted daily series:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q223: contingencies read the doc snapshot; label totals broadcast; top-k is TakeOrdered") {
+    val p = plan("q223_chi2_terms")
+    assert(p.contains("TakeOrderedAndProject"), "top-25 must not global-sort")
+    assert(!p.contains("FileScan parquet"),
+      "presence relation and totals must read the snapshotted base")
+    assert(p.contains("BroadcastExchange"), "the 1-row label totals must broadcast")
+  }
+
+  test("q224: rank iterations run on graph snapshots; the keyword cut is TakeOrdered") {
+    val p = plan("q224_textrank")
+    assert(!p.contains("FileScan parquet"),
+      s"iterations must read the co-occurrence snapshot, not documents:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q226: trend windows and span scalar ride the series snapshot — one corpus pass") {
+    val p = plan("q226_seasonal")
+    assert(!p.contains("FileScan parquet"),
+      s"windows + span must read the snapshotted hourly series:\n${p.take(600)}")
+    assert(p.contains("windowspecdefinition"), "the 2xm trend is a RANGE window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row span bound must broadcast")
+  }
+
+  test("q227: the pair stage reads the stride-sample snapshot, never events") {
+    val p = plan("q227_theil_sen")
+    assert(!p.contains("FileScan parquet"),
+      s"pairs + medians must read the sampled snapshot:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q228: the k-th order statistic is TakeOrdered over the hash snapshot; scalars broadcast") {
+    val p = plan("q228_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"), "k smallest hashes must not global-sort")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "n_hashes and exact_distinct scalars must ride as broadcasts")
+  }
+
+  test("q229: mutual-reachability joins run on closure snapshots; nation broadcast") {
+    val p = plan("q229_scc")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q230: inner products read sketch snapshots — no corpus rescan at estimate time") {
+    val p = plan("q230_cms_join_size")
+    assert(!p.contains("FileScan parquet"),
+      s"sketch join + exact audit must read the count/sketch snapshots:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
