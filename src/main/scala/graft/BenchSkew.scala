@@ -29,6 +29,23 @@ import graft.tools.{CapMetricsListener, SkewedCorpus}
   * passes, min taken — same protocol as [[Bench]].
   */
 object BenchSkew {
+
+  /** Doc–source bipartite edges: source nodes mapped into a negative id
+    * space so both endpoints share the long node domain; the hot source
+    * key becomes the hub whose wedges the cap must excise.
+    */
+  private def docSourceEdges(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("src"),
+      (lit(-1L) - abs(hash(col("source")).cast("long"))).as("dst"))
+
+  /** Per-source (ts, value) series off doc ids — the hot source key is
+    * one quadratic-pair-stage key for the Theil–Sen soak.
+    */
+  private def docSeries(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      timestamp_micros(col("doc_id") * lit(1000000L)).as("ts"),
+      col("n_chars").cast("double").as("v"))
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skewdata")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -144,6 +161,24 @@ object BenchSkew {
           Linkage.candidatePairs(slim, "doc_id", Seq("lang", "source")),
           linkRules).filter(col("match_score") > 0).count()
       }),
+      // link prediction on the doc–source bipartite graph: the hot source
+      // key is a degree-~3500 hub whose wedge volume alone is ~6M pairs —
+      // capped excises it (graft.wedgeGuard fires), open pays Σ deg²
+      "link_pred_capped" -> (() =>
+        graft.operators.Graph.linkPrediction(docSourceEdges(docs),
+          "src", "dst", hubCap = 500).count()),
+      "link_pred_open" -> (() =>
+        graft.operators.Graph.linkPrediction(docSourceEdges(docs),
+          "src", "dst", hubCap = Int.MaxValue).count()),
+      // Theil–Sen on the hot source key: 3500 points in ONE key is a 6M-
+      // pair quadratic stage open; the 64-point rank stride bounds it at
+      // ~2k pairs per key regardless of key size
+      "theil_sen_capped" -> (() =>
+        graft.operators.TimeSeries.theilSen(docSeries(docs),
+          "source", "ts", "v", maxPoints = 64).count()),
+      "theil_sen_open" -> (() =>
+        graft.operators.TimeSeries.theilSen(docSeries(docs),
+          "source", "ts", "v", maxPoints = Int.MaxValue).count()),
       // winnowing overlap: the 2000-doc near-dup cluster makes every shared
       // selected fingerprint a 2000-doc bucket — capped drops boilerplate
       // fingerprints whole (linear), open pays Σ bucket² in full
