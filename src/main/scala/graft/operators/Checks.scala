@@ -353,6 +353,59 @@ object Checks {
     * all counts are exact integers, each CDF value ONE division of exact
     * integers, |diff| comparisons exact.
     */
+  /** Gini concentration of a non-negative integer column — the
+    * inequality one-number ("how concentrated is corpus volume on few
+    * documents / sources / hosts") behind mixing and crawl-budget
+    * decisions. Grouped-value closed form on the ascending order: with
+    * per-value counts c and EXCLUSIVE prefix counts P,
+    *
+    *   2T = Σ_v v·(2·c·P + c·(c+1)),  G = (2T − (n+1)·Σx) / (n·Σx)
+    *
+    * — every term an exact DECIMAL(38,0) integer (the doubled form
+    * avoids even ONE interior division), one rounded double division at
+    * the end. The global exclusive prefix is the [[ksDrift]] distributed
+    * scan: per-value pre-aggregation (one corpus shuffle), range
+    * partition, LOCAL window prefix + broadcast prefix-of-partition-
+    * totals offsets — never a single-partition corpus window, invariant
+    * to where range boundaries land (equal values pre-merge, they cannot
+    * split). Zero-spread columns (all values equal) emit 0.0; G is the
+    * population form (denominator n, not n−1).
+    */
+  def giniConcentration(
+      df: DataFrame, valueCol: String, rangePartitions: Int = 32): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val pooled = Stage.snapshotDF(cnt
+      .repartitionByRange(rangePartitions, col("v"))
+      .withColumn("__pid", spark_partition_id()))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offW = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = pooled.groupBy("__pid").agg(sum("c").as("__tc"))
+      .select(col("__pid"), coalesce(sum("__tc").over(offW), lit(0L)).as("__oc"))
+    val vD = col("v").cast(dec)
+    val cD = col("c").cast(dec)
+    val pD = (coalesce(col("__lp"), lit(0L)) + col("__oc")).cast(dec)
+    val terms = pooled
+      .withColumn("__lp", sum("c").over(localW))
+      .join(broadcast(offsets), Seq("__pid"))
+      .agg(
+        sum(vD * (lit(2) * cD * pD + cD * (cD + lit(1)))).as("__t2"),
+        sum(col("c")).cast(dec).as("__n"),
+        sum(vD * cD).as("__sx"))
+    terms.select(
+      col("__n").cast("long").as("n_rows"),
+      col("__sx").cast("long").as("total"),
+      when(col("__sx") > 0,
+        round((col("__t2") - (col("__n") + lit(1)) * col("__sx")).cast("double") /
+          (col("__n") * col("__sx")).cast("double"), 6) + lit(0.0))
+        .as("gini"))
+  }
+
   def ksDrift(
       a: DataFrame, b: DataFrame, valueCol: String,
       rangePartitions: Int = 32): DataFrame = {

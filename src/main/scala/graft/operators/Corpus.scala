@@ -1379,6 +1379,39 @@ object Corpus {
         round(col("__top.d"), 6).as("top_drift"))
   }
 
+  /** Zipf rank–frequency fit: OLS of ln(count) on ln(rank) over the
+    * vocabulary — natural text slopes ≈ −1 (Zipf 1949), and a corpus
+    * whose slope or r² walks away from that is machine-generated,
+    * truncated, or template-flooded (the companion diagnostic to
+    * [[vocabGrowth]]'s Heaps curve). One corpus-sized token count; the
+    * rank window and the regression run over the VOCAB-sized aggregate
+    * (the q177 single-window contract). Both log axes are quantized to
+    * exact 1e-6 integers (the q148 convention) feeding the shared
+    * [[ExactCorr]] DECIMAL algebra, so the fit is combine-order-proof;
+    * slope and r² each one rounded double expression.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    val counts = docs
+      .select(explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val q = (c: Column) =>
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val base = counts
+      .withColumn("__rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
+      .select(q(col("__rank")).cast(ExactCorr.dec).as("__x"),
+        q(col("n")).cast(ExactCorr.dec).as("__y"))
+    val terms = ExactCorr.aggs(col("__x"), col("__y"))
+    val g = base.agg(terms.head, terms.tail: _*)
+    val (num, denX, denY) = (ExactCorr.num, ExactCorr.denX, ExactCorr.denY)
+    g.select(col("__m").cast("long").as("n_terms"),
+      when(denX > 0, round(num / denX, 6) + lit(0.0)).as("zipf_slope"),
+      when(denX > 0 && denY > 0,
+        round((num / denX) * (num / denY), 6) + lit(0.0)).as("r2"))
+  }
+
   /** Rocchio pseudo-relevance feedback (Rocchio 1971, the PRF instance):
     * retrieve with [[bm25]], treat the top `feedbackK` documents as
     * relevant, lift the `expandM` highest-weight terms from them

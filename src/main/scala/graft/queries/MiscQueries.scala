@@ -326,6 +326,19 @@ object MiscQueries {
     * a broadcast partition-offset reconstruction — never a
     * single-partition window over the value relation.
     */
+  /** q231 — Gini concentration
+    * ([[graft.operators.Checks.giniConcentration]]) of corpus volume
+    * over document lengths: how unequal is the char mass across docs —
+    * the inequality one-number behind crawl-budget and mixing calls.
+    * Exact doubled-form integer algebra over the grouped-value order;
+    * the exclusive prefix is the q202 distributed scan (range-partitioned
+    * local windows + broadcast offsets), never a single-partition corpus
+    * window.
+    */
+  def q231_gini: Q = (s, dir) =>
+    graft.operators.Checks.giniConcentration(
+      Tables.documents(s, dir), "n_chars")
+
   def q202_ks_drift: Q = (s, dir) => {
     val o = Tables.orders(s, dir)
     val ref = o.filter(col("o_orderkey") % 97 =!= 0)
@@ -1129,6 +1142,7 @@ object MiscQueries {
     "q159_quality_checks" -> q159_quality_checks,
     "q186_psi_drift" -> q186_psi_drift,
     "q202_ks_drift" -> q202_ks_drift,
+    "q231_gini" -> q231_gini,
     "q217_ks_by_group" -> q217_ks_by_group,
     "q218_clustering" -> q218_clustering,
     "q219_triangle_estimate" -> q219_triangle_estimate,
@@ -1413,6 +1427,28 @@ object MiscQueries {
       FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    // grouped-value doubled closed form — zero interior divisions; the
+    // oracle's global window replays the distributed exclusive prefix
+    "q231_gini" -> """
+      WITH c AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                        CAST(count(1) AS BIGINT) AS c
+                 FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+                 GROUP BY 1),
+      p AS (SELECT v, c,
+                   coalesce(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pr
+            FROM c),
+      s AS (SELECT sum(CAST(v AS HUGEINT) * (2 * CAST(c AS HUGEINT) * pr
+                     + CAST(c AS HUGEINT) * (c + 1))) AS t2,
+                   CAST(sum(c) AS HUGEINT) AS n,
+                   sum(CAST(v AS HUGEINT) * c) AS sx
+            FROM p)
+      SELECT CAST(n AS BIGINT) AS n_rows, CAST(sx AS BIGINT) AS total,
+             CASE WHEN sx > 0 THEN
+               round(CAST(t2 - (n + 1) * sx AS DOUBLE) /
+                 CAST(n * sx AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+             END AS gini
+      FROM s""",
     // DIRECTED hop-capped closure (the q167 cap convention) both ways via
     // one self-join of the closure; scc id = min mutual partner
     "q229_scc" -> s"""

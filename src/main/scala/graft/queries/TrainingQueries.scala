@@ -639,6 +639,16 @@ object TrainingQueries {
       .orderBy("token_id")
   }
 
+  /** q232 — Zipf rank–frequency fit ([[graft.operators.Corpus.zipfFit]]):
+    * OLS slope and r² of ln(count) on ln(rank) over the whole vocabulary
+    * — the naturalness diagnostic beside q124's Heaps curve (natural
+    * text ≈ −1; template floods and truncation bend it). Quantized
+    * 1e-6-integer log axes into the ExactCorr decimal algebra; the rank
+    * window runs over the vocab-sized aggregate only.
+    */
+  def q232_zipf: Q = (s, dir) =>
+    Corpus.zipfFit(graft.operators.Dedup.spread(Tables.documents(s, dir)), "text")
+
   /** q230 — CMS join-size estimate
     * ([[graft.operators.CountMin.joinSizeEstimate]]): the pair volume of
     * a lineitem self-join on `l_partkey` (Σ cnt² — the exact quantity
@@ -1018,6 +1028,7 @@ object TrainingQueries {
     "q224_textrank" -> q224_textrank,
     "q225_rocchio_prf" -> q225_rocchio_prf,
     "q230_cms_join_size" -> q230_cms_join_size,
+    "q232_zipf" -> q232_zipf,
     "q190_cms_audit" -> q190_cms_audit,
     "q115_bpe_pairs" -> q115_bpe_pairs,
     "q116_dsir_weights" -> q116_dsir_weights,
@@ -1459,6 +1470,32 @@ object TrainingQueries {
              cms_estimate - exact_count AS overcount
       FROM est ORDER BY exact_count DESC, token ASC""",
     "q224_textrank" -> textrankOracle(4),
+    // 1e-6-quantized log axes into the q203 HUGEINT algebra; the rank
+    // window runs over the vocab aggregate
+    "q232_zipf" -> raw"""
+      WITH toks AS (SELECT unnest($tk) AS tok FROM documents),
+      c AS (SELECT tok, CAST(count(1) AS BIGINT) AS n FROM toks GROUP BY 1),
+      r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+            FROM c),
+      q AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5)
+                     AS HUGEINT) AS x,
+                   CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                     AS HUGEINT) AS y
+            FROM r),
+      g AS (SELECT CAST(count(1) AS HUGEINT) AS m, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM q),
+      t AS (SELECT m, CAST(m * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(m * sxx - sx * sx AS DOUBLE) AS den_x,
+                   CAST(m * syy - sy * sy AS DOUBLE) AS den_y
+            FROM g)
+      SELECT CAST(m AS BIGINT) AS n_terms,
+             CASE WHEN den_x > 0 THEN round(num / den_x, 6) + CAST(0 AS DOUBLE)
+             END AS zipf_slope,
+             CASE WHEN den_x > 0 AND den_y > 0 THEN
+               round((num / den_x) * (num / den_y), 6) + CAST(0 AS DOUBLE)
+             END AS r2
+      FROM t""",
     // the q190 sketch SQL at width 65536, then per-row inner products in
     // HUGEINT and the depth-min — estimate, exact, and overcount all
     // hash-checked as DECIMAL(38,0)

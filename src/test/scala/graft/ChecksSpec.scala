@@ -223,4 +223,24 @@ class ChecksSpec extends SparkSuite {
     assert(runs.distinct.size == 1,
       s"offset reconstruction must make the partition count invisible: $runs")
   }
+
+  test("giniConcentration: equality 0, max concentration (n−1)/n, hand values, tie grouping, partition invariance") {
+    import spark.implicits._
+    def gini(vs: Seq[Long], parts: Int = 32): (Long, Long, Option[Double]) =
+      graft.operators.Checks.giniConcentration(vs.toDF("v"), "v", parts)
+        .as[(Long, Long, Option[Double])].head()
+    assert(gini(Seq(5L, 5L, 5L, 5L)) == ((4L, 20L, Some(0.0))))
+    // one doc holds everything: G = (n−1)/n
+    assert(gini(Seq(0L, 0L, 0L, 12L)) == ((4L, 12L, Some(0.75))))
+    // 1,2,3,4 by hand: (2·30 − 5·10)/(4·10) = 0.25
+    assert(gini(Seq(1L, 2L, 3L, 4L)) == ((4L, 10L, Some(0.25))))
+    // ties share the grouped prefix: 1,1,4 → (2·15 − 4·6)/(3·6) = 1/3
+    assert(gini(Seq(1L, 1L, 4L)) == ((3L, 6L, Some(0.333333))))
+    // all-zero total → null, not 0/0
+    assert(gini(Seq(0L, 0L)) == ((2L, 0L, None)))
+    // the distributed prefix must not see the partitioner
+    val vs = (1L to 500L) ++ Seq.fill(100)(7L)
+    val runs = Seq(1, 2, 32).map(p => gini(vs, p))
+    assert(runs.distinct.size == 1, s"partition count leaked: $runs")
+  }
 }

@@ -638,6 +638,24 @@ class CorpusSpec extends SparkSuite {
     assert(floored == Set("cat", "dog", "fish", "the"), s"got $floored")
   }
 
+  test("zipfFit: exact 1/rank counts fit slope −1 with r² ≈ 1; flat counts give slope 0, null r²") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 = 12/rank → ln n = ln 12 − ln rank exactly
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val (n, slope, r2) = graft.operators.Corpus
+      .zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(n == 4L)
+    assert(math.abs(slope.get + 1.0) < 1e-3, s"slope $slope")
+    assert(r2.get > 0.9999, s"r2 $r2")
+    // a flat vocabulary has zero y-variance: slope 0, r² undefined
+    val flat = graft.operators.Corpus
+      .zipfFit(Seq((1L, "x y z x y z")).toDF("doc_id", "text"), "text")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(flat == ((3L, Some(0.0), None)), s"got $flat")
+  }
+
   test("rocchioPrf: expansion recovers a seed-miss document; expandM=0 reduces to plain BM25") {
     import spark.implicits._
     // doc 3 has no seed term but shares 'cherry' with the feedback set;
