@@ -40,23 +40,48 @@ import org.apache.spark.sql.functions._
   */
 object Kmv {
 
+  private val P = graft.functions.StringKernels.PolyHashMod
+
+  /** The finalized hash column for `keyCol` — the sketch's only
+    * per-row work, shared by the batch audit and the streaming partials.
+    */
+  def finalizedHash(keyCol: String): org.apache.spark.sql.Column =
+    (graft.functions.StringFunctions.polyHash(col(keyCol).cast("string")) *
+      lit(961748927L) + lit(12345L)) % lit(P)
+
+  /** A k-row PARTIAL: the k smallest distinct finalized hashes of this
+    * slice. Partials merge by union→distinct→k-smallest (the global k
+    * minima each survive their own slice's cut), which is what makes the
+    * sketch streamable / shardable with no special merge logic.
+    */
+  def partial(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.select(finalizedHash(keyCol).as("h")).distinct()
+      .orderBy(col("h").asc).limit(k)
+
+  /** Estimate columns from a (possibly merged) distinct-hash relation:
+    * (n_kept, kth_hash, n_hashes, estimate). `hashes` must carry `h`.
+    */
+  def estimateFromHashes(hashes: DataFrame, k: Int): DataFrame = {
+    val hashed = Stage.snapshotDF(hashes.select("h").distinct())
+    val stats = hashed.agg(count(lit(1)).as("n_hashes"))
+    val est = when(col("n_hashes") < k, col("n_hashes"))
+      .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))
+    hashed.orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_kept"), col("kth_hash"), col("n_hashes"),
+        est.as("estimate"))
+  }
+
   def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
-    val p = graft.functions.StringKernels.PolyHashMod
-    val hashed = Stage.snapshotDF(df.select(
-      ((graft.functions.StringFunctions.polyHash(col(keyCol).cast("string")) *
-        lit(961748927L) + lit(12345L)) % lit(p)).as("h"))
-      .distinct())
-    val stats = hashed.agg(count(lit(1)).as("n_hashes"))
-    val kth = hashed.orderBy(col("h").asc).limit(k)
-      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
     val exact = df.agg(count_distinct(col(keyCol)).as("exact_distinct"))
-    val est = when(col("n_hashes") < k, col("n_hashes"))
-      .otherwise(expr(s"${(k - 1).toLong * p} div kth_hash"))
-    kth.crossJoin(broadcast(stats)).crossJoin(broadcast(exact))
+    estimateFromHashes(df.select(finalizedHash(keyCol).as("h")), k)
+      .crossJoin(broadcast(exact))
       .select(col("n_kept"), col("kth_hash"), col("n_hashes"),
-        est.as("estimate"), col("exact_distinct"),
-        (round(abs(est.cast("double") - col("exact_distinct").cast("double")) /
+        col("estimate"), col("exact_distinct"),
+        (round(abs(col("estimate").cast("double") -
+          col("exact_distinct").cast("double")) /
           col("exact_distinct").cast("double"), 6) + lit(0.0)).as("rel_error"))
   }
 }

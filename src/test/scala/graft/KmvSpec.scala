@@ -47,4 +47,31 @@ class KmvSpec extends SparkSuite {
     val twice = run(keys ++ keys, 32)
     assert(once == twice, s"$once vs $twice")
   }
+
+  test("StreamingKmv: merged micro-batch partials ≡ the one-shot batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("kmv-store").toString + "/kmv"
+    val ckpt = java.nio.file.Files.createTempDirectory("kmv-ckpt").toString
+    val k = 64
+    val mem = MemoryStream[Long]
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingKmv.start(
+        mem.toDF().toDF("key"), "key", store, ckpt, k)
+      q.awaitTermination()
+    }
+    assert(graft.streaming.StreamingKmv.estimate(spark, store, k).isEmpty)
+    // three uneven batches with cross-batch duplicates
+    mem.addData(1L to 1500L: _*); drain()
+    mem.addData(1000L to 3200L: _*); drain()
+    mem.addData(3000L to 5000L: _*); drain()
+    val streamed = graft.streaming.StreamingKmv.estimate(spark, store, k).get
+      .as[(Long, Long, Long, Long)].head()
+    val batch = run(1L to 5000L, k)
+    // (n_kept, kth_hash, estimate) must be bit-identical; n_hashes is
+    // sketch-resident by contract, so it is compared against ≤ 3k
+    assert((streamed._1, streamed._2, streamed._4) == ((batch._1, batch._2, batch._4)),
+      s"stream $streamed vs batch $batch")
+    assert(streamed._3 <= 3L * k, s"partials must stay k-bounded: $streamed")
+  }
 }
