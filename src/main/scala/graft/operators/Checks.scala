@@ -353,6 +353,50 @@ object Checks {
     * all counts are exact integers, each CDF value ONE division of exact
     * integers, |diff| comparisons exact.
     */
+  /** Hill tail-index estimator (Hill 1975) over the m largest values of
+    * a positive integer column:
+    *
+    *   1/α̂ = (1/m) Σ_{i=1..m} ln(x₍ᵢ₎ / x₍ₘ₊₁₎)
+    *
+    * — "how heavy is the tail" (α < 2: infinite variance; doc-length
+    * and host-size tails routinely sit there), the number that decides
+    * whether mean-based capacity math is even meaningful. The m+1 top
+    * order statistics come from ONE TakeOrdered (value desc, id asc —
+    * a deterministic cut through ties); each ln is quantized to an
+    * exact 1e-9 integer before the sum (driver-sized relation, but the
+    * combine-order posture is uniform repo-wide), threshold subtraction
+    * exact, one closing division pair. Requires > m positive values —
+    * fewer emits NO row (there is no defined threshold), never a lie;
+    * a degenerate tail (all m values equal to the threshold) emits the
+    * row with a null α rather than ∞.
+    */
+  def hillTailIndex(
+      df: DataFrame, valueCol: String, idCol: String, m: Int = 50): DataFrame = {
+    require(m >= 1, s"need m >= 1, got $m")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").desc, col("__id").asc)
+    val top = Stage.snapshotDF(df
+      .select(col(valueCol).cast("long").as("__v"), col(idCol).as("__id"))
+      .filter(col("__v") > 0)
+      .orderBy(col("__v").desc, col("__id").asc).limit(m + 1)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__lq",
+        floor(log(col("__v").cast("double")) * lit(1e9) + lit(0.5)).cast("long")))
+    val thr = top.filter(col("__rn") === m + 1)
+      .select(col("__v").as("threshold"), col("__lq").as("__lthr"))
+    top.filter(col("__rn") <= m)
+      .agg(count(lit(1)).as("__mm"), sum("__lq").as("__s"))
+      .crossJoin(broadcast(thr))
+      .select(lit(m).as("m"), col("threshold"),
+        when(col("__mm") === m,
+          round((col("__s") - lit(m.toLong) * col("__lthr")).cast("double") /
+            (lit(m.toDouble) * lit(1e9)), 6) + lit(0.0)).as("mean_ln_excess"),
+        when(col("__mm") === m && col("__s") > lit(m.toLong) * col("__lthr"),
+          round(lit(m.toDouble) * lit(1e9) /
+            (col("__s") - lit(m.toLong) * col("__lthr")).cast("double"), 6)
+            + lit(0.0)).as("alpha"))
+  }
+
   /** Gini concentration of a non-negative integer column — the
     * inequality one-number ("how concentrated is corpus volume on few
     * documents / sources / hosts") behind mixing and crawl-budget

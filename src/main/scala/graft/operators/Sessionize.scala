@@ -43,10 +43,14 @@ object Sessionize {
     * row-total join. Probabilities are exact-integer-double divisions
     * (round 6), counts exact; no float accumulation anywhere.
     */
-  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
-                       idCol: String, typeCol: String, gapMs: Long): DataFrame = {
+  /** The snapshotted within-session transition counts — shared by
+    * [[transitionMatrix]] and [[entropyRate]] so the two can never
+    * disagree on the gap rule.
+    */
+  private def transitions(events: DataFrame, userCol: String, tsCol: String,
+                          idCol: String, typeCol: String, gapMs: Long): DataFrame = {
     val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val trans = events
+    events
       .withColumn("__prev_ms", lag(unix_millis(col(tsCol)), 1).over(order))
       .withColumn("__prev_ty", lag(col(typeCol), 1).over(order))
       .filter(col("__prev_ms").isNotNull &&
@@ -54,11 +58,45 @@ object Sessionize {
       .groupBy(col("__prev_ty").as("from_type"), col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("n"))
       .transform(Stage.snapshotDF) // feeds the row totals AND the output
+  }
+
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String, gapMs: Long): DataFrame = {
+    val trans = transitions(events, userCol, tsCol, idCol, typeCol, gapMs)
     val rowTot = trans.groupBy("from_type").agg(sum("n").as("__rt"))
     trans.join(broadcast(rowTot), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),
         (round(col("n").cast("double") / col("__rt").cast("double"), 6) + lit(0.0))
           .as("p"))
+  }
+
+  /** Markov entropy rate of the session process (nats per transition):
+    *
+    *   H = Σ_s π(s) Σ_t p(s→t)(−ln p(s→t)) = Σ_{s,t} (n_st/N)(−ln(n_st/rt_s))
+    *
+    * with π the empirical from-state distribution — "how predictable is
+    * the next event", the one-number sequence-complexity gate (a bot's
+    * loop scores near 0; uniform wandering over T states scores ln T).
+    * Each cell term is quantized to an exact 1e-9 integer (the q148
+    * posture at nano precision) BEFORE the global sum, so the result is
+    * combine-order-proof; one closing division and round. Transition
+    * derivation is [[transitions]] — the q207 gap rule verbatim.
+    */
+  def entropyRate(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, gapMs: Long): DataFrame = {
+    val trans = transitions(events, userCol, tsCol, idCol, typeCol, gapMs)
+    val rowTot = trans.groupBy("from_type").agg(sum("n").as("__rt"))
+    val tot = trans.agg(sum("n").as("__N"),
+      count_distinct(col("from_type")).as("__S"))
+    trans.join(broadcast(rowTot), Seq("from_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("__N"), col("__S"),
+        floor((col("n").cast("double") / col("__N").cast("double")) *
+          -log(col("n").cast("double") / col("__rt").cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long").as("__q"))
+      .groupBy(col("__N").as("n_transitions"), col("__S").as("n_states"))
+      .agg((round(sum("__q").cast("double") / lit(1e9), 6) + lit(0.0))
+        .as("entropy_nats"))
   }
 
   /** Per-session rollup: event count and duration per (user, session). */

@@ -443,6 +443,45 @@ object TimeSeries {
         col("z"), col("cusum_pos"), col("cusum_neg"), col("alarm"))
   }
 
+  /** Fano factor (index of dispersion) per key over fixed-interval event
+    * counts: F = Var/Mean of the per-bucket counts — the burstiness
+    * one-number (a Poisson arrival process scores ≈1; schedulers and
+    * bots score ≪1, flash crowds ≫1), read before trusting a rate-based
+    * capacity or sampling plan.
+    *
+    * Exactness: over the m buckets of the GLOBAL observed span (silent
+    * buckets count as zeros — they are real observations of nothing),
+    *   F = (m·Σc² − (Σc)²) / (m·Σc)
+    * — exact integer sums in DECIMAL(38,0) (zeros contribute nothing to
+    * either Σ, so only observed buckets are rows), one rounded double
+    * division. One corpus aggregation to (key, bucket) counts; the span
+    * is a 1-row broadcast scalar. Keys with zero events in span cannot
+    * appear (no rows); a key with events but zero variance scores 0.
+    */
+  def fanoFactor(
+      events: DataFrame, keyCol: String, tsCol: String,
+      bucketMicros: Long = 3600000000L): DataFrame = {
+    require(bucketMicros > 0, s"need bucketMicros > 0, got $bucketMicros")
+    val dec = "decimal(38,0)"
+    val base = Stage.snapshotDF(events.select(col(keyCol).as("__k"),
+      expr(s"unix_micros(`$tsCol`) div ${bucketMicros}L").as("__t")))
+    val span = base.agg((max("__t") - min("__t") + lit(1L)).as("__m"))
+    val perBucket = base.groupBy("__k", "__t").agg(count(lit(1)).as("__c"))
+    val cD = col("__c").cast(dec)
+    perBucket.groupBy(col("__k"))
+      .agg(sum(cD).as("__sc"), sum(cD * cD).as("__sc2"),
+        count(lit(1)).as("n_active_buckets"))
+      .crossJoin(broadcast(span))
+      .select(col("__k").as(keyCol),
+        col("__m").as("m_buckets"),
+        col("__sc").cast("long").as("n_events"),
+        col("n_active_buckets"),
+        (round((col("__m").cast(dec) * col("__sc2") - col("__sc") * col("__sc"))
+          .cast("double") /
+          (col("__m").cast(dec) * col("__sc")).cast("double"), 6) + lit(0.0))
+          .as("fano"))
+  }
+
   /** Theil–Sen robust trend (Theil 1950, Sen 1968): per key the MEDIAN of
     * pairwise slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j — the trend
     * estimator with a 29% breakdown point where [[linearFit]]'s OLS is

@@ -326,6 +326,26 @@ object MiscQueries {
     * a broadcast partition-offset reconstruction — never a
     * single-partition window over the value relation.
     */
+  /** q234 — Hill tail index ([[graft.operators.Checks.hillTailIndex]])
+    * of document lengths: α̂ over the 50 largest docs — is the length
+    * tail heavy enough (α < 2) that mean-based packing/capacity math
+    * lies? One TakeOrdered cut (value desc, id asc through ties),
+    * 1e-9-quantized log excesses, exact threshold subtraction.
+    */
+  def q234_hill_tail: Q = (s, dir) =>
+    graft.operators.Checks.hillTailIndex(
+      Tables.documents(s, dir), "n_chars", "doc_id", m = 50)
+
+  /** q235 — Markov entropy rate ([[graft.operators.Sessionize.entropyRate]])
+    * of session event transitions (q207's gap rule verbatim): how
+    * predictable is the next event, in nats — bot loops ≈ 0, uniform
+    * wandering ≈ ln(n_states). Per-cell 1e-9-quantized terms summed
+    * exactly, one closing division.
+    */
+  def q235_entropy_rate: Q = (s, dir) =>
+    graft.operators.Sessionize.entropyRate(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type", gapMs = 12L * 3600 * 1000)
+
   /** q231 — Gini concentration
     * ([[graft.operators.Checks.giniConcentration]]) of corpus volume
     * over document lengths: how unequal is the char mass across docs —
@@ -1143,6 +1163,8 @@ object MiscQueries {
     "q186_psi_drift" -> q186_psi_drift,
     "q202_ks_drift" -> q202_ks_drift,
     "q231_gini" -> q231_gini,
+    "q234_hill_tail" -> q234_hill_tail,
+    "q235_entropy_rate" -> q235_entropy_rate,
     "q217_ks_by_group" -> q217_ks_by_group,
     "q218_clustering" -> q218_clustering,
     "q219_triangle_estimate" -> q219_triangle_estimate,
@@ -1427,6 +1449,52 @@ object MiscQueries {
       FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    // top-(m+1) deterministic cut, 1e-9-quantized logs, exact threshold
+    // subtraction — both estimates one rounded division each
+    "q234_hill_tail" -> """
+      WITH top AS MATERIALIZED (
+        SELECT CAST(n_chars AS BIGINT) AS v, doc_id,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000000 + 0.5)
+                 AS BIGINT) AS lq
+        FROM documents WHERE n_chars > 0
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 51),
+      thr AS (SELECT v AS threshold, lq AS lthr FROM top WHERE rn = 51),
+      s AS (SELECT CAST(count(1) AS BIGINT) AS mm, sum(lq) AS sl
+            FROM top WHERE rn <= 50)
+      SELECT 50 AS m, threshold,
+             CASE WHEN mm = 50 THEN
+               round(CAST(sl - 50 * lthr AS DOUBLE) / (50.0 * 1000000000), 6)
+                 + CAST(0 AS DOUBLE) END AS mean_ln_excess,
+             CASE WHEN mm = 50 AND sl > 50 * lthr THEN
+               round(50.0 * 1000000000 / CAST(sl - 50 * lthr AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) END AS alpha
+      FROM s CROSS JOIN thr""",
+    // the q207 transition derivation verbatim, per-cell 1e-9 quantized
+    // terms, exact sum, one closing division
+    "q235_entropy_rate" -> """
+      WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(epoch_ms(ts)) OVER w AS prev_ms,
+               lag(event_type) OVER w AS prev_ty
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      tr AS (SELECT prev_ty AS from_type, event_type AS to_type,
+                    CAST(count(1) AS BIGINT) AS n
+             FROM o
+             WHERE prev_ms IS NOT NULL AND epoch_ms(ts) - prev_ms <= 43200000
+             GROUP BY 1, 2),
+      rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM tr GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(count(DISTINCT from_type) AS BIGINT) AS ns FROM tr),
+      q AS (SELECT CAST(floor((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) *
+                     -ln(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)) *
+                     1000000000 + 0.5) AS BIGINT) AS q, nn, ns
+            FROM tr JOIN rt USING (from_type) CROSS JOIN t)
+      SELECT nn AS n_transitions, ns AS n_states,
+             round(CAST(sum(q) AS DOUBLE) / 1000000000, 6)
+               + CAST(0 AS DOUBLE) AS entropy_nats
+      FROM q GROUP BY 1, 2""",
     // grouped-value doubled closed form — zero interior divisions; the
     // oracle's global window replays the distributed exclusive prefix
     "q231_gini" -> """

@@ -164,10 +164,22 @@ object TimeSeriesQueries {
       .orderBy("event_type")
   }
 
+  /** q233 — burstiness census ([[TimeSeries.fanoFactor]]): per event
+    * type the Fano factor of hourly arrival counts over the global
+    * observed span (silent hours are zeros) — Poisson ≈ 1, schedulers
+    * ≪ 1, flash crowds ≫ 1. Exact DECIMAL sums, one rounded division.
+    */
+  def q233_fano: Q = (s, dir) => {
+    TimeSeries.fanoFactor(Tables.events(s, dir),
+        keyCol = "event_type", tsCol = "ts")
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q222_acf" -> q222_acf,
     "q226_seasonal" -> q226_seasonal,
     "q227_theil_sen" -> q227_theil_sen,
+    "q233_fano" -> q233_fano,
     "q166_gapfill_locf" -> q166_gapfill_locf,
     "q213_kaplan_meier" -> q213_kaplan_meier,
     "q203_linear_fit" -> q203_linear_fit,
@@ -177,6 +189,21 @@ object TimeSeriesQueries {
     "q193_time_interp" -> q193_time_interp)
 
   val oracle: Map[String, String] = Map(
+    // exact integer (m·Σc² − Σc²)/(m·Σc) over the global hour span;
+    // silent hours enter only through m
+    "q233_fano" -> """
+      WITH b AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS t
+                 FROM events),
+      sp AS (SELECT max(t) - min(t) + 1 AS m FROM b),
+      c AS (SELECT k, t, CAST(count(1) AS HUGEINT) AS c FROM b GROUP BY 1, 2),
+      g AS (SELECT k, sum(c) AS sc, sum(c * c) AS sc2,
+                   CAST(count(1) AS BIGINT) AS n_active_buckets
+            FROM c GROUP BY 1)
+      SELECT k AS event_type, CAST(m AS BIGINT) AS m_buckets,
+             CAST(sc AS BIGINT) AS n_events, n_active_buckets,
+             round(CAST(m * sc2 - sc * sc AS DOUBLE) /
+               CAST(m * sc AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS fano
+      FROM g CROSS JOIN sp ORDER BY 1""",
     // rank-stride sample and lower-median pick replayed verbatim; the
     // slope ORDER BY uses the IEEE-division double with exact-integer
     // tiebreaks, identical both engines

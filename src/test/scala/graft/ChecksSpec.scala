@@ -224,6 +224,25 @@ class ChecksSpec extends SparkSuite {
       s"offset reconstruction must make the partition count invisible: $runs")
   }
 
+  test("hillTailIndex: hand log-excess, tie-crossing cut, degenerate tail null, under-m+1 empty") {
+    import spark.implicits._
+    def hill(vs: Seq[Long], m: Int) =
+      graft.operators.Checks.hillTailIndex(
+        vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id"),
+        "v", "id", m)
+        .as[(Int, Long, Option[Double], Option[Double])].collect().toList
+    // top3 of {100, 100, 10, 3}: threshold 10, mean excess = ln 10
+    val h = hill(Seq(100L, 100L, 10L, 3L), 2)
+    assert(h.size == 1 && h.head._1 == 2 && h.head._2 == 10L)
+    assert(math.abs(h.head._3.get - math.log(10.0)) < 1e-6, s"got $h")
+    assert(math.abs(h.head._4.get - 1.0 / math.log(10.0)) < 1e-6, s"got $h")
+    // all-equal tail: zero excess, α undefined (null, not ∞)
+    assert(hill(Seq(7L, 7L, 7L), 2) == List((2, 7L, Some(0.0), None)))
+    // not enough positive values for a threshold → no row
+    assert(hill(Seq(5L, 4L), 2).isEmpty)
+    assert(hill(Seq(5L, 4L, 0L), 2).isEmpty, "zeros are outside the tail domain")
+  }
+
   test("giniConcentration: equality 0, max concentration (n−1)/n, hand values, tie grouping, partition invariance") {
     import spark.implicits._
     def gini(vs: Seq[Long], parts: Int = 32): (Long, Long, Option[Double]) =

@@ -288,6 +288,25 @@ class CorpusSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("entropyRate: deterministic loop 0, uniform 2-state ln 2, mixed hand value; shares q207's gap rule") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def rate(seq: Seq[(Long, java.sql.Timestamp, Long, String)]): (Long, Long, Double) =
+      Sessionize.entropyRate(seq.toDF("event_id", "ts", "user_id", "event_type"),
+          "user_id", "ts", "event_id", "event_type", gapMs = 3600 * 1000)
+        .as[(Long, Long, Double)].head()
+    // a→b→a→b…: every transition is certain → 0 nats
+    val loop = (0 to 6).map(i =>
+      (i.toLong, t(i), 1L, if (i % 2 == 0) "a" else "b"))
+    assert(rate(loop) == ((6L, 2L, 0.0)), s"got ${rate(loop)}")
+    // from 'a' the next state is b or c with equal counts; rows from b/c
+    // return to a deterministically: H = π(a)·ln2 = (2/4)·ln2
+    val mixed = Seq((1L, t(0), 1L, "a"), (2L, t(1), 1L, "b"), (3L, t(2), 1L, "a"),
+      (4L, t(3), 1L, "c"), (5L, t(4), 1L, "a"))
+    val (n, s, h) = rate(mixed)
+    assert(n == 4L && s == 3L, s"got ($n, $s, $h)")
+    assert(math.abs(h - 0.5 * math.log(2.0)) < 1e-6, s"got $h")
+  }
+
   test("duplicatedSpans: cross-doc spans, run lengths, within-doc repeats excluded") {
     // docs 10/11 share the verbatim 7-token span "p q r s t u v": with k=3
     // that is 5 consecutive duplicated windows (span = run + k − 1 = 7).

@@ -170,6 +170,26 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got(105L).contains(7.0))
   }
 
+  test("fanoFactor: hand dispersion over the global span, silent buckets as zeros, constant rate 0") {
+    import spark.implicits._
+    def ts(hour: Long) = new Timestamp(hour * 3600 * 1000)
+    // global span covers hours 0..3 (m = 4) because of key b's hour-3 event;
+    // a: buckets (2, 0, 1, 0) → F = (4·5 − 9)/(4·3) = 11/12
+    val ev = Seq(("a", ts(0)), ("a", ts(0)), ("a", ts(2)), ("b", ts(3)))
+      .toDF("k", "t")
+    val got = TimeSeries.fanoFactor(ev, "k", "t")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((4L, 3L, 2L, 0.916667)), s"got ${got("a")}")
+    // b: (0,0,0,1) → F = (4·1 − 1)/(4·1) = 0.75
+    assert(got("b") == ((4L, 1L, 1L, 0.75)), s"got ${got("b")}")
+    // one event every hour: zero variance → exactly 0
+    val flat = (0L to 3L).map(h => ("c", ts(h))).toDF("k", "t")
+    val f = TimeSeries.fanoFactor(flat, "k", "t")
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(f == (("c", 4L, 4L, 4L, 0.0)), s"got $f")
+  }
+
   test("theilSen: median slope shrugs off the outlier OLS is dragged by; stride cap; degenerate keys") {
     import spark.implicits._
     def ts(sec: Long) = new Timestamp(sec * 1000)
