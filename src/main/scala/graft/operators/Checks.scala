@@ -353,6 +353,43 @@ object Checks {
     * all counts are exact integers, each CDF value ONE division of exact
     * integers, |diff| comparisons exact.
     */
+  /** Theil's uncertainty coefficient U(y|x) = MI(x;y) / H(y) — the
+    * NORMALIZED "how much does knowing x reduce uncertainty about y"
+    * (0 = independent, 1 = x determines y), the scale-free companion of
+    * [[mutualInformation]]'s raw nats and the soft face of
+    * [[functionalDependency]]'s exact violation counts. One joint-count
+    * aggregation (shared cells feed MI numerator and both entropies);
+    * every per-cell term quantized to an exact 1e-9 integer before its
+    * sum, the final ratio ONE double division of two exact-integer-backed
+    * quantities. H(y) = 0 (constant y) → null, not 0/0.
+    */
+  def uncertaintyCoefficient(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = Stage.snapshotDF(
+      df.select(col(xCol).as("x"), col(yCol).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy("x", "y").agg(count(lit(1)).as("n_xy")))
+    val mx = joint.groupBy("x").agg(sum("n_xy").as("n_x"))
+    val my = Stage.snapshotDF(joint.groupBy("y").agg(sum("n_xy").as("n_y")))
+    val tot = Stage.snapshotDF(joint.agg(sum("n_xy").as("__n")))
+    val d = (c: String) => col(c).cast("double")
+    def q(e: org.apache.spark.sql.Column) =
+      floor(e * lit(1e9) + lit(0.5)).cast("long")
+    val miQ = joint.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(q((d("n_xy") / d("__n")) *
+        log((d("n_xy") * d("__n")) / (d("n_x") * d("n_y"))))).as("__mi"))
+    val hyQ = my.crossJoin(broadcast(tot))
+      .agg(sum(q((d("n_y") / d("__n")) * -log(d("n_y") / d("__n")))).as("__hy"),
+        count(lit(1)).as("n_y_classes"))
+    miQ.crossJoin(broadcast(hyQ)).crossJoin(broadcast(tot))
+      .select(col("__n").as("n_rows"), col("n_y_classes"),
+        (round(col("__mi").cast("double") / lit(1e9), 6) + lit(0.0)).as("mi_nats"),
+        (round(col("__hy").cast("double") / lit(1e9), 6) + lit(0.0)).as("h_y_nats"),
+        when(col("__hy") > 0,
+          round(col("__mi").cast("double") / col("__hy").cast("double"), 6)
+            + lit(0.0)).as("uncertainty_coef"))
+  }
+
   /** Hill tail-index estimator (Hill 1975) over the m largest values of
     * a positive integer column:
     *

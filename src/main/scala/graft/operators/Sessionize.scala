@@ -70,6 +70,34 @@ object Sessionize {
           .as("p"))
   }
 
+  /** Top session event-type trigrams: consecutive (t₁→t₂→t₃) paths where
+    * BOTH hops land within `gapMs` (the q57/q207 session-break rule —
+    * a boundary can never fabricate a path) — the order-3 extension of
+    * [[transitionMatrix]] that separates checkout funnels from pogo
+    * loops a 2-gram matrix conflates. Two lag projections over ONE
+    * user-key window exchange; counts exact; the k-cut orders by
+    * (n desc, types asc) — all-integer-and-string, no rounding contract.
+    */
+  def sessionTrigrams(events: DataFrame, userCol: String, tsCol: String,
+                      idCol: String, typeCol: String, gapMs: Long,
+                      topN: Int = 20): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__ms", unix_millis(col(tsCol)))
+      .withColumn("__p1_ms", lag(col("__ms"), 1).over(order))
+      .withColumn("__p1_ty", lag(col(typeCol), 1).over(order))
+      .withColumn("__p2_ms", lag(col("__ms"), 2).over(order))
+      .withColumn("__p2_ty", lag(col(typeCol), 2).over(order))
+      .filter(col("__p2_ms").isNotNull &&
+        col("__ms") - col("__p1_ms") <= gapMs &&
+        col("__p1_ms") - col("__p2_ms") <= gapMs)
+      .groupBy(col("__p2_ty").as("t1"), col("__p1_ty").as("t2"),
+        col(typeCol).as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(topN)
+  }
+
   /** Markov entropy rate of the session process (nats per transition):
     *
     *   H = Σ_s π(s) Σ_t p(s→t)(−ln p(s→t)) = Σ_{s,t} (n_st/N)(−ln(n_st/rt_s))

@@ -182,6 +182,32 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** q237 — dup-cluster size census: q80's components histogrammed by
+    * size, with singleton documents (touching no near-dup pair) restored
+    * as size-1 clusters — the duplication-structure distribution
+    * ("is the corpus a few mega-clusters or a long tail of pairs?") that
+    * decides survivor policy and prices the dedup pass before it runs.
+    * Cluster-sized algebra off the snapshotted component sizes; the
+    * corpus enters only through q80's pair derivation and one count.
+    */
+  def q237_cluster_census: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.6)
+    val sizes = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .transform(Stage.snapshotDF)
+    val hist = sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.agg(count(lit(1)).as("__tot"))
+      .crossJoin(broadcast(sizes.agg(coalesce(sum("sz"), lit(0L)).as("__cn"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("__tot") - col("__cn")).as("n_clusters"))
+    hist.unionByName(singles)
+      .filter(col("n_clusters") > 0)
+      .orderBy("cluster_size")
+  }
+
   /** q84 — MinHash-LSH candidates with the deterministic polynomial hash:
     * the q43 pipeline made fully oracle-checkable (signature minima, band
     * keys, capped buckets and pair expansion all reproduced in SQL).
@@ -484,6 +510,7 @@ object DedupQueries {
     "q93_embed_neardup_multiprobe" -> q93_embed_neardup_multiprobe,
     "q91_embed_neardup_lsh" -> q91_embed_neardup_lsh,
     "q80_dedup_clusters" -> q80_dedup_clusters,
+    "q237_cluster_census" -> q237_cluster_census,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
     "q90_jaccard_prefix" -> q90_jaccard_prefix,
@@ -759,6 +786,29 @@ object DedupQueries {
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
       ORDER BY 1, 2""",
+    // q80's closure + size histogram; singletons restored from the doc
+    // count minus the clustered mass
+    "q237_cluster_census" -> raw"""
+      WITH RECURSIVE $OraclePairGraph,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      csz AS (SELECT component, CAST(count(1) AS BIGINT) AS sz
+              FROM lab GROUP BY 1),
+      hist AS (
+        SELECT sz AS cluster_size, CAST(count(1) AS BIGINT) AS n_clusters
+        FROM csz GROUP BY 1
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               CAST((SELECT count(1) FROM documents) -
+                 coalesce((SELECT sum(sz) FROM csz), 0) AS BIGINT))
+      SELECT cluster_size, n_clusters FROM hist
+      WHERE n_clusters > 0 ORDER BY 1""",
     "q80_dedup_clusters" -> raw"""
       WITH RECURSIVE $OraclePairGraph,
       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -164,6 +164,30 @@ object TrainingQueries {
       textCol = "text", window = 3, minCount = 5, topN = 50)
   }
 
+  /** q236 — top session trigrams
+    * ([[graft.operators.Sessionize.sessionTrigrams]]): the 20 most
+    * common within-session t₁→t₂→t₃ event paths (12-hour gap on BOTH
+    * hops — q57's break rule, a boundary never fabricates a path) —
+    * order-3 path mining over q207's order-2 matrix. One user-key
+    * window exchange, exact counts, integer/string-only k-cut.
+    */
+  def q236_session_trigrams: Q = (s, dir) =>
+    Sessionize.sessionTrigrams(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type",
+      gapMs = 12L * 3600 * 1000, topN = 20)
+
+  /** q238 — uncertainty coefficient
+    * ([[graft.operators.Checks.uncertaintyCoefficient]]) U(lang|source):
+    * the normalized 0–1 "how much does the source pin down the
+    * language" — the soft face of q209's exact FD violation census and
+    * the scale-free companion of q206's raw-nats MI, all three on the
+    * same column pair by design. Per-cell 1e-9-quantized exact sums;
+    * one closing ratio.
+    */
+  def q238_uncertainty: Q = (s, dir) =>
+    graft.operators.Checks.uncertaintyCoefficient(
+      Tables.documents(s, dir), "source", "lang")
+
   /** q57 — batch sessionization of `events`: 12-hour inactivity gap,
     * per-session event count and duration (the lag + running-sum-of-breaks
     * assignment; batch twin of the streaming session_window q62).
@@ -1062,6 +1086,8 @@ object TrainingQueries {
     "q212_skipgram_ppmi" -> q212_skipgram_ppmi,
     "q57_sessionize" -> q57_sessionize,
     "q207_markov_transitions" -> q207_markov_transitions,
+    "q236_session_trigrams" -> q236_session_trigrams,
+    "q238_uncertainty" -> q238_uncertainty,
     "q58_packing" -> q58_packing,
     "q59_repetition" -> q59_repetition,
     "q63_entropy" -> q63_entropy,
@@ -2156,6 +2182,56 @@ object TrainingQueries {
             FROM toks WHERE len(tk) >= 2)
       SELECT bigram, count(1) AS n FROM g GROUP BY 1
       ORDER BY 2 DESC, 1 ASC LIMIT 20""",
+    // two lags over the same session window; both hop gaps enforced
+    "q236_session_trigrams" -> """
+      WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               epoch_ms(ts) AS ms,
+               lag(epoch_ms(ts), 1) OVER w AS p1_ms,
+               lag(event_type, 1) OVER w AS p1_ty,
+               lag(epoch_ms(ts), 2) OVER w AS p2_ms,
+               lag(event_type, 2) OVER w AS p2_ty
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT p2_ty AS t1, p1_ty AS t2, event_type AS t3,
+             CAST(count(1) AS BIGINT) AS n
+      FROM o
+      WHERE p2_ms IS NOT NULL AND ms - p1_ms <= 43200000
+        AND p1_ms - p2_ms <= 43200000
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    // shared joint cells feed MI and H(y); per-cell 1e-9 quantization
+    // before every sum, one closing exact-integer ratio
+    "q238_uncertainty" -> """
+      WITH joint AS (SELECT source AS x, lang AS y,
+                            CAST(count(1) AS BIGINT) AS n_xy
+                     FROM documents
+                     WHERE source IS NOT NULL AND lang IS NOT NULL
+                     GROUP BY 1, 2),
+      mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1),
+      my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
+      t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM joint),
+      mi AS (SELECT sum(CAST(floor(
+               (CAST(n_xy AS DOUBLE) / n) *
+               ln((CAST(n_xy AS DOUBLE) * n) /
+                  (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) *
+               1000000000 + 0.5) AS BIGINT)) AS mi
+             FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t),
+      hy AS (SELECT sum(CAST(floor(
+               (CAST(n_y AS DOUBLE) / n) *
+               -ln(CAST(n_y AS DOUBLE) / n) *
+               1000000000 + 0.5) AS BIGINT)) AS hy,
+               CAST(count(1) AS BIGINT) AS n_y_classes
+             FROM my CROSS JOIN t)
+      SELECT t.n AS n_rows, hy.n_y_classes,
+             round(CAST(mi.mi AS DOUBLE) / 1000000000, 6)
+               + CAST(0 AS DOUBLE) AS mi_nats,
+             round(CAST(hy.hy AS DOUBLE) / 1000000000, 6)
+               + CAST(0 AS DOUBLE) AS h_y_nats,
+             CASE WHEN hy.hy > 0 THEN
+               round(CAST(mi.mi AS DOUBLE) / CAST(hy.hy AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) END AS uncertainty_coef
+      FROM mi CROSS JOIN hy CROSS JOIN t""",
     "q207_markov_transitions" -> """
       WITH o AS (
         SELECT user_id, event_type, ts, event_id,

@@ -224,6 +224,24 @@ class ChecksSpec extends SparkSuite {
       s"offset reconstruction must make the partition count invisible: $runs")
   }
 
+  test("uncertaintyCoefficient: determinism 1, independence 0, constant-y null") {
+    import spark.implicits._
+    def u(rows: Seq[(String, String)]): (Long, Long, Double, Double, Option[Double]) =
+      graft.operators.Checks.uncertaintyCoefficient(
+        rows.toDF("x", "y"), "x", "y")
+        .as[(Long, Long, Double, Double, Option[Double])].head()
+    // x determines y exactly → U = 1 (quantized MI and H(y) coincide cell
+    // for cell, so the ratio is EXACTLY 1.0, not 0.999…)
+    val det = u(Seq(("s1", "en"), ("s1", "en"), ("s2", "de"), ("s2", "de")))
+    assert(det._5.contains(1.0) && det._2 == 2L, s"got $det")
+    // independent uniform 2×2 → every MI cell is ln 1 = 0 → U = 0
+    val ind = u(Seq(("s1", "en"), ("s1", "de"), ("s2", "en"), ("s2", "de")))
+    assert(ind._3 == 0.0 && ind._5.contains(0.0), s"got $ind")
+    // constant y: H(y) = 0 → U undefined (null), never 0/0
+    val const = u(Seq(("s1", "en"), ("s2", "en")))
+    assert(const._4 == 0.0 && const._5.isEmpty, s"got $const")
+  }
+
   test("hillTailIndex: hand log-excess, tie-crossing cut, degenerate tail null, under-m+1 empty") {
     import spark.implicits._
     def hill(vs: Seq[Long], m: Int) =

@@ -307,6 +307,21 @@ class CorpusSpec extends SparkSuite {
     assert(math.abs(h - 0.5 * math.log(2.0)) < 1e-6, s"got $h")
   }
 
+  test("sessionTrigrams: both hops gap-checked — a session boundary never fabricates a path") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val ev = Seq(
+      (1L, t(0), 1L, "a"), (2L, t(1), 1L, "b"), (3L, t(2), 1L, "c"),
+      // >1h break: (b,c,d) fails the second hop, (c,d,e) fails the first
+      (4L, t(200), 1L, "d"), (5L, t(201), 1L, "e"), (6L, t(202), 1L, "f"),
+      // another user never mixes in
+      (7L, t(0), 2L, "x"), (8L, t(1), 2L, "y"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessionize.sessionTrigrams(ev, "user_id", "ts", "event_id",
+        "event_type", gapMs = 3600 * 1000, topN = 10)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", "c", 1L), ("d", "e", "f", 1L)), s"got $got")
+  }
+
   test("duplicatedSpans: cross-doc spans, run lengths, within-doc repeats excluded") {
     // docs 10/11 share the verbatim 7-token span "p q r s t u v": with k=3
     // that is 5 consecutive duplicated windows (span = run + k − 1 = 7).
