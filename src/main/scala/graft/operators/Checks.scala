@@ -353,6 +353,81 @@ object Checks {
     * all counts are exact integers, each CDF value ONE division of exact
     * integers, |diff| comparisons exact.
     */
+  /** Calibration (reliability) table for a [0,1] score against a binary
+    * label: fixed-width bins, per-bin mean prediction vs positive rate
+    * and the per-bin Brier contribution — the audit run before a
+    * heuristic quality score (or a filter model's output) is trusted as
+    * a probability in a sampling/mixing plan. Fixed-width binning
+    * (floor(p·bins), top edge clamped) — quantile bins would make bin
+    * EDGES data-dependent and the table unstable across snapshots.
+    *
+    * Determinism: per-row terms (p, (p−y)²) are quantized to exact 1e-9
+    * integers before their bin sums (the q148 posture), so per-bin means
+    * are exact-integer ratios; rows with null/out-of-range p are
+    * excluded (a score that isn't a probability has no bin).
+    */
+  def calibrationTable(
+      df: DataFrame, predCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val base = df.select(col(predCol).cast("double").as("__p"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .filter(col("__p").isNotNull && col("__p") >= 0.0 && col("__p") <= 1.0)
+    def q(e: org.apache.spark.sql.Column) =
+      floor(e * lit(1e9) + lit(0.5)).cast("long")
+    val err = col("__p") - col("__y").cast("double")
+    base
+      .groupBy(least(floor(col("__p") * bins), lit(bins - 1).cast("double"))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_rows"), sum("__y").as("__pos"),
+        sum(q(col("__p"))).as("__sp"), sum(q(err * err)).as("__sb"))
+      .select(col("bin"), col("n_rows"),
+        (round(col("__sp").cast("double") / lit(1e9) /
+          col("n_rows").cast("double"), 6) + lit(0.0)).as("mean_pred"),
+        (round(col("__pos").cast("double") /
+          col("n_rows").cast("double"), 6) + lit(0.0)).as("pos_rate"),
+        (round(col("__sb").cast("double") / lit(1e9) /
+          col("n_rows").cast("double"), 6) + lit(0.0)).as("bin_brier"))
+      .orderBy("bin")
+  }
+
+  /** EXACT per-group percentiles of an integer column — the
+    * deterministic alternative to `approx_percentile` when the gate is
+    * contractual (SLA p99, release-blocking medians) and a sketch's
+    * ±ε is an argument waiting to happen. Lower-percentile convention:
+    * P_p = the smallest value whose cumulative count reaches
+    * ⌈p·n/100⌉ (exact integer rank, no interpolation — a value that
+    * EXISTS in the data, cross-engine stable).
+    *
+    * Shape: per-(key, value) pre-aggregation (one corpus shuffle — the
+    * same price as any exact distinct), then group-keyed cumulative
+    * windows over the per-key DISTINCT-value relation (value-bounded,
+    * not row-bounded) and one min-per-rank aggregate. Never a global
+    * sort, never a single-partition window.
+    */
+  def exactPercentiles(
+      df: DataFrame, keyCol: String, valueCol: String,
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]: $percentiles")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tw = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+    val counts = df
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__k", "__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(tw))
+    val picks = percentiles.map { p =>
+      min(when(col("__cum") * 100 >= col("__n") * p, col("__v"))).as(s"p$p")
+    }
+    counts.groupBy(col("__k").as(keyCol))
+      .agg(max("__n").as("n_rows"), picks: _*)
+      .orderBy(keyCol)
+  }
+
   /** Theil's uncertainty coefficient U(y|x) = MI(x;y) / H(y) — the
     * NORMALIZED "how much does knowing x reduce uncertainty about y"
     * (0 = independent, 1 = x determines y), the scale-free companion of

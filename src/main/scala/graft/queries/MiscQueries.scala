@@ -326,6 +326,20 @@ object MiscQueries {
     * a broadcast partition-offset reconstruction — never a
     * single-partition window over the value relation.
     */
+  /** q240 — exact per-group percentiles
+    * ([[graft.operators.Checks.exactPercentiles]]): p50/p90/p99 of order
+    * value in cents per priority, the contractual-gate twin of q151's
+    * sketch quantiles (which stay rows-only — engine-specific sketch).
+    * Lower-percentile convention (smallest value reaching ⌈p·n/100⌉ —
+    * a value that EXISTS), group-keyed cumulative windows over the
+    * per-key distinct-value relation, all-integer output.
+    */
+  def q240_exact_percentiles: Q = (s, dir) =>
+    graft.operators.Checks.exactPercentiles(
+      Tables.orders(s, dir)
+        .withColumn("cents", (col("o_totalprice") * 100).cast("long")),
+      "o_orderpriority", "cents", Seq(50, 90, 99))
+
   /** q234 — Hill tail index ([[graft.operators.Checks.hillTailIndex]])
     * of document lengths: α̂ over the 50 largest docs — is the length
     * tail heavy enough (α < 2) that mean-based packing/capacity math
@@ -1107,6 +1121,32 @@ object MiscQueries {
       .orderBy("source")
   }
 
+  /** q241 — ORC round-trip: the second columnar interchange format
+    * beside parquet (q153 layouts) and JSONL (q172) — write `documents`
+    * as zlib ORC, read it back, and aggregate; the oracle computes the
+    * same aggregate from the parquet source, so the check IS
+    * content-preservation. Spark's built-in ORC source keeps predicate
+    * pushdown and column pruning available on the read side (same
+    * `FileScan orc PushedFilters` machinery as parquet).
+    */
+  def q241_orc_roundtrip: Q = (s, dir) => {
+    val path = rcCache.synchronized {
+      rcCache.getOrElseUpdate("orc:" + dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft_orc_demo").toString
+        Tables.documents(s, dir).write.mode("overwrite")
+          .option("compression", "zlib").orc(p + "/docs")
+        p
+      })
+    }
+    s.read.orc(path + "/docs")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("doc_id").as("n_ids"),
+        sum(length(col("text"))).as("sum_text_chars"),
+        sum("n_chars").as("sum_n_chars"))
+      .orderBy("lang")
+  }
+
   def q153_zorder_scan: Q = (s, dir) => {
     val cols = Seq("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
     val path = rcCache.synchronized {
@@ -1164,6 +1204,7 @@ object MiscQueries {
     "q202_ks_drift" -> q202_ks_drift,
     "q231_gini" -> q231_gini,
     "q234_hill_tail" -> q234_hill_tail,
+    "q240_exact_percentiles" -> q240_exact_percentiles,
     "q235_entropy_rate" -> q235_entropy_rate,
     "q217_ks_by_group" -> q217_ks_by_group,
     "q218_clustering" -> q218_clustering,
@@ -1187,6 +1228,7 @@ object MiscQueries {
     "q211_eccentricity" -> q211_eccentricity,
     "q181_hll_closeness" -> q181_hll_closeness,
     "q172_jsonl_roundtrip" -> q172_jsonl_roundtrip,
+    "q241_orc_roundtrip" -> q241_orc_roundtrip,
     "q175_kcore" -> q175_kcore,
     "q141_pagerank" -> q141_pagerank,
     "q204_hits" -> q204_hits,
@@ -1304,6 +1346,14 @@ object MiscQueries {
     "q175_kcore" -> kCoreOracle(3, 6),
     "q172_jsonl_roundtrip" -> """
       SELECT source, count(1) AS n_docs,
+             count(DISTINCT doc_id) AS n_ids,
+             CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+             CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    // content preservation through the ORC round-trip: the oracle reads
+    // the PARQUET source — agreement proves nothing was lost in flight
+    "q241_orc_roundtrip" -> """
+      SELECT lang, count(1) AS n_docs,
              count(DISTINCT doc_id) AS n_ids,
              CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
              CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
@@ -1449,6 +1499,23 @@ object MiscQueries {
       FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    // per-key cumulative windows over the distinct-value relation; the
+    // exact integer rank rule cum·100 ≥ n·p — no interpolation
+    "q240_exact_percentiles" -> """
+      WITH c AS (SELECT o_orderpriority AS k,
+                        CAST(o_totalprice * 100 AS BIGINT) AS v,
+                        CAST(count(1) AS BIGINT) AS c
+                 FROM orders GROUP BY 1, 2),
+      w AS (SELECT k, v,
+                   sum(c) OVER (PARTITION BY k ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER (PARTITION BY k) AS n
+            FROM c)
+      SELECT k AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_rows,
+             CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS BIGINT) AS p90,
+             CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99
+      FROM w GROUP BY 1 ORDER BY 1""",
     // top-(m+1) deterministic cut, 1e-9-quantized logs, exact threshold
     // subtraction — both estimates one rounded division each
     "q234_hill_tail" -> """

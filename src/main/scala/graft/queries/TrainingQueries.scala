@@ -164,6 +164,34 @@ object TrainingQueries {
       textCol = "text", window = 3, minCount = 5, topN = 50)
   }
 
+  /** q239 — calibration table
+    * ([[graft.operators.Checks.calibrationTable]]) for the stopword-ratio
+    * score against the `lang = 'en'` label: is the cheap lexical signal
+    * anything like a probability before a mixing plan uses it as one?
+    * The score is the exact rational a/b (top-20-global-token occurrences
+    * over doc tokens — one snapshotted token relation feeds the vocab cut
+    * AND the per-doc counts), binned fixed-width; per-bin mean/rate/Brier
+    * from 1e-9-quantized exact sums. Token-less docs have no score and
+    * no bin.
+    */
+  def q239_calibration: Q = (s, dir) => {
+    val toks = Stage.snapshotDF(
+      graft.operators.Dedup.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"),
+          explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok").asc).limit(20)
+      .select(col("tok").as("__sw"))
+    val per = toks.join(broadcast(top), col("tok") === col("__sw"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("__b"),
+        sum(when(col("__sw").isNotNull, 1L).otherwise(0L)).as("__a"))
+      .select((col("__a").cast("double") / col("__b").cast("double")).as("pred"),
+        (col("lang") === "en").as("label"))
+    graft.operators.Checks.calibrationTable(per, "pred", "label", bins = 10)
+  }
+
   /** q236 — top session trigrams
     * ([[graft.operators.Sessionize.sessionTrigrams]]): the 20 most
     * common within-session t₁→t₂→t₃ event paths (12-hour gap on BOTH
@@ -1087,6 +1115,7 @@ object TrainingQueries {
     "q57_sessionize" -> q57_sessionize,
     "q207_markov_transitions" -> q207_markov_transitions,
     "q236_session_trigrams" -> q236_session_trigrams,
+    "q239_calibration" -> q239_calibration,
     "q238_uncertainty" -> q238_uncertainty,
     "q58_packing" -> q58_packing,
     "q59_repetition" -> q59_repetition,
@@ -2182,6 +2211,38 @@ object TrainingQueries {
             FROM toks WHERE len(tk) >= 2)
       SELECT bigram, count(1) AS n FROM g GROUP BY 1
       ORDER BY 2 DESC, 1 ASC LIMIT 20""",
+    // the stopword-ratio score replayed (same top-20 cut), fixed-width
+    // bins on the identical double, 1e-9-quantized per-row terms
+    "q239_calibration" -> raw"""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, lang, unnest($tk) AS tok FROM documents),
+      top AS (SELECT tok AS sw FROM
+                (SELECT tok, count(1) AS n FROM toks GROUP BY 1
+                 ORDER BY n DESC, tok ASC LIMIT 20)),
+      per AS (SELECT t.doc_id, t.lang, count(1) AS b,
+                     CAST(sum(CASE WHEN sw IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS a
+              FROM toks t LEFT JOIN top ON t.tok = sw
+              GROUP BY 1, 2),
+      s AS (SELECT CAST(a AS DOUBLE) / CAST(b AS DOUBLE) AS p,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM per),
+      binned AS (SELECT CAST(least(floor(p * 10), CAST(9 AS DOUBLE)) AS BIGINT)
+                   AS bin,
+                   CAST(count(1) AS BIGINT) AS n_rows,
+                   CAST(sum(y) AS BIGINT) AS pos,
+                   sum(CAST(floor(p * 1000000000 + 0.5) AS BIGINT)) AS sp,
+                   sum(CAST(floor((p - y) * (p - y) * 1000000000 + 0.5)
+                     AS BIGINT)) AS sb
+                 FROM s GROUP BY 1)
+      SELECT bin, n_rows,
+             round(CAST(sp AS DOUBLE) / 1000000000 / n_rows, 6)
+               + CAST(0 AS DOUBLE) AS mean_pred,
+             round(CAST(pos AS DOUBLE) / n_rows, 6)
+               + CAST(0 AS DOUBLE) AS pos_rate,
+             round(CAST(sb AS DOUBLE) / 1000000000 / n_rows, 6)
+               + CAST(0 AS DOUBLE) AS bin_brier
+      FROM binned ORDER BY 1""",
     // two lags over the same session window; both hop gaps enforced
     "q236_session_trigrams" -> """
       WITH o AS (

@@ -242,6 +242,33 @@ class ChecksSpec extends SparkSuite {
     assert(const._4 == 0.0 && const._5.isEmpty, s"got $const")
   }
 
+  test("calibrationTable: hand bins, top-edge clamp, out-of-range rows excluded") {
+    import spark.implicits._
+    val rows = Seq((0.05, false), (0.15, true), (0.95, true), (1.0, true),
+      (0.95, false), (1.5, true)) // 1.5 is not a probability — no bin
+      .toDF("pred", "label")
+    val got = graft.operators.Checks.calibrationTable(rows, "pred", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().toList
+    val want = List(
+      (0L, 1L, 0.05, 0.0, 0.0025),
+      (1L, 1L, 0.15, 1.0, 0.7225),
+      (9L, 3L, 0.966667, 0.666667, 0.301667)) // p=1.0 clamps into bin 9
+    assert(got == want, s"got $got")
+  }
+
+  test("exactPercentiles: rank rule by hand, ties, single-value keys") {
+    import spark.implicits._
+    val rows = ((1L to 10L).map(("a", _)) ++ Seq.fill(3)(("b", 7L)) ++
+      Seq(("c", 1L), ("c", 1L), ("c", 1L), ("c", 9L))).toDF("k", "v")
+    val got = graft.operators.Checks.exactPercentiles(rows, "k", "v")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    // a: ranks ⌈5⌉/⌈9⌉/⌈9.9⌉ → 5, 9, 10; b: all 7; c: p50 hits the tie
+    // block (rank 2 → 1), p90 rank ⌈3.6⌉ = 4 → 9
+    val want = List(("a", 10L, 5L, 9L, 10L), ("b", 3L, 7L, 7L, 7L),
+      ("c", 4L, 1L, 9L, 9L))
+    assert(got == want, s"got $got")
+  }
+
   test("hillTailIndex: hand log-excess, tie-crossing cut, degenerate tail null, under-m+1 empty") {
     import spark.implicits._
     def hill(vs: Seq[Long], m: Int) =

@@ -892,6 +892,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q239: token relation snapshot feeds vocab cut AND per-doc counts; stopword join broadcasts") {
+    val p = plan("q239_calibration")
+    assert(!p.contains("FileScan parquet"),
+      s"both consumers must read the token snapshot:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"), "the 20-row stopword set must broadcast")
+  }
+
+  test("q240: percentile windows ride ONE group-key exchange over the distinct-value relation") {
+    val p = plan("q240_exact_percentiles")
+    assert(!p.contains("SinglePartition") || !p.contains("windowspecdefinition()"),
+      "never a global unpartitioned window")
+    assert(p.contains("windowspecdefinition(__k"),
+      s"cumulative counts must partition by the group key:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q241: the round-trip actually reads ORC") {
+    val p = plan("q241_orc_roundtrip")
+    assert(p.contains("FileScan orc"), s"must read the ORC copy:\n${p.take(400)}")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
