@@ -1285,4 +1285,39 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("id_new"), col("id_old"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Transitivity (chaining-risk) audit of a similarity pair graph: of
+    * all wedge pairs (x, z) connected through a shared neighbor, how
+    * many are NOT themselves a similar pair — the open wedges that
+    * [[connectedComponents]] will nonetheless merge. A high open share
+    * means CC clusters chain dissimilar documents end-to-end (the
+    * classic dedup over-merge), and the survivor policy / threshold
+    * needs revisiting BEFORE the destructive keep-one step runs.
+    *
+    * Cost: one self-join of the adjacency through the wedge center —
+    * Σ deg², the triangle-enumeration profile, on the PAIR graph (pairs,
+    * not corpus, bound it). One audit row: pair/wedge/open counts and
+    * the open share.
+    */
+  def chainAudit(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = Stage.snapshotDF(pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct())
+    val adj = Stage.snapshotDF(
+      e.select(col("a").as("x"), col("b").as("c"))
+        .union(e.select(col("b").as("x"), col("a").as("c"))))
+    val wedges = Stage.snapshotDF(adj.as("l")
+      .join(adj.as("r"), col("l.c") === col("r.c") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("a"), col("r.x").as("b")).distinct())
+    val open = wedges.join(e, Seq("a", "b"), "left_anti")
+    e.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedge_pairs"))))
+      .crossJoin(broadcast(open.agg(count(lit(1)).as("n_open_wedges"))))
+      .select(col("n_pairs"), col("n_wedge_pairs"), col("n_open_wedges"),
+        when(col("n_wedge_pairs") > 0,
+          round(col("n_open_wedges").cast("double") /
+            col("n_wedge_pairs").cast("double"), 6) + lit(0.0))
+          .as("open_share"))
+  }
 }

@@ -208,6 +208,19 @@ object DedupQueries {
       .orderBy("cluster_size")
   }
 
+  /** q242 — chaining-risk audit ([[Dedup.chainAudit]]) of the q80 pair
+    * graph: the share of wedge pairs (connected through a shared
+    * near-dup) that are NOT near-dups themselves — exactly the pairs
+    * q80's components will merge anyway. The number that says whether
+    * keep-one-per-cluster is safe at this threshold before the
+    * destructive step runs.
+    */
+  def q242_chain_audit: Q = (s, dir) =>
+    Dedup.chainAudit(
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.6),
+      "id_a", "id_b")
+
   /** q84 — MinHash-LSH candidates with the deterministic polynomial hash:
     * the q43 pipeline made fully oracle-checkable (signature minima, band
     * keys, capped buckets and pair expansion all reproduced in SQL).
@@ -511,6 +524,7 @@ object DedupQueries {
     "q91_embed_neardup_lsh" -> q91_embed_neardup_lsh,
     "q80_dedup_clusters" -> q80_dedup_clusters,
     "q237_cluster_census" -> q237_cluster_census,
+    "q242_chain_audit" -> q242_chain_audit,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
     "q90_jaccard_prefix" -> q90_jaccard_prefix,
@@ -786,6 +800,24 @@ object DedupQueries {
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
       ORDER BY 1, 2""",
+    // wedge pairs through the shared neighbor minus the closed ones —
+    // the open share CC merges anyway
+    "q242_chain_audit" -> raw"""
+      WITH $OraclePairGraph,
+      e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+            FROM pairs WHERE id_a <> id_b),
+      adj AS (SELECT a AS x, b AS c FROM e UNION ALL SELECT b, a FROM e),
+      w AS (SELECT DISTINCT l.x AS a, r.x AS b
+            FROM adj l JOIN adj r ON l.c = r.c AND l.x < r.x),
+      o AS (SELECT * FROM w WHERE NOT EXISTS
+              (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b))
+      SELECT (SELECT CAST(count(1) AS BIGINT) FROM e) AS n_pairs,
+             (SELECT CAST(count(1) AS BIGINT) FROM w) AS n_wedge_pairs,
+             (SELECT CAST(count(1) AS BIGINT) FROM o) AS n_open_wedges,
+             CASE WHEN (SELECT count(1) FROM w) > 0 THEN
+               round(CAST((SELECT count(1) FROM o) AS DOUBLE) /
+                 CAST((SELECT count(1) FROM w) AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) END AS open_share""",
     // q80's closure + size histogram; singletons restored from the doc
     // count minus the clustered mass
     "q237_cluster_census" -> raw"""

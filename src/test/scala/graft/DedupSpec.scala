@@ -424,4 +424,17 @@ class DedupSpec extends SparkSuite {
     assert(m.getAs[Long]("dropped_rows") == 10L, s"hot bucket rows: $m")
     assert(m.getAs[Long]("dropped_buckets") == 1L, s"hot bucket count: $m")
   }
+
+  test("chainAudit: open path flagged, triangle fully closed, reversed/dup input pairs collapse") {
+    import spark.implicits._
+    def audit(ps: Seq[(Long, Long)]) =
+      Dedup.chainAudit(ps.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long, Long, Option[Double])].head()
+    // 1–2–3 path: wedge (1,3) is open — CC would merge it anyway
+    assert(audit(Seq((1L, 2L), (2L, 3L))) == ((2L, 1L, 1L, Some(1.0))))
+    // triangle: every wedge closes
+    assert(audit(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == ((3L, 3L, 0L, Some(0.0))))
+    // duplicates and reversed orientation are ONE edge; no self-wedges
+    assert(audit(Seq((1L, 2L), (2L, 1L), (1L, 2L))) == ((1L, 0L, 0L, None)))
+  }
 }
