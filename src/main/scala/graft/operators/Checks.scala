@@ -353,6 +353,41 @@ object Checks {
     * all counts are exact integers, each CDF value ONE division of exact
     * integers, |diff| comparisons exact.
     */
+  /** Two-sample proportion z-test (pooled): is the success rate of slice
+    * A different from slice B beyond what sampling noise explains —
+    * the A/B gate behind "did the new filter change the en-share" /
+    * "is conversion different for this cohort".
+    *
+    *   z = (p̂₁ − p̂₂) / √( p̂(1−p̂)(1/n₁ + 1/n₂) ),  p̂ pooled
+    *
+    * All four counts are exact integers from one aggregate per side;
+    * the statistic is ONE declared double expression over identically
+    * cast operands (engine-stable), with the two-sided 95% verdict at
+    * 1.96. Degenerate pools (p̂ ∈ {0,1} — zero variance) emit null z
+    * and a false verdict, never ±∞.
+    */
+  def proportionTest(
+      a: DataFrame, b: DataFrame, successCol: String): DataFrame = {
+    def side(df: DataFrame, n: String, x: String) = df.agg(
+      count(lit(1)).as(n),
+      sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as(x))
+    val d = (c: String) => col(c).cast("double")
+    val pp = (d("__x1") + d("__x2")) / (d("__n1") + d("__n2"))
+    val z = (d("__x1") / d("__n1") - d("__x2") / d("__n2")) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / d("__n1") + lit(1.0) / d("__n2")))
+    side(a, "__n1", "__x1").crossJoin(broadcast(side(b, "__n2", "__x2")))
+      .select(col("__n1").as("n_a"), col("__x1").as("x_a"),
+        col("__n2").as("n_b"), col("__x2").as("x_b"),
+        (round(d("__x1") / d("__n1"), 6) + lit(0.0)).as("p_a"),
+        (round(d("__x2") / d("__n2"), 6) + lit(0.0)).as("p_b"),
+        when(col("__x1") + col("__x2") > 0 &&
+          col("__x1") + col("__x2") < col("__n1") + col("__n2"),
+          round(z, 6) + lit(0.0)).as("z"),
+        coalesce(when(col("__x1") + col("__x2") > 0 &&
+          col("__x1") + col("__x2") < col("__n1") + col("__n2"),
+          abs(z) > 1.96), lit(false)).as("significant_95"))
+  }
+
   /** Calibration (reliability) table for a [0,1] score against a binary
     * label: fixed-width bins, per-bin mean prediction vs positive rate
     * and the per-bin Brier contribution — the audit run before a

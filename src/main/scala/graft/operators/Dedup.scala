@@ -1286,6 +1286,38 @@ object Dedup {
       .select(col("id_new"), col("id_old"), round(col("sim"), 4).as("sim"))
   }
 
+  /** INCREMENTAL connected components: advance an existing
+    * (node, component) labeling by a new batch of pairs WITHOUT the
+    * historical edge set. The label STAR (node — component) is
+    * connectivity-equivalent to the old graph, so running
+    * [[connectedComponents]] over (stars ∪ new pairs) yields exactly the
+    * full-recompute labels of (old edges ∪ new pairs) — DedupSpec pins
+    * incremental ≡ full, and q243's oracle checks it against the full
+    * transitive closure. Nodes untouched by the merged edge set
+    * (including label singletons, which carry no star edge) keep their
+    * label through the closing outer join.
+    *
+    * This is the 100 TB dedup-maintenance loop: per ingest batch the
+    * work is (labels + batch pairs)-sized — history enters as one
+    * node-per-member star relation, never as re-shingled documents.
+    * Component ids stay min-node, so ids never churn when a component
+    * only grows (a merge of two components adopts the smaller id — the
+    * same id the full recompute would pick).
+    */
+  def incrementalComponents(
+      labels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val lab = Stage.snapshotDF(labels.select(col("node"), col("component")))
+    val star = lab.filter(col("node") =!= col("component"))
+      .select(col("node").as("__a"), col("component").as("__b"))
+    val np = newPairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val merged = connectedComponents(star.union(np), "__a", "__b")
+      .withColumnRenamed("component", "__mc")
+    lab.join(merged, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("__mc"), col("component")).as("component"))
+  }
+
   /** Transitivity (chaining-risk) audit of a similarity pair graph: of
     * all wedge pairs (x, z) connected through a shared neighbor, how
     * many are NOT themselves a similar pair — the open wedges that

@@ -208,6 +208,28 @@ object DedupQueries {
       .orderBy("cluster_size")
   }
 
+  /** q243 — incremental components ≡ full closure
+    * ([[Dedup.incrementalComponents]]): two-thirds of the corpus is
+    * labeled first (its own pair graph + CC), then the remaining third
+    * arrives as a batch — its pairs (any new endpoint) merge into the
+    * existing labels via the label-star trick, history never
+    * re-shingled. The output census is checked against the FULL
+    * transitive closure over all pairs: the strongest possible claim
+    * for an incremental operator, made by the oracle itself.
+    */
+  def q243_incremental_cc: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val oldPairs = Dedup.jaccardPairs(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", shingleK = 3, threshold = 0.6)
+    val labels = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+    val newPairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.6)
+      .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+    Dedup.incrementalComponents(labels, newPairs, "id_a", "id_b")
+      .groupBy("component").agg(count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
   /** q242 — chaining-risk audit ([[Dedup.chainAudit]]) of the q80 pair
     * graph: the share of wedge pairs (connected through a shared
     * near-dup) that are NOT near-dups themselves — exactly the pairs
@@ -525,6 +547,7 @@ object DedupQueries {
     "q80_dedup_clusters" -> q80_dedup_clusters,
     "q237_cluster_census" -> q237_cluster_census,
     "q242_chain_audit" -> q242_chain_audit,
+    "q243_incremental_cc" -> q243_incremental_cc,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
     "q90_jaccard_prefix" -> q90_jaccard_prefix,
@@ -800,6 +823,20 @@ object DedupQueries {
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
       ORDER BY 1, 2""",
+    // the FULL transitive closure — the incremental path must land
+    // exactly on it (the q80 census oracle verbatim)
+    "q243_incremental_cc" -> raw"""
+      WITH RECURSIVE $OraclePairGraph,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src)
+      SELECT component, count(1) AS n_members
+      FROM lab GROUP BY 1 ORDER BY 1""",
     // wedge pairs through the shared neighbor minus the closed ones —
     // the open share CC merges anyway
     "q242_chain_audit" -> raw"""

@@ -326,6 +326,21 @@ object MiscQueries {
     * a broadcast partition-offset reconstruction — never a
     * single-partition window over the value relation.
     */
+  /** q244 — two-sample proportion z-test
+    * ([[graft.operators.Checks.proportionTest]]): is the finished-order
+    * share of URGENT orders different from LOW-priority orders beyond
+    * sampling noise — the A/B-gate statistic on exact integer counts,
+    * one declared double expression, 1.96 two-sided verdict.
+    */
+  def q244_proportion_test: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .withColumn("__done", col("o_orderstatus") === "F")
+    graft.operators.Checks.proportionTest(
+      o.filter(col("o_orderpriority") === "1-URGENT"),
+      o.filter(col("o_orderpriority") === "5-LOW"),
+      "__done")
+  }
+
   /** q240 — exact per-group percentiles
     * ([[graft.operators.Checks.exactPercentiles]]): p50/p90/p99 of order
     * value in cents per priority, the contractual-gate twin of q151's
@@ -1205,6 +1220,7 @@ object MiscQueries {
     "q231_gini" -> q231_gini,
     "q234_hill_tail" -> q234_hill_tail,
     "q240_exact_percentiles" -> q240_exact_percentiles,
+    "q244_proportion_test" -> q244_proportion_test,
     "q235_entropy_rate" -> q235_entropy_rate,
     "q217_ks_by_group" -> q217_ks_by_group,
     "q218_clustering" -> q218_clustering,
@@ -1499,6 +1515,37 @@ object MiscQueries {
       FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    // exact counts per side; the pooled-z expression mirrored operand
+    // for operand; zero-variance pool → null z, false verdict
+    "q244_proportion_test" -> """
+      WITH a AS (SELECT CAST(count(1) AS BIGINT) AS n1,
+                        CAST(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x1
+                 FROM orders WHERE o_orderpriority = '1-URGENT'),
+      b AS (SELECT CAST(count(1) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x2
+            FROM orders WHERE o_orderpriority = '5-LOW'),
+      s AS (SELECT n1, x1, n2, x2,
+                   (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+                     (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp
+            FROM a CROSS JOIN b),
+      z AS (SELECT *,
+                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+                    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+                   sqrt(pp * (1.0 - pp) *
+                     (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS zv
+            FROM s)
+      SELECT n1 AS n_a, x1 AS x_a, n2 AS n_b, x2 AS x_b,
+             round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS p_a,
+             round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS p_b,
+             CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+               round(zv, 6) + CAST(0 AS DOUBLE) END AS z,
+             coalesce(CASE WHEN x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+               abs(zv) > 1.96 END, false) AS significant_95
+      FROM z""",
     // per-key cumulative windows over the distinct-value relation; the
     // exact integer rank rule cum·100 ≥ n·p — no interpolation
     "q240_exact_percentiles" -> """

@@ -242,6 +242,26 @@ class ChecksSpec extends SparkSuite {
     assert(const._4 == 0.0 && const._5.isEmpty, s"got $const")
   }
 
+  test("proportionTest: hand pooled z, symmetric sign flip, zero-variance pools null") {
+    import spark.implicits._
+    def run(a: Seq[Boolean], b: Seq[Boolean]) =
+      graft.operators.Checks.proportionTest(
+        a.toDF("ok"), b.toDF("ok"), "ok")
+        .as[(Long, Long, Long, Long, Double, Double, Option[Double], Boolean)].head()
+    val a = Seq.fill(8)(true) ++ Seq.fill(2)(false)
+    val b = Seq.fill(2)(true) ++ Seq.fill(8)(false)
+    val r = run(a, b)
+    // p̂ = 0.5 pooled: z = 0.6/√(0.25·0.2) = 2.683282, significant
+    assert((r._1, r._2, r._3, r._4, r._5, r._6) == ((10L, 8L, 10L, 2L, 0.8, 0.2)))
+    assert(math.abs(r._7.get - 2.683282) < 1e-6 && r._8, s"got $r")
+    // swapping sides flips the sign, same magnitude and verdict
+    val s = run(b, a)
+    assert(math.abs(s._7.get + r._7.get) < 1e-9 && s._8, s"got $s")
+    // all-failure and all-success pools have zero variance → null, false
+    assert(run(Seq(false, false), Seq(false))._7.isEmpty)
+    assert(!run(Seq(true, true), Seq(true))._8)
+  }
+
   test("calibrationTable: hand bins, top-edge clamp, out-of-range rows excluded") {
     import spark.implicits._
     val rows = Seq((0.05, false), (0.15, true), (0.95, true), (1.0, true),

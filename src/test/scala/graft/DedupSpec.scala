@@ -425,6 +425,26 @@ class DedupSpec extends SparkSuite {
     assert(m.getAs[Long]("dropped_buckets") == 1L, s"hot bucket count: $m")
   }
 
+  test("incrementalComponents: merge ≡ full recompute; untouched and singleton labels survive") {
+    import spark.implicits._
+    // old graph: {1,2,3} (via 1-2, 2-3) and {7,8}; 9 is a label singleton
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L))
+      .toDF("node", "component")
+    // batch: bridges 3-7 (merges two components), introduces 10-11
+    val batch = Seq((3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.incrementalComponents(labels, batch, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 8L -> 1L,
+      9L -> 9L, 10L -> 10L, 11L -> 10L)
+    assert(got == want, s"got $got")
+    // ≡ full recompute over (old edges ∪ batch): same labels for every
+    // pair-connected node; 9 is the one node only the labels remember
+    val full = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b"),
+      "id_a", "id_b").as[(Long, Long)].collect().toMap
+    assert(got - 9L == full, s"incremental ${got - 9L} vs full $full")
+  }
+
   test("chainAudit: open path flagged, triangle fully closed, reversed/dup input pairs collapse") {
     import spark.implicits._
     def audit(ps: Seq[(Long, Long)]) =
