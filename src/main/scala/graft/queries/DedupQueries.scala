@@ -218,12 +218,16 @@ object DedupQueries {
     * for an incremental operator, made by the oracle itself.
     */
   def q243_incremental_cc: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val oldPairs = Dedup.jaccardPairs(docs.filter(col("doc_id") % 3 =!= 0),
-      "doc_id", "text", shingleK = 3, threshold = 0.6)
-    val labels = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
-    val newPairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        shingleK = 3, threshold = 0.6)
+    // pairwise Jaccard is corpus-independent, so the old slice's pair
+    // graph IS the full pair graph restricted to old endpoints — one
+    // shingle→pair pass (snapshotted) feeds both eras
+    val allPairs = graft.operators.Stage.snapshotDF(
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.6))
+    val labels = Dedup.connectedComponents(
+      allPairs.filter(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0),
+      "id_a", "id_b")
+    val newPairs = allPairs
       .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
     Dedup.incrementalComponents(labels, newPairs, "id_a", "id_b")
       .groupBy("component").agg(count(lit(1)).as("n_members"))
