@@ -234,6 +234,79 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** The snapshotted (component, doc_id, n_chars) relation behind the
+    * q245/q246 survivor analyses — q80's components joined to doc sizes,
+    * cluster-sized, derived once per query.
+    */
+  private def clusterDocBase(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.6),
+      "id_a", "id_b")
+    graft.operators.Stage.snapshotDF(
+      cc.join(docs.select("doc_id", "n_chars"), cc("node") === col("doc_id"))
+        .select(col("component"), col("doc_id"), col("n_chars")))
+  }
+
+  /** q245 — survivor-policy divergence: over q80's clusters, how often
+    * does keep-LONGEST pick a different representative than
+    * keep-MIN-ID, and how many chars does the longest policy retain
+    * that min-id throws away — the policy A/B run before the
+    * destructive keep-one step commits. Deterministic picks: longest =
+    * (n_chars desc, doc_id asc), min-id = doc_id asc; cluster-sized
+    * windows off the shared component/doc snapshot.
+    */
+  def q245_survivor_policy: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val c = clusterDocBase(s, dir)
+    val byLong = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val byMin = Window.partitionBy("component").orderBy(col("doc_id").asc)
+    val reps = c
+      .withColumn("__rl", row_number().over(byLong))
+      .withColumn("__rm", row_number().over(byMin))
+    val long = reps.filter(col("__rl") === 1)
+      .select(col("component"), col("doc_id").as("rep_long"),
+        col("n_chars").as("chars_long"))
+    val mn = reps.filter(col("__rm") === 1)
+      .select(col("component"), col("doc_id").as("rep_min"),
+        col("n_chars").as("chars_min"))
+    long.join(mn, "component")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("rep_long") =!= col("rep_min"), 1L).otherwise(0L))
+          .as("n_diverging"),
+        sum(col("chars_long") - col("chars_min")).as("extra_chars_kept"))
+      .select(col("n_clusters"), col("n_diverging"),
+        (round(col("n_diverging").cast("double") /
+          col("n_clusters").cast("double"), 6) + lit(0.0)).as("divergence_share"),
+        col("extra_chars_kept"))
+  }
+
+  /** q246 — dedup ROI: what a keep-longest pass over q80's clusters
+    * actually buys — clustered docs/chars, chars kept, chars removed,
+    * and the removed share of the WHOLE corpus (singletons keep
+    * everything and enter only through the corpus totals). The number
+    * that decides whether the dedup pass is worth its runtime, computed
+    * before anything is deleted.
+    */
+  def q246_dedup_roi: Q = (s, dir) => {
+    val c = clusterDocBase(s, dir)
+    val perCluster = c.groupBy("component")
+      .agg(count(lit(1)).as("__n"), sum("n_chars").as("__chars"),
+        max("n_chars").as("__kept"))
+    val corpus = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("corpus_chars"))
+    perCluster
+      .agg(count(lit(1)).as("n_clusters"), sum("__n").as("n_clustered_docs"),
+        sum("__chars").as("clustered_chars"),
+        sum(col("__chars") - col("__kept")).as("removed_chars"))
+      .crossJoin(broadcast(corpus))
+      .select(col("n_docs"), col("n_clustered_docs"), col("n_clusters"),
+        col("corpus_chars"), col("clustered_chars"), col("removed_chars"),
+        (round(col("removed_chars").cast("double") /
+          col("corpus_chars").cast("double"), 6) + lit(0.0)).as("removed_share"))
+  }
+
   /** q242 — chaining-risk audit ([[Dedup.chainAudit]]) of the q80 pair
     * graph: the share of wedge pairs (connected through a shared
     * near-dup) that are NOT near-dups themselves — exactly the pairs
@@ -552,6 +625,8 @@ object DedupQueries {
     "q237_cluster_census" -> q237_cluster_census,
     "q242_chain_audit" -> q242_chain_audit,
     "q243_incremental_cc" -> q243_incremental_cc,
+    "q245_survivor_policy" -> q245_survivor_policy,
+    "q246_dedup_roi" -> q246_dedup_roi,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
     "q90_jaccard_prefix" -> q90_jaccard_prefix,
@@ -827,6 +902,68 @@ object DedupQueries {
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
       ORDER BY 1, 2""",
+    // deterministic per-cluster picks (longest vs min-id) off the
+    // closure + doc sizes; census of where the policies disagree
+    "q245_survivor_policy" -> raw"""
+      WITH RECURSIVE $OraclePairGraph,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      c AS (SELECT component, doc_id, n_chars
+            FROM lab JOIN documents ON node = doc_id),
+      rl AS (SELECT component, doc_id AS rep_long, n_chars AS chars_long FROM
+               (SELECT *, row_number() OVER (PARTITION BY component
+                  ORDER BY n_chars DESC, doc_id ASC) AS rn FROM c)
+             WHERE rn = 1),
+      rm AS (SELECT component, doc_id AS rep_min, n_chars AS chars_min FROM
+               (SELECT *, row_number() OVER (PARTITION BY component
+                  ORDER BY doc_id ASC) AS rn FROM c)
+             WHERE rn = 1)
+      SELECT CAST(count(1) AS BIGINT) AS n_clusters,
+             CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_diverging,
+             round(CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(1), 6) + CAST(0 AS DOUBLE)
+               AS divergence_share,
+             CAST(sum(chars_long - chars_min) AS BIGINT) AS extra_chars_kept
+      FROM rl JOIN rm USING (component)""",
+    // keep-longest ROI off the same closure; singletons enter through
+    // the corpus totals only
+    "q246_dedup_roi" -> raw"""
+      WITH RECURSIVE $OraclePairGraph,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      c AS (SELECT component, doc_id, n_chars
+            FROM lab JOIN documents ON node = doc_id),
+      pc AS (SELECT component, CAST(count(1) AS BIGINT) AS n,
+                    CAST(sum(n_chars) AS BIGINT) AS chars,
+                    CAST(max(n_chars) AS BIGINT) AS kept
+             FROM c GROUP BY 1),
+      agg AS (SELECT CAST(count(1) AS BIGINT) AS n_clusters,
+                     CAST(sum(n) AS BIGINT) AS n_clustered_docs,
+                     CAST(sum(chars) AS BIGINT) AS clustered_chars,
+                     CAST(sum(chars - kept) AS BIGINT) AS removed_chars
+              FROM pc),
+      corpus AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS corpus_chars
+                 FROM documents)
+      SELECT n_docs, n_clustered_docs, n_clusters, corpus_chars,
+             clustered_chars, removed_chars,
+             round(CAST(removed_chars AS DOUBLE) /
+               CAST(corpus_chars AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+               AS removed_share
+      FROM agg CROSS JOIN corpus""",
     // the FULL transitive closure — the incremental path must land
     // exactly on it (the q80 census oracle verbatim)
     "q243_incremental_cc" -> raw"""
