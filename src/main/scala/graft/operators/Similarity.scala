@@ -277,6 +277,53 @@ object Similarity {
       .drop("__scored")
   }
 
+  /** IVF tuning curve: recall@k against the exact top-k AND the scanned
+    * corpus fraction, one row per `nprobe` — the recall-vs-cost frontier
+    * an ANN deployment is actually tuned on (q111/q120 audit single
+    * settings; a curve shows where the knee is). One assignment pass and
+    * one exact pass are SHARED across every probe setting (snapshotted);
+    * each curve point then costs only a cell filter + a k-row cut, so
+    * the whole sweep is ~2 corpus passes, not |nprobes|+1.
+    */
+  def ivfProbeCurve(
+      embeddings: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      query: Seq[Double],
+      k: Int,
+      nprobes: Seq[Int],
+      excludeVecId: Option[Long] = None): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), s"bad nprobes $nprobes")
+    val flat = Stage.snapshotDF(
+      bruteForceTopK(embeddings, query, k, excludeVecId).select(col("vec_id")))
+    val assigned = Stage.snapshotDF(
+      ivfAssign(embeddings, cents).select(col("vec_id"), col("centroid_id"), col("__v")))
+    val total = assigned.agg(count(lit(1)).as("__nv"))
+    val ranked = cents.map { case (cid, v) => (cid, cosSeq(v, query)) }
+      .sortBy { case (cid, s) => (-s, cid) }.map(_._1)
+    val qc = array(query.map(lit): _*)
+    val rows = nprobes.map { np =>
+      val probeIds = ranked.take(np).toSeq
+      val cells = assigned.filter(col("centroid_id").isin(probeIds: _*))
+      val scanned = cells.agg(count(lit(1)).as("n_scanned"))
+      val base = excludeVecId.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+      val hits = base.withColumn("sim", cosine(col("__v"), qc))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
+        .join(flat, "vec_id")
+        .agg(count(lit(1)).as("hits"))
+      scanned.crossJoin(broadcast(hits))
+        .select(lit(np).as("nprobe"), col("n_scanned"), col("hits"))
+    }
+    rows.reduce(_.unionByName(_))
+      .crossJoin(broadcast(total))
+      .select(col("nprobe"), col("n_scanned"),
+        (round(col("n_scanned").cast("double") / col("__nv").cast("double"), 6)
+          + lit(0.0)).as("scan_frac"),
+        col("hits"),
+        (round(col("hits").cast("double") / lit(k.toDouble), 6) + lit(0.0))
+          .as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** ANN top-k via IVF: score only vectors whose centroid is among the
     * `nprobe` centroids closest to the query.
     */

@@ -34,6 +34,20 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id").asc)
   }
 
+  /** q247 — IVF recall-vs-probe curve ([[Similarity.ivfProbeCurve]]):
+    * recall@10 against the exact top-10 and the scanned corpus fraction
+    * at nprobe ∈ {1, 2, 4, 8, 16} — the tuning frontier behind q48's
+    * single setting. One shared assignment pass + one exact pass; each
+    * curve point is a cell filter + k-row cut.
+    */
+  def q247_ivf_probe_curve: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.centroids(emb, 16)
+    val q = Similarity.queryVector(emb, QueryVecId)
+    Similarity.ivfProbeCurve(emb, cents, q, k = 10,
+      nprobes = Seq(1, 2, 4, 8, 16), excludeVecId = Some(QueryVecId))
+  }
+
   /** q188 — late-interaction (MaxSim) top-10
     * ([[Similarity.maxSimTopK]]): the query and every document read as 4
     * contiguous 16-dim sub-vectors; score = Σ over query sub-vectors of
@@ -517,6 +531,7 @@ object SimilarityQueries {
     "q83_lsh_det" -> q83_lsh_det,
     "q47_cosine_range" -> q47_cosine_range,
     "q48_ivf_topk" -> q48_ivf_topk,
+    "q247_ivf_probe_curve" -> q247_ivf_probe_curve,
     "q88_ivf_refined" -> q88_ivf_refined,
     "q144_kmeans" -> q144_kmeans,
     "q49_lsh_buckets" -> q49_lsh_buckets)
@@ -552,7 +567,52 @@ object SimilarityQueries {
               FROM code c JOIN lut l ON l.s = c.s AND l.cw = c.cw
               GROUP BY 1)"""
 
+  /** The q247 oracle: shared assignment/exact/probe-rank CTEs, one
+    * UNION ALL leg per probe setting (built by loop so the legs cannot
+    * drift), each leg a cell filter + k-cut + flat intersection.
+    */
+  private def ivfProbeCurveOracle(k: Int, nprobes: Seq[Int]): String = {
+    val legs = nprobes.map { np =>
+      s"""
+      SELECT $np AS nprobe,
+             (SELECT CAST(count(1) AS BIGINT) FROM assign a
+              JOIN pr ON a.cid = pr.cid WHERE pr.prank <= $np) AS n_scanned,
+             (SELECT CAST(count(1) AS BIGINT) FROM (
+                SELECT a.vec_id FROM assign a
+                JOIN pr ON a.cid = pr.cid CROSS JOIN q
+                WHERE pr.prank <= $np AND a.vec_id <> $QueryVecId
+                ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
+                LIMIT $k) t JOIN flat USING (vec_id)) AS hits"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
+        ORDER BY vec_id LIMIT 16),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
+      pr AS MATERIALIZED (SELECT cid, row_number() OVER (
+              ORDER BY list_cosine_similarity(cv, qv) DESC, cid) AS prank
+            FROM c CROSS JOIN q),
+      assign AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, c) WHERE rn = 1),
+      flat AS MATERIALIZED (
+        SELECT vec_id FROM e CROSS JOIN q WHERE vec_id <> $QueryVecId
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT $k),
+      nv AS (SELECT CAST(count(1) AS BIGINT) AS nv FROM e),
+      curve AS ($legs)
+      SELECT nprobe, n_scanned,
+             round(CAST(n_scanned AS DOUBLE) / nv, 6) + CAST(0 AS DOUBLE)
+               AS scan_frac,
+             hits,
+             round(CAST(hits AS DOUBLE) / $k, 6) + CAST(0 AS DOUBLE) AS recall
+      FROM curve CROSS JOIN nv ORDER BY nprobe"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q247_ivf_probe_curve" -> ivfProbeCurveOracle(10, Seq(1, 2, 4, 8, 16)),
     "q144_kmeans" -> kmeansOracle(3),
     "q127_rq_topk" -> s"""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -458,4 +458,21 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getInt(1), r.getLong(2)))
     assert(got.toSeq == Seq((1, 101L), (2, 103L)), s"got ${got.toSeq}")
   }
+
+  test("ivfProbeCurve: a cross-cell neighbor is missed at nprobe=1 and recovered at 2") {
+    import spark.implicits._
+    // cells: x-axis (0) and y-axis (1). Query (1,0); true top-2 = id1
+    // (same cell) and id2 (OTHER cell) — the single-probe miss the curve
+    // exists to expose.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f), 0),
+      (2L, Seq(0.1f, 0.99f), 0)).toDF("vec_id", "embedding", "label")
+    val cents = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val got = Similarity.ivfProbeCurve(rows, cents, Seq(1.0, 0.0), k = 2,
+        nprobes = Seq(1, 2), excludeVecId = Some(0L))
+      .as[(Int, Long, Double, Long, Double)].collect().toList
+    val want = List((1, 2L, 0.666667, 1L, 0.5), (2, 3L, 1.0, 2L, 1.0))
+    assert(got == want, s"got $got")
+  }
 }
