@@ -248,6 +248,33 @@ object DedupQueries {
         .select(col("component"), col("doc_id"), col("n_chars")))
   }
 
+  /** q248 — dedup threshold sweep: pair counts and cluster structure at
+    * J ∈ {0.5 … 0.9} from ONE exact pair pass (scores computed once at
+    * the lowest threshold, re-cut on the emitted 4-decimal contract) —
+    * the table a dedup threshold is actually chosen from: pairs
+    * collapse, clusters split, and the max cluster (the chaining
+    * symptom) shrinks as t rises. Five CC runs on the pair-graph-sized
+    * slices; the corpus is shingled once.
+    */
+  def q248_threshold_sweep: Q = (s, dir) => {
+    val pairs = Stage.snapshotDF(Dedup.jaccardPairs(Tables.documents(s, dir),
+      "doc_id", "text", shingleK = 3, threshold = 0.5))
+    val rows = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { t =>
+      val pt = Stage.snapshotDF(
+        pairs.filter(col("jaccard") >= t).select("id_a", "id_b"))
+      val sizes = Dedup.connectedComponents(pt, "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("__sz"))
+      pt.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(sizes.agg(
+          count(lit(1)).as("n_clusters"),
+          coalesce(sum("__sz"), lit(0L)).as("n_docs_clustered"),
+          coalesce(max("__sz"), lit(0L)).as("max_cluster"))))
+        .select(lit(t).as("threshold"), col("n_pairs"), col("n_clusters"),
+          col("n_docs_clustered"), col("max_cluster"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("threshold")
+  }
+
   /** q245 — survivor-policy divergence: over q80's clusters, how often
     * does keep-LONGEST pick a different representative than
     * keep-MIN-ID, and how many chars does the longest policy retain
@@ -626,6 +653,7 @@ object DedupQueries {
     "q242_chain_audit" -> q242_chain_audit,
     "q243_incremental_cc" -> q243_incremental_cc,
     "q245_survivor_policy" -> q245_survivor_policy,
+    "q248_threshold_sweep" -> q248_threshold_sweep,
     "q246_dedup_roi" -> q246_dedup_roi,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
@@ -902,6 +930,56 @@ object DedupQueries {
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
       ORDER BY 1, 2""",
+    // one scored pair pass re-cut on the 4-decimal contract; a closure
+    // leg per threshold, built by loop so the legs cannot drift
+    "q248_threshold_sweep" -> {
+      val legs = Seq(("05", "0.5"), ("06", "0.6"), ("07", "0.7"),
+        ("08", "0.8"), ("09", "0.9")).map { case (i, t) =>
+        raw"""
+      e$i AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pj WHERE j >= $t
+        UNION SELECT id_b, id_a FROM pj WHERE j >= $t),
+      r$i(src, dst) AS (
+        SELECT src, dst FROM e$i
+        UNION
+        SELECT r.src, e.dst FROM r$i r JOIN e$i e ON r.dst = e.src),
+      l$i AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS comp
+             FROM r$i GROUP BY 1)"""
+      }.mkString(",")
+      val sels = Seq(("05", "0.5"), ("06", "0.6"), ("07", "0.7"),
+        ("08", "0.8"), ("09", "0.9")).map { case (i, t) =>
+        s"""
+      SELECT CAST($t AS DOUBLE) AS threshold,
+             (SELECT CAST(count(1) AS BIGINT) FROM pj WHERE j >= $t) AS n_pairs,
+             (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM l$i) AS n_clusters,
+             (SELECT CAST(count(1) AS BIGINT) FROM l$i) AS n_docs_clustered,
+             (SELECT coalesce(CAST(max(cnt) AS BIGINT), 0) FROM
+                (SELECT count(1) AS cnt FROM l$i GROUP BY comp)) AS max_cluster"""
+      }.mkString(" UNION ALL ")
+      raw"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      sizes AS (SELECT doc_id, count(1) AS sz FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pj AS MATERIALIZED (
+        SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS j
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5),
+      $legs
+      SELECT * FROM ($sels) ORDER BY threshold"""
+    },
     // deterministic per-cluster picks (longest vs min-id) off the
     // closure + doc sizes; census of where the policies disagree
     "q245_survivor_policy" -> raw"""
