@@ -51,4 +51,35 @@ class StreamingTransitionsSpec extends SparkSuite {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(streamCounts == batch, s"stream $streamCounts vs batch $batch")
   }
+
+  test("streamed trigrams across batch boundaries ≡ the batch trigram counts; gaps break both hops") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 7's a→b→a closes a trigram at id 3; the 2h gap kills both the
+    // (b,a,·) and (a,·,·) paths through id 4; a fresh a→b after the gap
+    // has only ONE in-gap hop so no trigram; a third event at 02:02
+    // completes the post-gap path
+    val evs = events :+ CatEvent("7", Timestamp.valueOf("2024-01-01 02:02:00"), 7L, "c")
+    val mem = MemoryStream[CatEvent]
+    val q = StreamingTransitions.trigrams(mem.toDS(), gapMs = 3600 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("tri").start()
+    // slice size 2 splits every trigram's endpoints across batches
+    evs.sortBy(_.id).grouped(2).foreach { s =>
+      mem.addData(s: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("tri")
+      .as[(String, Long, String, String, String)].collect()
+    assert(streamed.map(_._2).sorted.toSeq == Seq(3L, 7L),
+      s"trigram ids: ${streamed.toSeq}")
+    val streamCounts = streamed.groupBy(h => (h._3, h._4, h._5))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = Sessionize.sessionTrigrams(
+        evs.map(e => (e.key, e.ts, e.id, e.category))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type",
+        gapMs = 3600 * 1000, topN = 100)
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(streamCounts == batch, s"stream $streamCounts vs batch $batch")
+  }
 }
