@@ -624,9 +624,13 @@ object TimeSeries {
       series: DataFrame, instantCol: String, valCol: String,
       maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    // a null instant pairs nothing, but a null VALUE would skew the
+    // ExactCorr m-vs-sums balance — both are outside the series by
+    // contract
     val s = Stage.snapshotDF(series.select(
       col(instantCol).cast("long").as("__t"),
-      col(valCol).cast(ExactCorr.dec).as("__x")))
+      col(valCol).cast(ExactCorr.dec).as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull))
     val lagged = s.withColumn("lag",
       explode(array((1 to maxLag).map(k => lit(k)): _*)))
     val pairs = lagged.as("a").join(s.as("b"),
