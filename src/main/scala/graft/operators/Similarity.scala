@@ -175,6 +175,30 @@ object Similarity {
       .na.fill(0L, Seq("n_a", "n_b"))
   }
 
+  /** Cross-group semantic similarity matrix: pairwise cosine between
+    * per-group centroids (computed on the SUM vectors — cosine is
+    * scale-invariant, so no division by counts ever happens, the
+    * [[embeddingDrift]] algebra applied across groups instead of across
+    * snapshots) — the data-card "which sources say the same things" map
+    * read before a mixing plan treats sources as distinct. One
+    * corpus-sized component aggregation; the pair join runs on the
+    * (groups × dim)-sized sum relation.
+    */
+  def centroidSimilarityMatrix(df: DataFrame, groupCol: String): DataFrame = {
+    val comp = Stage.snapshotDF(df
+      .select(col(groupCol).as("__g"),
+        posexplode(toDoubleArray(col("embedding"))).as(Seq("__p", "__x")))
+      .groupBy("__g", "__p").agg(sum("__x").as("__s")))
+    comp.as("a").join(comp.as("b"),
+        col("a.__p") === col("b.__p") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg((round(sum(col("a.__s") * col("b.__s")) /
+        (sqrt(sum(col("a.__s") * col("a.__s"))) *
+          sqrt(sum(col("b.__s") * col("b.__s")))), 6) + lit(0.0))
+        .as("centroid_cosine"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Matryoshka-style truncated-dimension cosine top-k: score on the
     * FIRST `dims` components only (Kusupati et al. 2022 — MRL-trained
     * embeddings concentrate meaning in the prefix, so a prefix scan reads

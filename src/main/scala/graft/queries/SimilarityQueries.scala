@@ -34,6 +34,15 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id").asc)
   }
 
+  /** q249 — cross-label semantic map
+    * ([[Similarity.centroidSimilarityMatrix]]): pairwise centroid cosine
+    * between embedding labels — the data-card "which slices say the same
+    * things" matrix beside q185's cross-snapshot drift (same sum-vector
+    * algebra, across groups instead of eras).
+    */
+  def q249_centroid_matrix: Q = (s, dir) =>
+    Similarity.centroidSimilarityMatrix(Tables.embeddings(s, dir), "label")
+
   /** q247 — IVF recall-vs-probe curve ([[Similarity.ivfProbeCurve]]):
     * recall@10 against the exact top-10 and the scanned corpus fraction
     * at nprobe ∈ {1, 2, 4, 8, 16} — the tuning frontier behind q48's
@@ -532,6 +541,7 @@ object SimilarityQueries {
     "q47_cosine_range" -> q47_cosine_range,
     "q48_ivf_topk" -> q48_ivf_topk,
     "q247_ivf_probe_curve" -> q247_ivf_probe_curve,
+    "q249_centroid_matrix" -> q249_centroid_matrix,
     "q88_ivf_refined" -> q88_ivf_refined,
     "q144_kmeans" -> q144_kmeans,
     "q49_lsh_buckets" -> q49_lsh_buckets)
@@ -1128,6 +1138,20 @@ object SimilarityQueries {
       ORDER BY vec_id""",
     // centroid cosine per label: cosine of the component SUMS (≡ cosine
     // of means); the 1.25 rescale runs in DOUBLE on both engines
+    // q185's sum-vector centroid algebra joined across label pairs
+    "q249_centroid_matrix" -> """
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      comp AS MATERIALIZED (
+        SELECT label AS g, u.p AS p, sum(u.x) AS s FROM
+          (SELECT label, unnest(list_transform(range(1, len(v) + 1),
+             i -> struct_pack(p := i, x := v[i::INT]))) AS u FROM e)
+        GROUP BY 1, 2)
+      SELECT a.g AS group_a, b.g AS group_b,
+             round(sum(a.s * b.s) /
+               (sqrt(sum(a.s * a.s)) * sqrt(sum(b.s * b.s))), 6)
+               + CAST(0 AS DOUBLE) AS centroid_cosine
+      FROM comp a JOIN comp b ON a.p = b.p AND a.g < b.g
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "q185_embedding_drift" -> s"""
       WITH av AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
                   WHERE vec_id % 97 <> 0),

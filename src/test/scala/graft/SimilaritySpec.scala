@@ -459,6 +459,18 @@ class SimilaritySpec extends SparkSuite {
     assert(got.toSeq == Seq((1, 101L), (2, 103L)), s"got ${got.toSeq}")
   }
 
+  test("centroidSimilarityMatrix: orthogonal groups 0, parallel groups 1, scale-invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(2.0f, 0.0f), 2)) // parallel to group 0 at twice the scale
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidSimilarityMatrix(rows, "label")
+      .as[(Int, Int, Double)].collect().toList
+    assert(got == List((0, 1, 0.0), (0, 2, 1.0), (1, 2, 0.0)), s"got $got")
+  }
+
   test("ivfProbeCurve: a cross-cell neighbor is missed at nprobe=1 and recovered at 2") {
     import spark.implicits._
     // cells: x-axis (0) and y-axis (1). Query (1,0); true top-2 = id1
