@@ -330,30 +330,7 @@ object Checks {
         (col("n_violating_rows") === 0L).as("fd_holds"))
   }
 
-  /** Exact two-sample Kolmogorov–Smirnov drift statistic — the bin-free
-    * member of the drift family ([[populationStability]] commits to bins
-    * up front and is blind to shifts INSIDE a bin; JS/centroid drift are
-    * categorical/embedding-space):
-    *
-    *   KS = max_v |F_a(v) − F_b(v)|
-    *
-    * over the pooled observed values, with the classic two-sample 95%
-    * critical value 1.358·√((n_a+n_b)/(n_a·n_b)) and a verdict. Also
-    * emits the SMALLEST value attaining the max — where the
-    * distributions pull apart.
-    *
-    * The global CDF needs a total order, but NOT a single partition: per
-    * side, values pre-aggregate to (value, count) — one corpus-sized
-    * shuffle each — then the pooled distinct-value relation is
-    * range-partitioned and each partition computes a LOCAL prefix sum;
-    * the global prefix is local + the broadcast prefix-of-partition-
-    * totals offset (the textbook distributed scan). The result is
-    * invariant to where the range boundaries land (equal values never
-    * split across ranges), so the sampled partitioner cannot perturb it;
-    * all counts are exact integers, each CDF value ONE division of exact
-    * integers, |diff| comparisons exact.
-    */
-  /** Two-sample proportion z-test (pooled): is the success rate of slice
+    /** Two-sample proportion z-test (pooled): is the success rate of slice
     * A different from slice B beyond what sampling noise explains —
     * the A/B gate behind "did the new filter change the en-share" /
     * "is conversion different for this cohort".
@@ -597,6 +574,29 @@ object Checks {
         .as("gini"))
   }
 
+/** Exact two-sample Kolmogorov–Smirnov drift statistic — the bin-free
+    * member of the drift family ([[populationStability]] commits to bins
+    * up front and is blind to shifts INSIDE a bin; JS/centroid drift are
+    * categorical/embedding-space):
+    *
+    *   KS = max_v |F_a(v) − F_b(v)|
+    *
+    * over the pooled observed values, with the classic two-sample 95%
+    * critical value 1.358·√((n_a+n_b)/(n_a·n_b)) and a verdict. Also
+    * emits the SMALLEST value attaining the max — where the
+    * distributions pull apart.
+    *
+    * The global CDF needs a total order, but NOT a single partition: per
+    * side, values pre-aggregate to (value, count) — one corpus-sized
+    * shuffle each — then the pooled distinct-value relation is
+    * range-partitioned and each partition computes a LOCAL prefix sum;
+    * the global prefix is local + the broadcast prefix-of-partition-
+    * totals offset (the textbook distributed scan). The result is
+    * invariant to where the range boundaries land (equal values never
+    * split across ranges), so the sampled partitioner cannot perturb it;
+    * all counts are exact integers, each CDF value ONE division of exact
+    * integers, |diff| comparisons exact.
+    */
   def ksDrift(
       a: DataFrame, b: DataFrame, valueCol: String,
       rangePartitions: Int = 32): DataFrame = {

@@ -72,9 +72,17 @@ object CountMin {
     val dec = "decimal(38,0)"
     val a = cmsA.select(col("r"), col("col"), col("n").cast(dec).as("__na"))
     val b = cmsB.select(col("r"), col("col"), col("n").cast(dec).as("__nb"))
-    a.join(b, Seq("r", "col"))
+    // the min must range over ALL d rows: a row with no overlapping cells
+    // has inner product 0 (disjoint key sets), and dropping it from the
+    // min — as a bare inner-join groupBy would — inflates the estimate
+    // exactly when the join is smallest
+    val rows = cmsA.sparkSession.range(RowParams.size)
+      .select(col("id").cast("int").as("r"))
+    val ip = a.join(b, Seq("r", "col"))
       .groupBy(col("r"))
       .agg(sum(col("__na") * col("__nb")).as("__ip"))
+    rows.join(ip, Seq("r"), "left")
+      .select(coalesce(col("__ip"), lit(0).cast(dec)).as("__ip"))
       .agg(min("__ip").cast(dec).as("join_size_estimate"))
   }
 

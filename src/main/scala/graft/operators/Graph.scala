@@ -666,13 +666,16 @@ object Graph {
     * so centers with degree > `hubCap` are EXCISED from the wedge stage
     * (a hub's neighborhood is near-useless as an overlap signal — it
     * certifies popularity, not affinity — and enumerating it is
-    * quadratic in its degree). Degrees — the Jaccard denominators — stay
-    * exact over the FULL graph, so scores for surviving pairs are exact;
-    * what degrades is only which pairs are seen, a DEFINED approximation
-    * (pairs whose every shared neighbor is a hub disappear) replayable by
-    * any engine from the cap. The excision is observable via the
-    * `graft.wedgeGuard` metric (`hot_nodes`, `skipped_wedges` in exact
-    * decimal) — the no-silent-caps convention.
+    * quadratic in its degree). The excision is a DEFINED approximation
+    * replayable by any engine from the cap, and it degrades TWO things:
+    * pairs whose every shared neighbor is a hub disappear, and a
+    * surviving pair's `common_neighbors` (hence the Jaccard NUMERATOR)
+    * counts COLD shared neighbors only — it is "overlap through
+    * non-hub neighbors", not full overlap. Only the degrees — the
+    * Jaccard denominators — stay exact over the FULL graph. The
+    * excision is observable via the `graft.wedgeGuard` metric
+    * (`hot_nodes`, `skipped_wedges` in exact decimal) — the
+    * no-silent-caps convention.
     */
   def linkPrediction(
       edges: DataFrame,

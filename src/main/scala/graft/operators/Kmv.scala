@@ -55,14 +55,21 @@ object Kmv {
     * sketch streamable / shardable with no special merge logic.
     */
   def partial(df: DataFrame, keyCol: String, k: Int): DataFrame =
-    df.select(finalizedHash(keyCol).as("h")).distinct()
+    df.select(finalizedHash(keyCol).as("h"))
+      .filter(col("h").isNotNull) // null keys are outside the domain —
+      // ascending-sort-first nulls would waste sketch slots otherwise
+      .distinct()
       .orderBy(col("h").asc).limit(k)
 
   /** Estimate columns from a (possibly merged) distinct-hash relation:
     * (n_kept, kth_hash, n_hashes, estimate). `hashes` must carry `h`.
     */
   def estimateFromHashes(hashes: DataFrame, k: Int): DataFrame = {
-    val hashed = Stage.snapshotDF(hashes.select("h").distinct())
+    // a null hash (null key) would sort FIRST and displace a real k-th
+    // order statistic while count() still tallies it — outside the
+    // domain, like count_distinct's own null treatment in the audit
+    val hashed = Stage.snapshotDF(
+      hashes.select("h").filter(col("h").isNotNull).distinct())
     val stats = hashed.agg(count(lit(1)).as("n_hashes"))
     val est = when(col("n_hashes") < k, col("n_hashes"))
       .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))

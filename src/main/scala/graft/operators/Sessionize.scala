@@ -29,20 +29,6 @@ object Sessionize {
       .drop("__prev_ms", "__brk")
   }
 
-  /** First-order Markov transition matrix over within-session event
-    * sequences: for every consecutive pair inside a session (same user,
-    * inter-event gap ≤ `gapMs` — the [[assign]] break rule, so a session
-    * boundary never fabricates a transition), the count and the
-    * row-normalized probability p(to | from). The behavioral bigram model
-    * behind next-event prediction, funnel diagnosis, and bot detection
-    * (a scraper's transition rows are near-deterministic; a human's are
-    * not).
-    *
-    * Cost shape: ONE user-key shuffle — the lag window rides the
-    * [[assign]] sort — then a |types|²-bounded count and a broadcast-size
-    * row-total join. Probabilities are exact-integer-double divisions
-    * (round 6), counts exact; no float accumulation anywhere.
-    */
   /** The snapshotted within-session transition counts — shared by
     * [[transitionMatrix]] and [[entropyRate]] so the two can never
     * disagree on the gap rule.
@@ -60,6 +46,20 @@ object Sessionize {
       .transform(Stage.snapshotDF) // feeds the row totals AND the output
   }
 
+  /** First-order Markov transition matrix over within-session event
+    * sequences: for every consecutive pair inside a session (same user,
+    * inter-event gap ≤ `gapMs` — the [[assign]] break rule, so a session
+    * boundary never fabricates a transition), the count and the
+    * row-normalized probability p(to | from). The behavioral bigram model
+    * behind next-event prediction, funnel diagnosis, and bot detection
+    * (a scraper's transition rows are near-deterministic; a human's are
+    * not).
+    *
+    * Cost shape: ONE user-key shuffle — the lag window rides the
+    * [[assign]] sort — then a |types|²-bounded count and a broadcast-size
+    * row-total join. Probabilities are exact-integer-double divisions
+    * (round 6), counts exact; no float accumulation anywhere.
+    */
   def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
                        idCol: String, typeCol: String, gapMs: Long): DataFrame = {
     val trans = transitions(events, userCol, tsCol, idCol, typeCol, gapMs)

@@ -463,8 +463,11 @@ object TimeSeries {
       bucketMicros: Long = 3600000000L): DataFrame = {
     require(bucketMicros > 0, s"need bucketMicros > 0, got $bucketMicros")
     val dec = "decimal(38,0)"
+    // a null timestamp would form a phantom bucket the span's max-min
+    // never sees — outside the series by contract (the acf rule)
     val base = Stage.snapshotDF(events.select(col(keyCol).as("__k"),
-      expr(s"unix_micros(`$tsCol`) div ${bucketMicros}L").as("__t")))
+      expr(s"unix_micros(`$tsCol`) div ${bucketMicros}L").as("__t"))
+      .filter(col("__t").isNotNull))
     val span = base.agg((max("__t") - min("__t") + lit(1L)).as("__m"))
     val perBucket = base.groupBy("__k", "__t").agg(count(lit(1)).as("__c"))
     val cD = col("__c").cast(dec)
@@ -511,6 +514,7 @@ object TimeSeries {
         unix_micros(col(tsCol)).as("__us"),
         floor(col(valCol).cast("double") * lit(1e6) + lit(0.5))
           .cast("long").as("__y"))
+      .filter(col("__us").isNotNull && col("__y").isNotNull)
       .withColumn("__xr",
         expr("(__us - min(__us) OVER (PARTITION BY __k)) div 1000000"))
       .select("__k", "__xr", "__y")
@@ -578,7 +582,8 @@ object TimeSeries {
     // snapshot so the caller's corpus-sized groupBy executes once
     val s = Stage.snapshotDF(series.select(
       col(instantCol).cast("long").as("__t"),
-      col(valCol).cast("long").as("__x")))
+      col(valCol).cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull))
     val span = s.agg(min("__t").as("__lo"), max("__t").as("__hi"))
     val inner = sum("__x").over(w.rangeBetween(-(h - 1), h - 1))
     val lo = sum("__x").over(w.rangeBetween(-h, -h))

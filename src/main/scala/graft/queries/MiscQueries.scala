@@ -318,15 +318,7 @@ object MiscQueries {
     graft.operators.Checks.populationStability(ref, cur, "o_totalprice", bins = 10)
   }
 
-  /** q202 — exact two-sample KS drift ([[graft.operators.Checks.ksDrift]])
-    * between the q186 release pair: the bin-free drift statistic (PSI is
-    * blind to shifts inside a bin), with the 95% critical value and the
-    * smallest price where the CDFs pull apart the most. The global CDF
-    * runs as a DISTRIBUTED prefix sum — range-partitioned local scans +
-    * a broadcast partition-offset reconstruction — never a
-    * single-partition window over the value relation.
-    */
-  /** q244 — two-sample proportion z-test
+    /** q244 — two-sample proportion z-test
     * ([[graft.operators.Checks.proportionTest]]): is the finished-order
     * share of URGENT orders different from LOW-priority orders beyond
     * sampling noise — the A/B-gate statistic on exact integer counts,
@@ -388,6 +380,14 @@ object MiscQueries {
     graft.operators.Checks.giniConcentration(
       Tables.documents(s, dir), "n_chars")
 
+/** q202 — exact two-sample KS drift ([[graft.operators.Checks.ksDrift]])
+    * between the q186 release pair: the bin-free drift statistic (PSI is
+    * blind to shifts inside a bin), with the 95% critical value and the
+    * smallest price where the CDFs pull apart the most. The global CDF
+    * runs as a DISTRIBUTED prefix sum — range-partitioned local scans +
+    * a broadcast partition-offset reconstruction — never a
+    * single-partition window over the value relation.
+    */
   def q202_ks_drift: Q = (s, dir) => {
     val o = Tables.orders(s, dir)
     val ref = o.filter(col("o_orderkey") % 97 =!= 0)

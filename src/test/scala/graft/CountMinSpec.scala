@@ -71,5 +71,9 @@ class CountMinSpec extends SparkSuite {
     // width 1 collapses every key into one counter: the estimate is the
     // full cross term ‖a‖₁·‖b‖₁ — the documented overestimate extreme
     assert(jse(a, b, 1) == 16L * 25L)
+    // fully disjoint key sets: every row's inner product is 0 and the
+    // depth-min must SEE those empty rows — 0, never null or inflated
+    val c = countsOf(("zeta", 4L), ("eta", 6L))
+    assert(jse(a, c, 65536) == 0L)
   }
 }

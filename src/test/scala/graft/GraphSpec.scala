@@ -341,8 +341,9 @@ class GraphSpec extends SparkSuite {
   test("linkPrediction: hub wedge excision fires the wedgeGuard metric; denominators stay full-graph") {
     // star: hub 100 — {1..5}, plus true edge (1,2). hubCap=4 excises the
     // hub (deg 5) as a wedge CENTER; the surviving centers only generate
-    // already-adjacent pairs, so the result is empty — but degrees (and so
-    // any surviving pair's Jaccard) would still be full-graph exact.
+    // already-adjacent pairs, so the result is empty. (Degrees — the
+    // Jaccard DENOMINATORS — stay full-graph; a surviving pair's
+    // common-neighbor NUMERATOR counts cold centers only, per contract.)
     val edges = ((1 to 5).map(i => (100L, i.toLong)) :+ (1L, 2L)).toDF("src", "dst")
     val listener = graft.tools.CapMetricsListener.register(spark)
     try {

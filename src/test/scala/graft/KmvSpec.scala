@@ -41,6 +41,17 @@ class KmvSpec extends SparkSuite {
     assert(err < 3.0 / math.sqrt(k), s"rel_error $err")
   }
 
+  test("null keys are outside the domain: no sketch slot, no count, exact audit unchanged") {
+    val withNull = (Seq[java.lang.Long](null) ++ (1L to 500L).map(Long.box))
+      .toDF("key")
+    val clean = (1L to 500L).toDF("key")
+    val a = Kmv.kmvDistinct(withNull, "key", 64)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    val b = Kmv.kmvDistinct(clean, "key", 64)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(a == b, s"null key leaked into the sketch: $a vs $b")
+  }
+
   test("duplicating the input leaves the sketch untouched (union invariance)") {
     val keys = (1L to 2000L)
     val once = run(keys, 32)

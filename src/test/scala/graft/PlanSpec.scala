@@ -901,10 +901,12 @@ class PlanSpec extends SparkSuite {
 
   test("q240: percentile windows ride ONE group-key exchange over the distinct-value relation") {
     val p = plan("q240_exact_percentiles")
-    assert(!p.contains("SinglePartition") || !p.contains("windowspecdefinition()"),
-      "never a global unpartitioned window")
-    assert(p.contains("windowspecdefinition(__k"),
-      s"cumulative counts must partition by the group key:\n${p.take(800)}")
+    // every window spec must be __k-partitioned: an unpartitioned
+    // cumulative window would global-sort the value relation
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.startsWith("__k")),
+      s"non-group-keyed window spec:\n$specs")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
