@@ -175,8 +175,52 @@ object TimeSeriesQueries {
       .orderBy("event_type")
   }
 
+  /** q250 — daily new-vs-returning census: per day the active users,
+    * the NEW users (first-seen that day — one min-per-user aggregate, no
+    * window), and returning = active − new; the growth/retention
+    * headline every product log answers first. Two user-keyed
+    * aggregations, one broadcast-size day join, all-integer output.
+    */
+  def q250_new_vs_returning: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val active = ev.distinct()
+      .groupBy("day").agg(count(lit(1)).as("active_users"))
+    val fresh = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    active.join(fresh, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("active_users") - coalesce(col("new_users"), lit(0L)))
+          .as("returning_users"))
+      .orderBy("day")
+  }
+
+  /** q251 — signup→purchase time-to-convert percentiles: per user the
+    * first signup and the first LATER purchase (conversions only), the
+    * whole-hour delay, then EXACT p50/p90/p99 of the delay via
+    * [[graft.operators.Checks.exactPercentiles]] — funnel latency as a
+    * contractual number, not a sketch. Two min-aggregates on the user
+    * key; the percentile machinery runs on the conversions-sized
+    * relation.
+    */
+  def q251_time_to_convert: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def firstOf(t: String, as: String) = ev.filter(col("event_type") === t)
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as(as))
+    val delays = firstOf("signup", "__s")
+      .join(firstOf("purchase", "__p"), "user_id")
+      .filter(col("__p") > col("__s"))
+      .select(lit("all").as("cohort"),
+        expr("(__p - __s) div 3600000000").as("hours"))
+    graft.operators.Checks.exactPercentiles(delays, "cohort", "hours",
+      Seq(50, 90, 99))
+  }
+
   val all: Map[String, Q] = Map(
     "q222_acf" -> q222_acf,
+    "q250_new_vs_returning" -> q250_new_vs_returning,
+    "q251_time_to_convert" -> q251_time_to_convert,
     "q226_seasonal" -> q226_seasonal,
     "q227_theil_sen" -> q227_theil_sen,
     "q233_fano" -> q233_fano,
@@ -189,6 +233,40 @@ object TimeSeriesQueries {
     "q193_time_interp" -> q193_time_interp)
 
   val oracle: Map[String, String] = Map(
+    // first-seen via one min-per-user aggregate; integer day buckets
+    "q250_new_vs_returning" -> """
+      WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                  FROM events),
+      act AS (SELECT day, CAST(count(1) AS BIGINT) AS active_users
+              FROM (SELECT DISTINCT user_id, day FROM ev) GROUP BY 1),
+      fr AS (SELECT day, CAST(count(1) AS BIGINT) AS new_users FROM
+               (SELECT user_id, min(day) AS day FROM ev GROUP BY 1)
+             GROUP BY 1)
+      SELECT act.day, active_users,
+             coalesce(new_users, 0) AS new_users,
+             active_users - coalesce(new_users, 0) AS returning_users
+      FROM act LEFT JOIN fr USING (day)
+      ORDER BY 1""",
+    // two first-event aggregates, conversions only, exact rank rule on
+    // the whole-hour delays
+    "q251_time_to_convert" -> """
+      WITH s AS (SELECT user_id, min(epoch_us(ts)) AS su FROM events
+                 WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT user_id, min(epoch_us(ts)) AS pu FROM events
+            WHERE event_type = 'purchase' GROUP BY 1),
+      d AS (SELECT 'all' AS cohort, (pu - su) // 3600000000 AS h
+            FROM s JOIN p USING (user_id) WHERE pu > su),
+      c AS (SELECT cohort, h, CAST(count(1) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+      w AS (SELECT cohort, h,
+                   sum(c) OVER (PARTITION BY cohort ORDER BY h
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER (PARTITION BY cohort) AS n
+            FROM c)
+      SELECT cohort, CAST(max(n) AS BIGINT) AS n_rows,
+             CAST(min(CASE WHEN cum * 100 >= n * 50 THEN h END) AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cum * 100 >= n * 90 THEN h END) AS BIGINT) AS p90,
+             CAST(min(CASE WHEN cum * 100 >= n * 99 THEN h END) AS BIGINT) AS p99
+      FROM w GROUP BY 1""",
     // exact integer (m·Σc² − Σc²)/(m·Σc) over the global hour span;
     // silent hours enter only through m
     "q233_fano" -> """
