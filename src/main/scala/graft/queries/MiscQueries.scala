@@ -318,7 +318,21 @@ object MiscQueries {
     graft.operators.Checks.populationStability(ref, cur, "o_totalprice", bins = 10)
   }
 
-    /** q244 — two-sample proportion z-test
+    /** q252 — semi-structured props extraction: `get_json_object` pulls
+    * the numeric `k` out of the events' JSON props column (the
+    * schema-on-read path every telemetry pipeline walks), then the
+    * exact-percentile rank rule summarizes it per event type — JSON
+    * parsing surfaced as an ORACLE-CHECKED relational query, not just
+    * the NLP pipeline's spec-tested `from_json` internals. Rows whose
+    * props lack `k` have no value and no bin (the q240 null contract).
+    */
+  def q252_props_extract: Q = (s, dir) => {
+    val k = Tables.events(s, dir).select(col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    graft.operators.Checks.exactPercentiles(k, "event_type", "k", Seq(50, 90, 99))
+  }
+
+  /** q244 — two-sample proportion z-test
     * ([[graft.operators.Checks.proportionTest]]): is the finished-order
     * share of URGENT orders different from LOW-priority orders beyond
     * sampling noise — the A/B-gate statistic on exact integer counts,
@@ -1221,6 +1235,7 @@ object MiscQueries {
     "q234_hill_tail" -> q234_hill_tail,
     "q240_exact_percentiles" -> q240_exact_percentiles,
     "q244_proportion_test" -> q244_proportion_test,
+    "q252_props_extract" -> q252_props_extract,
     "q235_entropy_rate" -> q235_entropy_rate,
     "q217_ks_by_group" -> q217_ks_by_group,
     "q218_clustering" -> q218_clustering,
@@ -1515,6 +1530,25 @@ object MiscQueries {
       FROM ex CROSS JOIN st""",
     // canonical a<b edges off the shared sym graph; the q165 triangle
     // enumeration + degree counts, coefficient = tri/(deg·(deg−1)/2)
+    // regex-extracted k (nullif guards empty matches) through the q240
+    // rank rule — JSON reads hash-checked end to end
+    "q252_props_extract" -> raw"""
+      WITH d AS (SELECT event_type AS k0,
+                        CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                          AS BIGINT) AS v
+                 FROM events),
+      c AS (SELECT k0, v, CAST(count(1) AS BIGINT) AS c FROM d
+            WHERE v IS NOT NULL GROUP BY 1, 2),
+      w AS (SELECT k0, v,
+                   sum(c) OVER (PARTITION BY k0 ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER (PARTITION BY k0) AS n
+            FROM c)
+      SELECT k0 AS event_type, CAST(max(n) AS BIGINT) AS n_rows,
+             CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS BIGINT) AS p90,
+             CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99
+      FROM w GROUP BY 1 ORDER BY 1""",
     // exact counts per side; the pooled-z expression mirrored operand
     // for operand; zero-variance pool → null z, false verdict
     "q244_proportion_test" -> """
