@@ -410,4 +410,78 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("gini is in [0, (n−1)/n], 0 iff equal, and invariant under value scaling") {
+    for (trial <- 1 to 8) {
+      val n = 3 + rng.nextInt(40)
+      val vals = Seq.fill(n)(rng.nextInt(500).toLong + 1L)
+      def g(vs: Seq[Long]): Double =
+        graft.operators.Checks.giniConcentration(vs.toDF("v"), "v")
+          .collect().head.getDouble(2)
+      val gv = g(vals)
+      assert(gv >= 0.0 && gv <= (n - 1).toDouble / n + 1e-9, s"trial $trial: $gv")
+      assert(g(vals.map(_ * 7L)) == gv, s"trial $trial: scaling must not move Gini")
+      if (vals.distinct.size == 1) assert(gv == 0.0)
+    }
+  }
+
+  test("acf is invariant under affine value transforms (scale + shift)") {
+    for (trial <- 1 to 5) {
+      val n = 10 + rng.nextInt(30)
+      val s = (0L until n.toLong).map(t => (t, rng.nextInt(1000).toLong))
+      def a(vs: Seq[(Long, Long)]): Seq[(Int, Long, Option[Double])] =
+        graft.operators.TimeSeries.acf(vs.toDF("t", "x"), "t", "x", maxLag = 3)
+          .as[(Int, Long, Option[Double])].collect().toSeq
+      val base = a(s)
+      val affine = a(s.map { case (t, x) => (t, x * 3L + 17L) })
+      assert(base == affine, s"trial $trial:\n$base\nvs\n$affine")
+    }
+  }
+
+  test("theilSen slope is shift-invariant in y and exact on noiseless lines") {
+    for (trial <- 1 to 5) {
+      val slope = 1 + rng.nextInt(5) // units per second
+      val n = 5 + rng.nextInt(20)
+      def pts(shift: Long) = (0 until n).map(i =>
+        ("k", new java.sql.Timestamp(i * 1000L), (slope.toDouble * i + shift)))
+      def run(shift: Long): Double =
+        graft.operators.TimeSeries.theilSen(pts(shift).toDF("k", "t", "v"), "k", "t", "v")
+          .collect().head.getDouble(3)
+      val got = run(0L)
+      assert(got == slope * 86400.0, s"trial $trial: $got vs ${slope * 86400.0}")
+      assert(run(1000L) == got, s"trial $trial: y-shift moved the slope")
+    }
+  }
+
+  test("KMV estimate stays inside 5/√k of truth on random key sets; exact under k") {
+    for (trial <- 1 to 4) {
+      val d = 500 + rng.nextInt(4000)
+      val keys = Seq.fill(d * 2)(rng.nextInt(d).toLong) // dups, ~d distinct
+      val truth = keys.distinct.size
+      val k = 128
+      val row = graft.operators.Kmv.kmvDistinct(keys.toDF("key"), "key", k)
+        .collect().head
+      val est = row.getLong(3)
+      assert(row.getLong(4) == truth)
+      assert(math.abs(est - truth).toDouble / truth < 5.0 / math.sqrt(k),
+        s"trial $trial: est $est vs $truth")
+    }
+    val few = (1L to 50L).toDF("key")
+    val r = graft.operators.Kmv.kmvDistinct(few, "key", 128).collect().head
+    assert(r.getLong(3) == 50L && r.getDouble(5) == 0.0)
+  }
+
+  test("exactPercentiles matches a driver-side sort on random multisets") {
+    for (trial <- 1 to 6) {
+      val n = 1 + rng.nextInt(200)
+      val vals = Seq.fill(n)(rng.nextInt(50).toLong)
+      val got = graft.operators.Checks.exactPercentiles(
+        vals.map(("k", _)).toDF("k", "v"), "k", "v", Seq(50, 90, 99))
+        .as[(String, Long, Long, Long, Long)].head()
+      val sorted = vals.sorted
+      def pick(p: Int) = sorted((p * n + 99) / 100 - 1)
+      assert(got == (("k", n.toLong, pick(50), pick(90), pick(99))),
+        s"trial $trial n=$n: $got vs ${(pick(50), pick(90), pick(99))}")
+    }
+  }
 }
