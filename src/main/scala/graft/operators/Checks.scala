@@ -330,7 +330,74 @@ object Checks {
         (col("n_violating_rows") === 0L).as("fd_holds"))
   }
 
-    /** Two-sample proportion z-test (pooled): is the success rate of slice
+    /** χ²₀.₉₅ critical values for dof 1..30 — driver literals (the Benford
+    * probability convention) shared verbatim by the operator plan and
+    * the oracle's CASE table.
+    */
+  val Chi2Crit95: Seq[Double] = Seq(
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507, 16.919,
+    18.307, 19.675, 21.026, 22.362, 23.685, 24.996, 26.296, 27.587,
+    28.869, 30.144, 31.410, 32.671, 33.924, 35.172, 36.415, 37.652,
+    38.885, 40.113, 41.337, 42.557, 43.773)
+
+  /** χ² test of homogeneity over a 2-column contingency table: is the
+    * distribution of `yCol` the same across `xCol` slices —
+    *
+    *   χ² = Σ_cells (o − e)²/e,  e = rowTot·colTot/n
+    *
+    * — the table-level significance gate completing the association
+    * quartet on a column pair ([[mutualInformation]] raw nats,
+    * [[uncertaintyCoefficient]] normalized, [[functionalDependency]]
+    * exact violations, and THIS: "is the difference beyond sampling
+    * noise"). Per-cell terms evaluate as (o·n − r·c)²/(n·r·c) — the
+    * cross term exact in DECIMAL(38,0) before ONE double square/division
+    * — and are quantized to 1e-9 integers before the global sum (the
+    * q235 posture). dof = (n_x−1)(n_y−1); the 95% verdict reads the
+    * [[Chi2Crit95]] literal table, null beyond dof 30 or at dof 0
+    * (a 1×m table has nothing to test).
+    *
+    * NOTE: cells with o = 0 still contribute e (the homogeneity
+    * definition needs the full r×c grid) — absent cells are
+    * reconstructed from the margins, never silently skipped.
+    */
+  def chiSquareHomogeneity(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val joint = Stage.snapshotDF(
+      df.select(col(xCol).as("x"), col(yCol).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy("x", "y").agg(count(lit(1)).as("o")))
+    val mx = Stage.snapshotDF(joint.groupBy("x").agg(sum("o").as("r")))
+    val my = Stage.snapshotDF(joint.groupBy("y").agg(sum("o").as("c")))
+    val tot = Stage.snapshotDF(joint.agg(sum("o").cast("long").as("n")))
+    // the FULL grid: absent cells enter with o = 0
+    val grid = mx.crossJoin(my)
+      .join(joint, Seq("x", "y"), "left")
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(tot))
+    val d = (col("o").cast(dec) * col("n").cast(dec) -
+      col("r").cast(dec) * col("c").cast(dec)).cast("double")
+    val term = d * d /
+      (col("n").cast("double") * col("r").cast("double") * col("c").cast("double"))
+    val sums = grid.agg(
+      sum(floor(term * lit(1e9) + lit(0.5)).cast("long")).as("__q"),
+      max("n").as("n_rows"))
+    val dims = mx.agg(count(lit(1)).as("n_x"))
+      .crossJoin(broadcast(my.agg(count(lit(1)).as("n_y"))))
+    val dof = (col("n_x") - 1) * (col("n_y") - 1)
+    val chi2 = col("__q").cast("double") / lit(1e9)
+    val crit = Chi2Crit95.zipWithIndex
+      .foldLeft(lit(null).cast("double")) { case (acc, (v, i)) =>
+        when(dof === (i + 1), lit(v)).otherwise(acc)
+      }
+    sums.crossJoin(broadcast(dims))
+      .select(col("n_rows"), col("n_x"), col("n_y"), dof.as("dof"),
+        (round(chi2, 4) + lit(0.0)).as("chi2"),
+        crit.as("crit_95"),
+        when(dof >= 1 && dof <= Chi2Crit95.size, round(chi2, 4) <= crit)
+          .as("homogeneous_95"))
+  }
+
+  /** Two-sample proportion z-test (pooled): is the success rate of slice
     * A different from slice B beyond what sampling noise explains —
     * the A/B gate behind "did the new filter change the en-share" /
     * "is conversion different for this cohort".

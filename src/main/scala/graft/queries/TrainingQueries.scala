@@ -204,6 +204,18 @@ object TrainingQueries {
       "user_id", "ts", "event_id", "event_type",
       gapMs = 12L * 3600 * 1000, topN = 20)
 
+  /** q253 — χ² homogeneity test
+    * ([[graft.operators.Checks.chiSquareHomogeneity]]): is the language
+    * mix the same across sources beyond sampling noise — the
+    * significance member of the (source, lang) association quartet
+    * (q206 MI, q238 U, q209 FD, and this). Full-grid expected counts,
+    * exact decimal cross terms, 1e-9-quantized cell sums, verdict from
+    * the shared dof ≤ 30 critical-value literals.
+    */
+  def q253_chi2_homogeneity: Q = (s, dir) =>
+    graft.operators.Checks.chiSquareHomogeneity(
+      Tables.documents(s, dir), "source", "lang")
+
   /** q238 — uncertainty coefficient
     * ([[graft.operators.Checks.uncertaintyCoefficient]]) U(lang|source):
     * the normalized 0–1 "how much does the source pin down the
@@ -1117,6 +1129,7 @@ object TrainingQueries {
     "q236_session_trigrams" -> q236_session_trigrams,
     "q239_calibration" -> q239_calibration,
     "q238_uncertainty" -> q238_uncertainty,
+    "q253_chi2_homogeneity" -> q253_chi2_homogeneity,
     "q58_packing" -> q58_packing,
     "q59_repetition" -> q59_repetition,
     "q63_entropy" -> q63_entropy,
@@ -2261,6 +2274,43 @@ object TrainingQueries {
         AND p1_ms - p2_ms <= 43200000
       GROUP BY 1, 2, 3
       ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    // full-grid expected counts (absent cells from the margins), exact
+    // HUGEINT cross terms, 1e-9 cell quantization, the SHARED dof→crit
+    // literal table as a CASE
+    "q253_chi2_homogeneity" -> {
+      val arms = graft.operators.Checks.Chi2Crit95.zipWithIndex
+        .map { case (v, i) => s"WHEN dof = ${i + 1} THEN CAST($v AS DOUBLE)" }
+        .mkString(" ")
+      raw"""
+      WITH joint AS MATERIALIZED (
+        SELECT source AS x, lang AS y, CAST(count(1) AS BIGINT) AS o
+        FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1, 2),
+      mx AS MATERIALIZED (SELECT x, CAST(sum(o) AS BIGINT) AS r FROM joint GROUP BY 1),
+      my AS MATERIALIZED (SELECT y, CAST(sum(o) AS BIGINT) AS c FROM joint GROUP BY 1),
+      t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM joint),
+      grid AS (SELECT mx.r AS r, my.c AS c, coalesce(joint.o, 0) AS o
+               FROM mx CROSS JOIN my
+               LEFT JOIN joint ON joint.x = mx.x AND joint.y = my.y),
+      q AS (SELECT sum(CAST(floor(
+              CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE) *
+              CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE) /
+              (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) *
+              1000000000 + 0.5) AS BIGINT)) AS qq,
+              CAST(max(n) AS BIGINT) AS n_rows
+            FROM grid CROSS JOIN t),
+      dims AS (SELECT (SELECT CAST(count(1) AS BIGINT) FROM mx) AS n_x,
+                      (SELECT CAST(count(1) AS BIGINT) FROM my) AS n_y),
+      f AS (SELECT n_rows, n_x, n_y, (n_x - 1) * (n_y - 1) AS dof,
+                   CAST(qq AS DOUBLE) / 1000000000 AS chi2raw
+            FROM q CROSS JOIN dims)
+      SELECT n_rows, n_x, n_y, dof,
+             round(chi2raw, 4) + CAST(0 AS DOUBLE) AS chi2,
+             CASE $arms END AS crit_95,
+             CASE WHEN dof >= 1 AND dof <= 30 THEN
+               round(chi2raw, 4) <= (CASE $arms END) END AS homogeneous_95
+      FROM f"""
+    },
     // shared joint cells feed MI and H(y); per-cell 1e-9 quantization
     // before every sum, one closing exact-integer ratio
     "q238_uncertainty" -> """

@@ -242,6 +242,25 @@ class ChecksSpec extends SparkSuite {
     assert(const._4 == 0.0 && const._5.isEmpty, s"got $const")
   }
 
+  test("chiSquareHomogeneity: perfect separation, exact-proportion zero, dof-0 null verdict") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) =
+      graft.operators.Checks.chiSquareHomogeneity(rows.toDF("x", "y"), "x", "y")
+        .as[(Long, Long, Long, Long, Double, Option[Double], Option[Boolean])].head()
+    // perfectly separated 2×2 with 50/50 margins: χ² = n = 100, dof 1
+    val sep = Seq.fill(50)(("s1", "en")) ++ Seq.fill(50)(("s2", "de"))
+    val a = run(sep)
+    assert(a == ((100L, 2L, 2L, 1L, 100.0, Some(3.841), Some(false))), s"got $a")
+    // identical mixes: every o equals its e exactly → χ² = 0, homogeneous
+    val mix = Seq.fill(30)(("s1", "en")) ++ Seq.fill(10)(("s1", "de")) ++
+      Seq.fill(60)(("s2", "en")) ++ Seq.fill(20)(("s2", "de"))
+    val b = run(mix)
+    assert(b == ((120L, 2L, 2L, 1L, 0.0, Some(3.841), Some(true))), s"got $b")
+    // one source: dof 0 — nothing to test, verdict null not vacuous-true
+    val c = run(Seq.fill(10)(("s1", "en")) ++ Seq.fill(5)(("s1", "de")))
+    assert((c._4, c._5, c._7) == ((0L, 0.0, None)), s"got $c")
+  }
+
   test("proportionTest: hand pooled z, symmetric sign flip, zero-variance pools null") {
     import spark.implicits._
     def run(a: Seq[Boolean], b: Seq[Boolean]) =
