@@ -204,6 +204,66 @@ object TrainingQueries {
       "user_id", "ts", "event_id", "event_type",
       gapMs = 12L * 3600 * 1000, topN = 20)
 
+  /** q254 — cross-source lexical overlap matrix: pairwise vocabulary
+    * Jaccard between sources (|Vₐ∩Vᵦ| / |Vₐ∪Vᵦ| over distinct-token
+    * sets) — the LEXICAL face of q249's semantic (centroid) map: two
+    * sources can share a centroid direction yet almost no vocabulary,
+    * and the pair of matrices separates topical overlap from verbatim
+    * reuse. One (source, token) distinct aggregation; intersections via
+    * a token-keyed self-join of the vocab relation (Σ token-df², df
+    * bounded by the handful of sources); unions from the margins.
+    */
+  def q254_vocab_overlap: Q = (s, dir) => {
+    val vocab = Stage.snapshotDF(
+      graft.operators.Dedup.spread(Tables.documents(s, dir))
+        .select(col("source"),
+          explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .distinct())
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("__n").as("__na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("__n").as("__nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")).cast("double"), 6)
+          + lit(0.0)).as("vocab_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q255 — OOV-rate audit: the share of the NEW slice's vocabulary
+    * (and token mass) unseen in the OLD slice — the cold-start /
+    * tokenizer-coverage number a train–test split answers before anyone
+    * trusts perplexity on the held-out side. Two vocab aggregations,
+    * one left-anti-shaped join, exact integer counts.
+    */
+  def q255_oov_rate: Q = (s, dir) => {
+    val toks = Stage.snapshotDF(
+      graft.operators.Dedup.spread(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          explode_outer(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull))
+    val oldVocab = toks.filter(col("doc_id") % 5 =!= 0).select("tok").distinct()
+    val newToks = Stage.snapshotDF(toks.filter(col("doc_id") % 5 === 0)
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .join(oldVocab.withColumn("__seen", lit(1)), Seq("tok"), "left"))
+    newToks.agg(
+        count(lit(1)).as("new_vocab"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("oov_vocab"),
+        sum("__c").as("new_tokens"),
+        sum(when(col("__seen").isNull, col("__c")).otherwise(0L)).as("oov_tokens"))
+      .select(col("new_vocab"), col("oov_vocab"),
+        (round(col("oov_vocab").cast("double") /
+          col("new_vocab").cast("double"), 6) + lit(0.0)).as("oov_vocab_share"),
+        col("new_tokens"), col("oov_tokens"),
+        (round(col("oov_tokens").cast("double") /
+          col("new_tokens").cast("double"), 6) + lit(0.0)).as("oov_token_share"))
+  }
+
   /** q253 — χ² homogeneity test
     * ([[graft.operators.Checks.chiSquareHomogeneity]]): is the language
     * mix the same across sources beyond sampling noise — the
@@ -1130,6 +1190,8 @@ object TrainingQueries {
     "q239_calibration" -> q239_calibration,
     "q238_uncertainty" -> q238_uncertainty,
     "q253_chi2_homogeneity" -> q253_chi2_homogeneity,
+    "q254_vocab_overlap" -> q254_vocab_overlap,
+    "q255_oov_rate" -> q255_oov_rate,
     "q58_packing" -> q58_packing,
     "q59_repetition" -> q59_repetition,
     "q63_entropy" -> q63_entropy,
@@ -2274,6 +2336,44 @@ object TrainingQueries {
         AND p1_ms - p2_ms <= 43200000
       GROUP BY 1, 2, 3
       ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    // distinct (source, token) relation feeds margins AND intersections
+    "q254_vocab_overlap" -> raw"""
+      WITH v AS MATERIALIZED (
+        SELECT DISTINCT source, tok FROM
+          (SELECT source, unnest($tk) AS tok FROM documents)),
+      sz AS (SELECT source, CAST(count(1) AS BIGINT) AS n FROM v GROUP BY 1),
+      i AS (SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(1) AS BIGINT) AS n_shared
+            FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared,
+             round(CAST(n_shared AS DOUBLE) /
+               CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+               AS vocab_jaccard
+      FROM i
+      JOIN sz sa ON sa.source = source_a
+      JOIN sz sb ON sb.source = source_b
+      ORDER BY 1, 2""",
+    // the 80/20 split replayed; OOV on both the vocab and token-mass axes
+    "q255_oov_rate" -> raw"""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest($tk) AS tok FROM documents),
+      oldv AS (SELECT DISTINCT tok FROM toks WHERE doc_id % 5 <> 0),
+      newc AS (SELECT tok, CAST(count(1) AS BIGINT) AS c FROM toks
+               WHERE doc_id % 5 = 0 GROUP BY 1),
+      j AS (SELECT newc.tok, c, oldv.tok IS NOT NULL AS seen
+            FROM newc LEFT JOIN oldv ON newc.tok = oldv.tok)
+      SELECT CAST(count(1) AS BIGINT) AS new_vocab,
+             CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_vocab,
+             round(CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS DOUBLE) /
+               count(1), 6) + CAST(0 AS DOUBLE) AS oov_vocab_share,
+             CAST(sum(c) AS BIGINT) AS new_tokens,
+             CAST(sum(CASE WHEN NOT seen THEN c ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+             round(CAST(sum(CASE WHEN NOT seen THEN c ELSE 0 END) AS DOUBLE) /
+               CAST(sum(c) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS oov_token_share
+      FROM j""",
     // full-grid expected counts (absent cells from the margins), exact
     // HUGEINT cross terms, 1e-9 cell quantization, the SHARED dof→crit
     // literal table as a CASE
