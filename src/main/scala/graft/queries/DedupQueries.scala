@@ -248,6 +248,28 @@ object DedupQueries {
         .select(col("component"), col("doc_id"), col("n_chars")))
   }
 
+  /** q256 — cross-source duplicate leakage census: near-dup pairs
+    * (q80's J ≥ 0.6 graph) whose two documents arrived via DIFFERENT
+    * sources — the same content flowing through two providers, the
+    * contamination/attribution structure q40's within-corpus dup census
+    * doesn't separate out. Top leaking source pairs, canonicalized
+    * (a < b), exact pair counts — non-trivial at every driver SF (the
+    * q150 no-empty-green lesson).
+    */
+  def q256_cross_source_dups: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.6)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+      .filter(col("__sa") =!= col("__sb"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_leaked_pairs"))
+      .orderBy(col("n_leaked_pairs").desc, col("source_a"), col("source_b"))
+      .limit(20)
+  }
+
   /** q248 — dedup threshold sweep: pair counts and cluster structure at
     * J ∈ {0.5 … 0.9} from ONE exact pair pass (scores computed once at
     * the lowest threshold, re-cut on the emitted 4-decimal contract) —
@@ -654,6 +676,7 @@ object DedupQueries {
     "q243_incremental_cc" -> q243_incremental_cc,
     "q245_survivor_policy" -> q245_survivor_policy,
     "q248_threshold_sweep" -> q248_threshold_sweep,
+    "q256_cross_source_dups" -> q256_cross_source_dups,
     "q246_dedup_roi" -> q246_dedup_roi,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
@@ -930,6 +953,18 @@ object DedupQueries {
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
       ORDER BY 1, 2""",
+    // the q80 pair derivation + source attribution; integer-and-name cut
+    "q256_cross_source_dups" -> raw"""
+      WITH $OraclePairGraph,
+      att AS (SELECT least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b
+              FROM pairs
+              JOIN documents da ON da.doc_id = id_a
+              JOIN documents db ON db.doc_id = id_b
+              WHERE da.source <> db.source)
+      SELECT source_a, source_b, CAST(count(1) AS BIGINT) AS n_leaked_pairs
+      FROM att GROUP BY 1, 2
+      ORDER BY n_leaked_pairs DESC, source_a, source_b LIMIT 20""",
     // one scored pair pass re-cut on the 4-decimal contract; a closure
     // leg per threshold, built by loop so the legs cannot drift
     "q248_threshold_sweep" -> {
