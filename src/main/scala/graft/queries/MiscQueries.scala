@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -273,26 +273,36 @@ object MiscQueries {
     * (count, Σ price) view materialized over release v1 is refreshed to
     * v2 by applying ONLY the signed CDC delta (the q155 snapshot
     * derivations: −old/+new pairs from the full-outer struct compare) —
-    * never rescanning the base. DECIMAL sums make the refresh exact, so
-    * the oracle is the strongest one possible: the full recompute over
-    * v2, which the delta-applied view must equal row for row.
+    * never rescanning the base. Prices are quantized to INTEGER CENTS
+    * (`floor(x*100 + 0.5)`, the q145/q174 convention) BEFORE any
+    * aggregation, so the whole refresh runs in exact decimal-integer
+    * arithmetic — no double→decimal value-level cast is in the
+    * contract, whose tie-rounding (half-up vs half-even) drifts across
+    * engines/releases. The oracle is the strongest one possible: the
+    * full recompute over v2, which the delta-applied view must equal
+    * row for row; the final `sum_price` is cents × 0.01 — an exact
+    * decimal product, never a division.
     */
   def q192_ivm_refresh: Q = (s, dir) => {
     import graft.operators.IncrementalView
     val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    def cents(c: Column): Column =
+      floor(c * 100 + lit(0.5)).cast("decimal(18,0)")
     val v1 = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
-      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+      .withColumn("cents", cents(col("o_totalprice"))).drop("o_totalprice")
     val v2 = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
-      .withColumn("o_totalprice",
+      .withColumn("cents", cents(
         when(pmod(col("o_orderkey"), lit(53)) === 0, col("o_totalprice") + 1.0)
-          .otherwise(col("o_totalprice")).cast("decimal(18,2)"))
+          .otherwise(col("o_totalprice")))).drop("o_totalprice")
     val mat = v1.groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
     val delta = IncrementalView.signedDelta(v1, v2, Seq("o_orderkey"))
     IncrementalView.refreshCountSum(mat, delta,
-        Seq("o_custkey"), "o_totalprice", "n_orders", "sum_price")
+        Seq("o_custkey"), "cents", "n_orders", "sum_cents")
       .select(col("o_custkey"), col("n_orders"),
-        col("sum_price").cast("decimal(18,2)").as("sum_price"))
+        (col("sum_cents").cast("decimal(20,0)") *
+          lit(new java.math.BigDecimal("0.01")))
+          .cast("decimal(18,2)").as("sum_price"))
       .orderBy("o_custkey")
   }
 
@@ -1464,16 +1474,20 @@ object MiscQueries {
       FROM (SELECT * FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20) top
       ORDER BY lift DESC, item_a, item_b""",
     // result-invariance at its strongest: the oracle is the FULL
-    // recompute over v2 — the delta-applied view must equal it exactly
-    // (decimal sums, no float drift)
+    // recompute over v2 — the delta-applied view must equal it exactly.
+    // Integer-cents quantization (same IEEE product + floor as the
+    // engine) BEFORE the sum; sum_price = cents × 0.01 as an exact
+    // decimal PRODUCT — no double→decimal cast, no division, nothing
+    // whose tie-rounding varies across DuckDB releases
     "q192_ivm_refresh" -> """
       WITH v2 AS (
         SELECT o_custkey,
-               CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1.0
-                    ELSE o_totalprice END AS p
+               CAST(floor((CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END) * 100 + 0.5) AS BIGINT) AS cents
         FROM orders WHERE o_orderkey % 89 <> 0)
       SELECT o_custkey, count(1) AS n_orders,
-             CAST(sum(CAST(p AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+             CAST(CAST(sum(cents) AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(3,2))
+                  AS DECIMAL(18,2)) AS sum_price
       FROM v2 GROUP BY 1 ORDER BY 1""",
     // independent exact derivation: ONE global window (no shards, no
     // two-phase) — the strictly-higher-size running min + same-size min

@@ -779,8 +779,11 @@ object TrainingQueries {
     * the basket guard predicts by histogram) priced from the sketch
     * alone: per-row inner products, min over depth — an overestimate by
     * construction, reported beside the exact volume and the relative
-    * overcount. Width 65536 → d·w = 262k counter rows, still a
-    * no-rescan plan-time answer.
+    * overcount in PARTS-PER-MILLION as a pure integer quotient
+    * (`(est − exact)·10⁶ div exact` over the DECIMAL(38,0) columns) —
+    * no double division or `round(double)` in the contract, whose libm
+    * /tie behavior drifts across engines. Width 65536 → d·w = 262k
+    * counter rows, still a no-rescan plan-time answer.
     */
   def q230_cms_join_size: Q = (s, dir) => {
     import graft.operators.CountMin
@@ -794,8 +797,8 @@ object TrainingQueries {
     CountMin.joinSizeEstimate(cms, cms)
       .crossJoin(broadcast(exact))
       .select(col("join_size_estimate"), col("exact_size"),
-        (round((col("join_size_estimate") - col("exact_size")).cast("double") /
-          col("exact_size").cast("double"), 6) + lit(0.0)).as("rel_overcount"))
+        expr("((join_size_estimate - exact_size) * 1000000) div exact_size")
+          .as("rel_overcount_ppm"))
   }
 
   /** q225 — Rocchio pseudo-relevance feedback
@@ -1627,8 +1630,10 @@ object TrainingQueries {
              END AS r2
       FROM t""",
     // the q190 sketch SQL at width 65536, then per-row inner products in
-    // HUGEINT and the depth-min — estimate, exact, and overcount all
-    // hash-checked as DECIMAL(38,0)
+    // HUGEINT and the depth-min — estimate and exact hash-checked as
+    // DECIMAL(38,0); the overcount is a pure-integer ppm quotient
+    // (HUGEINT // — CMS never undercounts, so the numerator is ≥ 0 and
+    // truncation ≡ floor on both engines)
     "q230_cms_join_size" -> raw"""
       WITH counts AS MATERIALIZED (
         SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(count(1) AS BIGINT) AS c
@@ -1649,8 +1654,8 @@ object TrainingQueries {
       x AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38, 0))
               AS exact_size FROM counts)
       SELECT join_size_estimate, exact_size,
-             round(CAST(join_size_estimate - exact_size AS DOUBLE) /
-               CAST(exact_size AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS rel_overcount
+             CAST(CAST((join_size_estimate - exact_size) * 1000000 AS HUGEINT)
+                  // CAST(exact_size AS HUGEINT) AS BIGINT) AS rel_overcount_ppm
       FROM e CROSS JOIN x""",
     // both retrieval passes + the expansion pick replayed: rounded-score
     // cuts with id tiebreaks, 1e-6-quantized expansion ranking key;
