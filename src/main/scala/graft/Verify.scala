@@ -37,11 +37,25 @@ object Verify {
     // events-backed queries disappeared silently). Now every failure writes
     // a per-query `<name>/_error.txt` marker plus a top-level `errors.json`
     // so the breakage is visible in the dump itself.
+    // Every graft.* cap metric observed anywhere in the sweep accumulates
+    // here → caps_fired.json: per-round evidence the guards fire on the
+    // real data, not only inside hand-built specs.
+    val caps = graft.tools.CapMetricsListener.register(spark)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // name → (rows, sorted-row SHA-256 of the dumped result) — the
+    // machine-independent canonical digest (tools/digest_dump.py is the
+    // Python twin) that makes a driver-vs-local hash mismatch diffable:
+    // digests agree ⇒ the engine outputs are identical and the divergence
+    // is in the compare environment; digests differ ⇒ the engine run
+    // differs and the twin's --diff prints the first differing rows.
+    val digests = scala.collection.mutable.LinkedHashMap.empty[String, (Long, String)]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        digests(name) =
+          graft.tools.CanonDigest.digest(spark.read.parquet(s"$outDir/$name"))
+      } catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg
@@ -59,6 +73,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val digJson = digests
+      .map { case (k, (n, h)) => s"${q(k)}: {\"rows\": $n, \"sha256\": ${q(h)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/digests.json"), digJson)
+    // The listener bus is async — flush before snapshotting so late
+    // onSuccess callbacks from the last queries are counted.
+    org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
+    val capJson = caps.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/caps_fired.json"), capJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Drain the async listener bus so `QueryExecutionListener` callbacks
+    * (the `graft.*` cap metrics) are all delivered before a snapshot —
+    * `SparkContext.listenerBus` is `private[spark]` and has no public
+    * flush. Used once, at the end of the `graft.Verify` sweep.
+    */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
