@@ -1384,13 +1384,22 @@ object Corpus {
     * whose slope or r² walks away from that is machine-generated,
     * truncated, or template-flooded (the companion diagnostic to
     * [[vocabGrowth]]'s Heaps curve). One corpus-sized token count; the
-    * rank window and the regression run over the VOCAB-sized aggregate
-    * (the q177 single-window contract). Both log axes are quantized to
-    * exact 1e-6 integers (the q148 convention) feeding the shared
-    * [[ExactCorr]] DECIMAL algebra, so the fit is combine-order-proof;
-    * slope and r² each one rounded double expression.
+    * regression runs over the VOCAB-sized aggregate. The vocab RANK is
+    * the [[Checks.ksDrift]] distributed prefix scan, NOT a global
+    * `row_number` window: at real-corpus scale the vocabulary is 10⁸–10⁹
+    * terms and a partition-less WindowExec funnels all of it through one
+    * task. Range-partition on the full order key (n desc, tok asc) —
+    * UNIQUE per row, so boundary placement cannot split ties — then
+    * rank = per-partition `row_number` + the broadcast
+    * count-of-preceding-partitions offset (the offset relation is
+    * ≤ `rangePartitions` rows; its window is bounded by construction).
+    * Both log axes are quantized to exact 1e-6 integers (the q148
+    * convention) feeding the shared [[ExactCorr]] DECIMAL algebra, so
+    * the fit is combine-order-proof; slope and r² each one rounded
+    * double expression.
     */
-  def zipfFit(docs: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+  def zipfFit(docs: DataFrame, textCol: String, minCount: Long = 1L,
+              rangePartitions: Int = 32): DataFrame = {
     val counts = docs
       .select(explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
       .filter(col("tok").isNotNull)
@@ -1398,10 +1407,19 @@ object Corpus {
       .filter(col("n") >= minCount)
     val q = (c: Column) =>
       floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
-    val base = counts
-      .withColumn("__rank",
-        row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
-      .select(q(col("__rank")).cast(ExactCorr.dec).as("__x"),
+    val pooled = Stage.snapshotDF(counts
+      .repartitionByRange(rangePartitions, col("n").desc, col("tok").asc)
+      .withColumn("__pid", spark_partition_id()))
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col("n").desc, col("tok").asc)
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pooled.groupBy("__pid").agg(count(lit(1)).as("__tc"))
+      .select(col("__pid"), coalesce(sum("__tc").over(offW), lit(0L)).as("__off"))
+    val base = pooled
+      .withColumn("__lr", row_number().over(localW))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(q(col("__lr") + col("__off")).cast(ExactCorr.dec).as("__x"),
         q(col("n")).cast(ExactCorr.dec).as("__y"))
     val terms = ExactCorr.aggs(col("__x"), col("__y"))
     val g = base.agg(terms.head, terms.tail: _*)

@@ -688,6 +688,19 @@ class CorpusSpec extends SparkSuite {
       .zipfFit(Seq((1L, "x y z x y z")).toDF("doc_id", "text"), "text")
       .as[(Long, Option[Double], Option[Double])].head()
     assert(flat == ((3L, Some(0.0), None)), s"got $flat")
+    // the distributed rank is partition-count-invariant: (n, tok) is a
+    // unique order key, so range-boundary placement cannot perturb
+    // rank = local row_number + broadcast offset
+    val onePart = graft.operators.Corpus
+      .zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text",
+        rangePartitions = 1)
+      .as[(Long, Option[Double], Option[Double])].head()
+    val manyParts = graft.operators.Corpus
+      .zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text",
+        rangePartitions = 7)
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(onePart == ((n, slope, r2)) && manyParts == ((n, slope, r2)),
+      s"rank must be partition-invariant: $onePart vs $manyParts vs ($n, $slope, $r2)")
   }
 
   test("rocchioPrf: expansion recovers a seed-miss document; expandM=0 reduces to plain BM25") {

@@ -892,6 +892,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q232: the vocab rank is __pid-partitioned prefix scan — no global vocab window") {
+    val p = plan("q232_zipf")
+    // rank = per-range-partition row_number + broadcast offset (the q202
+    // convention): the only partition-less window runs over the
+    // ≤ rangePartitions offset rows, never the vocabulary
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"vocab rank must partition by the range-partition id:\n${p.take(800)}")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1,
+      "partition offsets must ride as a broadcast")
+  }
+
   test("q239: token relation snapshot feeds vocab cut AND per-doc counts; stopword join broadcasts") {
     val p = plan("q239_calibration")
     assert(!p.contains("FileScan parquet"),
