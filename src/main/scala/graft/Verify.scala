@@ -53,11 +53,28 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        digests(name) =
+        // digest read-back decodes under the java.time API: java.sql.Date
+        // decode reflects into sun.util.calendar.ZoneInfo, which a bare
+        // `java -cp` launch (no spark-class --add-opens) cannot access;
+        // LocalDate/Instant need no module opens and CanonDigest renders
+        // both representations to the same canonical string. Scoped so
+        // the queries themselves run under the session default.
+        val j8 = "spark.sql.datetime.java8API.enabled"
+        val j8prev = spark.conf.get(j8)
+        spark.conf.set(j8, "true")
+        try digests(name) =
           graft.tools.CanonDigest.digest(spark.read.parquet(s"$outDir/$name"))
+        finally spark.conf.set(j8, j8prev)
       } catch { case e: Throwable =>
-        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        // record the whole cause chain — wrapper codes like
+        // EXPRESSION_DECODING_FAILED are useless without their root cause
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(5).map(t =>
+            s"${t.getClass.getName}: ${Option(t.getMessage).getOrElse("")}")
+          .mkString(" <- ")
+        val msg = chain
         System.err.println(s"[verify] $name failed: $msg")
+        e.printStackTrace()
         errors(name) = msg
         val qDir = Paths.get(s"$outDir/$name")
         Files.createDirectories(qDir)

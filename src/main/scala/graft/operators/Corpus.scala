@@ -1207,7 +1207,12 @@ object Corpus {
     val uni = base
       .select(explode_outer(col("tk")).as("tok")).filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("cu"))
-    val tot = base.agg(sum(size(col("tk"))).cast("double").as("t"))
+    // null-text rows must contribute 0 tokens, matching the unnest-row
+    // count the oracle uses — bare size(null) is −1 under non-ANSI
+    // semantics and would silently skew T
+    val tot = base.agg(
+      sum(when(col("tk").isNotNull, size(col("tk"))).otherwise(0L))
+        .cast("double").as("t"))
     val cb = base
       .select(explode_outer(when(size(col("tk")) >= 2,
         transform(sequence(lit(1), size(col("tk")) - 1),

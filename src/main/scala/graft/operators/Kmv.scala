@@ -71,7 +71,13 @@ object Kmv {
     val hashed = Stage.snapshotDF(
       hashes.select("h").filter(col("h").isNotNull).distinct())
     val stats = hashed.agg(count(lit(1)).as("n_hashes"))
-    val est = when(col("n_hashes") < k, col("n_hashes"))
+    // kth_hash > 0 guard: with k ≥ 2 DISTINCT hashes the k-th order
+    // statistic is ≥ k−1 > 0, so the branch is unreachable on real
+    // input — but the finalized domain includes 0, and without the
+    // guard a div-by-zero would surface as null (non-ANSI) or a runtime
+    // error (ANSI) instead of the documented n_hashes fallback
+    val est = when(col("n_hashes") < k || col("kth_hash") <= 0,
+        col("n_hashes"))
       .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))
     hashed.orderBy(col("h").asc).limit(k)
       .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))

@@ -36,24 +36,36 @@ object Provenance {
       tables: Seq[(String, String)]): DataFrame = {
     // pre-round-10 generators shipped events.ts as TIMESTAMP(NANOS); the
     // legacy conf lets schema conversion accept it (see Tables.events) —
-    // the column itself is pruned away here, only the key is read
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tables.map { case (t, keyCol) =>
-      spark.read.parquet(s"$dir/$t.parquet")
-        .select(
-          col("_metadata.file_name").as("file_name"),
-          col("_metadata.row_index").as("__ri"),
-          col(keyCol).cast("long").as("__k"))
-        .groupBy("file_name")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          min("__k").as("key_min"),
-          max("__k").as("key_max"),
-          (min("__ri") === lit(0L) &&
-            max("__ri") === count(lit(1)) - lit(1L)).as("row_index_ok"))
-        .select(lit(t).as("table_name"), col("file_name"), col("n_rows"),
-          col("key_min"), col("key_max"), col("row_index_ok"))
-    }.reduce(_ unionByName _)
-      .orderBy("table_name", "file_name")
+    // the column itself is pruned away here, only the key is read. The
+    // conf is SCOPED: the manifest (file-count-sized) is materialized
+    // eagerly inside the saved/restored window, so the operator does not
+    // permanently change parquet timestamp decoding for the session
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      Stage.snapshotDF(tables.map { case (t, keyCol) =>
+        spark.read.parquet(s"$dir/$t.parquet")
+          .select(
+            col("_metadata.file_name").as("file_name"),
+            col("_metadata.row_index").as("__ri"),
+            col(keyCol).cast("long").as("__k"))
+          .groupBy("file_name")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min("__k").as("key_min"),
+            max("__k").as("key_max"),
+            (min("__ri") === lit(0L) &&
+              max("__ri") === count(lit(1)) - lit(1L)).as("row_index_ok"))
+          .select(lit(t).as("table_name"), col("file_name"), col("n_rows"),
+            col("key_min"), col("key_max"), col("row_index_ok"))
+      }.reduce(_ unionByName _)
+        .orderBy("table_name", "file_name"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }

@@ -1720,7 +1720,7 @@ object MiscQueries {
       ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
              FROM lineitem),
       e AS (SELECT n_kept, kth_hash, n_hashes,
-                   CASE WHEN n_hashes < 256 THEN n_hashes
+                   CASE WHEN n_hashes < 256 OR kth_hash <= 0 THEN n_hashes
                         ELSE 255000001785 // kth_hash END AS estimate,
                    exact_distinct
             FROM kth CROSS JOIN st CROSS JOIN ex)

@@ -60,6 +60,21 @@ class CanonDigestSpec extends SparkSuite {
       "{s:a=>1,s:b=>2}")
   }
 
+  test("digest is invariant to the datetime decode API (java.sql vs java.time)") {
+    // Verify digests under java8API=true (no sun.util.calendar module
+    // opens needed); sbt-launched sessions may decode java.sql types —
+    // both representations must canonicalize identically
+    val df = Seq(("2024-02-29", "2024-02-29 12:34:56.789")).toDF("d", "t")
+      .select(to_date(col("d")).as("d"), to_timestamp(col("t")).as("t"))
+    val key = "spark.sql.datetime.java8API.enabled"
+    val prev = spark.conf.get(key)
+    def under(v: String) = {
+      spark.conf.set(key, v)
+      try CanonDigest.digest(df) finally spark.conf.set(key, prev)
+    }
+    assert(under("false") == under("true"))
+  }
+
   test("nested arrays/structs digest deterministically from a real plan") {
     val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0)))
       .toDF("id", "vec")

@@ -534,6 +534,15 @@ class CorpusSpec extends SparkSuite {
     assert(!got.exists(_._3 < 2L))
     // the bound phrase (a,b) outranks the more FREQUENT (c,c)
     assert(got.head._1 == "a" && got.head._2 == "b")
+    // null-text rows contribute 0 tokens to T (bare size(null) is −1
+    // under non-ANSI semantics and would shrink T by 1 per null row,
+    // shifting every pmi): results must be identical with nulls present
+    val withNulls = d.unionByName(
+      Seq((4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val gotNulls = Corpus.pmiCollocations(withNulls, "text", minCount = 2, topN = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(gotNulls == got, s"null-text docs skewed T: $gotNulls")
   }
 
   test("skipgramPpmi: hand-counted ±2 window pairs and PPMI; clip keeps scores non-negative") {
