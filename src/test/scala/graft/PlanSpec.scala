@@ -306,6 +306,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q102: the vocab rank window sits DIRECTLY on the 50-row TakeOrdered cut") {
+    val p = plan("q102_vocab")
+    // the only partition-less window in this plan is bounded by the
+    // distributed top-k that feeds it (the PLANS.md global-window
+    // contract): Window's child must be TakeOrderedAndProject(limit=50),
+    // never the vocab-sized count relation
+    val idx = p.indexOf("Window ")
+    assert(idx >= 0, "expected the rank window")
+    val child = p.substring(idx).linesIterator.drop(1)
+      .find(l => l.trim.startsWith("+-")).getOrElse("")
+    assert(child.contains("TakeOrderedAndProject(limit=50"),
+      s"rank window must consume the 50-row cut, got: $child")
+  }
+
   test("q117: bigram CE tokenizes once (snapshot feeds both explodes), no windows") {
     val p = plan("q117_bigram_ce")
     assert(!p.contains("Window"), "per-doc aggregation must be a groupBy, not a window")
