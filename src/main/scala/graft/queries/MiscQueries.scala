@@ -37,6 +37,34 @@ object MiscQueries {
       .orderBy("modality")
   }
 
+  /** q257 — mergeable quantile sketch audit
+    * ([[graft.operators.QuantileSketch]]): the decimal-mantissa bucket
+    * sketch over order prices in integer cents (the q145 quantization
+    * convention) — per percentile, the [est_lo, est_hi] bucket of the
+    * FIRST bucket whose cumulative count reaches ⌈p·n/100⌉ (the
+    * [[graft.operators.Checks.exactPercentiles]] rank convention),
+    * audited against the exact order statistic and the containment
+    * contract est_lo ≤ exact ≤ est_hi. The deterministic sibling of
+    * q151's GK audit (the q228-beside-q71 pattern on the quantile
+    * path): bucketization, cumulative, estimate, and exact are all
+    * pure string/integer arithmetic — every column hash-checked.
+    */
+  def q257_quantile_sketch: Q = (s, dir) => {
+    import graft.operators.{Checks, QuantileSketch, Stage}
+    val cents = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+    val sk = Stage.snapshotDF(QuantileSketch.sketch(cents, "v"))
+    val est = QuantileSketch.estimate(sk, Seq(50, 90, 99))
+    val ex = Checks.exactPercentiles(cents.withColumn("__g", lit(1)), "__g", "v")
+      .selectExpr("stack(3, 50, p50, 90, p90, 99, p99) AS (pct, exact_value)")
+    est.join(broadcast(ex), Seq("pct"))
+      .select(col("pct").cast("long").as("pct"), col("n_rows"),
+        col("est_lo"), col("est_hi"), col("exact_value"),
+        (col("est_lo") <= col("exact_value") &&
+          col("exact_value") <= col("est_hi")).as("within_bound"))
+      .orderBy("pct")
+  }
+
   /** q228 — KMV distinct sketch audit ([[graft.operators.Kmv.kmvDistinct]]):
     * k = 256 minimum polynomial-hash values over `l_orderkey`, the
     * ⌊(k−1)·p/h₍ₖ₎⌋ estimate beside the exact distinct count and the
@@ -1280,6 +1308,7 @@ object MiscQueries {
     "q151_quantile_audit" -> q151_quantile_audit,
     "q71_approx_distinct" -> q71_approx_distinct,
     "q228_kmv_distinct" -> q228_kmv_distinct,
+    "q257_quantile_sketch" -> q257_quantile_sketch,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1705,6 +1734,47 @@ object MiscQueries {
     // the polynomial-hash fold replayed per key (the minhash-oracle
     // pattern), k smallest distinct hashes, EXACT integer-division
     // estimate — a sketch whose every output column hash-checks
+    // the sketch replayed verbatim: decimal-mantissa buckets by string
+    // slicing + zero-pad rebuild (pure integer/string ops), the
+    // cum*100 >= n*p rank comparison (no division), arg_min for the
+    // first qualifying bucket, exact order statistic from the
+    // distinct-value cumulative — every column hash-checked
+    "q257_quantile_sketch" -> raw"""
+      WITH cents AS MATERIALIZED (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders),
+      b AS (SELECT v, CAST(v AS VARCHAR) AS s FROM cents),
+      sk AS (
+        SELECT CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
+               END AS bucket_lo,
+               CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
+                                     repeat('0', len(s) - 2)) AS BIGINT) - 1
+               END AS bucket_hi,
+               CAST(count(1) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2),
+      cum AS (SELECT bucket_lo, bucket_hi,
+                     sum(cnt) OVER (ORDER BY bucket_lo) AS cum,
+                     sum(cnt) OVER () AS n
+              FROM sk),
+      ps(pct) AS (VALUES (50), (90), (99)),
+      est AS (SELECT pct, CAST(max(n) AS BIGINT) AS n_rows,
+                     min(bucket_lo) AS est_lo,
+                     arg_min(bucket_hi, bucket_lo) AS est_hi
+              FROM ps JOIN cum ON cum * 100 >= n * pct
+              GROUP BY 1),
+      exv AS (SELECT v, CAST(count(1) AS BIGINT) AS c FROM cents GROUP BY 1),
+      exc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+              FROM exv),
+      ex AS (SELECT pct, min(v) AS exact_value
+             FROM ps JOIN exc ON cum * 100 >= n * pct GROUP BY 1)
+      SELECT CAST(est.pct AS BIGINT) AS pct, est.n_rows, est.est_lo,
+             est.est_hi, ex.exact_value,
+             est.est_lo <= ex.exact_value AND ex.exact_value <= est.est_hi
+               AS within_bound
+      FROM est JOIN ex ON est.pct = ex.pct
+      ORDER BY pct""",
     "q228_kmv_distinct" -> raw"""
       WITH hashed AS MATERIALIZED (
         SELECT DISTINCT (list_reduce(list_prepend(CAST(0 AS BIGINT),

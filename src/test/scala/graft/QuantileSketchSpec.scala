@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QuantileSketch
+
+/** [[graft.operators.QuantileSketch]] contract: exact decimal-mantissa
+  * bucketization, fixed-boundary mergeability (shard ≡ whole), the
+  * exactPercentiles rank convention, and the containment bound the q257
+  * audit rides on.
+  */
+class QuantileSketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketization: hand-computed decimal-mantissa bounds") {
+    val df = Seq(0L, 7L, 42L, 423L, 999L, 1000L, 1049L).toDF("v")
+    val got = QuantileSketch.sketch(df, "v")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L),        // single-digit: exact singleton bucket
+      (7L, 7L, 1L),
+      (42L, 42L, 1L),      // two digits: mantissa IS the value — exact
+      (420L, 429L, 1L),    // three digits: mantissa 42 → [420, 429]
+      (990L, 999L, 1L),
+      (1000L, 1099L, 2L)), // 1000 and 1049 share mantissa-10 bucket
+      s"got $got")
+  }
+
+  test("merge of shard partials is bit-identical to the whole-data sketch") {
+    val vals = (1L to 5000L).map(i => (i * 7919L) % 99991L)
+    val whole = vals.toDF("v")
+    val wholeSk = QuantileSketch.sketch(whole, "v")
+    val shards = (0 until 3).map(r =>
+      vals.zipWithIndex.filter(_._2 % 3 == r).map(_._1).toDF("v"))
+    val merged = QuantileSketch.merge(
+      shards.map(QuantileSketch.sketch(_, "v")).reduce(_ unionByName _))
+    val a = wholeSk.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = merged.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b, "fixed boundaries must make shard merge exact")
+    val estW = QuantileSketch.estimate(wholeSk).as[(Int, Long, Long, Long)]
+      .collect().toSeq
+    val estM = QuantileSketch.estimate(merged).as[(Int, Long, Long, Long)]
+      .collect().toSeq
+    assert(estW == estM)
+  }
+
+  test("estimates bracket the exact order statistic; relative width <= 1/m") {
+    val vals = (1L to 3000L).map(i => ((i * 104729L) % 1000000L) + 1L)
+    val df = vals.toDF("v")
+    val est = QuantileSketch.estimate(QuantileSketch.sketch(df, "v"),
+      Seq(50, 90, 99, 100)).as[(Int, Long, Long, Long)].collect()
+    val sorted = vals.sorted
+    est.foreach { case (p, n, lo, hi) =>
+      assert(n == vals.size.toLong)
+      // exactPercentiles convention: smallest value with cum*100 >= n*p
+      val exact = sorted((((vals.size.toLong * p) + 99) / 100 - 1).toInt)
+      assert(lo <= exact && exact <= hi, s"p$p: $exact outside [$lo, $hi]")
+      // mantissa m >= 10 for multi-digit buckets → width <= lo/10
+      if (lo >= 10) assert(hi - lo + 1 <= lo / 10 + 1,
+        s"p$p: bucket [$lo, $hi] wider than the 1/m contract")
+    }
+  }
+
+  test("negative values are rejected by filter; empty input gives no rows") {
+    val df = Seq(-5L, 3L).toDF("v")
+    val sk = QuantileSketch.sketch(df, "v").as[(Long, Long, Long)].collect()
+    assert(sk.toSeq == Seq((3L, 3L, 1L)))
+    assert(QuantileSketch.estimate(
+      QuantileSketch.sketch(Seq.empty[Long].toDF("v"), "v")).count() == 0)
+  }
+}
