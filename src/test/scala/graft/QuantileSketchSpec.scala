@@ -61,6 +61,34 @@ class QuantileSketchSpec extends SparkSuite {
     }
   }
 
+  test("StreamingQuantile: merged micro-batch partials ≡ the one-shot batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("qs-store").toString + "/qs"
+    val ckpt = java.nio.file.Files.createTempDirectory("qs-ckpt").toString
+    val mem = MemoryStream[Long]
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingQuantile.start(
+        mem.toDF().toDF("v"), "v", store, ckpt)
+      q.awaitTermination()
+    }
+    assert(graft.streaming.StreamingQuantile.estimate(spark, store).isEmpty)
+    // three uneven batches with cross-batch overlap — counts (unlike the
+    // KMV distinct sketch) must ADD across batches, so the overlap is
+    // counted twice, exactly as the one-shot sketch over the same bag
+    mem.addData(1L to 1500L: _*); drain()
+    mem.addData(1000L to 3200L: _*); drain()
+    mem.addData(3000L to 5000L: _*); drain()
+    val streamed = graft.streaming.StreamingQuantile.estimate(spark, store).get
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val bag = (1L to 1500L) ++ (1000L to 3200L) ++ (3000L to 5000L)
+    val batch = QuantileSketch.estimate(
+      QuantileSketch.sketch(bag.toDF("v"), "v"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch,
+      s"fixed boundaries must make the streaming face exact: $streamed vs $batch")
+  }
+
   test("negative values are rejected by filter; empty input gives no rows") {
     val df = Seq(-5L, 3L).toDF("v")
     val sk = QuantileSketch.sketch(df, "v").as[(Long, Long, Long)].collect()
