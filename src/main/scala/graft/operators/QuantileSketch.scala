@@ -38,13 +38,15 @@ import org.apache.spark.sql.functions._
   */
 object QuantileSketch {
 
-  /** Per-bucket partials (bucket_lo, bucket_hi, cnt) of a non-negative
-    * integer column. Bucket identity is exact string-integer arithmetic,
-    * identical in Spark and DuckDB.
+  /** Per-bucket partials (groupCols…, bucket_lo, bucket_hi, cnt) of a
+    * non-negative integer column, optionally keyed — one sketch per
+    * group in a single aggregation pass. Bucket identity is exact
+    * string-integer arithmetic, identical in Spark and DuckDB.
     */
-  def sketch(df: DataFrame, valueCol: String): DataFrame = {
+  def sketch(df: DataFrame, valueCol: String,
+             groupCols: Seq[String] = Seq.empty): DataFrame = {
     val v = col(valueCol).cast("long")
-    val base = df.select(v.as("__v"))
+    val base = df.select((groupCols.map(col) :+ v.as("__v")): _*)
       .filter(col("__v").isNotNull && col("__v") >= 0)
       .withColumn("__s", col("__v").cast("string"))
       .withColumn("__d", length(col("__s")))
@@ -55,16 +57,18 @@ object QuantileSketch {
       .otherwise(concat(
         (substring(col("__s"), 1, 2).cast("long") + 1).cast("string"),
         repeat(lit("0"), col("__d") - 2)).cast("long") - 1)
-    base.select(lo.as("bucket_lo"), hi.as("bucket_hi"))
-      .groupBy("bucket_lo", "bucket_hi")
+    base.select((groupCols.map(col) :+ lo.as("bucket_lo") :+ hi.as("bucket_hi")): _*)
+      .groupBy((groupCols :+ "bucket_lo" :+ "bucket_hi").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Merge sketch partials (any union of [[sketch]] outputs): fixed
-    * boundaries make this plain count addition per bucket.
+  /** Merge sketch partials (any union of [[sketch]] outputs with the
+    * same group columns): fixed boundaries make this plain count
+    * addition per (group, bucket).
     */
-  def merge(parts: DataFrame): DataFrame =
-    parts.groupBy("bucket_lo", "bucket_hi").agg(sum("cnt").as("cnt"))
+  def merge(parts: DataFrame, groupCols: Seq[String] = Seq.empty): DataFrame =
+    parts.groupBy((groupCols :+ "bucket_lo" :+ "bucket_hi").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
 
   /** Quantile estimates from a (possibly merged) sketch. Lower-
     * percentile convention shared with [[Checks.exactPercentiles]]:
@@ -98,5 +102,37 @@ object QuantileSketch {
       .select(col("pct"), col("n_rows"),
         col("__b.bucket_lo").as("est_lo"), col("__b.bucket_hi").as("est_hi"))
       .orderBy("pct")
+  }
+
+  /** Per-group quantile estimates from a keyed sketch ([[sketch]] with
+    * `groupCols`) — the [[Checks.exactPercentiles]] wide shape
+    * (`p50_lo/p50_hi/…`), same rank convention. Every window is
+    * GROUP-partitioned over the per-group bucket relation (≤ ~1.7k rows
+    * per group): fully distributed, no global window at all — the shape
+    * that serves a million groups as readily as five.
+    */
+  def estimateByGroup(
+      sk: DataFrame, groupCols: Seq[String],
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(groupCols.nonEmpty, "estimateByGroup needs group columns")
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]: $percentiles")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket_lo")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tw = Window.partitionBy(groupCols.map(col): _*)
+    val cum = sk
+      .withColumn("__cum", sum("cnt").over(w))
+      .withColumn("__n", sum("cnt").over(tw))
+    val picks = percentiles.map { p =>
+      min(when(col("__cum") * 100 >= col("__n") * p,
+        struct(col("bucket_lo"), col("bucket_hi")))).as(s"__b$p")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(max("__n").as("n_rows"), picks: _*)
+      .select((groupCols.map(col) :+ col("n_rows")) ++
+        percentiles.flatMap(p => Seq(
+          col(s"__b$p.bucket_lo").as(s"p${p}_lo"),
+          col(s"__b$p.bucket_hi").as(s"p${p}_hi"))): _*)
+      .orderBy(groupCols.map(col): _*)
   }
 }

@@ -65,6 +65,41 @@ object MiscQueries {
       .orderBy("pct")
   }
 
+  /** q258 — per-group quantile sketch audit
+    * ([[graft.operators.QuantileSketch.estimateByGroup]]): one keyed
+    * sketch pass over order prices in cents grouped by order priority,
+    * per-group p50/p90/p99 bucket bounds beside the per-group EXACT
+    * order statistics ([[graft.operators.Checks.exactPercentiles]],
+    * q240's operator) and the containment flags. Unlike q257's global
+    * form, every window here is GROUP-partitioned over the per-group
+    * bucket relation — no global window at all, the shape that serves a
+    * million groups; the audit proves the keyed sketch honors the same
+    * rank convention as the exact operator, group by group.
+    */
+  def q258_group_quantile_sketch: Q = (s, dir) => {
+    import graft.operators.{Checks, QuantileSketch}
+    val cents = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+    val est = QuantileSketch.estimateByGroup(
+      QuantileSketch.sketch(cents, "v", Seq("prio")), Seq("prio"))
+    val ex = Checks.exactPercentiles(cents, "prio", "v")
+      .select(col("prio"), col("p50").as("p50_exact"),
+        col("p90").as("p90_exact"), col("p99").as("p99_exact"))
+    est.join(ex, Seq("prio"))
+      .select(col("prio"), col("n_rows"),
+        col("p50_lo"), col("p50_hi"), col("p50_exact"),
+        (col("p50_lo") <= col("p50_exact") &&
+          col("p50_exact") <= col("p50_hi")).as("p50_ok"),
+        col("p90_lo"), col("p90_hi"), col("p90_exact"),
+        (col("p90_lo") <= col("p90_exact") &&
+          col("p90_exact") <= col("p90_hi")).as("p90_ok"),
+        col("p99_lo"), col("p99_hi"), col("p99_exact"),
+        (col("p99_lo") <= col("p99_exact") &&
+          col("p99_exact") <= col("p99_hi")).as("p99_ok"))
+      .orderBy("prio")
+  }
+
   /** q228 — KMV distinct sketch audit ([[graft.operators.Kmv.kmvDistinct]]):
     * k = 256 minimum polynomial-hash values over `l_orderkey`, the
     * ⌊(k−1)·p/h₍ₖ₎⌋ estimate beside the exact distinct count and the
@@ -1309,6 +1344,7 @@ object MiscQueries {
     "q71_approx_distinct" -> q71_approx_distinct,
     "q228_kmv_distinct" -> q228_kmv_distinct,
     "q257_quantile_sketch" -> q257_quantile_sketch,
+    "q258_group_quantile_sketch" -> q258_group_quantile_sketch,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1734,6 +1770,66 @@ object MiscQueries {
     // the polynomial-hash fold replayed per key (the minhash-oracle
     // pattern), k smallest distinct hashes, EXACT integer-division
     // estimate — a sketch whose every output column hash-checks
+    // the keyed sketch replayed with PARTITION BY windows mirroring the
+    // engine's group-partitioned shape; first qualifying bucket via
+    // min(lo)/arg_min(hi) per (group, percentile); exact per-group order
+    // statistics from the per-key distinct-value cumulative
+    "q258_group_quantile_sketch" -> raw"""
+      WITH cents AS MATERIALIZED (
+        SELECT o_orderpriority AS prio,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders),
+      b AS (SELECT prio, v, CAST(v AS VARCHAR) AS s FROM cents),
+      sk AS (
+        SELECT prio,
+               CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
+               END AS bucket_lo,
+               CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
+                                     repeat('0', len(s) - 2)) AS BIGINT) - 1
+               END AS bucket_hi,
+               CAST(count(1) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2, 3),
+      cum AS (SELECT prio, bucket_lo, bucket_hi,
+                     sum(cnt) OVER (PARTITION BY prio ORDER BY bucket_lo) AS cum,
+                     sum(cnt) OVER (PARTITION BY prio) AS n
+              FROM sk),
+      ps(pct) AS (VALUES (50), (90), (99)),
+      est AS (SELECT prio, pct, CAST(max(n) AS BIGINT) AS n_rows,
+                     min(bucket_lo) AS lo, arg_min(bucket_hi, bucket_lo) AS hi
+              FROM ps JOIN cum ON cum * 100 >= n * pct
+              GROUP BY 1, 2),
+      estw AS (SELECT prio, max(n_rows) AS n_rows,
+                      max(CASE WHEN pct = 50 THEN lo END) AS p50_lo,
+                      max(CASE WHEN pct = 50 THEN hi END) AS p50_hi,
+                      max(CASE WHEN pct = 90 THEN lo END) AS p90_lo,
+                      max(CASE WHEN pct = 90 THEN hi END) AS p90_hi,
+                      max(CASE WHEN pct = 99 THEN lo END) AS p99_lo,
+                      max(CASE WHEN pct = 99 THEN hi END) AS p99_hi
+               FROM est GROUP BY 1),
+      exv AS (SELECT prio, v, CAST(count(1) AS BIGINT) AS c
+              FROM cents GROUP BY 1, 2),
+      exc AS (SELECT prio, v,
+                     sum(c) OVER (PARTITION BY prio ORDER BY v) AS cum,
+                     sum(c) OVER (PARTITION BY prio) AS n
+              FROM exv),
+      ex AS (SELECT prio, pct, min(v) AS exact_v
+             FROM ps JOIN exc ON cum * 100 >= n * pct GROUP BY 1, 2),
+      exw AS (SELECT prio,
+                     max(CASE WHEN pct = 50 THEN exact_v END) AS p50_exact,
+                     max(CASE WHEN pct = 90 THEN exact_v END) AS p90_exact,
+                     max(CASE WHEN pct = 99 THEN exact_v END) AS p99_exact
+              FROM ex GROUP BY 1)
+      SELECT e.prio, e.n_rows,
+             p50_lo, p50_hi, p50_exact,
+             p50_lo <= p50_exact AND p50_exact <= p50_hi AS p50_ok,
+             p90_lo, p90_hi, p90_exact,
+             p90_lo <= p90_exact AND p90_exact <= p90_hi AS p90_ok,
+             p99_lo, p99_hi, p99_exact,
+             p99_lo <= p99_exact AND p99_exact <= p99_hi AS p99_ok
+      FROM estw e JOIN exw x ON e.prio = x.prio
+      ORDER BY e.prio""",
     // the sketch replayed verbatim: decimal-mantissa buckets by string
     // slicing + zero-pad rebuild (pure integer/string ops), the
     // cum*100 >= n*p rank comparison (no division), arg_min for the

@@ -917,6 +917,19 @@ class PlanSpec extends SparkSuite {
       "partition offsets must ride as a broadcast")
   }
 
+  test("q258: every keyed-sketch window partitions by the group — no global window") {
+    val p = plan("q258_group_quantile_sketch")
+    // the per-group shape must hold: cumulative, total, and exact-
+    // percentile windows all ride prio-partitioned specs (a million
+    // groups would still distribute); no partition-less windowspec
+    assert(p.contains("windowspecdefinition(prio"),
+      s"windows must partition by prio:\n${p.take(800)}")
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    // exactPercentiles' windows carry the group under its internal __k name
+    val keyed = "windowspecdefinition\\((prio|__k)".r.findAllIn(p).size
+    assert(specs == keyed, s"$specs window specs but only $keyed group-keyed:\n${p.take(1200)}")
+  }
+
   test("q239: token relation snapshot feeds vocab cut AND per-doc counts; stopword join broadcasts") {
     val p = plan("q239_calibration")
     assert(!p.contains("FileScan parquet"),

@@ -61,6 +61,26 @@ class QuantileSketchSpec extends SparkSuite {
     }
   }
 
+  test("estimateByGroup agrees with the global estimate applied per group") {
+    val rows = (1L to 4000L).map(i => (s"g${i % 3}", ((i * 48271L) % 500000L) + 1L))
+    val df = rows.toDF("g", "v")
+    val keyed = QuantileSketch.estimateByGroup(
+      QuantileSketch.sketch(df, "v", Seq("g")), Seq("g"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    (0 until 3).foreach { gi =>
+      val g = s"g$gi"
+      val solo = QuantileSketch.estimate(
+        QuantileSketch.sketch(df.filter(col("g") === g), "v"))
+        .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      val k = keyed(g)
+      assert((k._2, k._3, k._4) == ((solo(50)._2, solo(50)._3, solo(50)._4)),
+        s"$g p50: $k vs ${solo(50)}")
+      assert((k._5, k._6) == ((solo(90)._3, solo(90)._4)), s"$g p90")
+      assert((k._7, k._8) == ((solo(99)._3, solo(99)._4)), s"$g p99")
+    }
+  }
+
   test("StreamingQuantile: merged micro-batch partials ≡ the one-shot batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
