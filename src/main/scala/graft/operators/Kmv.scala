@@ -97,4 +97,41 @@ object Kmv {
           col("exact_distinct").cast("double")) /
           col("exact_distinct").cast("double"), 6) + lit(0.0)).as("rel_error"))
   }
+
+  /** Per-group KMV with the exact audit beside each estimate — the
+    * keyed face of [[kmvDistinct]] (the q258 keyed-sketch shape on the
+    * cardinality path): ONE distinct over (group, hash) — the same
+    * shuffle a grouped exact count-distinct pays — then a
+    * GROUP-partitioned `row_number ≤ k` cut, so the per-group sketch
+    * state is ≤ k longs and a million groups distribute (no global
+    * window, no TakeOrdered bottleneck). Same estimator, same
+    * `kth_hash > 0` guard, same exact-audit column as the global form.
+    */
+  def kmvDistinctByGroup(
+      df: DataFrame, groupCol: String, keyCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val hashed = Stage.snapshotDF(
+      df.select(col(groupCol).as("g"), finalizedHash(keyCol).as("h"))
+        .filter(col("h").isNotNull && col("g").isNotNull).distinct())
+    val stats = hashed.groupBy("g").agg(count(lit(1)).as("n_hashes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    val sk = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy("g").agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+    val exact = df
+      .select(col(groupCol).as("g"), col(keyCol).as("__key"))
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(count_distinct(col("__key")).as("exact_distinct"))
+    val est = when(col("n_hashes") < k || col("kth_hash") <= 0,
+        col("n_hashes"))
+      .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))
+    sk.join(stats, "g").join(exact, "g")
+      .select(col("g").as(groupCol), col("n_kept"), col("kth_hash"),
+        col("n_hashes"), est.as("estimate"), col("exact_distinct"),
+        (round(abs(est.cast("double") -
+          col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 6) + lit(0.0)).as("rel_error"))
+      .orderBy(groupCol)
+  }
 }

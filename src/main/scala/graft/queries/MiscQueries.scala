@@ -100,6 +100,21 @@ object MiscQueries {
       .orderBy("prio")
   }
 
+  /** q259 — per-group KMV distinct sketch audit
+    * ([[graft.operators.Kmv.kmvDistinctByGroup]]): distinct ORDERS per
+    * return flag sketched at k = 256 — the keyed face of q228 (the q258
+    * keyed-sketch shape on the cardinality path): one (group, hash)
+    * distinct + a GROUP-partitioned row_number ≤ k cut, estimate /
+    * k-th hash / exact / error all hash-checked per group. Orderkeys
+    * split across flags, so the three sketches genuinely differ
+    * (~2–7% measured error, inside the 1/√k band; l_partkey was
+    * probed and rejected — its short sequential digit strings land a
+    * 3σ-unlucky k-th order statistic at this k).
+    */
+  def q259_group_kmv: Q = (s, dir) =>
+    graft.operators.Kmv.kmvDistinctByGroup(
+      Tables.lineitem(s, dir), "l_returnflag", "l_orderkey", k = 256)
+
   /** q228 — KMV distinct sketch audit ([[graft.operators.Kmv.kmvDistinct]]):
     * k = 256 minimum polynomial-hash values over `l_orderkey`, the
     * ⌊(k−1)·p/h₍ₖ₎⌋ estimate beside the exact distinct count and the
@@ -1345,6 +1360,7 @@ object MiscQueries {
     "q228_kmv_distinct" -> q228_kmv_distinct,
     "q257_quantile_sketch" -> q257_quantile_sketch,
     "q258_group_quantile_sketch" -> q258_group_quantile_sketch,
+    "q259_group_kmv" -> q259_group_kmv,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1770,6 +1786,40 @@ object MiscQueries {
     // the polynomial-hash fold replayed per key (the minhash-oracle
     // pattern), k smallest distinct hashes, EXACT integer-division
     // estimate — a sketch whose every output column hash-checks
+    // the q228 fold+finalizer replayed per group: (group, hash) distinct,
+    // PARTITION BY row_number <= k cut, the same guarded integer-division
+    // estimator and exact audit — every column hash-checked per group
+    "q259_group_kmv" -> raw"""
+      WITH hashed AS MATERIALIZED (
+        SELECT DISTINCT l_returnflag AS g,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(regexp_extract_all(CAST(l_orderkey AS VARCHAR), '.'),
+               c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007)
+             * 961748927 + 12345) % 1000000007 AS h
+        FROM lineitem),
+      st AS (SELECT g, CAST(count(1) AS BIGINT) AS n_hashes
+             FROM hashed GROUP BY 1),
+      rk AS (SELECT g, h,
+                    row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+             FROM hashed),
+      sk AS (SELECT g, CAST(count(1) AS BIGINT) AS n_kept,
+                    CAST(max(h) AS BIGINT) AS kth_hash
+             FROM rk WHERE rn <= 256 GROUP BY 1),
+      ex AS (SELECT l_returnflag AS g,
+                    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+             FROM lineitem GROUP BY 1),
+      e AS (SELECT sk.g, n_kept, kth_hash, n_hashes,
+                   CASE WHEN n_hashes < 256 OR kth_hash <= 0 THEN n_hashes
+                        ELSE 255000001785 // kth_hash END AS estimate,
+                   exact_distinct
+            FROM sk JOIN st ON sk.g = st.g JOIN ex ON sk.g = ex.g)
+      SELECT g AS l_returnflag, n_kept, kth_hash, n_hashes, estimate,
+             exact_distinct,
+             round(abs(CAST(estimate AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+               / CAST(exact_distinct AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+               AS rel_error
+      FROM e ORDER BY 1""",
     // the keyed sketch replayed with PARTITION BY windows mirroring the
     // engine's group-partitioned shape; first qualifying bucket via
     // min(lo)/arg_min(hi) per (group, percentile); exact per-group order

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -57,6 +58,25 @@ class KmvSpec extends SparkSuite {
     val once = run(keys, 32)
     val twice = run(keys ++ keys, 32)
     assert(once == twice, s"$once vs $twice")
+  }
+
+  test("kmvDistinctByGroup agrees with the global sketch applied per group") {
+    val rows = (1L to 6000L).map(i => (s"g${i % 3}", i / 3))
+    val df = rows.toDF("g", "key")
+    val k = 64
+    val keyed = Kmv.kmvDistinctByGroup(df, "g", "key", k)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(keyed.keySet == Set("g0", "g1", "g2"))
+    (0 until 3).foreach { gi =>
+      val g = s"g$gi"
+      val solo = Kmv.kmvDistinct(
+        df.filter(col("g") === g).select("key"), "key", k)
+        .as[(Long, Long, Long, Long, Long, Double)].head()
+      val kd = keyed(g)
+      assert((kd._2, kd._3, kd._4, kd._5, kd._6, kd._7) == solo,
+        s"$g: keyed $kd vs solo $solo")
+    }
   }
 
   test("StreamingKmv: merged micro-batch partials ≡ the one-shot batch sketch") {
