@@ -134,4 +134,69 @@ object Kmv {
           col("exact_distinct").cast("double"), 6) + lit(0.0)).as("rel_error"))
       .orderBy(groupCol)
   }
+
+  /** Trailing-window distinct estimate from per-day KMV partials — the
+    * sketch-algebra answer to the q139 DAU/WAU problem: sliding
+    * DISTINCT counts don't compose from per-day exact counts, so q139
+    * expands the whole (user, day) activity relation ×W. Here the ×W
+    * expansion multiplies ≤ k-row PARTIALS instead: each day reduces to
+    * its k smallest distinct hashes once, each partial row fans to the
+    * ≤ W observation days it serves, and the per-day k-cut of the union
+    * IS the true k-cut of the union of the full daily sets (a global
+    * k-minimum is a fortiori among its own day's k smallest — the
+    * [[partial]] merge argument, windowed). Per-day state: k longs;
+    * everything past the daily distinct is k·days-sized, while the
+    * exact form hauls the full user set through every window. The exact
+    * trailing count rides as the audit column (same ×W expansion on the
+    * (user, day) relation — affordable at driver SFs, the number that
+    * prices the sketch before 100 TB retires it).
+    *
+    * Observation days are census days (days with activity), the q139
+    * reporting convention; the estimate is exact whenever the merged
+    * resident set stays under k.
+    */
+  def trailingKmv(
+      df: DataFrame, keyCol: String, tsCol: String,
+      k: Int = 64, windowDays: Int = 7): DataFrame = {
+    require(k >= 2 && windowDays >= 1, s"bad ($k, $windowDays)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy("h")
+    val dayHash = Stage.snapshotDF(
+      df.select(to_date(col(tsCol)).as("day"), finalizedHash(keyCol).as("h"))
+        .filter(col("h").isNotNull && col("day").isNotNull).distinct())
+    val census = dayHash.select("day").distinct()
+      .withColumnRenamed("day", "obs_day")
+    val partials = dayHash.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).select("day", "h")
+    val merged = Stage.snapshotDF(partials
+      .select(col("day"), col("h"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"))
+      .select(expr("date_add(day, __i)").as("obs_day"), col("h"))
+      .join(census, "obs_day")
+      .distinct())
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy("obs_day").orderBy("h")
+    val res = merged.groupBy("obs_day").agg(count(lit(1)).as("n_resident"))
+    val sk = merged.withColumn("__rn", row_number().over(ow))
+      .filter(col("__rn") <= k)
+      .groupBy("obs_day").agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+    val exact = df
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("__key"))
+      .filter(col("day").isNotNull).distinct()
+      .select(col("day"), col("__key"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"))
+      .select(expr("date_add(day, __i)").as("obs_day"), col("__key"))
+      .join(census, "obs_day")
+      .groupBy("obs_day").agg(count_distinct(col("__key")).as("exact_trailing"))
+    val est = when(col("n_resident") < k || col("kth_hash") <= 0,
+        col("n_resident"))
+      .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))
+    sk.join(res, "obs_day").join(exact, "obs_day")
+      .select(col("obs_day"), col("n_kept"), col("kth_hash"),
+        col("n_resident"), est.as("estimate"), col("exact_trailing"),
+        (round(abs(est.cast("double") -
+          col("exact_trailing").cast("double")) /
+          col("exact_trailing").cast("double"), 6) + lit(0.0)).as("rel_error"))
+      .orderBy("obs_day")
+  }
 }

@@ -100,6 +100,20 @@ object MiscQueries {
       .orderBy("prio")
   }
 
+  /** q260 — trailing-window KMV ([[graft.operators.Kmv.trailingKmv]]):
+    * 7-day rolling distinct-user estimates over the event log from
+    * per-day k = 64 hash partials — the sketch-algebra answer to q139's
+    * WAU problem: the ×7 window expansion multiplies ≤ 64-row partials
+    * instead of the whole (user, day) relation, per-day state is k
+    * longs, and the merged per-window k-cut is provably the true k-cut
+    * of the union (every global k-minimum survives its own day's cut).
+    * Exact trailing distinct rides as the audit column; estimate,
+    * k-th hash, and error all hash-checked per day.
+    */
+  def q260_trailing_kmv: Q = (s, dir) =>
+    graft.operators.Kmv.trailingKmv(
+      Tables.events(s, dir), "user_id", "ts", k = 64, windowDays = 7)
+
   /** q259 — per-group KMV distinct sketch audit
     * ([[graft.operators.Kmv.kmvDistinctByGroup]]): distinct ORDERS per
     * return flag sketched at k = 256 — the keyed face of q228 (the q258
@@ -1361,6 +1375,7 @@ object MiscQueries {
     "q257_quantile_sketch" -> q257_quantile_sketch,
     "q258_group_quantile_sketch" -> q258_group_quantile_sketch,
     "q259_group_kmv" -> q259_group_kmv,
+    "q260_trailing_kmv" -> q260_trailing_kmv,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1786,6 +1801,54 @@ object MiscQueries {
     // the polynomial-hash fold replayed per key (the minhash-oracle
     // pattern), k smallest distinct hashes, EXACT integer-division
     // estimate — a sketch whose every output column hash-checks
+    // per-day fold+finalizer partials, PARTITION BY day row_number cut,
+    // the x7 window expansion on the <=k-row partials (range(7) + date
+    // addition), per-window re-cut, guarded estimator, exact trailing
+    // distinct from the same expansion on (user, day) — all per day
+    "q260_trailing_kmv" -> raw"""
+      WITH dh AS MATERIALIZED (
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(regexp_extract_all(CAST(user_id AS VARCHAR), '.'),
+               c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007)
+             * 961748927 + 12345) % 1000000007 AS h
+        FROM events),
+      census AS MATERIALIZED (SELECT DISTINCT day AS obs_day FROM dh),
+      pr AS (SELECT day, h,
+                    row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+             FROM dh),
+      m AS MATERIALIZED (
+        SELECT DISTINCT day + t.i AS obs_day, h
+        FROM (SELECT day, h FROM pr WHERE rn <= 64) p,
+             (SELECT CAST(range AS INT) AS i FROM range(7)) t
+        WHERE day + t.i IN (SELECT obs_day FROM census)),
+      res AS (SELECT obs_day, CAST(count(1) AS BIGINT) AS n_resident
+              FROM m GROUP BY 1),
+      mr AS (SELECT obs_day, h,
+                    row_number() OVER (PARTITION BY obs_day ORDER BY h) AS rn
+             FROM m),
+      sk AS (SELECT obs_day, CAST(count(1) AS BIGINT) AS n_kept,
+                    CAST(max(h) AS BIGINT) AS kth_hash
+             FROM mr WHERE rn <= 64 GROUP BY 1),
+      ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      ex AS (SELECT obs_day,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_trailing
+             FROM (SELECT day + t.i AS obs_day, user_id
+                   FROM ud, (SELECT CAST(range AS INT) AS i FROM range(7)) t) e
+             WHERE obs_day IN (SELECT obs_day FROM census)
+             GROUP BY 1),
+      e AS (SELECT sk.obs_day, n_kept, kth_hash, n_resident,
+                   CASE WHEN n_resident < 64 OR kth_hash <= 0 THEN n_resident
+                        ELSE 63000000441 // kth_hash END AS estimate,
+                   exact_trailing
+            FROM sk JOIN res ON sk.obs_day = res.obs_day
+                    JOIN ex ON sk.obs_day = ex.obs_day)
+      SELECT obs_day, n_kept, kth_hash, n_resident, estimate, exact_trailing,
+             round(abs(CAST(estimate AS DOUBLE) - CAST(exact_trailing AS DOUBLE))
+               / CAST(exact_trailing AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+               AS rel_error
+      FROM e ORDER BY 1""",
     // the q228 fold+finalizer replayed per group: (group, hash) distinct,
     // PARTITION BY row_number <= k cut, the same guarded integer-division
     // estimator and exact audit — every column hash-checked per group

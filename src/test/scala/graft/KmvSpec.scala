@@ -79,6 +79,38 @@ class KmvSpec extends SparkSuite {
     }
   }
 
+  test("trailingKmv: hand-computed trailing unions; exact mode under k; clipped merge = true k-cut") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // day1: users 1,2; day2: 2,3; day5: 4 — census days {1,2,5}
+    val ev = Seq((1L, ts(1)), (2L, ts(1)), (2L, ts(2)), (3L, ts(2)), (4L, ts(5)))
+      .toDF("user_id", "ts")
+    val got = Kmv.trailingKmv(ev, "user_id", "ts", k = 64, windowDays = 3)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1.toString -> r).toMap
+    assert(got.keySet == Set("2024-01-01", "2024-01-02", "2024-01-05"))
+    // trailing-3 windows: day1 ← {day1} = {1,2}; day2 ← {day1,day2} =
+    // {1,2,3}; day5 ← {day5} only (days 3,4 are outside the census and
+    // day2+2 < 5) = {4}
+    assert(got("2024-01-01")._6 == 2L && got("2024-01-02")._6 == 3L &&
+      got("2024-01-05")._6 == 1L)
+    // under k the merged partials ARE the full hash sets: estimate exact
+    got.values.foreach { r =>
+      assert(r._5 == r._6 && r._7 == 0.0, s"exact-mode drift: $r")
+    }
+    // clipped days: k=2, 4 users on one day + 1 overlapping next day —
+    // the merged 2-cut must equal the true 2 smallest of the union
+    val ev2 = Seq((10L, ts(1)), (11L, ts(1)), (12L, ts(1)), (13L, ts(1)),
+      (10L, ts(2))).toDF("user_id", "ts")
+    val r2 = Kmv.trailingKmv(ev2, "user_id", "ts", k = 2, windowDays = 2)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1.toString -> r).toMap
+    val hs = Seq(10L, 11L, 12L, 13L).map(u => mirrorHash(u.toString)).sorted
+    assert(r2("2024-01-01")._3 == hs(1), "day1 kth must be 2nd smallest of all four")
+    assert(r2("2024-01-02")._3 == hs(1),
+      "day2 merges day1's 2-cut + day2's — kth must STILL be the true union 2nd smallest")
+  }
+
   test("StreamingKmv: merged micro-batch partials ≡ the one-shot batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
