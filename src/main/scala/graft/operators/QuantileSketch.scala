@@ -135,4 +135,36 @@ object QuantileSketch {
           col(s"__b$p.bucket_hi").as(s"p${p}_hi"))): _*)
       .orderBy(groupCols.map(col): _*)
   }
+
+  /** Trailing-window quantiles from per-day bucket partials — the
+    * quantile face of [[Kmv.trailingKmv]]'s window algebra: each day
+    * reduces ONCE to its ≤ ~1.7k-row bucket counts, each partial row
+    * fans to the ≤ W observation days it serves (census-day reporting),
+    * and fixed boundaries make the per-window merge plain count
+    * addition — so the windowed estimate is EXACTLY the estimate of the
+    * union bag (no clipping argument even needed, unlike KMV). Per-day
+    * state is bucket-count-sized; the exact windowed quantile would
+    * haul the full value relation through every window. Output: one
+    * row per census day in the [[estimateByGroup]] wide shape.
+    */
+  def trailingByDay(
+      df: DataFrame, valueCol: String, tsCol: String,
+      windowDays: Int = 7,
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val daySk = Stage.snapshotDF(sketch(
+      df.withColumn("day", to_date(col(tsCol))).filter(col("day").isNotNull),
+      valueCol, Seq("day")))
+    val census = daySk.select("day").distinct()
+      .withColumnRenamed("day", "obs_day")
+    val merged = daySk
+      .select(col("day"), col("bucket_lo"), col("bucket_hi"), col("cnt"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"))
+      .select(expr("date_add(day, __i)").as("obs_day"),
+        col("bucket_lo"), col("bucket_hi"), col("cnt"))
+      .join(census, "obs_day")
+      .groupBy("obs_day", "bucket_lo", "bucket_hi")
+      .agg(sum("cnt").as("cnt"))
+    estimateByGroup(merged, Seq("obs_day"), percentiles)
+  }
 }

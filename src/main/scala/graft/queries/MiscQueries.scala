@@ -100,6 +100,49 @@ object MiscQueries {
       .orderBy("prio")
   }
 
+  /** q261 — trailing-window quantiles
+    * ([[graft.operators.QuantileSketch.trailingByDay]]): 7-day rolling
+    * p50/p90/p99 of event values (integer cents) from per-day bucket
+    * partials — q260's window algebra on the quantile path, where fixed
+    * boundaries make the per-window merge plain count addition and the
+    * windowed estimate is EXACTLY the union bag's estimate. Audited
+    * per day against the exact trailing order statistics
+    * ([[graft.operators.Checks.exactPercentiles]] over the ×7-expanded
+    * relation) with containment flags; every column hash-checked.
+    */
+  def q261_trailing_quantiles: Q = (s, dir) => {
+    import graft.operators.{Checks, QuantileSketch}
+    val ev = Tables.events(s, dir)
+      .select(col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+    val est = QuantileSketch.trailingByDay(ev, "v", "ts", windowDays = 7)
+    val days = ev.select(to_date(col("ts")).as("day"), col("v"))
+      .filter(col("day").isNotNull)
+      .transform(graft.operators.Stage.snapshotDF)
+    val census = days.select("day").distinct()
+      .withColumnRenamed("day", "obs_day")
+    val expanded = days
+      .select(col("day"), col("v"),
+        explode(sequence(lit(0), lit(6))).as("__i"))
+      .select(expr("date_add(day, __i)").as("obs_day"), col("v"))
+      .join(census, "obs_day")
+    val ex = Checks.exactPercentiles(expanded, "obs_day", "v")
+      .select(col("obs_day"), col("p50").as("p50_exact"),
+        col("p90").as("p90_exact"), col("p99").as("p99_exact"))
+    est.join(ex, Seq("obs_day"))
+      .select(col("obs_day"), col("n_rows"),
+        col("p50_lo"), col("p50_hi"), col("p50_exact"),
+        (col("p50_lo") <= col("p50_exact") &&
+          col("p50_exact") <= col("p50_hi")).as("p50_ok"),
+        col("p90_lo"), col("p90_hi"), col("p90_exact"),
+        (col("p90_lo") <= col("p90_exact") &&
+          col("p90_exact") <= col("p90_hi")).as("p90_ok"),
+        col("p99_lo"), col("p99_hi"), col("p99_exact"),
+        (col("p99_lo") <= col("p99_exact") &&
+          col("p99_exact") <= col("p99_hi")).as("p99_ok"))
+      .orderBy("obs_day")
+  }
+
   /** q260 — trailing-window KMV ([[graft.operators.Kmv.trailingKmv]]):
     * 7-day rolling distinct-user estimates over the event log from
     * per-day k = 64 hash partials — the sketch-algebra answer to q139's
@@ -1376,6 +1419,7 @@ object MiscQueries {
     "q258_group_quantile_sketch" -> q258_group_quantile_sketch,
     "q259_group_kmv" -> q259_group_kmv,
     "q260_trailing_kmv" -> q260_trailing_kmv,
+    "q261_trailing_quantiles" -> q261_trailing_quantiles,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1801,6 +1845,76 @@ object MiscQueries {
     // the polynomial-hash fold replayed per key (the minhash-oracle
     // pattern), k smallest distinct hashes, EXACT integer-division
     // estimate — a sketch whose every output column hash-checks
+    // per-day decimal-mantissa bucket partials, x7 date expansion of the
+    // PARTIALS with their counts, count-addition merge per (obs_day,
+    // bucket), PARTITION BY obs_day rank windows, exact trailing order
+    // statistics from the x7-expanded raw relation — the q258 keyed
+    // shape over q260's window algebra
+    "q261_trailing_quantiles" -> raw"""
+      WITH cents AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events),
+      census AS MATERIALIZED (SELECT DISTINCT day AS obs_day FROM cents),
+      b AS (SELECT day, v, CAST(v AS VARCHAR) AS s FROM cents),
+      dsk AS (
+        SELECT day,
+               CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
+               END AS bucket_lo,
+               CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
+                                     repeat('0', len(s) - 2)) AS BIGINT) - 1
+               END AS bucket_hi,
+               CAST(count(1) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2, 3),
+      m AS (SELECT day + t.i AS obs_day, bucket_lo, bucket_hi,
+                   CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM dsk, (SELECT CAST(range AS INT) AS i FROM range(7)) t
+            WHERE day + t.i IN (SELECT obs_day FROM census)
+            GROUP BY 1, 2, 3),
+      cum AS (SELECT obs_day, bucket_lo, bucket_hi,
+                     sum(cnt) OVER (PARTITION BY obs_day ORDER BY bucket_lo) AS cum,
+                     sum(cnt) OVER (PARTITION BY obs_day) AS n
+              FROM m),
+      ps(pct) AS (VALUES (50), (90), (99)),
+      est AS (SELECT obs_day, pct, CAST(max(n) AS BIGINT) AS n_rows,
+                     min(bucket_lo) AS lo, arg_min(bucket_hi, bucket_lo) AS hi
+              FROM ps JOIN cum ON cum * 100 >= n * pct
+              GROUP BY 1, 2),
+      estw AS (SELECT obs_day, max(n_rows) AS n_rows,
+                      max(CASE WHEN pct = 50 THEN lo END) AS p50_lo,
+                      max(CASE WHEN pct = 50 THEN hi END) AS p50_hi,
+                      max(CASE WHEN pct = 90 THEN lo END) AS p90_lo,
+                      max(CASE WHEN pct = 90 THEN hi END) AS p90_hi,
+                      max(CASE WHEN pct = 99 THEN lo END) AS p99_lo,
+                      max(CASE WHEN pct = 99 THEN hi END) AS p99_hi
+               FROM est GROUP BY 1),
+      exp AS (SELECT day + t.i AS obs_day, v
+              FROM cents, (SELECT CAST(range AS INT) AS i FROM range(7)) t
+              WHERE day + t.i IN (SELECT obs_day FROM census)),
+      exv AS (SELECT obs_day, v, CAST(count(1) AS BIGINT) AS c
+              FROM exp GROUP BY 1, 2),
+      exc AS (SELECT obs_day, v,
+                     sum(c) OVER (PARTITION BY obs_day ORDER BY v) AS cum,
+                     sum(c) OVER (PARTITION BY obs_day) AS n
+              FROM exv),
+      ex AS (SELECT obs_day, pct, min(v) AS exact_v
+             FROM ps JOIN exc ON cum * 100 >= n * pct GROUP BY 1, 2),
+      exw AS (SELECT obs_day,
+                     max(CASE WHEN pct = 50 THEN exact_v END) AS p50_exact,
+                     max(CASE WHEN pct = 90 THEN exact_v END) AS p90_exact,
+                     max(CASE WHEN pct = 99 THEN exact_v END) AS p99_exact
+              FROM ex GROUP BY 1)
+      SELECT e.obs_day, e.n_rows,
+             p50_lo, p50_hi, p50_exact,
+             p50_lo <= p50_exact AND p50_exact <= p50_hi AS p50_ok,
+             p90_lo, p90_hi, p90_exact,
+             p90_lo <= p90_exact AND p90_exact <= p90_hi AS p90_ok,
+             p99_lo, p99_hi, p99_exact,
+             p99_lo <= p99_exact AND p99_exact <= p99_hi AS p99_ok
+      FROM estw e JOIN exw x ON e.obs_day = x.obs_day
+      ORDER BY e.obs_day""",
     // per-day fold+finalizer partials, PARTITION BY day row_number cut,
     // the x7 window expansion on the <=k-row partials (range(7) + date
     // addition), per-window re-cut, guarded estimator, exact trailing

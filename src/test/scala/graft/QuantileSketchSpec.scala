@@ -109,6 +109,35 @@ class QuantileSketchSpec extends SparkSuite {
       s"fixed boundaries must make the streaming face exact: $streamed vs $batch")
   }
 
+  test("trailingByDay equals the one-shot sketch of each window's bag (census gaps respected)") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 08:00:00")
+    // census days {1, 2, 5}; window 3: day1←{d1}, day2←{d1,d2}, day5←{d5}
+    val rows = Seq(
+      (ts(1), 100L), (ts(1), 200L), (ts(2), 300L),
+      (ts(5), 900L), (ts(5), 9000L))
+    val ev = rows.toDF("ts", "v")
+    val got = QuantileSketch.trailingByDay(ev, "v", "ts", windowDays = 3)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1.toString -> r).toMap
+    assert(got.keySet == Set("2024-01-01", "2024-01-02", "2024-01-05"))
+    def oneShot(bag: Seq[Long]) = QuantileSketch.estimate(
+      QuantileSketch.sketch(bag.toDF("v"), "v"))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val windows = Map(
+      "2024-01-01" -> Seq(100L, 200L),
+      "2024-01-02" -> Seq(100L, 200L, 300L),
+      "2024-01-05" -> Seq(900L, 9000L))
+    windows.foreach { case (d, bag) =>
+      val solo = oneShot(bag)
+      val k = got(d)
+      assert((k._2, k._3, k._4, k._5, k._6, k._7, k._8) ==
+        ((bag.size.toLong, solo(50)._3, solo(50)._4, solo(90)._3, solo(90)._4,
+          solo(99)._3, solo(99)._4)),
+        s"$d: windowed $k vs one-shot of $bag")
+    }
+  }
+
   test("negative values are rejected by filter; empty input gives no rows") {
     val df = Seq(-5L, 3L).toDF("v")
     val sk = QuantileSketch.sketch(df, "v").as[(Long, Long, Long)].collect()
