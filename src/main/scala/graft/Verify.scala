@@ -59,12 +59,23 @@ object Verify {
         // LocalDate/Instant need no module opens and CanonDigest renders
         // both representations to the same canonical string. Scoped so
         // the queries themselves run under the session default.
-        val j8 = "spark.sql.datetime.java8API.enabled"
-        val j8prev = spark.conf.get(j8)
-        spark.conf.set(j8, "true")
-        try digests(name) =
-          graft.tools.CanonDigest.digest(spark.read.parquet(s"$outDir/$name"))
-        finally spark.conf.set(j8, j8prev)
+        //
+        // The digest has its OWN catch: a digest-layer failure must not
+        // mark a query whose parquet was written fine as failed — the
+        // query simply gets no digests.json entry (visible as a gap),
+        // and the cause goes to stderr.
+        try {
+          val j8 = "spark.sql.datetime.java8API.enabled"
+          val j8prev = spark.conf.get(j8)
+          spark.conf.set(j8, "true")
+          try digests(name) =
+            graft.tools.CanonDigest.digest(spark.read.parquet(s"$outDir/$name"))
+          finally spark.conf.set(j8, j8prev)
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[verify] $name digest failed (result parquet is intact): " +
+              s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
+        }
       } catch { case e: Throwable =>
         // record the whole cause chain — wrapper codes like
         // EXPRESSION_DECODING_FAILED are useless without their root cause

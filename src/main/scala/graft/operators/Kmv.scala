@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** KMV — k-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
@@ -42,6 +42,23 @@ object Kmv {
 
   private val P = graft.functions.StringKernels.PolyHashMod
 
+  /** The guarded KMV estimator over a `kth_hash` column: exact
+    * (`nCol`) under k resident hashes, ⌊(k−1)·p / h₍ₖ₎⌋ otherwise; the
+    * `kth_hash > 0` branch is unreachable with k ≥ 2 distinct hashes
+    * (the k-th order statistic is ≥ k−1) but guards the div against the
+    * 0 the finalized domain admits. ONE definition shared by every
+    * face — global, per-group, trailing-window — so estimator changes
+    * stay single-sourced.
+    */
+  private def estExpr(k: Int, nCol: Column): Column =
+    when(nCol < k || col("kth_hash") <= 0, nCol)
+      .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))
+
+  /** `round(|est − exact| / exact, 6) + 0.0` — the shared audit column. */
+  private def relErr(est: Column, exact: Column): Column =
+    round(abs(est.cast("double") - exact.cast("double")) /
+      exact.cast("double"), 6) + lit(0.0)
+
   /** The finalized hash column for `keyCol` — the sketch's only
     * per-row work, shared by the batch audit and the streaming partials.
     */
@@ -71,14 +88,7 @@ object Kmv {
     val hashed = Stage.snapshotDF(
       hashes.select("h").filter(col("h").isNotNull).distinct())
     val stats = hashed.agg(count(lit(1)).as("n_hashes"))
-    // kth_hash > 0 guard: with k ≥ 2 DISTINCT hashes the k-th order
-    // statistic is ≥ k−1 > 0, so the branch is unreachable on real
-    // input — but the finalized domain includes 0, and without the
-    // guard a div-by-zero would surface as null (non-ANSI) or a runtime
-    // error (ANSI) instead of the documented n_hashes fallback
-    val est = when(col("n_hashes") < k || col("kth_hash") <= 0,
-        col("n_hashes"))
-      .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))
+    val est = estExpr(k, col("n_hashes"))
     hashed.orderBy(col("h").asc).limit(k)
       .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
       .crossJoin(broadcast(stats))
@@ -93,9 +103,7 @@ object Kmv {
       .crossJoin(broadcast(exact))
       .select(col("n_kept"), col("kth_hash"), col("n_hashes"),
         col("estimate"), col("exact_distinct"),
-        (round(abs(col("estimate").cast("double") -
-          col("exact_distinct").cast("double")) /
-          col("exact_distinct").cast("double"), 6) + lit(0.0)).as("rel_error"))
+        relErr(col("estimate"), col("exact_distinct")).as("rel_error"))
   }
 
   /** Per-group KMV with the exact audit beside each estimate — the
@@ -123,15 +131,11 @@ object Kmv {
       .select(col(groupCol).as("g"), col(keyCol).as("__key"))
       .filter(col("g").isNotNull)
       .groupBy("g").agg(count_distinct(col("__key")).as("exact_distinct"))
-    val est = when(col("n_hashes") < k || col("kth_hash") <= 0,
-        col("n_hashes"))
-      .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))
+    val est = estExpr(k, col("n_hashes"))
     sk.join(stats, "g").join(exact, "g")
       .select(col("g").as(groupCol), col("n_kept"), col("kth_hash"),
         col("n_hashes"), est.as("estimate"), col("exact_distinct"),
-        (round(abs(est.cast("double") -
-          col("exact_distinct").cast("double")) /
-          col("exact_distinct").cast("double"), 6) + lit(0.0)).as("rel_error"))
+        relErr(est, col("exact_distinct")).as("rel_error"))
       .orderBy(groupCol)
   }
 
@@ -188,15 +192,11 @@ object Kmv {
       .select(expr("date_add(day, __i)").as("obs_day"), col("__key"))
       .join(census, "obs_day")
       .groupBy("obs_day").agg(count_distinct(col("__key")).as("exact_trailing"))
-    val est = when(col("n_resident") < k || col("kth_hash") <= 0,
-        col("n_resident"))
-      .otherwise(expr(s"${(k - 1).toLong * P} div kth_hash"))
+    val est = estExpr(k, col("n_resident"))
     sk.join(res, "obs_day").join(exact, "obs_day")
       .select(col("obs_day"), col("n_kept"), col("kth_hash"),
         col("n_resident"), est.as("estimate"), col("exact_trailing"),
-        (round(abs(est.cast("double") -
-          col("exact_trailing").cast("double")) /
-          col("exact_trailing").cast("double"), 6) + lit(0.0)).as("rel_error"))
+        relErr(est, col("exact_trailing")).as("rel_error"))
       .orderBy("obs_day")
   }
 }

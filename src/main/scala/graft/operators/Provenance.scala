@@ -31,6 +31,32 @@ object Provenance {
   /** One manifest row per (table, physical file): row count, key range,
     * and row-index integrity. `tables` maps table name → key column.
     */
+  /** The manifest as a LAZY plan — caller must hold the nanos conf (see
+    * [[ingestManifest]], which scopes it); exposed separately so the
+    * PlanSpec one-column-per-table pin can inspect the scan shape that
+    * the public operator's eager snapshot otherwise hides.
+    */
+  private[graft] def manifestPlan(
+      spark: SparkSession, dir: String,
+      tables: Seq[(String, String)]): DataFrame =
+    tables.map { case (t, keyCol) =>
+      spark.read.parquet(s"$dir/$t.parquet")
+        .select(
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("__ri"),
+          col(keyCol).cast("long").as("__k"))
+        .groupBy("file_name")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("__k").as("key_min"),
+          max("__k").as("key_max"),
+          (min("__ri") === lit(0L) &&
+            max("__ri") === count(lit(1)) - lit(1L)).as("row_index_ok"))
+        .select(lit(t).as("table_name"), col("file_name"), col("n_rows"),
+          col("key_min"), col("key_max"), col("row_index_ok"))
+    }.reduce(_ unionByName _)
+      .orderBy("table_name", "file_name")
+
   def ingestManifest(
       spark: SparkSession, dir: String,
       tables: Seq[(String, String)]): DataFrame = {
@@ -43,25 +69,8 @@ object Provenance {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try {
-      Stage.snapshotDF(tables.map { case (t, keyCol) =>
-        spark.read.parquet(s"$dir/$t.parquet")
-          .select(
-            col("_metadata.file_name").as("file_name"),
-            col("_metadata.row_index").as("__ri"),
-            col(keyCol).cast("long").as("__k"))
-          .groupBy("file_name")
-          .agg(
-            count(lit(1)).as("n_rows"),
-            min("__k").as("key_min"),
-            max("__k").as("key_max"),
-            (min("__ri") === lit(0L) &&
-              max("__ri") === count(lit(1)) - lit(1L)).as("row_index_ok"))
-          .select(lit(t).as("table_name"), col("file_name"), col("n_rows"),
-            col("key_min"), col("key_max"), col("row_index_ok"))
-      }.reduce(_ unionByName _)
-        .orderBy("table_name", "file_name"))
-    } finally {
+    try Stage.snapshotDF(manifestPlan(spark, dir, tables))
+    finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)

@@ -53,7 +53,13 @@ object QuantileSketch {
     val lo = when(col("__d") === 1, col("__v"))
       .otherwise(concat(substring(col("__s"), 1, 2),
         repeat(lit("0"), col("__d") - 2)).cast("long"))
+    // 19-digit mantissa 92 is the one bucket whose rebuilt upper bound
+    // ("93" + 17 zeros) exceeds Long.MaxValue — clamp it there rather
+    // than let a non-ANSI cast null the bucket (and the oracle's CAST
+    // error); the bucket legitimately ends at the domain ceiling
     val hi = when(col("__d") === 1, col("__v"))
+      .when(col("__d") === 19 && substring(col("__s"), 1, 2) === "92",
+        lit(Long.MaxValue))
       .otherwise(concat(
         (substring(col("__s"), 1, 2).cast("long") + 1).cast("string"),
         repeat(lit("0"), col("__d") - 2)).cast("long") - 1)

@@ -53,6 +53,7 @@ object MiscQueries {
     import graft.operators.{Checks, QuantileSketch, Stage}
     val cents = Tables.orders(s, dir)
       .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0)
     val sk = Stage.snapshotDF(QuantileSketch.sketch(cents, "v"))
     val est = QuantileSketch.estimate(sk, Seq(50, 90, 99))
     val ex = Checks.exactPercentiles(cents.withColumn("__g", lit(1)), "__g", "v")
@@ -81,6 +82,7 @@ object MiscQueries {
     val cents = Tables.orders(s, dir)
       .select(col("o_orderpriority").as("prio"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+      .filter(col("prio").isNotNull && col("v").isNotNull && col("v") >= 0)
     val est = QuantileSketch.estimateByGroup(
       QuantileSketch.sketch(cents, "v", Seq("prio")), Seq("prio"))
     val ex = Checks.exactPercentiles(cents, "prio", "v")
@@ -115,6 +117,7 @@ object MiscQueries {
     val ev = Tables.events(s, dir)
       .select(col("ts"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0)
     val est = QuantileSketch.trailingByDay(ev, "v", "ts", windowDays = 7)
     val days = ev.select(to_date(col("ts")).as("day"), col("v"))
       .filter(col("day").isNotNull)
@@ -1854,7 +1857,9 @@ object MiscQueries {
       WITH cents AS MATERIALIZED (
         SELECT CAST(ts AS DATE) AS day,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-        FROM events),
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND floor(value * 100 + 0.5) >= 0),
       census AS MATERIALIZED (SELECT DISTINCT day AS obs_day FROM cents),
       b AS (SELECT day, v, CAST(v AS VARCHAR) AS s FROM cents),
       dsk AS (
@@ -1863,6 +1868,8 @@ object MiscQueries {
                     ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
                END AS bucket_lo,
                CASE WHEN len(s) = 1 THEN v
+                    WHEN len(s) = 19 AND s[1:2] = '92'
+                      THEN 9223372036854775807
                     ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
                                      repeat('0', len(s) - 2)) AS BIGINT) - 1
                END AS bucket_hi,
@@ -1927,7 +1934,8 @@ object MiscQueries {
                c -> CAST(unicode(c) AS BIGINT))),
              (a, b) -> (a * 31 + b) % 1000000007)
              * 961748927 + 12345) % 1000000007 AS h
-        FROM events),
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
       census AS MATERIALIZED (SELECT DISTINCT day AS obs_day FROM dh),
       pr AS (SELECT day, h,
                     row_number() OVER (PARTITION BY day ORDER BY h) AS rn
@@ -1945,7 +1953,8 @@ object MiscQueries {
       sk AS (SELECT obs_day, CAST(count(1) AS BIGINT) AS n_kept,
                     CAST(max(h) AS BIGINT) AS kth_hash
              FROM mr WHERE rn <= 64 GROUP BY 1),
-      ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+             WHERE ts IS NOT NULL),
       ex AS (SELECT obs_day,
                     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_trailing
              FROM (SELECT day + t.i AS obs_day, user_id
@@ -1974,7 +1983,8 @@ object MiscQueries {
                c -> CAST(unicode(c) AS BIGINT))),
              (a, b) -> (a * 31 + b) % 1000000007)
              * 961748927 + 12345) % 1000000007 AS h
-        FROM lineitem),
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL),
       st AS (SELECT g, CAST(count(1) AS BIGINT) AS n_hashes
              FROM hashed GROUP BY 1),
       rk AS (SELECT g, h,
@@ -2005,7 +2015,9 @@ object MiscQueries {
       WITH cents AS MATERIALIZED (
         SELECT o_orderpriority AS prio,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
-        FROM orders),
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+          AND floor(o_totalprice * 100 + 0.5) >= 0),
       b AS (SELECT prio, v, CAST(v AS VARCHAR) AS s FROM cents),
       sk AS (
         SELECT prio,
@@ -2013,6 +2025,8 @@ object MiscQueries {
                     ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
                END AS bucket_lo,
                CASE WHEN len(s) = 1 THEN v
+                    WHEN len(s) = 19 AND s[1:2] = '92'
+                      THEN 9223372036854775807
                     ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
                                      repeat('0', len(s) - 2)) AS BIGINT) - 1
                END AS bucket_hi,
@@ -2065,13 +2079,17 @@ object MiscQueries {
     "q257_quantile_sketch" -> raw"""
       WITH cents AS MATERIALIZED (
         SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
-        FROM orders),
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND floor(o_totalprice * 100 + 0.5) >= 0),
       b AS (SELECT v, CAST(v AS VARCHAR) AS s FROM cents),
       sk AS (
         SELECT CASE WHEN len(s) = 1 THEN v
                     ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
                END AS bucket_lo,
                CASE WHEN len(s) = 1 THEN v
+                    WHEN len(s) = 19 AND s[1:2] = '92'
+                      THEN 9223372036854775807
                     ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
                                      repeat('0', len(s) - 2)) AS BIGINT) - 1
                END AS bucket_hi,
@@ -2105,7 +2123,8 @@ object MiscQueries {
                    c -> CAST(unicode(c) AS BIGINT))),
                  (a, b) -> (a * 31 + b) % 1000000007)
                  * 961748927 + 12345) % 1000000007 AS h
-        FROM lineitem),
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL),
       st AS (SELECT CAST(count(1) AS BIGINT) AS n_hashes FROM hashed),
       kth AS (SELECT CAST(count(1) AS BIGINT) AS n_kept,
                      CAST(max(h) AS BIGINT) AS kth_hash

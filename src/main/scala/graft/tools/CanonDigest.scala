@@ -56,7 +56,11 @@ object CanonDigest {
     case d: java.sql.Date => d.toLocalDate.toString
     case d: java.time.LocalDate => d.toString
     case t: java.sql.Timestamp =>
-      "t:" + (t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      // floorDiv, not truncation: getTime of 1969-12-31 23:59:59.5 is
+      // -500; -500/1000 truncates to 0 and would shift pre-1970
+      // fractional seconds by +1s vs the Instant branch and the Python
+      // twin (both floor-based)
+      "t:" + (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
     case t: java.time.Instant =>
       "t:" + (t.getEpochSecond * 1000000L + t.getNano / 1000L)
     case t: java.time.LocalDateTime =>

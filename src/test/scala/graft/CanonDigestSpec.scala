@@ -55,6 +55,12 @@ class CanonDigestSpec extends SparkSuite {
       "2024-02-29")
     assert(CanonDigest.canonValue(Timestamp.valueOf("1970-01-01 00:00:01.5")) ==
       "t:1500000")
+    // pre-1970 fractional seconds: floorDiv, not truncation — getTime
+    // -500 must canonicalize to -500000 micros (matching the Instant
+    // branch and the Python twin), not +500000
+    assert(CanonDigest.canonValue(new Timestamp(-500L)) == "t:-500000")
+    assert(CanonDigest.canonValue(java.time.Instant.ofEpochMilli(-500L)) ==
+      "t:-500000")
     assert(CanonDigest.canonValue(Seq(1L, 2L)) == "[1,2]")
     assert(CanonDigest.canonValue(Map("b" -> 2L, "a" -> 1L)) ==
       "{s:a=>1,s:b=>2}")

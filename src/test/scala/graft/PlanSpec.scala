@@ -719,7 +719,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q187: manifest reads ONE physical column per table; aggregates stay partial") {
-    val f = formatted("q187_ingest_manifest")
+    // the public operator snapshots eagerly (conf scoping), which hides
+    // the scan — inspect the lazy plan it materializes instead
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val lazyPlan = graft.operators.Provenance.manifestPlan(spark, sfDir,
+      Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+        ("events", "event_id")))
+    val f = lazyPlan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     // _metadata is reader-generated: every ReadSchema must carry only the
     // key column plus the reader's own _tmp_metadata_row_index marker (a
     // second DATA column means the metadata projection started costing I/O)
@@ -731,8 +738,10 @@ class PlanSpec extends SparkSuite {
       val dataCols = cols.filterNot(_.startsWith("_tmp_metadata"))
       assert(dataCols.length <= 1, s"more than one DATA column read: $rs")
     }
-    val p = plan("q187_ingest_manifest")
-    assert(p.contains("partial"), "per-file stats must combine map-side")
+    assert(lazyPlan.queryExecution.executedPlan.toString.contains("partial"),
+      "per-file stats must combine map-side")
+    // the public operator's result is the eager snapshot of that plan
+    assert(plan("q187_ingest_manifest").contains("Scan ExistingRDD"))
   }
 
   test("q188: MaxSim is a map-only scan + TakeOrdered — no shuffle, no UDF") {

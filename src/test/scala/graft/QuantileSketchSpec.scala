@@ -24,6 +24,11 @@ class QuantileSketchSpec extends SparkSuite {
       (990L, 999L, 1L),
       (1000L, 1099L, 2L)), // 1000 and 1049 share mantissa-10 bucket
       s"got $got")
+    // domain ceiling: the 19-digit mantissa-92 bucket's rebuilt upper
+    // bound overflows Long — it must clamp to Long.MaxValue, not null
+    val top = QuantileSketch.sketch(Seq(Long.MaxValue).toDF("v"), "v")
+      .as[(Long, Long, Long)].head()
+    assert(top == ((9200000000000000000L, Long.MaxValue, 1L)), s"got $top")
   }
 
   test("merge of shard partials is bit-identical to the whole-data sketch") {

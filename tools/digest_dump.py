@@ -72,9 +72,12 @@ def canon_value(v, typ=None):
             vals.append(canon_value(fv, ft))
         return "{" + ",".join(vals) + "}"
     if isinstance(v, list):
-        if v and isinstance(v[0], tuple):  # pyarrow map → [(k, v), ...]
-            kt = typ.key_type if typ is not None and hasattr(typ, "key_type") else None
-            vt = typ.item_type if typ is not None and hasattr(typ, "item_type") else None
+        # decide map-ness from the TYPE, not v[0] sniffing: an empty map
+        # materializes as [] and must still canonicalize as "{}" to match
+        # CanonDigest.scala's Map branch
+        import pyarrow.types as pat
+        if typ is not None and pat.is_map(typ):
+            kt, vt = typ.key_type, typ.item_type
             ents = sorted(canon_value(k, kt) + "=>" + canon_value(x, vt)
                           for k, x in v)
             return "{" + ",".join(ents) + "}"
