@@ -507,6 +507,40 @@ object Checks {
       .orderBy(keyCol)
   }
 
+  /** WEIGHTED [[exactPercentiles]]: P_p = the smallest value whose
+    * cumulative WEIGHT reaches ⌈p·W/100⌉ of the total mass W — the
+    * exact twin of [[QuantileSketch.sketchWeighted]]'s rank convention
+    * ("below which value does p% of the token/byte mass live").
+    * Identical shape: per-(key, value) weight pre-aggregation, then
+    * group-keyed cumulative windows over the per-key DISTINCT-value
+    * relation and one min-per-rank aggregate. Null/negative weights are
+    * outside the mass by contract; `n_rows` reports the TOTAL MASS, not
+    * the row count.
+    */
+  def exactPercentilesWeighted(
+      df: DataFrame, keyCol: String, valueCol: String, weightCol: String,
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]: $percentiles")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tw = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+    val counts = df
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__wt"))
+      .filter(col("__v").isNotNull && col("__wt").isNotNull && col("__wt") >= 0)
+      .groupBy("__k", "__v").agg(sum("__wt").as("__c"))
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(tw))
+    val picks = percentiles.map { p =>
+      min(when(col("__cum") * 100 >= col("__n") * p, col("__v"))).as(s"p$p")
+    }
+    counts.groupBy(col("__k").as(keyCol))
+      .agg(max("__n").as("total_weight"), picks: _*)
+      .orderBy(keyCol)
+  }
+
   /** Theil's uncertainty coefficient U(y|x) = MI(x;y) / H(y) — the
     * NORMALIZED "how much does knowing x reduce uncertainty about y"
     * (0 = independent, 1 = x determines y), the scale-free companion of

@@ -44,28 +44,57 @@ object QuantileSketch {
     * string-integer arithmetic, identical in Spark and DuckDB.
     */
   def sketch(df: DataFrame, valueCol: String,
-             groupCols: Seq[String] = Seq.empty): DataFrame = {
+             groupCols: Seq[String] = Seq.empty): DataFrame =
+    sketchAgg(df, valueCol, groupCols, count(lit(1)))
+
+  /** WEIGHTED bucket partials: `cnt` is the summed weight mass per
+    * bucket instead of the row count, so [[estimate]]/[[estimateByGroup]]
+    * resolve WEIGHTED quantiles — "the value below which p% of the
+    * MASS lives" (token-weighted doc-length percentiles, byte-weighted
+    * latency bands). Same buckets, same merge algebra (weights add like
+    * counts), same rank convention with `n` = total mass. Rows with
+    * null/negative weight are outside the mass by contract (mirrored in
+    * the oracle's WHERE); zero-weight rows contribute nothing either
+    * way.
+    */
+  def sketchWeighted(df: DataFrame, valueCol: String, weightCol: String,
+                     groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val pre = df
+      .filter(col(weightCol).isNotNull && col(weightCol).cast("long") >= 0)
+      .withColumn("__w", col(weightCol).cast("long"))
+    sketchAgg(pre, valueCol, groupCols, sum(col("__w")))
+  }
+
+  /** Shared bucketization core: project (groups…, __w?, __v), derive
+    * lo/hi by the digit-count + leading-two-digit string rebuild, and
+    * aggregate `cntAgg` per (group, bucket). The 19-digit mantissa-92
+    * bucket's rebuilt upper bound ("93" + 17 zeros) exceeds
+    * Long.MaxValue — clamp it there rather than let a non-ANSI cast
+    * null the bucket (and the oracle's CAST error); the bucket
+    * legitimately ends at the domain ceiling.
+    */
+  private def sketchAgg(df: DataFrame, valueCol: String,
+                        groupCols: Seq[String],
+                        cntAgg: Column): DataFrame = {
     val v = col(valueCol).cast("long")
-    val base = df.select((groupCols.map(col) :+ v.as("__v")): _*)
+    val keep = df.columns.filter(_ == "__w").toSeq
+    val base = df.select((groupCols.map(col) ++ keep.map(col) :+ v.as("__v")): _*)
       .filter(col("__v").isNotNull && col("__v") >= 0)
       .withColumn("__s", col("__v").cast("string"))
       .withColumn("__d", length(col("__s")))
     val lo = when(col("__d") === 1, col("__v"))
       .otherwise(concat(substring(col("__s"), 1, 2),
         repeat(lit("0"), col("__d") - 2)).cast("long"))
-    // 19-digit mantissa 92 is the one bucket whose rebuilt upper bound
-    // ("93" + 17 zeros) exceeds Long.MaxValue — clamp it there rather
-    // than let a non-ANSI cast null the bucket (and the oracle's CAST
-    // error); the bucket legitimately ends at the domain ceiling
     val hi = when(col("__d") === 1, col("__v"))
       .when(col("__d") === 19 && substring(col("__s"), 1, 2) === "92",
         lit(Long.MaxValue))
       .otherwise(concat(
         (substring(col("__s"), 1, 2).cast("long") + 1).cast("string"),
         repeat(lit("0"), col("__d") - 2)).cast("long") - 1)
-    base.select((groupCols.map(col) :+ lo.as("bucket_lo") :+ hi.as("bucket_hi")): _*)
+    base.select((groupCols.map(col) ++ keep.map(col)
+        :+ lo.as("bucket_lo") :+ hi.as("bucket_hi")): _*)
       .groupBy((groupCols :+ "bucket_lo" :+ "bucket_hi").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(cntAgg.as("cnt"))
   }
 
   /** Merge sketch partials (any union of [[sketch]] outputs with the

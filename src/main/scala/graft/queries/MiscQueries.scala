@@ -102,6 +102,40 @@ object MiscQueries {
       .orderBy("prio")
   }
 
+  /** q262 — token-mass-weighted quantiles
+    * ([[graft.operators.QuantileSketch.sketchWeighted]] +
+    * [[graft.operators.Checks.exactPercentilesWeighted]]): "below what
+    * document LENGTH does p% of the corpus's TOKEN MASS live" — the
+    * budget question a row-count percentile gets wrong (one 100k-token
+    * doc outweighs a thousand stubs). Bucket counts carry summed token
+    * weight instead of row counts; same rank convention over mass,
+    * exact weighted order statistics + containment flags as the audit.
+    * ONE tokenize pass (the snapshot feeds sketch AND exact);
+    * everything downstream is bucket-/value-bounded.
+    */
+  def q262_weighted_quantiles: Q = (s, dir) => {
+    import graft.operators.{Checks, QuantileSketch, Stage}
+    val base = Stage.snapshotDF(
+      graft.operators.Dedup.spread(Tables.documents(s, dir))
+        .select(col("n_chars").cast("long").as("v"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("w"))
+        .filter(col("v").isNotNull && col("v") >= 0 &&
+          col("w").isNotNull && col("w") >= 0))
+    val est = QuantileSketch.estimate(
+      QuantileSketch.sketchWeighted(base, "v", "w"), Seq(50, 90, 99))
+    val ex = Checks.exactPercentilesWeighted(
+      base.withColumn("__g", lit(1)), "__g", "v", "w")
+      .selectExpr("stack(3, 50, p50, 90, p90, 99, p99) AS (pct, exact_value)")
+    est.join(broadcast(ex), Seq("pct"))
+      .select(col("pct").cast("long").as("pct"),
+        col("n_rows").as("total_weight"),
+        col("est_lo"), col("est_hi"), col("exact_value"),
+        (col("est_lo") <= col("exact_value") &&
+          col("exact_value") <= col("est_hi")).as("within_bound"))
+      .orderBy("pct")
+  }
+
   /** q261 — trailing-window quantiles
     * ([[graft.operators.QuantileSketch.trailingByDay]]): 7-day rolling
     * p50/p90/p99 of event values (integer cents) from per-day bucket
@@ -1423,6 +1457,7 @@ object MiscQueries {
     "q259_group_kmv" -> q259_group_kmv,
     "q260_trailing_kmv" -> q260_trailing_kmv,
     "q261_trailing_quantiles" -> q261_trailing_quantiles,
+    "q262_weighted_quantiles" -> q262_weighted_quantiles,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1848,6 +1883,55 @@ object MiscQueries {
     // the polynomial-hash fold replayed per key (the minhash-oracle
     // pattern), k smallest distinct hashes, EXACT integer-division
     // estimate — a sketch whose every output column hash-checks
+    // bucket counts carry SUMMED TOKEN WEIGHT (the q119 whitespace-token
+    // convention); cumulative/rank/exact all over mass — the q257 shape
+    // with sum(w) where it had count(1); null-text docs drop on both
+    // sides (engine: size(tokens(null)) = -1 < 0; oracle: len(NULL)
+    // filtered)
+    "q262_weighted_quantiles" -> raw"""
+      WITH base AS MATERIALIZED (
+        SELECT CAST(n_chars AS BIGINT) AS v,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS w
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars >= 0
+          AND text IS NOT NULL
+          AND len(list_filter(string_split_regex(text, '\s+'),
+                x -> x <> '')) >= 0),
+      b AS (SELECT v, w, CAST(v AS VARCHAR) AS s FROM base),
+      sk AS (
+        SELECT CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
+               END AS bucket_lo,
+               CASE WHEN len(s) = 1 THEN v
+                    WHEN len(s) = 19 AND s[1:2] = '92'
+                      THEN 9223372036854775807
+                    ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
+                                     repeat('0', len(s) - 2)) AS BIGINT) - 1
+               END AS bucket_hi,
+               CAST(sum(w) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2),
+      cum AS (SELECT bucket_lo, bucket_hi,
+                     sum(cnt) OVER (ORDER BY bucket_lo) AS cum,
+                     sum(cnt) OVER () AS n
+              FROM sk),
+      ps(pct) AS (VALUES (50), (90), (99)),
+      est AS (SELECT pct, CAST(max(n) AS BIGINT) AS total_weight,
+                     min(bucket_lo) AS est_lo,
+                     arg_min(bucket_hi, bucket_lo) AS est_hi
+              FROM ps JOIN cum ON cum * 100 >= n * pct
+              GROUP BY 1),
+      exv AS (SELECT v, CAST(sum(w) AS BIGINT) AS c FROM base GROUP BY 1),
+      exc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+              FROM exv),
+      ex AS (SELECT pct, min(v) AS exact_value
+             FROM ps JOIN exc ON cum * 100 >= n * pct GROUP BY 1)
+      SELECT CAST(est.pct AS BIGINT) AS pct, est.total_weight, est.est_lo,
+             est.est_hi, ex.exact_value,
+             est.est_lo <= ex.exact_value AND ex.exact_value <= est.est_hi
+               AS within_bound
+      FROM est JOIN ex ON est.pct = ex.pct
+      ORDER BY pct""",
     // per-day decimal-mantissa bucket partials, x7 date expansion of the
     // PARTIALS with their counts, count-addition merge per (obs_day,
     // bucket), PARTITION BY obs_day rank windows, exact trailing order

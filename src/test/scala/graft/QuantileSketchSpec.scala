@@ -143,6 +143,37 @@ class QuantileSketchSpec extends SparkSuite {
     }
   }
 
+  test("sketchWeighted: mass-rank quantiles — a heavy row moves the median the row count can't") {
+    import graft.operators.Checks
+    // values 100..104 each weight 1, plus value 9000 with weight 95:
+    // row median is ~102, but 95% of the MASS lives at 9000
+    val rows = (100L to 104L).map((_, 1L)) :+ (9000L, 95L)
+    val df = rows.toDF("v", "w")
+    val est = QuantileSketch.estimate(
+      QuantileSketch.sketchWeighted(df, "v", "w"))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(est(50)._2 == 100L, "n must be the total mass")
+    assert(est(50)._3 == 9000L && est(50)._4 == 9099L,
+      s"weighted median bucket must hold 9000, got ${est(50)}")
+    val ex = Checks.exactPercentilesWeighted(
+      df.withColumn("g", lit(1)), "g", "v", "w")
+      .as[(Int, Long, Long, Long, Long)].head()
+    assert(ex == ((1, 100L, 9000L, 9000L, 9000L)),
+      s"weighted exact p50/p90/p99 must all be 9000: $ex")
+    // zero-weight rows contribute nothing; negative/null weights drop
+    val zw = Seq((5L, 0L), (7L, 3L), (9L, -1L)).toDF("v", "w")
+    val sk = QuantileSketch.sketchWeighted(zw, "v", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sk == Set((5L, 5L, 0L), (7L, 7L, 3L)), s"got $sk")
+    // unweighted sketch == weighted sketch with all-ones weights
+    val plain = QuantileSketch.sketch(df.select("v"), "v")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val ones = QuantileSketch.sketchWeighted(
+      df.select(col("v"), lit(1L).as("w")), "v", "w")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(plain == ones)
+  }
+
   test("negative values are rejected by filter; empty input gives no rows") {
     val df = Seq(-5L, 3L).toDF("v")
     val sk = QuantileSketch.sketch(df, "v").as[(Long, Long, Long)].collect()
