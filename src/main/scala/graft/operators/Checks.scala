@@ -514,8 +514,11 @@ object Checks {
     * Identical shape: per-(key, value) weight pre-aggregation, then
     * group-keyed cumulative windows over the per-key DISTINCT-value
     * relation and one min-per-rank aggregate. Null/negative weights are
-    * outside the mass by contract; `n_rows` reports the TOTAL MASS, not
-    * the row count.
+    * outside the mass by contract; `total_weight` reports the TOTAL
+    * MASS, not the row count. The rank comparison runs in
+    * DECIMAL(38,0): mass is summed tokens/bytes, so Long arithmetic
+    * on `cum·100` would wrap once total mass passes ~9.2e16 — real
+    * headroom at a fleet-wide 100 TB merge.
     */
   def exactPercentilesWeighted(
       df: DataFrame, keyCol: String, valueCol: String, weightCol: String,
@@ -534,7 +537,8 @@ object Checks {
       .withColumn("__cum", sum("__c").over(w))
       .withColumn("__n", sum("__c").over(tw))
     val picks = percentiles.map { p =>
-      min(when(col("__cum") * 100 >= col("__n") * p, col("__v"))).as(s"p$p")
+      min(when(col("__cum").cast("decimal(38,0)") * 100 >=
+        col("__n").cast("decimal(38,0)") * p, col("__v"))).as(s"p$p")
     }
     counts.groupBy(col("__k").as(keyCol))
       .agg(max("__n").as("total_weight"), picks: _*)

@@ -129,8 +129,13 @@ object QuantileSketch {
     val pRows = cum.sparkSession.range(1)
       .select(explode(array(ps: _*)).as("__p"))
       .select(col("__p.p").as("pct"))
+    // the rank comparison runs in DECIMAL(38,0): with sketchWeighted
+    // partials, cnt is summed MASS (tokens/bytes), and Long `cum·100`
+    // would silently wrap past a total mass of ~9.2e16 — a real
+    // ceiling for the fleet-wide 100 TB merge this sketch exists for
     pRows.crossJoin(broadcast(n))
-      .join(cum, col("__cum") * 100 >= col("__n") * col("pct"))
+      .join(cum, col("__cum").cast("decimal(38,0)") * 100 >=
+        col("__n").cast("decimal(38,0)") * col("pct"))
       .groupBy("pct")
       .agg(max("__n").as("n_rows"),
         min(struct(col("bucket_lo"), col("bucket_hi"))).as("__b"))
@@ -159,7 +164,9 @@ object QuantileSketch {
       .withColumn("__cum", sum("cnt").over(w))
       .withColumn("__n", sum("cnt").over(tw))
     val picks = percentiles.map { p =>
-      min(when(col("__cum") * 100 >= col("__n") * p,
+      // DECIMAL(38,0) for the same mass-overflow headroom as [[estimate]]
+      min(when(col("__cum").cast("decimal(38,0)") * 100 >=
+        col("__n").cast("decimal(38,0)") * p,
         struct(col("bucket_lo"), col("bucket_hi")))).as(s"__b$p")
     }
     cum.groupBy(groupCols.map(col): _*)

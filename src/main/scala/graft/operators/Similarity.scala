@@ -570,6 +570,45 @@ object Similarity {
     embeddings.withColumn("lsh_bucket", bucket)
   }
 
+  /** LSH bucket key from HASH-DERIVED integer hyperplanes — the declared
+    * gate form beside [[lshBuckets]]' seeded Gaussian planes (the
+    * q228-beside-q71 convention: the seeded production form stays
+    * spec-tested; THIS form is SQL-replayable end to end). Plane
+    * coefficient p(i)(j) = finalized-polyhash("i:j") mod 2001 − 1000 —
+    * the [[Kmv.finalizedHash]] affine finalizer over the oracle's own
+    * polynomial string hash, so the coefficients are pseudo-random and
+    * decorrelated (unlike [[lshBucketsDeterministic]]'s structured
+    * linear grid) yet re-derivable in SQL from the SAME arithmetic, no
+    * literal smuggling. The embedding is quantized to exact 1e-6
+    * integers BEFORE the projection, so every sign test is pure Long
+    * arithmetic (|vq|≤~2·10⁶ × |c|≤10³ × dim 64 ≪ 2⁶³) —
+    * bit-deterministic cross-engine, immune to the dot-product
+    * summation-order ulp flips a double projection risks at 0. All
+    * map-side: one fused per-row expression, no shuffle, no state.
+    */
+  def lshBucketsHashed(embeddings: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes in [1,62]: $numPlanes")
+    val P = graft.functions.StringKernels.PolyHashMod
+    def polyHashStr(s: String): Long = {
+      var h = 0L
+      s.foreach(c => h = (h * 31 + c) % P)
+      h
+    }
+    def coef(i: Int, j: Int): Long =
+      ((polyHashStr(s"$i:$j") * 961748927L + 12345L) % P) % 2001L - 1000L
+    val vq = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000d + lit(0.5d)).cast("long"))
+    val bucket = (0 until numPlanes).map { i =>
+      val cs = array((0 until dim).map(j => lit(coef(i, j))): _*)
+      val d = aggregate(zip_with(col("__vq"), cs, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.withColumn("__vq", vq)
+      .withColumn("lsh_bucket", bucket)
+      .drop("__vq")
+  }
+
   /** Blocked k-NN join: for EVERY vector, its `k` most-similar neighbors
     * within its deterministic LSH bucket — the kNN-graph / hard-negative-
     * mining primitive (contrastive training wants, per anchor, close-but-

@@ -452,8 +452,12 @@ object MiscQueries {
     * contract, whose tie-rounding (half-up vs half-even) drifts across
     * engines/releases. The oracle is the strongest one possible: the
     * full recompute over v2, which the delta-applied view must equal
-    * row for row; the final `sum_price` is cents × 0.01 — an exact
-    * decimal product, never a division.
+    * row for row; the final `sum_cents` stays a BIGINT — the r14
+    * adjudication pinned DECIMAL final columns as the one output type
+    * the gate hasher canonicalizes engine-dependently (q192/q230 were
+    * the only DECIMAL-output queries in the registry and the only two
+    * hash-fails, two rounds running), so no query ships DecimalType in
+    * its final schema (pinned registry-wide by QueriesSpec).
     */
   def q192_ivm_refresh: Q = (s, dir) => {
     import graft.operators.IncrementalView
@@ -472,9 +476,7 @@ object MiscQueries {
     IncrementalView.refreshCountSum(mat, delta,
         Seq("o_custkey"), "cents", "n_orders", "sum_cents")
       .select(col("o_custkey"), col("n_orders"),
-        (col("sum_cents").cast("decimal(20,0)") *
-          lit(new java.math.BigDecimal("0.01")))
-          .cast("decimal(18,2)").as("sum_price"))
+        col("sum_cents").cast("long").as("sum_cents"))
       .orderBy("o_custkey")
   }
 
@@ -1654,9 +1656,8 @@ object MiscQueries {
     // result-invariance at its strongest: the oracle is the FULL
     // recompute over v2 — the delta-applied view must equal it exactly.
     // Integer-cents quantization (same IEEE product + floor as the
-    // engine) BEFORE the sum; sum_price = cents × 0.01 as an exact
-    // decimal PRODUCT — no double→decimal cast, no division, nothing
-    // whose tie-rounding varies across DuckDB releases
+    // engine) BEFORE the sum; the final sum stays BIGINT cents end to
+    // end — no DECIMAL in the output schema (the r14-pinned hash class)
     "q192_ivm_refresh" -> """
       WITH v2 AS (
         SELECT o_custkey,
@@ -1664,8 +1665,7 @@ object MiscQueries {
                     ELSE o_totalprice END) * 100 + 0.5) AS BIGINT) AS cents
         FROM orders WHERE o_orderkey % 89 <> 0)
       SELECT o_custkey, count(1) AS n_orders,
-             CAST(CAST(sum(cents) AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(3,2))
-                  AS DECIMAL(18,2)) AS sum_price
+             CAST(sum(cents) AS BIGINT) AS sum_cents
       FROM v2 GROUP BY 1 ORDER BY 1""",
     // independent exact derivation: ONE global window (no shards, no
     // two-phase) — the strictly-higher-size running min + same-size min

@@ -782,8 +782,11 @@ object TrainingQueries {
     * overcount in PARTS-PER-MILLION as a pure integer quotient
     * (`(est − exact)·10⁶ div exact` over the DECIMAL(38,0) columns) —
     * no double division or `round(double)` in the contract, whose libm
-    * /tie behavior drifts across engines. Width 65536 → d·w = 262k
-    * counter rows, still a no-rescan plan-time answer.
+    * /tie behavior drifts across engines. DECIMAL(38,0) is interior
+    * only: the final size columns are BIGINT (Σcnt² fits a Long beyond
+    * sf100; DecimalType final columns are the r14-pinned hash class).
+    * Width 65536 → d·w = 262k counter rows, still a no-rescan
+    * plan-time answer.
     */
   def q230_cms_join_size: Q = (s, dir) => {
     import graft.operators.CountMin
@@ -796,7 +799,14 @@ object TrainingQueries {
       sum(col("c").cast(dec) * col("c").cast(dec)).cast(dec).as("exact_size"))
     CountMin.joinSizeEstimate(cms, cms)
       .crossJoin(broadcast(exact))
-      .select(col("join_size_estimate"), col("exact_size"),
+      .select(
+        // DECIMAL(38,0) stays strictly interior (the ppm quotient and
+        // the headroom are computed over it); the FINAL columns are
+        // BIGINT — Σcnt² fits a Long beyond sf100, and the r14
+        // adjudication pinned DecimalType final columns as the one
+        // output type the gate hasher canonicalizes engine-dependently
+        col("join_size_estimate").cast("long").as("join_size_estimate"),
+        col("exact_size").cast("long").as("exact_size"),
         expr("((join_size_estimate - exact_size) * 1000000) div exact_size")
           .as("rel_overcount_ppm"))
   }
@@ -1631,9 +1641,10 @@ object TrainingQueries {
       FROM t""",
     // the q190 sketch SQL at width 65536, then per-row inner products in
     // HUGEINT and the depth-min — estimate and exact hash-checked as
-    // DECIMAL(38,0); the overcount is a pure-integer ppm quotient
-    // (HUGEINT // — CMS never undercounts, so the numerator is ≥ 0 and
-    // truncation ≡ floor on both engines)
+    // BIGINT finals (interior stays HUGEINT/DECIMAL(38,0); the values
+    // fit a Long beyond sf100); the overcount is a pure-integer ppm
+    // quotient (HUGEINT // — CMS never undercounts, so the numerator
+    // is ≥ 0 and truncation ≡ floor on both engines)
     "q230_cms_join_size" -> raw"""
       WITH counts AS MATERIALIZED (
         SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(count(1) AS BIGINT) AS c
@@ -1653,7 +1664,8 @@ object TrainingQueries {
       e AS (SELECT CAST(min(ip) AS DECIMAL(38, 0)) AS join_size_estimate FROM ip),
       x AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38, 0))
               AS exact_size FROM counts)
-      SELECT join_size_estimate, exact_size,
+      SELECT CAST(join_size_estimate AS BIGINT) AS join_size_estimate,
+             CAST(exact_size AS BIGINT) AS exact_size,
              CAST(CAST((join_size_estimate - exact_size) * 1000000 AS HUGEINT)
                   // CAST(exact_size AS HUGEINT) AS BIGINT) AS rel_overcount_ppm
       FROM e CROSS JOIN x""",

@@ -70,8 +70,12 @@ object CanonDigest {
     case r: Row =>
       (0 until r.length).map(i => canonValue(r.get(i))).mkString("{", ",", "}")
     case m: scala.collection.Map[_, _] =>
+      // utf8Order, not the JVM default (UTF-16 code-unit) order: for
+      // keys mixing supplementary-plane chars with U+E000–U+FFFF the two
+      // orders differ and the Python twin (which sorts UTF-8 bytes)
+      // would hash a different byte stream
       m.toSeq.map { case (k, mv) => canonValue(k) + "=>" + canonValue(mv) }
-        .sorted.mkString("{", ",", "}")
+        .sorted(utf8Order).mkString("{", ",", "}")
     case other => other.toString
   }
 
@@ -94,7 +98,7 @@ object CanonDigest {
     */
   def digest(df: DataFrame): (Long, String) = {
     val names = df.columns.toSeq
-    val order = names.indices.sortBy(names)
+    val order = names.indices.sortBy(names)(utf8Order)
     val rows = df.collect().map { r =>
       order.map(i => canonValue(r.get(i))).mkString("\u0001")
     }

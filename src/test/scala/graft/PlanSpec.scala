@@ -720,28 +720,41 @@ class PlanSpec extends SparkSuite {
 
   test("q187: manifest reads ONE physical column per table; aggregates stay partial") {
     // the public operator snapshots eagerly (conf scoping), which hides
-    // the scan — inspect the lazy plan it materializes instead
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val lazyPlan = graft.operators.Provenance.manifestPlan(spark, sfDir,
-      Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
-        ("events", "event_id")))
-    val f = lazyPlan.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    // _metadata is reader-generated: every ReadSchema must carry only the
-    // key column plus the reader's own _tmp_metadata_row_index marker (a
-    // second DATA column means the metadata projection started costing I/O)
-    val schemas = f.linesIterator.filter(_.contains("ReadSchema:")).toSeq
-    assert(schemas.nonEmpty)
-    schemas.foreach { rs =>
-      val cols = rs.dropWhile(_ != '<').stripPrefix("<").stripSuffix(">")
-        .split(",").map(_.takeWhile(_ != ':').trim)
-      val dataCols = cols.filterNot(_.startsWith("_tmp_metadata"))
-      assert(dataCols.length <= 1, s"more than one DATA column read: $rs")
+    // the scan — inspect the lazy plan it materializes instead. The
+    // legacy-decode conf is scoped save/restore (the session is shared
+    // getOrCreate(): leaking it would poison every later suite in the
+    // JVM with legacy nanos decoding — the session-pollution class
+    // ProvenanceSpec guards against)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val lazyPlan = graft.operators.Provenance.manifestPlan(spark, sfDir,
+        Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+          ("events", "event_id")))
+      val f = lazyPlan.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // _metadata is reader-generated: every ReadSchema must carry only the
+      // key column plus the reader's own _tmp_metadata_row_index marker (a
+      // second DATA column means the metadata projection started costing I/O)
+      val schemas = f.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+      assert(schemas.nonEmpty)
+      schemas.foreach { rs =>
+        val cols = rs.dropWhile(_ != '<').stripPrefix("<").stripSuffix(">")
+          .split(",").map(_.takeWhile(_ != ':').trim)
+        val dataCols = cols.filterNot(_.startsWith("_tmp_metadata"))
+        assert(dataCols.length <= 1, s"more than one DATA column read: $rs")
+      }
+      assert(lazyPlan.queryExecution.executedPlan.toString.contains("partial"),
+        "per-file stats must combine map-side")
+      // the public operator's result is the eager snapshot of that plan
+      assert(plan("q187_ingest_manifest").contains("Scan ExistingRDD"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-    assert(lazyPlan.queryExecution.executedPlan.toString.contains("partial"),
-      "per-file stats must combine map-side")
-    // the public operator's result is the eager snapshot of that plan
-    assert(plan("q187_ingest_manifest").contains("Scan ExistingRDD"))
   }
 
   test("q188: MaxSim is a map-only scan + TakeOrdered — no shuffle, no UDF") {

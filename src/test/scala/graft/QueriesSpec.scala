@@ -116,4 +116,29 @@ class QueriesSpec extends SparkSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
+
+  test("no query's FINAL output schema contains DecimalType (r14 gate-hash class)") {
+    // Round-14 adjudication: across two driver rounds, the only two
+    // hash-fails (q192, q230) were exactly the only two queries whose
+    // final schema carried a DECIMAL column — the gate hasher
+    // canonicalizes DECIMAL engine-dependently (scale rendering /
+    // boxing). DECIMAL(38,0) arithmetic stays legal INSIDE a plan; it
+    // must be cast to BIGINT / double before the final select.
+    import org.apache.spark.sql.types._
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sfDir).schema.fields.filter(f => hasDecimal(f.dataType))
+        if (bad.isEmpty) None
+        else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"DecimalType in final output schema:\n${offenders.mkString("\n")}")
+  }
 }

@@ -78,8 +78,13 @@ def canon_value(v, typ=None):
         import pyarrow.types as pat
         if typ is not None and pat.is_map(typ):
             kt, vt = typ.key_type, typ.item_type
-            ents = sorted(canon_value(k, kt) + "=>" + canon_value(x, vt)
-                          for k, x in v)
+            # UTF-8 byte order, matching CanonDigest's utf8Order — plain
+            # str order is code-point order, which diverges from byte
+            # order only for surrogate-containing strings but must match
+            # the Scala twin byte for byte regardless
+            ents = sorted((canon_value(k, kt) + "=>" + canon_value(x, vt)
+                           for k, x in v),
+                          key=lambda s: s.encode("utf-8", "surrogatepass"))
             return "{" + ",".join(ents) + "}"
         it = typ.value_type if typ is not None and hasattr(typ, "value_type") else None
         return "[" + ",".join(canon_value(x, it) for x in v) + "]"
@@ -93,7 +98,8 @@ def canon_rows(qdir):
     import pyarrow as pa
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     names = tbl.column_names
-    order = sorted(range(len(names)), key=lambda i: names[i])
+    order = sorted(range(len(names)),
+                   key=lambda i: names[i].encode("utf-8", "surrogatepass"))
     types = [tbl.schema.field(i).type for i in range(len(names))]
     pylist = tbl.to_pylist()
     rows = ["\x01".join(canon_value(r[names[i]], types[i]) for i in order)
