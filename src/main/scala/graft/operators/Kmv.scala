@@ -59,12 +59,23 @@ object Kmv {
     round(abs(est.cast("double") - exact.cast("double")) /
       exact.cast("double"), 6) + lit(0.0)
 
+  /** The affine finalizer over an already-computed polyhash column:
+    * (h·961748927 + 12345) mod p. Load-bearing wherever ORDER
+    * STATISTICS are taken over the hash (KMV k-th minima, 1-perm
+    * MinHash fingerprints): the raw base-31 polyhash is near-monotone
+    * on lexicographic content, so its order statistics measure content
+    * RANGE, not a uniform permutation draw; the finalizer scrambles
+    * the order while staying one multiply-add away from the oracle's
+    * list_reduce replay.
+    */
+  def finalized(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (h * lit(961748927L) + lit(12345L)) % lit(P)
+
   /** The finalized hash column for `keyCol` — the sketch's only
     * per-row work, shared by the batch audit and the streaming partials.
     */
   def finalizedHash(keyCol: String): org.apache.spark.sql.Column =
-    (graft.functions.StringFunctions.polyHash(col(keyCol).cast("string")) *
-      lit(961748927L) + lit(12345L)) % lit(P)
+    finalized(graft.functions.StringFunctions.polyHash(col(keyCol).cast("string")))
 
   /** A k-row PARTIAL: the k smallest distinct finalized hashes of this
     * slice. Partials merge by union→distinct→k-smallest (the global k

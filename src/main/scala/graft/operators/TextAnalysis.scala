@@ -101,6 +101,26 @@ object TextAnalysis {
       array_min(transform(sh, s => xxhash64(s))).as("fingerprint"))
   }
 
+  /** Rolling-hash fingerprint on the FINALIZED polynomial hash — the
+    * declared gate form beside [[fingerprint]]'s xxhash64 (the
+    * q228-beside-q71 convention: the xxhash64 production form stays
+    * spec-tested; THIS form is SQL-replayable end to end). The
+    * [[Kmv.finalizedHash]] affine finalizer ((h·961748927 + 12345)
+    * mod p) is load-bearing for a 1-permutation MinHash: the raw
+    * base-31 polyhash is near-monotone on lexicographic content, so
+    * its min over shingles is biased toward lexicographically-small
+    * shingles rather than a uniform permutation draw; the finalizer
+    * scrambles the order while staying one multiply-add away from the
+    * oracle's own list_reduce replay.
+    */
+  def fingerprintFinalized(docs: DataFrame, window: Int = 4): DataFrame = {
+    val sh = TextFunctions.shingles(col("text"), window)
+    Dedup.spread(docs).select(
+      col("doc_id"),
+      array_min(transform(sh, s => graft.operators.Kmv.finalized(
+        graft.functions.StringFunctions.polyHash(s)))).as("fingerprint"))
+  }
+
   /** Rolling-hash fingerprint on the SQL-expressible polynomial hash
     * (≡ 1-permutation MinHash with `PolyHash`): same semantics as
     * [[fingerprint]] but fully oracle-checkable.

@@ -26,6 +26,20 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q00 — bench calibration canary: a fixed, trivial count(*) over
+    * lineitem whose cross-round min-seconds ratio estimates the bench
+    * ENVIRONMENT factor (machine/thermal/driver noise), so a broad
+    * ~1.1–1.3× inflation on untouched queries (the BENCH_r14-vs-r13
+    * signature) can be separated from a real code regression. Sorts
+    * first in the registry, so it also absorbs a slice of first-pass
+    * classloading — which is why Bench's min-over-passes protocol (not
+    * this row's pass-1 sample) is the number to normalize by. The plan
+    * is the cheapest one Spark has: parquet footer row-count aggregate,
+    * no column decode at all.
+    */
+  def q00_canary: Q = (s, dir) =>
+    Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"))
+
   /** q01 — TPC-H Q1-shaped hash aggregate. Catalyst plans partial+final
     * HashAggregate (map-side combine), so the shuffle carries one row per
     * (flag,status) per partition — scale-independent.
@@ -319,6 +333,7 @@ object RelationalQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q00_canary" -> q00_canary,
     "q01_agg" -> q01_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
     "q03_join_broadcast" -> q03_join_broadcast,
@@ -343,6 +358,7 @@ object RelationalQueries {
 
   /** DuckDB-oracle SQL, column-name and value aligned with the queries above. */
   val oracle: Map[String, String] = Map(
+    "q00_canary" -> "SELECT CAST(count(1) AS BIGINT) AS n_rows FROM lineitem",
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

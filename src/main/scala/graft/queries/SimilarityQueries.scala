@@ -304,11 +304,20 @@ object SimilarityQueries {
       FROM af WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
   }
 
-  /** q49 — LSH bucket histogram (rows-only; buckets are seed-dependent):
-    * the candidate-generation structure for ANN and blocked near-dup.
+  /** q49 — LSH bucket histogram from HASH-DERIVED integer hyperplanes
+    * ([[Similarity.lshBucketsHashed]]): the candidate-generation
+    * structure for ANN and blocked near-dup, fully oracle-checked.
+    * Until round 15 this query declared the seeded-Gaussian form
+    * ([[Similarity.lshBuckets]], rows-only by necessity — the planes
+    * are JVM-RNG-dependent); the q228-beside-q71 convention now
+    * applies: the declared gate form derives each plane coefficient
+    * from the finalized polyhash (pseudo-random, decorrelated — unlike
+    * q83's structured linear grid) and tests every sign in exact Long
+    * arithmetic over the 1e-6-quantized embedding, while the Gaussian
+    * production form stays spec-tested (SimilaritySpec).
     */
   def q49_lsh_buckets: Q = (s, dir) => {
-    Similarity.lshBuckets(Tables.embeddings(s, dir), numPlanes = 8, dim = 64)
+    Similarity.lshBucketsHashed(Tables.embeddings(s, dir), numPlanes = 8, dim = 64)
       .groupBy("lsh_bucket")
       .agg(count(lit(1)).as("n"))
       .orderBy("lsh_bucket")
@@ -1012,6 +1021,34 @@ object SimilarityQueries {
                          j -> (((i*37 + j*17) % 13) - 6)::DOUBLE)) >= 0
                      THEN 1 << i ELSE 0 END)) AS BIGINT) AS lsh_bucket
             FROM e)
+      SELECT lsh_bucket, count(1) AS n FROM b GROUP BY 1 ORDER BY 1""",
+    // plane coefficients re-derived from the SAME arithmetic the engine
+    // uses (polyhash of "i:j" → affine finalizer → mod 2001 − 1000), no
+    // literal smuggling; the embedding quantizes to exact 1e-6 BIGINTs
+    // before the projection so every sign test is pure integer
+    // arithmetic — bit-deterministic on both engines
+    "q49_lsh_buckets" -> """
+      WITH coef AS MATERIALIZED (
+        SELECT i, j,
+               ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(
+                     CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR), '.'),
+                     ch -> CAST(unicode(ch) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) * 961748927 + 12345)
+                % 1000000007) % 2001 - 1000 AS c
+        FROM range(0, 8) t1(i), range(0, 64) t2(j)),
+      pl AS MATERIALIZED (
+        SELECT i, list(c ORDER BY j) AS cl FROM coef GROUP BY i),
+      e AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[],
+                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vq
+            FROM embeddings),
+      b AS (SELECT vec_id,
+              CAST(sum(CASE WHEN
+                list_sum(list_transform(range(0, 64),
+                  j -> vq[(j+1)::INT] * cl[(j+1)::INT])) >= 0
+                THEN 1 << i ELSE 0 END) AS BIGINT) AS lsh_bucket
+            FROM e CROSS JOIN pl GROUP BY vec_id)
       SELECT lsh_bucket, count(1) AS n FROM b GROUP BY 1 ORDER BY 1""",
     // the ±1 matrix re-derived via the fmix32 finalizer (HUGEINT products
     // % 2^32 ≡ Scala's wrapping long & 0xffffffff); pvec = left fold in

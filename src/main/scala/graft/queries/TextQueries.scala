@@ -50,11 +50,19 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  /** q53 — rolling-hash fingerprints (rows-only: xxhash64-dependent);
-    * TextAnalysisSpec asserts exact-dup texts share fingerprints.
+  /** q53 — rolling-hash fingerprints on the FINALIZED polyhash
+    * ([[TextAnalysis.fingerprintFinalized]]): fingerprint frequency
+    * table, fully oracle-checked. Until round 15 this query declared
+    * the xxhash64 form ([[TextAnalysis.fingerprint]], rows-only by
+    * necessity — DuckDB cannot replay xxhash64); the q228-beside-q71
+    * convention now applies: the declared gate form rides the
+    * SQL-replayable finalized polyhash (a BETTER 1-perm MinHash than
+    * q85's raw polyhash, whose near-monotone order biases the min
+    * toward lexicographically-small shingles), while the xxhash64
+    * production form stays spec-tested (TextAnalysisSpec).
     */
   def q53_fingerprint: Q = (s, dir) => {
-    TextAnalysis.fingerprint(Tables.documents(s, dir))
+    TextAnalysis.fingerprintFinalized(Tables.documents(s, dir))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("fingerprint"))
@@ -285,6 +293,31 @@ object TextQueries {
                  list_transform(regexp_extract_all(shingle, '.'),
                    c -> CAST(unicode(c) AS BIGINT))),
                  (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM sh),
+      fp AS (SELECT doc_id, min(h) AS fingerprint FROM hashed GROUP BY 1)
+      SELECT fingerprint, count(1) AS n FROM fp GROUP BY 1
+      ORDER BY 2 DESC, 1 LIMIT 50""",
+    // the q85 shingle/polyhash replay with the affine finalizer
+    // ((h·961748927 + 12345) mod 1e9+7) applied per shingle BEFORE the
+    // min — the engine's Kmv.finalized convention; h < 1e9+7 keeps the
+    // product under 2^63 in BIGINT
+    "q53_fingerprint" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 4, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+4], ' ')))) AS shingle
+        FROM toks),
+      hashed AS (
+        SELECT doc_id,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(regexp_extract_all(shingle, '.'),
+                    c -> CAST(unicode(c) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007)
+                * 961748927 + 12345) % 1000000007 AS h
         FROM sh),
       fp AS (SELECT doc_id, min(h) AS fingerprint FROM hashed GROUP BY 1)
       SELECT fingerprint, count(1) AS n FROM fp GROUP BY 1

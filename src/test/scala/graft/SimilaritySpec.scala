@@ -356,6 +356,25 @@ class SimilaritySpec extends SparkSuite {
     assert(nBuckets > 1 && nBuckets <= 256)
   }
 
+  test("hashed-plane LSH: partition + range + rerun-stable + spread planes") {
+    val q = Similarity.lshBucketsHashed(emb, numPlanes = 8, dim = 64)
+    assert(q.count() == emb.count())
+    val buckets = q.select("lsh_bucket").collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b <= 255))
+    val again = Similarity.lshBucketsHashed(emb, numPlanes = 8, dim = 64)
+      .select("lsh_bucket").collect().map(_.getLong(0))
+    assert(buckets.toSeq == again.toSeq, "hash-derived planes must be rerun-stable")
+    // pseudo-random planes should split the corpus meaningfully: more
+    // than a handful of buckets populated, and every PLANE bit must
+    // actually fire both ways somewhere (a degenerate all-positive
+    // plane means the coefficient derivation collapsed)
+    assert(buckets.distinct.length > 8)
+    (0 until 8).foreach { i =>
+      val ones = buckets.count(b => (b & (1L << i)) != 0)
+      assert(ones > 0 && ones < buckets.length, s"plane $i never splits")
+    }
+  }
+
   test("SQ8 top-k holds recall vs brute force; on-grid vectors quantize losslessly") {
     import org.apache.spark.sql.functions.col
     val q = Similarity.queryVector(emb, 0L)

@@ -59,6 +59,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("finalized fingerprint: dup texts share, differs from raw-polyhash pick") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here entirely now")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprintFinalized(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    // the finalizer is a different permutation: the selected min shingle
+    // must not be forced to agree with the raw polyhash's pick, and the
+    // value itself is the finalized image of SOME shingle hash
+    val raw = TextAnalysis.fingerprintDeterministic(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(1L) != raw(1L), "finalized fingerprint must not equal the raw-polyhash min")
+  }
+
   test("bpeish token count: letters/digits/symbols counted per run") {
     val got = Seq("abc de1 2,x").toDF("t")
       .select(TextFunctions.bpeishTokenCount($"t").as("n"))
