@@ -161,10 +161,13 @@ object Kmv {
     * k-minimum is a fortiori among its own day's k smallest — the
     * [[partial]] merge argument, windowed). Per-day state: k longs;
     * everything past the daily distinct is k·days-sized, while the
-    * exact form hauls the full user set through every window. The exact
-    * trailing count rides as the audit column (same ×W expansion on the
-    * (user, day) relation — affordable at driver SFs, the number that
-    * prices the sketch before 100 TB retires it).
+    * exact form hauls the full user set through every window. With
+    * `audit = true` (the gate default) the exact trailing count rides
+    * as the audit column (same ×W expansion on the (user, day)
+    * relation — affordable at driver SFs, the number that prices the
+    * sketch before 100 TB retires it); `audit = false` is the
+    * production posture — partials-only, no base-relation rescan
+    * (PlanSpec pins the no-audit plan reads nothing data-sized).
     *
     * Observation days are census days (days with activity), the q139
     * reporting convention; the estimate is exact whenever the merged
@@ -172,7 +175,7 @@ object Kmv {
     */
   def trailingKmv(
       df: DataFrame, keyCol: String, tsCol: String,
-      k: Int = 64, windowDays: Int = 7): DataFrame = {
+      k: Int = 64, windowDays: Int = 7, audit: Boolean = true): DataFrame = {
     require(k >= 2 && windowDays >= 1, s"bad ($k, $windowDays)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("day").orderBy("h")
@@ -195,6 +198,17 @@ object Kmv {
     val sk = merged.withColumn("__rn", row_number().over(ow))
       .filter(col("__rn") <= k)
       .groupBy("obs_day").agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+    val est = estExpr(k, col("n_resident"))
+    val core = sk.join(res, "obs_day")
+      .select(col("obs_day"), col("n_kept"), col("kth_hash"),
+        col("n_resident"), est.as("estimate"))
+    if (!audit) return core.orderBy("obs_day")
+    // audit = the EXPENSIVE half at production scale: the exact
+    // trailing count hauls the full (day, key) relation ×W through
+    // every window, while everything above touches only k-row /
+    // resident-set partials. Gate queries keep audit = true (the
+    // number that prices the sketch); the 100 TB composition runs
+    // audit = false (PlanSpec pins that plan reads no base relation).
     val exact = df
       .select(to_date(col(tsCol)).as("day"), col(keyCol).as("__key"))
       .filter(col("day").isNotNull).distinct()
@@ -203,11 +217,10 @@ object Kmv {
       .select(expr("date_add(day, __i)").as("obs_day"), col("__key"))
       .join(census, "obs_day")
       .groupBy("obs_day").agg(count_distinct(col("__key")).as("exact_trailing"))
-    val est = estExpr(k, col("n_resident"))
-    sk.join(res, "obs_day").join(exact, "obs_day")
+    core.join(exact, "obs_day")
       .select(col("obs_day"), col("n_kept"), col("kth_hash"),
-        col("n_resident"), est.as("estimate"), col("exact_trailing"),
-        relErr(est, col("exact_trailing")).as("rel_error"))
+        col("n_resident"), col("estimate"), col("exact_trailing"),
+        relErr(col("estimate"), col("exact_trailing")).as("rel_error"))
       .orderBy("obs_day")
   }
 }

@@ -188,6 +188,13 @@ object QuantileSketch {
     * state is bucket-count-sized; the exact windowed quantile would
     * haul the full value relation through every window. Output: one
     * row per census day in the [[estimateByGroup]] wide shape.
+    *
+    * This operator is ALREADY the production (partials-only) posture —
+    * the [[Kmv.trailingKmv]] `audit = false` equivalent: past the one
+    * per-day sketch reduction, nothing data-sized moves (PlanSpec pins
+    * it). The exact ×W audit lives OUTSIDE, as the q261 gate
+    * composition joins it on — drop the join, keep the operator, and
+    * the 100 TB plan is this function unchanged.
     */
   def trailingByDay(
       df: DataFrame, valueCol: String, tsCol: String,

@@ -111,6 +111,22 @@ class KmvSpec extends SparkSuite {
       "day2 merges day1's 2-cut + day2's — kth must STILL be the true union 2nd smallest")
   }
 
+  test("trailingKmv audit=false: sketch columns identical to audit=true, audit columns gone") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq((1L, ts(1)), (2L, ts(1)), (2L, ts(2)), (3L, ts(2)), (4L, ts(5)))
+      .toDF("user_id", "ts")
+    val full = Kmv.trailingKmv(ev, "user_id", "ts", k = 64, windowDays = 3)
+    val lean = Kmv.trailingKmv(ev, "user_id", "ts", k = 64, windowDays = 3,
+      audit = false)
+    assert(lean.columns.toSeq ==
+      Seq("obs_day", "n_kept", "kth_hash", "n_resident", "estimate"))
+    val want = full.select("obs_day", "n_kept", "kth_hash", "n_resident", "estimate")
+      .collect().map(_.toSeq).toSeq
+    assert(lean.collect().map(_.toSeq).toSeq == want,
+      "the production posture must not change a single sketch value")
+  }
+
   test("StreamingKmv: merged micro-batch partials ≡ the one-shot batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -975,6 +975,34 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("FileScan orc"), s"must read the ORC copy:\n${p.take(400)}")
   }
 
+  test("trailingKmv audit=false: the production plan reads NO base relation") {
+    // the audit branch is the only part that rescans df (×W over the
+    // full (day,key) relation); with audit=false everything downstream
+    // of the eager per-day snapshot must run over partial-sized
+    // ExistingRDDs — the posture a 100 TB composition ships
+    val p = graft.operators.Kmv.trailingKmv(
+      Tables.events(spark, sfDir), "user_id", "ts", k = 64, windowDays = 7,
+      audit = false).queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      s"audit=false must not rescan the base relation:\n${p.take(600)}")
+  }
+
+  test("trailingByDay: already partials-only — no base rescan past the day sketch") {
+    // the QuantileSketch windowed face has no internal audit at all
+    // (q261 joins the exact ×W audit on OUTSIDE the operator): the
+    // operator's own plan past the eager per-day sketch touches only
+    // bucket-count partials
+    val ev = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("value") * 100 +
+            org.apache.spark.sql.functions.lit(0.5)).cast("long").as("v"))
+    val p = graft.operators.QuantileSketch.trailingByDay(ev, "v", "ts",
+      windowDays = 7).queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      s"trailingByDay must not rescan the base relation:\n${p.take(600)}")
+  }
+
   test("whole-stage codegen spans exist in the flagship pipeline (final AQE plan)") {
     val df = SparkEntry.queries("q30_annotations")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it (count() builds a new one)
