@@ -1318,6 +1318,88 @@ object Dedup {
         coalesce(col("__mc"), col("component")).as("component"))
   }
 
+  /** The q80 pair-graph family's shared derivation as a first-class
+    * relation: components of a similarity pair graph joined to one
+    * carried document attribute — (component, idCol, sizeCol),
+    * min-node component ids. Eight gate queries (q80/q82/q237/q242/
+    * q245/q246/q248/q256) each re-derive this base independently BY
+    * DESIGN (so one query's bug can't hide behind another's cache);
+    * the PRODUCTION composition materializes it ONCE here (~3–4×
+    * family saving, priced in BENCH_NOTES round 14), versions it
+    * through [[writeComponentSnapshot]]/[[readComponentSnapshot]],
+    * and maintains it on growth via [[updateComponentSnapshot]]'s
+    * [[incrementalComponents]] path — history never re-shingles.
+    */
+  def componentSnapshot(
+      pairs: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", sizeCol: String = "n_chars"): DataFrame = {
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    cc.join(docs.select(col(idCol), col(sizeCol)), cc("node") === col(idCol))
+      .select(col("component"), col(idCol), col(sizeCol))
+  }
+
+  /** Grow a snapshot with new pairs (new docs arrived, or a lower
+    * threshold admitted new edges): [[incrementalComponents]] over the
+    * prior labels + the new-edge relation — (labels + batch pairs)-sized
+    * work, never a re-shingle of history — rejoined to the carried
+    * attribute. Growth-only contract: memberships are never removed
+    * (components can only merge, and merged ids stay min-node), which is
+    * what makes the delta store's last-writer-wins read exact.
+    */
+  def updateComponentSnapshot(
+      prior: DataFrame, newPairs: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", sizeCol: String = "n_chars"): DataFrame = {
+    val labels = prior.select(col(idCol).as("node"), col("component"))
+    incrementalComponents(labels, newPairs, "id_a", "id_b")
+      .join(docs.select(col(idCol), col(sizeCol)), col("node") === col(idCol))
+      .select(col("component"), col(idCol), col(sizeCol))
+  }
+
+  /** The delta between two snapshot versions: rows of `current` that are
+    * new or changed vs `prior` (anti-join on every column — exact under
+    * the growth-only contract, where rows never disappear). THIS is what
+    * a version write stores: at 100 TB the changed-membership set is
+    * tiny against the full snapshot, so versioning costs delta-sized
+    * writes, not snapshot-sized ones.
+    */
+  def snapshotDelta(prior: Option[DataFrame], current: DataFrame): DataFrame =
+    prior match {
+      case None => current
+      case Some(p) => current.join(p, current.columns.toSeq, "left_anti")
+    }
+
+  /** Write one snapshot version's DELTA as the batch-store partition
+    * `batch=<batchId>` ([[graft.sources.Sinks.appendBatchPartition]]
+    * semantics: idempotent overwrite per id, crash-consistent
+    * compaction), stamping each row with `snap_batch` so reconstruction
+    * survives compaction (the column rides in the rows, not the
+    * directory name).
+    */
+  def writeComponentSnapshot(
+      spark: org.apache.spark.sql.SparkSession, delta: DataFrame,
+      path: String, batchId: Long): Unit =
+    graft.sources.Sinks.appendBatchPartition(
+      spark, delta.withColumn("snap_batch", lit(batchId)), path, batchId)
+
+  /** Reconstruct snapshot version `upToBatch` from the delta store:
+    * union of partitions ≤ upToBatch ([[graft.sources.Sinks
+    * .readBatchStoreAsOf]] — inherits its compaction-horizon contract),
+    * then last-writer-wins per id (`max snap_batch`), valid because
+    * growth only ADDS or RE-LABELS rows. None when the store is empty.
+    */
+  def readComponentSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      upToBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    graft.sources.Sinks.readBatchStoreAsOf(spark, path, upToBatch).map { df =>
+      val idCols = df.columns.filterNot(c => c == "snap_batch" || c == "component")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCols.map(col): _*).orderBy(col("snap_batch").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "snap_batch")
+    }
+  }
+
   /** Transitivity (chaining-risk) audit of a similarity pair graph: of
     * all wedge pairs (x, z) connected through a shared neighbor, how
     * many are NOT themselves a similar pair — the open wedges that

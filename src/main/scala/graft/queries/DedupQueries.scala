@@ -356,6 +356,84 @@ object DedupQueries {
           col("corpus_chars").cast("double"), 6) + lit(0.0)).as("removed_share"))
   }
 
+  private val snapStoreCache = scala.collection.mutable.Map[String, String]()
+
+  /** q263 — materialized component snapshot ≡ independent derivations
+    * ([[Dedup.componentSnapshot]] / [[Dedup.writeComponentSnapshot]] /
+    * [[Dedup.readComponentSnapshot]]): the q80 family's shared base is
+    * built as a VERSIONED delta store — batch 0 = the old corpus's
+    * components (doc_id % 3 endpoints withheld), batch 1 = the growth
+    * delta after [[Dedup.updateComponentSnapshot]] merges the withheld
+    * third's pairs via the incremental-CC path — then RECONSTRUCTED
+    * from disk (last-writer-wins over the deltas) and analyzed: the
+    * q245 survivor-policy divergence and q246 keep-longest ROI run over
+    * the snapshot in one row. The oracle derives BOTH analyses from the
+    * full transitive closure over all pairs, independently of the
+    * store — so a green row proves build → delta-write → grow →
+    * reconstruct loses nothing vs the eight queries' re-derivations
+    * (the production composition BENCH_NOTES round 14 priced at ~3–4×
+    * family saving).
+    */
+  def q263_component_snapshot: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val path = snapStoreCache.synchronized {
+      snapStoreCache.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft_snap_demo").toString
+        val allPairs = Stage.snapshotDF(Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleK = 3, threshold = 0.6))
+        val oldPairs = allPairs.filter(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0)
+        val newPairs = allPairs.filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+        val v0 = Dedup.componentSnapshot(oldPairs, docs)
+        Dedup.writeComponentSnapshot(s, Dedup.snapshotDelta(None, v0), p, 0L)
+        val prior = Dedup.readComponentSnapshot(s, p, 0L).get
+        val v1 = Dedup.updateComponentSnapshot(prior, newPairs, docs)
+        Dedup.writeComponentSnapshot(s,
+          Dedup.snapshotDelta(Some(Stage.snapshotDF(prior)), v1), p, 1L)
+        p
+      })
+    }
+    val c = Stage.snapshotDF(Dedup.readComponentSnapshot(s, path, 1L).get)
+    // q245's divergence analysis over the reconstructed snapshot
+    val byLong = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val byMin = Window.partitionBy("component").orderBy(col("doc_id").asc)
+    val reps = c
+      .withColumn("__rl", row_number().over(byLong))
+      .withColumn("__rm", row_number().over(byMin))
+    val long = reps.filter(col("__rl") === 1)
+      .select(col("component"), col("doc_id").as("rep_long"),
+        col("n_chars").as("chars_long"))
+    val mn = reps.filter(col("__rm") === 1)
+      .select(col("component"), col("doc_id").as("rep_min"),
+        col("n_chars").as("chars_min"))
+    val policy = long.join(mn, "component")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("rep_long") =!= col("rep_min"), 1L).otherwise(0L))
+          .as("n_diverging"),
+        sum(col("chars_long") - col("chars_min")).as("extra_chars_kept"))
+      .select(col("n_clusters"), col("n_diverging"),
+        (round(col("n_diverging").cast("double") /
+          col("n_clusters").cast("double"), 6) + lit(0.0)).as("divergence_share"),
+        col("extra_chars_kept"))
+    // q246's ROI analysis over the same snapshot
+    val perCluster = c.groupBy("component")
+      .agg(count(lit(1)).as("__n"), sum("n_chars").as("__chars"),
+        max("n_chars").as("__kept"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum("n_chars").as("corpus_chars"))
+    val roi = perCluster
+      .agg(sum("__n").as("n_clustered_docs"),
+        sum("__chars").as("clustered_chars"),
+        sum(col("__chars") - col("__kept")).as("removed_chars"))
+      .crossJoin(broadcast(corpus))
+      .select(col("n_docs"), col("n_clustered_docs"), col("corpus_chars"),
+        col("clustered_chars"), col("removed_chars"),
+        (round(col("removed_chars").cast("double") /
+          col("corpus_chars").cast("double"), 6) + lit(0.0)).as("removed_share"))
+    policy.crossJoin(broadcast(roi))
+  }
+
   /** q242 — chaining-risk audit ([[Dedup.chainAudit]]) of the q80 pair
     * graph: the share of wedge pairs (connected through a shared
     * near-dup) that are NOT near-dups themselves — exactly the pairs
@@ -678,6 +756,7 @@ object DedupQueries {
     "q248_threshold_sweep" -> q248_threshold_sweep,
     "q256_cross_source_dups" -> q256_cross_source_dups,
     "q246_dedup_roi" -> q246_dedup_roi,
+    "q263_component_snapshot" -> q263_component_snapshot,
     "q84_minhash_det" -> q84_minhash_det,
     "q89_jaccard_verify" -> q89_jaccard_verify,
     "q90_jaccard_prefix" -> q90_jaccard_prefix,
@@ -1045,6 +1124,55 @@ object DedupQueries {
                AS divergence_share,
              CAST(sum(chars_long - chars_min) AS BIGINT) AS extra_chars_kept
       FROM rl JOIN rm USING (component)""",
+    // the snapshot-store round trip must land EXACTLY on the analyses
+    // the full closure yields: both the q245 divergence block and the
+    // q246 ROI block re-derived here independently of the store
+    "q263_component_snapshot" -> raw"""
+      WITH RECURSIVE $OraclePairGraph,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      c AS (SELECT component, doc_id, n_chars
+            FROM lab JOIN documents ON node = doc_id),
+      rl AS (SELECT component, doc_id AS rep_long, n_chars AS chars_long FROM
+               (SELECT *, row_number() OVER (PARTITION BY component
+                  ORDER BY n_chars DESC, doc_id ASC) AS rn FROM c)
+             WHERE rn = 1),
+      rm AS (SELECT component, doc_id AS rep_min, n_chars AS chars_min FROM
+               (SELECT *, row_number() OVER (PARTITION BY component
+                  ORDER BY doc_id ASC) AS rn FROM c)
+             WHERE rn = 1),
+      pol AS (SELECT CAST(count(1) AS BIGINT) AS n_clusters,
+                     CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_diverging,
+                     round(CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(1), 6) + CAST(0 AS DOUBLE)
+                       AS divergence_share,
+                     CAST(sum(chars_long - chars_min) AS BIGINT) AS extra_chars_kept
+              FROM rl JOIN rm USING (component)),
+      pc AS (SELECT component, CAST(count(1) AS BIGINT) AS n,
+                    CAST(sum(n_chars) AS BIGINT) AS chars,
+                    CAST(max(n_chars) AS BIGINT) AS kept
+             FROM c GROUP BY 1),
+      corpus AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS corpus_chars
+                 FROM documents),
+      roi AS (SELECT CAST(sum(n) AS BIGINT) AS n_clustered_docs,
+                     CAST(sum(chars) AS BIGINT) AS clustered_chars,
+                     CAST(sum(chars - kept) AS BIGINT) AS removed_chars
+              FROM pc)
+      SELECT n_clusters, n_diverging, divergence_share, extra_chars_kept,
+             n_docs, n_clustered_docs, corpus_chars, clustered_chars,
+             removed_chars,
+             round(CAST(removed_chars AS DOUBLE) /
+               CAST(corpus_chars AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+               AS removed_share
+      FROM pol CROSS JOIN roi CROSS JOIN corpus""",
     // keep-longest ROI off the same closure; singletons enter through
     // the corpus totals only
     "q246_dedup_roi" -> raw"""

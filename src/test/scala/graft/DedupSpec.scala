@@ -445,6 +445,39 @@ class DedupSpec extends SparkSuite {
     assert(got - 9L == full, s"incremental ${got - 9L} vs full $full")
   }
 
+  test("componentSnapshot store: delta-sized writes, versioned reads, growth ≡ full recompute") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (7L, 70L), (8L, 80L),
+      (10L, 100L), (11L, 110L)).toDF("doc_id", "n_chars")
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val newPairs = Seq((3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val path = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
+    val v0 = Dedup.componentSnapshot(oldPairs, docs)
+    Dedup.writeComponentSnapshot(spark, Dedup.snapshotDelta(None, v0), path, 0L)
+    // version-0 read reconstructs v0 exactly
+    val r0df = Dedup.readComponentSnapshot(spark, path, 0L).get
+    val r0 = r0df.as[(Long, Long, Long)].collect().toSet
+    assert(r0 == v0.as[(Long, Long, Long)].collect().toSet)
+    // grow: bridge 3-7 merges {1,2,3} with {7,8}; 10-11 is brand new
+    val v1 = Dedup.updateComponentSnapshot(r0df, newPairs, docs)
+    val delta = Dedup.snapshotDelta(Some(r0df), v1)
+    // the delta is ONLY the changed/new memberships: 7,8 relabel to 1;
+    // 10,11 appear — 1,2,3 (unchanged) must NOT be rewritten
+    val deltaRows = delta.as[(Long, Long, Long)].collect().toSet
+    assert(deltaRows.map(_._2) == Set(7L, 8L, 10L, 11L), s"delta: $deltaRows")
+    Dedup.writeComponentSnapshot(spark, delta, path, 1L)
+    // version-1 read = last-writer-wins reconstruction ≡ full recompute
+    val r1 = Dedup.readComponentSnapshot(spark, path, 1L).get
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.componentSnapshot(
+      oldPairs.unionByName(newPairs), docs).as[(Long, Long, Long)].collect().toSet
+    assert(r1 == full, s"reconstructed $r1 vs full $full")
+    // time travel: version 0 is still exactly v0 after the growth write
+    val r0again = Dedup.readComponentSnapshot(spark, path, 0L).get
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r0again == r0)
+  }
+
   test("chainAudit: open path flagged, triangle fully closed, reversed/dup input pairs collapse") {
     import spark.implicits._
     def audit(ps: Seq[(Long, Long)]) =
