@@ -188,6 +188,9 @@ object QuantileSketch {
     * state is bucket-count-sized; the exact windowed quantile would
     * haul the full value relation through every window. Output: one
     * row per census day in the [[estimateByGroup]] wide shape.
+    * `weightCol` selects the weighted face (windowed × weighted — the
+    * last cell of the sketch matrix): per-day [[sketchWeighted]]
+    * partials, ranks over MASS, identical window algebra.
     *
     * This operator is ALREADY the production (partials-only) posture —
     * the [[Kmv.trailingKmv]] `audit = false` equivalent: past the one
@@ -199,11 +202,19 @@ object QuantileSketch {
   def trailingByDay(
       df: DataFrame, valueCol: String, tsCol: String,
       windowDays: Int = 7,
-      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+      percentiles: Seq[Int] = Seq(50, 90, 99),
+      weightCol: Option[String] = None): DataFrame = {
     require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
-    val daySk = Stage.snapshotDF(sketch(
-      df.withColumn("day", to_date(col(tsCol))).filter(col("day").isNotNull),
-      valueCol, Seq("day")))
+    // weighted face (the windowed × weighted matrix cell): per-day
+    // partials carry summed MASS instead of row counts — the merge
+    // algebra is unchanged (mass adds like counts), so the whole
+    // window path below is shared verbatim
+    val dayDf = df.withColumn("day", to_date(col(tsCol)))
+      .filter(col("day").isNotNull)
+    val daySk = Stage.snapshotDF(weightCol match {
+      case Some(w) => sketchWeighted(dayDf, valueCol, w, Seq("day"))
+      case None => sketch(dayDf, valueCol, Seq("day"))
+    })
     val census = daySk.select("day").distinct()
       .withColumnRenamed("day", "obs_day")
     val merged = daySk

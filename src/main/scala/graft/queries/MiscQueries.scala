@@ -136,6 +136,54 @@ object MiscQueries {
       .orderBy("pct")
   }
 
+  /** q264 — trailing-window WEIGHTED quantiles
+    * ([[graft.operators.QuantileSketch.trailingByDay]] with a weight
+    * column): 7-day rolling payload-byte-mass quantiles of event value
+    * — "below what event value does p% of the trailing week's payload
+    * byte mass live", the storage-budget twin of q261's row-count
+    * bands and the LAST cell of the sketch matrix (windowed ×
+    * weighted). Per-day [[graft.operators.QuantileSketch
+    * .sketchWeighted]] partials (mass adds like counts, so q260's
+    * window algebra is shared verbatim); audited per day against the
+    * exact weighted trailing order statistics over the ×7-expanded
+    * relation with containment flags; every column hash-checked.
+    */
+  def q264_trailing_weighted_quantiles: Q = (s, dir) => {
+    import graft.operators.{Checks, QuantileSketch}
+    val ev = Tables.events(s, dir)
+      .select(col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"),
+        octet_length(col("props")).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("v") >= 0 && col("w").isNotNull)
+    val est = QuantileSketch.trailingByDay(ev, "v", "ts", windowDays = 7,
+      percentiles = Seq(50, 90, 99), weightCol = Some("w"))
+    val days = ev.select(to_date(col("ts")).as("day"), col("v"), col("w"))
+      .filter(col("day").isNotNull)
+      .transform(graft.operators.Stage.snapshotDF)
+    val census = days.select("day").distinct()
+      .withColumnRenamed("day", "obs_day")
+    val expanded = days
+      .select(col("day"), col("v"), col("w"),
+        explode(sequence(lit(0), lit(6))).as("__i"))
+      .select(expr("date_add(day, __i)").as("obs_day"), col("v"), col("w"))
+      .join(census, "obs_day")
+    val ex = Checks.exactPercentilesWeighted(expanded, "obs_day", "v", "w")
+      .select(col("obs_day"), col("p50").as("p50_exact"),
+        col("p90").as("p90_exact"), col("p99").as("p99_exact"))
+    est.join(ex, Seq("obs_day"))
+      .select(col("obs_day"), col("n_rows").as("total_weight"),
+        col("p50_lo"), col("p50_hi"), col("p50_exact"),
+        (col("p50_lo") <= col("p50_exact") &&
+          col("p50_exact") <= col("p50_hi")).as("p50_ok"),
+        col("p90_lo"), col("p90_hi"), col("p90_exact"),
+        (col("p90_lo") <= col("p90_exact") &&
+          col("p90_exact") <= col("p90_hi")).as("p90_ok"),
+        col("p99_lo"), col("p99_hi"), col("p99_exact"),
+        (col("p99_lo") <= col("p99_exact") &&
+          col("p99_exact") <= col("p99_hi")).as("p99_ok"))
+      .orderBy("obs_day")
+  }
+
   /** q261 — trailing-window quantiles
     * ([[graft.operators.QuantileSketch.trailingByDay]]): 7-day rolling
     * p50/p90/p99 of event values (integer cents) from per-day bucket
@@ -1460,6 +1508,7 @@ object MiscQueries {
     "q260_trailing_kmv" -> q260_trailing_kmv,
     "q261_trailing_quantiles" -> q261_trailing_quantiles,
     "q262_weighted_quantiles" -> q262_weighted_quantiles,
+    "q264_trailing_weighted_quantiles" -> q264_trailing_weighted_quantiles,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1932,6 +1981,80 @@ object MiscQueries {
                AS within_bound
       FROM est JOIN ex ON est.pct = ex.pct
       ORDER BY pct""",
+    // the q261 trailing replay with cnt = summed payload-byte MASS
+    // (strlen ≡ Spark octet_length) on both the bucket partials and the
+    // exact side — ranks over mass; DuckDB's HUGEINT window sums match
+    // the engine's decimal(38,0) rank comparison
+    "q264_trailing_weighted_quantiles" -> raw"""
+      WITH cents AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CAST(strlen(props) AS BIGINT) AS w
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+          AND floor(value * 100 + 0.5) >= 0),
+      census AS MATERIALIZED (SELECT DISTINCT day AS obs_day FROM cents),
+      b AS (SELECT day, v, w, CAST(v AS VARCHAR) AS s FROM cents),
+      dsk AS (
+        SELECT day,
+               CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
+               END AS bucket_lo,
+               CASE WHEN len(s) = 1 THEN v
+                    WHEN len(s) = 19 AND s[1:2] = '92'
+                      THEN 9223372036854775807
+                    ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
+                                     repeat('0', len(s) - 2)) AS BIGINT) - 1
+               END AS bucket_hi,
+               CAST(sum(w) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2, 3),
+      m AS (SELECT day + t.i AS obs_day, bucket_lo, bucket_hi,
+                   CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM dsk, (SELECT CAST(range AS INT) AS i FROM range(7)) t
+            WHERE day + t.i IN (SELECT obs_day FROM census)
+            GROUP BY 1, 2, 3),
+      cum AS (SELECT obs_day, bucket_lo, bucket_hi,
+                     sum(cnt) OVER (PARTITION BY obs_day ORDER BY bucket_lo) AS cum,
+                     sum(cnt) OVER (PARTITION BY obs_day) AS n
+              FROM m),
+      ps(pct) AS (VALUES (50), (90), (99)),
+      est AS (SELECT obs_day, pct, CAST(max(n) AS BIGINT) AS total_weight,
+                     min(bucket_lo) AS lo, arg_min(bucket_hi, bucket_lo) AS hi
+              FROM ps JOIN cum ON cum * 100 >= n * pct
+              GROUP BY 1, 2),
+      estw AS (SELECT obs_day, max(total_weight) AS total_weight,
+                      max(CASE WHEN pct = 50 THEN lo END) AS p50_lo,
+                      max(CASE WHEN pct = 50 THEN hi END) AS p50_hi,
+                      max(CASE WHEN pct = 90 THEN lo END) AS p90_lo,
+                      max(CASE WHEN pct = 90 THEN hi END) AS p90_hi,
+                      max(CASE WHEN pct = 99 THEN lo END) AS p99_lo,
+                      max(CASE WHEN pct = 99 THEN hi END) AS p99_hi
+               FROM est GROUP BY 1),
+      exp AS (SELECT day + t.i AS obs_day, v, w
+              FROM cents, (SELECT CAST(range AS INT) AS i FROM range(7)) t
+              WHERE day + t.i IN (SELECT obs_day FROM census)),
+      exv AS (SELECT obs_day, v, CAST(sum(w) AS BIGINT) AS c
+              FROM exp GROUP BY 1, 2),
+      exc AS (SELECT obs_day, v,
+                     sum(c) OVER (PARTITION BY obs_day ORDER BY v) AS cum,
+                     sum(c) OVER (PARTITION BY obs_day) AS n
+              FROM exv),
+      ex AS (SELECT obs_day, pct, min(v) AS exact_v
+             FROM ps JOIN exc ON cum * 100 >= n * pct GROUP BY 1, 2),
+      exw AS (SELECT obs_day,
+                     max(CASE WHEN pct = 50 THEN exact_v END) AS p50_exact,
+                     max(CASE WHEN pct = 90 THEN exact_v END) AS p90_exact,
+                     max(CASE WHEN pct = 99 THEN exact_v END) AS p99_exact
+              FROM ex GROUP BY 1)
+      SELECT e.obs_day, e.total_weight,
+             p50_lo, p50_hi, p50_exact,
+             p50_lo <= p50_exact AND p50_exact <= p50_hi AS p50_ok,
+             p90_lo, p90_hi, p90_exact,
+             p90_lo <= p90_exact AND p90_exact <= p90_hi AS p90_ok,
+             p99_lo, p99_hi, p99_exact,
+             p99_lo <= p99_exact AND p99_exact <= p99_hi AS p99_ok
+      FROM estw e JOIN exw x ON e.obs_day = x.obs_day
+      ORDER BY e.obs_day""",
     // per-day decimal-mantissa bucket partials, x7 date expansion of the
     // PARTIALS with their counts, count-addition merge per (obs_day,
     // bucket), PARTITION BY obs_day rank windows, exact trailing order

@@ -143,6 +143,36 @@ class QuantileSketchSpec extends SparkSuite {
     }
   }
 
+  test("trailingByDay weighted: window merge over MASS partials; heavy day dominates the window") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 08:00:00")
+    // day1: five light rows at 100..104 (w=1 each); day2: one heavy row
+    // at 9000 (w=95). Window 2: day1's median is light; day2's window
+    // holds 95% of its mass at 9000 — the row-count face would say ~102
+    val rows = (100L to 104L).map(v => (ts(1), v, 1L)) :+ ((ts(2), 9000L, 95L))
+    val ev = rows.toDF("ts", "v", "w")
+    val got = QuantileSketch.trailingByDay(ev, "v", "ts", windowDays = 2,
+        weightCol = Some("w"))
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1.toString -> r).toMap
+    assert(got.keySet == Set("2024-01-01", "2024-01-02"))
+    val d1 = got("2024-01-01")
+    assert(d1._2 == 5L && d1._3 == 100L, s"day1 must be light-only mass: $d1")
+    val d2 = got("2024-01-02")
+    assert(d2._2 == 100L, s"day2 window mass must be 5 + 95: $d2")
+    assert(d2._3 == 9000L && d2._4 == 9099L,
+      s"day2 weighted median bucket must hold 9000: $d2")
+    // ≡ the one-shot weighted sketch of the window's bag
+    val solo = QuantileSketch.estimate(
+      QuantileSketch.sketchWeighted(rows.map(r => (r._2, r._3)).toDF("v", "w"),
+        "v", "w"))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert((d2._3, d2._4, d2._5, d2._6, d2._7, d2._8) ==
+      ((solo(50)._3, solo(50)._4, solo(90)._3, solo(90)._4,
+        solo(99)._3, solo(99)._4)),
+      s"windowed $d2 vs one-shot $solo")
+  }
+
   test("sketchWeighted: mass-rank quantiles — a heavy row moves the median the row count can't") {
     import graft.operators.Checks
     // values 100..104 each weight 1, plus value 9000 with weight 95:
