@@ -1384,16 +1384,18 @@ object Dedup {
   /** Reconstruct snapshot version `upToBatch` from the delta store:
     * union of partitions ≤ upToBatch ([[graft.sources.Sinks
     * .readBatchStoreAsOf]] — inherits its compaction-horizon contract),
-    * then last-writer-wins per id (`max snap_batch`), valid because
-    * growth only ADDS or RE-LABELS rows. None when the store is empty.
+    * then last-writer-wins PER ID (`max snap_batch` keyed on `idCol`
+    * alone — a delta that re-labels a doc's component or revises its
+    * carried attribute must fully supersede the older row, never
+    * coexist with it). None when the store is empty.
     */
   def readComponentSnapshot(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      upToBatch: Long = Long.MaxValue): Option[DataFrame] = {
+      upToBatch: Long = Long.MaxValue,
+      idCol: String = "doc_id"): Option[DataFrame] = {
     graft.sources.Sinks.readBatchStoreAsOf(spark, path, upToBatch).map { df =>
-      val idCols = df.columns.filterNot(c => c == "snap_batch" || c == "component")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(idCols.map(col): _*).orderBy(col("snap_batch").desc)
+        .partitionBy(col(idCol)).orderBy(col("snap_batch").desc)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn", "snap_batch")

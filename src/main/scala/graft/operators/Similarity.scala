@@ -589,13 +589,14 @@ object Similarity {
   def lshBucketsHashed(embeddings: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
     require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes in [1,62]: $numPlanes")
     val P = graft.functions.StringKernels.PolyHashMod
-    def polyHashStr(s: String): Long = {
-      var h = 0L
-      s.foreach(c => h = (h * 31 + c) % P)
-      h
-    }
+    // the CANONICAL code-point fold, not a private char-based rewrite:
+    // the labels are ASCII today, but a local re-implementation would
+    // silently diverge from the oracle's unicode() replay the day a
+    // label ever carries a non-BMP character
     def coef(i: Int, j: Int): Long =
-      ((polyHashStr(s"$i:$j") * 961748927L + 12345L) % P) % 2001L - 1000L
+      ((graft.functions.StringKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$i:$j"))
+        * 961748927L + 12345L) % P) % 2001L - 1000L
     val vq = transform(col("embedding"),
       x => floor(x.cast("double") * 1000000d + lit(0.5d)).cast("long"))
     val bucket = (0 until numPlanes).map { i =>

@@ -234,6 +234,58 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** q245's survivor-policy divergence aggregate over any
+    * (component, doc_id, n_chars) base — ONE definition shared by q245
+    * (independent derivation) and q263 (reconstructed snapshot), so the
+    * snapshot round-trip check can never drift from the query it
+    * claims to equal.
+    */
+  private def survivorPolicyAgg(c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLong = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val byMin = Window.partitionBy("component").orderBy(col("doc_id").asc)
+    val reps = c
+      .withColumn("__rl", row_number().over(byLong))
+      .withColumn("__rm", row_number().over(byMin))
+    val long = reps.filter(col("__rl") === 1)
+      .select(col("component"), col("doc_id").as("rep_long"),
+        col("n_chars").as("chars_long"))
+    val mn = reps.filter(col("__rm") === 1)
+      .select(col("component"), col("doc_id").as("rep_min"),
+        col("n_chars").as("chars_min"))
+    long.join(mn, "component")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("rep_long") =!= col("rep_min"), 1L).otherwise(0L))
+          .as("n_diverging"),
+        sum(col("chars_long") - col("chars_min")).as("extra_chars_kept"))
+      .select(col("n_clusters"), col("n_diverging"),
+        (round(col("n_diverging").cast("double") /
+          col("n_clusters").cast("double"), 6) + lit(0.0)).as("divergence_share"),
+        col("extra_chars_kept"))
+  }
+
+  /** q246's keep-longest ROI aggregate over any (component, doc_id,
+    * n_chars) base — shared by q246 and q263 (same one-definition
+    * argument as [[survivorPolicyAgg]]).
+    */
+  private def dedupRoiAgg(c: DataFrame, docs: DataFrame): DataFrame = {
+    val perCluster = c.groupBy("component")
+      .agg(count(lit(1)).as("__n"), sum("n_chars").as("__chars"),
+        max("n_chars").as("__kept"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum("n_chars").as("corpus_chars"))
+    perCluster
+      .agg(count(lit(1)).as("n_clusters"), sum("__n").as("n_clustered_docs"),
+        sum("__chars").as("clustered_chars"),
+        sum(col("__chars") - col("__kept")).as("removed_chars"))
+      .crossJoin(broadcast(corpus))
+      .select(col("n_docs"), col("n_clustered_docs"), col("n_clusters"),
+        col("corpus_chars"), col("clustered_chars"), col("removed_chars"),
+        (round(col("removed_chars").cast("double") /
+          col("corpus_chars").cast("double"), 6) + lit(0.0)).as("removed_share"))
+  }
+
   /** The snapshotted (component, doc_id, n_chars) relation behind the
     * q245/q246 survivor analyses — q80's components joined to doc sizes,
     * cluster-sized, derived once per query.
@@ -305,31 +357,8 @@ object DedupQueries {
     * (n_chars desc, doc_id asc), min-id = doc_id asc; cluster-sized
     * windows off the shared component/doc snapshot.
     */
-  def q245_survivor_policy: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val c = clusterDocBase(s, dir)
-    val byLong = Window.partitionBy("component")
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val byMin = Window.partitionBy("component").orderBy(col("doc_id").asc)
-    val reps = c
-      .withColumn("__rl", row_number().over(byLong))
-      .withColumn("__rm", row_number().over(byMin))
-    val long = reps.filter(col("__rl") === 1)
-      .select(col("component"), col("doc_id").as("rep_long"),
-        col("n_chars").as("chars_long"))
-    val mn = reps.filter(col("__rm") === 1)
-      .select(col("component"), col("doc_id").as("rep_min"),
-        col("n_chars").as("chars_min"))
-    long.join(mn, "component")
-      .agg(count(lit(1)).as("n_clusters"),
-        sum(when(col("rep_long") =!= col("rep_min"), 1L).otherwise(0L))
-          .as("n_diverging"),
-        sum(col("chars_long") - col("chars_min")).as("extra_chars_kept"))
-      .select(col("n_clusters"), col("n_diverging"),
-        (round(col("n_diverging").cast("double") /
-          col("n_clusters").cast("double"), 6) + lit(0.0)).as("divergence_share"),
-        col("extra_chars_kept"))
-  }
+  def q245_survivor_policy: Q = (s, dir) =>
+    survivorPolicyAgg(clusterDocBase(s, dir))
 
   /** q246 — dedup ROI: what a keep-longest pass over q80's clusters
     * actually buys — clustered docs/chars, chars kept, chars removed,
@@ -338,25 +367,8 @@ object DedupQueries {
     * that decides whether the dedup pass is worth its runtime, computed
     * before anything is deleted.
     */
-  def q246_dedup_roi: Q = (s, dir) => {
-    val c = clusterDocBase(s, dir)
-    val perCluster = c.groupBy("component")
-      .agg(count(lit(1)).as("__n"), sum("n_chars").as("__chars"),
-        max("n_chars").as("__kept"))
-    val corpus = Tables.documents(s, dir)
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("corpus_chars"))
-    perCluster
-      .agg(count(lit(1)).as("n_clusters"), sum("__n").as("n_clustered_docs"),
-        sum("__chars").as("clustered_chars"),
-        sum(col("__chars") - col("__kept")).as("removed_chars"))
-      .crossJoin(broadcast(corpus))
-      .select(col("n_docs"), col("n_clustered_docs"), col("n_clusters"),
-        col("corpus_chars"), col("clustered_chars"), col("removed_chars"),
-        (round(col("removed_chars").cast("double") /
-          col("corpus_chars").cast("double"), 6) + lit(0.0)).as("removed_share"))
-  }
-
-  private val snapStoreCache = scala.collection.mutable.Map[String, String]()
+  def q246_dedup_roi: Q = (s, dir) =>
+    dedupRoiAgg(clusterDocBase(s, dir), Tables.documents(s, dir))
 
   /** q263 — materialized component snapshot ≡ independent derivations
     * ([[Dedup.componentSnapshot]] / [[Dedup.writeComponentSnapshot]] /
@@ -366,72 +378,40 @@ object DedupQueries {
     * delta after [[Dedup.updateComponentSnapshot]] merges the withheld
     * third's pairs via the incremental-CC path — then RECONSTRUCTED
     * from disk (last-writer-wins over the deltas) and analyzed: the
-    * q245 survivor-policy divergence and q246 keep-longest ROI run over
-    * the snapshot in one row. The oracle derives BOTH analyses from the
-    * full transitive closure over all pairs, independently of the
-    * store — so a green row proves build → delta-write → grow →
-    * reconstruct loses nothing vs the eight queries' re-derivations
-    * (the production composition BENCH_NOTES round 14 priced at ~3–4×
-    * family saving).
+    * q245 survivor-policy divergence and q246 keep-longest ROI (the
+    * SAME [[survivorPolicyAgg]]/[[dedupRoiAgg]] definitions those
+    * queries run) over the snapshot in one row. The oracle derives BOTH
+    * analyses from the full transitive closure over all pairs,
+    * independently of the store — so a green row proves build →
+    * delta-write → grow → reconstruct loses nothing vs the eight
+    * queries' re-derivations (the production composition BENCH_NOTES
+    * round 14 priced at ~3–4× family saving). The store is built and
+    * deleted PER CALL (eager snapshot first), so every bench pass pays
+    * the full loop and nothing leaks.
     */
   def q263_component_snapshot: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val path = snapStoreCache.synchronized {
-      snapStoreCache.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files.createTempDirectory("graft_snap_demo").toString
-        val allPairs = Stage.snapshotDF(Dedup.jaccardPairs(docs, "doc_id", "text",
-          shingleK = 3, threshold = 0.6))
-        val oldPairs = allPairs.filter(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0)
-        val newPairs = allPairs.filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
-        val v0 = Dedup.componentSnapshot(oldPairs, docs)
-        Dedup.writeComponentSnapshot(s, Dedup.snapshotDelta(None, v0), p, 0L)
-        val prior = Dedup.readComponentSnapshot(s, p, 0L).get
-        val v1 = Dedup.updateComponentSnapshot(prior, newPairs, docs)
-        Dedup.writeComponentSnapshot(s,
-          Dedup.snapshotDelta(Some(Stage.snapshotDF(prior)), v1), p, 1L)
-        p
-      })
+    val p = java.nio.file.Files.createTempDirectory("graft_snap_demo")
+    val c = try {
+      val allPairs = Stage.snapshotDF(Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.6))
+      val oldPairs = allPairs.filter(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0)
+      val newPairs = allPairs.filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+      val v0 = Dedup.componentSnapshot(oldPairs, docs)
+      Dedup.writeComponentSnapshot(s, Dedup.snapshotDelta(None, v0), p.toString, 0L)
+      val prior = Stage.snapshotDF(
+        Dedup.readComponentSnapshot(s, p.toString, 0L).get)
+      val v1 = Dedup.updateComponentSnapshot(prior, newPairs, docs)
+      Dedup.writeComponentSnapshot(s,
+        Dedup.snapshotDelta(Some(prior), v1), p.toString, 1L)
+      // eager: materialize the reconstruction BEFORE the store is deleted
+      Stage.snapshotDF(Dedup.readComponentSnapshot(s, p.toString, 1L).get)
+    } finally {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
     }
-    val c = Stage.snapshotDF(Dedup.readComponentSnapshot(s, path, 1L).get)
-    // q245's divergence analysis over the reconstructed snapshot
-    val byLong = Window.partitionBy("component")
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val byMin = Window.partitionBy("component").orderBy(col("doc_id").asc)
-    val reps = c
-      .withColumn("__rl", row_number().over(byLong))
-      .withColumn("__rm", row_number().over(byMin))
-    val long = reps.filter(col("__rl") === 1)
-      .select(col("component"), col("doc_id").as("rep_long"),
-        col("n_chars").as("chars_long"))
-    val mn = reps.filter(col("__rm") === 1)
-      .select(col("component"), col("doc_id").as("rep_min"),
-        col("n_chars").as("chars_min"))
-    val policy = long.join(mn, "component")
-      .agg(count(lit(1)).as("n_clusters"),
-        sum(when(col("rep_long") =!= col("rep_min"), 1L).otherwise(0L))
-          .as("n_diverging"),
-        sum(col("chars_long") - col("chars_min")).as("extra_chars_kept"))
-      .select(col("n_clusters"), col("n_diverging"),
-        (round(col("n_diverging").cast("double") /
-          col("n_clusters").cast("double"), 6) + lit(0.0)).as("divergence_share"),
-        col("extra_chars_kept"))
-    // q246's ROI analysis over the same snapshot
-    val perCluster = c.groupBy("component")
-      .agg(count(lit(1)).as("__n"), sum("n_chars").as("__chars"),
-        max("n_chars").as("__kept"))
-    val corpus = docs.agg(count(lit(1)).as("n_docs"),
-      sum("n_chars").as("corpus_chars"))
-    val roi = perCluster
-      .agg(sum("__n").as("n_clustered_docs"),
-        sum("__chars").as("clustered_chars"),
-        sum(col("__chars") - col("__kept")).as("removed_chars"))
-      .crossJoin(broadcast(corpus))
-      .select(col("n_docs"), col("n_clustered_docs"), col("corpus_chars"),
-        col("clustered_chars"), col("removed_chars"),
-        (round(col("removed_chars").cast("double") /
-          col("corpus_chars").cast("double"), 6) + lit(0.0)).as("removed_share"))
-    policy.crossJoin(broadcast(roi))
+    survivorPolicyAgg(c).crossJoin(broadcast(
+      dedupRoiAgg(c, docs).drop("n_clusters")))
   }
 
   /** q242 — chaining-risk audit ([[Dedup.chainAudit]]) of the q80 pair
@@ -794,6 +774,57 @@ object DedupQueries {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.6)"""
 
+  /** Shared oracle fragments for the closure-over-documents analyses:
+    * `OracleClosureDocBase` (edges → recursive reach → min-node labels →
+    * the (component, doc_id, n_chars) base CTE `c`),
+    * `OraclePolicyCtes` (q245's survivor-policy aggregate as CTE `pol`),
+    * and `OracleRoiCtes` (q246's ROI aggregates as CTEs `agg`+`corpus`).
+    * ONE definition each, consumed by q245, q246 AND the q263 snapshot
+    * round-trip — so the equivalence check can never drift from the
+    * queries it claims to equal. All require a RECURSIVE WITH and the
+    * `pairs` CTE from [[OraclePairGraph]].
+    */
+  val OracleClosureDocBase: String = raw"""edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lab AS (SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src),
+      c AS (SELECT component, doc_id, n_chars
+            FROM lab JOIN documents ON node = doc_id)"""
+
+  val OraclePolicyCtes: String = raw"""rl AS (SELECT component, doc_id AS rep_long, n_chars AS chars_long FROM
+               (SELECT *, row_number() OVER (PARTITION BY component
+                  ORDER BY n_chars DESC, doc_id ASC) AS rn FROM c)
+             WHERE rn = 1),
+      rm AS (SELECT component, doc_id AS rep_min, n_chars AS chars_min FROM
+               (SELECT *, row_number() OVER (PARTITION BY component
+                  ORDER BY doc_id ASC) AS rn FROM c)
+             WHERE rn = 1),
+      pol AS (SELECT CAST(count(1) AS BIGINT) AS n_clusters,
+                     CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_diverging,
+                     round(CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(1), 6) + CAST(0 AS DOUBLE)
+                       AS divergence_share,
+                     CAST(sum(chars_long - chars_min) AS BIGINT) AS extra_chars_kept
+              FROM rl JOIN rm USING (component))"""
+
+  val OracleRoiCtes: String = raw"""pc AS (SELECT component, CAST(count(1) AS BIGINT) AS n,
+                    CAST(sum(n_chars) AS BIGINT) AS chars,
+                    CAST(max(n_chars) AS BIGINT) AS kept
+             FROM c GROUP BY 1),
+      agg AS (SELECT CAST(count(1) AS BIGINT) AS n_roi_clusters,
+                     CAST(sum(n) AS BIGINT) AS n_clustered_docs,
+                     CAST(sum(chars) AS BIGINT) AS clustered_chars,
+                     CAST(sum(chars - kept) AS BIGINT) AS removed_chars
+              FROM pc),
+      corpus AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS corpus_chars
+                 FROM documents)"""
+
   /** Shared oracle fragment: deterministic MinHash-LSH candidates (the q84
     * generator) verified by exact Jaccard at J ≥ 0.6 — the scale-path pair
     * graph. Used by q89 here and q82 in TrainingQueries (one definition so
@@ -1098,109 +1129,33 @@ object DedupQueries {
     // closure + doc sizes; census of where the policies disagree
     "q245_survivor_policy" -> raw"""
       WITH RECURSIVE $OraclePairGraph,
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-      reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      lab AS (SELECT src AS node, least(src, min(dst)) AS component
-              FROM reach GROUP BY src),
-      c AS (SELECT component, doc_id, n_chars
-            FROM lab JOIN documents ON node = doc_id),
-      rl AS (SELECT component, doc_id AS rep_long, n_chars AS chars_long FROM
-               (SELECT *, row_number() OVER (PARTITION BY component
-                  ORDER BY n_chars DESC, doc_id ASC) AS rn FROM c)
-             WHERE rn = 1),
-      rm AS (SELECT component, doc_id AS rep_min, n_chars AS chars_min FROM
-               (SELECT *, row_number() OVER (PARTITION BY component
-                  ORDER BY doc_id ASC) AS rn FROM c)
-             WHERE rn = 1)
-      SELECT CAST(count(1) AS BIGINT) AS n_clusters,
-             CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_diverging,
-             round(CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
-               AS DOUBLE) / count(1), 6) + CAST(0 AS DOUBLE)
-               AS divergence_share,
-             CAST(sum(chars_long - chars_min) AS BIGINT) AS extra_chars_kept
-      FROM rl JOIN rm USING (component)""",
+      $OracleClosureDocBase,
+      $OraclePolicyCtes
+      SELECT n_clusters, n_diverging, divergence_share, extra_chars_kept
+      FROM pol""",
     // the snapshot-store round trip must land EXACTLY on the analyses
     // the full closure yields: both the q245 divergence block and the
     // q246 ROI block re-derived here independently of the store
     "q263_component_snapshot" -> raw"""
       WITH RECURSIVE $OraclePairGraph,
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-      reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      lab AS (SELECT src AS node, least(src, min(dst)) AS component
-              FROM reach GROUP BY src),
-      c AS (SELECT component, doc_id, n_chars
-            FROM lab JOIN documents ON node = doc_id),
-      rl AS (SELECT component, doc_id AS rep_long, n_chars AS chars_long FROM
-               (SELECT *, row_number() OVER (PARTITION BY component
-                  ORDER BY n_chars DESC, doc_id ASC) AS rn FROM c)
-             WHERE rn = 1),
-      rm AS (SELECT component, doc_id AS rep_min, n_chars AS chars_min FROM
-               (SELECT *, row_number() OVER (PARTITION BY component
-                  ORDER BY doc_id ASC) AS rn FROM c)
-             WHERE rn = 1),
-      pol AS (SELECT CAST(count(1) AS BIGINT) AS n_clusters,
-                     CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_diverging,
-                     round(CAST(sum(CASE WHEN rep_long <> rep_min THEN 1 ELSE 0 END)
-                       AS DOUBLE) / count(1), 6) + CAST(0 AS DOUBLE)
-                       AS divergence_share,
-                     CAST(sum(chars_long - chars_min) AS BIGINT) AS extra_chars_kept
-              FROM rl JOIN rm USING (component)),
-      pc AS (SELECT component, CAST(count(1) AS BIGINT) AS n,
-                    CAST(sum(n_chars) AS BIGINT) AS chars,
-                    CAST(max(n_chars) AS BIGINT) AS kept
-             FROM c GROUP BY 1),
-      corpus AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
-                        CAST(sum(n_chars) AS BIGINT) AS corpus_chars
-                 FROM documents),
-      roi AS (SELECT CAST(sum(n) AS BIGINT) AS n_clustered_docs,
-                     CAST(sum(chars) AS BIGINT) AS clustered_chars,
-                     CAST(sum(chars - kept) AS BIGINT) AS removed_chars
-              FROM pc)
+      $OracleClosureDocBase,
+      $OraclePolicyCtes,
+      $OracleRoiCtes
       SELECT n_clusters, n_diverging, divergence_share, extra_chars_kept,
              n_docs, n_clustered_docs, corpus_chars, clustered_chars,
              removed_chars,
              round(CAST(removed_chars AS DOUBLE) /
                CAST(corpus_chars AS DOUBLE), 6) + CAST(0 AS DOUBLE)
                AS removed_share
-      FROM pol CROSS JOIN roi CROSS JOIN corpus""",
+      FROM pol CROSS JOIN agg CROSS JOIN corpus""",
     // keep-longest ROI off the same closure; singletons enter through
     // the corpus totals only
     "q246_dedup_roi" -> raw"""
       WITH RECURSIVE $OraclePairGraph,
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-      reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      lab AS (SELECT src AS node, least(src, min(dst)) AS component
-              FROM reach GROUP BY src),
-      c AS (SELECT component, doc_id, n_chars
-            FROM lab JOIN documents ON node = doc_id),
-      pc AS (SELECT component, CAST(count(1) AS BIGINT) AS n,
-                    CAST(sum(n_chars) AS BIGINT) AS chars,
-                    CAST(max(n_chars) AS BIGINT) AS kept
-             FROM c GROUP BY 1),
-      agg AS (SELECT CAST(count(1) AS BIGINT) AS n_clusters,
-                     CAST(sum(n) AS BIGINT) AS n_clustered_docs,
-                     CAST(sum(chars) AS BIGINT) AS clustered_chars,
-                     CAST(sum(chars - kept) AS BIGINT) AS removed_chars
-              FROM pc),
-      corpus AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
-                        CAST(sum(n_chars) AS BIGINT) AS corpus_chars
-                 FROM documents)
-      SELECT n_docs, n_clustered_docs, n_clusters, corpus_chars,
-             clustered_chars, removed_chars,
+      $OracleClosureDocBase,
+      $OracleRoiCtes
+      SELECT n_docs, n_clustered_docs, n_roi_clusters AS n_clusters,
+             corpus_chars, clustered_chars, removed_chars,
              round(CAST(removed_chars AS DOUBLE) /
                CAST(corpus_chars AS DOUBLE), 6) + CAST(0 AS DOUBLE)
                AS removed_share

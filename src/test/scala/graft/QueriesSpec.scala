@@ -10,9 +10,16 @@ class QueriesSpec extends SparkSuite {
   private val mayBeEmpty = Set("q42_jaccard_pairs", "q43_minhash_lsh", "q44_simhash",
     "q150_perceptual_neardup") // no duplicate media below sf0.1 (8 pairs there)
 
+  // schemas captured by the smoke loop so the DecimalType pin below
+  // doesn't re-execute every eager pipeline a second time
+  private val capturedSchemas =
+    scala.collection.mutable.Map[String, org.apache.spark.sql.types.StructType]()
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      capturedSchemas.synchronized { capturedSchemas(name) = df.schema }
+      val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }
@@ -134,7 +141,12 @@ class QueriesSpec extends SparkSuite {
     }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val bad = fn(spark, sfDir).schema.fields.filter(f => hasDecimal(f.dataType))
+        // the smoke loop (registered first, runs first) captured the
+        // schema; rebuild only if a smoke test aborted before capturing
+        val schema = capturedSchemas.synchronized {
+          capturedSchemas.getOrElseUpdate(name, fn(spark, sfDir).schema)
+        }
+        val bad = schema.fields.filter(f => hasDecimal(f.dataType))
         if (bad.isEmpty) None
         else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")}")
     }

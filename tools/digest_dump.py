@@ -78,13 +78,15 @@ def canon_value(v, typ=None):
         import pyarrow.types as pat
         if typ is not None and pat.is_map(typ):
             kt, vt = typ.key_type, typ.item_type
-            # UTF-8 byte order, matching CanonDigest's utf8Order — plain
-            # str order is code-point order, which diverges from byte
-            # order only for surrogate-containing strings but must match
-            # the Scala twin byte for byte regardless
+            # UTF-8 byte order, matching CanonDigest's utf8Order. errors=
+            # "replace" everywhere in this file: Java getBytes("UTF-8")
+            # substitutes '?' for unpaired surrogates, and Python's
+            # "replace" does the same — "surrogatepass" would emit WTF-8
+            # bytes Java never produces and break the byte contract on
+            # exactly the strings it was meant to cover
             ents = sorted((canon_value(k, kt) + "=>" + canon_value(x, vt)
                            for k, x in v),
-                          key=lambda s: s.encode("utf-8", "surrogatepass"))
+                          key=lambda s: s.encode("utf-8", "replace"))
             return "{" + ",".join(ents) + "}"
         it = typ.value_type if typ is not None and hasattr(typ, "value_type") else None
         return "[" + ",".join(canon_value(x, it) for x in v) + "]"
@@ -99,12 +101,12 @@ def canon_rows(qdir):
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     names = tbl.column_names
     order = sorted(range(len(names)),
-                   key=lambda i: names[i].encode("utf-8", "surrogatepass"))
+                   key=lambda i: names[i].encode("utf-8", "replace"))
     types = [tbl.schema.field(i).type for i in range(len(names))]
     pylist = tbl.to_pylist()
     rows = ["\x01".join(canon_value(r[names[i]], types[i]) for i in order)
             for r in pylist]
-    rows.sort(key=lambda s: s.encode("utf-8", "surrogatepass"))
+    rows.sort(key=lambda s: s.encode("utf-8", "replace"))
     header = "\x01".join(names[i] for i in order)
     return header, rows
 
@@ -112,9 +114,9 @@ def canon_rows(qdir):
 def digest_of(qdir):
     header, rows = canon_rows(qdir)
     md = hashlib.sha256()
-    md.update((header + "\n").encode("utf-8", "surrogatepass"))
+    md.update((header + "\n").encode("utf-8", "replace"))
     for r in rows:
-        md.update((r + "\n").encode("utf-8", "surrogatepass"))
+        md.update((r + "\n").encode("utf-8", "replace"))
     return len(rows), md.hexdigest()
 
 
