@@ -476,6 +476,18 @@ class DedupSpec extends SparkSuite {
     val r0again = Dedup.readComponentSnapshot(spark, path, 0L).get
       .as[(Long, Long, Long)].collect().toSet
     assert(r0again == r0)
+    // compaction safety: reconstruction keys on the row-resident
+    // snap_batch column, so merging partitions must not change the
+    // current snapshot (batch 0's rows still lose LWW to batch 1's)
+    Dedup.writeComponentSnapshot(spark,
+      Dedup.snapshotDelta(Some(Dedup.readComponentSnapshot(spark, path).get),
+        Dedup.componentSnapshot(oldPairs.unionByName(newPairs), docs)),
+      path, 2L)
+    assert(graft.sources.Sinks.compactBatchStore(spark, path, upToBatch = 2L) > 0,
+      "compaction must merge the two finalized partitions")
+    val rc = Dedup.readComponentSnapshot(spark, path).get
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rc == full, s"post-compaction reconstruction drifted: $rc vs $full")
   }
 
   test("chainAudit: open path flagged, triangle fully closed, reversed/dup input pairs collapse") {
