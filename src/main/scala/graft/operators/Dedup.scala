@@ -1334,8 +1334,13 @@ object Dedup {
       pairs: DataFrame, docs: DataFrame,
       idCol: String = "doc_id", sizeCol: String = "n_chars"): DataFrame = {
     val cc = connectedComponents(pairs, "id_a", "id_b")
-    cc.join(docs.select(col(idCol), col(sizeCol)), cc("node") === col(idCol))
-      .select(col("component"), col(idCol), col(sizeCol))
+    // LEFT join: a pair endpoint absent from the docs dimension keeps
+    // its row (null size) — dropping it here would erase its LABEL from
+    // the store, and a later batch bridging through it would then build
+    // a disjoint component where the one-shot recompute merges
+    val dim = docs.select(col(idCol), col(sizeCol))
+    cc.join(dim, cc("node") === dim(idCol), "left")
+      .select(col("component"), cc("node").as(idCol), dim(sizeCol))
   }
 
   /** Grow a snapshot with new pairs (new docs arrived, or a lower
@@ -1350,22 +1355,31 @@ object Dedup {
       prior: DataFrame, newPairs: DataFrame, docs: DataFrame,
       idCol: String = "doc_id", sizeCol: String = "n_chars"): DataFrame = {
     val labels = prior.select(col(idCol).as("node"), col("component"))
-    incrementalComponents(labels, newPairs, "id_a", "id_b")
-      .join(docs.select(col(idCol), col(sizeCol)), col("node") === col(idCol))
-      .select(col("component"), col(idCol), col(sizeCol))
+    val grown = incrementalComponents(labels, newPairs, "id_a", "id_b")
+    // same LEFT join as [[componentSnapshot]]: labels of nodes outside
+    // the docs dimension must survive into the store (they carry
+    // connectivity for future batches)
+    val dim = docs.select(col(idCol), col(sizeCol))
+    grown.join(dim, grown("node") === dim(idCol), "left")
+      .select(col("component"), grown("node").as(idCol), dim(sizeCol))
   }
 
   /** The delta between two snapshot versions: rows of `current` that are
-    * new or changed vs `prior` (anti-join on every column — exact under
-    * the growth-only contract, where rows never disappear). THIS is what
-    * a version write stores: at 100 TB the changed-membership set is
-    * tiny against the full snapshot, so versioning costs delta-sized
-    * writes, not snapshot-sized ones.
+    * new or changed vs `prior` (NULL-SAFE anti-join on every column —
+    * a row with a null carried attribute must still anti-out against
+    * its identical prior self, or it would ride every delta forever and
+    * grow the store linearly in batches; exact under the growth-only
+    * contract, where rows never disappear). THIS is what a version
+    * write stores: at 100 TB the changed-membership set is tiny against
+    * the full snapshot, so versioning costs delta-sized writes, not
+    * snapshot-sized ones.
     */
   def snapshotDelta(prior: Option[DataFrame], current: DataFrame): DataFrame =
     prior match {
       case None => current
-      case Some(p) => current.join(p, current.columns.toSeq, "left_anti")
+      case Some(p) =>
+        val cond = current.columns.map(c => current(c) <=> p(c)).reduce(_ && _)
+        current.join(p, cond, "left_anti")
     }
 
   /** Write one snapshot version's DELTA as the batch-store partition

@@ -71,6 +71,13 @@ object Kmv {
   def finalized(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (h * lit(961748927L) + lit(12345L)) % lit(P)
 
+  /** Driver-side scalar twin of [[finalized]] — ONE definition of the
+    * affine constants for plan-time consumers (hash-derived LSH plane
+    * coefficients); `h` must already be a mod-p polyhash (< p, so the
+    * product stays under 2⁶³).
+    */
+  def finalizedLong(h: Long): Long = (h * 961748927L + 12345L) % P
+
   /** The finalized hash column for `keyCol` — the sketch's only
     * per-row work, shared by the batch audit and the streaming partials.
     */

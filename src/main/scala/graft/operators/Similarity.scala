@@ -588,15 +588,13 @@ object Similarity {
     */
   def lshBucketsHashed(embeddings: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
     require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes in [1,62]: $numPlanes")
-    val P = graft.functions.StringKernels.PolyHashMod
-    // the CANONICAL code-point fold, not a private char-based rewrite:
-    // the labels are ASCII today, but a local re-implementation would
-    // silently diverge from the oracle's unicode() replay the day a
-    // label ever carries a non-BMP character
+    // the CANONICAL code-point fold + the CANONICAL finalizer constants
+    // (Kmv.finalizedLong), not private rewrites: the labels are ASCII
+    // today, but a local re-implementation would silently diverge from
+    // the oracle's replay the day either definition is tuned
     def coef(i: Int, j: Int): Long =
-      ((graft.functions.StringKernels.polyHash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"$i:$j"))
-        * 961748927L + 12345L) % P) % 2001L - 1000L
+      graft.operators.Kmv.finalizedLong(graft.functions.StringKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$i:$j"))) % 2001L - 1000L
     val vq = transform(col("embedding"),
       x => floor(x.cast("double") * 1000000d + lit(0.5d)).cast("long"))
     val bucket = (0 until numPlanes).map { i =>

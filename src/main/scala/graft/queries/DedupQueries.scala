@@ -399,13 +399,18 @@ object DedupQueries {
       val newPairs = allPairs.filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
       val v0 = Dedup.componentSnapshot(oldPairs, docs)
       Dedup.writeComponentSnapshot(s, Dedup.snapshotDelta(None, v0), p.toString, 0L)
+      // an all-empty era writes a data-less partition that the reader
+      // skips — treat a missing reconstruction as an empty snapshot, the
+      // same StreamingComponents batch-0 path, never a None.get abort
+      def emptySnap = v0.limit(0)
       val prior = Stage.snapshotDF(
-        Dedup.readComponentSnapshot(s, p.toString, 0L).get)
+        Dedup.readComponentSnapshot(s, p.toString, 0L).getOrElse(emptySnap))
       val v1 = Dedup.updateComponentSnapshot(prior, newPairs, docs)
       Dedup.writeComponentSnapshot(s,
         Dedup.snapshotDelta(Some(prior), v1), p.toString, 1L)
       // eager: materialize the reconstruction BEFORE the store is deleted
-      Stage.snapshotDF(Dedup.readComponentSnapshot(s, p.toString, 1L).get)
+      Stage.snapshotDF(
+        Dedup.readComponentSnapshot(s, p.toString, 1L).getOrElse(emptySnap))
     } finally {
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(q => java.nio.file.Files.deleteIfExists(q))

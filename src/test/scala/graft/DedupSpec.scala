@@ -490,6 +490,29 @@ class DedupSpec extends SparkSuite {
     assert(rc == full, s"post-compaction reconstruction drifted: $rc vs $full")
   }
 
+  test("componentSnapshot: non-doc endpoints keep their labels; null-size deltas anti-out") {
+    import spark.implicits._
+    // docs dimension KNOWS only 1 and 5 — node 3 is a pair endpoint
+    // outside it (e.g. a doc filtered upstream)
+    val docs = Seq((1L, 10L), (5L, 50L)).toDF("doc_id", "n_chars")
+    val v0 = Dedup.componentSnapshot(Seq((1L, 3L)).toDF("id_a", "id_b"), docs)
+    val rows0 = v0.as[(Long, Long, Option[Long])].collect().toSet
+    // node 3 survives with a null size — its LABEL is connectivity state
+    assert(rows0 == Set((1L, 1L, Some(10L)), (1L, 3L, None)), s"v0: $rows0")
+    // growth bridging THROUGH the non-doc node must merge, exactly as
+    // the one-shot recompute over all pairs would
+    val v1 = Dedup.updateComponentSnapshot(v0, Seq((3L, 5L)).toDF("id_a", "id_b"), docs)
+    val rows1 = v1.as[(Long, Long, Option[Long])].collect().toSet
+    val oneShot = Dedup.componentSnapshot(
+      Seq((1L, 3L), (3L, 5L)).toDF("id_a", "id_b"), docs)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(rows1 == oneShot, s"grown $rows1 vs one-shot $oneShot")
+    assert(rows1.map(_._2) == Set(1L, 3L, 5L) && rows1.map(_._1) == Set(1L))
+    // null-safe delta: the unchanged null-size row must NOT re-emit
+    val delta = Dedup.snapshotDelta(Some(v1), v1)
+    assert(delta.count() == 0, "identical snapshots must produce an empty delta")
+  }
+
   test("chainAudit: open path flagged, triangle fully closed, reversed/dup input pairs collapse") {
     import spark.implicits._
     def audit(ps: Seq[(Long, Long)]) =
