@@ -1401,13 +1401,18 @@ object Dedup {
     * then last-writer-wins PER ID (`max snap_batch` keyed on `idCol`
     * alone — a delta that re-labels a doc's component or revises its
     * carried attribute must fully supersede the older row, never
-    * coexist with it). None when the store is empty.
+    * coexist with it). Reads only COMMITTED partitions (`_SUCCESS`
+    * present): a torn mid-crash delta is internally inconsistent for a
+    * LWW store, so reconstruction falls back to the previous committed
+    * version until the replay rewrites it. None when the store is
+    * empty.
     */
   def readComponentSnapshot(
       spark: org.apache.spark.sql.SparkSession, path: String,
       upToBatch: Long = Long.MaxValue,
       idCol: String = "doc_id"): Option[DataFrame] = {
-    graft.sources.Sinks.readBatchStoreAsOf(spark, path, upToBatch).map { df =>
+    graft.sources.Sinks.readBatchStoreAsOf(spark, path, upToBatch,
+        requireCommitted = true).map { df =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol)).orderBy(col("snap_batch").desc)
       df.withColumn("__rn", row_number().over(w))

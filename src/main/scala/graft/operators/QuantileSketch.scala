@@ -55,7 +55,10 @@ object QuantileSketch {
     * counts), same rank convention with `n` = total mass. Rows with
     * null/negative weight are outside the mass by contract (mirrored in
     * the oracle's WHERE); zero-weight rows contribute nothing either
-    * way.
+    * way. Contract ceiling: TOTAL mass must stay below 10³⁶ — the
+    * rank comparison runs in DECIMAL(38,0) with a ×100 factor, so the
+    * ceiling is 10²¹× past the Long wrap it replaced and unreachable
+    * by any real token/byte census, but it is a ceiling.
     */
   def sketchWeighted(df: DataFrame, valueCol: String, weightCol: String,
                      groupCols: Seq[String] = Seq.empty): DataFrame = {

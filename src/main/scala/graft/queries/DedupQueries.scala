@@ -239,9 +239,18 @@ object DedupQueries {
     * (independent derivation) and q263 (reconstructed snapshot), so the
     * snapshot round-trip check can never drift from the query it
     * claims to equal.
+    *
+    * Null-size contract (shared with [[dedupRoiAgg]]): members with a
+    * null size — possible in a snapshot whose pair endpoints fall
+    * outside the docs dimension, never at a gate SF — are OUTSIDE the
+    * analysis by declaration (their labels are connectivity state, not
+    * analyzable documents); without the filter a null-size member
+    * would silently never win keep-longest and could null whole
+    * aggregates through `chars_long - chars_min`.
     */
-  private def survivorPolicyAgg(c: DataFrame): DataFrame = {
+  private def survivorPolicyAgg(c0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val c = c0.filter(col("n_chars").isNotNull)
     val byLong = Window.partitionBy("component")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     val byMin = Window.partitionBy("component").orderBy(col("doc_id").asc)
@@ -266,10 +275,11 @@ object DedupQueries {
   }
 
   /** q246's keep-longest ROI aggregate over any (component, doc_id,
-    * n_chars) base — shared by q246 and q263 (same one-definition
-    * argument as [[survivorPolicyAgg]]).
+    * n_chars) base — shared by q246 and q263 (same one-definition and
+    * null-size contracts as [[survivorPolicyAgg]]).
     */
-  private def dedupRoiAgg(c: DataFrame, docs: DataFrame): DataFrame = {
+  private def dedupRoiAgg(c0: DataFrame, docs: DataFrame): DataFrame = {
+    val c = c0.filter(col("n_chars").isNotNull)
     val perCluster = c.groupBy("component")
       .agg(count(lit(1)).as("__n"), sum("n_chars").as("__chars"),
         max("n_chars").as("__kept"))

@@ -550,10 +550,22 @@ object Sinks {
     * at or above every merged partition's id remain exact forever.
     */
   def readBatchStoreAsOf(
-      spark: SparkSession, path: String, upToBatch: Long): Option[DataFrame] = {
+      spark: SparkSession, path: String, upToBatch: Long,
+      requireCommitted: Boolean = false): Option[DataFrame] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = liveBatchDirs(fs, root)
+    // requireCommitted: skip partitions without Spark's _SUCCESS job
+    // marker — a crash mid-write leaves a TORN partition that is a
+    // valid subset for tear-tolerant partials (KMV/quantile: any subset
+    // of a partial is a partial) but internally inconsistent for
+    // last-writer-wins DELTA stores (component snapshots: some members
+    // of a merge relabeled, others not). Only the newest partition can
+    // be torn (batch ids are sequential), so skipping it reconstructs
+    // the previous committed version — exactly what the replay will
+    // rebuild from.
+    val dirs = liveBatchDirs(fs, root).filter { case (_, dir) =>
+      !requireCommitted || fs.exists(new Path(dir, "_SUCCESS"))
+    }
     val crossing = dirs.filter { case (id, dir) =>
       id > upToBatch && {
         val m = new Path(dir, ManifestName)

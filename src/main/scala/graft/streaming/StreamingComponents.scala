@@ -63,17 +63,14 @@ object StreamingComponents {
       }
       .start()
 
-  /** The snapshot as of the last committed batch (None before any).
-    *
-    * Read-visibility contract: call this while no trigger is in
-    * flight (the [[start]] job uses AvailableNow — drain, then read).
-    * A crash in the middle of a delta write can expose a TORN
-    * partition until the replayed batch overwrites it; unlike a KMV
-    * partial (where any subset is still a valid partial), a partial
-    * component delta is internally inconsistent — some members of a
-    * merge relabeled, others not. Restarting the stream heals it
-    * before the next trigger commits (the replay rewrites the same
-    * partition deterministically).
+  /** The snapshot as of the last COMMITTED batch (None before any).
+    * Crash-consistent without a drain requirement:
+    * [[Dedup.readComponentSnapshot]] reads only `_SUCCESS`-marked
+    * partitions, so a torn mid-crash delta (internally inconsistent
+    * for a LWW store — some members of a merge relabeled, others not,
+    * unlike a KMV partial where any subset is still a valid partial)
+    * is invisible; the read falls back to the previous committed
+    * version until the replayed batch rewrites the partition.
     */
   def current(spark: SparkSession, storePath: String): Option[DataFrame] =
     Dedup.readComponentSnapshot(spark, storePath)

@@ -490,6 +490,33 @@ class DedupSpec extends SparkSuite {
     assert(rc == full, s"post-compaction reconstruction drifted: $rc vs $full")
   }
 
+  test("readComponentSnapshot skips torn (uncommitted) partitions — falls back to the prior version") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L), (7L, 70L)).toDF("doc_id", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("graft_torn_spec").toString
+    val v0 = Dedup.componentSnapshot(Seq((1L, 2L)).toDF("id_a", "id_b"), docs)
+    Dedup.writeComponentSnapshot(spark, v0, path, 0L)
+    val committed = Dedup.readComponentSnapshot(spark, path).get
+      .as[(Long, Long, Long)].collect().toSet
+    // simulate a crash mid-write of batch 1: parquet data present, no
+    // _SUCCESS job marker — the classic torn-delta window
+    val torn = Dedup.componentSnapshot(
+      Seq((1L, 2L), (2L, 7L)).toDF("id_a", "id_b"), docs)
+    Dedup.writeComponentSnapshot(spark, torn, path, 1L)
+    val marker = new java.io.File(s"$path/batch=1/_SUCCESS")
+    assert(marker.exists, "fixture expects Spark to write the job marker")
+    assert(marker.delete())
+    // the LWW reader must NOT apply the half-committed delta
+    val seen = Dedup.readComponentSnapshot(spark, path).get
+      .as[(Long, Long, Long)].collect().toSet
+    assert(seen == committed, s"torn partition leaked into the read: $seen")
+    // the replay rewrites the partition (marker restored) — now visible
+    Dedup.writeComponentSnapshot(spark, torn, path, 1L)
+    val healed = Dedup.readComponentSnapshot(spark, path).get
+      .as[(Long, Long, Long)].collect().toSet
+    assert(healed.map(_._1) == Set(1L), s"healed read must see the merge: $healed")
+  }
+
   test("componentSnapshot: non-doc endpoints keep their labels; null-size deltas anti-out") {
     import spark.implicits._
     // docs dimension KNOWS only 1 and 5 — node 3 is a pair endpoint
