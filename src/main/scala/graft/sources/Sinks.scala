@@ -462,6 +462,22 @@ object Sinks {
   //   - compaction merges committed partitions on a cadence, bounding file
   //     count; a manifest makes the merge crash-consistent (below).
   // Single-writer per store path, same contract as [[upsert]].
+  //
+  // Torn-read tolerance by consumer (a crash mid-write leaves a
+  // partition without Spark's _SUCCESS marker until the replay
+  // rewrites it):
+  //   - TEAR-TOLERANT (read with requireCommitted = false, the
+  //     default): KMV partials (StreamingKmv — any subset of a partial
+  //     is a valid partial), quantile bucket partials
+  //     (StreamingQuantile — same), admission shingle/vector stores
+  //     (StreamingDedup/StreamingSemanticDedup — a missing row can only
+  //     re-admit, never corrupt) and their compactions.
+  //   - TEAR-INTOLERANT (must pass requireCommitted = true): any
+  //     last-writer-wins DELTA store, where a partial delta is
+  //     internally inconsistent — component snapshots
+  //     (Dedup.readComponentSnapshot) are the current instance. A new
+  //     consumer whose partitions are not independently meaningful
+  //     belongs in this class.
   // ---------------------------------------------------------------------
 
   private val ManifestName = "_graft_absorbed.json"
