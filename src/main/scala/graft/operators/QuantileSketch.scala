@@ -201,12 +201,20 @@ object QuantileSketch {
     * it). The exact ×W audit lives OUTSIDE, as the q261 gate
     * composition joins it on — drop the join, keep the operator, and
     * the 100 TB plan is this function unchanged.
+    *
+    * `groupCols` selects the KEYED trailing face (per-tenant rolling
+    * p99s — the canonical fleet observability query): per-(key, day)
+    * partials, per-key census days (a key reports on ITS OWN active
+    * days — quiet keys emit nothing rather than stale rows), and every
+    * window downstream is (key, obs_day)-partitioned over bucket-count
+    * relations, so a million keys distribute exactly like one.
     */
   def trailingByDay(
       df: DataFrame, valueCol: String, tsCol: String,
       windowDays: Int = 7,
       percentiles: Seq[Int] = Seq(50, 90, 99),
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
     require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
     // weighted face (the windowed × weighted matrix cell): per-day
     // partials carry summed MASS instead of row counts — the merge
@@ -215,19 +223,20 @@ object QuantileSketch {
     val dayDf = df.withColumn("day", to_date(col(tsCol)))
       .filter(col("day").isNotNull)
     val daySk = Stage.snapshotDF(weightCol match {
-      case Some(w) => sketchWeighted(dayDf, valueCol, w, Seq("day"))
-      case None => sketch(dayDf, valueCol, Seq("day"))
+      case Some(w) => sketchWeighted(dayDf, valueCol, w, groupCols :+ "day")
+      case None => sketch(dayDf, valueCol, groupCols :+ "day")
     })
-    val census = daySk.select("day").distinct()
+    val census = daySk.select((groupCols :+ "day").map(col): _*).distinct()
       .withColumnRenamed("day", "obs_day")
     val merged = daySk
-      .select(col("day"), col("bucket_lo"), col("bucket_hi"), col("cnt"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"))
-      .select(expr("date_add(day, __i)").as("obs_day"),
-        col("bucket_lo"), col("bucket_hi"), col("cnt"))
-      .join(census, "obs_day")
-      .groupBy("obs_day", "bucket_lo", "bucket_hi")
+      .select((groupCols.map(col) :+ col("day") :+ col("bucket_lo")
+        :+ col("bucket_hi") :+ col("cnt")
+        :+ explode(sequence(lit(0), lit(windowDays - 1))).as("__i")): _*)
+      .select((groupCols.map(col) :+ expr("date_add(day, __i)").as("obs_day")
+        :+ col("bucket_lo") :+ col("bucket_hi") :+ col("cnt")): _*)
+      .join(census, groupCols :+ "obs_day")
+      .groupBy((groupCols :+ "obs_day" :+ "bucket_lo" :+ "bucket_hi").map(col): _*)
       .agg(sum("cnt").as("cnt"))
-    estimateByGroup(merged, Seq("obs_day"), percentiles)
+    estimateByGroup(merged, groupCols :+ "obs_day", percentiles)
   }
 }

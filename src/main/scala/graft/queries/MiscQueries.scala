@@ -136,6 +136,56 @@ object MiscQueries {
       .orderBy("pct")
   }
 
+  /** q265 — KEYED trailing-window quantiles
+    * ([[graft.operators.QuantileSketch.trailingByDay]] with group
+    * columns): per-EVENT-TYPE 7-day rolling p50/p90/p99 of event value
+    * — the per-tenant rolling-percentile shape that IS fleet
+    * observability at 100 TB (a million tenants distribute exactly
+    * like q261's one global key: per-(key, day) bucket partials,
+    * per-key census days, every window (key, obs_day)-partitioned).
+    * Audited per (key, day) against the exact trailing order
+    * statistics over the ×7-expanded relation with containment flags;
+    * every column hash-checked.
+    */
+  def q265_keyed_trailing_quantiles: Q = (s, dir) => {
+    import graft.operators.{Checks, QuantileSketch}
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 0)
+    val est = QuantileSketch.trailingByDay(ev, "v", "ts", windowDays = 7,
+      groupCols = Seq("event_type"))
+    val days = ev.select(col("event_type"), to_date(col("ts")).as("day"), col("v"))
+      .filter(col("day").isNotNull)
+      .transform(graft.operators.Stage.snapshotDF)
+    val census = days.select("event_type", "day").distinct()
+      .withColumnRenamed("day", "obs_day")
+    def key(et: Column, d: Column): Column =
+      concat_ws("|", et, d.cast("string"))
+    val expanded = days
+      .select(col("event_type"), col("day"), col("v"),
+        explode(sequence(lit(0), lit(6))).as("__i"))
+      .select(col("event_type"), expr("date_add(day, __i)").as("obs_day"), col("v"))
+      .join(census, Seq("event_type", "obs_day"))
+      .select(key(col("event_type"), col("obs_day")).as("__key"), col("v"))
+    val ex = Checks.exactPercentiles(expanded, "__key", "v")
+      .select(col("__key"), col("p50").as("p50_exact"),
+        col("p90").as("p90_exact"), col("p99").as("p99_exact"))
+    est.withColumn("__key", key(col("event_type"), col("obs_day")))
+      .join(ex, Seq("__key")).drop("__key")
+      .select(col("event_type"), col("obs_day"), col("n_rows"),
+        col("p50_lo"), col("p50_hi"), col("p50_exact"),
+        (col("p50_lo") <= col("p50_exact") &&
+          col("p50_exact") <= col("p50_hi")).as("p50_ok"),
+        col("p90_lo"), col("p90_hi"), col("p90_exact"),
+        (col("p90_lo") <= col("p90_exact") &&
+          col("p90_exact") <= col("p90_hi")).as("p90_ok"),
+        col("p99_lo"), col("p99_hi"), col("p99_exact"),
+        (col("p99_lo") <= col("p99_exact") &&
+          col("p99_exact") <= col("p99_hi")).as("p99_ok"))
+      .orderBy("event_type", "obs_day")
+  }
+
   /** q264 — trailing-window WEIGHTED quantiles
     * ([[graft.operators.QuantileSketch.trailingByDay]] with a weight
     * column): 7-day rolling payload-byte-mass quantiles of event value
@@ -1509,6 +1559,7 @@ object MiscQueries {
     "q261_trailing_quantiles" -> q261_trailing_quantiles,
     "q262_weighted_quantiles" -> q262_weighted_quantiles,
     "q264_trailing_weighted_quantiles" -> q264_trailing_weighted_quantiles,
+    "q265_keyed_trailing_quantiles" -> q265_keyed_trailing_quantiles,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -1981,6 +2032,86 @@ object MiscQueries {
                AS within_bound
       FROM est JOIN ex ON est.pct = ex.pct
       ORDER BY pct""",
+    // the q261 trailing replay with event_type threaded through every
+    // CTE: per-(key, day) bucket partials, per-key census, PARTITION BY
+    // (key, obs_day) rank windows, exact trailing order statistics per
+    // (key, obs_day) — the keyed windowed face
+    "q265_keyed_trailing_quantiles" -> raw"""
+      WITH cents AS MATERIALIZED (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND floor(value * 100 + 0.5) >= 0),
+      census AS MATERIALIZED (
+        SELECT DISTINCT event_type, day AS obs_day FROM cents),
+      b AS (SELECT event_type, day, v, CAST(v AS VARCHAR) AS s FROM cents),
+      dsk AS (
+        SELECT event_type, day,
+               CASE WHEN len(s) = 1 THEN v
+                    ELSE CAST(concat(s[1:2], repeat('0', len(s) - 2)) AS BIGINT)
+               END AS bucket_lo,
+               CASE WHEN len(s) = 1 THEN v
+                    WHEN len(s) = 19 AND s[1:2] = '92'
+                      THEN 9223372036854775807
+                    ELSE CAST(concat(CAST(CAST(s[1:2] AS BIGINT) + 1 AS VARCHAR),
+                                     repeat('0', len(s) - 2)) AS BIGINT) - 1
+               END AS bucket_hi,
+               CAST(count(1) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2, 3, 4),
+      m AS (SELECT dsk.event_type, day + t.i AS obs_day, bucket_lo, bucket_hi,
+                   CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM dsk, (SELECT CAST(range AS INT) AS i FROM range(7)) t
+            JOIN census c ON c.event_type = dsk.event_type
+                         AND c.obs_day = day + t.i
+            GROUP BY 1, 2, 3, 4),
+      cum AS (SELECT event_type, obs_day, bucket_lo, bucket_hi,
+                     sum(cnt) OVER (PARTITION BY event_type, obs_day
+                       ORDER BY bucket_lo) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type, obs_day) AS n
+              FROM m),
+      ps(pct) AS (VALUES (50), (90), (99)),
+      est AS (SELECT event_type, obs_day, pct,
+                     CAST(max(n) AS BIGINT) AS n_rows,
+                     min(bucket_lo) AS lo, arg_min(bucket_hi, bucket_lo) AS hi
+              FROM ps JOIN cum ON cum * 100 >= n * pct
+              GROUP BY 1, 2, 3),
+      estw AS (SELECT event_type, obs_day, max(n_rows) AS n_rows,
+                      max(CASE WHEN pct = 50 THEN lo END) AS p50_lo,
+                      max(CASE WHEN pct = 50 THEN hi END) AS p50_hi,
+                      max(CASE WHEN pct = 90 THEN lo END) AS p90_lo,
+                      max(CASE WHEN pct = 90 THEN hi END) AS p90_hi,
+                      max(CASE WHEN pct = 99 THEN lo END) AS p99_lo,
+                      max(CASE WHEN pct = 99 THEN hi END) AS p99_hi
+               FROM est GROUP BY 1, 2),
+      exp AS (SELECT cents.event_type, day + t.i AS obs_day, v
+              FROM cents, (SELECT CAST(range AS INT) AS i FROM range(7)) t
+              JOIN census c ON c.event_type = cents.event_type
+                           AND c.obs_day = day + t.i),
+      exv AS (SELECT event_type, obs_day, v, CAST(count(1) AS BIGINT) AS c
+              FROM exp GROUP BY 1, 2, 3),
+      exc AS (SELECT event_type, obs_day, v,
+                     sum(c) OVER (PARTITION BY event_type, obs_day
+                       ORDER BY v) AS cum,
+                     sum(c) OVER (PARTITION BY event_type, obs_day) AS n
+              FROM exv),
+      ex AS (SELECT event_type, obs_day, pct, min(v) AS exact_v
+             FROM ps JOIN exc ON cum * 100 >= n * pct GROUP BY 1, 2, 3),
+      exw AS (SELECT event_type, obs_day,
+                     max(CASE WHEN pct = 50 THEN exact_v END) AS p50_exact,
+                     max(CASE WHEN pct = 90 THEN exact_v END) AS p90_exact,
+                     max(CASE WHEN pct = 99 THEN exact_v END) AS p99_exact
+              FROM ex GROUP BY 1, 2)
+      SELECT e.event_type, e.obs_day, e.n_rows,
+             p50_lo, p50_hi, p50_exact,
+             p50_lo <= p50_exact AND p50_exact <= p50_hi AS p50_ok,
+             p90_lo, p90_hi, p90_exact,
+             p90_lo <= p90_exact AND p90_exact <= p90_hi AS p90_ok,
+             p99_lo, p99_hi, p99_exact,
+             p99_lo <= p99_exact AND p99_exact <= p99_hi AS p99_ok
+      FROM estw e JOIN exw x ON e.event_type = x.event_type
+                            AND e.obs_day = x.obs_day
+      ORDER BY e.event_type, e.obs_day""",
     // the q261 trailing replay with cnt = summed payload-byte MASS
     // (strlen ≡ Spark octet_length) on both the bucket partials and the
     // exact side — ranks over mass; DuckDB's HUGEINT window sums match

@@ -143,6 +143,36 @@ class QuantileSketchSpec extends SparkSuite {
     }
   }
 
+  test("trailingByDay keyed: per-key trailing ≡ filtered-global trailing, per-key census") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 08:00:00")
+    // key A active on days 1,2; key B only on day 5 — B must NOT report
+    // on A's days (per-key census), and each key's rows must equal the
+    // global trailing run over that key's slice alone
+    val rows = Seq(
+      ("A", ts(1), 100L), ("A", ts(1), 200L), ("A", ts(2), 300L),
+      ("B", ts(5), 900L), ("B", ts(5), 9000L))
+    val ev = rows.toDF("k", "ts", "v")
+    val keyed = QuantileSketch.trailingByDay(ev, "v", "ts", windowDays = 3,
+        groupCols = Seq("k"))
+      .as[(String, java.sql.Date, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2.toString) -> r).toMap
+    assert(keyed.keySet == Set(("A", "2024-01-01"), ("A", "2024-01-02"),
+      ("B", "2024-01-05")), s"per-key census violated: ${keyed.keySet}")
+    Seq("A", "B").foreach { key =>
+      val solo = QuantileSketch.trailingByDay(
+        ev.filter(col("k") === key), "v", "ts", windowDays = 3)
+        .as[(java.sql.Date, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().map(r => r._1.toString -> r).toMap
+      solo.foreach { case (d, s) =>
+        val g = keyed((key, d))
+        assert((g._3, g._4, g._5, g._6, g._7, g._8, g._9) ==
+          ((s._2, s._3, s._4, s._5, s._6, s._7, s._8)),
+          s"key $key day $d: keyed $g vs solo $s")
+      }
+    }
+  }
+
   test("trailingByDay weighted: window merge over MASS partials; heavy day dominates the window") {
     import java.sql.Timestamp
     def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 08:00:00")
