@@ -179,37 +179,48 @@ object Kmv {
     * Observation days are census days (days with activity), the q139
     * reporting convention; the estimate is exact whenever the merged
     * resident set stays under k.
+    *
+    * `groupCols` selects the KEYED trailing face (per-tenant rolling
+    * WAU): per-(group, day) k-cut partials, PER-GROUP census days (a
+    * group reports on its own active days), every window
+    * group-partitioned — a million groups distribute like one.
     */
   def trailingKmv(
       df: DataFrame, keyCol: String, tsCol: String,
-      k: Int = 64, windowDays: Int = 7, audit: Boolean = true): DataFrame = {
+      k: Int = 64, windowDays: Int = 7, audit: Boolean = true,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
     require(k >= 2 && windowDays >= 1, s"bad ($k, $windowDays)")
+    val g = groupCols.map(col)
+    val obsKey = groupCols :+ "obs_day"
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("day").orderBy("h")
+      .partitionBy((g :+ col("day")): _*).orderBy("h")
     val dayHash = Stage.snapshotDF(
-      df.select(to_date(col(tsCol)).as("day"), finalizedHash(keyCol).as("h"))
+      df.select((g :+ to_date(col(tsCol)).as("day")
+          :+ finalizedHash(keyCol).as("h")): _*)
         .filter(col("h").isNotNull && col("day").isNotNull).distinct())
-    val census = dayHash.select("day").distinct()
+    val census = dayHash.select((g :+ col("day")): _*).distinct()
       .withColumnRenamed("day", "obs_day")
     val partials = dayHash.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).select("day", "h")
+      .filter(col("__rn") <= k).select((g :+ col("day") :+ col("h")): _*)
     val merged = Stage.snapshotDF(partials
-      .select(col("day"), col("h"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"))
-      .select(expr("date_add(day, __i)").as("obs_day"), col("h"))
-      .join(census, "obs_day")
+      .select((g :+ col("day") :+ col("h")
+        :+ explode(sequence(lit(0), lit(windowDays - 1))).as("__i")): _*)
+      .select((g :+ expr("date_add(day, __i)").as("obs_day") :+ col("h")): _*)
+      .join(census, obsKey)
       .distinct())
     val ow = org.apache.spark.sql.expressions.Window
-      .partitionBy("obs_day").orderBy("h")
-    val res = merged.groupBy("obs_day").agg(count(lit(1)).as("n_resident"))
+      .partitionBy(obsKey.map(col): _*).orderBy("h")
+    val res = merged.groupBy(obsKey.map(col): _*)
+      .agg(count(lit(1)).as("n_resident"))
     val sk = merged.withColumn("__rn", row_number().over(ow))
       .filter(col("__rn") <= k)
-      .groupBy("obs_day").agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+      .groupBy(obsKey.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
     val est = estExpr(k, col("n_resident"))
-    val core = sk.join(res, "obs_day")
-      .select(col("obs_day"), col("n_kept"), col("kth_hash"),
-        col("n_resident"), est.as("estimate"))
-    if (!audit) return core.orderBy("obs_day")
+    val core = sk.join(res, obsKey)
+      .select((obsKey.map(col) :+ col("n_kept") :+ col("kth_hash")
+        :+ col("n_resident") :+ est.as("estimate")): _*)
+    if (!audit) return core.orderBy(obsKey.map(col): _*)
     // audit = the EXPENSIVE half at production scale: the exact
     // trailing count hauls the full (day, key) relation ×W through
     // every window, while everything above touches only k-row /
@@ -217,17 +228,20 @@ object Kmv {
     // number that prices the sketch); the 100 TB composition runs
     // audit = false (PlanSpec pins that plan reads no base relation).
     val exact = df
-      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("__key"))
+      .select((g :+ to_date(col(tsCol)).as("day")
+        :+ col(keyCol).as("__key")): _*)
       .filter(col("day").isNotNull).distinct()
-      .select(col("day"), col("__key"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"))
-      .select(expr("date_add(day, __i)").as("obs_day"), col("__key"))
-      .join(census, "obs_day")
-      .groupBy("obs_day").agg(count_distinct(col("__key")).as("exact_trailing"))
-    core.join(exact, "obs_day")
-      .select(col("obs_day"), col("n_kept"), col("kth_hash"),
-        col("n_resident"), col("estimate"), col("exact_trailing"),
-        relErr(col("estimate"), col("exact_trailing")).as("rel_error"))
-      .orderBy("obs_day")
+      .select((g :+ col("day") :+ col("__key")
+        :+ explode(sequence(lit(0), lit(windowDays - 1))).as("__i")): _*)
+      .select((g :+ expr("date_add(day, __i)").as("obs_day")
+        :+ col("__key")): _*)
+      .join(census, obsKey)
+      .groupBy(obsKey.map(col): _*)
+      .agg(count_distinct(col("__key")).as("exact_trailing"))
+    core.join(exact, obsKey)
+      .select((obsKey.map(col) :+ col("n_kept") :+ col("kth_hash")
+        :+ col("n_resident") :+ col("estimate") :+ col("exact_trailing")
+        :+ relErr(col("estimate"), col("exact_trailing")).as("rel_error")): _*)
+      .orderBy(obsKey.map(col): _*)
   }
 }

@@ -278,6 +278,20 @@ object MiscQueries {
       .orderBy("obs_day")
   }
 
+  /** q266 — KEYED trailing-window KMV
+    * ([[graft.operators.Kmv.trailingKmv]] with group columns): 7-day
+    * rolling distinct USERS per event type — per-tenant rolling WAU,
+    * q260's window algebra with the key threaded through partials,
+    * census, and re-cut (per-(key, day) k-cut partials, PER-KEY census
+    * days, every window key-partitioned — a million tenants distribute
+    * like one). Exact per-(key, day) trailing distinct rides as the
+    * audit; estimate, k-th hash, and error all hash-checked per key.
+    */
+  def q266_keyed_trailing_kmv: Q = (s, dir) =>
+    graft.operators.Kmv.trailingKmv(
+      Tables.events(s, dir), "user_id", "ts", k = 64, windowDays = 7,
+      groupCols = Seq("event_type"))
+
   /** q260 — trailing-window KMV ([[graft.operators.Kmv.trailingKmv]]):
     * 7-day rolling distinct-user estimates over the event log from
     * per-day k = 64 hash partials — the sketch-algebra answer to q139's
@@ -1560,6 +1574,7 @@ object MiscQueries {
     "q262_weighted_quantiles" -> q262_weighted_quantiles,
     "q264_trailing_weighted_quantiles" -> q264_trailing_weighted_quantiles,
     "q265_keyed_trailing_quantiles" -> q265_keyed_trailing_quantiles,
+    "q266_keyed_trailing_kmv" -> q266_keyed_trailing_kmv,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_salted_join" -> q77_salted_join,
     "q98_clustered_scan" -> q98_clustered_scan)
@@ -2264,6 +2279,63 @@ object MiscQueries {
     // the x7 window expansion on the <=k-row partials (range(7) + date
     // addition), per-window re-cut, guarded estimator, exact trailing
     // distinct from the same expansion on (user, day) — all per day
+    // the q260 trailing replay with event_type threaded through every
+    // CTE: per-(key, day) k-cut partials, per-key census, PARTITION BY
+    // (key, day/obs_day) windows, exact per-(key, obs_day) audit
+    "q266_keyed_trailing_kmv" -> raw"""
+      WITH dh AS MATERIALIZED (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(regexp_extract_all(CAST(user_id AS VARCHAR), '.'),
+               c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007)
+             * 961748927 + 12345) % 1000000007 AS h
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      census AS MATERIALIZED (
+        SELECT DISTINCT event_type, day AS obs_day FROM dh),
+      pr AS (SELECT event_type, day, h,
+                    row_number() OVER (PARTITION BY event_type, day
+                      ORDER BY h) AS rn
+             FROM dh),
+      m AS MATERIALIZED (
+        SELECT DISTINCT p.event_type, day + t.i AS obs_day, h
+        FROM (SELECT event_type, day, h FROM pr WHERE rn <= 64) p,
+             (SELECT CAST(range AS INT) AS i FROM range(7)) t
+        JOIN census c ON c.event_type = p.event_type
+                     AND c.obs_day = day + t.i),
+      res AS (SELECT event_type, obs_day, CAST(count(1) AS BIGINT) AS n_resident
+              FROM m GROUP BY 1, 2),
+      mr AS (SELECT event_type, obs_day, h,
+                    row_number() OVER (PARTITION BY event_type, obs_day
+                      ORDER BY h) AS rn
+             FROM m),
+      sk AS (SELECT event_type, obs_day, CAST(count(1) AS BIGINT) AS n_kept,
+                    CAST(max(h) AS BIGINT) AS kth_hash
+             FROM mr WHERE rn <= 64 GROUP BY 1, 2),
+      ud AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      ex AS (SELECT e.event_type, e.obs_day,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_trailing
+             FROM (SELECT ud.event_type, day + t.i AS obs_day, user_id
+                   FROM ud, (SELECT CAST(range AS INT) AS i FROM range(7)) t
+                   JOIN census c ON c.event_type = ud.event_type
+                                AND c.obs_day = day + t.i) e
+             GROUP BY 1, 2),
+      e AS (SELECT sk.event_type, sk.obs_day, n_kept, kth_hash, n_resident,
+                   CASE WHEN n_resident < 64 OR kth_hash <= 0 THEN n_resident
+                        ELSE 63000000441 // kth_hash END AS estimate,
+                   exact_trailing
+            FROM sk JOIN res ON sk.event_type = res.event_type
+                            AND sk.obs_day = res.obs_day
+                    JOIN ex ON sk.event_type = ex.event_type
+                           AND sk.obs_day = ex.obs_day)
+      SELECT event_type, obs_day, n_kept, kth_hash, n_resident, estimate,
+             exact_trailing,
+             round(abs(CAST(estimate AS DOUBLE) - CAST(exact_trailing AS DOUBLE))
+               / CAST(exact_trailing AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+               AS rel_error
+      FROM e ORDER BY 1, 2""",
     "q260_trailing_kmv" -> raw"""
       WITH dh AS MATERIALIZED (
         SELECT DISTINCT CAST(ts AS DATE) AS day,

@@ -111,6 +111,35 @@ class KmvSpec extends SparkSuite {
       "day2 merges day1's 2-cut + day2's — kth must STILL be the true union 2nd smallest")
   }
 
+  test("trailingKmv keyed: per-key trailing ≡ filtered-global, per-key census") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // key A active days 1,2; key B only day 5 — B must not report on
+    // A's days, and each key's rows must equal the global trailing run
+    // over that key's slice alone
+    val ev = Seq(("A", 1L, ts(1)), ("A", 2L, ts(1)), ("A", 2L, ts(2)),
+      ("A", 3L, ts(2)), ("B", 4L, ts(5)), ("B", 5L, ts(5)))
+      .toDF("g", "user_id", "ts")
+    val keyed = Kmv.trailingKmv(ev, "user_id", "ts", k = 64, windowDays = 3,
+        groupCols = Seq("g"))
+      .as[(String, java.sql.Date, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2.toString) -> r).toMap
+    assert(keyed.keySet == Set(("A", "2024-01-01"), ("A", "2024-01-02"),
+      ("B", "2024-01-05")), s"per-key census violated: ${keyed.keySet}")
+    Seq("A", "B").foreach { key =>
+      val solo = Kmv.trailingKmv(ev.filter(col("g") === key), "user_id", "ts",
+          k = 64, windowDays = 3)
+        .as[(java.sql.Date, Long, Long, Long, Long, Long, Double)]
+        .collect().map(r => r._1.toString -> r).toMap
+      solo.foreach { case (d, s) =>
+        val g = keyed((key, d))
+        assert((g._3, g._4, g._5, g._6, g._7, g._8) ==
+          ((s._2, s._3, s._4, s._5, s._6, s._7)),
+          s"key $key day $d: keyed $g vs solo $s")
+      }
+    }
+  }
+
   test("trailingKmv audit=false: sketch columns identical to audit=true, audit columns gone") {
     import java.sql.Timestamp
     def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
