@@ -952,6 +952,22 @@ class PlanSpec extends SparkSuite {
     assert(specs == keyed, s"$specs window specs but only $keyed group-keyed:\n${p.take(1200)}")
   }
 
+  test("q265/q266: every keyed-trailing window is key-partitioned — no global window") {
+    // the keyed trailing faces must distribute per tenant: estimate
+    // windows ride (event_type, obs_day) specs, partial cuts ride
+    // (event_type, day), and the exact audit rides its internal __k /
+    // obs-key — a partition-less spec anywhere means one task funnels
+    // the fleet
+    Seq("q265_keyed_trailing_quantiles", "q266_keyed_trailing_kmv").foreach { q =>
+      val p = plan(q)
+      val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+      assert(specs > 0, s"$q: expected window specs:\n${p.take(400)}")
+      val keyed = "windowspecdefinition\\((event_type|__k)".r.findAllIn(p).size
+      assert(specs == keyed,
+        s"$q: $specs window specs but only $keyed key-partitioned:\n${p.take(1200)}")
+    }
+  }
+
   test("q239: token relation snapshot feeds vocab cut AND per-doc counts; stopword join broadcasts") {
     val p = plan("q239_calibration")
     assert(!p.contains("FileScan parquet"),
