@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.EsRest
+
+/** Structured Streaming → Elasticsearch: the north-star sentence as ONE
+  * running job. Each micro-batch routes through [[EsRest.bulkUpsertAnnotations]]
+  * — the reference's K5 scripted upsert (`ingester/annotations_indexer.py:148-165`
+  * decides insert-vs-update per document; here one bulk `update`+`upsert` item
+  * per row, `es_common.py:193-210` failed-item accounting) — so the live REST
+  * protocol layer, not a parquet stand-in, is what the stream commits to.
+  *
+  * Delivery semantics, spelled out because a sink that talks to an external
+  * store cannot ride Spark's transactional sinks:
+  *
+  *  - **Effect idempotence.** The painless script REPLACES the stored
+  *    annotations array wholesale and the `upsert` document inserts absent
+  *    ids, so re-applying a micro-batch converges to the same index state —
+  *    at-least-once delivery upgrades to effectively-exactly-once, the same
+  *    argument [[StreamingPipeline.startUpsertSink]] makes for the parquet
+  *    K5 face.
+  *  - **Accounting idempotence.** Spark replays a micro-batch (same
+  *    `batchId`) when a failure lands between sink completion and checkpoint
+  *    commit. Failed-doc counts are therefore keyed BY batchId and a replay
+  *    OVERWRITES its batch's entry instead of adding a second one —
+  *    `failedTotal` never double-counts a replayed batch. The map lives in
+  *    the driver (foreachBatch bodies run driver-side; the per-partition
+  *    bulk POSTs inside [[EsRest]] are what fan out), and like the
+  *    reference's failed-docs log it is OBSERVABILITY state, not delivery
+  *    state: a driver restart zeroes the counters while the checkpoint
+  *    still guarantees every batch lands.
+  *  - **Backpressure.** 429/503 inside a batch back off and retry inside
+  *    [[EsRest.requestRetrying]]; a chunk that never clears counts its docs
+  *    failed and the STREAM KEEPS RUNNING (B4 count-and-continue), surfacing
+  *    the loss in [[failedByBatchId]] rather than killing the query.
+  *
+  * At 100 TB/day the shape holds: the driver sees only batch metadata, every
+  * partition posts its own `chunkSize`-doc NDJSON bodies, and state is the
+  * ES index itself — no Spark-side state store grows with the corpus.
+  */
+class EsUpsertSink(
+    conf: EsRest.EsConf,
+    index: String,
+    idCol: String,
+    annCol: String) {
+
+  private val failed = new ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+
+  /** Per-batch failed-item counts (batchId → failures), replay-stable. */
+  def failedByBatchId: Map[Long, Long] =
+    failed.asScala.map { case (k, v) => (k.longValue, v.longValue) }.toMap
+
+  /** Total failed docs across all triggers seen by this sink instance —
+    * replayed batches count once (the reference's end-of-run
+    * `docs_failed` total, `es_common.py:208-210`).
+    */
+  def failedTotal: Long = failed.values.asScala.foldLeft(0L)(_ + _.longValue)
+
+  /** The foreachBatch body: one scripted-bulk-upsert pass for this
+    * micro-batch. Public so a recovery path can be driven directly in
+    * tests — Spark calls it with the SAME batchId on replay.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val n = EsRest.bulkUpsertAnnotations(batch, conf, index, idCol, annCol)
+    failed.put(batchId, n)
+  }
+
+  /** Start the stream: annotated rows → per-trigger scripted ES upsert.
+    * `annotated` must carry `idCol` and an array-typed `annCol`; extra
+    * columns ride in the upsert document (the reference indexes the full
+    * meta projection alongside the annotations array).
+    */
+  def start(
+      annotated: DataFrame,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    annotated.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+      }
+      .start()
+}

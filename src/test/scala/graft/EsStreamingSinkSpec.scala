@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.sources.EsRest
+import graft.sources.EsRest.EsConf
+import graft.streaming.EsUpsertSink
+
+/** The north-star sentence as one RUNNING job: Structured Streaming →
+  * [[EsUpsertSink]] → the live [[EsRest]] protocol → [[EsStub]]. Three
+  * contracts, each the streaming face of a batch-proven EsStubSpec test:
+  *
+  *  1. exactly-once under batchId replay — the checkpoint's commit marker
+  *     for a finished batch is DELETED and the query restarted, which is
+  *     precisely the crash window Spark re-runs a batch for; the replayed
+  *     batch converges (script idempotence) and its failures count once
+  *     (accounting keyed by batchId);
+  *  2. mid-stream 429 backoff clears without failed docs (B3);
+  *  3. per-item failures accumulate across TRIGGERS, siblings land (B4 /
+  *     `es_common.py:198-210` failed-docs accounting).
+  */
+class EsStreamingSinkSpec extends SparkSuite {
+  import spark.implicits._
+  import EsStub.withStub
+
+  private def tempDir(tag: String): Path =
+    Files.createTempDirectory(s"graft-es-stream-$tag")
+
+  private def rm(p: Path): Unit =
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+
+  test("north star: writeStream -> EsRest scripted upsert is exactly-once under batchId replay") {
+    withStub { stub =>
+      val ckpt = tempDir("replay")
+      try {
+        val conf = EsConf(stub.url, retryBackoffMs = 5)
+        val sink = new EsUpsertSink(conf, "anns", "doc_id", "annotations")
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(Long, Seq[String])]
+        val stream = mem.toDF.toDF("doc_id", "annotations")
+
+        mem.addData((1L, Seq("join", "merge")), (2L, Seq("scan")))
+        val q1 = sink.start(stream, ckpt.toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        q1.processAllAvailable(); q1.stop()
+        assert(EsRest.count(conf, "anns") == 2L)
+        assert(stub.indices("anns")._2("1").path("annotations").toString == """["join","merge"]""")
+        assert(sink.failedByBatchId == Map(0L -> 0L))
+        val updatesAfterFirstRun =
+          stub.bulkBodies.asScala.count(_.contains("\"update\""))
+
+        // crash window: batch 0 ran but its commit never landed — Spark
+        // re-runs batch 0 with the SAME batchId on restart
+        Files.delete(ckpt.resolve("commits").resolve("0"))
+        // the local-FS checkpoint manager writes a Hadoop .crc sidecar per
+        // commit file; a torn commit loses both
+        Files.deleteIfExists(ckpt.resolve("commits").resolve(".0.crc"))
+        val q2 = sink.start(stream, ckpt.toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        q2.processAllAvailable()
+
+        // the batch really was re-sent over the wire...
+        assert(stub.bulkBodies.asScala.count(_.contains("\"update\"")) > updatesAfterFirstRun,
+          "restart after a torn commit must re-run the batch")
+        // ...and converged: same index state, same single accounting entry
+        assert(EsRest.count(conf, "anns") == 2L)
+        assert(stub.indices("anns")._2("1").path("annotations").toString == """["join","merge"]""")
+        assert(sink.failedByBatchId == Map(0L -> 0L),
+          s"replay must overwrite, not append: ${sink.failedByBatchId}")
+
+        // the stream keeps going: a later trigger script-updates doc 1 in place
+        mem.addData((1L, Seq("rescan")))
+        q2.processAllAvailable(); q2.stop()
+        assert(stub.indices("anns")._2("1").path("annotations").toString == """["rescan"]""")
+        assert(EsRest.count(conf, "anns") == 2L)
+        assert(sink.failedByBatchId == Map(0L -> 0L, 1L -> 0L))
+      } finally rm(ckpt)
+    }
+  }
+
+  test("B3 streaming: mid-stream 429 backoff clears inside the trigger, zero failed docs") {
+    withStub { stub =>
+      val ckpt = tempDir("backoff")
+      try {
+        val conf = EsConf(stub.url, retryBackoffMs = 5)
+        val sink = new EsUpsertSink(conf, "anns", "doc_id", "annotations")
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(Long, Seq[String])]
+        val q = sink.start(mem.toDF.toDF("doc_id", "annotations"), ckpt.toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+        mem.addData((1L, Seq("a")))
+        q.processAllAvailable()
+        val attemptsBefore = stub.bulkAttempts.get
+
+        // backpressure arrives BETWEEN triggers: the next micro-batch's
+        // first two bulk POSTs answer 429, the third lands
+        stub.bulk429Remaining.set(2)
+        mem.addData((2L, Seq("b")), (3L, Seq("c")))
+        q.processAllAvailable(); q.stop()
+
+        assert(sink.failedTotal == 0L, "a cleared 429 must cost zero failed docs")
+        assert(EsRest.count(conf, "anns") == 3L)
+        assert(stub.bulkAttempts.get == attemptsBefore + 3,
+          s"expected 2 rejected + 1 accepted attempt in trigger 2, saw ${stub.bulkAttempts.get - attemptsBefore}")
+      } finally rm(ckpt)
+    }
+  }
+
+  test("B4 streaming: per-item failures accumulate across triggers, siblings land") {
+    withStub { stub =>
+      val ckpt = tempDir("failed")
+      try {
+        stub.rejectIds.add("3"); stub.rejectIds.add("7")
+        val conf = EsConf(stub.url, retryBackoffMs = 5)
+        val sink = new EsUpsertSink(conf, "anns", "doc_id", "annotations")
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[(Long, Seq[String])]
+        val q = sink.start(mem.toDF.toDF("doc_id", "annotations"), ckpt.toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+        mem.addData((1L, Seq("a")), (3L, Seq("rejected")))
+        q.processAllAvailable()
+        assert(sink.failedByBatchId == Map(0L -> 1L))
+
+        mem.addData((7L, Seq("rejected")), (8L, Seq("b")))
+        q.processAllAvailable(); q.stop()
+
+        // the running total is the reference's end-of-run docs_failed
+        assert(sink.failedByBatchId == Map(0L -> 1L, 1L -> 1L))
+        assert(sink.failedTotal == 2L)
+        // accepted siblings landed despite the rejects in both triggers
+        assert(EsRest.count(conf, "anns") == 2L)
+        assert(stub.indices("anns")._2.keySet == Set("1", "8"))
+      } finally rm(ckpt)
+    }
+  }
+}
