@@ -187,15 +187,55 @@ object Dedup {
       shingles: DataFrame,
       numHashes: Int = 8,
       bands: Int = 4,
-      maxBucketSize: Int = 200): DataFrame = {
+      maxBucketSize: Int = 200): DataFrame =
+    affineMinhashPairs(
+      shingles.withColumn("h",
+        graft.functions.StringFunctions.polyHash(col("shingle"))),
+      numHashes, bands, maxBucketSize)
+
+  /** MinHash-LSH candidate pairs on the FINALIZED polynomial hash — the
+    * declared q43 gate form (the q53/q228-beside-q71 convention: the
+    * xxhash64 production form [[minhashCandidates]] stays spec-tested;
+    * THIS form is SQL-replayable end to end). The [[Kmv.finalized]]
+    * affine finalizer is load-bearing here for the same reason it is in
+    * `fingerprintFinalized`: the raw base-31 polyhash is near-monotone on
+    * lexicographic content, so each affine permutation's min is biased
+    * toward lexicographically-small shingles — correlated signature
+    * elements, not independent permutation draws. Scrambling the hash
+    * ONCE before the `numHashes` affine variants decorrelates the family
+    * at the cost of one multiply-add, still one `list_reduce` + one
+    * multiply-add away from the oracle replay.
+    */
+  def minhashCandidatesFinalized(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 200): DataFrame =
+    affineMinhashPairs(
+      shingleIndex(docs, idCol, textCol, shingleK).withColumn("h",
+        Kmv.finalized(graft.functions.StringFunctions.polyHash(col("shingle")))),
+      numHashes, bands, maxBucketSize)
+
+  /** Shared tail of the SQL-replayable MinHash candidate generators:
+    * signature element i = min over shingles of (a_i·h + b_i) mod P with
+    * a_i = 2i+1, b_i = 7i+3 over a prepared (`__id`, `h`) relation, bands
+    * of `numHashes/bands` values keyed by value concatenation, then the
+    * same capped-bucket in-place pair expansion as the xxhash64 form.
+    */
+  private def affineMinhashPairs(
+      hashed: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val p = graft.functions.StringKernels.PolyHashMod
-    val sh = shingles
-      .withColumn("h", graft.functions.StringFunctions.polyHash(col("shingle")))
     val aggs = (0 until numHashes).map(i =>
       min((col("h") * (2 * i + 1) + (7 * i + 3)) % p).as(s"sig$i"))
-    val sig = sh.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+    val sig = hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
     val banded = sig.select(
       col("__id"),
       explode_outer(array((0 until bands).map { b =>
@@ -950,6 +990,57 @@ object Dedup {
       .select(explode_outer(pairsOfStructs(col("members"))).as("p"))
       .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs on FINALIZED-polyhash bit tests — the declared
+    * q44 gate form (the q53/q228-beside-q71 convention: the fused 64-bit
+    * xxhash kernel [[simhashNearDups]] stays spec-tested; THIS form is
+    * SQL-replayable end to end). A 60-bit fingerprint: token hash
+    * h = finalized(polyhash(tok)), then four affine variants
+    * h_j = (h·(2j+1) + (7j+3)) mod P each contribute 15 bit tests
+    * (bits 0..14 — all well inside h_j < P < 2^30), each bit set by the
+    * majority vote over the document's tokens, exactly the
+    * `simhash16Deterministic` vote rule widened to 60 bits. 60 bits
+    * (not 64) keeps the fingerprint strictly positive so both engines
+    * fold it in plain BIGINT arithmetic — no sign-bit cases. Candidate
+    * generation pigeonholes on the four 15-bit variant words (Hamming
+    * ≤ 3 ⇒ at least one of 4 words equal — the production form's chunk
+    * argument verbatim), each word a 32k-bucket key; verification is
+    * `bit_count(xor)` on candidate pairs only.
+    */
+  def simhashNearDupsFinalized(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val p = graft.functions.StringKernels.PolyHashMod
+    val toks = spread(docs)
+      .select(col(idCol).as("__id"),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .withColumn("h",
+        Kmv.finalized(graft.functions.StringFunctions.polyHash(col("tok"))))
+    val votes = for (j <- 0 until 4; b <- 0 until 15) yield
+      sum(shiftright((col("h") * (2 * j + 1) + (7 * j + 3)) % p, b)
+        .bitwiseAND(1) * 2 - 1).as(s"v${j * 15 + b}")
+    val fp = toks.groupBy("__id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("__id"),
+        (0 until 60).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash60"))
+    val chunked = fp.select(
+      col("__id"), col("simhash60"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("ckey", expr("shiftright(simhash60, chunk * 15) & 32767"))
+    chunked.groupBy("chunk", "ckey")
+      .agg(sort_array(collect_list(struct(col("__id"), col("simhash60")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode_outer(pairsOfStructs(col("members"))).as("p"))
+      .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
+        bit_count(col("p.a.simhash60").bitwiseXOR(col("p.b.simhash60")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

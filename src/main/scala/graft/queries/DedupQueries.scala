@@ -145,17 +145,30 @@ object DedupQueries {
       .orderBy("component")
   }
 
-  /** q43 — MinHash-LSH candidate pairs (rows-only: xxhash64-dependent).
-    * DedupSpec asserts candidates ⊇ all true J≥0.9 pairs.
+  /** q43 — MinHash-LSH candidate pairs on the FINALIZED polyhash
+    * ([[Dedup.minhashCandidatesFinalized]]), fully oracle-checked. Until
+    * round 16 this query declared the xxhash64 form
+    * ([[Dedup.minhashCandidates]], rows-only by necessity — DuckDB cannot
+    * replay xxhash64); the q49/q53 convention now applies: the declared
+    * gate form rides the SQL-replayable finalized polyhash (a BETTER
+    * affine family than q84's raw polyhash, whose near-monotone order
+    * correlates the signature elements), while the xxhash64 production
+    * form stays spec-tested (DedupSpec: candidates ⊇ all true J≥0.9
+    * pairs, for BOTH forms).
     */
   def q43_minhash_lsh: Q = (s, dir) => {
-    Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.minhashCandidatesFinalized(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
   }
 
-  /** q44 — SimHash near-dup pairs (rows-only: xxhash64-dependent). */
+  /** q44 — SimHash near-dup pairs on FINALIZED-polyhash bit tests
+    * ([[Dedup.simhashNearDupsFinalized]]), fully oracle-checked; the
+    * fused 64-bit xxhash kernel form ([[Dedup.simhashNearDups]]) stays
+    * spec-tested (the q43 note's convention, same round).
+    */
   def q44_simhash: Q = (s, dir) => {
-    Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashNearDupsFinalized(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
       .orderBy("id_a", "id_b")
   }
 
@@ -1078,6 +1091,92 @@ object DedupQueries {
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
       ORDER BY 1, 2""",
+    // the q84 replay with the affine finalizer ((h*961748927 + 12345)
+    // mod 1e9+7) applied per shingle BEFORE the signature mins — the
+    // engine's Kmv.finalized convention (q53 precedent); h < 1e9+7 keeps
+    // every product under 2^63 in BIGINT
+    "q43_minhash_lsh" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(0, greatest(len(tk) - 3, 0) + 1),
+                 i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+        FROM toks),
+      hashed AS (
+        SELECT doc_id,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(regexp_extract_all(shingle, '.'),
+                    c -> CAST(unicode(c) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007)
+                * 961748927 + 12345) % 1000000007 AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+               min((h * 1 + 3)  % 1000000007) AS sig0,
+               min((h * 3 + 10) % 1000000007) AS sig1,
+               min((h * 5 + 17) % 1000000007) AS sig2,
+               min((h * 7 + 24) % 1000000007) AS sig3,
+               min((h * 9 + 31) % 1000000007) AS sig4,
+               min((h * 11 + 38) % 1000000007) AS sig5,
+               min((h * 13 + 45) % 1000000007) AS sig6,
+               min((h * 15 + 52) % 1000000007) AS sig7
+        FROM hashed GROUP BY 1),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat(sig0, ':', sig1) AS bucket FROM sig
+        UNION ALL SELECT doc_id, 1, concat(sig2, ':', sig3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(sig4, ':', sig5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(sig6, ':', sig7) FROM sig),
+      ok AS (
+        SELECT band, bucket FROM banded GROUP BY 1, 2
+        HAVING count(1) BETWEEN 2 AND 200)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+      ORDER BY 1, 2""",
+    // finalized token hash -> 4 affine variants x 15 bit-test majority
+    // votes -> 60-bit fingerprint -> 15-bit-word pigeonhole -> xor
+    // bit_count verify, mirroring Dedup.simhashNearDupsFinalized
+    "q44_simhash" -> {
+      val votes = (for (j <- 0 until 4; b <- 0 until 15) yield
+        s"sum(((((h * ${2 * j + 1} + ${7 * j + 3}) % 1000000007) >> $b) & 1) * 2 - 1) AS v${j * 15 + b}")
+        .mkString(",\n               ")
+      val bits = (0 until 60).map(i =>
+        s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        FROM documents),
+      hashed AS (
+        SELECT doc_id,
+               (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(regexp_extract_all(tok, '.'),
+                    c -> CAST(unicode(c) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007)
+                * 961748927 + 12345) % 1000000007 AS h
+        FROM toks),
+      votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashed GROUP BY 1),
+      fp AS (SELECT doc_id, {bits} AS f FROM votes),
+      chunks AS (
+        SELECT doc_id, f, t.c AS chunk, (f >> (t.c * 15)) & 32767 AS ckey
+        FROM fp, (SELECT CAST(range AS INT) AS c FROM range(4)) t),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        FROM chunks a
+        JOIN chunks b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM cand
+      WHERE hamming <= 3 ORDER BY 1, 2"""
+        .replace("{votes}", votes)
+        .replace("{bits}", bits)
+    },
     // the q80 pair derivation + source attribution; integer-and-name cut
     "q256_cross_source_dups" -> raw"""
       WITH $OraclePairGraph,

@@ -103,6 +103,18 @@ class DedupSpec extends SparkSuite {
     assert(missed.isEmpty, s"deterministic LSH missed high-similarity pairs: $missed")
   }
 
+  test("finalized minhash LSH (the declared q43 form) also covers all true J>=0.9 pairs and prunes") {
+    val truth = Dedup.jaccardPairs(corpus, "doc_id", "text", shingleK = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val cand = Dedup.minhashCandidatesFinalized(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"finalized LSH missed high-similarity pairs: $missed")
+    val n = corpus.count()
+    assert(cand.size < n * (n - 1) / 4, s"candidates ${cand.size} ≈ all pairs — LSH not pruning")
+  }
+
   test("minhash LSH candidate set is not the all-pairs set (it actually prunes)") {
     val n = corpus.count()
     val cand = Dedup.minhashCandidates(corpus, "doc_id", "text").count()
@@ -194,6 +206,16 @@ class DedupSpec extends SparkSuite {
     val nd = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nd.contains((0L, 100000L)))
+  }
+
+  test("finalized simhash (the declared q44 form): exact dup at hamming 0, near-dup found, pairs canonical") {
+    val nd = Dedup.simhashNearDupsFinalized(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val byPair = nd.toMap
+    // doc 0's planted copy is text-identical -> identical fingerprint
+    assert(byPair.get((0L, 100000L)).contains(0L),
+      s"exact dup must pair at hamming 0, got ${byPair.get((0L, 100000L))}")
+    assert(nd.forall { case ((a, b), h) => a < b && h <= 3 })
   }
 
   test("embedding near-dups are symmetric-free (id_a < id_b) and above threshold") {
