@@ -518,7 +518,10 @@ object Checks {
     * MASS, not the row count. The rank comparison runs in
     * DECIMAL(38,0): mass is summed tokens/bytes, so Long arithmetic
     * on `cum·100` would wrap once total mass passes ~9.2e16 — real
-    * headroom at a fleet-wide 100 TB merge.
+    * headroom at a fleet-wide 100 TB merge. The cum/total sums
+    * themselves stay Long, so the operator's total-mass ceiling is
+    * Long.MaxValue ~9.2e18 (the [[QuantileSketch.sketchWeighted]]
+    * contract ceiling, ~5 orders past a 100 TB census).
     */
   def exactPercentilesWeighted(
       df: DataFrame, keyCol: String, valueCol: String, weightCol: String,

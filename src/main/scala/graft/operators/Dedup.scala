@@ -1492,11 +1492,15 @@ object Dedup {
     * then last-writer-wins PER ID (`max snap_batch` keyed on `idCol`
     * alone — a delta that re-labels a doc's component or revises its
     * carried attribute must fully supersede the older row, never
-    * coexist with it). Reads only COMMITTED partitions (`_SUCCESS`
-    * present): a torn mid-crash delta is internally inconsistent for a
-    * LWW store, so reconstruction falls back to the previous committed
-    * version until the replay rewrites it. None when the store is
-    * empty.
+    * coexist with it). Reads only COMMITTED partitions (the
+    * graft-owned `_graft_committed` marker, or `_SUCCESS` for
+    * pre-marker stores — the graft marker makes commit visibility
+    * independent of the cluster's job-committer config): a torn
+    * mid-crash delta is internally inconsistent for a LWW store, so
+    * reconstruction falls back to the previous committed version until
+    * the replay rewrites it. None when the store is empty; several
+    * data partitions with NO marker anywhere throws rather than
+    * presenting live history as an empty store.
     */
   def readComponentSnapshot(
       spark: org.apache.spark.sql.SparkSession, path: String,

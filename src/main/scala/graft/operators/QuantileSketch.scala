@@ -55,10 +55,13 @@ object QuantileSketch {
     * counts), same rank convention with `n` = total mass. Rows with
     * null/negative weight are outside the mass by contract (mirrored in
     * the oracle's WHERE); zero-weight rows contribute nothing either
-    * way. Contract ceiling: TOTAL mass must stay below 10³⁶ — the
-    * rank comparison runs in DECIMAL(38,0) with a ×100 factor, so the
-    * ceiling is 10²¹× past the Long wrap it replaced and unreachable
-    * by any real token/byte census, but it is a ceiling.
+    * way. Contract ceiling: TOTAL mass must stay below Long.MaxValue
+    * (~9.2×10¹⁸) — the per-bucket and cumulative sums run in Long
+    * (LongType output is also what the no-DecimalType final-schema pin
+    * requires of `n_rows`); the DECIMAL(38,0) rank comparison in
+    * [[estimate]]/[[estimateByGroup]] removes only the ×100 factor's
+    * earlier wrap at ~9.2×10¹⁶. Still ~5 orders of magnitude past a
+    * 100 TB token/byte census (~10¹⁴), but it is a ceiling.
     */
   def sketchWeighted(df: DataFrame, valueCol: String, weightCol: String,
                      groupCols: Seq[String] = Seq.empty): DataFrame = {
@@ -135,7 +138,9 @@ object QuantileSketch {
     // the rank comparison runs in DECIMAL(38,0): with sketchWeighted
     // partials, cnt is summed MASS (tokens/bytes), and Long `cum·100`
     // would silently wrap past a total mass of ~9.2e16 — a real
-    // ceiling for the fleet-wide 100 TB merge this sketch exists for
+    // ceiling for the fleet-wide 100 TB merge this sketch exists for.
+    // (The cum/__n sums themselves stay Long, so the operator's true
+    // total-mass ceiling is Long.MaxValue ~9.2e18 — see sketchWeighted.)
     pRows.crossJoin(broadcast(n))
       .join(cum, col("__cum").cast("decimal(38,0)") * 100 >=
         col("__n").cast("decimal(38,0)") * col("pct"))

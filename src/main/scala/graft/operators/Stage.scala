@@ -70,4 +70,38 @@ object Stage {
 
   /** `snapshot` for the callers that still want the DataFrame alias. */
   def snapshotDF(df: DataFrame): DataFrame = snapshot(df)
+
+  val ScratchConf = "spark.graft.scratch.dir"
+
+  /** Fresh scratch directory for queries that materialize TRANSIENT
+    * Spark-visible state per call (the q263 snapshot-store round trip,
+    * the layout/interchange demos): a unique dir under
+    * `spark.graft.scratch.dir` when set, else the driver-local JVM
+    * tmpdir. On a real cluster the conf MUST point at a SHARED
+    * filesystem (HDFS / object store): executors write the store's
+    * partitions, and a driver-local path would scatter them across
+    * machine-local disks — the read-back would see a partial or empty
+    * store. `local[n]` (the gate/bench harness) needs no conf:
+    * driver-local IS shared there. Pair with [[deleteScratch]] in a
+    * `finally` — it deletes through the Hadoop FS API, so it works on
+    * whatever filesystem the conf selected.
+    */
+  def scratchDir(
+      spark: org.apache.spark.sql.SparkSession, prefix: String): String = {
+    val root = spark.conf.get(ScratchConf, "")
+    if (root.isEmpty)
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    else {
+      val p = new org.apache.hadoop.fs.Path(
+        root, s"$prefix-${java.util.UUID.randomUUID()}")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      p.toString
+    }
+  }
+
+  def deleteScratch(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }

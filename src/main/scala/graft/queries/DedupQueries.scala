@@ -414,29 +414,31 @@ object DedupQueries {
     */
   def q263_component_snapshot: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val p = java.nio.file.Files.createTempDirectory("graft_snap_demo")
+    // Stage.scratchDir: driver-local tmp on local[n]; on a real cluster
+    // set spark.graft.scratch.dir to a SHARED filesystem — executors
+    // write the store's partitions (see the scratchDir scaladoc)
+    val p = Stage.scratchDir(s, "graft_snap_demo")
     val c = try {
       val allPairs = Stage.snapshotDF(Dedup.jaccardPairs(docs, "doc_id", "text",
         shingleK = 3, threshold = 0.6))
       val oldPairs = allPairs.filter(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0)
       val newPairs = allPairs.filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
       val v0 = Dedup.componentSnapshot(oldPairs, docs)
-      Dedup.writeComponentSnapshot(s, Dedup.snapshotDelta(None, v0), p.toString, 0L)
+      Dedup.writeComponentSnapshot(s, Dedup.snapshotDelta(None, v0), p, 0L)
       // an all-empty era writes a data-less partition that the reader
       // skips — treat a missing reconstruction as an empty snapshot, the
       // same StreamingComponents batch-0 path, never a None.get abort
       def emptySnap = v0.limit(0)
       val prior = Stage.snapshotDF(
-        Dedup.readComponentSnapshot(s, p.toString, 0L).getOrElse(emptySnap))
+        Dedup.readComponentSnapshot(s, p, 0L).getOrElse(emptySnap))
       val v1 = Dedup.updateComponentSnapshot(prior, newPairs, docs)
       Dedup.writeComponentSnapshot(s,
-        Dedup.snapshotDelta(Some(prior), v1), p.toString, 1L)
+        Dedup.snapshotDelta(Some(prior), v1), p, 1L)
       // eager: materialize the reconstruction BEFORE the store is deleted
       Stage.snapshotDF(
-        Dedup.readComponentSnapshot(s, p.toString, 1L).getOrElse(emptySnap))
+        Dedup.readComponentSnapshot(s, p, 1L).getOrElse(emptySnap))
     } finally {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      Stage.deleteScratch(s, p)
     }
     survivorPolicyAgg(c).crossJoin(broadcast(
       dedupRoiAgg(c, docs).drop("n_clusters")))

@@ -448,7 +448,7 @@ object MiscQueries {
     val cols = Seq("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
     val path = rcCache.synchronized {
       rcCache.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files.createTempDirectory("graft_rc_demo").toString
+        val p = graft.operators.Stage.scratchDir(s, "graft_rc_demo")
         Sinks.writeRangeClustered(
           Tables.lineitem(s, dir).select(cols.map(col): _*)
             // NTZ → LTZ: Spark never converts NTZ filters to parquet
@@ -486,7 +486,7 @@ object MiscQueries {
     val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     val path = rcCache.synchronized {
       rcCache.getOrElseUpdate("bl:" + dir, {
-        val p = java.nio.file.Files.createTempDirectory("graft_bl_demo").toString
+        val p = graft.operators.Stage.scratchDir(s, "graft_bl_demo")
         Sinks.writeBloomIndexed(
           Tables.lineitem(s, dir).select(cols.map(col): _*),
           p, Seq("l_orderkey" -> 200000L), numFiles = 8)
@@ -1432,7 +1432,7 @@ object MiscQueries {
   def q172_jsonl_roundtrip: Q = (s, dir) => {
     val path = rcCache.synchronized {
       rcCache.getOrElseUpdate("jsonl:" + dir, {
-        val p = java.nio.file.Files.createTempDirectory("graft_jsonl_demo").toString
+        val p = graft.operators.Stage.scratchDir(s, "graft_jsonl_demo")
         Sinks.writeJsonl(Tables.documents(s, dir), p)
         p
       })
@@ -1457,7 +1457,7 @@ object MiscQueries {
   def q241_orc_roundtrip: Q = (s, dir) => {
     val path = rcCache.synchronized {
       rcCache.getOrElseUpdate("orc:" + dir, {
-        val p = java.nio.file.Files.createTempDirectory("graft_orc_demo").toString
+        val p = graft.operators.Stage.scratchDir(s, "graft_orc_demo")
         Tables.documents(s, dir).write.mode("overwrite")
           .option("compression", "zlib").orc(p + "/docs")
         p
@@ -1476,7 +1476,7 @@ object MiscQueries {
     val cols = Seq("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
     val path = rcCache.synchronized {
       rcCache.getOrElseUpdate("zo:" + dir, {
-        val p = java.nio.file.Files.createTempDirectory("graft_zo_demo").toString
+        val p = graft.operators.Stage.scratchDir(s, "graft_zo_demo")
         val src = Tables.lineitem(s, dir).select(cols.map(col): _*)
           .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
         Sinks.writeZOrdered(src, p,

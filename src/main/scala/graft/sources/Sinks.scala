@@ -464,8 +464,9 @@ object Sinks {
   // Single-writer per store path, same contract as [[upsert]].
   //
   // Torn-read tolerance by consumer (a crash mid-write leaves a
-  // partition without Spark's _SUCCESS marker until the replay
-  // rewrites it):
+  // partition without a commit marker — the graft-owned [[CommitMarker]]
+  // written after the job returns, with _SUCCESS honored for pre-marker
+  // stores — until the replay rewrites it):
   //   - TEAR-TOLERANT (read with requireCommitted = false, the
   //     default): KMV partials (StreamingKmv — any subset of a partial
   //     is a valid partial), quantile bucket partials
@@ -485,17 +486,36 @@ object Sinks {
   private def batchDirId(name: String): Option[Long] =
     if (name.startsWith("batch=")) name.stripPrefix("batch=").toLongOption else None
 
+  /** Graft-owned per-partition commit marker. Tear-INTOLERANT consumers
+    * gate on this, not (only) on Spark's `_SUCCESS`: the job committer's
+    * marker is a cluster CONFIG (`mapreduce.fileoutputcommitter
+    * .marksuccessfuljobs=false` is common on object stores), and a store
+    * whose committed partitions merely LOOK uncommitted would silently
+    * reconstruct to None — for a LWW delta store that means rebuilding
+    * from the current batch alone and dropping history. Writing our own
+    * marker after the job returns makes commit visibility a property of
+    * the store, not of the committer config (`_SUCCESS` is still honored
+    * for pre-marker stores).
+    */
+  private[graft] val CommitMarker = "_graft_committed"
+
   /** Append one micro-batch's rows as the store partition `batch=<id>`.
     * Overwrite semantics make replay idempotent: Structured Streaming
     * re-delivers a batch only under the SAME batchId, and the partition is
     * rewritten with the same deterministic content. Caller contract: ids
     * are monotonically increasing across batches (foreachBatch guarantees
     * this), and a given id is only written while no LATER id has committed.
+    * The [[CommitMarker]] lands strictly AFTER the write job returns — a
+    * crash anywhere before it leaves the partition invisible to
+    * `requireCommitted` readers until the replay rewrites it.
     */
   def appendBatchPartition(
       spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit = {
     require(batchId >= 0, s"need batchId >= 0, got $batchId")
-    batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+    val dir = s"$path/batch=$batchId"
+    batch.write.mode(SaveMode.Overwrite).parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(dir, CommitMarker), true).close()
   }
 
   /** List the live partition directories of a batch store, SELF-HEALING
@@ -570,18 +590,33 @@ object Sinks {
       requireCommitted: Boolean = false): Option[DataFrame] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // requireCommitted: skip partitions without Spark's _SUCCESS job
-    // marker — a crash mid-write leaves a TORN partition that is a
-    // valid subset for tear-tolerant partials (KMV/quantile: any subset
-    // of a partial is a partial) but internally inconsistent for
-    // last-writer-wins DELTA stores (component snapshots: some members
-    // of a merge relabeled, others not). Only the newest partition can
-    // be torn (batch ids are sequential), so skipping it reconstructs
-    // the previous committed version — exactly what the replay will
-    // rebuild from.
-    val dirs = liveBatchDirs(fs, root).filter { case (_, dir) =>
-      !requireCommitted || fs.exists(new Path(dir, "_SUCCESS"))
+    // requireCommitted: skip partitions without a commit marker (the
+    // graft-owned [[CommitMarker]], or _SUCCESS for pre-marker stores) —
+    // a crash mid-write leaves a TORN partition that is a valid subset
+    // for tear-tolerant partials (KMV/quantile: any subset of a partial
+    // is a partial) but internally inconsistent for last-writer-wins
+    // DELTA stores (component snapshots: some members of a merge
+    // relabeled, others not). Only the newest partition can be torn
+    // (batch ids are sequential), so skipping it reconstructs the
+    // previous committed version — exactly what the replay will rebuild
+    // from.
+    val live = liveBatchDirs(fs, root)
+    val dirs = live.filter { case (_, dir) =>
+      !requireCommitted || fs.exists(new Path(dir, CommitMarker)) ||
+        fs.exists(new Path(dir, "_SUCCESS"))
     }
+    // Under the single-writer sequential contract at most the NEWEST
+    // partition can be uncommitted; several data partitions with no
+    // marker anywhere is not a torn tail — it is a store this reader
+    // cannot interpret (foreign layout, or markers stripped). Falling
+    // back to None here would silently present an EMPTY store and let a
+    // LWW consumer rebuild from scratch over live history — fail loudly
+    // instead.
+    if (requireCommitted && dirs.isEmpty && live.size > 1)
+      throw new IllegalStateException(
+        s"batch store at $path has ${live.size} data partitions but none " +
+        "carries a commit marker (_graft_committed or _SUCCESS): refusing " +
+        "to treat a marker-less store as empty")
     val crossing = dirs.filter { case (id, dir) =>
       id > upToBatch && {
         val m = new Path(dir, ManifestName)
@@ -658,6 +693,10 @@ object Sinks {
     val out = fs.create(manifest, true)
     try out.write(absorbedIds.mkString("[", ",", "]").getBytes("UTF-8"))
     finally out.close()
+    // the merged partition holds only already-committed rows — stamp the
+    // graft marker so requireCommitted readers see it even on clusters
+    // where the job committer writes no _SUCCESS
+    fs.create(new Path(tmp, CommitMarker), true).close()
     val aside = new Path(root, "." + target.getName + "__old")
     fs.delete(aside, true)
     if (!fs.rename(target, aside))

@@ -65,8 +65,9 @@ object StreamingComponents {
 
   /** The snapshot as of the last COMMITTED batch (None before any).
     * Crash-consistent without a drain requirement:
-    * [[Dedup.readComponentSnapshot]] reads only `_SUCCESS`-marked
-    * partitions, so a torn mid-crash delta (internally inconsistent
+    * [[Dedup.readComponentSnapshot]] reads only commit-marked
+    * partitions (`_graft_committed`, committer-config-independent), so
+    * a torn mid-crash delta (internally inconsistent
     * for a LWW store — some members of a merge relabeled, others not,
     * unlike a KMV partial where any subset is still a valid partial)
     * is invisible; the read falls back to the previous committed

@@ -521,13 +521,17 @@ class DedupSpec extends SparkSuite {
     val committed = Dedup.readComponentSnapshot(spark, path).get
       .as[(Long, Long, Long)].collect().toSet
     // simulate a crash mid-write of batch 1: parquet data present, no
-    // _SUCCESS job marker — the classic torn-delta window
+    // commit marker (neither graft's nor the job committer's) — the
+    // classic torn-delta window
     val torn = Dedup.componentSnapshot(
       Seq((1L, 2L), (2L, 7L)).toDF("id_a", "id_b"), docs)
     Dedup.writeComponentSnapshot(spark, torn, path, 1L)
-    val marker = new java.io.File(s"$path/batch=1/_SUCCESS")
-    assert(marker.exists, "fixture expects Spark to write the job marker")
+    val marker = new java.io.File(s"$path/batch=1/_graft_committed")
+    assert(marker.exists, "fixture expects the graft commit marker")
     assert(marker.delete())
+    val jobMarker = new java.io.File(s"$path/batch=1/_SUCCESS")
+    assert(jobMarker.exists, "fixture expects Spark to write the job marker")
+    assert(jobMarker.delete())
     // the LWW reader must NOT apply the half-committed delta
     val seen = Dedup.readComponentSnapshot(spark, path).get
       .as[(Long, Long, Long)].collect().toSet
@@ -537,6 +541,39 @@ class DedupSpec extends SparkSuite {
     val healed = Dedup.readComponentSnapshot(spark, path).get
       .as[(Long, Long, Long)].collect().toSet
     assert(healed.map(_._1) == Set(1L), s"healed read must see the merge: $healed")
+  }
+
+  test("commit visibility survives a committer that writes no _SUCCESS; a marker-less store throws") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L), (7L, 70L)).toDF("doc_id", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("graft_marker_spec").toString
+    Dedup.writeComponentSnapshot(spark,
+      Dedup.componentSnapshot(Seq((1L, 2L)).toDF("id_a", "id_b"), docs), path, 0L)
+    val grown = Dedup.updateComponentSnapshot(
+      Dedup.readComponentSnapshot(spark, path).get,
+      Seq((2L, 7L)).toDF("id_a", "id_b"), docs)
+    Dedup.writeComponentSnapshot(spark,
+      Dedup.snapshotDelta(Dedup.readComponentSnapshot(spark, path), grown), path, 1L)
+    // a cluster with mapreduce.fileoutputcommitter.marksuccessfuljobs=false:
+    // strip every _SUCCESS — the graft-owned marker must carry the store
+    (0 to 1).foreach { b =>
+      val m = new java.io.File(s"$path/batch=$b/_SUCCESS")
+      assert(m.exists && m.delete())
+    }
+    val seen = Dedup.readComponentSnapshot(spark, path).get
+      .as[(Long, Long, Long)].collect().toSet
+    assert(seen.map(_._1) == Set(1L), s"history dropped without _SUCCESS: $seen")
+    // strip the graft markers too: >1 data partitions with no marker
+    // anywhere is an uninterpretable store, never "empty" — must throw,
+    // not hand a LWW consumer a silent from-scratch rebuild
+    (0 to 1).foreach { b =>
+      val m = new java.io.File(s"$path/batch=$b/_graft_committed")
+      assert(m.exists && m.delete())
+    }
+    val e = intercept[IllegalStateException] {
+      Dedup.readComponentSnapshot(spark, path)
+    }
+    assert(e.getMessage.contains("commit marker"), e.getMessage)
   }
 
   test("componentSnapshot: non-doc endpoints keep their labels; null-size deltas anti-out") {
