@@ -853,7 +853,7 @@ object Corpus {
     * `(word, wc, pos, sym)` and the per-round curve
     * `(rank, pair, n_occurrences, tokens_after)`.
     */
-  private def bpeLearn(
+  private[graft] def bpeLearn(
       docs: DataFrame,
       textCol: String,
       merges: Int): (DataFrame, Seq[(Int, String, Long, Long)]) = {
@@ -878,19 +878,32 @@ object Corpus {
         .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
         .limit(1).head()
       val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      val marked = rows
-        .withColumn("nxt", lead("sym", 1).over(w))
-        .withColumn("m", col("sym") === lit(x) && col("nxt") === lit(y))
-        .withColumn("pm", lag(col("m"), 1, false).over(w))
-      rows = marked.filter(!col("pm"))
-        .select(col("word"), col("wc"),
-          row_number().over(w).cast("long").as("pos"),
-          when(col("m"), lit(x + y)).otherwise(col("sym")).as("sym"))
-        .transform(Stage.snapshotDF)
+      rows = bpeApply(rows, x, y).transform(Stage.snapshotDF)
       val tokensAfter = rows.agg(sum("wc")).head().getLong(0)
       curve += ((r, s"$x+$y", n, tokensAfter))
     }
     (rows, curve.result())
+  }
+
+  /** One merge rule applied everywhere over a (word, wc, pos, sym) symbol
+    * table — the apply step [[bpeLearn]] iterates. The top-pair pick
+    * excludes x = y, so marked occurrences can never overlap (m at i and
+    * i+1 would force x = y); the lag-guard therefore drops exactly the
+    * second element of each merged pair. IDEMPOTENT on its own output:
+    * the pass merges EVERY (x, y) adjacency (no marked position escapes),
+    * so re-applying the same rule — or the whole learned merge table, in
+    * order — to the final symbol table is a no-op (AuditOpsSpec pins it).
+    */
+  private[graft] def bpeApply(rows: DataFrame, x: String, y: String): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    rows
+      .withColumn("nxt", lead("sym", 1).over(w))
+      .withColumn("m", col("sym") === lit(x) && col("nxt") === lit(y))
+      .withColumn("pm", lag(col("m"), 1, false).over(w))
+      .filter(!col("pm"))
+      .select(col("word"), col("wc"),
+        row_number().over(w).cast("long").as("pos"),
+        when(col("m"), lit(x + y)).otherwise(col("sym")).as("sym"))
   }
 
   /** BPE encoding under the learned vocabulary — the APPLY half of the
@@ -931,6 +944,33 @@ object Corpus {
         round(col("char_tokens").cast("double") / col("bpe_tokens"), 4))
       .orderBy(col("bpe_tokens").desc, col("doc_id").asc)
       .limit(topN)
+  }
+
+  /** Per-source TRUE-BPE token census under the learned vocabulary — the
+    * census a token-budget allocation (q119) should run on once a real
+    * tokenizer exists: whitespace word counts weight a source by how many
+    * words it has, but the training cost it is buying is BPE tokens, and
+    * long-word / agglutinative sources cost materially more tokens per
+    * word. Same two-touch scale shape as [[bpeEncode]]: one tokenize →
+    * word-frequency aggregate inside [[bpeLearn]], one tokenize →
+    * (source, word) aggregate here; each word is encoded once corpus-wide
+    * and its token count re-attaches via the vocab-sized word join.
+    */
+  def bpeTokensBySource(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      merges: Int): DataFrame = {
+    val (symbols, _) = bpeLearn(docs, textCol, merges)
+    val wordTokens = symbols.groupBy("word").agg(max("pos").as("__wtok"))
+    docs
+      .select(col(sourceCol).as("source"),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("source", "word").agg(count(lit(1)).as("__c"))
+      .join(wordTokens, "word")
+      .groupBy("source")
+      .agg(sum(col("__c") * col("__wtok")).as("n_tokens"))
   }
 
   /** UniMax language/source-balanced budget allocation (Chung et al., ICLR

@@ -894,13 +894,21 @@ object TrainingQueries {
     * never bare casts on this boundary).
     */
   def q119_token_budget: Q = (s, dir) => {
-    val budget = 10000000.0
     val per = graft.operators.Dedup.spread(Tables.documents(s, dir))
       .filter(col("text").isNotNull) // oracle's len(NULL) drops out of sum
       .select(col("source"),
         size(graft.functions.TextFunctions.tokens(col("text"))).as("ntok"))
       .groupBy("source").agg(sum("ntok").as("n_tokens"))
       .transform(graft.operators.Stage.snapshotDF) // feeds total AND weights
+    tokenBudgetAllocation(per, budget = 10000000.0)
+  }
+
+  /** The q119 temperature-weighted waterline shared with q267 (the SAME
+    * definition, so the two censuses' allocations cannot drift): weights
+    * = (source share)^0.7 renormalized, allocation = weight × budget.
+    * `per` must be snapshotted by the caller (feeds total AND weights).
+    */
+  private def tokenBudgetAllocation(per: DataFrame, budget: Double): DataFrame = {
     val tot = per.agg(sum("n_tokens").cast("double").as("total"))
     val w = per.crossJoin(broadcast(tot))
       .withColumn("share_raw", col("n_tokens") / col("total"))
@@ -915,6 +923,23 @@ object TrainingQueries {
         round(col("__alloc") / col("n_tokens"), 4).as("epochs"),
         (col("__alloc") / col("n_tokens") > 4.0).as("over_4_epochs"))
       .orderBy("source")
+  }
+
+  /** q267 — the q119 token budget on TRUE BPE token counts
+    * ([[graft.operators.Corpus.bpeTokensBySource]]): the census a budget
+    * actually buys is tokenizer tokens, not whitespace words — a source
+    * whose words encode long shifts its share, its temperature weight,
+    * and its epoch count. Train (4 merges) → encode corpus-wide → the
+    * IDENTICAL allocation definition as q119 (shared helper). The oracle
+    * replays the merge layers (q126's unrolled CTEs), the per-source
+    * encode census, and the waterline SQL end to end.
+    */
+  def q267_bpe_token_budget: Q = (s, dir) => {
+    val per = graft.operators.Corpus.bpeTokensBySource(
+        graft.operators.Dedup.spread(Tables.documents(s, dir)),
+        "source", "text", merges = 4)
+      .transform(graft.operators.Stage.snapshotDF) // feeds total AND weights
+    tokenBudgetAllocation(per, budget = 10000000.0)
   }
 
   /** q121 — top-n-gram concentration
@@ -1171,6 +1196,7 @@ object TrainingQueries {
     "q116_dsir_weights" -> q116_dsir_weights,
     "q117_bigram_ce" -> q117_bigram_ce,
     "q119_token_budget" -> q119_token_budget,
+    "q267_bpe_token_budget" -> q267_bpe_token_budget,
     "q121_rep_concentration" -> q121_rep_concentration,
     "q122_source_novelty" -> q122_source_novelty,
     "q124_vocab_growth" -> q124_vocab_growth,
@@ -1338,6 +1364,29 @@ object TrainingQueries {
       FROM dw JOIN wt USING (word)
       GROUP BY 1 ORDER BY bpe_tokens DESC, doc_id LIMIT 20"""
 
+  /** The q267 oracle: the q126 merge layers, the per-source encode census
+    * off the final symbol table, then q119's waterline SQL verbatim.
+    */
+  private def bpeBudgetOracle(merges: Int): String = raw"""
+      WITH ${bpeOracleCtes(merges)},
+      wt AS (SELECT word, CAST(max(pos) AS BIGINT) AS wtok FROM l$merges GROUP BY 1),
+      dw AS (SELECT source, tok AS word, CAST(count(1) AS BIGINT) AS c FROM
+               (SELECT source, unnest($tk) AS tok FROM documents) GROUP BY 1, 2),
+      per AS (SELECT source, CAST(sum(c * wtok) AS BIGINT) AS n_tokens
+              FROM dw JOIN wt USING (word) GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per),
+      wgt AS (SELECT source, n_tokens,
+                   round(pow(n_tokens / total, 0.7), 6) AS wr
+            FROM per, tot),
+      swt AS (SELECT sum(wr) AS sw FROM wgt),
+      a AS (SELECT source, n_tokens, wr / swt.sw AS wn,
+                   CAST(round(wr / swt.sw * 10000000.0) AS BIGINT) AS alloc_tokens
+            FROM wgt, swt)
+      SELECT source, n_tokens, round(wn, 4) AS weight, alloc_tokens,
+             round(alloc_tokens / n_tokens, 4) AS epochs,
+             (alloc_tokens / n_tokens > 4.0) AS over_4_epochs
+      FROM a ORDER BY source"""
+
   val oracle: Map[String, String] = Map(
     "q110_mixture_weights" -> """
       WITH s AS (SELECT source, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
@@ -1449,6 +1498,7 @@ object TrainingQueries {
       ORDER BY round(sh2, 4) DESC, doc_id LIMIT 20""",
     "q126_bpe_merges" -> bpeMergeOracle(4),
     "q129_bpe_encode" -> bpeEncodeOracle(4),
+    "q267_bpe_token_budget" -> bpeBudgetOracle(4),
     "q170_max_coverage" -> maxCoverageOracle(5),
     "q128_unimax" -> raw"""
       WITH per AS (SELECT source, CAST(sum(len($tk)) AS BIGINT) AS n_tokens

@@ -110,6 +110,30 @@ class AuditOpsSpec extends SparkSuite {
       (1L, 3L, 9L, 3L, 3.0)))
   }
 
+  test("encode(merge-table) is idempotent: re-applying the learned merges to the final symbol table is a no-op") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val (symbols, curve) = Corpus.bpeLearn(docs, "text", merges = 4)
+    val before = symbols.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // the pass merges EVERY (x, y) adjacency (x ≠ y by the pick rule, so
+    // marks can't overlap) — none survives to fire on a second pass
+    val reapplied = curve.foldLeft(symbols) { case (rows, (_, pair, _, _)) =>
+      val Array(x, y) = pair.split("\\+", 2)
+      Corpus.bpeApply(rows, x, y)
+    }
+    val after = reapplied.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(after == before, "re-applying the merge table changed the encoding")
+    // and the q267 census built on it is likewise stable
+    val census = Corpus.bpeTokensBySource(
+      Tables.documents(spark, sfDir), "source", "text", merges = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val census2 = Corpus.bpeTokensBySource(
+      Tables.documents(spark, sfDir), "source", "text", merges = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(census == census2 && census.nonEmpty)
+  }
+
   test("bpeEncode: fewer merges mean more tokens, never more than characters") {
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     def totals(m: Int): (Long, Long) = {
