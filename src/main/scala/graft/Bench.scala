@@ -32,7 +32,10 @@ import org.apache.spark.sql.SparkSession
   *      example uses short keys), 3-decimal seconds, and `noisy` listing only
   *      the queries whose warm spread exceeds 0.25 (the reader's cue that a
   *      round-over-round delta on that row is noise, without spending ~1.2 kB
-  *      printing 93 near-zero spreads).
+  *      printing 93 near-zero spreads). `n_queries`/`canary`/`total_sec`
+  *      repeat at the TAIL of the line: even when truncation eats the head
+  *      (BENCH_r15's tail starts mid-`queries`, hiding `value` and the
+  *      q00 canary), the normalization inputs stay visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -135,7 +138,14 @@ object Bench {
     val failedShort =
       if (failures.isEmpty) ""
       else s""","failed_passes":${jmap(failures.map { case (n, c) => shortKey(n) -> c })}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(short)},"sf":$sfNum,"runs":$runs$noisyJson$failedShort}""")
+    // canary + total + count TRAILING: the driver keeps only the LAST ~2000
+    // chars of stdout, which truncates the HEAD of this line — BENCH_r15's
+    // tail starts mid-`queries`, so `value` and q00 (sorts first) were
+    // invisible and the canary convention couldn't normalize driver-vs-
+    // driver reads. Keys placed after `noisy` survive any truncation that
+    // leaves valid JSON visible at all.
+    val canary = results.collectFirst { case ("q00_canary", v) => r3(v) }.getOrElse(-1.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(short)},"sf":$sfNum,"runs":$runs$noisyJson$failedShort,"n_queries":${names.size},"canary":$canary,"total_sec":$total}""")
     spark.stop()
   }
 }
