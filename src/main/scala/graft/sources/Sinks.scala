@@ -606,17 +606,28 @@ object Sinks {
         fs.exists(new Path(dir, "_SUCCESS"))
     }
     // Under the single-writer sequential contract at most the NEWEST
-    // partition can be uncommitted; several data partitions with no
-    // marker anywhere is not a torn tail — it is a store this reader
-    // cannot interpret (foreign layout, or markers stripped). Falling
-    // back to None here would silently present an EMPTY store and let a
-    // LWW consumer rebuild from scratch over live history — fail loudly
+    // partition can be uncommitted; a marker-less store is explainable as
+    // a torn tail ONLY when that tail could be the store's first-ever
+    // write — a lone `batch=0` with no compaction manifest. Anything else
+    // with data but no marker anywhere (several partitions; a lone
+    // partition with id > 0, whose sequential predecessors must have
+    // existed; a lone COMPACTED partition, whose manifest proves it
+    // absorbed committed history — e.g. a pre-marker store compacted on a
+    // cluster that writes no _SUCCESS) is a store this reader cannot
+    // interpret (foreign layout, or markers stripped). Falling back to
+    // None there would silently present an EMPTY store and let a LWW
+    // consumer rebuild from scratch over live history — fail loudly
     // instead.
-    if (requireCommitted && dirs.isEmpty && live.size > 1)
-      throw new IllegalStateException(
-        s"batch store at $path has ${live.size} data partitions but none " +
-        "carries a commit marker (_graft_committed or _SUCCESS): refusing " +
-        "to treat a marker-less store as empty")
+    if (requireCommitted && dirs.isEmpty && live.nonEmpty) {
+      val explainableTorn = live.size == 1 && live.head._1 == 0L &&
+        !fs.exists(new Path(live.head._2, ManifestName))
+      if (!explainableTorn)
+        throw new IllegalStateException(
+          s"batch store at $path has ${live.size} data partition(s) " +
+          s"(ids ${live.map(_._1).mkString(", ")}) but none carries a " +
+          "commit marker (_graft_committed or _SUCCESS): refusing to " +
+          "treat a marker-less store as empty")
+    }
     val crossing = dirs.filter { case (id, dir) =>
       id > upToBatch && {
         val m = new Path(dir, ManifestName)

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
@@ -42,25 +40,43 @@ import graft.sources.EsRest
   *
   * At 100 TB/day the shape holds: the driver sees only batch metadata, every
   * partition posts its own `chunkSize`-doc NDJSON bodies, and state is the
-  * ES index itself — no Spark-side state store grows with the corpus.
+  * ES index itself — no Spark-side state store grows with the corpus,
+  * and the driver-side accounting map is bounded in BATCH count too
+  * (`retainBatches` window + running total; a perpetual sub-second-trigger
+  * stream would otherwise leak one map entry per trigger forever).
   */
 class EsUpsertSink(
     conf: EsRest.EsConf,
     index: String,
     idCol: String,
-    annCol: String) {
+    annCol: String,
+    retainBatches: Int = EsUpsertSink.DefaultRetainBatches) {
 
-  private val failed = new ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+  require(retainBatches > 0, s"need retainBatches > 0, got $retainBatches")
 
-  /** Per-batch failed-item counts (batchId → failures), replay-stable. */
+  // Bounded per-batch window + a running total adjusted on (over)write:
+  // an unbounded batchId → count map would grow one entry per trigger
+  // forever on a perpetual stream (millions of boxed pairs per week at
+  // sub-second triggers). Eviction is safe for the replay-overwrite
+  // contract because Spark only ever replays the NEWEST batch (the one
+  // whose checkpoint commit is missing) — a batchId can never reappear
+  // after `retainBatches` newer ones have committed.
+  private val failed =
+    new java.util.concurrent.ConcurrentSkipListMap[java.lang.Long, java.lang.Long]()
+  private val total = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Failed-item counts for the most recent `retainBatches` batches
+    * (batchId → failures), replay-stable inside the window.
+    */
   def failedByBatchId: Map[Long, Long] =
     failed.asScala.map { case (k, v) => (k.longValue, v.longValue) }.toMap
 
-  /** Total failed docs across all triggers seen by this sink instance —
+  /** Total failed docs across ALL triggers seen by this sink instance —
     * replayed batches count once (the reference's end-of-run
-    * `docs_failed` total, `es_common.py:208-210`).
+    * `docs_failed` total, `es_common.py:208-210`). Unlike
+    * [[failedByBatchId]] this survives window eviction.
     */
-  def failedTotal: Long = failed.values.asScala.foldLeft(0L)(_ + _.longValue)
+  def failedTotal: Long = total.get()
 
   /** The foreachBatch body: one scripted-bulk-upsert pass for this
     * micro-batch. Public so a recovery path can be driven directly in
@@ -68,7 +84,9 @@ class EsUpsertSink(
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val n = EsRest.bulkUpsertAnnotations(batch, conf, index, idCol, annCol)
-    failed.put(batchId, n)
+    val prev = failed.put(batchId, n)
+    total.addAndGet(n - (if (prev == null) 0L else prev.longValue))
+    while (failed.size() > retainBatches) failed.pollFirstEntry()
   }
 
   /** Start the stream: annotated rows → per-trigger scripted ES upsert.
@@ -88,4 +106,12 @@ class EsUpsertSink(
         processBatch(batch, batchId)
       }
       .start()
+}
+
+object EsUpsertSink {
+  /** Default per-batch accounting window — far beyond any replay depth
+    * (Spark replays only the newest uncommitted batch) while keeping the
+    * map a bounded few hundred KB on a perpetual stream.
+    */
+  val DefaultRetainBatches: Int = 10000
 }

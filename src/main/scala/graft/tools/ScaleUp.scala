@@ -49,9 +49,14 @@ object ScaleUp {
       else c.withColumn(
         "text",
         when(col("__copy") === 0, col("text")).otherwise(
+          // split on \s+ (the engine's own tokenizer boundary), not a
+          // literal space: a tab/newline/double-space corpus would
+          // otherwise leave post-whitespace tokens untagged and shared
+          // across copies — breaking the token-disjointness invariant the
+          // uniq growth fit rests on
           array_join(
             transform(
-              split(col("text"), " "),
+              split(col("text"), "\\s+"),
               w => concat(lit("c"), col("__copy").cast("string"), lit("x"), w)),
             " ")))
     tagged
@@ -90,8 +95,19 @@ object ScaleUp {
   def build(spark: SparkSession, inDir: String, outDir: String, factor: Int,
       uniq: Boolean): Unit = {
     import java.nio.file.Paths
+    val docs = graft.Tables.documents(spark, inDir)
+    if (uniq) {
+      // the per-copy tag must not pre-exist in the corpus, or copy 0's
+      // untouched text shares tokens with a tagged copy and the uniq
+      // invariant silently degrades into partial dup density — fail loudly
+      val collisions =
+        docs.filter(col("text").rlike("(^|\\s)c[0-9]+x")).count()
+      require(collisions == 0L,
+        s"$collisions document(s) already contain 'c<digit>x'-prefixed " +
+        "tokens: the uniq tag would collide; pick a different corpus or tag")
+    }
     val scaled = Map(
-      "documents" -> scaleDocuments(graft.Tables.documents(spark, inDir), factor, uniq),
+      "documents" -> scaleDocuments(docs, factor, uniq),
       "events" -> scaleEvents(graft.Tables.events(spark, inDir), factor, uniq))
     scaled.foreach { case (name, df) =>
       df.coalesce(4).write.mode(SaveMode.Overwrite)

@@ -576,6 +576,34 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("commit marker"), e.getMessage)
   }
 
+  test("lone marker-less partition: batch=0 is a tolerable torn first write, id>0 throws") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+    def strip(path: String, b: Long): Unit =
+      Seq("_SUCCESS", "_graft_committed").foreach { m =>
+        val f = new java.io.File(s"$path/batch=$b/$m")
+        assert(f.exists && f.delete(), s"fixture expects $m in batch=$b")
+      }
+    // lone torn batch=0: the only state a first-ever write's crash can
+    // leave — reads as an empty store (the replay rebuilds it)
+    val p0 = java.nio.file.Files.createTempDirectory("graft_lone0_spec").toString
+    Dedup.writeComponentSnapshot(spark,
+      Dedup.componentSnapshot(Seq((1L, 2L)).toDF("id_a", "id_b"), docs), p0, 0L)
+    strip(p0, 0L)
+    assert(Dedup.readComponentSnapshot(spark, p0).isEmpty)
+    // lone marker-less batch=1: its sequential predecessor must have
+    // existed (or it is a compacted/pre-marker store on a no-_SUCCESS
+    // cluster) — never "empty", must throw
+    val p1 = java.nio.file.Files.createTempDirectory("graft_lone1_spec").toString
+    Dedup.writeComponentSnapshot(spark,
+      Dedup.componentSnapshot(Seq((1L, 2L)).toDF("id_a", "id_b"), docs), p1, 1L)
+    strip(p1, 1L)
+    val e1 = intercept[IllegalStateException] {
+      Dedup.readComponentSnapshot(spark, p1)
+    }
+    assert(e1.getMessage.contains("commit marker"), e1.getMessage)
+  }
+
   test("componentSnapshot: non-doc endpoints keep their labels; null-size deltas anti-out") {
     import spark.implicits._
     // docs dimension KNOWS only 1 and 5 — node 3 is a pair endpoint

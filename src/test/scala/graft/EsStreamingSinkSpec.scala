@@ -140,4 +140,27 @@ class EsStreamingSinkSpec extends SparkSuite {
       } finally rm(ckpt)
     }
   }
+
+  test("accounting window is bounded: eviction keeps the total, replay-in-window still overwrites") {
+    withStub { stub =>
+      stub.rejectIds.add("1"); stub.rejectIds.add("2"); stub.rejectIds.add("3")
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val sink = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+        retainBatches = 2)
+      implicit val sqlCtx = spark.sqlContext
+      def batchOf(id: Long) =
+        Seq((id, Seq("rejected"))).toDF("doc_id", "annotations")
+      sink.processBatch(batchOf(1L), 0L)
+      sink.processBatch(batchOf(2L), 1L)
+      sink.processBatch(batchOf(3L), 2L)
+      // batch 0 evicted from the window, never from the total
+      assert(sink.failedByBatchId == Map(1L -> 1L, 2L -> 1L))
+      assert(sink.failedTotal == 3L)
+      // a replay of the NEWEST batch (the only batch Spark ever replays)
+      // overwrites in place: total stays single-counted
+      sink.processBatch(batchOf(3L), 2L)
+      assert(sink.failedByBatchId == Map(1L -> 1L, 2L -> 1L))
+      assert(sink.failedTotal == 3L)
+    }
+  }
 }

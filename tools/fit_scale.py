@@ -4,8 +4,8 @@
 Usage: fit_scale.py LABEL=bench_full.json [LABEL=... ...]
 
 Each file is a graft.Bench verbose line (target/bench_full.json). LABEL is
-`<relative_size>:<name>` — e.g. 1=..., 10=..., 100=..., 1000=... — sizes
-relative to the smallest run. For every query present in all runs, prints
+`<relative_size>:<name>` — e.g. 1:sf0.001=a.json 10:sf0.01=b.json
+100:sf0.1=c.json — sizes relative to the smallest run. For every query present in all runs, prints
 the per-decade exponent e = log(t2/t1)/log(s2/s1) between consecutive
 sizes, and the top-decade exponent (the one the 100 TB claim rests on:
 small-SF decades are floor-dominated by fixed per-query overhead).
