@@ -58,25 +58,32 @@ class EsUpsertSink(
   // an unbounded batchId → count map would grow one entry per trigger
   // forever on a perpetual stream (millions of boxed pairs per week at
   // sub-second triggers). Eviction is safe for the replay-overwrite
-  // contract because Spark only ever replays the NEWEST batch (the one
-  // whose checkpoint commit is missing) — a batchId can never reappear
-  // after `retainBatches` newer ones have committed.
-  private val failed =
-    new java.util.concurrent.ConcurrentSkipListMap[java.lang.Long, java.lang.Long]()
-  private val total = new java.util.concurrent.atomic.AtomicLong(0L)
+  // contract because Spark only ever replays the NEWEST batch of a
+  // checkpoint lineage (the one whose commit is missing) — a batchId can
+  // never reappear after `retainBatches` newer ones have committed.
+  // Plain TreeMap under ONE lock, not concurrent structures: the
+  // put + total-adjust + evict sequence must be atomic (two queries
+  // sharing a sink could otherwise drift `failedTotal` away from any
+  // consistent batch view), and TreeMap.size() is O(1) where a skip
+  // list's is an O(window) traversal per trigger. The bulk POST itself
+  // stays OUTSIDE the lock.
+  private[this] val lock = new Object
+  private[this] val failed = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+  private[this] var totalFailed = 0L // guarded by lock
 
   /** Failed-item counts for the most recent `retainBatches` batches
     * (batchId → failures), replay-stable inside the window.
     */
-  def failedByBatchId: Map[Long, Long] =
+  def failedByBatchId: Map[Long, Long] = lock.synchronized {
     failed.asScala.map { case (k, v) => (k.longValue, v.longValue) }.toMap
+  }
 
   /** Total failed docs across ALL triggers seen by this sink instance —
     * replayed batches count once (the reference's end-of-run
     * `docs_failed` total, `es_common.py:208-210`). Unlike
     * [[failedByBatchId]] this survives window eviction.
     */
-  def failedTotal: Long = total.get()
+  def failedTotal: Long = lock.synchronized(totalFailed)
 
   /** The foreachBatch body: one scripted-bulk-upsert pass for this
     * micro-batch. Public so a recovery path can be driven directly in
@@ -84,9 +91,20 @@ class EsUpsertSink(
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val n = EsRest.bulkUpsertAnnotations(batch, conf, index, idCol, annCol)
-    val prev = failed.put(batchId, n)
-    total.addAndGet(n - (if (prev == null) 0L else prev.longValue))
-    while (failed.size() > retainBatches) failed.pollFirstEntry()
+    lock.synchronized {
+      // a batchId BELOW the window with no entry of its own means a new
+      // checkpoint lineage (stop → start() against a fresh checkpoint
+      // restarts ids at 0): reset the window, or the new lineage's low
+      // ids would be inserted-then-instantly-evicted and a legitimate
+      // replay of them would double-count the total. Equal-id collisions
+      // ACROSS lineages remain indistinguishable from replays (as before
+      // this window existed) — the overwrite keeps the total sane.
+      if (!failed.isEmpty && batchId < failed.firstKey && !failed.containsKey(batchId))
+        failed.clear()
+      val prev = failed.put(batchId, n)
+      totalFailed += n - (if (prev == null) 0L else prev.longValue)
+      while (failed.size() > retainBatches) failed.pollFirstEntry()
+    }
   }
 
   /** Start the stream: annotated rows → per-trigger scripted ES upsert.

@@ -143,7 +143,7 @@ class EsStreamingSinkSpec extends SparkSuite {
 
   test("accounting window is bounded: eviction keeps the total, replay-in-window still overwrites") {
     withStub { stub =>
-      stub.rejectIds.add("1"); stub.rejectIds.add("2"); stub.rejectIds.add("3")
+      Seq("1", "2", "3", "4").foreach(stub.rejectIds.add)
       val conf = EsConf(stub.url, retryBackoffMs = 5)
       val sink = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
         retainBatches = 2)
@@ -161,6 +161,15 @@ class EsStreamingSinkSpec extends SparkSuite {
       sink.processBatch(batchOf(3L), 2L)
       assert(sink.failedByBatchId == Map(1L -> 1L, 2L -> 1L))
       assert(sink.failedTotal == 3L)
+      // NEW LINEAGE (fresh checkpoint restarts ids at 0): the window
+      // resets so the low id is tracked — and its replay still counts
+      // once instead of being evicted-then-double-counted
+      sink.processBatch(batchOf(4L), 0L)
+      assert(sink.failedByBatchId == Map(0L -> 1L))
+      assert(sink.failedTotal == 4L)
+      sink.processBatch(batchOf(4L), 0L) // replay of the new lineage's batch 0
+      assert(sink.failedByBatchId == Map(0L -> 1L))
+      assert(sink.failedTotal == 4L)
     }
   }
 }
