@@ -62,16 +62,27 @@ object Connectors {
     * `ingester/utils.py:7-14`: HTTP GET each endpoint, 10 s timeout, all
     * must answer). Run at pipeline construction, mirroring the reference's
     * probe-on-construct (`ingester/nlp_service.py:37-38`).
+    *
+    * Fidelity note: the reference's `requests.get` does NOT raise on HTTP
+    * error statuses (only `ConnectionError` is caught) — a 404/500/503
+    * answer counts as "available" there, so it does here by default too.
+    * That makes the default probe a CONNECTIVITY check, not a health
+    * check: a dead backend behind a live proxy passes. `strictStatus`
+    * opts into also requiring a non-5xx status (4xx stays "alive": many
+    * services 404 on their root path while healthy).
     */
-  def checkUrlsAvailable(urls: Seq[String], timeoutSec: Long = 10): Boolean = {
+  def checkUrlsAvailable(
+      urls: Seq[String], timeoutSec: Long = 10,
+      strictStatus: Boolean = false): Boolean = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSec)).build()
     urls.forall { u =>
       try {
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
           .timeout(java.time.Duration.ofSeconds(timeoutSec)).GET().build()
-        client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
-        true
+        val resp =
+          client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+        !strictStatus || resp.statusCode() < 500
       } catch { case _: Exception => false }
     }
   }

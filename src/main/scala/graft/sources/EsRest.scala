@@ -242,8 +242,15 @@ object EsRest {
     */
   def readSliced(
       spark: SparkSession, conf: EsConf, index: String,
-      slices: Int, pageSize: Int = 1000): DataFrame = {
+      slices: Int, pageSize: Int = 1000,
+      scrollKeepAlive: String = "5m"): DataFrame = {
     require(slices > 0 && pageSize > 0, "need slices > 0 and pageSize > 0")
+    // keep-alive is per PAGE GAP, not per scan: pages are pulled lazily by
+    // the downstream plan, so a heavy stage that stalls the iterator longer
+    // than this between pulls expires the server-side context and fails the
+    // task deterministically on every retry. 5m default (not ES's 1m
+    // convention) buys slack for shuffle/sink stalls; size it to the
+    // slowest consumer stage, not the scan itself.
     import spark.implicits._
     spark.range(0, slices, 1, numPartitions = slices)
       .mapPartitions { sliceIds =>
@@ -251,7 +258,8 @@ object EsRest {
         sliceIds.flatMap { sliceId =>
           val sliceClause =
             if (slices == 1) "" else s""""slice":{"id":$sliceId,"max":$slices},"""
-          val first = requestRetrying(conf, "POST", s"/$index/_search?scroll=1m",
+          val first = requestRetrying(conf, "POST",
+            s"/$index/_search?scroll=$scrollKeepAlive",
             Some(s"""{$sliceClause"size":$pageSize,"query":{"match_all":{}}}"""))
           require(first._1 == 200, s"search slice $sliceId failed: ${first._2}")
           Iterator.unfold(Option(first._2)) {
@@ -287,7 +295,7 @@ object EsRest {
                     // reference's driver-side scan likewise raises on a
                     // lost scroll rather than returning partial data).
                     val r = requestRetrying(conf, "POST", "/_search/scroll",
-                      Some(s"""{"scroll":"1m","scroll_id":${JsonUtil.quote(sid)}}"""))
+                      Some(s"""{"scroll":"$scrollKeepAlive","scroll_id":${JsonUtil.quote(sid)}}"""))
                     if (r._1 == 404)
                       throw new IllegalStateException(
                         s"scroll context expired mid-read on slice $sliceId " +

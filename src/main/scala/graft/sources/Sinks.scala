@@ -355,7 +355,15 @@ object Sinks {
              existing: Option[DataFrame]): Unit = {
     val merged = existing match {
       case Some(old) =>
-        old.join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        // NULL-SAFE key match (<=>): a plain equi-anti-join never matches
+        // null keys, so a replayed batch carrying a null-key row would
+        // re-append it every replay — one duplicate per crash, breaking
+        // the idempotence contract the streaming exactly-once argument
+        // rests on. Under <=> all null-key rows form one logical key:
+        // a batch containing any null-key row replaces the store's
+        // null-key rows wholesale, and merging twice converges.
+        val keys = batch.select(col(keyCol).as("__upsert_k")).distinct()
+        old.join(keys, col(keyCol) <=> col("__upsert_k"), "left_anti")
           .unionByName(batch)
       case None => batch
     }
@@ -426,6 +434,17 @@ object Sinks {
       clusterCol: Option[String] = None): (Int, Int) = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal crashed per-partition swaps FIRST: a compact() that died between
+    // replaceWith's two renames leaves the partition hidden as
+    // `.col=value__old` with the visible dir gone — the listing below
+    // would skip it (dot-prefixed), this method would never revisit it,
+    // and the partition would stay invisible to every reader forever
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(".") && n.endsWith("__old"))
+        healCrashedSwap(fs,
+          new Path(p, n.stripPrefix(".").stripSuffix("__old")))
+    }
     val parts = fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
       // mirror Spark's hidden-path rule (shouldFilterOutPathName): dots are
@@ -436,6 +455,19 @@ object Sinks {
     }
     require(parts.nonEmpty,
       s"$root has no col=value partition directories — use compact() for flat sinks")
+    // refuse batch stores: their partitions carry graft side files (the
+    // compaction manifest / commit marker) that a spark.read-and-rewrite
+    // would silently strip — voiding the time-travel horizon throw and, on
+    // a no-_SUCCESS cluster, making requireCommitted readers reject
+    // healthy data. Batch stores have their own compactBatchStore.
+    parts.foreach { st =>
+      require(
+        !fs.exists(new Path(st.getPath, ManifestName)) &&
+          !fs.exists(new Path(st.getPath, CommitMarker)),
+        s"${st.getPath} carries batch-store side files " +
+          s"($ManifestName/$CommitMarker) — use compactBatchStore, not " +
+          "compactPartitioned, on an append-only batch store")
+    }
     // fail fast BEFORE rewriting anything: a nested col=value level would
     // otherwise abort midway with half the partitions rewritten
     parts.foreach { st =>
@@ -628,7 +660,13 @@ object Sinks {
           "commit marker (_graft_committed or _SUCCESS): refusing to " +
           "treat a marker-less store as empty")
     }
-    val crossing = dirs.filter { case (id, dir) =>
+    // horizon check over ALL live partitions, not just commit-filtered
+    // ones: a manifest-bearing merged partition is committed in fact (the
+    // marker lands in the staged dir BEFORE publish; pre-marker-era stores
+    // may simply lack both markers on a no-_SUCCESS cluster), and skipping
+    // it here would let a below-horizon time travel return a silently
+    // short/empty snapshot instead of the promised throw
+    val crossing = live.filter { case (id, dir) =>
       id > upToBatch && {
         val m = new Path(dir, ManifestName)
         fs.exists(m) && {
@@ -681,7 +719,6 @@ object Sinks {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val eligible = liveBatchDirs(fs, root).filter(_._1 < upToBatch)
     if (eligible.size < 2) return 0
-    val targetId = eligible.last._1
     val target = eligible.last._2
     val tmp = new Path(root, ".compact__tmp")
     spark.read.parquet(eligible.map(_._2.toString): _*)
@@ -741,14 +778,37 @@ object Sinks {
     liveBatchDirs(fs, root)
     val entries = fs.listStatus(root)
     val flat = entries.filter(e => e.isFile && !e.getPath.getName.startsWith("_"))
-    if (flat.isEmpty || entries.exists(e => e.isDirectory && batchDirId(e.getPath.getName).isDefined))
+    // flat files REMAINING counts as unfinished work even when batch dirs
+    // already exist: a crash mid-migration leaves some part files moved
+    // and some at the root, and an "already partitioned" early-return
+    // would orphan the root leftovers forever (readBatchStore only unions
+    // batch=* dirs) — silently losing that slice of admission history.
+    // Resuming the renames into the SAME target partition is idempotent.
+    if (flat.isEmpty) {
+      // heal a crash between the migration's final rename and its marker
+      // write: a batch partition at a NEGATIVE (reserved) id can only come
+      // from a completed migration of a complete flat store —
+      // appendBatchPartition refuses ids < 0 — so stamping a missing
+      // marker there is always safe
+      val dst0 = new Path(root, s"batch=$asBatchId")
+      if (asBatchId < 0 && fs.exists(dst0) &&
+          !fs.exists(new Path(dst0, CommitMarker)) &&
+          !fs.exists(new Path(dst0, "_SUCCESS")))
+        fs.create(new Path(dst0, CommitMarker), true).close()
       return false
+    }
     val dst = new Path(root, s"batch=$asBatchId")
     fs.mkdirs(dst)
     entries.filter(_.isFile).foreach { e =>
       if (!fs.rename(e.getPath, new Path(dst, e.getPath.getName)))
         throw new java.io.IOException(s"failed to migrate ${e.getPath} into $dst")
     }
+    // the flat store was a COMPLETE store (its writer finished before the
+    // layout existed), so the migrated partition is committed by
+    // construction — stamp the marker AFTER the last rename so
+    // requireCommitted readers accept it and a mid-migration crash leaves
+    // the partition invisible to them until the resume completes
+    fs.create(new Path(dst, CommitMarker), true).close()
     true
   }
 
@@ -769,13 +829,29 @@ object Sinks {
         val oldR = old.withColumnRenamed(arrayCol, "__old_arr")
         val newR = batch.withColumnRenamed(arrayCol, "__new_arr")
         val otherCols = batch.columns.filter(c => c != keyCol && c != arrayCol)
-        oldR.join(newR, Seq(keyCol), "full_outer")
+        // per-key array merge is defined for NON-NULL keys only: a plain
+        // full_outer never matches null keys, so a replayed null-key row
+        // used to re-append every replay (duplicate per crash). Null keys
+        // cannot be addressed for update — the live K5 path's null-id
+        // guard refuses them outright — so they follow [[upsert]]'s
+        // convergence rule instead: a batch carrying any null-key row
+        // replaces the store's null-key rows wholesale.
+        val mergedNN = oldR.filter(col(keyCol).isNotNull)
+          .join(newR.filter(col(keyCol).isNotNull), Seq(keyCol), "full_outer")
           .select(
             col(keyCol) +:
               otherCols.map(c => coalesce(newR(c), oldR(c)).as(c)) :+
               graft.operators.AnnotationPipeline
                 .mergeAnnotationArrays(col("__old_arr"), col("__new_arr"))
                 .as(arrayCol): _*)
+        val newNullKey = newR.filter(col(keyCol).isNull)
+          .select(col(keyCol).as("__mk")).distinct() // 0 or 1 row
+        val oldNullKept = oldR.filter(col(keyCol).isNull)
+          .join(newNullKey, col(keyCol) <=> col("__mk"), "left_anti")
+          .withColumnRenamed("__old_arr", arrayCol)
+        val newNullRows = newR.filter(col(keyCol).isNull)
+          .withColumnRenamed("__new_arr", arrayCol)
+        mergedNN.unionByName(oldNullKept).unionByName(newNullRows)
       case None => batch
     }
     replaceWith(spark, merged, path)

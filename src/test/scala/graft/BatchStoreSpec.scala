@@ -148,4 +148,56 @@ class BatchStoreSpec extends SparkSuite {
     assert(Sinks.compactBatchStore(spark, store, upToBatch = 1L) == 2)
     assert(rows(store) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("interrupted migration resumes: leftover flat files land, marker stamped") {
+    val store = mkStore()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(2).write.parquet(store)
+    val fs = fsOf(store)
+    // simulate a crash mid-migration: one part file already moved
+    val dst = new Path(store, "batch=-1")
+    fs.mkdirs(dst)
+    val firstPart = fs.listStatus(new Path(store))
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(fs.rename(firstPart, new Path(dst, firstPart.getName)))
+    // the resume must move the remaining files instead of declaring the
+    // store "already partitioned" and orphaning them
+    assert(Sinks.migrateFlatToBatchStore(spark, store, asBatchId = -1L))
+    assert(rows(store) == Set((1L, "a"), (2L, "b")))
+    assert(fs.exists(new Path(dst, Sinks.CommitMarker)),
+      "migrated partition must be stamped committed")
+    // crash between last rename and marker write: the follow-up call heals
+    assert(fs.delete(new Path(dst, Sinks.CommitMarker), false))
+    assert(fs.delete(new Path(dst, "_SUCCESS"), false))
+    assert(!Sinks.migrateFlatToBatchStore(spark, store, asBatchId = -1L))
+    assert(fs.exists(new Path(dst, Sinks.CommitMarker)),
+      "marker-crash heal must re-stamp the reserved migrated partition")
+  }
+
+  test("horizon check sees marker-less merged partitions: sub-horizon read throws, never short") {
+    val store = mkStore()
+    (0 to 2).foreach { b =>
+      Sinks.appendBatchPartition(spark,
+        Seq((b.toLong, s"v$b")).toDF("id", "v"), store, b.toLong)
+    }
+    assert(Sinks.compactBatchStore(spark, store, upToBatch = 3L) == 3)
+    // pre-marker-era compacted store on a no-_SUCCESS cluster: the merged
+    // partition carries a manifest but NO marker of either kind
+    val fs = fsOf(store)
+    val merged = fs.listStatus(new Path(store))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).head
+    fs.delete(new Path(merged, Sinks.CommitMarker), false)
+    fs.delete(new Path(merged, "_SUCCESS"), false)
+    // a later COMMITTED append keeps the commit-filtered view non-empty —
+    // the lone-partition guard must not be what saves this read
+    Sinks.appendBatchPartition(spark,
+      Seq((3L, "v3")).toDF("id", "v"), store, 3L)
+    // a requireCommitted time travel BELOW the horizon must still see the
+    // marker-less merged partition's manifest and throw — not skip it in
+    // the commit filter and return a silently short/empty snapshot
+    val e = intercept[IllegalStateException] {
+      Sinks.readBatchStoreAsOf(spark, store, upToBatch = 0L, requireCommitted = true)
+    }
+    assert(e.getMessage.contains("compaction horizon"), e.getMessage)
+  }
 }

@@ -119,4 +119,36 @@ class SinksLayoutSpec extends SparkSuite {
       Sinks.compactPartitioned(spark, nested, Long.MaxValue))
     assert(e.getMessage.contains("single-level"))
   }
+
+  test("compactPartitioned heals a crashed partition swap instead of orphaning it") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cheal").toString + "/sink"
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag").repartition(4)
+    Sinks.writePartitioned(src, out, "l_returnflag")
+    val rows = src.count()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate compact() dying between replaceWith's two renames: the
+    // partition survives ONLY as the hidden .name__old aside copy
+    val part = new java.io.File(out).listFiles.filter(_.getName.contains("=")).head
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(part.toString),
+      new org.apache.hadoop.fs.Path(out, "." + part.getName + "__old")))
+    assert(spark.read.parquet(out).count() < rows,
+      "fixture: the crashed partition must be invisible to readers")
+    // maintenance must restore it before compacting — not skip it forever
+    Sinks.compactPartitioned(spark, out, Long.MaxValue)
+    assert(spark.read.parquet(out).count() == rows,
+      "crashed swap partition lost after maintenance")
+  }
+
+  test("compactPartitioned refuses a batch store whose side files it would strip") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_cbatch").toString + "/store"
+    Sinks.appendBatchPartition(spark,
+      Seq((1L, "a")).toDF("id", "v"), store, 0L)
+    val e = intercept[IllegalArgumentException](
+      Sinks.compactPartitioned(spark, store, Long.MaxValue))
+    assert(e.getMessage.contains("compactBatchStore"), e.getMessage)
+  }
 }

@@ -226,6 +226,29 @@ class StreamingSpec extends SparkSuite {
     assert(got("doc_2") == Seq((0L, "hash")))
   }
 
+  test("upsert and nested upsert converge under replay with NULL keys") {
+    // a plain equi-join never matches null keys, so a replayed batch
+    // carrying a null-key row used to append one duplicate per replay —
+    // breaking the idempotence the streaming exactly-once argument needs
+    val batch = Seq(
+      (Option("doc_1"), Seq("join")),
+      (Option.empty[String], Seq("orphan"))).toDF("key", "annotations")
+    val flat = Files.createTempDirectory("nullkey_flat").toString + "/sink"
+    Sinks.upsert(spark, batch, flat, "key")
+    Sinks.upsert(spark, batch, flat, "key") // replay of the same batch
+    val flatRows = spark.read.parquet(flat)
+      .as[(Option[String], Seq[String])].collect().toSet
+    assert(flatRows == Set((Some("doc_1"), Seq("join")), (None, Seq("orphan"))),
+      s"replay duplicated rows: $flatRows")
+    val nested = Files.createTempDirectory("nullkey_nested").toString + "/sink"
+    Sinks.upsertMergeArrays(spark, batch, nested, "key", "annotations")
+    Sinks.upsertMergeArrays(spark, batch, nested, "key", "annotations")
+    val nestedRows = spark.read.parquet(nested)
+      .as[(Option[String], Seq[String])].collect().toSet
+    assert(nestedRows == Set((Some("doc_1"), Seq("join")), (None, Seq("orphan"))),
+      s"nested replay must converge: $nestedRows")
+  }
+
   test("AvailableNow file-stream pipeline drains a parquet directory once (B1 catch-up)") {
     val srcDir = Files.createTempDirectory("docsrc").toString
     val sinkDir = Files.createTempDirectory("docsink").toString + "/out"
