@@ -78,13 +78,31 @@ object Corpus {
     * before the first shuffle.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TermScores(docs, idCol, textCol, queryTerms, k1, b)
+      .groupBy(col("__id").as("doc_id"))
+      .agg(sum("score").as("bm25"))
+
+  /** Shared scoring core of [[bm25]] and [[conjunctiveSearch]]: one row per
+    * (doc `__id`, matched query term) carrying `score` — the two operators
+    * differ only in the final doc-level aggregate (sum vs sum + AND-gate),
+    * and a duplicated pipeline here is exactly how a formula fix misses one
+    * of them.
+    */
+  private def bm25TermScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double): DataFrame = {
     val toks = tokenRows(docs, idCol, textCol)
     val qt = array(queryTerms.map(lit): _*)
-    // corpus scalars in ONE single-row aggregate (no second corpus pass)
+    // corpus scalars in ONE single-row aggregate (no second corpus pass).
+    // avgdl averages over docs with tokenizable text — size(tokens(NULL))
+    // is -1, which would skew avgdl DOWN per null doc; dropping the null
+    // (avg ignores nulls) matches the oracle's `avg(len(tk))`, where
+    // len(NULL) is NULL.
+    val tk = TextFunctions.tokens(col(textCol))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
-      avg(size(TextFunctions.tokens(col(textCol))).cast("double")).as("avgdl"))
+      avg(when(tk.isNotNull, size(tk)).cast("double")).as("avgdl"))
     // checkpoint + groupBy/join for df, same skew rationale as tfidf (a
     // query term CAN be a hot term — pruning to the query bag bounds the
     // vocabulary, not the posting-list length)
@@ -100,8 +118,6 @@ object Corpus {
       .withColumn("score",
         col("idf") * (col("cnt") * (lit(k1) + 1)) /
           (col("cnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("avgdl"))))
-      .groupBy(col("__id").as("doc_id"))
-      .agg(sum("score").as("bm25"))
   }
 
   /** Conjunctive (AND) retrieval with BM25 ranking: documents containing
@@ -119,23 +135,7 @@ object Corpus {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       s"query terms must be non-empty and distinct: $queryTerms")
-    val toks = tokenRows(docs, idCol, textCol)
-    val qt = array(queryTerms.map(lit): _*)
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      avg(size(TextFunctions.tokens(col(textCol))).cast("double")).as("avgdl"))
-    val tf = toks.filter(array_contains(qt, col("tok")))
-      .groupBy("__id", "tok")
-      .agg(count(lit(1)).as("cnt"), max(col("dlen")).as("dlen"))
-      .transform(Stage.snapshotDF)
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "tok")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("score",
-        col("idf") * (col("cnt") * (lit(k1) + 1)) /
-          (col("cnt") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("avgdl"))))
+    bm25TermScores(docs, idCol, textCol, queryTerms, k1, b)
       .groupBy(col("__id").as("doc_id"))
       .agg(sum("score").as("bm25"), count(lit(1)).as("__matched"))
       .filter(col("__matched") === queryTerms.size)
@@ -408,11 +408,16 @@ object Corpus {
     * on the stratum key, the same partitioning the downstream per-stratum
     * aggregate reuses.
     */
-  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String, rate: Int): DataFrame =
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String, rate: Int): DataFrame = {
+    // rate = 0 would make `% 0` NULL under non-ANSI semantics and the
+    // filter would silently drop EVERY row — a computed rate that rounds
+    // to zero must fail loudly, not hand back an empty eval set
+    require(rate >= 1, s"need rate >= 1, got $rate")
     df.withColumn("__rn",
         row_number().over(Window.partitionBy(col(strataCol)).orderBy(col(idCol))))
       .filter((col("__rn") - 1) % rate === 0)
       .drop("__rn")
+  }
 
   /** Context-window sequence packing: assign documents, in `idCol` order
     * within each `partCol` shard, to fixed token-budget bins by cumulative
@@ -425,8 +430,13 @@ object Corpus {
                     textCol: String, budget: Int): DataFrame = {
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-text docs occupy 0 tokens, not size()'s -1 sentinel — an
+    // unguarded -1 would DECREASE the running cumsum and shift every
+    // later doc's bin in the shard (the pmiCollocations guard)
+    val tk = TextFunctions.tokens(col(textCol))
     docs
-      .withColumn("__ntok", size(TextFunctions.tokens(col(textCol))).cast("long"))
+      .withColumn("__ntok",
+        when(tk.isNotNull, size(tk)).otherwise(0).cast("long"))
       .withColumn("__before", coalesce(sum(col("__ntok")).over(w), lit(0L)))
       .withColumn("bin", (col("__before") / budget).cast("long"))
   }
@@ -870,17 +880,29 @@ object Corpus {
       .select(col("word"), col("wc"), (col("pos0") + 1).cast("long").as("pos"), col("sym"))
       .transform(Stage.snapshotDF)
     val curve = Seq.newBuilder[(Int, String, Long, Long)]
-    for (r <- 1 to merges) {
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
       val top = rows
         .withColumn("nxt", lead("sym", 1).over(w))
         .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
         .groupBy("sym", "nxt").agg(sum("wc").as("n"))
         .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
-        .limit(1).head()
-      val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      rows = bpeApply(rows, x, y).transform(Stage.snapshotDF)
-      val tokensAfter = rows.agg(sum("wc")).head().getLong(0)
-      curve += ((r, s"$x+$y", n, tokensAfter))
+        .limit(1).collect().headOption
+      top match {
+        case None =>
+          // vocabulary exhausted before `merges` rounds (every word is one
+          // symbol, or only x=x adjacencies remain): the learned table is
+          // simply shorter — a hard head() here crashed on 1-char-word
+          // corpora instead of returning the complete merge table
+          exhausted = true
+        case Some(t) =>
+          val (x, y, n) = (t.getString(0), t.getString(1), t.getLong(2))
+          rows = bpeApply(rows, x, y).transform(Stage.snapshotDF)
+          val tokensAfter = rows.agg(sum("wc")).head().getLong(0)
+          curve += ((r, s"$x+$y", n, tokensAfter))
+          r += 1
+      }
     }
     (rows, curve.result())
   }
@@ -1183,7 +1205,11 @@ object Corpus {
     val uni = base
       .select(explode_outer(col("tk")).as("tok")).filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("cu"))
-    val tot = base.agg(sum(size(col("tk"))).as("t"))
+    // null-text docs contribute 0 tokens to T, not size()'s -1 (the same
+    // guard pmiCollocations documents — an unguarded sum undercounts T by
+    // 1 per null doc and inflates every unigram backoff probability)
+    val tot = base.agg(
+      sum(when(col("tk").isNotNull, size(col("tk"))).otherwise(0)).as("t"))
     // sequence(1, 0) DESCENDS in Spark (never empty) — guard short docs
     // explicitly or element_at walks off the array under ANSI mode
     val docBg = base

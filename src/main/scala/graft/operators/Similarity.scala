@@ -559,7 +559,33 @@ object Similarity {
     * non-negative projection; each projection is one fused dot-product
     * kernel call, all map-side.
     */
+  /** Shared prelude of [[knnJoinLsh]] and [[dbscan]]: deterministic LSH
+    * bucketing → bucket cap → snapshot, projected as the two sides of the
+    * in-bucket self-join. The snapshot barrier is load-bearing — the
+    * bucketed+capped relation feeds BOTH sides, and without it the scan +
+    * bucketing kernels execute once per consumer (measured 3 scans; with
+    * it, one). One definition so the capping/observability contract cannot
+    * drift between the two operators.
+    */
+  private def bucketedSelfJoinSides(
+      embeddings: DataFrame, numPlanes: Int, dim: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame, DataFrame) = {
+    val b = Dedup.capBuckets(
+      lshBucketsDeterministic(embeddings, numPlanes, dim)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
+          col("lsh_bucket")),
+      "lsh_bucket", maxBucketSize)
+      .transform(Stage.snapshotDF)
+    (b,
+      b.select(col("lsh_bucket"), col("vec_id").as("anchor"), col("v").as("va")),
+      b.select(col("lsh_bucket"), col("vec_id").as("neighbor"), col("v").as("vn")))
+  }
+
   def lshBucketsDeterministic(embeddings: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+    // same bound as lshBucketsHashed: at i = 63 the sign bit turns bucket
+    // sums negative and at i >= 64 the JVM shift WRAPS (1L << 64 == 1), so
+    // distinct planes would silently alias the same bucket bit
+    require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes in [1,62]: $numPlanes")
     val planes: Seq[Seq[Double]] = (0 until numPlanes).map { i =>
       (0 until dim).map(j => (((i * 37 + j * 17) % 13) - 6).toDouble)
     }
@@ -628,17 +654,7 @@ object Similarity {
       k: Int,
       maxBucketSize: Int = 1000): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    // snapshot: the bucketed+capped relation feeds BOTH self-join sides —
-    // without the barrier the scan + 8 bucketing kernels execute once per
-    // consumer (measured 3 scans; with it, one)
-    val b = Dedup.capBuckets(
-      lshBucketsDeterministic(embeddings, numPlanes, dim)
-        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
-          col("lsh_bucket")),
-      "lsh_bucket", maxBucketSize)
-      .transform(Stage.snapshotDF)
-    val a = b.select(col("lsh_bucket"), col("vec_id").as("anchor"), col("v").as("va"))
-    val n = b.select(col("lsh_bucket"), col("vec_id").as("neighbor"), col("v").as("vn"))
+    val (_, a, n) = bucketedSelfJoinSides(embeddings, numPlanes, dim, maxBucketSize)
     a.join(n, Seq("lsh_bucket"))
       .filter(col("anchor") =!= col("neighbor"))
       .withColumn("sim", round(cosine(col("va"), col("vn")), 4))
@@ -740,14 +756,7 @@ object Similarity {
       minPts: Int,
       maxBucketSize: Int = 1000): DataFrame = {
     require(minPts >= 1, s"need minPts >= 1, got $minPts")
-    val b = Dedup.capBuckets(
-      lshBucketsDeterministic(embeddings, numPlanes, dim)
-        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
-          col("lsh_bucket")),
-      "lsh_bucket", maxBucketSize)
-      .transform(Stage.snapshotDF)
-    val a = b.select(col("lsh_bucket"), col("vec_id").as("anchor"), col("v").as("va"))
-    val n = b.select(col("lsh_bucket"), col("vec_id").as("neighbor"), col("v").as("vn"))
+    val (b, a, n) = bucketedSelfJoinSides(embeddings, numPlanes, dim, maxBucketSize)
     // both directions of every ε-pair — the self-join emits (a,b) and (b,a)
     val pairs = a.join(n, Seq("lsh_bucket"))
       .filter(col("anchor") =!= col("neighbor"))
@@ -884,21 +893,33 @@ object Similarity {
     * raw vectors serve only an optional exact re-rank of the short list.
     * Output `adc` ascending (smaller = closer), rounded to 4.
     */
+  /** Shared ADC core of [[pqTopK]], [[pqTopKRefined]] and [[ivfPqTopK]]:
+    * codebook geometry (m subspaces × subDim dims), the query-side
+    * (subspace, codeword) → rounded-squared-distance LUT, and the summed
+    * ADC expression over a raw-vector column. ONE definition so the
+    * rounding / LUT-keying contract cannot drift between the plain,
+    * refined, and IVF variants.
+    */
+  private def pqAdcExpr(
+      codebook: Array[(Int, Int, Seq[Double])],
+      query: Seq[Double])(v: Column): Column = {
+    val m = codebook.map(_._1).max + 1
+    val subDim = query.length / m
+    val lut: Map[(Int, Int), Double] = codebook.map { case (s, cw, cv) =>
+      (s, cw) -> sqDistRounded(query.slice(s * subDim, (s + 1) * subDim), cv)
+    }.toMap
+    (0 until m)
+      .map(s => pqScored(v, codebook, s, subDim, Some(cw => lut((s, cw)))).getField("qd"))
+      .reduce(_ + _)
+  }
+
   def pqTopK(
       embeddings: DataFrame,
       codebook: Array[(Int, Int, Seq[Double])],
       query: Seq[Double],
       k: Int,
       excludeVecId: Option[Long] = None): DataFrame = {
-    val m = codebook.map(_._1).max + 1
-    val subDim = query.length / m
-    val lut: Map[(Int, Int), Double] = codebook.map { case (s, cw, cv) =>
-      (s, cw) -> sqDistRounded(query.slice(s * subDim, (s + 1) * subDim), cv)
-    }.toMap
-    val v = toDoubleArray(col("embedding"))
-    val adc = (0 until m)
-      .map(s => pqScored(v, codebook, s, subDim, Some(cw => lut((s, cw)))).getField("qd"))
-      .reduce(_ + _)
+    val adc = pqAdcExpr(codebook, query)(toDoubleArray(col("embedding")))
     val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
     base
       .withColumn("__adc", adc)
@@ -925,15 +946,8 @@ object Similarity {
       shortlist: Int,
       excludeVecId: Option[Long] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val m = codebook.map(_._1).max + 1
-    val subDim = query.length / m
-    val lut: Map[(Int, Int), Double] = codebook.map { case (s, cw, cv) =>
-      (s, cw) -> sqDistRounded(query.slice(s * subDim, (s + 1) * subDim), cv)
-    }.toMap
     val v = toDoubleArray(col("embedding"))
-    val adc = (0 until m)
-      .map(s => pqScored(v, codebook, s, subDim, Some(cw => lut((s, cw)))).getField("qd"))
-      .reduce(_ + _)
+    val adc = pqAdcExpr(codebook, query)(v)
     val base = excludeVecId.fold(embeddings)(id => embeddings.filter(col("vec_id") =!= id))
     val q = array(query.map(lit): _*)
     base
@@ -968,17 +982,10 @@ object Similarity {
       excludeVecId: Option[Long] = None): DataFrame = {
     val probeIds = cents.map { case (cid, v) => (cid, cosSeq(v, query)) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSet
-    val m = codebook.map(_._1).max + 1
-    val subDim = query.length / m
-    val lut: Map[(Int, Int), Double] = codebook.map { case (s, cw, cv) =>
-      (s, cw) -> sqDistRounded(query.slice(s * subDim, (s + 1) * subDim), cv)
-    }.toMap
     val probed = ivfAssign(embeddings, cents)
       .filter(col("centroid_id").isin(probeIds.toSeq: _*))
     val base = excludeVecId.fold(probed)(id => probed.filter(col("vec_id") =!= id))
-    val adc = (0 until m)
-      .map(s => pqScored(col("__v"), codebook, s, subDim, Some(cw => lut((s, cw)))).getField("qd"))
-      .reduce(_ + _)
+    val adc = pqAdcExpr(codebook, query)(col("__v"))
     base
       .withColumn("__adc", adc)
       .orderBy(col("__adc").asc, col("vec_id").asc)
@@ -1160,17 +1167,25 @@ object Similarity {
             }
             j += 1
           }
-          used(bj) = true; nUsed += 1
-          rows += ((aid, rank, pool(bj)._1, bestScore))
-          j = 0
-          while (j < pool.length) {
-            if (!used(j)) {
-              val d = duckRound6(cosSeq(pool(j)._3, pool(bj)._3))
-              if (d > maxDiv(j)) maxDiv(j) = d
+          // every remaining candidate can be NaN-scored (a zero-norm
+          // embedding's cosine is 0/0 = NaN, which fails both > and ==):
+          // such candidates are UNSELECTABLE — stop emitting ranks instead
+          // of executing used(-1) and crashing the task
+          if (bj < 0) {
+            rank = kk + 1
+          } else {
+            used(bj) = true; nUsed += 1
+            rows += ((aid, rank, pool(bj)._1, bestScore))
+            j = 0
+            while (j < pool.length) {
+              if (!used(j)) {
+                val d = duckRound6(cosSeq(pool(j)._3, pool(bj)._3))
+                if (d > maxDiv(j)) maxDiv(j) = d
+              }
+              j += 1
             }
-            j += 1
+            rank += 1
           }
-          rank += 1
         }
         rows.iterator
       }

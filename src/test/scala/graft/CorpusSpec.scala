@@ -759,4 +759,61 @@ class CorpusSpec extends SparkSuite {
       .count()
     assert(floored == 0L, "all edges under the floor must vanish")
   }
+
+  test("null-text guards: bm25 avgdl excludes nulls; packSequences/bigram CE treat null as 0 tokens") {
+    import spark.implicits._
+    // size(tokens(NULL)) is -1 in this config — each operator must not let
+    // the sentinel leak into its corpus statistics
+    val docs = Seq(
+      (1L, Option("a a")), (2L, Option("a")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    // hand-computed with n_docs = 3 (nulls count) and avgdl = 1.5 (nulls
+    // EXCLUDED, the oracle's avg(len) semantics) — an unguarded avg would
+    // give (2 + 1 - 1)/3 = 0.667 and shift both scores
+    val got = Corpus.bm25(docs, "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.590862) < 1e-5, s"d1: ${got(1L)}")
+    assert(math.abs(got(2L) - 0.544215) < 1e-5, s"d2: ${got(2L)}")
+    // packSequences: a null-text doc occupies 0 tokens — later docs' bins
+    // must match the corpus without it (an unguarded -1 shifts the cumsum)
+    val packDocs = Seq(
+      (1L, Option("w w w")), (2L, Option.empty[String]), (3L, Option("w w w")))
+      .toDF("doc_id", "text").withColumn("shard", lit("s"))
+    val bins = Corpus.packSequences(packDocs, "shard", "doc_id", "text", budget = 6)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins(3L) == 0L, s"null doc shifted a bin boundary: $bins")
+    // bigram CE: the token total must ignore null docs, so per-doc CE is
+    // unchanged by appending one
+    val ceDocs = Seq((1L, Option("x y x y")), (2L, Option("x x y y")))
+      .toDF("doc_id", "text")
+    val withNull = ceDocs.unionByName(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    val ce = Corpus.bigramInterpolatedCE(ceDocs, "doc_id", "text", topN = 20)
+      .select("doc_id", "ce")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ceN = Corpus.bigramInterpolatedCE(withNull, "doc_id", "text", topN = 20)
+      .select("doc_id", "ce")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ce.forall { case (k, v) => math.abs(ceN(k) - v) < 1e-9 },
+      s"null doc perturbed CE: $ce vs $ceN")
+  }
+
+  test("bpeLearn exhaustion: a 1-char-word corpus yields a short merge table, not a crash") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    // round 1 can merge nothing (every word is one symbol): the curve is
+    // empty instead of head() crashing on the empty top-pair pick
+    assert(Corpus.bpeMergeCurve(docs, "text", merges = 3).count() == 0)
+    // and the encode faces survive too
+    assert(Corpus.bpeTokensBySource(
+      docs.withColumn("source", lit("s")), "source", "text", merges = 3)
+      .collect().nonEmpty)
+  }
+
+  test("stratifiedSample requires rate >= 1 instead of silently dropping every row") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "src")
+    intercept[IllegalArgumentException](
+      Corpus.stratifiedSample(df, "src", "id", rate = 0))
+  }
 }

@@ -506,4 +506,25 @@ class SimilaritySpec extends SparkSuite {
     val want = List((1, 2L, 0.666667, 1L, 0.5), (2, 3L, 1.0, 2L, 1.0))
     assert(got == want, s"got $got")
   }
+
+  test("mmrRerank survives zero-norm embeddings (NaN cosine): unselectable, no crash") {
+    import spark.implicits._
+    // vec 9 is the zero vector: its cosine to the anchor is 0/0 = NaN, so
+    // the greedy pick must skip it and stop early instead of used(-1)
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.5f, 0.5f), 0), (9L, Seq(0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(emb, anchorIds = Seq(0L), k = 3, shortlist = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!got.contains(9L), s"zero vector must be unselectable: $got")
+    assert(got.nonEmpty)
+  }
+
+  test("lshBucketsDeterministic rejects numPlanes > 62 (bucket-bit aliasing)") {
+    import spark.implicits._
+    val emb = Seq((0L, Seq(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException](
+      Similarity.lshBucketsDeterministic(emb, numPlanes = 65, dim = 2).count())
+  }
 }
