@@ -96,7 +96,7 @@ case class MgHeavyHitters(
         if (!kExpr.foldable) fail(s"k is not a literal (${kExpr.sql})")
         else kExpr.eval(InternalRow.empty) match {
           case i: Int if i > 0 => TypeCheckResult.TypeCheckSuccess
-          case l: Long if l > 0 => TypeCheckResult.TypeCheckSuccess
+          case l: Long if l > 0 && l <= Int.MaxValue => TypeCheckResult.TypeCheckSuccess
           case other => fail(s"got k = $other")
         }
       case o => fail(s"got item type $o")

@@ -108,7 +108,7 @@ case class WordNgrams(left: Expression, right: Expression, distinct: Boolean)
         if (!kExpr.foldable) fail(s"k is not a literal (${kExpr.sql})")
         else kExpr.eval(InternalRow.empty) match {
           case i: Int if i >= 1 => TypeCheckResult.TypeCheckSuccess
-          case l: Long if l >= 1 => TypeCheckResult.TypeCheckSuccess
+          case l: Long if l >= 1 && l <= Int.MaxValue => TypeCheckResult.TypeCheckSuccess
           case other => fail(s"got k = $other")
         }
       case other => fail(s"got text type $other")

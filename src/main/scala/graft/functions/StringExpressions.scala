@@ -45,11 +45,17 @@ object StringKernels {
     h
   }
 
+  /** Operates on UTF-8 BYTES, not UTF-16 chars: the oracle engine's
+    * `jaro_winkler_similarity` is byte-based (probe: 'a😀' vs 'ab' scores
+    * 0.5667 = the 5-byte read, not the 2-codepoint 0.6667), and [[polyHash]]
+    * next door learned the same lesson with codepoints — the unit of
+    * iteration must match the oracle's or every non-ASCII string diverges.
+    * Identical to the previous char-based walk on ASCII; also skips the
+    * String conversion entirely.
+    */
   def jaroWinkler(aU: UTF8String, bU: UTF8String): Double = {
-    val a = aU.toString
-    val b = bU.toString
-    val la = a.length
-    val lb = b.length
+    val la = aU.numBytes
+    val lb = bU.numBytes
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aMatch = new Array[Boolean](la)
@@ -61,7 +67,7 @@ object StringKernels {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!bMatch(j) && b.charAt(j) == a.charAt(i)) {
+        if (!bMatch(j) && bU.getByte(j) == aU.getByte(i)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -75,7 +81,7 @@ object StringKernels {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) mismatches += 1
+        if (aU.getByte(i) != bU.getByte(k)) mismatches += 1
         k += 1
       }
       i += 1
@@ -86,7 +92,7 @@ object StringKernels {
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(la, lb))
-    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    while (prefix < maxPrefix && aU.getByte(prefix) == bU.getByte(prefix)) prefix += 1
     jaro + 0.1 * prefix * (1.0 - jaro)
   }
 }

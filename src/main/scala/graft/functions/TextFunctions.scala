@@ -19,10 +19,13 @@ object TextFunctions {
     * `.` `_` `-` `+`. Replacement runs before stripping (unlike the
     * reference) so the function is idempotent — a leading space would
     * otherwise become a leading `_` that a second pass strips
-    * (property-tested in PropertySpec).
+    * (property-tested in PropertySpec). Replacement is PER CHARACTER (no
+    * `+` run-collapsing): the reference's chained `str.replace` calls turn
+    * "a  b" into "a__b", and an index name computed here must match one
+    * the reference ingester actually created.
     */
   def normalizeIndexName(c: Column): Column = {
-    val replaced = regexp_replace(lower(c), "[#\\\\/*?\"<>|\\s]+", "_")
+    val replaced = regexp_replace(lower(c), "[#\\\\/*?\"<>|\\s]", "_")
     regexp_replace(regexp_replace(replaced, "^[._+-]+", ""), "[._+-]+$", "")
   }
 
@@ -94,8 +97,13 @@ object TextFunctions {
     * DuckDB oracle).
     */
   def punctRatio(c: Column): Column = {
-    val punct = "\\.,!?;:'\"()-"
     val removed = length(c) - length(translate(c, ".,!?;:'\"()-", ""))
-    when(length(c) > 0, removed.cast("double") / length(c).cast("double")).otherwise(lit(0.0))
+    // NULL text propagates NULL (the when() condition is null → fall to
+    // the null branch, like every other expression here), and only a
+    // genuinely EMPTY string maps to 0.0 — a null-text row must not
+    // masquerade as a punctuation-free document to a quality gate
+    when(c.isNull, lit(null).cast("double"))
+      .when(length(c) > 0, removed.cast("double") / length(c).cast("double"))
+      .otherwise(lit(0.0))
   }
 }

@@ -22,8 +22,15 @@ final class TopKBuffer(val k: Int) {
   val pays = new Array[Long](k)
   var n = 0
 
-  @inline private def weaker(o1: Double, p1: Long, o2: Double, p2: Long): Boolean =
-    o1 < o2 || (o1 == o2 && p1 > p2)
+  // TOTAL order via Double.compare (NaN greatest, -0.0 < 0.0 — Spark's own
+  // sort semantics): primitive < / == both answer false for NaN, so a NaN
+  // admitted while filling could sit at the root, never sift, and block
+  // eviction of genuinely smaller elements — making the result depend on
+  // arrival order
+  @inline private def weaker(o1: Double, p1: Long, o2: Double, p2: Long): Boolean = {
+    val c = java.lang.Double.compare(o1, o2)
+    c < 0 || (c == 0 && p1 > p2)
+  }
 
   private def swap(i: Int, j: Int): Unit = {
     val to = ords(i); ords(i) = ords(j); ords(j) = to
@@ -57,10 +64,16 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  /** Descending (ord desc, payload asc) — rank 1 first. */
+  /** Descending (ord desc, payload asc) — rank 1 first. Same total order
+    * as [[weaker]] (Double.compare), so NaN ranks FIRST, consistent with
+    * the heap's admission rule.
+    */
   def sorted: Array[(Double, Long)] =
     (0 until n).map(i => (ords(i), pays(i))).toArray
-      .sortBy { case (o, p) => (-o, p) }
+      .sortWith { case ((o1, p1), (o2, p2)) =>
+        val c = java.lang.Double.compare(o1, o2)
+        c > 0 || (c == 0 && p1 < p2)
+      }
 }
 
 /** graft_topk(ord double, payload bigint, k) → array<struct<ord,payload>>:
@@ -97,7 +110,9 @@ case class TopKAgg(
         if (!kExpr.foldable) fail(s"k is not a literal (${kExpr.sql})")
         else kExpr.eval(InternalRow.empty) match {
           case i: Int if i > 0 => TypeCheckResult.TypeCheckSuccess
-          case l: Long if l > 0 => TypeCheckResult.TypeCheckSuccess
+          // bound BEFORE the runtime l.toInt: 2^32 truncates to 0 (zero-
+          // length heap → AIOOBE mid-query), 2^31 wraps negative
+          case l: Long if l > 0 && l <= Int.MaxValue => TypeCheckResult.TypeCheckSuccess
           case other => fail(s"got k = $other")
         }
       case (o, p) => fail(s"got ($o, $p)")

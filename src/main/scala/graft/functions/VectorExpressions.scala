@@ -25,9 +25,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorKernels {
 
-  /** cosine(a, b) over numeric ArrayData (float or double elements). */
+  // mismatched lengths FAIL (DuckDB's list_cosine_similarity errors the
+  // same way): a silent min-length prefix similarity looks plausible and
+  // can clear a dedup threshold between unrelated documents — a corrupted
+  // 512-dim row against 768-dim embeddings must surface, not merge
+  private def checkLen(fn: String, a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na != nb)
+      throw new IllegalArgumentException(
+        s"graft $fn: vector lengths differ ($na vs $nb)")
+    na
+  }
+
+  /** cosine(a, b) over numeric ArrayData (float or double elements).
+    * A zero-norm side yields NaN (0/0) by design — callers that rank must
+    * treat NaN as unselectable (see Similarity.mmrRerank).
+    */
   def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen("cosine_sim", a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     if (isFloat) {
@@ -45,7 +60,7 @@ object VectorKernels {
   }
 
   def dot(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen("dot_product", a, b)
     var d = 0.0; var i = 0
     if (isFloat) { while (i < n) { d += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 } }
     else { while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 } }
@@ -53,13 +68,20 @@ object VectorKernels {
   }
 
   /** 64-bit SimHash over an array of string tokens: each token's xxhash64
-    * bit pattern votes ±1 per bit; fingerprint = sign bits.
+    * bit pattern votes ±1 per bit; fingerprint = sign bits. NULL elements
+    * are SKIPPED — without the isNullAt check the vote depended on the
+    * array's physical representation (GenericArrayData hands the hash a
+    * null → seed 42; UnsafeArrayData hands it a zero-length UTF8String),
+    * so the same logical array could fingerprint differently between
+    * interpreted and codegen plans.
     */
   def simhash64(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
+      if (tokens.isNullAt(i)) { i += 1 }
+      else {
       val t = tokens.getUTF8String(i)
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         t, StringType, 42L)
@@ -69,6 +91,7 @@ object VectorKernels {
         b += 1
       }
       i += 1
+      }
     }
     var fp = 0L
     var b = 0

@@ -59,7 +59,8 @@ object BloomAntiJoinRule extends Rule[LogicalPlan] {
     val numBits = graft.functions.BloomSizing.optimalNumBits(expectedItems, fpp)
     plan.transformUp {
       case j @ Join(left, right, LeftAnti, Some(cond), hint)
-          if j.getTagValue(Rerouted).isEmpty && singleEquiKeys(j).isDefined =>
+          if !alreadyRerouted(j) && deterministicPlan(left) &&
+            deterministicPlan(right) && singleEquiKeys(j).isDefined =>
         val (l, r) = singleEquiKeys(j).get
         // prune the build side to the key before the sketch aggregate —
         // the subquery re-executes right's lineage, keep it narrow
@@ -74,6 +75,32 @@ object BloomAntiJoinRule extends Rule[LogicalPlan] {
         Union(Filter(Not(mc), left), inner)
     }
   }
+
+  /** Loop guard: the [[Rerouted]] tag is the fast path, but TreeNodeTags
+    * do NOT survive a case-class `copy` — and rules between this batch's
+    * runs (e.g. InferFiltersFromConstraints) rebuild joins via copy, which
+    * would let the fixed point re-reroute its own inner anti-join (probe
+    * scanned 3×, a second bloom subquery). The STRUCTURAL check — a probe
+    * side already filtered by a bloom membership test — survives any
+    * rebuild. (A user plan hand-built in that exact shape is already
+    * rerouted in the only sense that matters; skipping it is correct.)
+    */
+  private def alreadyRerouted(j: Join): Boolean =
+    j.getTagValue(Rerouted).isDefined || (j.left match {
+      case Filter(c, _) =>
+        c.exists { case _: BloomFilterMightContain => true; case _ => false }
+      case _ => false
+    })
+
+  /** The rewrite executes BOTH inputs twice (probe in two Union branches,
+    * build in the join and the sketch subquery): a non-deterministic
+    * expression anywhere below (rand() filter, uuid() projection) could
+    * emit a row in both branches or neither, breaking the rewritten ≡
+    * plain contract — Spark's own plan-duplicating rewrites guard the
+    * same way.
+    */
+  private def deterministicPlan(p: LogicalPlan): Boolean =
+    p.find(n => n.expressions.exists(e => !e.deterministic)).isEmpty
 
   /** The join shapes we reroute: exactly one `l = r` equality between bare
     * attributes, one from each side. Anything richer (casts, conjunctions,

@@ -183,7 +183,7 @@ object PipelineQueries {
     "q32_split_sink" -> raw"""
       WITH $validDocsCte, $annsCte
       SELECT 'anns-' || regexp_replace(regexp_replace(
-               regexp_replace(lower(source), '[#\\/*?"<>|\s]+', '_', 'g'),
+               regexp_replace(lower(source), '[#\\/*?"<>|\s]', '_', 'g'),
                '^[._+-]+', ''), '[._+-]+$$', '') AS sink_index,
              count(1) AS n
       FROM anns GROUP BY 1 ORDER BY 1""",

@@ -447,7 +447,7 @@ object RelationalQueries {
       GROUP BY 1 ORDER BY 1""",
     "q14_string_norm" -> """
       SELECT regexp_replace(regexp_replace(
-               regexp_replace(lower(p_type), '[#\\/*?"<>|\s]+', '_', 'g'),
+               regexp_replace(lower(p_type), '[#\\/*?"<>|\s]', '_', 'g'),
                '^[._+-]+', ''), '[._+-]+$', '') AS norm_type,
              count(1) AS n
       FROM part GROUP BY 1 ORDER BY 1""",

@@ -90,4 +90,26 @@ class BloomAntiJoinRuleSpec extends SparkSuite {
       spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("non-deterministic probe side is left alone (the rewrite executes it twice)") {
+    withRule {
+      val nd = probe.filter(org.apache.spark.sql.functions.rand(7) < 0.5)
+        .join(build, $"doc_id" === $"pid", "left_anti")
+        .queryExecution.optimizedPlan.toString
+      assert(!nd.contains("might_contain"),
+        s"a rand()-filtered probe must not be duplicated into two Union branches:\n$nd")
+    }
+  }
+
+  test("rule fires exactly once: inner anti-join is never re-rerouted") {
+    val (plan, got) = withRule {
+      val df = probe.join(build, $"doc_id" === $"pid", "left_anti")
+      (df.queryExecution.optimizedPlan.toString, sortedRows(df))
+    }
+    // one reroute = one Union; a tag lost to a join.copy() used to allow a
+    // second reroute of the inner anti-join (nested Union, probe scanned 3x)
+    assert(plan.sliding("Union".length).count(_ == "Union") == 1,
+      s"inner anti-join was re-rerouted:\n$plan")
+    assert(got.nonEmpty)
+  }
 }

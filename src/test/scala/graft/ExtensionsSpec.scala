@@ -82,4 +82,43 @@ class ExtensionsSpec extends SparkSuite {
     assert(a == b)
     assert(a == """{"a":1,"b":2}""")
   }
+
+  test("simhash64 skips null tokens: same fingerprint as the null-free array") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_simhash64(array('join', 'merge')) AS a,
+                graft_simhash64(array('join', CAST(NULL AS STRING), 'merge')) AS b""")
+      .head()
+    // an unguarded walk voted with a representation-dependent hash for the
+    // null element (seed 42 interpreted vs hash("") under codegen)
+    assert(rows.getLong(0) == rows.getLong(1))
+  }
+
+  test("cosine/dot fail loudly on mismatched vector lengths (no prefix similarity)") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d, 0.0d))").collect()
+    }
+    assert(e.getMessage.contains("lengths differ") ||
+      Option(e.getCause).exists(_.getMessage.contains("lengths differ")),
+      s"got: ${e.getMessage}")
+  }
+
+  test("punctRatio propagates NULL text instead of reporting 0.0") {
+    import spark.implicits._
+    val got = Seq(Option("ab."), Option(""), Option.empty[String]).toDF("t")
+      .select(graft.functions.TextFunctions.punctRatio($"t").as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).contains(1.0 / 3.0) && got(1).contains(0.0) && got(2).isEmpty,
+      s"got ${got.toSeq}")
+  }
+
+  test("normalizeIndexName replaces runs per character, like the reference's str.replace") {
+    import spark.implicits._
+    val got = Seq("A  B", "a?*b", " x ").toDF("s")
+      .select(graft.functions.TextFunctions.normalizeIndexName($"s").as("n"))
+      .as[String].collect().toSeq
+    // reference (es_common.py:127-131): each forbidden char becomes its own _
+    assert(got == Seq("a__b", "a__b", "x"), s"got $got")
+  }
 }

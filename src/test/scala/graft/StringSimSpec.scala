@@ -68,4 +68,18 @@ class StringSimSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("string") ||
       e.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("non-BMP strings score byte-for-byte like the oracle engine") {
+    // DuckDB's jaro_winkler_similarity walks UTF-8 BYTES; probed values:
+    //   jaro_winkler_similarity('a\uD83D\uDE00', 'ab') = 0.5666666666666667
+    //   jaro_winkler_similarity('\uD83D\uDE00x', 'x\uD83D\uDE00') = 0.8666666666666667
+    // A UTF-16 char walk scores the first 0.6667 (2 "chars" vs 5 bytes).
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.StringKernels.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("a\uD83D\uDE00", "ab") - 0.5666666666666667) < 1e-12)
+    assert(math.abs(jw("\uD83D\uDE00x", "x\uD83D\uDE00") - 0.8666666666666667) < 1e-12)
+    assert(jw("a\uD83D\uDE00", "a\uD83D\uDE00") == 1.0)
+  }
 }

@@ -25,6 +25,22 @@ class TopKAggSpec extends SparkSuite {
     assert(b.sorted.toSeq == Seq((1.0, 1L), (1.0, 2L)))
   }
 
+  test("NaN ords follow Spark's total order (NaN greatest) and are arrival-order independent") {
+    // primitive </== both answer false for NaN: an unguarded heap let a
+    // NaN admitted early sit at the root and block eviction of smaller
+    // elements, making the kept set depend on arrival order
+    val inputs = Seq((Double.NaN, 1L), (3.0, 2L), (9.0, 3L))
+    val expect = Seq((Double.NaN, 1L), (9.0, 3L)) // NaN sorts greatest
+    inputs.permutations.foreach { perm =>
+      val b = new TopKBuffer(2)
+      perm.foreach { case (o, p) => b.insert(o, p) }
+      val got = b.sorted.toSeq
+      assert(got.map(_._2) == expect.map(_._2) &&
+        java.lang.Double.isNaN(got.head._1) && got(1)._1 == 9.0,
+        s"order ${perm.mkString(",")} gave $got")
+    }
+  }
+
   test("aggregate across many partitions matches the window formulation") {
     val df = (1L to 1000L).map(i => (s"g${i % 7}", i.toDouble % 97, i))
       .toDF("g", "ord", "pay")
