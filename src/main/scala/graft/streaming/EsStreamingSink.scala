@@ -2,7 +2,9 @@ package graft.streaming
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.sources.EsRest
@@ -31,8 +33,11 @@ import graft.sources.EsRest
   *    the driver (foreachBatch bodies run driver-side; the per-partition
   *    bulk POSTs inside [[EsRest]] are what fan out), and like the
   *    reference's failed-docs log it is OBSERVABILITY state, not delivery
-  *    state: a driver restart zeroes the counters while the checkpoint
-  *    still guarantees every batch lands.
+  *    state. By default a driver restart zeroes the counters (the
+  *    checkpoint still guarantees every batch lands); pass
+  *    `accountingDir = Some(s"$checkpoint/graft_failed_docs")` to make the
+  *    accounting DURABLE — per-batch counts + the running total persist
+  *    across restarts, the reference's on-disk failed-docs log.
   *  - **Backpressure.** 429/503 inside a batch back off and retry inside
   *    [[EsRest.requestRetrying]]; a chunk that never clears counts its docs
   *    failed and the STREAM KEEPS RUNNING (B4 count-and-continue), surfacing
@@ -50,7 +55,8 @@ class EsUpsertSink(
     index: String,
     idCol: String,
     annCol: String,
-    retainBatches: Int = EsUpsertSink.DefaultRetainBatches) {
+    retainBatches: Int = EsUpsertSink.DefaultRetainBatches,
+    accountingDir: Option[String] = None) {
 
   require(retainBatches > 0, s"need retainBatches > 0, got $retainBatches")
 
@@ -70,6 +76,67 @@ class EsUpsertSink(
   private[this] val lock = new Object
   private[this] val failed = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
   private[this] var totalFailed = 0L // guarded by lock
+
+  // DURABLE accounting (the reference's persisted failed-docs log,
+  // `es_common.py:198-210`, which survives process death — the in-memory
+  // map does not): with `accountingDir` set (recommended:
+  // `<checkpoint>/graft_failed_docs`, a shared FS on a real cluster), each
+  // trigger writes one tiny `batch=<id>.json` carrying that batch's count
+  // AND the post-batch running total — overwrite by batchId, the same
+  // replay-idempotence argument as the memory window — and construction
+  // seeds the window + total from whatever is on disk, so a restarted
+  // driver resumes its counts instead of zeroing them. Window eviction
+  // deletes the evicted batch's file (best-effort; the load caps at
+  // `retainBatches` newest files regardless). All writes go through the
+  // Hadoop FS API, driver-side, one small create per trigger.
+  private[this] val mapper = new ObjectMapper()
+  accountingDir.foreach(loadPersisted)
+
+  private def hadoopFs(dir: String) = {
+    val hc = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    new Path(dir).getFileSystem(hc)
+  }
+
+  private def loadPersisted(dir: String): Unit = {
+    val fs = hadoopFs(dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=") && n.endsWith(".json"))
+          n.stripPrefix("batch=").stripSuffix(".json").toLongOption.map(_ -> st.getPath)
+        else None
+      }
+      .sortBy(_._1)
+    if (entries.isEmpty) return
+    lock.synchronized {
+      entries.takeRight(retainBatches).foreach { case (id, p) =>
+        val in = fs.open(p)
+        val tree =
+          try mapper.readTree(in)
+          finally in.close()
+        failed.put(id, tree.path("failed").asLong())
+        if (id == entries.last._1) totalFailed = tree.path("cumTotal").asLong()
+      }
+    }
+  }
+
+  /** Must be called with `lock` held (reads totalFailed). */
+  private def persist(dir: String, batchId: Long, n: Long, evicted: Seq[Long]): Unit = {
+    val fs = hadoopFs(dir)
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(new Path(dir, s"batch=$batchId.json"), true)
+    try out.write(
+      s"""{"failed":$n,"cumTotal":$totalFailed}""".getBytes("UTF-8"))
+    finally out.close()
+    evicted.foreach { id =>
+      try fs.delete(new Path(dir, s"batch=$id.json"), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** Failed-item counts for the most recent `retainBatches` batches
     * (batchId → failures), replay-stable inside the window.
@@ -103,7 +170,10 @@ class EsUpsertSink(
         failed.clear()
       val prev = failed.put(batchId, n)
       totalFailed += n - (if (prev == null) 0L else prev.longValue)
-      while (failed.size() > retainBatches) failed.pollFirstEntry()
+      val evicted = Seq.newBuilder[Long]
+      while (failed.size() > retainBatches)
+        evicted += failed.pollFirstEntry().getKey.longValue
+      accountingDir.foreach(persist(_, batchId, n, evicted.result()))
     }
   }
 

@@ -172,4 +172,39 @@ class EsStreamingSinkSpec extends SparkSuite {
       assert(sink.failedTotal == 4L)
     }
   }
+
+  test("durable accounting: a restarted sink resumes counts; post-restart replay single-counts") {
+    withStub { stub =>
+      Seq("1", "2", "3").foreach(stub.rejectIds.add)
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val dir = tempDir("acct")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        def batchOf(id: Long) =
+          Seq((id, Seq("rejected"))).toDF("doc_id", "annotations")
+        val a = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          retainBatches = 2, accountingDir = Some(dir.toString))
+        a.processBatch(batchOf(1L), 0L)
+        a.processBatch(batchOf(2L), 1L)
+        a.processBatch(batchOf(3L), 2L) // evicts batch 0 (and its file)
+        assert(a.failedTotal == 3L)
+        // driver restart: a NEW instance on the same dir resumes instead
+        // of zeroing (the reference's persisted failed-docs log)
+        val b = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          retainBatches = 2, accountingDir = Some(dir.toString))
+        assert(b.failedTotal == 3L, "restart must not zero the running total")
+        assert(b.failedByBatchId == Map(1L -> 1L, 2L -> 1L),
+          s"window must reload (evicted batch 0 stays evicted): ${b.failedByBatchId}")
+        // the crash that CAUSED the restart replays the newest batch —
+        // still exactly-once in the accounting
+        b.processBatch(batchOf(3L), 2L)
+        assert(b.failedTotal == 3L)
+        // and new work keeps accumulating durably
+        b.processBatch(batchOf(2L), 3L)
+        val c = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          retainBatches = 2, accountingDir = Some(dir.toString))
+        assert(c.failedTotal == 4L && c.failedByBatchId == Map(2L -> 1L, 3L -> 1L))
+      } finally rm(dir)
+    }
+  }
 }
