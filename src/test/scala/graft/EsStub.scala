@@ -35,9 +35,25 @@ class EsStub {
   val bulk429Remaining = new java.util.concurrent.atomic.AtomicInteger(0)
   val bulkAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var expireScrolls = false
-  // scrollId -> (index, sliceId, maxSlices, pageSize, offset)
-  val scrolls = TrieMap.empty[String, (String, Int, Int, Int, Int)]
+  val scrolls = TrieMap.empty[String, EsStub.ScrollCtx]
   private val scrollSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  // Fake clock for scroll keep-alive (tests advance it — no real sleeps).
+  // The stub honors `scroll=<keepalive>` like ES: the initial search and
+  // every continuation refresh the context's deadline to now + keepAlive;
+  // a continuation after the deadline answers 404 — so a consumer that
+  // stalls between page pulls longer than its requested window fails
+  // exactly as it would against a real cluster.
+  val clockMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  // last keep-alive the initial search requested (the propagation probe)
+  val lastKeepAliveMs = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def parseKeepAliveMs(s: String): Long = s.trim match {
+    case ka if ka.endsWith("ms") => ka.dropRight(2).toLong
+    case ka if ka.endsWith("h")  => ka.dropRight(1).toLong * 3600000L
+    case ka if ka.endsWith("m")  => ka.dropRight(1).toLong * 60000L
+    case ka if ka.endsWith("s")  => ka.dropRight(1).toLong * 1000L
+    case ka => ka.toLong
+  }
 
   val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -143,10 +159,17 @@ class EsStub {
         val sliceId = q.path("slice").path("id").asInt(0)
         val maxSlices = q.path("slice").path("max").asInt(1)
         val size = q.path("size").asInt(10)
+        val keepAlive = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").collectFirst {
+            case kv if kv.startsWith("scroll=") =>
+              parseKeepAliveMs(kv.stripPrefix("scroll="))
+          }.getOrElse(60000L)
+        lastKeepAliveMs.set(keepAlive)
         val all = sliceDocs(idx, sliceId, maxSlices)
         val page = all.take(size)
         val sid = s"scroll-${scrollSeq.incrementAndGet()}"
-        scrolls.put(sid, (idx, sliceId, maxSlices, size, page.length))
+        scrolls.put(sid, EsStub.ScrollCtx(idx, sliceId, maxSlices, size,
+          page.length, keepAlive, clockMs.get + keepAlive))
         respond(ex, 200, searchResponse(sid, page, all.size))
       case ("DELETE", "_search" :: "scroll" :: Nil) =>
         val sid = mapper.readTree(body).path("scroll_id").asText()
@@ -155,12 +178,19 @@ class EsStub {
       case ("POST", "_search" :: "scroll" :: Nil) if expireScrolls =>
         respond(ex, 404, """{"error":"search context expired"}""")
       case ("POST", "_search" :: "scroll" :: Nil) =>
-        val sid = mapper.readTree(body).path("scroll_id").asText()
+        val req = mapper.readTree(body)
+        val sid = req.path("scroll_id").asText()
         scrolls.get(sid) match {
-          case Some((idx, sliceId, maxSlices, size, offset)) =>
-            val all = sliceDocs(idx, sliceId, maxSlices)
-            val page = all.slice(offset, offset + size)
-            scrolls.put(sid, (idx, sliceId, maxSlices, size, offset + page.length))
+          case Some(ctx) if clockMs.get > ctx.deadlineMs =>
+            scrolls.remove(sid)
+            respond(ex, 404, """{"error":"search context expired"}""")
+          case Some(ctx) =>
+            val all = sliceDocs(ctx.index, ctx.sliceId, ctx.maxSlices)
+            val page = all.slice(ctx.offset, ctx.offset + ctx.pageSize)
+            val ka = Option(req.path("scroll").asText(null))
+              .map(parseKeepAliveMs).getOrElse(ctx.keepAliveMs)
+            scrolls.put(sid, ctx.copy(offset = ctx.offset + page.length,
+              keepAliveMs = ka, deadlineMs = clockMs.get + ka))
             respond(ex, 200, searchResponse(sid, page, all.size))
           case None => respond(ex, 404, """{"error":"no such scroll"}""")
         }
@@ -179,6 +209,13 @@ class EsStub {
 }
 
 object EsStub {
+  /** Server-side scroll context: paging cursor + keep-alive deadline
+    * against the stub's fake clock.
+    */
+  case class ScrollCtx(
+      index: String, sliceId: Int, maxSlices: Int, pageSize: Int,
+      offset: Int, keepAliveMs: Long, deadlineMs: Long)
+
   def withStub(f: EsStub => Unit): Unit = {
     val stub = new EsStub
     try f(stub) finally stub.stop()

@@ -124,6 +124,42 @@ class EsStubSpec extends SparkSuite {
     }
   }
 
+  test("scroll keep-alive propagates and bounds a stalled consumer (fake-clock expiry)") {
+    withStub { stub =>
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val docs = (0 until 12).map(i => (i.toLong, s"body $i")).toDF("doc_id", "text")
+      EsRest.bulkIndex(docs, conf, "corpus", "doc_id")
+      // the readSliced keep-alive parameter reaches the wire
+      assert(EsRest.readSliced(spark, conf, "corpus", slices = 1, pageSize = 20,
+        scrollKeepAlive = "2m").count() == 12L)
+      assert(stub.lastKeepAliveMs.get == 120000L, s"got ${stub.lastKeepAliveMs.get}")
+      // protocol level: a 1m context dies across a 61s page gap; a 5m one
+      // survives the same stall (the keep-alive bounds the GAP, refreshed
+      // per request — exactly ES semantics)
+      def openScroll(ka: String): String = {
+        val (code, body) = EsRest.request(conf, "POST",
+          s"/corpus/_search?scroll=$ka", Some("""{"size":5,"query":{"match_all":{}}}"""))
+        assert(code == 200, body)
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).path("_scroll_id").asText()
+      }
+      def continue(sid: String, ka: String): Int =
+        EsRest.request(conf, "POST", "/_search/scroll",
+          Some(s"""{"scroll":"$ka","scroll_id":"$sid"}"""))._1
+      val short = openScroll("1m")
+      val long = openScroll("5m")
+      stub.clockMs.addAndGet(61000L) // the consumer stalls 61 s
+      assert(continue(short, "1m") == 404,
+        "a 1m keep-alive must not survive a 61s stall")
+      assert(continue(long, "5m") == 200,
+        "a 5m keep-alive must survive the same stall")
+      // the surviving context's deadline REFRESHED: another 61s stall is
+      // still inside its window
+      stub.clockMs.addAndGet(61000L)
+      assert(continue(long, "5m") == 200)
+    }
+  }
+
   test("K5: scripted annotations upsert sends the reference painless body; update and insert both land") {
     withStub { stub =>
       val conf = EsConf(stub.url)
