@@ -799,7 +799,15 @@ object Sinks {
     }
     val dst = new Path(root, s"batch=$asBatchId")
     fs.mkdirs(dst)
-    entries.filter(_.isFile).foreach { e =>
+    // data part files FIRST, underscore-prefixed files (_SUCCESS etc.)
+    // LAST: listStatus order is not guaranteed, and a crash after moving
+    // _SUCCESS but before the part files would leave a torn partition
+    // that requireCommitted readers accept as committed (_SUCCESS is
+    // honored there) — with _SUCCESS moved last, a mid-loop crash leaves
+    // the partition marker-less and invisible until the resume completes
+    val (markers, parts) =
+      entries.filter(_.isFile).partition(_.getPath.getName.startsWith("_"))
+    (parts ++ markers).foreach { e =>
       if (!fs.rename(e.getPath, new Path(dst, e.getPath.getName)))
         throw new java.io.IOException(s"failed to migrate ${e.getPath} into $dst")
     }

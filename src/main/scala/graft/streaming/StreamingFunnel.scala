@@ -59,7 +59,7 @@ case class RetentionHit(user_id: Long, cohort_day: String, day_offset: Int)
 object StreamingFunnel {
 
   /** (t1, t2, t3, n_seen) in micros; MinValue = unset. */
-  private case class StageTimes(t1: Long, t2: Long, t3: Long, n: Long)
+  private[streaming] case class StageTimes(t1: Long, t2: Long, t3: Long, n: Long)
 
 
   private class StageProcessor(s1: String, s2: String, s3: String)
@@ -107,7 +107,7 @@ object StreamingFunnel {
     * epoch day can be negative — 1969-12-31 is −1 — so small sentinels
     * collide).
     */
-  private case class CohortMask(day: Int, mask: Int)
+  private[streaming] case class CohortMask(day: Int, mask: Int)
   private val UnsetDay = Int.MinValue
 
   private class RetentionProcessor(maxOffset: Int)

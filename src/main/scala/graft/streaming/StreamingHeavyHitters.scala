@@ -43,7 +43,7 @@ case class HeavyHitterRow(group: String, token: String, count_lb: Long, n_proces
   */
 object StreamingHeavyHitters {
 
-  private case class MgState(counts: Map[String, Long], n: Long)
+  private[streaming] case class MgState(counts: Map[String, Long], n: Long)
 
   private class MgProcessor(k: Int)
       extends StatefulProcessor[String, TokenEvent, HeavyHitterRow] {

@@ -82,7 +82,11 @@ object ScaleUp {
     import java.nio.file.{Files, StandardCopyOption}
     if (Files.isDirectory(src)) {
       Files.createDirectories(dst)
-      Files.list(src).forEach(p => copyRecursive(p, dst.resolve(p.getFileName)))
+      // Files.list holds an open directory handle until closed — a deep
+      // recursive copy would otherwise leak one fd per directory level
+      val s = Files.list(src)
+      try s.forEach(p => copyRecursive(p, dst.resolve(p.getFileName)))
+      finally s.close()
     } else {
       Files.createDirectories(dst.getParent)
       Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
@@ -114,11 +118,12 @@ object ScaleUp {
         .parquet(s"$outDir/$name.parquet")
     }
     val in = Paths.get(inDir)
-    java.nio.file.Files.list(in).forEach { p =>
+    val listing = java.nio.file.Files.list(in)
+    try listing.forEach { p =>
       val name = p.getFileName.toString
       if (!scaled.keySet.exists(t => name == s"$t.parquet"))
         copyRecursive(p, Paths.get(outDir).resolve(name))
-    }
+    } finally listing.close()
   }
 
   /** args: inDir outDir factor mode(uniq|dup) */

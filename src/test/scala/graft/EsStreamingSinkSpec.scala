@@ -207,4 +207,119 @@ class EsStreamingSinkSpec extends SparkSuite {
       } finally rm(dir)
     }
   }
+
+  test("durable accounting survives a torn newest file: load skips it and seeds from the previous one") {
+    withStub { stub =>
+      Seq("1", "2").foreach(stub.rejectIds.add)
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val dir = tempDir("torn")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        def batchOf(id: Long) =
+          Seq((id, Seq("rejected"))).toDF("doc_id", "annotations")
+        val a = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        a.processBatch(batchOf(1L), 0L)
+        a.processBatch(batchOf(2L), 1L)
+        assert(a.failedTotal == 2L)
+        // the crash scenario the atomic rename prevents, simulated for a
+        // non-atomic FS: the NEWEST file is truncated to zero bytes —
+        // load must neither throw (wedged restarts) nor zero the total
+        Files.write(dir.resolve("epoch=0.batch=2.json"), Array.emptyByteArray)
+        val b = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        assert(b.failedTotal == 2L,
+          "a torn newest file must fall back to the previous parseable one")
+        assert(b.failedByBatchId == Map(0L -> 1L, 1L -> 1L))
+        // garbage files are likewise skipped, not thrown on
+        Files.write(dir.resolve("epoch=0.batch=3.json"),
+          "{not json".getBytes("UTF-8"))
+        val c = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        assert(c.failedTotal == 2L)
+      } finally rm(dir)
+    }
+  }
+
+  test("lineage epochs: equal batchIds across checkpoint lineages get distinct durable keys, totals carry over") {
+    withStub { stub =>
+      Seq("1", "2", "3").foreach(stub.rejectIds.add)
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val dir = tempDir("lineage")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        def batchOf(id: Long) =
+          Seq((id, Seq("rejected"))).toDF("doc_id", "annotations")
+        val a = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        a.ensureLineage("ckpt-uuid-A")
+        a.processBatch(batchOf(1L), 0L)
+        a.processBatch(batchOf(2L), 1L)
+        assert(a.lineageEpoch == 0L && a.failedTotal == 2L)
+
+        // checkpoint deleted and recreated: new query id, SAME batchId 0 —
+        // the heuristic (batchId < window min) cannot see this collision;
+        // the lineage tag can
+        a.ensureLineage("ckpt-uuid-B")
+        assert(a.lineageEpoch == 1L)
+        assert(a.failedByBatchId.isEmpty, "old lineage's window must reset")
+        a.processBatch(batchOf(3L), 0L)
+        // batch 0 of lineage B is NEW work, not a replay of lineage A's
+        // batch 0: the total accumulates across the boundary
+        assert(a.failedTotal == 3L,
+          s"totals must carry across the lineage boundary: ${a.failedTotal}")
+        assert(a.failedByBatchId == Map(0L -> 1L))
+        // distinct durable keys: the new lineage's file is epoch-qualified
+        // and the old epoch's files are GC'd once the new one is on disk
+        val names = Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSet
+        assert(names.contains("epoch=1.batch=0.json"), s"saw $names")
+        assert(!names.exists(_.startsWith("epoch=0.")),
+          s"old-epoch files must be GC'd after the new epoch persists: $names")
+
+        // a restarted driver resumes the NEW lineage's state
+        val b = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        assert(b.lineageEpoch == 1L && b.failedTotal == 3L &&
+          b.failedByBatchId == Map(0L -> 1L))
+        // replay of lineage B's batch 0 against the restarted sink still
+        // single-counts (same-lineage tag is a no-op)
+        b.ensureLineage("ckpt-uuid-B")
+        b.processBatch(batchOf(3L), 0L)
+        assert(b.failedTotal == 3L)
+      } finally rm(dir)
+    }
+  }
+
+  test("start() feeds the checkpoint query id into the lineage: delete-checkpoint-restart opens a new epoch") {
+    withStub { stub =>
+      stub.rejectIds.add("9")
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val ckpt1 = tempDir("lin-ck1"); val ckpt2 = tempDir("lin-ck2")
+      val dir = tempDir("lin-acct")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        val sink = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        val mem1 = MemoryStream[(Long, Seq[String])]
+        mem1.addData((1L, Seq("a")), (9L, Seq("rejected")))
+        val q1 = sink.start(mem1.toDF.toDF("doc_id", "annotations"), ckpt1.toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        q1.processAllAvailable(); q1.stop()
+        assert(sink.lineageEpoch == 0L && sink.failedTotal == 1L)
+
+        // "delete the checkpoint and restart" — a fresh checkpoint dir has
+        // a fresh query id; its batch 0 must not conflate with ckpt1's
+        val mem2 = MemoryStream[(Long, Seq[String])]
+        mem2.addData((9L, Seq("rejected")))
+        val q2 = sink.start(mem2.toDF.toDF("doc_id", "annotations"), ckpt2.toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        q2.processAllAvailable(); q2.stop()
+        assert(sink.lineageEpoch == 1L,
+          s"a new checkpoint id must open a new epoch: ${sink.lineageEpoch}")
+        assert(sink.failedTotal == 2L,
+          s"batch 0 of each lineage counts once each: ${sink.failedTotal}")
+        assert(sink.failedByBatchId == Map(0L -> 1L))
+      } finally { rm(ckpt1); rm(ckpt2); rm(dir) }
+    }
+  }
 }
