@@ -42,9 +42,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(2)
+    // Shuffle parallelism defaults to the core count — right for the
+    // driver's sf0.1 contract run. The scale-curve audit overrides it
+    // upward (SPARK_GRAFT_SHUFFLE_PARTITIONS): at ×100 data a fixed 32
+    // partitions means 10× the per-partition bytes of the fitted decade,
+    // and the resulting sort-spill/GC is a harness artifact a real
+    // cluster (whose partition count tracks input size) never pays.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

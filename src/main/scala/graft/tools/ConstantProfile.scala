@@ -1,0 +1,128 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Attribute the per-query constant (VERDICT r16 #5): the sf≤0.1 bench is
+  * constant-dominated (~2–6 s/query while data cost is milliseconds), and
+  * round-over-round reads over-weight sub-second movers unless that
+  * constant is split into its parts. This main runs one declared query at
+  * several scale factors and prints, per (sf, run):
+  *
+  *   - `wall_s` — end-to-end latency of build + execute + collect;
+  *   - `plan_ms` — Catalyst phase times of the FINAL collect
+  *     (`QueryExecution.tracker.phases`: analysis/optimization/planning);
+  *     eager snapshot barriers inside the query build their own plans,
+  *     which show up in wall but not here — the gap is itself evidence;
+  *   - `jobs` / `stages` / `tasks` — scheduler units launched (every
+  *     `Stage.snapshot` barrier and store write adds jobs; each stage
+  *     costs a fixed scheduling round-trip);
+  *   - `task_run_s` — Σ executor run time across tasks: the part of wall
+  *     that is actual work, parallelized over the cores;
+  *   - `gc_s`, `shuffle_fetch_wait_s`, `shuffle_write_s` — the usual
+  *     suspects inside task run time;
+  *   - `sched_s` = wall − task_run/cores − plan: the residual the
+  *     scheduler + driver round-trips own. With 32 cores and KB-scale
+  *     data, `sched_s ≈ wall` is the constant-domination signature: the
+  *     fix (if any) is fewer stages/jobs, not faster operators.
+  *
+  * Output: one JSON line per (sf, run) plus a `min` summary per sf —
+  * BENCH_NOTES-ready. Usage:
+  *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.ConstantProfile q80_dedup_clusters"
+  */
+object ConstantProfile {
+
+  private class StatsListener extends SparkListener {
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val runTimeMs = new AtomicLong(0L)
+    val gcTimeMs = new AtomicLong(0L)
+    val fetchWaitMs = new AtomicLong(0L)
+    val shuffleWriteNs = new AtomicLong(0L)
+    val shuffleWriteBytes = new AtomicLong(0L)
+    val spillDiskBytes = new AtomicLong(0L)
+    // straggler evidence: the single largest stage by executorRunTime,
+    // and that stage's wall — a skew-bound plan shows one stage owning
+    // most of the run time with runtime ≫ tasks×mean
+    val maxStageRunMs = new AtomicLong(0L)
+    override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(sc.stageInfo.numTasks)
+      Option(sc.stageInfo.taskMetrics).foreach { m =>
+        runTimeMs.addAndGet(m.executorRunTime)
+        gcTimeMs.addAndGet(m.jvmGCTime)
+        fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        shuffleWriteNs.addAndGet(m.shuffleWriteMetrics.writeTime)
+        shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillDiskBytes.addAndGet(m.diskBytesSpilled)
+        maxStageRunMs.getAndUpdate(cur => math.max(cur, m.executorRunTime))
+      }
+      ()
+    }
+    def reset(): Unit = {
+      jobs.set(0); stages.set(0); tasks.set(0)
+      runTimeMs.set(0); gcTimeMs.set(0); fetchWaitMs.set(0); shuffleWriteNs.set(0)
+      shuffleWriteBytes.set(0); spillDiskBytes.set(0); maxStageRunMs.set(0)
+    }
+  }
+
+  private def r3(v: Double): Double =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def main(args: Array[String]): Unit = {
+    val qname = args.lift(0).getOrElse("q80_dedup_clusters")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDirs = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq(
+      "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    require(graft.SparkEntry.queries.contains(qname), s"unknown query $qname")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new StatsListener
+    spark.sparkContext.addSparkListener(listener)
+    val q = graft.SparkEntry.queries(qname)
+    val nCores = cpus.toInt
+    sfDirs.foreach { dir =>
+      // warm-up once per sf (parquet footer cache, codegen cache) so the
+      // measured runs see the same steady state the bench does
+      q(spark, dir).collect()
+      val lines = (1 to runs).map { run =>
+        listener.reset()
+        val t0 = System.nanoTime()
+        val df = q(spark, dir)
+        df.collect()
+        val wallS = (System.nanoTime() - t0) / 1e9
+        // listener events are posted async (the bus drain API is
+        // private[spark]); a grace sleep outside the timed window lets
+        // the stage-completed events land before the counters are read
+        Thread.sleep(500)
+        val planMs = df.queryExecution.tracker.phases.values.map(p => p.endTimeMs - p.startTimeMs).sum
+        val taskRunS = listener.runTimeMs.get / 1e3
+        val schedS = wallS - taskRunS / nCores - planMs / 1e3
+        val j = s"""{"query":"$qname","sf":"${dir.split('/').last}","run":$run,""" +
+          s""""wall_s":${r3(wallS)},"plan_ms":$planMs,"jobs":${listener.jobs.get},""" +
+          s""""stages":${listener.stages.get},"tasks":${listener.tasks.get},""" +
+          s""""task_run_s":${r3(taskRunS)},"gc_s":${r3(listener.gcTimeMs.get / 1e3)},""" +
+          s""""shuffle_fetch_wait_s":${r3(listener.fetchWaitMs.get / 1e3)},""" +
+          s""""shuffle_write_s":${r3(listener.shuffleWriteNs.get / 1e9)},""" +
+          s""""shuffle_write_mb":${r3(listener.shuffleWriteBytes.get / 1e6)},""" +
+          s""""spill_disk_mb":${r3(listener.spillDiskBytes.get / 1e6)},""" +
+          s""""max_stage_run_s":${r3(listener.maxStageRunMs.get / 1e3)},""" +
+          s""""sched_s":${r3(schedS)}}"""
+        println(j)
+        (wallS, j)
+      }
+      println(s"""{"min_summary":true,"query":"$qname","sf":"${dir.split('/').last}","min_wall_s":${r3(lines.map(_._1).min)}}""")
+    }
+    spark.stop()
+  }
+}

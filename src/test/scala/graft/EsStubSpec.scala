@@ -236,4 +236,60 @@ class EsStubSpec extends SparkSuite {
       assert(parsed == (0L until 57L).toSet)
     }
   }
+
+  test("stalled consumer past the keep-alive: task retry restarts the slice on a FRESH scroll, scan stays complete") {
+    withStub { stub =>
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val docs = (0 until 12).map(i => (i.toLong, s"body $i")).toDF("doc_id", "text")
+      EsRest.bulkIndex(docs, conf, "corpus", "doc_id")
+
+      // a downstream consumer stalls 61 s (fake clock) after the first
+      // page of a 1m-keep-alive scroll — page 2's continuation finds the
+      // server-side context expired (404). The failure surface the
+      // operator promises: the task FAILS descriptively (never a silent
+      // partial scan), Spark's task retry re-runs the slice's partition
+      // closure, and the retry opens a FRESH initial search — recovering
+      // the full slice. local[4, 2] gives the scheduler one retry.
+      EsStubSpec.stallClock = stub.clockMs
+      EsStubSpec.stallsDone.set(0)
+      EsStubSpec.attempts.set(0)
+      val scrollsBefore = stub.scrolls.size
+
+      val df = EsRest.readSliced(spark, conf, "corpus",
+        slices = 1, pageSize = 5, scrollKeepAlive = "1m")
+      val stalled = df.as[(String, String)].mapPartitions { it =>
+        EsStubSpec.attempts.incrementAndGet()
+        it.zipWithIndex.map { case (row, i) =>
+          // after consuming page 1's last row, before page 2 is pulled:
+          // the keep-alive bounds the PAGE GAP, and this gap exceeds it
+          if (i == 4 && EsStubSpec.stallsDone.compareAndSet(0, 1))
+            EsStubSpec.stallClock.addAndGet(61000L)
+          row
+        }
+      }
+      val got = stalled.collect().map(_._1).toSeq
+
+      assert(EsStubSpec.stallsDone.get == 1, "the stall must have fired")
+      assert(EsStubSpec.attempts.get == 2,
+        s"expected attempt 1 to fail on the expired context and attempt 2 to recover, saw ${EsStubSpec.attempts.get} attempt(s)")
+      // complete and exactly-once: the failed attempt's partial page
+      // contributed nothing to the job's output
+      assert(got.size == 12 && got.distinct.size == 12,
+        s"task retry must yield the complete slice exactly once, got ${got.size} rows")
+      // the recovery opened a fresh search context and released it on
+      // exhaustion; the expired one was reaped by its 404
+      assert(stub.scrolls.size == scrollsBefore,
+        s"no leaked scroll contexts after recovery: ${stub.scrolls.keySet}")
+    }
+  }
+}
+
+/** Executor-side hooks for the stalled-scroll test (local mode shares the
+  * JVM, so task closures reach the stub's fake clock through these
+  * statics instead of serializing the stub).
+  */
+object EsStubSpec {
+  @volatile var stallClock: java.util.concurrent.atomic.AtomicLong = _
+  val stallsDone = new java.util.concurrent.atomic.AtomicInteger(0)
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
 }

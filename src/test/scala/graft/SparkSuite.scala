@@ -5,8 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one per suite via lazy val). */
 trait SparkSuite extends AnyFunSuite {
+  // local[4, 2]: maxFailures=2 so task-retry semantics are testable
+  // (EsStubSpec's stalled-scroll recovery). Deterministic task failures
+  // still fail the job — they just cost one extra attempt.
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
