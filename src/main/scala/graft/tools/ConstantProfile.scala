@@ -48,10 +48,18 @@ object ConstantProfile {
     // and that stage's wall — a skew-bound plan shows one stage owning
     // most of the run time with runtime ≫ tasks×mean
     val maxStageRunMs = new AtomicLong(0L)
+    // per-stage identity for the skew hunt (SPARK_GRAFT_STAGE_DETAIL=1):
+    // (runTimeMs, name, numTasks, rdd lineage names) per completed stage
+    val stageDetail = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int, String)]()
     override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
       tasks.addAndGet(sc.stageInfo.numTasks)
+      if (sys.env.get("SPARK_GRAFT_STAGE_DETAIL").contains("1"))
+        stageDetail.add((
+          Option(sc.stageInfo.taskMetrics).map(_.executorRunTime).getOrElse(0L),
+          sc.stageInfo.name, sc.stageInfo.numTasks,
+          sc.stageInfo.rddInfos.map(_.name).mkString(">")))
       Option(sc.stageInfo.taskMetrics).foreach { m =>
         runTimeMs.addAndGet(m.executorRunTime)
         gcTimeMs.addAndGet(m.jvmGCTime)
@@ -67,6 +75,7 @@ object ConstantProfile {
       jobs.set(0); stages.set(0); tasks.set(0)
       runTimeMs.set(0); gcTimeMs.set(0); fetchWaitMs.set(0); shuffleWriteNs.set(0)
       shuffleWriteBytes.set(0); spillDiskBytes.set(0); maxStageRunMs.set(0)
+      stageDetail.clear()
     }
   }
 
@@ -119,6 +128,13 @@ object ConstantProfile {
           s""""max_stage_run_s":${r3(listener.maxStageRunMs.get / 1e3)},""" +
           s""""sched_s":${r3(schedS)}}"""
         println(j)
+        if (sys.env.get("SPARK_GRAFT_STAGE_DETAIL").contains("1")) {
+          import scala.jdk.CollectionConverters._
+          listener.stageDetail.asScala.toSeq.sortBy(-_._1).take(6)
+            .foreach { case (ms, name, nt, rdds) =>
+              println(s"""STAGE ${r3(ms / 1e3)}s tasks=$nt "$name" rdds=$rdds""")
+            }
+        }
         (wallS, j)
       }
       println(s"""{"min_summary":true,"query":"$qname","sf":"${dir.split('/').last}","min_wall_s":${r3(lines.map(_._1).min)}}""")
