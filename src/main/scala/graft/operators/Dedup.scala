@@ -374,6 +374,43 @@ object Dedup {
       threshold)
   }
 
+  /** [[jaccardPairs]] with JOIN-based pair instancing: the inverted index
+    * self-joins on `shingle` (`id_a < id_b`) instead of building per-
+    * shingle posting ARRAYS with `collect_list` + in-place expansion.
+    * Result-identical (same co-occurrence instances, same score tail);
+    * the difference is purely physical. The collect_list form routes the
+    * reduce through `ObjectHashAggregate`, whose sort-based fallback on
+    * millions of shingle keys per task measured 124× the task time for
+    * 10× the rows in the r17 ×100 scale audit (BENCH_NOTES §r17
+    * addendum); the self-join routes the same work through sort-merge
+    * join on UnsafeRow binary sorts — spillable, radix-friendly, no
+    * object path. Same O(Σ posting²) expansion hazard as the parent
+    * (SMALL-SF / ORACLE FORM: a hot shingle still fans out quadratically
+    * — [[jaccardPairsPrefix]] remains the at-scale form); this variant
+    * exists to price the physical choice and to swap in if the A/B holds
+    * across scales.
+    */
+  def jaccardPairsJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    // one shingling pass fans out to both join sides: snapshot, or the
+    // self-join compiles the tokenize+shingle subtree twice (the 45×
+    // minhashSignatures incident)
+    val sh = shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF)
+    val a = sh.select(col("shingle"), col("__id").as("id_a"), col("sz").as("sz_a"))
+    val b = sh.select(col("shingle"), col("__id").as("id_b"), col("sz").as("sz_b"))
+    jaccardScore(
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("c"),
+          max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b")),
+      threshold)
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING — result-identical to
     * [[jaccardPairs]] with a pruned candidate stage (the All-Pairs/PPJoin
     * family, Bayardo et al. WWW'07 / Xiao et al. WWW'08). Shingles get a

@@ -639,4 +639,17 @@ class DedupSpec extends SparkSuite {
     // duplicates and reversed orientation are ONE edge; no self-wedges
     assert(audit(Seq((1L, 2L), (2L, 1L), (1L, 2L))) == ((1L, 0L, 0L, None)))
   }
+
+  test("jaccardPairsJoin == jaccardPairs: the physical A/B forms agree row for row") {
+    // the join form exists to dodge the ObjectHashAggregate sort fallback
+    // (BENCH_NOTES r17 addendum); it must be a PURELY physical choice
+    val docs = graft.Tables.documents(spark, sfDir)
+    val agg = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val join = Dedup.jaccardPairsJoin(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(agg.nonEmpty, "fixture must produce at least one near-dup pair")
+    assert(join == agg, s"forms diverge: only-agg=${agg -- join} only-join=${join -- agg}")
+  }
+
 }
