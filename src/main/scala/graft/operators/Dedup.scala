@@ -128,11 +128,29 @@ object Dedup {
   }
 
   /** Shared capped pair-expansion tail of both banded candidate
-    * generators: collect each (band, bucket)'s members, drop over-cap
-    * buckets, expand pairs in place. The firing cap is VISIBLE
+    * generators: count each (band, bucket), drop over-cap buckets, emit
+    * pairs by a bucket-keyed self-join. The firing cap is VISIBLE
     * (no-silent-caps): `graft.lshBandCap.*` reports memberships in
     * over-cap buckets and the bucket count — CollectMetrics piggybacks on
-    * the aggregation pass, zero extra jobs.
+    * the size aggregation the cap needs anyway, zero extra jobs.
+    *
+    * PHYSICAL SHAPE (rewritten r18 after the r17 ×100 audit): the prior
+    * form collected per-bucket member ARRAYS with `collect_list` and
+    * expanded pairs in place — an `ObjectHashAggregate` whose sort-based
+    * fallback on millions of bucket keys measured 124× task time for 10×
+    * rows (BENCH_NOTES §r17 addendum; q96's e=1.26 decade exponent rode
+    * on it). This form keeps the reduce on Tungsten paths end to end: a
+    * primitive `count` HashAggregate for the sizes, then a sort-merge
+    * self-join on the bucket key (UnsafeRow binary sorts — spillable,
+    * radix-friendly, no object path) whose streamed expansion emits the
+    * same pair instances. The size filter joins into ONE side only: a
+    * bucket key surviving on the filtered side implies the bucket passed
+    * the cap, so the unfiltered side needs no second filter (and the
+    * observe subtree appears exactly once in the final plan — a two-sided
+    * filter would double-count the metric or force a checkpoint that
+    * hides it from `observedMetrics`). `banded` is snapshotted here: it
+    * feeds the size aggregate and both join sides, and the signature
+    * pipeline behind it must execute once, not three times.
     *
     * AQE caveat (applies to EVERY observe-backed cap in this file): when
     * the cap drops the entire result (0 output rows), AQE's empty-relation
@@ -145,16 +163,21 @@ object Dedup {
     * survives. Pinned in SkewFixtureSpec.
     */
   private def bandBucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val over = size(col("members")) > maxBucketSize
-    banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("__id"))).as("members"))
+    val b = Stage.snapshotDF(banded)
+    val over = col("__n") > maxBucketSize
+    val keys = b.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
       .observe(s"graft.lshBandCap.${capObsId.incrementAndGet()}",
-        sum(when(over, size(col("members")).cast("long")).otherwise(0L))
-          .as("dropped_rows"),
+        sum(when(over, col("__n")).otherwise(0L)).as("dropped_rows"),
         sum(when(over, 1L).otherwise(0L)).as("dropped_buckets"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-      .select(explode_outer(pairsOf(col("members"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .filter(col("__n").between(2, maxBucketSize))
+      .select("band", "bucket")
+    b.join(keys, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("__id").as("id_a"))
+      .join(b.select(col("band"), col("bucket"), col("__id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -255,8 +278,6 @@ object Dedup {
       transform(slice(sorted, i + lit(2), size(sorted)),
         y => struct(x.as(aName), y.as(bName)))))
 
-  private def pairsOf(sorted: Column): Column = pairsAs(sorted, "id_a", "id_b")
-
   /** The exploded shingle inverted-index relation shared by the whole exact
     * Jaccard family: one row per (document, distinct k-shingle) with the
     * set size riding along (computed in the same projection that explodes
@@ -282,18 +303,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
-  /** Exact corpus-wide n-gram Jaccard pairs: |A∩B| / |A∪B| over distinct
-    * word-k-shingle sets via an inverted-index join (shuffle on shingle).
-    *
-    * SMALL-SF / ORACLE FORM ONLY: the in-place pair expansion after the
-    * shingle groupBy is deliberately uncapped — exactness requires every
-    * co-occurrence, so a posting-list cap would change the answer — which
-    * makes a shingle occurring in n documents an O(n²) expansion through a
-    * single reducer. At corpus scale use [[jaccardPairsPrefix]] (exactness-
-    * preserving pruning) or [[minhashCandidatesDeterministic]] →
-    * [[jaccardVerify]] (probabilistic recall); q90 and q82/q89 exercise
-    * those compositions.
-    */
   /** Sorted-neighborhood blocking (Hernández–Stolfo SNM): sort each block
     * by a normalized key and pair every row only with its `window − 1`
     * successors — candidate volume is LINEAR (≤ n·(window−1)) where the
@@ -354,43 +363,33 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  def jaccardPairs(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleK: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
-    // Inverted index without a self-join: docs sharing a shingle meet in one
-    // collect_list row; pairs are generated in-place and counted. Exact —
-    // every co-occurrence contributes exactly one pair instance.
-    jaccardScore(
-      shingleIndex(docs, idCol, textCol, shingleK)
-        .groupBy("shingle")
-        .agg(sort_array(collect_list(struct(col("__id"), col("sz")))).as("members"))
-        .filter(size(col("members")) > 1)
-        .select(explode_outer(pairsAs(col("members"), "a", "b")).as("p"))
-        .groupBy(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"))
-        .agg(count(lit(1)).as("c"), max(col("p.a.sz")).as("sz_a"), max(col("p.b.sz")).as("sz_b")),
-      threshold)
-  }
-
-  /** [[jaccardPairs]] with JOIN-based pair instancing: the inverted index
-    * self-joins on `shingle` (`id_a < id_b`) instead of building per-
-    * shingle posting ARRAYS with `collect_list` + in-place expansion.
-    * Result-identical (same co-occurrence instances, same score tail);
-    * the difference is purely physical. The collect_list form routes the
-    * reduce through `ObjectHashAggregate`, whose sort-based fallback on
-    * millions of shingle keys per task measured 124× the task time for
-    * 10× the rows in the r17 ×100 scale audit (BENCH_NOTES §r17
-    * addendum); the self-join routes the same work through sort-merge
-    * join on UnsafeRow binary sorts — spillable, radix-friendly, no
-    * object path. Same O(Σ posting²) expansion hazard as the parent
-    * (SMALL-SF / ORACLE FORM: a hot shingle still fans out quadratically
-    * — [[jaccardPairsPrefix]] remains the at-scale form); this variant
-    * exists to price the physical choice and to swap in if the A/B holds
-    * across scales.
+  /** Exact corpus-wide n-gram Jaccard pairs: |A∩B| / |A∪B| over distinct
+    * word-k-shingle sets via an inverted-index SELF-JOIN on the shingle
+    * (`id_a < id_b`), counting co-occurrence instances per pair.
+    *
+    * PHYSICAL SHAPE (swapped r18 on the ×100 A/B, BENCH_NOTES §r18): the
+    * prior form built per-shingle posting ARRAYS with
+    * `groupBy(shingle).agg(sort_array(collect_list(…)))` and expanded
+    * pairs in place — an `ObjectHashAggregate` whose sort-based fallback
+    * measured 124× task time for 10× rows at ×100, with a live
+    * single-task straggler in `SortBasedAggregator.findNextSortedGroup`
+    * (the r17 scale-killer; the old body survives as
+    * [[jaccardPairsAgg]], the A/B baseline). This form runs the same
+    * instancing through a sort-merge self-join — UnsafeRow binary sorts,
+    * spillable, streamed per-key expansion — and a primitive
+    * count/max HashAggregate: Tungsten end to end, no object path.
+    *
+    * SMALL-SF / ORACLE FORM ONLY: the pair expansion is deliberately
+    * uncapped — exactness requires every co-occurrence, so a posting cap
+    * would change the answer — which keeps a shingle occurring in n
+    * documents an O(n²) expansion (now streamed through the join's
+    * bounded group buffer rather than one object sort, but still n²
+    * instances). At corpus scale use [[jaccardPairsPrefix]] (exactness-
+    * preserving pruning) or [[minhashCandidatesDeterministic]] →
+    * [[jaccardVerify]] (probabilistic recall); q90 and q82/q89 exercise
+    * those compositions.
     */
-  def jaccardPairsJoin(
+  def jaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -408,6 +407,32 @@ object Dedup {
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("c"),
           max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b")),
+      threshold)
+  }
+
+  /** The RETIRED collect_list physical form of [[jaccardPairs]], kept as
+    * the A/B baseline ([[graft.tools.PairStageAb]] prices the two forms;
+    * DedupSpec pins them row-identical). Do not use in new code: its
+    * `ObjectHashAggregate` reduce is the measured r17 ×100 scale-killer
+    * (124× task time for 10× rows; single-task object-sort straggler).
+    */
+  private[graft] def jaccardPairsAgg(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    // Inverted index without a self-join: docs sharing a shingle meet in one
+    // collect_list row; pairs are generated in-place and counted. Exact —
+    // every co-occurrence contributes exactly one pair instance.
+    jaccardScore(
+      shingleIndex(docs, idCol, textCol, shingleK)
+        .groupBy("shingle")
+        .agg(sort_array(collect_list(struct(col("__id"), col("sz")))).as("members"))
+        .filter(size(col("members")) > 1)
+        .select(explode_outer(pairsAs(col("members"), "a", "b")).as("p"))
+        .groupBy(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"))
+        .agg(count(lit(1)).as("c"), max(col("p.a.sz")).as("sz_a"), max(col("p.b.sz")).as("sz_b")),
       threshold)
   }
 
@@ -476,25 +501,41 @@ object Dedup {
 
   /** Candidate pairs from a [[prefixIndex]] relation (or any subset of its
     * rows — the guarded admission path feeds only the cold shingles).
+    *
+    * PHYSICAL SHAPE (rewritten r18 after the r17 ×100 audit — this stage
+    * owned q90's e=1.64 decade exponent, the family's worst case): the
+    * prior form collected per-shingle posting ARRAYS with `collect_list`
+    * and expanded pairs in place — an `ObjectHashAggregate` whose
+    * sort-based fallback serialized one task in
+    * `ShuffleExternalSorter.spill` for tens of minutes at ×100 while 31
+    * threads idled. This form emits the same meeting instances through a
+    * sort-merge SELF-JOIN on the shingle: UnsafeRow binary sorts
+    * (spillable, radix-friendly) and a STREAMED per-key cross product —
+    * a fat shingle key still expands quadratically (exactness requires
+    * every meeting) but through the join's bounded-memory group buffer,
+    * never an object sort. The pruned projection is snapshotted first:
+    * it feeds both join sides, and the window pass behind [[prefixIndex]]
+    * must execute once, not twice.
+    *
+    * Pruning semantics (unchanged, per-meeting): positional filter
+    * (PPJoin) — meeting on a prefix shingle at 1-based canonical
+    * positions (rn_a, rn_b), the intersection can be at most 1 + min
+    * (remaining suffix lengths); require that to reach the minimal
+    * overlap o_min = ⌈t·(sz_a+sz_b)/(1+t)⌉ (J ≥ t ⇔ o ≥ t(sa+sb)/(1+t)).
+    * A pair is kept if ANY of its prefix meetings passes — the earliest
+    * meeting gives the loosest bound, so no qualifying pair is lost
+    * (keeping per-meeting instead of earliest-only is conservative).
+    * The 1e-9 slack makes float rounding err toward keeping candidates:
+    * pruning must never exceed the exact rational bound.
     */
   private def prefixCandidates(prefix: DataFrame, threshold: Double): DataFrame = {
-    // positional filter (PPJoin): meeting on a prefix shingle at 1-based
-    // canonical positions (rn_a, rn_b), the intersection can be at most
-    // 1 + min(remaining suffix lengths); require that to reach the minimal
-    // overlap o_min = ⌈t·(sz_a+sz_b)/(1+t)⌉ (J ≥ t ⇔ o ≥ t(sa+sb)/(1+t)).
-    // A pair is kept if ANY of its prefix meetings passes — the earliest
-    // meeting gives the loosest bound, so no qualifying pair is lost
-    // (keeping per-meeting instead of earliest-only is conservative).
-    // The 1e-9 slack makes float rounding err toward keeping candidates:
-    // pruning must never exceed the exact rational bound.
     val posFactor = threshold / (1.0 + threshold)
-    prefix.groupBy("shingle")
-      .agg(sort_array(collect_list(struct(col("__id"), col("sz"), col("rn")))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode_outer(pairsAs(col("members"), "a", "b")).as("p"))
-      .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
-        col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"),
-        col("p.a.rn").as("rn_a"), col("p.b.rn").as("rn_b"))
+    val p = Stage.snapshotDF(prefix.select("shingle", "__id", "sz", "rn"))
+    p.select(col("shingle"), col("__id").as("id_a"),
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .join(p.select(col("shingle"), col("__id").as("id_b"),
+        col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
       // length filter needs the SAME keep-more slack as the two ceil sites:
       // J ≥ t forces min ≥ t·max only as a rational — greatest·t in double
       // can land just above the true bound (t=0.55, max=100 →
@@ -1008,25 +1049,34 @@ object Dedup {
         TextFunctions.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs within a Hamming-distance budget, 16-bit-chunk
-    * candidate generation (pigeonhole: distance ≤ 3 ⇒ ≥1 of 4 chunks equal).
+    * candidate generation (pigeonhole: distance ≤ 3 ⇒ ≥1 of 4 chunks
+    * equal). Pair instancing is a chunk-keyed sort-merge self-join over
+    * the snapshotted fingerprint relation — the same r18 physical rewrite
+    * as [[bandBucketPairs]] (the prior `collect_list` member arrays
+    * routed the reduce through `ObjectHashAggregate`'s sort fallback, the
+    * r17 ×100 scale-killer); the fingerprints compute once, the per-doc
+    * 4-row chunk explode re-derives cheaply on each side.
     */
   def simhashNearDups(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(docs, idCol, textCol)
-      .select(col(idCol).as("__id"), col("simhash"))
+    val fp = Stage.snapshotDF(simhash(docs, idCol, textCol)
+      .select(col(idCol).as("__id"), col("simhash")))
     val chunked = fp.select(
       col("__id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, chunk * 16) & 65535"))
-    chunked.groupBy("chunk", "ckey")
-      .agg(sort_array(collect_list(struct(col("__id"), col("simhash")))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode_outer(pairsOfStructs(col("members"))).as("p"))
-      .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
-        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
+    chunked
+      .select(col("chunk"), col("ckey"),
+        col("__id").as("id_a"), col("simhash").as("sh_a"))
+      .join(chunked.select(col("chunk"), col("ckey"),
+        col("__id").as("id_b"), col("simhash").as("sh_b")),
+        Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -1067,22 +1117,27 @@ object Dedup {
       .select(col("__id"),
         (0 until 60).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash60"))
-    val chunked = fp.select(
+    // same r18 join-based pair instancing as [[simhashNearDups]]: the
+    // 60-vote fingerprint aggregate runs once behind the snapshot, the
+    // chunk-keyed self-join replaces the object-agg member arrays
+    val fpCk = Stage.snapshotDF(fp)
+    val chunked = fpCk.select(
       col("__id"), col("simhash60"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash60, chunk * 15) & 32767"))
-    chunked.groupBy("chunk", "ckey")
-      .agg(sort_array(collect_list(struct(col("__id"), col("simhash60")))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode_outer(pairsOfStructs(col("members"))).as("p"))
-      .select(col("p.a.__id").as("id_a"), col("p.b.__id").as("id_b"),
-        bit_count(col("p.a.simhash60").bitwiseXOR(col("p.b.simhash60")))
+    chunked
+      .select(col("chunk"), col("ckey"),
+        col("__id").as("id_a"), col("simhash60").as("sh_a"))
+      .join(chunked.select(col("chunk"), col("ckey"),
+        col("__id").as("id_b"), col("simhash60").as("sh_b")),
+        Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
-
-  private def pairsOfStructs(sorted: Column): Column = pairsAs(sorted, "a", "b")
 
   /** Connected components over a near-duplicate pair graph (id_a, id_b) —
     * the step that turns pairwise matches into dedup CLUSTERS so one

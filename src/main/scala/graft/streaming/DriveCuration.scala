@@ -56,6 +56,13 @@ object DriveCuration {
     * recovery path) can drive the exact foreachBatch body directly —
     * Spark calls it with the SAME batchId on replay. Returns (survivors
     * admitted, docs failed at the sink).
+    *
+    * `countSurvivors = false` skips the survivor count (returns −1 in its
+    * place): the count is a snapshot re-read, not a recompute, but it is
+    * still one whole extra job per trigger — exactly the stage-dispatch
+    * constant the ConstantProfile attribution table prices — paid for a
+    * return value the streaming driver drops. [[start]] passes false;
+    * direct callers that want the number keep the default.
     */
   def curateBatch(
       spark: SparkSession,
@@ -69,7 +76,8 @@ object DriveCuration {
       maxStopwordRatio: Double = 0.08,
       shingleK: Int = 3,
       threshold: Double = 0.6,
-      lgK: Int = 12): (Long, Long) = {
+      lgK: Int = 12,
+      countSurvivors: Boolean = true): (Long, Long) = {
     // 1. gate — stateless, so it needs no replay story of its own
     val gated = TextAnalysis.qualityMetrics(batch)
       .filter(col("n_tokens") >= minTokens && col("stopword_ratio") <= maxStopwordRatio)
@@ -102,7 +110,7 @@ object DriveCuration {
     val failed = sink.upsert(spark, annotated, batchId)
     // survivors is snapshotted — counting it re-reads the snapshot, not
     // the admission pipeline (and annotated is row-for-row survivors)
-    (survivors.count(), failed)
+    (if (countSurvivors) survivors.count() else -1L, failed)
   }
 
   /** Where the curated, annotated survivors land. The ES face is the
@@ -155,8 +163,11 @@ object DriveCuration {
           Sinks.compactBatchStore(spark, storePath, upToBatch = batchId)
           Sinks.compactBatchStore(spark, cardPath, upToBatch = batchId)
         }
+        // countSurvivors = false: the stream drops the return value, so
+        // the per-trigger count job would be pure dispatch constant
         curateBatch(spark, batch, storePath, cardPath, sink, tagger, batchId,
-          minTokens, maxStopwordRatio, shingleK, threshold)
+          minTokens, maxStopwordRatio, shingleK, threshold,
+          countSurvivors = false)
         ()
       }
       .start()

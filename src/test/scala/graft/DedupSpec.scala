@@ -640,13 +640,14 @@ class DedupSpec extends SparkSuite {
     assert(audit(Seq((1L, 2L), (2L, 1L), (1L, 2L))) == ((1L, 0L, 0L, None)))
   }
 
-  test("jaccardPairsJoin == jaccardPairs: the physical A/B forms agree row for row") {
-    // the join form exists to dodge the ObjectHashAggregate sort fallback
-    // (BENCH_NOTES r17 addendum); it must be a PURELY physical choice
+  test("jaccardPairs (join form) == jaccardPairsAgg: the physical A/B forms agree row for row") {
+    // the r18 swap dodges the ObjectHashAggregate sort fallback
+    // (BENCH_NOTES r17 addendum, r18 ×100 A/B); it must be a PURELY
+    // physical choice — the retired agg form is the semantic witness
     val docs = graft.Tables.documents(spark, sfDir)
-    val agg = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val agg = Dedup.jaccardPairsAgg(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val join = Dedup.jaccardPairsJoin(docs, "doc_id", "text", 3, 0.5)
+    val join = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(agg.nonEmpty, "fixture must produce at least one near-dup pair")
     assert(join == agg, s"forms diverge: only-agg=${agg -- join} only-join=${join -- agg}")

@@ -269,12 +269,16 @@ class EsStreamingSinkSpec extends SparkSuite {
         assert(a.failedTotal == 3L,
           s"totals must carry across the lineage boundary: ${a.failedTotal}")
         assert(a.failedByBatchId == Map(0L -> 1L))
-        // distinct durable keys: the new lineage's file is epoch-qualified
-        // and the old epoch's files are GC'd once the new one is on disk
+        // distinct durable keys: the new lineage's file is epoch-qualified;
+        // the old lineage's files are RETAINED (it may be a live co-tenant
+        // — see the interleave test; whole epochs age out past
+        // retainEpochs, pinned below) and its window stays readable by tag
         val names = Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSet
         assert(names.contains("epoch=1.batch=0.json"), s"saw $names")
-        assert(!names.exists(_.startsWith("epoch=0.")),
-          s"old-epoch files must be GC'd after the new epoch persists: $names")
+        assert(names.contains("epoch=0.batch=0.json") &&
+          names.contains("epoch=0.batch=1.json"),
+          s"a superseded-but-maybe-live lineage's files must be retained: $names")
+        assert(a.failedByBatchId("ckpt-uuid-A") == Map(0L -> 1L, 1L -> 1L))
 
         // a restarted driver resumes the NEW lineage's state
         val b = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
@@ -320,6 +324,190 @@ class EsStreamingSinkSpec extends SparkSuite {
           s"batch 0 of each lineage counts once each: ${sink.failedTotal}")
         assert(sink.failedByBatchId == Map(0L -> 1L))
       } finally { rm(ckpt1); rm(ckpt2); rm(dir) }
+    }
+  }
+
+  test("two checkpoints interleaving through one sink keep two usable windows (VERDICT r17 #3)") {
+    withStub { stub =>
+      (1 to 9).foreach(i => stub.rejectIds.add(i.toString))
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val dir = tempDir("interleave")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        def batchOf(id: Long) =
+          Seq((id, Seq("rejected"))).toDF("doc_id", "annotations")
+        val sink = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        // triggers arrive interleaved, each declaring its own lineage —
+        // the r17 ping-pong would bump the epoch and clear the window on
+        // EVERY switch; tag-keyed epochs must instead accumulate both
+        sink.processBatch(batchOf(1L), 0L, Some("ckpt-A"))
+        sink.processBatch(batchOf(2L), 0L, Some("ckpt-B"))
+        sink.processBatch(batchOf(3L), 1L, Some("ckpt-A"))
+        sink.processBatch(batchOf(4L), 1L, Some("ckpt-B"))
+        sink.processBatch(batchOf(5L), 2L, Some("ckpt-A"))
+        assert(sink.failedByBatchId("ckpt-A") == Map(0L -> 1L, 1L -> 1L, 2L -> 1L),
+          s"A's window: ${sink.failedByBatchId("ckpt-A")}")
+        assert(sink.failedByBatchId("ckpt-B") == Map(0L -> 1L, 1L -> 1L),
+          s"B's window: ${sink.failedByBatchId("ckpt-B")}")
+        assert(sink.failedTotal == 5L)
+        // a replay on either lineage still single-counts
+        sink.processBatch(batchOf(4L), 1L, Some("ckpt-B"))
+        assert(sink.failedTotal == 5L)
+        assert(sink.failedByBatchId("ckpt-B") == Map(0L -> 1L, 1L -> 1L))
+        // the no-arg view tracks the most recent trigger's lineage
+        assert(sink.failedByBatchId == Map(0L -> 1L, 1L -> 1L))
+        // A writes once more AFTER B's replay: the chronologically newest
+        // file now lives in the LOWER epoch
+        sink.processBatch(batchOf(6L), 3L, Some("ckpt-A"))
+        assert(sink.failedTotal == 6L)
+
+        // restart: BOTH windows reload, and the resumed total is the
+        // chronologically newest write (seq order) — (epoch, batchId)
+        // order would wrongly pick B's epoch-1 file (cumTotal 5) over A's
+        // later epoch-0 write (cumTotal 6)
+        val b = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        assert(b.failedTotal == 6L,
+          s"resumed total must follow seq order, not epoch order: ${b.failedTotal}")
+        assert(b.failedByBatchId("ckpt-A") ==
+          Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+        assert(b.failedByBatchId("ckpt-B") == Map(0L -> 1L, 1L -> 1L))
+        // both lineages keep accumulating after the restart
+        b.processBatch(batchOf(7L), 2L, Some("ckpt-B"))
+        assert(b.failedTotal == 7L)
+        assert(b.failedByBatchId("ckpt-B") == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+      } finally rm(dir)
+    }
+  }
+
+  test("a crash between temp-write and rename leaves the previous total readable (atomic persist)") {
+    withStub { stub =>
+      Seq("1", "2").foreach(stub.rejectIds.add)
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val dir = tempDir("crash")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        def batchOf(id: Long) =
+          Seq((id, Seq("rejected"))).toDF("doc_id", "annotations")
+        val a = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        a.processBatch(batchOf(1L), 0L)
+        a.processBatch(batchOf(2L), 1L)
+        // the kill-inside-the-window state: a replay overwrite of batch 1
+        // died after writing the temp but before the rename — the final
+        // file still carries the pre-crash content, the temp must be
+        // ignored (the rename-OVERWRITE path never deletes the final
+        // first, so no state with a MISSING batch file exists)
+        Files.write(dir.resolve(".tmp.epoch=0.batch=1.json"),
+          """{"failed":99,"cumTotal":999,"epoch":0,"seq":99}""".getBytes("UTF-8"))
+        val b = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        assert(b.failedTotal == 2L,
+          "a leftover temp file must not contaminate the resumed total")
+        assert(b.failedByBatchId == Map(0L -> 1L, 1L -> 1L))
+        // and the interrupted replay, re-run, converges
+        b.processBatch(batchOf(2L), 1L)
+        assert(b.failedTotal == 2L)
+      } finally rm(dir)
+    }
+  }
+
+  test("legacy batch=<id>.json files migrate to epoch-qualified names once at load (ADVICE r17)") {
+    withStub { stub =>
+      Seq("1", "2").foreach(stub.rejectIds.add)
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val dir = tempDir("legacy")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        def batchOf(id: Long) =
+          Seq((id, Seq("rejected"))).toDF("doc_id", "annotations")
+        // a pre-epoch directory: one lone legacy file, plus one batch
+        // that ALSO has an epoch-qualified duplicate (the replay/evict
+        // gap the old code could leave — the qualified file is newer)
+        Files.write(dir.resolve("batch=0.json"),
+          """{"failed":1,"cumTotal":1}""".getBytes("UTF-8"))
+        Files.write(dir.resolve("batch=1.json"),
+          """{"failed":5,"cumTotal":9}""".getBytes("UTF-8"))
+        Files.write(dir.resolve("epoch=0.batch=1.json"),
+          """{"failed":1,"cumTotal":2,"epoch":0}""".getBytes("UTF-8"))
+        val a = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          retainBatches = 2, accountingDir = Some(dir.toString))
+        // the qualified duplicate wins; the stale legacy twin is deleted,
+        // the lone legacy file is renamed in place
+        assert(a.failedTotal == 2L, s"duplicate resolution: ${a.failedTotal}")
+        assert(a.failedByBatchId == Map(0L -> 1L, 1L -> 1L))
+        // drop the local-FS ChecksumFileSystem's hidden .crc sidecars —
+        // an FS artifact, not accounting state
+        val names = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.startsWith(".")).toSet
+        assert(names == Set("epoch=0.batch=0.json", "epoch=0.batch=1.json"),
+          s"migration must leave exactly one name per (epoch, batch): $names")
+        // post-migration eviction has exactly one name to manage: a new
+        // batch evicts batch 0's (migrated) file, no orphan twin remains
+        a.processBatch(batchOf(1L), 2L)
+        val after = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.startsWith(".")).toSet
+        assert(after == Set("epoch=0.batch=1.json", "epoch=0.batch=2.json"),
+          s"eviction after migration: $after")
+      } finally rm(dir)
+    }
+  }
+
+  test("epochs age out past retainEpochs: windows and files stay bounded under restart churn") {
+    withStub { stub =>
+      (1 to 9).foreach(i => stub.rejectIds.add(i.toString))
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val dir = tempDir("aging")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        def batchOf(id: Long) =
+          Seq((id, Seq("rejected"))).toDF("doc_id", "annotations")
+        val sink = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString), retainEpochs = 2)
+        (1 to 5).foreach { i =>
+          sink.ensureLineage(s"ckpt-$i")
+          sink.processBatch(batchOf(i.toLong), 0L)
+        }
+        // five lineages, retention two: only the two newest epochs keep
+        // files; the total still counts every lineage's batch
+        assert(sink.failedTotal == 5L)
+        val names = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.startsWith(".")).toSet // ignore local-FS .crc sidecars
+        assert(names == Set("epoch=3.batch=0.json", "epoch=4.batch=0.json"),
+          s"aged-out epochs must drop their files: $names")
+        assert(sink.failedByBatchId("ckpt-5") == Map(0L -> 1L))
+        assert(sink.failedByBatchId("ckpt-1").isEmpty,
+          "an aged-out lineage reads as empty, not stale")
+        // a restart resumes from the surviving epochs
+        val b = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString), retainEpochs = 2)
+        assert(b.failedTotal == 5L && b.failedByBatchId("ckpt-5") == Map(0L -> 1L))
+      } finally rm(dir)
+    }
+  }
+
+  test("a lineage tag with JSON metacharacters survives the persist round-trip (ADVICE r17)") {
+    withStub { stub =>
+      stub.rejectIds.add("1")
+      val conf = EsConf(stub.url, retryBackoffMs = 5)
+      val dir = tempDir("quoting")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        val evil = """lineage "with" \backslashes\ and "quotes""""
+        val a = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        a.ensureLineage(evil)
+        a.processBatch(Seq((1L, Seq("rejected"))).toDF("doc_id", "annotations"), 0L)
+        assert(a.failedTotal == 1L)
+        // the old string-interpolated JSON made this file unparseable and
+        // the tolerant loader silently zeroed the resumed total
+        val b = new EsUpsertSink(conf, "anns", "doc_id", "annotations",
+          accountingDir = Some(dir.toString))
+        assert(b.failedTotal == 1L,
+          "a metacharacter tag must not produce an unparseable epoch")
+        assert(b.failedByBatchId(evil) == Map(0L -> 1L))
+      } finally rm(dir)
     }
   }
 }

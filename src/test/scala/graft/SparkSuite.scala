@@ -8,6 +8,17 @@ trait SparkSuite extends AnyFunSuite {
   // local[4, 2]: maxFailures=2 so task-retry semantics are testable
   // (EsStubSpec's stalled-scroll recovery). Deterministic task failures
   // still fail the job — they just cost one extra attempt.
+  //
+  // Trade-off (ADVICE r17, evaluated and accepted): retries apply to
+  // EVERY suite, so a test whose task closure has non-idempotent side
+  // effects could double-execute on an incidental flake. A per-suite
+  // retry policy is not expressible here — maxFailures is fixed in the
+  // master string of the ONE SparkContext this JVM can hold — and the
+  // exposure is bounded by convention: tests that count side effects
+  // assert EXACT counts (EsStubSpec's attempt counters), which a stray
+  // retry fails loudly rather than passes silently, and the replay/
+  // idempotence suites assert convergence, where a double execution is
+  // exactly the semantics under test.
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4, 2]")
     .appName("graft-test")
