@@ -21,10 +21,29 @@ object Dedup {
     * group → one scan task; shingle generation would run single-threaded
     * without this. On a real multi-split source the condition is false and
     * no shuffle is added.
+    *
+    * TWO signals, because the partition count alone lies about row
+    * placement (found by the r18 ×100 profiler): Spark bin-packs a FEW
+    * big files into many byte-range splits (`minPartitionNum` ⇒ ~4 MB
+    * splits), but a parquet row group is unsplittable — a single-file
+    * single-row-group corpus presents 20 "partitions" of which 19 carry
+    * zero rows, and the whole shingle pass runs in one 117 s task while
+    * the count heuristic (20 ≥ target/2) stands down. So ALSO repartition
+    * when the relation reads from fewer FILES than target/2 — row groups
+    * can concentrate at most file-granularity, so many files ⇒ rows
+    * genuinely spread, few files ⇒ one text-sized exchange buys a
+    * corpus-parallel compute stage. Non-file relations (in-memory
+    * batches, unions over them) report zero input files and keep the
+    * pure partition-count rule.
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+    val files =
+      try df.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    if (df.rdd.getNumPartitions < target / 2 || (files > 0 && files < target / 2))
+      df.repartition(target)
+    else df
   }
 
   /** D1 — exact dedup: keep the lowest-id row per identical key column.

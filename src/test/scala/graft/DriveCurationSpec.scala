@@ -165,4 +165,52 @@ class DriveCurationSpec extends SparkSuite {
       } finally rm(work)
     }
   }
+
+  test("countSurvivors=false skips the count action's jobs per trigger (VERDICT r17 #5)") {
+    withStub { stub =>
+      val w1 = tempDir("jobs1"); val w2 = tempDir("jobs2")
+      try {
+        val conf = EsConf(stub.url, retryBackoffMs = 5)
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          // identical batch, identical (fresh) state shape per run — the
+          // only difference is the counted vs uncounted return value
+          def run(work: Path, count: Boolean): Int = {
+            jobs.set(0)
+            val (n, _) = DriveCuration.curateBatch(spark, df(Seq(allDocs(0))),
+              s"$work/store", s"$work/card",
+              DriveCuration.EsSink(conf, "curated"), tagger, 0L,
+              minTokens = 10L, maxStopwordRatio = 0.5, countSurvivors = count)
+            assert(if (count) n == 1L else n == -1L)
+            // let the async listener bus drain before reading the counter
+            // (the drain API is private[spark] — poll to stability instead)
+            var last = -1; var stable = 0
+            val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+            while (stable < 3 && System.nanoTime() < deadline) {
+              Thread.sleep(100)
+              val cur = jobs.get
+              if (cur == last) stable += 1 else { stable = 0; last = cur }
+            }
+            jobs.get
+          }
+          val counted = run(w1, count = true)
+          val uncounted = run(w2, count = false)
+          // one count() ACTION = 1 scheduler job interpreted, 2 under AQE
+          // (the partial-agg query stage materializes as its own job) —
+          // pin the bound, not the AQE-dependent constant
+          val delta = counted - uncounted
+          assert(delta >= 1 && delta <= 2,
+            s"the survivor count must cost exactly one action (1-2 jobs): " +
+              s"counted=$counted uncounted=$uncounted")
+        } finally spark.sparkContext.removeSparkListener(listener)
+      } finally { rm(w1); rm(w2) }
+    }
+  }
 }
