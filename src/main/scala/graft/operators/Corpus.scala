@@ -898,8 +898,19 @@ object Corpus {
           exhausted = true
         case Some(t) =>
           val (x, y, n) = (t.getString(0), t.getString(1), t.getLong(2))
-          rows = bpeApply(rows, x, y).transform(Stage.snapshotDF)
-          val tokensAfter = rows.agg(sum("wc")).head().getLong(0)
+          // tokens-after rides the snapshot's materializing job as an
+          // observe metric instead of a separate agg().head() action —
+          // one job per merge round, not two (same fold as the r18
+          // connectedComponents loop). The table is non-empty here (a
+          // top pair was just picked), so the sum is never null.
+          val obsName = s"graft.bpeTokens.$r.${Dedup.obsId()}"
+          val applied = bpeApply(rows, x, y)
+            .observe(obsName, sum("wc").as("tokens_after"))
+          rows = applied.transform(Stage.snapshotDF)
+          val tokensAfter = applied.queryExecution.observedMetrics
+            .getOrElse(obsName, throw new IllegalStateException(
+              s"$obsName missing after snapshot"))
+            .getAs[Long]("tokens_after")
           curve += ((r, s"$x+$y", n, tokensAfter))
           r += 1
       }

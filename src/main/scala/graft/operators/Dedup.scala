@@ -1202,8 +1202,24 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label") < col("label")).as("__chg"))
-      val nextCk = next.transform(Stage.snapshotDF)
-      changed = nextCk.filter(col("__chg")).count()
+      // The convergence count rides the checkpoint's own materializing job
+      // as an observe metric instead of a second count() action — one job
+      // per round, not two. CollectMetrics accumulates per task, so the
+      // eager localCheckpoint that materializes `next` also fills the
+      // metric; a missing entry would mean the barrier never executed the
+      // observed plan, which must fail loudly (a silent 0 would return
+      // non-converged labels and split components).
+      val obsName = s"graft.ccConverge.${capObsId.incrementAndGet()}"
+      val obs = next.observe(obsName,
+        sum(when(col("__chg"), lit(1L)).otherwise(lit(0L))).as("changed"))
+      val nextCk = obs.transform(Stage.snapshotDF)
+      val row = obs.queryExecution.observedMetrics.getOrElse(obsName,
+        throw new IllegalStateException(
+          s"$obsName missing after snapshot — convergence count unavailable"))
+      // sum over ZERO rows is null: an empty label table is trivially
+      // converged (no pairs ⇒ no components), the same answer count() gave
+      changed = Option(row.getAs[java.lang.Long]("changed"))
+        .map(_.longValue()).getOrElse(0L)
       labels = nextCk.select("node", "label")
       rounds += 1
     }
@@ -1238,6 +1254,9 @@ object Dedup {
     * `graft.capBuckets`); asserted in DedupSpec.
     */
   private[operators] val capObsId = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Fresh suffix for observe-metric names (CollectMetrics names must be
+    * unique within a plan AND across the loops that re-observe per round). */
+  private[operators] def obsId(): Int = capObsId.incrementAndGet()
   private[operators] def capBuckets(df: DataFrame, key: String, maxBucketSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
     val over = col("__bsz") > maxBucketSize

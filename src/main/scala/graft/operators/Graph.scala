@@ -632,14 +632,33 @@ object Graph {
     var reach = e.select(col("s").as("node")).union(e.select(col("d").as("node")))
       .distinct()
       .select(col("node").as("src"), col("node"), lit(0).as("hops"))
-    for (h <- 1 to maxHops) {
+    // Early exit when the frontier empties: reach grows monotonically, so
+    // an unchanged row count between rounds means round h added nothing and
+    // no later round can either — the remaining hops would each pay a full
+    // join+distinct+anti-join stage chain to produce zero rows. The count
+    // runs on the round's checkpoint (already materialized), so the check
+    // is one cheap job; output is identical because skipped rounds are
+    // provably empty. The maxHops cap semantics are unchanged — the loop
+    // still never runs past maxHops.
+    var prevCount = -1L
+    var h = 1
+    var converged = false
+    while (h <= maxHops && !converged) {
       val settled = Stage.snapshotDF(reach)
-      val next = settled.filter(col("hops") === h - 1)
-        .join(e, col("node") === col("s"))
-        .select(col("src"), col("d").as("node")).distinct()
-        .join(settled, Seq("src", "node"), "left_anti")
-        .select(col("src"), col("node"), lit(h).as("hops"))
-      reach = settled.unionByName(next)
+      val curCount = settled.count()
+      if (curCount == prevCount) {
+        converged = true
+        reach = settled // already materialized; skip re-deriving the union
+      } else {
+        val next = settled.filter(col("hops") === h - 1)
+          .join(e, col("node") === col("s"))
+          .select(col("src"), col("d").as("node")).distinct()
+          .join(settled, Seq("src", "node"), "left_anti")
+          .select(col("src"), col("node"), lit(h).as("hops"))
+        reach = settled.unionByName(next)
+        prevCount = curCount
+        h += 1
+      }
     }
     val fwd = Stage.snapshotDF(reach.select("src", "node"))
     val scc = fwd.as("f")

@@ -356,19 +356,35 @@ object DedupQueries {
   def q248_threshold_sweep: Q = (s, dir) => {
     val pairs = Stage.snapshotDF(Dedup.jaccardPairs(Tables.documents(s, dir),
       "doc_id", "text", shingleK = 3, threshold = 0.5))
-    val rows = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { t =>
-      val pt = Stage.snapshotDF(
-        pairs.filter(col("jaccard") >= t).select("id_a", "id_b"))
-      val sizes = Dedup.connectedComponents(pt, "id_a", "id_b")
-        .groupBy("component").agg(count(lit(1)).as("__sz"))
-      pt.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(broadcast(sizes.agg(
-          count(lit(1)).as("n_clusters"),
-          coalesce(sum("__sz"), lit(0L)).as("n_docs_clustered"),
-          coalesce(max("__sz"), lit(0L)).as("max_cluster"))))
-        .select(lit(t).as("threshold"), col("n_pairs"), col("n_clusters"),
-          col("n_docs_clustered"), col("max_cluster"))
-    }
+    // The five per-threshold derivations are INDEPENDENT eager CC loops
+    // over the one snapshotted pair list — submitted from a thread pool
+    // (optimization guide §2.6) so each loop's small driver-synced rounds
+    // back-fill the cores the others leave idle, instead of serializing
+    // five rounds-deep job chains. Each future builds a deterministic
+    // per-threshold row; results are awaited and unioned in threshold
+    // order, so the output is bit-identical to the sequential form.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thresholds.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val rows = try {
+      thresholds.map { t =>
+        Future {
+          val pt = Stage.snapshotDF(
+            pairs.filter(col("jaccard") >= t).select("id_a", "id_b"))
+          val sizes = Dedup.connectedComponents(pt, "id_a", "id_b")
+            .groupBy("component").agg(count(lit(1)).as("__sz"))
+          pt.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(broadcast(sizes.agg(
+              count(lit(1)).as("n_clusters"),
+              coalesce(sum("__sz"), lit(0L)).as("n_docs_clustered"),
+              coalesce(max("__sz"), lit(0L)).as("max_cluster"))))
+            .select(lit(t).as("threshold"), col("n_pairs"), col("n_clusters"),
+              col("n_docs_clustered"), col("max_cluster"))
+        }
+      }.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
     rows.reduce(_.unionByName(_)).orderBy("threshold")
   }
 

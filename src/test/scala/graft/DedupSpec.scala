@@ -21,6 +21,17 @@ class DedupSpec extends SparkSuite {
     assert(Seq(20L, 21L).forall(got(_) == 20L))
     assert(got.size == 10)
   }
+
+  test("connectedComponents: empty pair list converges via the null observe sum (r18 one-job-per-round loop)") {
+    import spark.implicits._
+    // zero pairs ⇒ zero labels ⇒ the round's observed sum aggregates no
+    // rows and returns null — the loop must read that as converged (0)
+    // rather than NPE or spin to the round cap
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(empty, "id_a", "id_b")
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("node", "component"))
+  }
   import spark.implicits._
 
   test("sortedNeighborhoodPairs: adjacency-visible dups found, prefix-divergent dups missed") {

@@ -324,6 +324,25 @@ class GraphSpec extends SparkSuite {
     assert(singletons == Set((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)), s"$singletons")
   }
 
+  test("stronglyConnected: early exit fires after convergence without changing output; maxHops cap semantics unchanged") {
+    // 2-cycle: reach settles at hop 1 (hop-2 frontier is empty), so the
+    // r18 early-exit loop stops rounds before the hop cap — output must be
+    // the same mutual pair the fixed-6-round loop produced
+    val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val gotTwo = Graph.stronglyConnected(two, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotTwo == Set((1L, 1L, 2L), (2L, 1L, 2L)), s"$gotTwo")
+    // 4-cycle at maxHops=2: the frontier grows through EVERY permitted
+    // round (never empty), so the early exit must NOT fire and the cap
+    // must still truncate reach — mutual pairs are exactly the
+    // distance-2 diagonals, the documented maxHops approximation
+    val four = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val gotFour = Graph.stronglyConnected(four, "src", "dst", maxHops = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotFour == Set((1L, 1L, 2L), (3L, 1L, 2L), (2L, 2L, 2L), (4L, 2L, 2L)),
+      s"$gotFour")
+  }
+
   test("linkPrediction: hand-computed overlap scores on a path-plus-spur graph") {
     // 1-2-3-4 path with spur 2-5; adjacency is undirected
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
