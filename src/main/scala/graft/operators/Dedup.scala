@@ -1172,7 +1172,8 @@ object Dedup {
     * Returns (node, component) with component = min node id in the cluster;
     * isolated nodes absent from `pairs` are not returned.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
     // Checkpoint the PAIR INPUT before the symmetrizing union: both union
     // branches reference `pairs`, and Catalyst re-executes the full candidate
     // pipeline (shingle → invert → pair-expand, the expensive part of every
@@ -1192,16 +1193,41 @@ object Dedup {
     // scope below.
     var changed = 1L
     var rounds = 0
-    val maxRounds = 50
     while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      // Pointer jumping from round 4 on: later rounds also compress
+      // label(v) → label(label(v)) (one self-join of the CHECKPOINTED
+      // label table — every label value is itself a labeled node, so the
+      // lookup always hits), so the remaining path length halves per
+      // round (O(log d) total) instead of shrinking by one hop. Plain
+      // hash-min needs diameter rounds — the r18 profiler caught q176's
+      // linkage chains paying ~35 dispatch-bound rounds — but the
+      // near-dup cluster graphs (q80 family) are dense, converge in ≤ 3
+      // rounds, and would only pay the extra join, hence the gate: the
+      // first 3 rounds run the plain step; any graph still unconverged
+      // by then has chains, exactly where the jump pays. Both candidate
+      // values are ids of nodes in v's own component and labels only
+      // ever decrease, so the fixpoint — every label the component
+      // minimum — is unchanged on every path (digest-sweep-pinned).
+      val base =
+        if (rounds < 3)
+          labels.withColumn("__jl",
+            lit(null).cast(labels.schema("label").dataType))
+        else {
+          val jump = labels.select(col("node").as("__jn"), col("label").as("__jl"))
+          labels.join(jump, col("label") === col("__jn"), "left")
+            .select(col("node"), col("label"), col("__jl"))
+        }
+      val next = base
+        .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("__chg"))
+          least(col("label"), coalesce(col("nbr_label"), col("label")),
+            coalesce(col("__jl"), col("label"))).as("label"),
+          (col("nbr_label") < col("label") || col("__jl") < col("label"))
+            .as("__chg"))
       // The convergence count rides the checkpoint's own materializing job
       // as an observe metric instead of a second count() action — one job
       // per round, not two. CollectMetrics accumulates per task, so the

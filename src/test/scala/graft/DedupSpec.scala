@@ -22,6 +22,18 @@ class DedupSpec extends SparkSuite {
     assert(got.size == 10)
   }
 
+  test("connectedComponents: pointer jumping compresses a 30-chain under a 12-round cap (plain hash-min needs ~30)") {
+    import spark.implicits._
+    // path graph 1-2-...-31: diameter 30, so diameter-rounds hash-min
+    // cannot converge inside 12 rounds — only the round-4+ label-of-label
+    // compression can; converging here is the witness that the jump fires
+    val chain = (1L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup
+      .connectedComponents(chain, "id_a", "id_b", maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 31 && got.values.forall(_ == 1L), s"$got")
+  }
+
   test("connectedComponents: empty pair list converges via the null observe sum (r18 one-job-per-round loop)") {
     import spark.implicits._
     // zero pairs ⇒ zero labels ⇒ the round's observed sum aggregates no
