@@ -901,16 +901,36 @@ object Corpus {
           // tokens-after rides the snapshot's materializing job as an
           // observe metric instead of a separate agg().head() action —
           // one job per merge round, not two (same fold as the r18
-          // connectedComponents loop). The table is non-empty here (a
-          // top pair was just picked), so the sum is never null.
-          val obsName = s"graft.bpeTokens.$r.${Dedup.obsId()}"
+          // connectedComponents loop). ONLY under the single-execution
+          // local barrier: `checkpoint(eager=true)` (reliable mode)
+          // executes the lineage twice — materialize + checkpoint write —
+          // which DOUBLES the CollectMetrics accumulator and would
+          // silently corrupt the merge curve (ADVICE r18); there the
+          // value is read back from the checkpointed table instead (one
+          // cheap checkpoint-scan job — durability already paid more).
           val applied = bpeApply(rows, x, y)
-            .observe(obsName, sum("wc").as("tokens_after"))
-          rows = applied.transform(Stage.snapshotDF)
-          val tokensAfter = applied.queryExecution.observedMetrics
-            .getOrElse(obsName, throw new IllegalStateException(
-              s"$obsName missing after snapshot"))
-            .getAs[Long]("tokens_after")
+          val singleExec =
+            rows.sparkSession.conf.get(Stage.ModeConf, "local") == "local"
+          val tokensAfter =
+            if (singleExec) {
+              val obsName = s"graft.bpeTokens.$r.${Dedup.obsId()}"
+              val obs = applied.observe(obsName, sum("wc").as("tokens_after"))
+              rows = obs.transform(Stage.snapshotDF)
+              val row = obs.queryExecution.observedMetrics
+                .getOrElse(obsName, throw new IllegalStateException(
+                  s"$obsName missing after snapshot"))
+              // boxed read + explicit null check (ADVICE r18): the table is
+              // non-empty here (a top pair was just picked), so a null sum
+              // means the metric did not fill — fail loudly, never a
+              // silent 0 curve point
+              Option(row.getAs[java.lang.Long]("tokens_after"))
+                .map(_.longValue())
+                .getOrElse(throw new IllegalStateException(
+                  s"$obsName: null tokens_after on a non-empty symbol table"))
+            } else {
+              rows = applied.transform(Stage.snapshotDF)
+              rows.agg(sum("wc").as("tokens_after")).head().getLong(0)
+            }
           curve += ((r, s"$x+$y", n, tokensAfter))
           r += 1
       }
@@ -1388,20 +1408,48 @@ object Corpus {
     */
   def maxCoverageSelect(docTokens: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val dt = Stage.snapshotDF(docTokens.select(col("doc"), col("token")).distinct())
-    var covered = dt.select("token").limit(0)
-    var selected: DataFrame = null
+    val spark = docTokens.sparkSession
+    // One corpus-sized distinct, checkpointed pre-partitioned on `doc`
+    // (repartition BEFORE distinct: the aggregate is satisfied by the
+    // doc-only clustering, so one exchange total) — every round's gain
+    // aggregation then groups by `doc` with NO exchange (guide §2.4).
+    val dt = Stage.snapshotPrePartitioned(
+      docTokens.select(col("doc"), col("token"))
+        .repartition(col("doc")).distinct())
+    // r18-shape cost: 2 eager snapshots per round (a 1-row pick + the
+    // re-checkpointed whole covered set) plus a semi-join — 31 jobs at
+    // k=5, all dispatch (ConstantProfile r19). The pick is ONE row of
+    // model state: collect it (the bpeLearn top-pair convention) and
+    // inline the doc id as a literal; `covered` stays a union of ≤ k
+    // FILTERS over the one dt checkpoint (never re-materialized) and is
+    // bounded by k documents' tokens, so it broadcasts — each round is
+    // one job: scan checkpoint → broadcast-anti-join → in-partition
+    // gain aggregate → limit-1 collect.
+    // The output rows are rebuilt from the collected literals under the
+    // EXACT schema the old per-round select produced (template from the
+    // same expressions over zero rows), so values, types and nullability
+    // are bit-identical.
+    val template = dt.limit(0).groupBy("doc").agg(count(lit(1)).as("gain"))
+      .select(lit(1).as("sel_rank"), col("doc"), col("gain"))
+    var covered: Option[DataFrame] = None
+    val picked = Seq.newBuilder[org.apache.spark.sql.Row]
     for (r <- 1 to k) {
-      val pick = Stage.snapshotDF(
-        dt.join(covered, Seq("token"), "left_anti")
-          .groupBy("doc").agg(count(lit(1)).as("gain"))
-          .orderBy(col("gain").desc, col("doc").asc).limit(1)
-          .select(lit(r).as("sel_rank"), col("doc"), col("gain")))
-      covered = Stage.snapshotDF(
-        covered.union(dt.join(pick.select("doc"), Seq("doc"), "left_semi").select("token")))
-      selected = if (selected == null) pick else selected.unionByName(pick)
+      val base = covered
+        .map(cv => dt.join(broadcast(cv), Seq("token"), "left_anti"))
+        .getOrElse(dt)
+      // empty pick (every token already covered / empty corpus): the old
+      // form unioned an empty 1-row relation — contribute nothing, same rows
+      base.groupBy("doc").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc").asc).limit(1)
+        .collect().headOption.foreach { row =>
+          picked += org.apache.spark.sql.Row(r, row.get(0), row.getLong(1))
+          val delta = dt.filter(col("doc") === lit(row.get(0))).select("token")
+          covered = Some(covered.map(_.union(delta)).getOrElse(delta))
+        }
     }
-    selected.orderBy("sel_rank")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(picked.result().asJava, template.schema)
+      .orderBy("sel_rank")
   }
 
   /** Cross-snapshot token-distribution DRIFT per key: Jensen–Shannon

@@ -182,7 +182,12 @@ object Dedup {
     * survives. Pinned in SkewFixtureSpec.
     */
   private def bandBucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val b = Stage.snapshotDF(banded)
+    // keyed snapshot (r19): every consumer below — the size aggregate, the
+    // cap semi-join, the pair self-join — is keyed on (band, bucket), so
+    // hash-partitioning the checkpoint on that key removes ALL of their
+    // Exchanges (and the join-side Sorts): one exchange at the snapshot
+    // where the old plan paid one per consumer (guide §2.4)
+    val b = Stage.snapshotKeyed(banded, "band", "bucket")
     val over = col("__n") > maxBucketSize
     val keys = b.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
@@ -416,8 +421,13 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     // one shingling pass fans out to both join sides: snapshot, or the
     // self-join compiles the tokenize+shingle subtree twice (the 45×
-    // minhashSignatures incident)
-    val sh = shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF)
+    // minhashSignatures incident). KEYED on the join key (r19): the
+    // checkpoint is hash(shingle)-partitioned and shingle-sorted, so the
+    // self-join below plans with NO Exchange and NO Sort on either side —
+    // the exchange is paid once at the snapshot instead of once per side
+    // (guide §2.4; plans/r19 q42 diff).
+    val sh = shingleIndex(docs, idCol, textCol, shingleK)
+      .transform(df => Stage.snapshotKeyed(df, "shingle"))
     val a = sh.select(col("shingle"), col("__id").as("id_a"), col("sz").as("sz_a"))
     val b = sh.select(col("shingle"), col("__id").as("id_b"), col("sz").as("sz_b"))
     jaccardScore(
@@ -478,9 +488,13 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.6): DataFrame =
     // the inverted-index rows feed df-count AND prefix ranking — one
-    // materialization (the same fan-out rule as tfidf/connectedComponents)
+    // materialization (the same fan-out rule as tfidf/connectedComponents),
+    // keyed on the shingle (r19): the df aggregate, the prefix join and
+    // the candidate self-join are all shingle-keyed, so the checkpoint's
+    // hash(shingle) layout removes their Exchanges (guide §2.4)
     jaccardPairsPrefixFrom(
-      shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF),
+      shingleIndex(docs, idCol, textCol, shingleK)
+        .transform(df => Stage.snapshotKeyed(df, "shingle")),
       threshold)
 
   /** [[jaccardPairsPrefix]] over a prebuilt — and ALREADY SNAPSHOTTED —
@@ -549,7 +563,12 @@ object Dedup {
     */
   private def prefixCandidates(prefix: DataFrame, threshold: Double): DataFrame = {
     val posFactor = threshold / (1.0 + threshold)
-    val p = Stage.snapshotDF(prefix.select("shingle", "__id", "sz", "rn"))
+    // keyed snapshot (r19): hash(shingle) + shingle-sorted, so the
+    // self-join below loses both join-side Exchanges and Sorts — at ×100
+    // these were the two uniform SMJ stages spilling ~9 GB (q90's biggest
+    // absolute wall, VERDICT r18 #3/guide §2.4)
+    val p = Stage.snapshotKeyed(
+      prefix.select("shingle", "__id", "sz", "rn"), "shingle")
     p.select(col("shingle"), col("__id").as("id_a"),
         col("sz").as("sz_a"), col("rn").as("rn_a"))
       .join(p.select(col("shingle"), col("__id").as("id_b"),
@@ -736,8 +755,11 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     // the index feeds prefix ranking, the dst probe side, AND verification —
-    // one materialization (the fan-out rule)
-    val sh = shingleIndex(docs, idCol, textCol, shingleK).transform(Stage.snapshotDF)
+    // one materialization (the fan-out rule), shingle-keyed (r19): the df
+    // aggregate, the prefix join and the dst probe join reuse the
+    // checkpoint's hash(shingle) layout (guide §2.4)
+    val sh = shingleIndex(docs, idCol, textCol, shingleK)
+      .transform(df => Stage.snapshotKeyed(df, "shingle"))
     val cand = prefixIndex(sh, threshold)
       .select(col("__id").as("id_src"), col("sz").as("sz_src"), col("shingle"))
       .join(sh.select(col("__id").as("id_dst"), col("sz").as("sz_dst"), col("shingle")),
@@ -1081,12 +1103,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = Stage.snapshotDF(simhash(docs, idCol, textCol)
-      .select(col(idCol).as("__id"), col("simhash")))
-    val chunked = fp.select(
-      col("__id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("ckey", expr("shiftright(simhash, chunk * 16) & 65535"))
+    // r19: the snapshot moved from the fingerprint table to the CHUNKED
+    // relation, keyed on the (chunk, ckey) join key — one checkpoint
+    // instead of two-sided re-derivation, and the self-join below loses
+    // both Exchanges and Sorts (guide §2.4). The 4-rows-per-doc blowup is
+    // id+fingerprint+two small ints — still signature-sized, never text.
+    val chunked = Stage.snapshotKeyed(
+      simhash(docs, idCol, textCol)
+        .select(col(idCol).as("__id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .withColumn("ckey", expr("shiftright(simhash, chunk * 16) & 65535")),
+      "chunk", "ckey")
     chunked
       .select(col("chunk"), col("ckey"),
         col("__id").as("id_a"), col("simhash").as("sh_a"))
@@ -1138,12 +1165,15 @@ object Dedup {
           .reduce(_ + _).as("simhash60"))
     // same r18 join-based pair instancing as [[simhashNearDups]]: the
     // 60-vote fingerprint aggregate runs once behind the snapshot, the
-    // chunk-keyed self-join replaces the object-agg member arrays
-    val fpCk = Stage.snapshotDF(fp)
-    val chunked = fpCk.select(
-      col("__id"), col("simhash60"),
-      explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("ckey", expr("shiftright(simhash60, chunk * 15) & 32767"))
+    // chunk-keyed self-join replaces the object-agg member arrays.
+    // r19: the snapshot moved to the chunked relation, keyed on the
+    // (chunk, ckey) join key — the self-join loses both Exchanges and
+    // Sorts (guide §2.4, same as [[simhashNearDups]]).
+    val chunked = Stage.snapshotKeyed(
+      fp.select(col("__id"), col("simhash60"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+        .withColumn("ckey", expr("shiftright(simhash60, chunk * 15) & 32767")),
+      "chunk", "ckey")
     chunked
       .select(col("chunk"), col("ckey"),
         col("__id").as("id_a"), col("simhash60").as("sh_a"))
@@ -1180,10 +1210,18 @@ object Dedup {
     // dedup job) once per branch. Materializing the tiny pair list first makes
     // the union read 2× a checkpoint instead of running 2× the pipeline.
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).transform(Stage.snapshotDF)
-    val edges = p
+    // The symmetrized edge set is checkpointed PRE-PARTITIONED on `dst`
+    // (the per-round join key): the repartition lands BEFORE the distinct,
+    // whose aggregate is satisfied by the dst-only clustering (grouping
+    // keys ⊇ partitioning keys), so the build pays ONE exchange total and
+    // every round's edge-side Exchange + Sort disappears — the checkpoint's
+    // hash(dst) layout and dst-sorted order carry through `LogicalRDD`
+    // (guide §2.4; plans/r19 q42/q243 diffs).
+    val edges = Stage.snapshotPrePartitioned(p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .distinct()
-      .transform(Stage.snapshotDF)
+      .sortWithinPartitions("dst"))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .transform(Stage.snapshotDF)
@@ -1191,11 +1229,25 @@ object Dedup {
     // PAIR — a small fraction of the corpus; prior rounds' checkpoint blocks
     // are released by the ContextCleaner once their DataFrames drop out of
     // scope below.
+    //
+    // FRONTIER RESTRICTION (r19, guide §2.1/§2.5): round r's neighbor-min
+    // joins only the labels that CHANGED in round r−1, not the full label
+    // table. Output-identical by induction: the unrestricted update keeps
+    // the invariant label_r(n) ≤ label_{r−1}(m) for every neighbor m, so a
+    // neighbor whose label did NOT change in round r−1 contributes a value
+    // n already holds — omitting it changes no min, no __chg flag, no
+    // round count (the digest sweep and the per-round ccConverge totals
+    // pin this). The win compounds with scale: settled components stop
+    // paying the edge join every remaining round — the per-round shuffle
+    // shrinks with the frontier instead of staying edge-sized, and once
+    // the frontier is small AQE broadcasts it, so the (pre-partitioned)
+    // edge checkpoint is only ever scanned.
+    var frontier = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .join(frontier.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nbr_label"))
       // Pointer jumping from round 4 on: later rounds also compress
@@ -1247,6 +1299,15 @@ object Dedup {
       changed = Option(row.getAs[java.lang.Long]("changed"))
         .map(_.longValue()).getOrElse(0L)
       labels = nextCk.select("node", "label")
+      // next round's frontier = the rows whose label just changed, read
+      // straight off the round's checkpoint (the filter keeps only true;
+      // a null __chg — no changed neighbor, no jump hit — is unchanged).
+      // frontier empty ⟺ changed == 0, so the loop condition needs no
+      // second test. (Under spark.graft.checkpoint=reliable the observe
+      // count is doubled by the checkpoint's second lineage execution —
+      // harmless here: `changed` is only ever zero-tested, and the
+      // frontier rides the DATA, not the metric.)
+      frontier = nextCk.filter(col("__chg")).select("node", "label")
       rounds += 1
     }
     // a silent non-converged return would split components and let

@@ -626,41 +626,58 @@ object Graph {
       dstCol: String,
       maxHops: Int = 6): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
-    val e = Stage.snapshotDF(edges
+    // The edge snapshot is pre-partitioned on `s` (the per-hop expansion
+    // key): the distinct's aggregate is satisfied by the s-only clustering,
+    // so the build pays one exchange and every hop's edge-side Exchange +
+    // Sort disappears (the checkpoint's layout carries through LogicalRDD —
+    // guide §2.4, same trick as connectedComponents' dst-keyed edges).
+    val e = Stage.snapshotPrePartitioned(edges
       .select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .filter(col("s") =!= col("d")).distinct())
-    var reach = e.select(col("s").as("node")).union(e.select(col("d").as("node")))
+      .filter(col("s") =!= col("d"))
+      .repartition(col("s"))
       .distinct()
-      .select(col("node").as("src"), col("node"), lit(0).as("hops"))
-    // Early exit when the frontier empties: reach grows monotonically, so
-    // an unchanged row count between rounds means round h added nothing and
-    // no later round can either — the remaining hops would each pay a full
-    // join+distinct+anti-join stage chain to produce zero rows. The count
-    // runs on the round's checkpoint (already materialized), so the check
-    // is one cheap job; output is identical because skipped rounds are
-    // provably empty. The maxHops cap semantics are unchanged — the loop
-    // still never runs past maxHops.
-    var prevCount = -1L
+      .sortWithinPartitions("s"))
+    // DELTA-LAYER BFS (r19, guide §2.1/§2.5): each hop checkpoints only the
+    // NEWLY reached (src, node) rows instead of re-checkpointing the whole
+    // growing reach relation (the old form re-materialized O(h·|reach|)
+    // rows and paid a separate count() per hop for the early exit). The
+    // frontier is the last hop's delta; the anti-join right side is the
+    // union of the prior delta checkpoints (checkpoint reads, no
+    // recompute); the early-exit count rides the delta's materializing job
+    // as an observe metric — zero rows added means every later hop is
+    // provably empty, the same monotone-growth argument as before. Output
+    // identical: reach = ∪ layers, and the maxHops cap is unchanged.
+    // (Under reliable checkpointing the observe count doubles — harmless,
+    // it is only zero-tested.)
+    var layers = Vector(Stage.snapshotDF(
+      e.select(col("s").as("node")).union(e.select(col("d").as("node")))
+        .distinct()
+        .select(col("node").as("src"), col("node"), lit(0).as("hops"))))
+    var frontier = layers.head
     var h = 1
-    var converged = false
-    while (h <= maxHops && !converged) {
-      val settled = Stage.snapshotDF(reach)
-      val curCount = settled.count()
-      if (curCount == prevCount) {
-        converged = true
-        reach = settled // already materialized; skip re-deriving the union
-      } else {
-        val next = settled.filter(col("hops") === h - 1)
-          .join(e, col("node") === col("s"))
-          .select(col("src"), col("d").as("node")).distinct()
-          .join(settled, Seq("src", "node"), "left_anti")
-          .select(col("src"), col("node"), lit(h).as("hops"))
-        reach = settled.unionByName(next)
-        prevCount = curCount
-        h += 1
-      }
+    var growing = true
+    while (h <= maxHops && growing) {
+      val settled = layers.reduce(_.unionByName(_))
+      val obsName = s"graft.sccFrontier.${Dedup.obsId()}"
+      val next = frontier
+        .join(e, col("node") === col("s"))
+        .select(col("src"), col("d").as("node")).distinct()
+        .join(settled, Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(h).as("hops"))
+        .observe(obsName, count(lit(1)).as("added"))
+      val nextCk = Stage.snapshotDF(next)
+      val added = next.queryExecution.observedMetrics.getOrElse(obsName,
+        throw new IllegalStateException(
+          s"$obsName missing after snapshot — frontier count unavailable"))
+        .getAs[Long]("added") // count over zero rows is 0, never null
+      if (added > 0) {
+        layers = layers :+ nextCk
+        frontier = nextCk
+      } else growing = false
+      h += 1
     }
-    val fwd = Stage.snapshotDF(reach.select("src", "node"))
+    val fwd = Stage.snapshotDF(
+      layers.map(_.select("src", "node")).reduce(_.unionByName(_)))
     val scc = fwd.as("f")
       .join(fwd.as("b"),
         col("f.src") === col("b.node") && col("f.node") === col("b.src"))

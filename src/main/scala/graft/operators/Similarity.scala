@@ -762,10 +762,18 @@ object Similarity {
       .filter(col("anchor") =!= col("neighbor"))
       .filter(round(cosine(col("va"), col("vn")), 4) >= minSim)
       .select(col("anchor"), col("neighbor"))
-      .transform(Stage.snapshotDF) // feeds degrees, core edges, border attach
-    val cores = Stage.snapshotDF(
-      pairs.groupBy("anchor").agg(count(lit(1)).as("n_eps"))
-        .filter(col("n_eps") >= minPts))
+      // keyed on `anchor` (r19, guide §2.4): degrees, the core semi-join
+      // and the border anti-join are all anchor-keyed, so they reuse the
+      // checkpoint's hash(anchor) layout instead of re-exchanging
+      .transform(df => Stage.snapshotKeyed(df, "anchor"))
+    // ONE ε-degree relation (r19): the r18 form re-aggregated `pairs` by
+    // anchor three times (cores, border n_eps, noise n_eps) — same values,
+    // three jobs' worth of stages; now computed once behind a snapshot
+    // (exchange-free: pairs is hash(anchor)-partitioned) and filtered per
+    // consumer. Output identical — n_eps was always the full pair degree.
+    val degrees = Stage.snapshotDF(
+      pairs.groupBy("anchor").agg(count(lit(1)).as("n_eps")))
+    val cores = degrees.filter(col("n_eps") >= minPts)
     val coreEdges = pairs
       .join(cores.select(col("anchor")), Seq("anchor"), "left_semi")
       .join(cores.select(col("anchor").as("neighbor")), Seq("neighbor"), "left_semi")
@@ -783,13 +791,12 @@ object Similarity {
       .groupBy(col("anchor").as("vec_id"))
       .agg(min("cluster").as("cluster"))
       .select(col("vec_id"), col("cluster"), lit("border").as("role"))
-      .join(pairs.groupBy(col("anchor").as("vec_id"))
-        .agg(count(lit(1)).as("n_eps")), Seq("vec_id"))
+      .join(degrees.select(col("anchor").as("vec_id"), col("n_eps")), Seq("vec_id"))
     val clustered = Stage.snapshotDF(coreOut.unionByName(borderOut))
     val noise = b.select(col("vec_id"))
       .join(clustered.select("vec_id"), Seq("vec_id"), "left_anti")
-      .join(pairs.groupBy(col("anchor").as("vec_id"))
-        .agg(count(lit(1)).as("n_eps")), Seq("vec_id"), "left")
+      .join(degrees.select(col("anchor").as("vec_id"), col("n_eps")),
+        Seq("vec_id"), "left")
       .select(col("vec_id"), lit(null).cast("long").as("cluster"),
         lit("noise").as("role"), coalesce(col("n_eps"), lit(0L)).as("n_eps"))
     clustered.unionByName(noise)

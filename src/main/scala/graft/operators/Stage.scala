@@ -71,6 +71,85 @@ object Stage {
   /** `snapshot` for the callers that still want the DataFrame alias. */
   def snapshotDF(df: DataFrame): DataFrame = snapshot(df)
 
+  /** [[snapshot]] with the rows pre-partitioned (hash on `keys`) and sorted
+    * within partitions by `keys` first — the §2.4 "share one exchange"
+    * form for snapshots that fan out to several consumers KEYED THE SAME
+    * WAY (self-join sides, same-key aggregations). `Dataset.checkpoint` /
+    * `localCheckpoint` carry the physical plan's outputPartitioning and
+    * outputOrdering into the resulting `LogicalRDD`, so every keyed
+    * consumer reuses the checkpoint's layout instead of paying its own
+    * Exchange + Sort: a self-join on `keys` over this snapshot plans as a
+    * SortMergeJoin with NO exchange and NO sort on either side (verified
+    * in plans/r19 — the r18 pair-instancing join sites each lose two
+    * Exchanges and two Sorts). The repartition costs one exchange ONCE,
+    * where the first keyed consumer alone would have paid the same
+    * exchange anyway; every further consumer rides free. The local sort
+    * is what SortMergeJoin would have done per side, done once.
+    *
+    * Only worth it when the keyed consumers dominate: a consumer keyed
+    * differently still re-exchanges, and the snapshot itself pays the
+    * shuffle even if no consumer needs it — callers choose per site.
+    *
+    * AQE CAVEAT (measured, graft.tools.PartProbe): under AQE the
+    * checkpoint is taken from an `AdaptiveSparkPlanExec`, whose
+    * outputPartitioning is NOT mapped into the LogicalRDD — the scan
+    * comes back `UnknownPartitioning` and every consumer re-exchanges,
+    * silently undoing the whole point. The materialization therefore runs
+    * inside [[withAqeOff]]; consumers still plan and run under the
+    * session's normal AQE setting (the layout is baked into the
+    * checkpoint by then). Known trade, documented per site: the keyed
+    * checkpoint holds exactly spark.sql.shuffle.partitions partitions
+    * (no AQE coalescing of the build shuffle), and a downstream
+    * co-partitioned join has no Exchange for AQE's skew-split to re-plan
+    * — per-key size caps / prefix pruning bound that where it matters.
+    */
+  def snapshotKeyed(df: DataFrame, keys: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    snapshotPrePartitioned(df.repartition(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*))
+  }
+
+  /** [[snapshotKeyed]]'s AQE-off barrier for callers that hand-build the
+    * keyed layout (e.g. `repartition` BEFORE a `distinct` so the
+    * aggregate is satisfied by the key-subset clustering and the build
+    * pays one exchange total). `df` must already end in the partitioning/
+    * ordering the consumers want.
+    */
+  def snapshotPrePartitioned(df: DataFrame): DataFrame =
+    withAqeOff(df.sparkSession)(snapshot(df))
+
+  private val AqeConf = "spark.sql.adaptive.enabled"
+  private val aqeGuard = new Object
+  private var aqeDepth = 0
+  private var aqeSaved = "true"
+
+  /** Run `body` — which must complete any materialization EAGERLY before
+    * returning — with AQE disabled on the session, restoring the previous
+    * setting afterwards. Re-entrant and safe under concurrent snapshots
+    * (q248 submits five CC loops from a thread pool): a depth counter
+    * saves the original value only on the 0→1 transition and restores it
+    * only on the 1→0 transition, so interleaved windows can never
+    * "restore" the temporary `false` and wedge the session AQE-off.
+    * While any window is open, unrelated concurrent queries may plan
+    * AQE-off — a transient plan-shape wobble, never a semantic one (the
+    * AQE-off invariance axis is digest-identical by audit).
+    */
+  private def withAqeOff[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    aqeGuard.synchronized {
+      if (aqeDepth == 0) {
+        aqeSaved = spark.conf.get(AqeConf, "true")
+        spark.conf.set(AqeConf, "false")
+      }
+      aqeDepth += 1
+    }
+    try body
+    finally aqeGuard.synchronized {
+      aqeDepth -= 1
+      if (aqeDepth == 0) spark.conf.set(AqeConf, aqeSaved)
+    }
+  }
+
   val ScratchConf = "spark.graft.scratch.dir"
 
   /** Fresh scratch directory for queries that materialize TRANSIENT

@@ -125,7 +125,13 @@ object DedupQueries {
     import graft.operators.Linkage
     val c = Tables.customer(s, dir)
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-      .transform(graft.operators.Stage.snapshotDF) // feeds pairs AND membership
+      // feeds pairs AND membership; keyed on the blocking columns (r19):
+      // the Σ block² candidate self-join reuses the checkpoint's
+      // hash(nation, segment) layout on both sides — no Exchange, no Sort
+      // (guide §2.4). The membership join is keyed differently and pays
+      // its own (usually broadcast) plan either way.
+      .transform(df => graft.operators.Stage.snapshotKeyed(
+        df, "c_nationkey", "c_mktsegment"))
     val matched = Linkage
       .score(Linkage.candidatePairs(c, "c_custkey", Seq("c_nationkey", "c_mktsegment")),
         LinkageRules)
@@ -368,8 +374,15 @@ object DedupQueries {
     val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(thresholds.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Await ALL futures via Future.sequence with a generous FINITE timeout
+    // (ADVICE r18): awaiting one-by-one with Duration.Inf meant an early
+    // failure abandoned the later loops mid-flight (their jobs and eager
+    // checkpoints kept running after the query had failed) and a wedged
+    // loop hung the query forever. On any failure/timeout the pool is
+    // shutdownNow-interrupted and drained before rethrowing, so no
+    // orphaned job outlives the query.
     val rows = try {
-      thresholds.map { t =>
+      val futures = thresholds.map { t =>
         Future {
           val pt = Stage.snapshotDF(
             pairs.filter(col("jaccard") >= t).select("id_a", "id_b"))
@@ -383,7 +396,15 @@ object DedupQueries {
             .select(lit(t).as("threshold"), col("n_pairs"), col("n_clusters"),
               col("n_docs_clustered"), col("max_cluster"))
         }
-      }.map(Await.result(_, Duration.Inf))
+      }
+      try Await.result(Future.sequence(futures),
+        Duration(1L, java.util.concurrent.TimeUnit.HOURS))
+      catch {
+        case e: Throwable =>
+          pool.shutdownNow()
+          pool.awaitTermination(30L, java.util.concurrent.TimeUnit.SECONDS)
+          throw e
+      }
     } finally pool.shutdown()
     rows.reduce(_.unionByName(_)).orderBy("threshold")
   }
@@ -494,7 +515,7 @@ object DedupQueries {
     // candidate generation and verification share ONE checkpointed shingle
     // index — the corpus is shingled once for the whole pipeline
     val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
-      .transform(Stage.snapshotDF)
+      .transform(df => Stage.snapshotKeyed(df, "shingle"))
     Dedup.jaccardVerify(Dedup.minhashCandidatesDeterministicFrom(sh), sh, threshold = 0.6)
       .orderBy("id_a", "id_b")
   }
@@ -671,7 +692,7 @@ object DedupQueries {
     */
   def q108_guarded_drops: Q = (s, dir) => {
     val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
-      .transform(Stage.snapshotDF)
+      .transform(df => Stage.snapshotKeyed(df, "shingle"))
     Dedup.jaccardDropsGuarded(sh, threshold = 0.6,
         pairBudget = 1L, hotPostingCap = 2)
       .select(col("__id").as("doc_id"))
@@ -701,7 +722,7 @@ object DedupQueries {
     */
   def q130_contain_drops: Q = (s, dir) => {
     val sh = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
-      .transform(Stage.snapshotDF)
+      .transform(df => Stage.snapshotKeyed(df, "shingle"))
     Dedup.containmentDropsGuarded(sh, threshold = 0.8,
         pairBudget = 1L, hotDfCap = 2)
       .select(col("__id").as("doc_id"))
@@ -723,7 +744,7 @@ object DedupQueries {
   def q134_contain_apply: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3)
-      .transform(Stage.snapshotDF)
+      .transform(df => Stage.snapshotKeyed(df, "shingle"))
     val drops = Dedup.containmentDrops(sh, threshold = 0.8)
       .select(col("__id").as("doc_id"))
     docs.join(drops, Seq("doc_id"), "left_anti")
@@ -756,7 +777,7 @@ object DedupQueries {
     val sh = Dedup.shingleIndex(
       Tables.documents(s, dir).filter(col("doc_id") % 3 === 0),
       "doc_id", "text", 3)
-      .transform(Stage.snapshotDF)
+      .transform(df => Stage.snapshotKeyed(df, "shingle"))
     val exact = Dedup.jaccardPairsPrefixFrom(sh, threshold = 0.6)
     val cand = Dedup.minhashCandidatesDeterministicFrom(sh)
     Dedup.candidateRecallAudit(exact, cand)

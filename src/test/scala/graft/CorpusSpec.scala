@@ -625,6 +625,14 @@ class CorpusSpec extends SparkSuite {
     assert(got == Seq((1, 1L, 3L), (2, 2L, 1L), (3, 4L, 1L)), s"got $got")
   }
 
+  test("maxCoverageSelect: empty corpus yields an empty result with the declared schema (r19 collected-pick loop)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc", "token")
+    val got = Corpus.maxCoverageSelect(empty, k = 3)
+    assert(got.columns.toSeq == Seq("sel_rank", "doc", "gain"))
+    assert(got.count() == 0L)
+  }
+
   test("tokenDistributionDrift: hand-computed JS, disjoint supports hit ln 2, one-sided keys survive") {
     // key "s": A = {a:2, b:2} (p = ½,½), B = {a:3, b:1} (q = ¾,¼)
     //   JS = ½[½ln(½/0.625)+½ln(½/0.375)] + ½[¾ln(¾/0.625)+¼ln(¼/0.375)]

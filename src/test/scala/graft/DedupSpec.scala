@@ -34,6 +34,19 @@ class DedupSpec extends SparkSuite {
     assert(got.size == 31 && got.values.forall(_ == 1L), s"$got")
   }
 
+  test("connectedComponents: frontier re-activation — a node quiet in one round changes again when a neighbor changes later (r19 frontier-restricted rounds)") {
+    import spark.implicits._
+    // chain 2-12-11-10-1: node 12 changes in round 1 (label ← 2 via the
+    // direct edge), is then absent from the frontier only if nothing else
+    // reaches it — but 1's label walks down 10→11 and must re-enter 12's
+    // neighborhood in a later round THROUGH the frontier (11 changed), or
+    // the restricted join would freeze 12 at label 2 and split the chain
+    val edges = Seq((2L, 12L), (11L, 12L), (10L, 11L), (1L, 10L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 5 && got.values.forall(_ == 1L), s"$got")
+  }
+
   test("connectedComponents: empty pair list converges via the null observe sum (r18 one-job-per-round loop)") {
     import spark.implicits._
     // zero pairs ⇒ zero labels ⇒ the round's observed sum aggregates no

@@ -343,6 +343,18 @@ class GraphSpec extends SparkSuite {
       s"$gotFour")
   }
 
+  test("stronglyConnected: delta layers dedup reconvergent paths (a node reachable at two hop depths appears once)") {
+    // 1→2, 2→3, 1→3: from 1, node 3 is reached at hop 1 (direct) AND would
+    // re-arrive at hop 2 via 2→3 — the r19 delta-layer anti-join must drop
+    // the re-arrival so reach holds one row per (src, node); no cycles ⇒
+    // all singleton SCCs. A duplicated reach row would double-count the
+    // mutual join and corrupt scc_size.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = Graph.stronglyConnected(g, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)), s"$got")
+  }
+
   test("linkPrediction: hand-computed overlap scores on a path-plus-spur graph") {
     // 1-2-3-4 path with spur 2-5; adjacency is undirected
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")

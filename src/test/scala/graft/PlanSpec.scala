@@ -601,11 +601,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q170: greedy rounds ran eagerly — the final plan unions 1-row snapshots, no rescans") {
+  test("q170: greedy rounds ran eagerly — the final plan is the collected picks, no rescans") {
     val p = plan("q170_max_coverage")
     assert(!p.contains("FileScan parquet"),
       "selection rounds must run on the token-relation snapshot, not rescans")
-    assert(p.contains("Union"), s"final plan should union the per-round picks:\n${p.take(400)}")
+    // r19 shape: the per-round argmax rows are collected driver literals
+    // (bpeLearn's top-pair convention), so the final plan is ONE local
+    // relation — no per-round 1-row snapshots, no unions, no joins
+    assert(p.contains("LocalTableScan"),
+      s"final plan should be the collected per-round picks:\n${p.take(400)}")
+    assert(!p.contains("Join"), s"no join may survive into the final plan:\n${p.take(400)}")
   }
 
   test("q176: golden-record consolidation broadcasts cluster labels; no cartesian anywhere") {
